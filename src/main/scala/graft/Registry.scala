@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator query.
+  *
+  * @param name   stable key; appears in CORRECTNESS/BENCH json
+  * @param run    (session, sfDir) => result. Must be deterministic: every
+  *               query ends in a total ORDER BY so the driver's hash compare
+  *               is row-order-proof.
+  * @param oracle equivalent DuckDB SQL over the same parquet tables (table
+  *               names = file basenames). None => driver does rows-only check.
+  * @param bench  include in the per-round Bench run.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = true)
+
+/** Global registry of all operator queries; SparkEntry projects it into the
+  * driver's `queries` / `oracleSql` maps.
+  */
+object Registry {
+  def all: Seq[Q] =
+    graft.relational.RelQueries.all ++
+      graft.ops.DedupQueries.all ++
+      graft.ops.TextQueries.all ++
+      graft.ops.SimilarityQueries.all ++
+      graft.bio.BioQueries.all ++
+      graft.ops.MultimodalQueries.all
+
+  def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}
+
+/** Parquet table loaders for the driver corpus (TESTDATA.md). */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader only accepts as INT64 via the nanosAsLong legacy flag (set in
+    * Verify/Bench sessions); normalize back to a proper timestamp here.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = t(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

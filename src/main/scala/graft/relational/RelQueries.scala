@@ -1,0 +1,321 @@
+package graft.relational
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The generalized relational operator surface (SURVEY §2 mappings exercised
+  * on the driver's TPC-H-ish corpus; see FIXTURES.md §3).
+  *
+  * Every query:
+  *  - is a declarative DataFrame plan (Catalyst owns pushdown/pruning/join
+  *    strategy; dimension joins are explicitly `broadcast`-hinted because at
+  *    100 TB the fact side is huge and the dims stay small);
+  *  - rounds floating aggregates so the DuckDB hash-compare is stable;
+  *  - ends in a total ORDER BY (row-order-proof compare).
+  */
+object RelQueries {
+
+  /** A4/A5 global aggregation — pricing summary (map-side partial agg). */
+  val q1Agg = Q(
+    "q1_agg",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2)                     AS sum_price,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             CAST(COUNT(*) AS BIGINT)                           AS cnt
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** J1/J4 fact⨝fact⨝broadcast-dims — revenue per nation. */
+  val q2JoinAgg = Q(
+    "q2_join_agg",
+    (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val o = T.orders(s, d)
+      val c = T.customer(s, d)
+      val n = T.nation(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    },
+    Some("""
+      SELECT n_name,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             CAST(COUNT(*) AS BIGINT)                            AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** A1 argmax dedup (`max_by` with full tie-break) — latest order per
+    * customer; the reference's unique-k-mer representative pattern
+    * (createkmertable.cpp:142-190) on generic data.
+    */
+  val q3Argmax = Q(
+    "q3_argmax",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(
+          max_by(
+            $"o_orderkey",
+            struct($"o_orderdate", (-$"o_orderkey").as("neg")))
+            .as("latest_orderkey"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+        FROM orders)
+      SELECT o_custkey, o_orderkey AS latest_orderkey,
+             CAST(cnt AS BIGINT) AS n_orders
+      FROM r WHERE rn = 1 ORDER BY 1"""))
+
+  /** A2 group-count-having — the prefilter's `count > requiredKmerMatches`
+    * gate (comparekmertables.cpp:46-67) on generic keys.
+    */
+  val q4Having = Q(
+    "q4_having",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" > 2)
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1 HAVING COUNT(*) > 2 ORDER BY 1"""))
+
+  /** A3 per-group ordered collect — the align stage's hit gathering
+    * (blockalign.cpp:279) as a sorted list, stringified for a stable compare.
+    */
+  val q5Collect = Q(
+    "q5_collect",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(
+          array_join(
+            sort_array(collect_list($"l_linenumber".cast("string"))),
+            ",").as("linenumbers"))
+        .orderBy($"l_orderkey")
+    },
+    Some("""
+      SELECT l_orderkey,
+             STRING_AGG(CAST(l_linenumber AS VARCHAR), ','
+                        ORDER BY CAST(l_linenumber AS VARCHAR)) AS linenumbers
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** A6 window-lag minimum gap — the min-diagonal-distance gate
+    * (blockalign.cpp:61-69) generalized to order dates per customer.
+    */
+  val q6WindowLag = Q(
+    "q6_window_lag",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      T.orders(s, d)
+        .withColumn("prev", lag($"o_orderdate", 1).over(w))
+        .withColumn("gap", datediff($"o_orderdate", $"prev"))
+        .groupBy($"o_custkey")
+        .agg(min($"gap").as("min_gap_days"))
+        .filter($"min_gap_days".isNotNull)
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      WITH g AS (
+        SELECT o_custkey,
+               DATE_DIFF('day',
+                 LAG(o_orderdate) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap
+        FROM orders)
+      SELECT o_custkey, CAST(MIN(gap) AS INT) AS min_gap_days
+      FROM g GROUP BY 1 HAVING MIN(gap) IS NOT NULL ORDER BY 1"""))
+
+  /** U1 union-all concat of per-partition results (petasearch.sh:61-65). */
+  val q7Union = Q(
+    "q7_union",
+    (s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+      val hi = o.filter($"o_totalprice" > 400000)
+        .select($"o_orderkey", lit("high_value").as("tag"))
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", lit("urgent").as("tag"))
+      hi.unionAll(urgent).orderBy($"tag", $"o_orderkey")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT o_orderkey, 'high_value' AS tag FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT o_orderkey, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT')
+      ORDER BY tag, o_orderkey"""))
+
+  /** P9-style semi/anti join — customers with no orders (left_anti). */
+  val q8Anti = Q(
+    "q8_anti_join",
+    (s, d) => {
+      import s.implicits._
+      val c = T.customer(s, d)
+      val urgent = T.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  /** O6-style total-order + LIMIT top-k (strengthened vs the reference's
+    * per-thread-only order, SURVEY §2.12.4).
+    */
+  val q9TopK = Q(
+    "q9_topk",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .select($"o_orderkey", round($"o_totalprice", 2).as("total"))
+        .orderBy($"total".desc, $"o_orderkey")
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+      FROM orders ORDER BY total DESC, o_orderkey LIMIT 10"""))
+
+  /** P1/P2/C13 scalar string surface — translate, regexp extraction,
+    * printf-style formatting (the m8 row formatter family).
+    */
+  val q10Scalar = Q(
+    "q10_scalar_fns",
+    (s, d) => {
+      import s.implicits._
+      T.part(s, d)
+        .select(
+          $"p_partkey",
+          translate($"p_name", " ", "_").as("name_u"),
+          regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
+          format_string("%s|%05d|%.2f", $"p_type", $"p_size", $"p_retailprice")
+            .as("packed"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+             TRANSLATE(p_name, ' ', '_')            AS name_u,
+             REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+             PRINTF('%s|%05d|%.2f', p_type, p_size, p_retailprice) AS packed
+      FROM part ORDER BY p_partkey"""))
+
+  /** O2-style multi-key window rank — suppliers ranked within nation. */
+  val q11Rank = Q(
+    "q11_window_rank",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"s_nationkey")
+        .orderBy($"s_acctbal".desc, $"s_suppkey")
+      T.supplier(s, d)
+        .withColumn("rk", row_number().over(w))
+        .select($"s_nationkey", $"s_suppkey", round($"s_acctbal", 2).as("bal"), $"rk")
+        .orderBy($"s_nationkey", $"rk")
+    },
+    Some("""
+      SELECT s_nationkey, s_suppkey, ROUND(s_acctbal, 2) AS bal,
+             CAST(ROW_NUMBER() OVER
+               (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+               AS INT) AS rk
+      FROM supplier ORDER BY s_nationkey, rk"""))
+
+  /** §2.10-extension batch shape of the streaming ingest: tumbling 1-hour
+    * event-time windows per type (same plan Structured Streaming runs).
+    */
+  val q12EventsWindow = Q(
+    "q12_events_window",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm").as("hour"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"hour", $"event_type")
+    },
+    Some("""
+      SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+             event_type,
+             CAST(COUNT(*) AS BIGINT)  AS n,
+             ROUND(SUM(value), 2)      AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** §2.9-extension JSON path extraction over the events props column. */
+  val q13Json = Q(
+    "q13_json_extract",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .filter($"k" > 90)
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, CAST(props ->> '$.k' AS BIGINT) AS k
+      FROM events WHERE CAST(props ->> '$.k' AS BIGINT) > 90
+      ORDER BY event_id"""))
+
+  /** Correlated-scalar shape: orders above their customer's average. */
+  val q14AboveAvg = Q(
+    "q14_above_avg",
+    (s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+      val avgs = o.groupBy($"o_custkey".as("k"))
+        .agg(avg($"o_totalprice").as("avg_price"))
+      o.join(avgs, o("o_custkey") === avgs("k"))
+        .filter($"o_totalprice" > $"avg_price" * 1.5)
+        .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("total"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+      FROM orders o
+      WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders
+                                  WHERE o_custkey = o.o_custkey)
+      ORDER BY o_orderkey"""))
+
+  def all: Seq[Q] = Seq(
+    q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
+    q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg)
+}
