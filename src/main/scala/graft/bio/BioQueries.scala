@@ -1,3 +1,119 @@
 package graft.bio
-import graft.Q
-object BioQueries { def all: Seq[Q] = Seq.empty }
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** The bio pipeline's relational skeleton exercised on the driver's generic
+  * corpus (documents.text over a lowercase-letter alphabet instead of amino
+  * acids — same operators: F1 extract, C2 encode, A1 argmax dedup, J1 join,
+  * A2 count gate), each with an independent DuckDB formulation as oracle.
+  * Plus the flagship protein self-search as a rows-only check.
+  */
+object BioQueries {
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+  private val K = 9
+
+  private def docsAsSeqs(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.documents(s, d).select(
+      col("doc_id").as("seqId"), col("text").as("seq"),
+      col("n_chars").cast("int").as("seqLen"))
+
+  /** SQL fragment computing (doc_id, n_chars, pos, kmer) over letter-only
+    * 9-windows — the DuckDB mirror of explodeKmers + KmerEncode.
+    */
+  private val duckKmersCte = s"""
+    kmi AS (
+      SELECT doc_id, n_chars, text,
+             unnest(generate_series(1, CAST(length(text) AS BIGINT) - ${K - 1})) AS i
+      FROM documents WHERE length(text) >= $K
+    ),
+    km AS (
+      SELECT doc_id, n_chars, i - 1 AS pos, substr(text, CAST(i AS INT), $K) AS s
+      FROM kmi
+    ),
+    enc AS (
+      SELECT doc_id, n_chars, pos,
+             CAST(SUM((strpos('$Alpha', substr(s, CAST(j.j AS INT), 1)) - 1)
+                  * POWER(26, j.j - 1)) AS BIGINT) AS kmer,
+             MIN(strpos('$Alpha', substr(s, CAST(j.j AS INT), 1))) AS minp
+      FROM km, generate_series(1, $K) AS j(j)
+      GROUP BY doc_id, n_chars, pos, s
+    ),
+    valid AS (SELECT doc_id, n_chars, pos, kmer FROM enc WHERE minp > 0)"""
+
+  /** F1+C2+A1: unique-k-mer index with argmax representative (longest doc,
+    * ties -> smallest id) and the representative's first occurrence position.
+    */
+  val bioKmerIndex = Q(
+    "bio_kmer_index",
+    (s, d) => {
+      KmerIndex.buildWithPos(docsAsSeqs(s, d), K, Alpha)
+        .select(col("kmer"), col("seqId").as("doc_id"), col("tpos"))
+        .orderBy(col("kmer"))
+    },
+    Some(s"""
+      WITH $duckKmersCte,
+      perdoc AS (
+        SELECT kmer, doc_id, n_chars, CAST(MIN(pos) AS INT) AS tpos
+        FROM valid GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT kmer, doc_id, tpos,
+               ROW_NUMBER() OVER (PARTITION BY kmer
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM perdoc)
+      SELECT kmer, doc_id, tpos FROM ranked WHERE rn = 1 ORDER BY kmer"""))
+
+  /** J1+A2: query docs (doc_id % 20 = 0) against the index, count-gated
+    * (strict > 2, the reference's requiredKmerMatches).
+    */
+  val bioPrefilter = Q(
+    "bio_prefilter",
+    (s, d) => {
+      val seqs = docsAsSeqs(s, d)
+      val index = KmerIndex.buildWithPos(seqs, K, Alpha)
+      val qk = Prefilter.queryKmers(seqs.filter(col("seqId") % 20 === 0), K, Alpha)
+      qk.join(index.select(col("kmer"), col("seqId").as("target_id")), Seq("kmer"))
+        .groupBy(col("queryId").as("query_id"), col("target_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .filter(col("n_matches") > Prefilter.RequiredKmerMatches)
+        .orderBy(col("query_id"), col("target_id"))
+    },
+    Some(s"""
+      WITH $duckKmersCte,
+      perdoc AS (
+        SELECT kmer, doc_id, n_chars FROM valid GROUP BY 1, 2, 3),
+      idx AS (
+        SELECT kmer, doc_id AS target_id FROM (
+          SELECT kmer, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY kmer
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM perdoc) WHERE rn = 1)
+      SELECT v.doc_id AS query_id, i.target_id,
+             CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM valid v JOIN idx i USING (kmer)
+      WHERE v.doc_id % 20 = 0
+      GROUP BY 1, 2 HAVING COUNT(*) > 2
+      ORDER BY 1, 2"""))
+
+  /** Flagship: full protein self-search (ingest -> index -> prefilter ->
+    * align -> m8) on the bundled Cas7-11 fixture. Not SQL-expressible =>
+    * rows-only check; correctness is covered by PetaSearchSpec's golden
+    * invariants.
+    */
+  val bioSelfSearch = Q(
+    "bio_selfsearch_m8",
+    (s, _) => {
+      val tmp = java.io.File.createTempFile("cas711", ".fa")
+      tmp.deleteOnExit()
+      val in = getClass.getResourceAsStream("/MSA_Cas7-11_multiline.fa")
+      val degapped = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(l => if (l.startsWith(">")) l else l.replace("-", "").replace(".", ""))
+        .mkString("\n")
+      java.nio.file.Files.writeString(tmp.toPath, degapped)
+      PetaSearch.easySearch(s, tmp.getAbsolutePath, tmp.getAbsolutePath)
+    },
+    None)
+
+  def all: Seq[Q] = Seq(bioKmerIndex, bioPrefilter, bioSelfSearch)
+}

@@ -1,0 +1,118 @@
+package graft.bio
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** k-mer <-> integer code conversions.
+  *
+  * Encoding follows the reference's polynomial scheme
+  * (`lib/mmseqs/src/prefiltering/Indexer.h:20-86`):
+  * `code = sum_i ord(seq[i]) * A^i` — first character least significant,
+  * base `A` = alphabet size (20 for proteins: X excluded, so any k-mer
+  * containing a non-alphabet character encodes to null, which doubles as
+  * the X-drop filter, `lib/mmseqs/src/commons/Sequence.h:97-99`).
+  */
+object KmerCodec {
+
+  /** -1 encodes "contains non-alphabet character". */
+  def encodeBytes(bytes: Array[Byte], lut: Array[Int], base: Long): Long = {
+    var code = 0L
+    var pw = 1L
+    var i = 0
+    while (i < bytes.length) {
+      val v = lut(bytes(i) & 0xff)
+      if (v < 0) return -1L
+      code += v * pw
+      pw *= base
+      i += 1
+    }
+    code
+  }
+
+  def decode(code: Long, alphabet: String, k: Int): String = {
+    val base = alphabet.length.toLong
+    val sb = new StringBuilder
+    var c = code
+    var i = 0
+    while (i < k) {
+      sb += alphabet((c % base).toInt)
+      c /= base
+      i += 1
+    }
+    sb.toString
+  }
+
+  def lutFor(alphabet: String): Array[Int] = {
+    val lut = Array.fill(256)(-1)
+    alphabet.zipWithIndex.foreach { case (ch, i) => lut(ch.toInt) = i }
+    lut
+  }
+
+  /** Codegen'd Catalyst expression: string k-mer -> long code (null when the
+    * k-mer contains a character outside `alphabet`).
+    */
+  case class KmerEncode(child: Expression, alphabet: String)
+      extends UnaryExpression {
+    private lazy val lut: Array[Int] = lutFor(alphabet)
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "kmer_encode"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val code = encodeBytes(
+        input.asInstanceOf[UTF8String].getBytes, lut, alphabet.length.toLong)
+      if (code < 0) null else java.lang.Long.valueOf(code)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val lutRef = ctx.addReferenceObj("kmerLut", lut, "int[]")
+        s"""
+        byte[] kmerBytes = $c.getBytes();
+        long kmerCode = 0L; long kmerPw = 1L; boolean kmerBad = false;
+        for (int i = 0; i < kmerBytes.length; i++) {
+          int v = $lutRef[kmerBytes[i] & 0xFF];
+          if (v < 0) { kmerBad = true; break; }
+          kmerCode += v * kmerPw; kmerPw *= ${alphabet.length}L;
+        }
+        if (kmerBad) { ${ev.isNull} = true; } else { ${ev.value} = kmerCode; }
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def kmerEncode(c: Column, alphabet: String): Column =
+    GraftShim.column(KmerEncode(GraftShim.expression(c), alphabet))
+
+  /** Explode a sequence column into `(kmerPos INT, kmer BIGINT)` rows — the
+    * reference's sliding-window extraction F1
+    * (`lib/mmseqs/src/commons/Sequence.h:92-130`): positions 0..L-k, k-mers
+    * containing out-of-alphabet characters dropped (P4).
+    *
+    * Pure built-ins + the codegen'd encode expression, so Catalyst keeps the
+    * whole extraction inside WholeStageCodegen, and column pruning pushes
+    * through it.
+    */
+  def explodeKmers(df: org.apache.spark.sql.DataFrame, seqCol: String, k: Int,
+      alphabet: String): org.apache.spark.sql.DataFrame = {
+    val sc = col(seqCol)
+    val positions = when(length(sc) >= k, sequence(lit(0), length(sc) - k))
+      .otherwise(array())
+    val pairs = transform(positions, i =>
+      struct(i.cast("int").as("kmerPos"),
+        kmerEncode(sc.substr(i + 1, lit(k)), alphabet).as("kmer")))
+    df.withColumn("_kp", explode(pairs))
+      .withColumn("kmerPos", col("_kp.kmerPos"))
+      .withColumn("kmer", col("_kp.kmer"))
+      .drop("_kp")
+      .filter(col("kmer").isNotNull)
+  }
+}
