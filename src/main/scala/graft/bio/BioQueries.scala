@@ -14,19 +14,27 @@ object BioQueries {
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
   private val K = 9
 
+  /** Whitespace is stripped before windowing (documents are word streams;
+    * un-stripped, every 9-window crosses a space and the index is empty).
+    */
   private def docsAsSeqs(s: org.apache.spark.sql.SparkSession, d: String) =
     T.documents(s, d).select(
-      col("doc_id").as("seqId"), col("text").as("seq"),
-      col("n_chars").cast("int").as("seqLen"))
+      col("doc_id").as("seqId"),
+      regexp_replace(col("text"), "\\s+", "").as("seq"))
+      .withColumn("seqLen", length(col("seq")).cast("int"))
 
   /** SQL fragment computing (doc_id, n_chars, pos, kmer) over letter-only
     * 9-windows — the DuckDB mirror of explodeKmers + KmerEncode.
     */
   private val duckKmersCte = s"""
+    ds AS (
+      SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS text,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_chars
+      FROM documents),
     kmi AS (
       SELECT doc_id, n_chars, text,
-             unnest(generate_series(1, CAST(length(text) AS BIGINT) - ${K - 1})) AS i
-      FROM documents WHERE length(text) >= $K
+             unnest(generate_series(1, n_chars - ${K - 1})) AS i
+      FROM ds WHERE n_chars >= $K
     ),
     km AS (
       SELECT doc_id, n_chars, i - 1 AS pos, substr(text, CAST(i AS INT), $K) AS s

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora — the petasearch
+  * unique-k-mer skeleton (SURVEY A1/F1/J1/A2) generalized to documents.
+  *
+  * Scale design notes (100 TB):
+  *  - every operator is a pure DataFrame plan: hash/shingle/minhash are
+  *    codegen'd built-ins, grouping keys are hashes (uniformly distributed,
+  *    no skew), candidate generation never materializes the n^2 pair space
+  *    (LSH band buckets only join within buckets);
+  *  - signatures use md5 (deterministic across engines and runs) rather than
+  *    seeded murmur3, so results are reproducible and oracle-checkable;
+  *  - frequent-shingle capping (dropping shingles shared by more than
+  *    `maxDocFreq` docs) bounds bucket skew exactly like the reference's
+  *    low-complexity masking bounds hot k-mers (SURVEY P5).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one keeper (min id) per distinct key.
+    * Output: (key_hash, keeper_id, n_copies).
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
+    df.groupBy(md5(concat_ws("", keyCols: _*)).as("key_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles: (id, shingle) distinct rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n))))).otherwise(array())
+    df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures over shingle sets: `numHashes` independent hash
+    * functions simulated as md5(seed || shingle); signature element = min
+    * hex digest (string order == unsigned numeric order on hex).
+    * Output: (id, seed, minhash).
+    */
+  def minhash(shingleRows: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = explode(sequence(lit(1), lit(numHashes))).as("seed")
+    shingleRows
+      .select(col("id"), col("shingle"), seeds)
+      .groupBy(col("id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))))
+        .as("minhash"))
+  }
+
+  /** LSH banding: group signature rows into bands of `rowsPerBand`, hash each
+    * band, self-join band buckets -> candidate pairs (a < b). The join is
+    * bucket-local: no all-pairs blowup; AQE splits skewed buckets.
+    */
+  def lshCandidates(sigRows: DataFrame, rowsPerBand: Int): DataFrame = {
+    val banded = sigRows
+      .withColumn("band", ((col("seed") - 1) / rowsPerBand).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(md5(array_join(sort_array(collect_list(
+        concat(col("seed").cast("string"), lit(":"), col("minhash")))), "|"))
+        .as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for given candidate pairs:
+    * |A ∩ B| / |A ∪ B|. Join-based — intersection counted by shingle
+    * co-occurrence, sizes joined in; never materializes sets on the driver.
+    */
+  def jaccard(candidates: DataFrame, shingleRows: DataFrame): DataFrame = {
+    val sizes = shingleRows.groupBy(col("id")).agg(count(lit(1)).as("setSize"))
+    val common = candidates
+      .join(shingleRows.select(col("id").as("a"), col("shingle")), Seq("a"))
+      .join(shingleRows.select(col("id").as("b"), col("shingle").as("shingle2")),
+        Seq("b"))
+      .filter(col("shingle") === col("shingle2"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("nCommon"))
+    common
+      .join(sizes.select(col("id").as("a"), col("setSize").as("sizeA")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("setSize").as("sizeB")), Seq("b"))
+      .withColumn("jaccard",
+        col("nCommon") / (col("sizeA") + col("sizeB") - col("nCommon")))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band-bucket
+    * join -> exact-Jaccard verification (cheap candidate gen, expensive
+    * verify only on candidates — the prefilter/align cascade shape).
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 2, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize).cache()
+    val sigs = minhash(sh, numHashes)
+    val cands = lshCandidates(sigs, rowsPerBand)
+    jaccard(cands, sh).filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Direct n-gram Jaccard between a query subset and the corpus: candidate
+    * pairs share >= `minCommon` shingles (count gate == SURVEY A2), with
+    * frequent shingles (> maxDocFreq docs) dropped to bound skew.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, shingleSize: Int = 2, minCommon: Int = 3,
+      maxDocFreq: Int = 100): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("shingle")
+    val shRare = sh.join(rare, Seq("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("setSize"))
+    val q = df.filter(queryPred).select(col(idCol).as("qid"))
+    val common = shRare.join(q, shRare("id") === q("qid"))
+      .select(col("qid"), col("shingle"))
+      .join(shRare.select(col("id").as("tid"), col("shingle")), Seq("shingle"))
+      .filter(col("qid") =!= col("tid"))
+      .groupBy(col("qid"), col("tid"))
+      .agg(count(lit(1)).as("nCommon"))
+      .filter(col("nCommon") >= minCommon)
+    common
+      .join(sizes.select(col("id").as("qid"), col("setSize").as("sizeQ")), Seq("qid"))
+      .join(sizes.select(col("id").as("tid"), col("setSize").as("sizeT")), Seq("tid"))
+      .withColumn("jaccard",
+        col("nCommon") / (col("sizeQ") + col("sizeT") - col("nCommon")))
+      .select(col("qid"), col("tid"), col("nCommon"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes (4 hex digits of md5 = 16 bits), ties -> bit 0. Fully built-in:
+    * tokens explode once, bits via a constant 16-element sequence.
+    */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val h = tok.withColumn("h16",
+      conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+    val bits = h.select(col("id"), col("h16"),
+      explode(sequence(lit(0), lit(15))).as("bit"))
+      .withColumn("v", expr("(h16 >> bit) & 1"))
+      .withColumn("vote", col("v") * 2 - 1)
+      .groupBy(col("id"), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+      .withColumn("bitval",
+        when(col("votes") > 0, expr("shiftleft(1, bit)")).otherwise(0))
+    bits.groupBy(col("id"))
+      .agg(sum(col("bitval")).cast("int").as("simhash"))
+  }
+}

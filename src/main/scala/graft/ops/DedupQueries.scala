@@ -1,3 +1,125 @@
 package graft.ops
-import graft.Q
-object DedupQueries { def all: Seq[Q] = Seq.empty }
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Dedup operator suite over the documents corpus, each with a DuckDB
+  * mirror as correctness oracle.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTE: distinct word-2-gram shingles per doc. */
+  private val duckShingles = """
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+    shx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      FROM tok WHERE len(w) >= 2),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS shingle
+      FROM shx)"""
+
+  val dedupExact = Q(
+    "dedup_exact",
+    (s, d) => {
+      Dedup.exact(T.documents(s, d), "doc_id", Seq(col("text")))
+        .orderBy(col("key_hash"))
+    },
+    Some("""
+      SELECT md5(text) AS key_hash, MIN(doc_id) AS keeper_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  val dedupMinhashLsh = Q(
+    "dedup_minhash_lsh",
+    (s, d) => {
+      Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH $duckShingles,
+      seeds AS (SELECT unnest(generate_series(1, 8)) AS seed),
+      mh AS (
+        SELECT id, seed, MIN(md5(seed || ':' || shingle)) AS minhash
+        FROM sh, seeds GROUP BY 1, 2),
+      banded AS (
+        SELECT id, CAST((seed - 1) // 2 AS INT) AS band,
+               md5(string_agg(seed || ':' || minhash, '|'
+                              ORDER BY seed || ':' || minhash)) AS bucket
+        FROM mh GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT l.id AS a, r.id AS b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+      sizes AS (SELECT id, COUNT(*) AS setsize FROM sh GROUP BY 1),
+      common AS (
+        SELECT c.a, c.b, COUNT(*) AS ncommon
+        FROM cand c
+        JOIN sh sa ON sa.id = c.a
+        JOIN sh sb ON sb.id = c.b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2)
+      SELECT a, b,
+             ROUND(ncommon * 1.0 / (za.setsize + zb.setsize - ncommon), 4) AS jaccard
+      FROM common
+      JOIN sizes za ON za.id = a
+      JOIN sizes zb ON zb.id = b
+      WHERE ncommon * 1.0 / (za.setsize + zb.setsize - ncommon) >= 0.2
+      ORDER BY a, b"""))
+
+  val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, d) => {
+      Dedup.simhash16(T.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS h16
+        FROM tok WHERE length(tok) > 0),
+      bits AS (
+        SELECT id, h16, unnest(generate_series(0, 15)) AS bit FROM h),
+      votes AS (
+        SELECT id, bit,
+               SUM(((h16 >> CAST(bit AS INT)) & 1) * 2 - 1) AS votes
+        FROM bits GROUP BY 1, 2)
+      SELECT id AS doc_id,
+             CAST(SUM(CASE WHEN votes > 0
+                           THEN (1 << CAST(bit AS INT)) ELSE 0 END) AS INT) AS simhash
+      FROM votes GROUP BY 1 ORDER BY 1"""))
+
+  val dedupNgramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, d) => {
+      Dedup.ngramJaccard(T.documents(s, d), "doc_id", "text",
+        col("doc_id") % 20 === 0, shingleSize = 2, minCommon = 3, maxDocFreq = 100)
+        .select(col("qid"), col("tid"), col("nCommon").as("n_common"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("qid"), col("tid"))
+    },
+    Some(s"""
+      WITH $duckShingles,
+      rare AS (
+        SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100),
+      shr AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      sizes AS (SELECT id, COUNT(*) AS setsize FROM sh GROUP BY 1),
+      common AS (
+        SELECT sa.id AS qid, sb.id AS tid, COUNT(*) AS ncommon
+        FROM shr sa JOIN shr sb ON sa.shingle = sb.shingle AND sa.id <> sb.id
+        WHERE sa.id % 20 = 0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT qid, tid, ncommon AS n_common,
+             ROUND(ncommon * 1.0 / (zq.setsize + zt.setsize - ncommon), 4) AS jaccard
+      FROM common
+      JOIN sizes zq ON zq.id = qid
+      JOIN sizes zt ON zt.id = tid
+      ORDER BY qid, tid"""))
+
+  def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard)
+}

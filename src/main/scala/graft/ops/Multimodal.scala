@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: images/audio/video ride as opaque `binary`
+  * columns with typed metadata; decode / feature-extract / resize /
+  * frame-sample run as partition-batched functions over the binary payload.
+  *
+  * The decode step is STUBBED (this container ships no image/audio codecs):
+  * `decodeStub` is a deterministic fake that treats the payload as a raw
+  * byte plane. Everything around it — schema, partitioning, batch shape,
+  * feature extraction over decoded planes — is real and tested, so swapping
+  * in an actual codec is a one-function change.
+  *
+  * Scale notes: binary payloads stay columnar in Parquet (never exploded),
+  * the mapPartitions batches amortize per-task setup (codec init in real
+  * life), and feature vectors are fixed-width arrays friendly to downstream
+  * ANN (see [[Similarity]]).
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, kind: String, content: Array[Byte],
+      width: Int, height: Int)
+
+  final case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
+      checksum: Long, histo_head: Seq[Long], frames_sampled: Int)
+
+  /** STUB decode: payload bytes -> one "plane". A real implementation would
+    * dispatch on `kind` to an image/audio codec here.
+    */
+  def decodeStub(content: Array[Byte]): Array[Byte] = content
+
+  /** Deterministic "frame sampling": every `stride`-th byte of the decoded
+    * plane stands in for a sampled frame.
+    */
+  def sampleFrames(plane: Array[Byte], stride: Int): Array[Byte] =
+    plane.indices.collect { case i if i % stride == 0 => plane(i) }.toArray
+
+  /** Feature extraction over the decoded payload: size, checksum, head of
+    * the byte histogram. Runs partition-batched; the per-partition prefix is
+    * where a real codec's context would be initialized once.
+    */
+  def extractFeatures(media: Dataset[MediaRow], histoBins: Int = 8,
+      frameStride: Int = 4): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init point (real codec context would live here)
+      rows.map { r =>
+        val plane = decodeStub(r.content)
+        val frames = sampleFrames(plane, frameStride)
+        val histo = new Array[Long](histoBins)
+        var sum = 0L
+        var i = 0
+        while (i < plane.length) {
+          val b = plane(i) & 0xff
+          histo(b * histoBins / 256) += 1
+          sum += b
+          i += 1
+        }
+        MediaFeatures(r.id, r.kind, plane.length, sum, histo.toSeq, frames.length)
+      }
+    }
+  }
+
+  /** Build a media table from the documents corpus (text bytes as payload —
+    * the stand-in for real image/audio blobs in this environment).
+    */
+  def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(
+      col("doc_id").as("id"),
+      lit("image/raw").as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      lit(16).as("width"),
+      (length(col("text")) / 16 + 1).cast("int").as("height"))
+      .as[MediaRow]
+  }
+}

@@ -1,3 +1,51 @@
 package graft.ops
-import graft.Q
-object MultimodalQueries { def all: Seq[Q] = Seq.empty }
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing exercised end-to-end: documents' bytes stand in for
+  * media payloads; the binary pipeline (encode -> mapPartitions feature
+  * extraction) is validated against a DuckDB character-code mirror (ASCII
+  * corpus => byte == char code).
+  */
+object MultimodalQueries {
+
+  val mmFeatures = Q(
+    "mm_features",
+    (s, d) => {
+      val media = Multimodal.mediaFromDocuments(s, T.documents(s, d))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("id"), col("n_bytes"), col("checksum"),
+          col("frames_sampled"),
+          concat_ws(",", col("histo_head")).as("histo"))
+        .orderBy(col("id"))
+    },
+    Some("""
+      WITH chars AS (
+        SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) AS code
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+              FROM documents)),
+      base AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bytes,
+               CAST(SUM(code) AS BIGINT) AS checksum,
+               CAST(FLOOR((COUNT(*) + 3) / 4) AS INT) AS frames_sampled
+        FROM chars GROUP BY 1),
+      spine AS (
+        SELECT d.doc_id, b.bin
+        FROM (SELECT DISTINCT doc_id FROM documents) d,
+             (SELECT unnest(generate_series(0, 7)) AS bin) b),
+      hist AS (
+        SELECT doc_id, CAST(FLOOR(code * 8.0 / 256) AS INT) AS bin, COUNT(*) AS n
+        FROM chars GROUP BY 1, 2),
+      histo AS (
+        SELECT s.doc_id,
+               string_agg(CAST(COALESCE(h.n, 0) AS VARCHAR), ',' ORDER BY s.bin) AS histo
+        FROM spine s LEFT JOIN hist h ON h.doc_id = s.doc_id AND h.bin = s.bin
+        GROUP BY 1)
+      SELECT b.doc_id AS id, b.n_bytes, b.checksum, b.frames_sampled, histo.histo
+      FROM base b JOIN histo ON histo.doc_id = b.doc_id
+      ORDER BY id"""))
+
+  def all: Seq[Q] = Seq(mmFeatures)
+}

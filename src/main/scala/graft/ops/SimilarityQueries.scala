@@ -1,3 +1,134 @@
 package graft.ops
-import graft.Q
-object SimilarityQueries { def all: Seq[Q] = Seq.empty }
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search suite over the embeddings corpus (64-dim float
+  * vectors, 10 cluster labels). Spark computes cosines via higher-order
+  * functions over double-cast arrays; the DuckDB oracle mirrors the exact
+  * iteration order via indexed unnest, so sums agree bit-for-bit (modulo
+  * final rounding).
+  */
+object SimilarityQueries {
+
+  private def doubled(c: org.apache.spark.sql.Column) =
+    transform(c, x => x.cast("double"))
+
+  /** DuckDB CTE computing pairwise cosine between qv/cv double lists. */
+  private val duckCos = """
+      comp AS (
+        SELECT query_id, neighbor_id,
+               SUM(qv[CAST(i AS INT)] * cv[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(cv[CAST(i AS INT)] * cv[CAST(i AS INT)]))) AS cos
+        FROM (SELECT *, unnest(generate_series(1, 64)) AS i FROM pairs)
+        GROUP BY 1, 2)"""
+
+  val embCosineTopK = Q(
+    "emb_cosine_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0),
+      pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding::DOUBLE[] AS cv
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      $duckCos,
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)
+      SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val embIvfTopK = Q(
+    "emb_ivf_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"), doubled(col("embedding")).as("embedding"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), "label",
+        k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH expl AS (
+        SELECT label, vec_id, embedding::DOUBLE[] AS v,
+               unnest(generate_series(1, 64)) AS i
+        FROM embeddings),
+      cent AS (
+        SELECT label, i, AVG(v[CAST(i AS INT)]) AS mean
+        FROM expl GROUP BY 1, 2),
+      centv AS (
+        SELECT label, list(mean ORDER BY i) AS centroid FROM cent GROUP BY 1),
+      q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0),
+      pcomp AS (
+        SELECT query_id, label,
+               SUM(qv[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]))) AS ccos
+        FROM (SELECT q.query_id, q.qv, c.label, c.centroid,
+                     unnest(generate_series(1, 64)) AS i
+              FROM q, centv c)
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT query_id, label FROM (
+          SELECT query_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ccos DESC, label) AS pr
+          FROM pcomp) WHERE pr <= 2),
+      pairs AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding::DOUBLE[] AS cv
+        FROM probes p
+        JOIN embeddings e ON e.label = p.label
+        JOIN q ON q.query_id = p.query_id
+        WHERE e.vec_id <> p.query_id),
+      comp AS (
+        SELECT query_id, neighbor_id,
+               SUM(qv[CAST(i AS INT)] * cv[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(cv[CAST(i AS INT)] * cv[CAST(i AS INT)]))) AS cos
+        FROM (SELECT *, unnest(generate_series(1, 64)) AS i FROM pairs)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)
+      SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  val embNearDup = Q(
+    "emb_near_dup",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.embeddingNearDup(emb, col("vec_id") % 10 === 0, 0.4)
+        .select(col("a"), col("b"), round(col("cos"), 3).as("cos"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 10 = 0),
+      pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding::DOUBLE[] AS cv
+        FROM embeddings e, q WHERE q.query_id < e.vec_id),
+      $duckCos
+      SELECT query_id AS a, neighbor_id AS b, ROUND(cos, 3) AS cos
+      FROM comp WHERE cos >= 0.4 ORDER BY a, b"""))
+
+  def all: Seq[Q] = Seq(embCosineTopK, embIvfTopK, embNearDup)
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, fingerprinting. All codegen'd built-ins — no
+  * UDFs — so they run at scan speed over 100 TB and push through Catalyst.
+  */
+object TextAnalysis {
+
+  /** Stopword-marker language ID: per-language marker hit counts over the
+    * token set, argmax with deterministic tie order. A real system swaps the
+    * marker table for character-n-gram profiles; the operator shape (score
+    * per class -> argmax) is identical.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def langId(textCol: Column): Column = {
+    val toks = split(lower(textCol), "\\s+")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val s = markers.map(m => size(filter(toks, t => t === m)))
+        .reduce(_ + _)
+      struct(s.as("score"), lit(lang).as("lang"))
+    }
+    // argmax by score, ties -> marker-table order (greatest picks the last
+    // max, so order descending priority by reversing)
+    val best = scores.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * length, token stats, stopword ratio, uppercase/punct ratios.
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, "\\s+")
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val stopHits = stop.map(m => size(filter(toks, x => lower(x) === m))).reduce(_ + _)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      size(toks).as("n_tokens"),
+      (length(t).cast("double") / size(toks)).as("mean_tok_len"),
+      (stopHits.cast("double") / size(toks)).as("stopword_ratio"),
+      (length(regexp_replace(t, "[^.!?,;]", "")).cast("double") / length(t))
+        .as("punct_ratio"),
+      (length(regexp_replace(t, "[^A-Z]", "")).cast("double") / length(t))
+        .as("upper_ratio"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens") / lit(50.0)) * 0.5
+          + least(lit(1.0), col("stopword_ratio") * 5) * 0.3
+          + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10)) * 0.2)
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish segmentation (letter
+    * runs, digit runs, single other chars) — the usual pre-tokenizer
+    * estimate for LLM token budgeting.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(split(trim(col(textCol)), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+
+  /** Content-defined fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive near-dup key (bag-of-words collision = same vocab).
+    */
+  def fingerprint(textCol: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(lower(textCol), "\\s+"))), " "))
+}

@@ -1,3 +1,103 @@
 package graft.ops
-import graft.Q
-object TextQueries { def all: Seq[Q] = Seq.empty }
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator suite over the documents corpus. */
+object TextQueries {
+
+  val textQuality = Q(
+    "text_quality",
+    (s, d) => {
+      // the composite `quality` stays library-side only: its weighted sum
+      // lands on exact .00005 boundaries where Spark/DuckDB rounding differ
+      TextAnalysis.qualityFeatures(T.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          round(col("mean_tok_len"), 4).as("mean_tok_len"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+               len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'the'))
+                 + len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'a'))
+                 + len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'of'))
+                 + len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'and'))
+                 + len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'is'))
+                 + len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'to'))
+                 + len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'in'))
+                 AS stop_hits,
+               length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS n_punct
+        FROM documents)
+      SELECT doc_id, n_chars, n_tokens,
+             ROUND(n_chars * 1.0 / n_tokens, 4) AS mean_tok_len,
+             ROUND(stop_hits * 1.0 / n_tokens, 4) AS stopword_ratio
+      FROM f ORDER BY doc_id"""))
+
+  val textLangId = Q(
+    "text_langid",
+    (s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+      sc AS (
+        SELECT doc_id,
+          len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'a'))
+            + len(list_filter(w, x -> x = 'of')) + len(list_filter(w, x -> x = 'and'))
+            + len(list_filter(w, x -> x = 'is')) AS s_en,
+          len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'die'))
+            + len(list_filter(w, x -> x = 'das')) + len(list_filter(w, x -> x = 'und'))
+            + len(list_filter(w, x -> x = 'ist')) AS s_de,
+          len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'la'))
+            + len(list_filter(w, x -> x = 'les')) + len(list_filter(w, x -> x = 'et'))
+            + len(list_filter(w, x -> x = 'est')) AS s_fr,
+          len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'los'))
+            + len(list_filter(w, x -> x = 'las')) + len(list_filter(w, x -> x = 'y'))
+            + len(list_filter(w, x -> x = 'es')) AS s_es
+        FROM f)
+      SELECT doc_id,
+             CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+                  WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+                  WHEN s_de > s_en THEN 'de'
+                  ELSE 'en' END AS lang_pred
+      FROM sc ORDER BY doc_id"""))
+
+  val textTokenCount = Q(
+    "text_token_count",
+    (s, d) => {
+      TextAnalysis.tokenCounts(T.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("bpe_ish_tokens").cast("long").as("bpe_ish_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                  AS BIGINT) AS bpe_ish_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  val textFingerprint = Q(
+    "text_fingerprint",
+    (s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount, textFingerprint)
+}

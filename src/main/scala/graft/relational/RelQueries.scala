@@ -315,7 +315,39 @@ object RelQueries {
                                   WHERE o_custkey = o.o_custkey)
       ORDER BY o_orderkey"""))
 
+  /** Gap-based sessionization (batch form of the streaming session path):
+    * a >30-minute silence starts a new session; per-user session stats.
+    */
+  val q15Sessionize = Q(
+    "q15_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T.events(s, d)
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("new_session",
+          when($"prev".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev") > 1800, 1).otherwise(0))
+        .groupBy($"user_id")
+        .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                      OR date_diff('second',
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                           ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events)
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM g GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
-    q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg)
+    q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
+    q15Sessionize)
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "der schnelle braune fuchs und die katze ist hier")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under one keeper") {
+    val r = Dedup.exact(docs, "doc_id", Seq(col("text"))).collect()
+    assert(r.length == 4) // 5 docs, one exact pair
+    val dup = r.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keeper_id") == 0L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always collides
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L }) // unrelated
+  }
+
+  test("jaccard: exact dup = 1.0, near dup high, via ngramJaccard") {
+    val r = Dedup.ngramJaccard(docs, "doc_id", "text", col("doc_id") === 0,
+      shingleSize = 2, minCommon = 1, maxDocFreq = 100)
+      .select("tid", "jaccard").as[(Long, Double)].collect().toMap
+    assert(r(3L) == 1.0)
+    assert(r(1L) > 0.7 && r(1L) < 1.0)
+    assert(!r.contains(2L))
+  }
+
+  test("simhash: identical texts get identical hashes; hamming near for near-dups") {
+    val h = Dedup.simhash16(docs, "doc_id", "text")
+      .as[(Long, Int)].collect().toMap
+    assert(h(0L) == h(3L))
+    def ham(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)))
+  }
+
+  test("cosine top-k: nearest neighbor of a vector is its near-copy") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.99, 0.1, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0)), (3L, Array(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.cosineTopK(vecs, vecs.filter($"vec_id" === 0), 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(r.find(_._2 == 1).map(_._1).contains(1L))
+  }
+
+  test("IVF routes to nearest clusters and finds in-cluster neighbors") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0, 0.0)), (1L, 0, Array(0.95, 0.05)),
+      (2L, 1, Array(0.0, 1.0)), (3L, 1, Array(0.05, 0.95))
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0), "label",
+      k = 1, nprobe = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(r.toSeq == Seq(1L)) // probe stays in cluster 0
+  }
+
+  test("text analysis: langid markers, token counts, fingerprint invariance") {
+    val r = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(r(0L) == "en" && r(4L) == "de")
+    val tc = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(tc(0L)._1 == 9 && tc(0L)._2 == 9) // pure words: ws == bpe-ish
+    // fingerprint is word-order insensitive
+    val fp = Seq((0L, "b a c"), (1L, "c b a")).toDF("id", "t")
+      .select(TextAnalysis.fingerprint($"t")).as[String].collect()
+    assert(fp(0) == fp(1))
+  }
+
+  test("multimodal: stub decode plumbing produces stable features") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      docs.select($"doc_id", $"text", length($"text").as("n_chars")))
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.id -> x).toMap
+    assert(f(0L).n_bytes == 43)
+    assert(f(0L).checksum == "the quick brown fox jumps over the lazy dog".map(_.toInt).sum)
+    assert(f(0L).histo_head.sum == 43)
+    assert(f(0L).frames_sampled == 11)
+    assert(f(0L).checksum == f(3L).checksum) // identical payloads
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventsStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowed counts over a memory stream match the batch shape") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    mem.addData(
+      EventsStream.Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      EventsStream.Event(2, ts("2024-01-01 10:45:00"), 1, "click", 2.0),
+      EventsStream.Event(3, ts("2024-01-01 11:05:00"), 2, "view", 3.0))
+    val q = EventsStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("win").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only after watermark passes; push a late-hour event
+      mem.addData(EventsStream.Event(4, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win").collect()
+      val clicks10 = rows.find(r =>
+        r.getAs[String]("event_type") == "click" &&
+          r.getAs[java.sql.Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
+      assert(clicks10.isDefined)
+      assert(clicks10.get.getAs[Long]("n") == 2)
+      assert(clicks10.get.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes a session on a 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    mem.addData(
+      EventsStream.Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      EventsStream.Event(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0),
+      EventsStream.Event(3, ts("2024-01-01 11:30:00"), 7, "click", 1.0))
+    val q = EventsStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+      assert(rows.length == 1) // first session closed by the in-batch gap
+      assert(rows.head.getAs[Long]("n_events") == 2)
+      assert(rows.head.getAs[Boolean]("closed"))
+    } finally q.stop()
+  }
+}
