@@ -121,7 +121,8 @@ object BioQueries {
       java.nio.file.Files.writeString(tmp.toPath, degapped)
       PetaSearch.easySearch(s, tmp.getAbsolutePath, tmp.getAbsolutePath)
     },
-    None)
+    None,
+    bench = false) // fixed-size fixture — doesn't scale with sf, skews BENCH
 
   def all: Seq[Q] = Seq(bioKmerIndex, bioPrefilter, bioSelfSearch)
 }

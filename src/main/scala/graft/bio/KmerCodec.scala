@@ -104,15 +104,15 @@ object KmerCodec {
   def explodeKmers(df: org.apache.spark.sql.DataFrame, seqCol: String, k: Int,
       alphabet: String): org.apache.spark.sql.DataFrame = {
     val sc = col(seqCol)
+    // explode the (cheap) int position array first, encode after — avoids
+    // materializing a per-row array of (pos, code) structs
     val positions = when(length(sc) >= k, sequence(lit(0), length(sc) - k))
       .otherwise(array())
-    val pairs = transform(positions, i =>
-      struct(i.cast("int").as("kmerPos"),
-        kmerEncode(sc.substr(i + 1, lit(k)), alphabet).as("kmer")))
-    df.withColumn("_kp", explode(pairs))
-      .withColumn("kmerPos", col("_kp.kmerPos"))
-      .withColumn("kmer", col("_kp.kmer"))
-      .drop("_kp")
+    df.withColumn("_pos", explode(positions))
+      .withColumn("kmerPos", col("_pos").cast("int"))
+      .drop("_pos")
+      .withColumn("kmer",
+        kmerEncode(sc.substr(col("kmerPos") + 1, lit(k)), alphabet))
       .filter(col("kmer").isNotNull)
   }
 }

@@ -47,15 +47,18 @@ object KmerIndex {
   def buildWithPos(sequences: DataFrame, k: Int = DefaultK,
       alphabet: String = Matrices.KmerAlphabet): DataFrame = {
     val kmers = KmerCodec.explodeKmers(sequences, "seq", k, alphabet)
+    // single shuffle: ordering (seqLen, -seqId, -kmerPos) makes max_by pick
+    // the longest sequence, ties to smallest id, and WITHIN that sequence the
+    // smallest position (-pos max == pos min) — same result as a two-level
+    // (per-seq min pos, then argmax) aggregation
     kmers
-      .groupBy(col("kmer"), col("seqId"), col("seqLen"))
-      .agg(min(col("kmerPos")).as("tpos"))
       .groupBy(col("kmer"))
       .agg(max_by(
-        struct(col("seqId"), col("seqLen"), col("tpos")),
-        struct(col("seqLen"), (-col("seqId")).as("negId"))).as("rep"))
+        struct(col("seqId"), col("seqLen"), col("kmerPos")),
+        struct(col("seqLen"), (-col("seqId")).as("negId"),
+          (-col("kmerPos")).as("negPos"))).as("rep"))
       .select(col("kmer"), col("rep.seqId").as("seqId"),
-        col("rep.seqLen").as("seqLen"), col("rep.tpos").as("tpos"))
+        col("rep.seqLen").as("seqLen"), col("rep.kmerPos").as("tpos"))
   }
 
   /** Persist as the on-disk index layout (S5): range-partitioned by kmer,

@@ -61,6 +61,10 @@ object Dedup {
       .agg(md5(array_join(sort_array(collect_list(
         concat(col("seed").cast("string"), lit(":"), col("minhash")))), "|"))
         .as("bucket"))
+    bucketJoin(banded)
+  }
+
+  private def bucketJoin(banded: DataFrame): DataFrame = {
     val l = banded.select(col("band"), col("bucket"), col("id").as("a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("b"))
     l.join(r, Seq("band", "bucket"))
@@ -69,17 +73,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Fused minhash+banding: all `numHashes` signature minima computed as agg
+    * columns in ONE groupBy over the shingle rows (no numHashes-way row
+    * blowup through the shuffle), bands assembled row-locally after.
+    * Semantically identical to minhash + lshCandidates' banding.
+    */
+  def minhashBanded(shingleRows: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val minCols = (1 to numHashes).map(s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"m$s"))
+    val sigs = shingleRows.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val nBands = numHashes / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val members = (1 to numHashes).filter(s => (s - 1) / rowsPerBand == b)
+        .map(s => concat(lit(s.toString), lit(":"), col(s"m$s")))
+      struct(lit(b).as("band"),
+        md5(array_join(sort_array(array(members: _*)), "|")).as("bucket"))
+    }
+    val banded = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bucketJoin(banded)
+  }
+
   /** Exact Jaccard over shingle sets for given candidate pairs:
     * |A ∩ B| / |A ∪ B|. Join-based — intersection counted by shingle
     * co-occurrence, sizes joined in; never materializes sets on the driver.
     */
   def jaccard(candidates: DataFrame, shingleRows: DataFrame): DataFrame = {
     val sizes = shingleRows.groupBy(col("id")).agg(count(lit(1)).as("setSize"))
+    // both joins carry the shingle key — intersection rows only, never the
+    // |A| x |B| cross-product per pair
     val common = candidates
       .join(shingleRows.select(col("id").as("a"), col("shingle")), Seq("a"))
-      .join(shingleRows.select(col("id").as("b"), col("shingle").as("shingle2")),
-        Seq("b"))
-      .filter(col("shingle") === col("shingle2"))
+      .join(shingleRows.select(col("id").as("b"), col("shingle")),
+        Seq("b", "shingle"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("nCommon"))
     common
@@ -97,8 +125,7 @@ object Dedup {
       shingleSize: Int = 2, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleSize).cache()
-    val sigs = minhash(sh, numHashes)
-    val cands = lshCandidates(sigs, rowsPerBand)
+    val cands = minhashBanded(sh, numHashes, rowsPerBand)
     jaccard(cands, sh).filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -110,7 +137,7 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       queryPred: Column, shingleSize: Int = 2, minCommon: Int = 3,
       maxDocFreq: Int = 100): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize)
+    val sh = shingles(df, idCol, textCol, shingleSize).cache()
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select("shingle")
     val shRare = sh.join(rare, Seq("shingle"))
@@ -141,15 +168,15 @@ object Dedup {
       .filter(length(col("tok")) > 0)
     val h = tok.withColumn("h16",
       conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-    val bits = h.select(col("id"), col("h16"),
-      explode(sequence(lit(0), lit(15))).as("bit"))
-      .withColumn("v", expr("(h16 >> bit) & 1"))
-      .withColumn("vote", col("v") * 2 - 1)
-      .groupBy(col("id"), col("bit"))
-      .agg(sum(col("vote")).as("votes"))
-      .withColumn("bitval",
-        when(col("votes") > 0, expr("shiftleft(1, bit)")).otherwise(0))
-    bits.groupBy(col("id"))
-      .agg(sum(col("bitval")).cast("int").as("simhash"))
+    // single shuffle: one partial-aggregating sum per bit (no 16x explode);
+    // majority vote of (+-1) == 2*sum(bit) - count > 0
+    val bitSums = (0 until 16).map(b =>
+      sum(expr(s"(h16 >> $b) & 1")).as(s"b$b"))
+    val aggCols = count(lit(1)).as("n") +: bitSums
+    val agg = h.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*)
+    val hash = (0 until 16).map(b =>
+      when(col(s"b$b") * 2 - col("n") > 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    agg.select(col("id"), hash.cast("int").as("simhash"))
   }
 }

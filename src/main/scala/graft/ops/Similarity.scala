@@ -17,13 +17,47 @@ import org.apache.spark.sql.functions._
   *    sensitivity for scan rate.
   */
 object Similarity {
+  import org.apache.spark.sql.GraftShim
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{DataType, DoubleType}
 
-  /** dot(a, b) via zip_with + aggregate — stays inside WholeStageCodegen. */
+  /** Codegen'd dot product over two double arrays — no intermediate array
+    * allocation per pair (the `zip_with`+`aggregate` formulation builds a
+    * 64-element array per scored pair, which dominates brute-force ANN).
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_product"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      var s = 0.0
+      val n = math.min(x.numElements(), y.numElements())
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        int dpN = java.lang.Math.min($a.numElements(), $b.numElements());
+        double dpS = 0.0;
+        for (int i = 0; i < dpN; i++) {
+          dpS += $a.getDouble(i) * $b.getDouble(i);
+        }
+        ${ev.value} = dpS;
+        """)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** dot(a, b) over array<double> columns (codegen'd, allocation-free). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -31,11 +65,15 @@ object Similarity {
     * cos, rank), self-pairs excluded, rank ties broken by id.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    // norms are precomputed per side BEFORE the pair join: |Q| + |C| norm
+    // evaluations instead of |Q| x |C|
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -73,12 +111,13 @@ object Similarity {
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("label"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"), col(labelCol).as("label"))
+      col("embedding").as("cv"), col(labelCol).as("label"),
+      norm(col("embedding")).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(probes), Seq("label"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -90,11 +129,13 @@ object Similarity {
   def embeddingNearDup(corpus: DataFrame, queryPred: Column,
       threshold: Double): DataFrame = {
     val q = corpus.filter(queryPred)
-      .select(col("vec_id").as("a"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("b"), col("embedding").as("cv"))
+      .select(col("vec_id").as("a"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("b"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
     c.crossJoin(broadcast(q))
       .filter(col("a") < col("b"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
