@@ -16,7 +16,8 @@ object PetaSearch {
       requiredKmerMatches: Int = Prefilter.RequiredKmerMatches,
       evalThr: Double = Align.DefaultEvalThr,
       xdrop: Int = Align.DefaultXdrop,
-      gaps: Aligner.Gaps = Align.DefaultGaps)
+      gaps: Aligner.Gaps = Align.DefaultGaps,
+      query: QueryTable.Config = QueryTable.Config())
 
   /** C13 m8 formatting (`src/sra/convertsraalignments.cpp:297-311`):
     * `qname tname fident(%.3f) alnlen mismatch gapopen qstart qend tstart
@@ -41,14 +42,29 @@ object PetaSearch {
       .drop("queryId", "targetId", "eval")
   }
 
-  /** Aligned-pairs pipeline over already-ingested sequence tables. */
+  /** Aligned-pairs pipeline over already-ingested sequence tables.
+    * Query-side k-mers go through the full createQueryTable path (masking,
+    * bias-adjusted thresholds, similar-k-mer expansion) per the reference's
+    * defaults; pass `query = QueryTable.Config(exactKmerMatching = true,
+    * maskMode = false, biasCorrection = false)` for the exact-only path.
+    */
   def search(spark: SparkSession, queries: DataFrame, targets: DataFrame,
       params: Params = Params()): DataFrame = {
     val index = KmerIndex.buildWithPos(targets, params.k)
-    val qk = Prefilter.queryKmers(queries, params.k)
+    val qk = QueryTable.build(spark, queries, params.query.copy(k = params.k))
     val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
     Align.run(spark, pf, queries, targets, params.evalThr, params.xdrop, params.gaps)
   }
+
+  /** Multi-target-DB fan-out (J2/J5/U1): the reference's `targetlist`
+    * manifest becomes a sequence of target tables searched independently and
+    * union'd (`data/petasearch.sh:42-65` shell fan-out as partition
+    * parallelism; per-DB e-values use each DB's own residue count, exactly
+    * like per-DB `blockalign` runs).
+    */
+  def searchMany(spark: SparkSession, queries: DataFrame,
+      targets: Seq[DataFrame], params: Params = Params()): DataFrame =
+    targets.map(t => search(spark, queries, t, params)).reduce(_.unionAll(_))
 
   /** FASTA-in / m8-out — `easy-petasearch`. */
   def easySearch(spark: SparkSession, queryFasta: String, targetFasta: String,
