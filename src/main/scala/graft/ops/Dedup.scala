@@ -26,13 +26,18 @@ object Dedup {
     df.groupBy(md5(concat_ws("", keyCols: _*)).as("key_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles: (id, shingle) distinct rows. */
+  /** Word n-gram shingles: (id, shingle) distinct rows. Positions explode
+    * first (cheap int array), grams assemble after — no per-row array of
+    * gram strings materialized before the generator.
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(col(textCol), "\\s+")
-    val grams = when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n))))).otherwise(array())
-    df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+    val positions = when(size(col("_w")) >= n,
+      sequence(lit(0), size(col("_w")) - n)).otherwise(array())
+    val gram = concat_ws(" ",
+      (0 until n).map(j => element_at(col("_w"), col("_i") + j + 1)): _*)
+    df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
+      .withColumn("_i", explode(positions))
+      .select(col("id"), gram.as("shingle"))
       .distinct()
   }
 
