@@ -43,7 +43,9 @@ object Align {
     */
   def run(spark: SparkSession, prefilter: DataFrame, querySeqs: DataFrame,
       targetSeqs: DataFrame, evalThr: Double = DefaultEvalThr,
-      xdrop: Int = DefaultXdrop, gaps: Aligner.Gaps = DefaultGaps): DataFrame = {
+      xdrop: Int = DefaultXdrop, gaps: Aligner.Gaps = DefaultGaps,
+      matrixName: String = "blosum62",
+      gumbel: GumbelParams = GumbelParams.Blosum62Ungapped): DataFrame = {
     import spark.implicits._
 
     val dbResCount: Long = targetSeqs.agg(sum(col("seqLen"))).as[Long].head()
@@ -62,8 +64,8 @@ object Align {
 
     val aligned = withSeqs.mapPartitions { iter =>
       // per-task singletons: matrices ship with the jar, the evaluer is tiny
-      val m = Matrices.blosum62
-      val evaluer = new Evaluer(GumbelParams.Blosum62Ungapped, dbResCount)
+      val m = Matrices.byName(matrixName)
+      val evaluer = new Evaluer(gumbel, dbResCount)
       iter.flatMap(p => alignPair(p, m, evaluer, evalThr, xdrop, gaps))
     }
 

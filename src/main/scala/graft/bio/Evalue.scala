@@ -45,6 +45,21 @@ object GumbelParams {
     30.455610143099914211, -622.28684628915891608,
     29.602444874818868215, -601.81087985041381216)
 
+  /** Nucleotide (+2/-3), gapped 7/1 (`EvalueComputation.h:57-61`). The
+    * reference's nucleotide blockalign path constructs an UNGAPPED evaluer,
+    * which has no precomputed entry and triggers ALP's runtime numerical
+    * fitting; we substitute these published gapped constants instead
+    * (e-value scale differs slightly; ordering is preserved — documented
+    * divergence).
+    */
+  val NucleotideGapped: GumbelParams = GumbelParams(
+    1.0960171987681839, 0.33538787507026158,
+    2.0290734315292083, -0.46514786408422282,
+    2.0290734315292083, -0.46514786408422282,
+    5.0543294182155085, 15.130999712620039,
+    5.0543294182155085, 15.130999712620039,
+    5.0543962679167036, 15.129930117400917)
+
   /** BLOSUM62, ungapped (`EvalueComputation.h:70-76`). */
   val Blosum62Ungapped: GumbelParams = GumbelParams(
     0.3207378152604042354, 0.13904657125294345166,

@@ -102,8 +102,24 @@ object Matrices {
     */
   lazy val vtml80Seed: Matrices = build("VTML80", "/matrices/VTML80.out", 8.0, -0.2)
 
+  /** Nucleotide matrix (match +2 / mismatch -3 in the shipped file, file
+    * order A C T G X), bitFactor 1.0 (`src/sra/blockalign.cpp`
+    * NucleotideMatrix(..., 1.0, 0.0)).
+    */
+  lazy val nucleotide: Matrices = build("nucleotide", "/matrices/nucleotide.out", 1.0, 0.0)
+
+  def byName(name: String): Matrices = name match {
+    case "blosum62" => blosum62
+    case "vtml80" => vtml80Seed
+    case "nucleotide" => nucleotide
+    case other => throw new IllegalArgumentException(s"unknown matrix $other")
+  }
+
   /** Protein k-mer alphabet: the 20 standard residues (X excluded from
     * k-mers, `lib/mmseqs/src/commons/Sequence.h:97-99`).
     */
   val KmerAlphabet = "ACDEFGHIKLMNPQRSTVWY"
+
+  /** Nucleotide k-mer alphabet (matrix file order, X excluded). */
+  val KmerAlphabetNuc = "ACTG"
 }

@@ -11,12 +11,29 @@ import org.apache.spark.sql.functions._
   */
 object PetaSearch {
 
+  /** Input-type profile: matrices, k-mer alphabet, gap costs, Gumbel params
+    * (`src/sra/blockalign.cpp` isNucDB branches).
+    */
+  final case class SearchMode(
+      name: String, alignMatrix: String, seedMatrix: String,
+      kmerAlphabet: String, gaps: Aligner.Gaps, gumbel: GumbelParams)
+
+  object SearchMode {
+    val Protein: SearchMode = SearchMode("protein", "blosum62", "vtml80",
+      Matrices.KmerAlphabet, Aligner.Gaps(11, 1), GumbelParams.Blosum62Ungapped)
+    // nucleotide gaps 5/2 (Parameters.cpp:2273-2274); gapped Gumbel
+    // constants substituted for the reference's runtime ALP fit (see Evalue)
+    val Nucleotide: SearchMode = SearchMode("nucleotide", "nucleotide",
+      "nucleotide", Matrices.KmerAlphabetNuc, Aligner.Gaps(5, 2),
+      GumbelParams.NucleotideGapped)
+  }
+
   final case class Params(
       k: Int = KmerIndex.DefaultK,
       requiredKmerMatches: Int = Prefilter.RequiredKmerMatches,
       evalThr: Double = Align.DefaultEvalThr,
       xdrop: Int = Align.DefaultXdrop,
-      gaps: Aligner.Gaps = Align.DefaultGaps,
+      mode: SearchMode = SearchMode.Protein,
       query: QueryTable.Config = QueryTable.Config())
 
   /** C13 m8 formatting (`src/sra/convertsraalignments.cpp:297-311`):
@@ -42,6 +59,68 @@ object PetaSearch {
       .drop("queryId", "targetId", "eval")
   }
 
+  /** C12: project the gapped alignment strings from the backtrace
+    * (`src/sra/convertsraalignments.cpp:59-87`): 'M' consumes both sides,
+    * 'I' consumes query (gap in target), 'D' consumes target (gap in query).
+    */
+  def alignedString(seq: String, start: Int, backtrace: String,
+      querySide: Boolean): String = {
+    val sb = new StringBuilder(backtrace.length)
+    var pos = start
+    backtrace.foreach {
+      case 'M' => sb += seq(pos); pos += 1
+      case 'I' => if (querySide) { sb += seq(pos); pos += 1 } else sb += '-'
+      case 'D' => if (querySide) sb += '-' else { sb += seq(pos); pos += 1 }
+      case _ =>
+    }
+    sb.toString
+  }
+
+  /** Custom-column m8 (`--format-output`,
+    * `lib/mmseqs/src/commons/Parameters.cpp:2318` column vocabulary subset).
+    * Supported: query target fident alnlen mismatch gapopen qstart qend
+    * tstart tend evalue bits qlen tlen qcov tcov cigar qaln taln qseq tseq.
+    */
+  def toM8Custom(alignments: DataFrame, queries: DataFrame, targets: DataFrame,
+      columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Column
+    val qalnUdf = udf((s: String, st: Int, bt: String) => alignedString(s, st, bt, querySide = true))
+    val talnUdf = udf((s: String, st: Int, bt: String) => alignedString(s, st, bt, querySide = false))
+    val joined = alignments
+      .join(queries.select(col("seqId").as("queryId"), col("name").as("_qname"),
+        col("seq").as("_qseq")), Seq("queryId"))
+      .join(targets.select(col("seqId").as("targetId"), col("name").as("_tname"),
+        col("seq").as("_tseq")), Seq("targetId"))
+    def colFor(name: String): Column = (name match {
+      case "query" => col("_qname")
+      case "target" => col("_tname")
+      case "fident" => format_string("%.3f", col("fident"))
+      case "alnlen" => col("alnLen")
+      case "mismatch" => col("mismatch")
+      case "gapopen" => col("gapOpen")
+      case "qstart" => col("qStart") + 1
+      case "qend" => col("qEnd") + 1
+      case "tstart" => col("tStart") + 1
+      case "tend" => col("tEnd") + 1
+      case "evalue" => format_string("%.2E", col("eval"))
+      case "bits" => col("bits")
+      case "qlen" => col("qLen")
+      case "tlen" => col("tLen")
+      // C8 coverage (SmithWaterman::computeCov: (end-start+1)/len)
+      case "qcov" => round((col("qEnd") - col("qStart") + 1).cast("double") / col("qLen"), 3)
+      case "tcov" => round((col("tEnd") - col("tStart") + 1).cast("double") / col("tLen"), 3)
+      case "cigar" => col("backtrace")
+      case "qaln" => qalnUdf(col("_qseq"), col("qStart"), col("backtrace"))
+      case "taln" => talnUdf(col("_tseq"), col("tStart"), col("backtrace"))
+      case "qseq" => col("_qseq")
+      case "tseq" => col("_tseq")
+      case other => throw new IllegalArgumentException(s"unknown outfmt column $other")
+    }).as(name)
+    joined
+      .orderBy(col("queryId"), col("eval"), col("bits").desc, col("targetId"))
+      .select(columns.map(colFor): _*)
+  }
+
   /** Aligned-pairs pipeline over already-ingested sequence tables.
     * Query-side k-mers go through the full createQueryTable path (masking,
     * bias-adjusted thresholds, similar-k-mer expansion) per the reference's
@@ -50,10 +129,13 @@ object PetaSearch {
     */
   def search(spark: SparkSession, queries: DataFrame, targets: DataFrame,
       params: Params = Params()): DataFrame = {
-    val index = KmerIndex.buildWithPos(targets, params.k)
-    val qk = QueryTable.build(spark, queries, params.query.copy(k = params.k))
+    val index = KmerIndex.buildWithPos(targets, params.k, params.mode.kmerAlphabet)
+    val qk = QueryTable.build(spark, queries, params.query.copy(
+      k = params.k, seedMatrix = params.mode.seedMatrix,
+      kmerAlphabetSize = params.mode.kmerAlphabet.length))
     val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
-    Align.run(spark, pf, queries, targets, params.evalThr, params.xdrop, params.gaps)
+    Align.run(spark, pf, queries, targets, params.evalThr, params.xdrop,
+      params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel)
   }
 
   /** Multi-target-DB fan-out (J2/J5/U1): the reference's `targetlist`

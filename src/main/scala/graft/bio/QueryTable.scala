@@ -133,11 +133,13 @@ object QueryTable {
       maxKmerPerPos: Int = 20, // LocalParameters.h:152
       exactKmerMatching: Boolean = false, // Parameters.cpp:2255 (expansion ON)
       maskMode: Boolean = true, // Parameters.cpp:2256
-      biasCorrection: Boolean = true) // Parameters.cpp:2252
+      biasCorrection: Boolean = true, // Parameters.cpp:2252
+      seedMatrix: String = "vtml80",
+      kmerAlphabetSize: Int = 20)
 
   /** One sequence -> query table rows (kmerPos, kmer). */
   def rowsForSequence(seq: String, cfg: Config): Iterator[(Int, Long)] = {
-    val m = Matrices.vtml80Seed
+    val m = Matrices.byName(cfg.seedMatrix)
     var ordinals = seq.map(c => m.aa2num(c & 0xff)).toArray
     if (cfg.maskMode) ordinals = entropyMask(ordinals, m.xOrdinal)
     val bias =

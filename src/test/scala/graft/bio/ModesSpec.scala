@@ -1,0 +1,71 @@
+package graft.bio
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Nucleotide mode + custom output formats. */
+class ModesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeFasta(records: Seq[(String, String)]): String = {
+    val f = java.io.File.createTempFile("nuc", ".fa")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath,
+      records.map { case (h, s) => s">$h\n$s" }.mkString("\n"))
+    f.getAbsolutePath
+  }
+
+  test("nucleotide self-search finds full-length self-hits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val bases = "ACGT"
+    val seqs = (0 until 5).map { i =>
+      (s"dna$i", Array.fill(120)(bases(rnd.nextInt(4))).mkString)
+    }
+    val fa = writeFasta(seqs)
+    val reads = Fasta.read(spark, fa).cache()
+    val alis = PetaSearch.search(spark, reads, reads,
+      PetaSearch.Params(mode = PetaSearch.SearchMode.Nucleotide))
+    val self = alis.filter($"queryId" === $"targetId").as[Aligner.AlnResult].collect()
+    assert(self.length == 5)
+    self.foreach { a =>
+      assert(a.fident == 1.0)
+      assert(a.qStart == 0 && a.qEnd == 119)
+      assert(a.eval < 1e-10)
+    }
+  }
+
+  test("nucleotide matrix reconstructs +2/-3 with ACTG alphabet") {
+    val m = Matrices.nucleotide
+    assert(m.alphabet == "ACTGX")
+    assert(m.score('A', 'A') == 2 && m.score('A', 'C') == -3)
+    assert(m.score('G', 'G') == 2 && m.score('T', 'G') == -3)
+  }
+
+  test("custom outfmt: qaln/taln reconstruct gapped strings; qcov/tcov") {
+    import spark.implicits._
+    // target = query with a 2-residue insertion in the query
+    val t = "MKVLATTPFGWSDEWIRRQCHHKNMKVLATT"
+    val q = "MKVLATTPFGAAWSDEWIRRQCHHKNMKVLATT"
+    val fa = writeFasta(Seq(("q0", q)))
+    val fb = writeFasta(Seq(("t0", t)))
+    val qs = Fasta.read(spark, fa).cache()
+    val ts = Fasta.read(spark, fb).cache()
+    val alis = PetaSearch.search(spark, qs, ts, PetaSearch.Params(
+      query = QueryTable.Config(maskMode = false)))
+    val out = PetaSearch.toM8Custom(alis, qs, ts,
+      Seq("query", "target", "fident", "qaln", "taln", "qcov", "tcov", "qlen", "tlen"))
+      .collect()
+    assert(out.nonEmpty)
+    val r = out.head
+    val qaln = r.getAs[String]("qaln")
+    val taln = r.getAs[String]("taln")
+    assert(qaln.length == taln.length)
+    assert(taln.contains("--") || qaln.contains("--"), s"expected a gap: $qaln / $taln")
+    assert(qaln.replace("-", "").nonEmpty)
+    // gapped strings must re-derive from the raw sequences
+    assert(q.contains(qaln.replace("-", "")))
+    assert(t.contains(taln.replace("-", "")))
+    assert(r.getAs[Double]("tcov") == 1.0) // full target covered
+  }
+}
