@@ -138,6 +138,37 @@ object PetaSearch {
       params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel)
   }
 
+  /** Ingest-once index build — `convert2sradb` + `createkmertable` as one
+    * job: sequences + unique-k-mer index persisted under `dbPath`
+    * (`sequences/` parquet; `kmers/` range-partitioned by kmer, sorted
+    * within partitions => DELTA_BINARY_PACKED runs + min/max pruning).
+    */
+  def buildTargetDb(spark: SparkSession, targetFasta: String, dbPath: String,
+      params: Params = Params()): Unit = {
+    val seqs = Fasta.read(spark, targetFasta)
+    seqs.write.mode("overwrite").parquet(s"$dbPath/sequences")
+    val persisted = spark.read.parquet(s"$dbPath/sequences")
+    KmerIndex.write(
+      KmerIndex.buildWithPos(persisted, params.k, params.mode.kmerAlphabet),
+      s"$dbPath/kmers")
+  }
+
+  /** Query a persisted target DB (the reference's `petasearch` against
+    * prebuilt k-mer tables): scans only the stored index — no target-side
+    * k-mer extraction at query time.
+    */
+  def searchIndexed(spark: SparkSession, queries: DataFrame, dbPath: String,
+      params: Params = Params()): DataFrame = {
+    val targets = spark.read.parquet(s"$dbPath/sequences")
+    val index = spark.read.parquet(s"$dbPath/kmers")
+    val qk = QueryTable.build(spark, queries, params.query.copy(
+      k = params.k, seedMatrix = params.mode.seedMatrix,
+      kmerAlphabetSize = params.mode.kmerAlphabet.length))
+    val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
+    Align.run(spark, pf, queries, targets, params.evalThr, params.xdrop,
+      params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel)
+  }
+
   /** Multi-target-DB fan-out (J2/J5/U1): the reference's `targetlist`
     * manifest becomes a sequence of target tables searched independently and
     * union'd (`data/petasearch.sh:42-65` shell fan-out as partition

@@ -346,8 +346,59 @@ object RelQueries {
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM g GROUP BY 1 ORDER BY 1"""))
 
+  /** Grouping-sets surface (absent in the reference; free in Spark —
+    * SURVEY §2.5 note): ROLLUP over (returnflag, linestatus).
+    */
+  val q16Rollup = Q(
+    "q16_rollup",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"sum_qty", $"cnt")
+        .orderBy($"rf", $"ls")
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT)  AS cnt
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+
+  /** INTERSECT / EXCEPT surface (absent in the reference; exercised per
+    * SURVEY §2.7): customers with urgent orders vs with high-value orders.
+    */
+  val q17SetOps = Q(
+    "q17_setops",
+    (s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      val hi = o.filter($"o_totalprice" > 300000).select($"o_custkey")
+      val both = urgent.intersect(hi).withColumn("tag", lit("both"))
+      val urgentOnly = urgent.except(hi).withColumn("tag", lit("urgent_only"))
+      both.unionAll(urgentOnly).orderBy($"tag", $"o_custkey")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT o_custkey, 'both' AS tag FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        UNION ALL
+        SELECT o_custkey, 'urgent_only' AS tag FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_totalprice > 300000))
+      ORDER BY tag, o_custkey"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
-    q15Sessionize)
+    q15Sessionize, q16Rollup, q17SetOps)
 }

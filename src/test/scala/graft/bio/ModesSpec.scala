@@ -35,6 +35,32 @@ class ModesSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted target DB: build once, search many (same results as direct)") {
+    import spark.implicits._
+    val fixture = getClass.getResource("/MSA_Cas7-11_multiline.fa").getPath
+    val degapped = {
+      val src = scala.io.Source.fromFile(fixture)
+      val out = try src.getLines().map(l =>
+        if (l.startsWith(">")) l else l.replace("-", "")).mkString("\n")
+      finally src.close()
+      val f = java.io.File.createTempFile("db_src", ".fa")
+      f.deleteOnExit()
+      java.nio.file.Files.writeString(f.toPath, out)
+      f.getAbsolutePath
+    }
+    val dbPath = java.nio.file.Files.createTempDirectory("targetdb").toString
+    PetaSearch.buildTargetDb(spark, degapped, dbPath)
+    // index on disk is globally kmer-sorted (S5/O1 layout)
+    val stored = spark.read.parquet(s"$dbPath/kmers")
+    assert(stored.columns.toSet == Set("kmer", "seqId", "seqLen", "tpos"))
+    val queries = Fasta.read(spark, degapped).cache()
+    val viaIndex = PetaSearch.searchIndexed(spark, queries, dbPath)
+      .select("queryId", "targetId", "bits").as[(Long, Long, Int)].collect().toSet
+    val direct = PetaSearch.search(spark, queries, queries)
+      .select("queryId", "targetId", "bits").as[(Long, Long, Int)].collect().toSet
+    assert(viaIndex == direct)
+  }
+
   test("nucleotide matrix reconstructs +2/-3 with ACTG alphabet") {
     val m = Matrices.nucleotide
     assert(m.alphabet == "ACTGX")
