@@ -179,6 +179,13 @@ object PetaSearch {
       targets: Seq[DataFrame], params: Params = Params()): DataFrame =
     targets.map(t => search(spark, queries, t, params)).reduce(_.unionAll(_))
 
+  /** S9 m8 TSV sink: tab-separated, no header — byte-compatible with BLAST
+    * m8 consumers (`data/petasearch.sh:61-65` final output).
+    */
+  def writeM8(m8: DataFrame, path: String): Unit =
+    m8.write.mode("overwrite").option("sep", "\t").option("header", "false")
+      .csv(path)
+
   /** FASTA-in / m8-out — `easy-petasearch`. */
   def easySearch(spark: SparkSession, queryFasta: String, targetFasta: String,
       params: Params = Params()): DataFrame = {
