@@ -45,7 +45,8 @@ object Align {
       targetSeqs: DataFrame, evalThr: Double = DefaultEvalThr,
       xdrop: Int = DefaultXdrop, gaps: Aligner.Gaps = DefaultGaps,
       matrixName: String = "blosum62",
-      gumbel: GumbelParams = GumbelParams.Blosum62Ungapped): DataFrame = {
+      gumbel: GumbelParams = GumbelParams.Blosum62Ungapped,
+      k: Int = KmerIndex.DefaultK): DataFrame = {
     import spark.implicits._
 
     val dbResCount: Long = targetSeqs.agg(sum(col("seqLen"))).as[Long].head()
@@ -66,7 +67,7 @@ object Align {
       // per-task singletons: matrices ship with the jar, the evaluer is tiny
       val m = Matrices.byName(matrixName)
       val evaluer = new Evaluer(gumbel, dbResCount)
-      iter.flatMap(p => alignPair(p, m, evaluer, evalThr, xdrop, gaps))
+      iter.flatMap(p => alignPair(p, m, evaluer, evalThr, xdrop, gaps, k))
     }
 
     aligned.toDF()
@@ -75,10 +76,11 @@ object Align {
 
   /** The per-pair cascade. Returns None when any gate rejects. */
   def alignPair(p: PairRow, m: Matrices, evaluer: Evaluer, evalThr: Double,
-      xdrop: Int, gaps: Aligner.Gaps): Option[Aligner.AlnResult] = {
+      xdrop: Int, gaps: Aligner.Gaps,
+      k: Int = KmerIndex.DefaultK): Option[Aligner.AlnResult] = {
     val q = p.qSeq.getBytes("US-ASCII")
     val t = p.tSeq.getBytes("US-ASCII")
-    if (t.length < KmerIndex.DefaultK) return None // P7 min-length
+    if (t.length < k) return None // P7 min-length (blockalign.cpp:257-259)
 
     // O5 sort + A6 diagonal-proximity gate
     val sorted = Aligner.sortHits(p.hits.map { case (pos, kmer, diag) =>

@@ -135,7 +135,7 @@ object PetaSearch {
       kmerAlphabetSize = params.mode.kmerAlphabet.length))
     val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
     Align.run(spark, pf, queries, targets, params.evalThr, params.xdrop,
-      params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel)
+      params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel, params.k)
   }
 
   /** Ingest-once index build — `convert2sradb` + `createkmertable` as one
@@ -166,7 +166,7 @@ object PetaSearch {
       kmerAlphabetSize = params.mode.kmerAlphabet.length))
     val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
     Align.run(spark, pf, queries, targets, params.evalThr, params.xdrop,
-      params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel)
+      params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel, params.k)
   }
 
   /** Multi-target-DB fan-out (J2/J5/U1): the reference's `targetlist`
