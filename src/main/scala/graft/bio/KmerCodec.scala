@@ -92,27 +92,68 @@ object KmerCodec {
   def kmerEncode(c: Column, alphabet: String): Column =
     GraftShim.column(KmerEncode(GraftShim.expression(c), alphabet))
 
+  /** Table-generating rolling-window extraction: one pass over the
+    * sequence, O(1) amortized per emitted k-mer (the polynomial code shifts
+    * by `code/base + ord*base^(k-1)` — first char least significant means
+    * dropping it is an exact integer division). Out-of-alphabet characters
+    * reset the window (P4). Emits (kmerPos INT, kmer BIGINT).
+    */
+  case class KmerGenerate(child: Expression, k: Int, alphabet: String)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    private lazy val lut: Array[Int] = lutFor(alphabet)
+    private val base = alphabet.length.toLong
+    private lazy val topPow: Long = {
+      var p = 1L; (1 until k).foreach(_ => p *= base); p
+    }
+
+    override def elementSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kmerPos",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("kmer", LongType, nullable = false)))
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow](
+        math.max(bytes.length - k + 1, 0))
+      var code = 0L
+      var pw = 1L
+      var validRun = 0
+      var i = 0
+      while (i < bytes.length) {
+        val o = lut(bytes(i) & 0xff)
+        if (o < 0) { code = 0L; pw = 1L; validRun = 0 }
+        else if (validRun < k) {
+          code += o * pw
+          validRun += 1
+          if (validRun < k) pw *= base
+        } else {
+          code = code / base + o * topPow
+        }
+        if (validRun == k && lut(bytes(i) & 0xff) >= 0)
+          out += org.apache.spark.sql.catalyst.InternalRow(i - k + 1, code)
+        i += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Explode a sequence column into `(kmerPos INT, kmer BIGINT)` rows — the
     * reference's sliding-window extraction F1
     * (`lib/mmseqs/src/commons/Sequence.h:92-130`): positions 0..L-k, k-mers
-    * containing out-of-alphabet characters dropped (P4).
-    *
-    * Pure built-ins + the codegen'd encode expression, so Catalyst keeps the
-    * whole extraction inside WholeStageCodegen, and column pruning pushes
-    * through it.
+    * containing out-of-alphabet characters dropped (P4). Implemented by the
+    * rolling-window generator above.
     */
   def explodeKmers(df: org.apache.spark.sql.DataFrame, seqCol: String, k: Int,
-      alphabet: String): org.apache.spark.sql.DataFrame = {
-    val sc = col(seqCol)
-    // explode the (cheap) int position array first, encode after — avoids
-    // materializing a per-row array of (pos, code) structs
-    val positions = when(length(sc) >= k, sequence(lit(0), length(sc) - k))
-      .otherwise(array())
-    df.withColumn("_pos", explode(positions))
-      .withColumn("kmerPos", col("_pos").cast("int"))
-      .drop("_pos")
-      .withColumn("kmer",
-        kmerEncode(sc.substr(col("kmerPos") + 1, lit(k)), alphabet))
-      .filter(col("kmer").isNotNull)
-  }
+      alphabet: String): org.apache.spark.sql.DataFrame =
+    df.select(col("*"),
+      GraftShim.column(KmerGenerate(GraftShim.expression(col(seqCol)), k, alphabet))
+        .as(Seq("kmerPos", "kmer")))
 }

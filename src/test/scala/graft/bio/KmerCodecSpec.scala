@@ -44,6 +44,28 @@ class KmerCodecSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("rolling generator matches naive substring-encode on random strings with X") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val alphaX = A + "X"
+    val rows = (0 until 50).map { i =>
+      (i.toLong, (0 until 5 + rnd.nextInt(40)).map(_ => alphaX(rnd.nextInt(alphaX.length))).mkString)
+    }
+    val df = rows.toDF("seqId", "seq")
+    val fast = KmerCodec.explodeKmers(df, "seq", 9, A)
+      .select("seqId", "kmerPos", "kmer").as[(Long, Int, Long)].collect().toSet
+    // naive reference: substring + encode
+    val lut = KmerCodec.lutFor(A)
+    val naive = rows.flatMap { case (id, s) =>
+      (0 to s.length - 9).flatMap { p =>
+        val code = KmerCodec.encodeBytes(s.substring(p, p + 9).getBytes, lut, 20)
+        if (code < 0) None else Some((id, p, code))
+      }
+    }.toSet
+    assert(fast == naive)
+  }
+
   test("explodeKmers yields L-k+1 windows minus X windows, positions 0-based") {
     val spark = TestSpark.spark
     import spark.implicits._
