@@ -49,6 +49,40 @@ object Fasta {
       .select("seqId", "header", "name", "seq", "seqLen")
   }
 
+  /** FASTQ ingest (4-line records: @header / seq / + / qual; quality lines
+    * may START with '@', so records cannot be split by a delimiter —
+    * instead lines are numbered and grouped by `lineNo / 4`, which is
+    * boundary-safe under any partitioning. Gzipped files work transparently
+    * (Spark's text source applies the codec before splitting, same
+    * single-stream behavior as the reference's kseq+zlib,
+    * `lib/mmseqs/src/commons/KSeqWrapper.h:37-84`).
+    */
+  def readFastq(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("seqId", LongType, nullable = false),
+      StructField("header", StringType, nullable = false),
+      StructField("seq", StringType, nullable = false),
+      StructField("qual", StringType, nullable = false)))
+    val rows = spark.read.text(path).rdd
+      .map(_.getString(0))
+      .zipWithIndex()
+      .map { case (line, idx) => (idx / 4, (idx % 4, line)) }
+      .groupByKey()
+      .map { case (rec, parts) =>
+        val m = parts.toMap
+        val header = m.getOrElse(0L, "")
+        require(header.startsWith("@"), s"malformed FASTQ record $rec: $header")
+        require(m.getOrElse(2L, "").startsWith("+"), s"malformed FASTQ record $rec")
+        org.apache.spark.sql.Row(rec, header.drop(1).trim,
+          cleanSequence(m.getOrElse(1L, "")), m.getOrElse(3L, ""))
+      }
+    spark.createDataFrame(rows, schema)
+      .withColumn("name", parseFastaHeaderCol(col("header")))
+      .filter(length(col("name")) > 0)
+      .withColumn("seqLen", length(col("seq")).cast("int"))
+      .select("seqId", "header", "name", "seq", "seqLen", "qual")
+  }
+
   /** P1 char sanitize (`src/commons/SRAUtil.cpp:18-45`): '*'->'X', strip
     * newlines and '@', uppercase.
     */

@@ -61,6 +61,29 @@ class ModesSpec extends AnyFunSuite {
     assert(viaIndex == direct)
   }
 
+  test("FASTQ ingest handles @-starting quality lines; gz FASTA reads transparently") {
+    // quality line deliberately starts with '@'
+    val fq = java.io.File.createTempFile("reads", ".fastq")
+    fq.deleteOnExit()
+    java.nio.file.Files.writeString(fq.toPath,
+      "@read1 desc\nACGTACGTACGT\n+\n@IIIIIIIIIII\n" +
+        "@read2\nTTTTACGTACGT\n+read2\nII@IIIIIIIII\n")
+    val reads = Fasta.readFastq(spark, fq.getAbsolutePath).collect()
+    assert(reads.length == 2)
+    val byName = reads.map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("read1").getAs[String]("seq") == "ACGTACGTACGT")
+    assert(byName("read2").getAs[String]("qual") == "II@IIIIIIIII")
+    // gzipped FASTA through the same reader
+    val fa = java.io.File.createTempFile("seqs", ".fa.gz")
+    fa.deleteOnExit()
+    val gz = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(fa))
+    gz.write(">s1\nMKVLATTPFG\n>s2\nWSDEWIRRQC\n".getBytes)
+    gz.close()
+    val seqs = Fasta.read(spark, fa.getAbsolutePath).collect()
+    assert(seqs.length == 2)
+    assert(seqs.map(_.getAs[String]("seq")).toSet == Set("MKVLATTPFG", "WSDEWIRRQC"))
+  }
+
   test("nucleotide matrix reconstructs +2/-3 with ACTG alphabet") {
     val m = Matrices.nucleotide
     assert(m.alphabet == "ACTGX")
