@@ -146,6 +146,62 @@ object Align {
       gapOpen = gapOpenCount))
   }
 
+  final case class PairRowDb(
+      dbId: Long, targetId: Long, queryId: Long,
+      hits: Seq[(Int, Long, Int)], qSeq: String, tSeq: String)
+
+  /** Multi-DB variant: one job over a `dbId`-partitioned corpus. Each pair
+    * is aligned with ITS database's evaluer (per-DB residue counts, exactly
+    * like independent per-DB `blockalign` runs); the tiny dbId->residues map
+    * ships in the task closure.
+    */
+  def runPartitioned(spark: SparkSession, prefilter: DataFrame,
+      querySeqs: DataFrame, targetSeqs: DataFrame,
+      evalThr: Double = DefaultEvalThr, xdrop: Int = DefaultXdrop,
+      gaps: Aligner.Gaps = DefaultGaps, matrixName: String = "blosum62",
+      gumbel: GumbelParams = GumbelParams.Blosum62Ungapped,
+      k: Int = KmerIndex.DefaultK): DataFrame = {
+    import spark.implicits._
+
+    val dbRes: Map[Long, Long] = targetSeqs
+      .groupBy(col("dbId")).agg(sum(col("seqLen")).as("res"))
+      .as[(Long, Long)].collect().toMap
+
+    val pairs = prefilter
+      .groupBy(col("dbId"), col("targetId"), col("queryId"))
+      .agg(collect_list(struct(col("kmerPos"), col("kmer"), col("diag"))).as("hits"))
+
+    val withSeqs = pairs
+      .join(targetSeqs.select(col("dbId"), col("seqId").as("targetId"),
+        col("seq").as("tSeq")), Seq("dbId", "targetId"))
+      .join(querySeqs.select(col("seqId").as("queryId"), col("seq").as("qSeq")),
+        Seq("queryId"))
+      .select(col("dbId"), col("targetId"), col("queryId"), col("hits"),
+        col("qSeq"), col("tSeq"))
+      .as[PairRowDb]
+
+    val aligned = withSeqs.mapPartitions { iter =>
+      val m = Matrices.byName(matrixName)
+      val evaluers = scala.collection.mutable.Map.empty[Long, Evaluer]
+      iter.flatMap { p =>
+        val ev = evaluers.getOrElseUpdate(p.dbId,
+          new Evaluer(gumbel, dbRes(p.dbId)))
+        alignPair(PairRow(p.targetId, p.queryId, p.hits, p.qSeq, p.tSeq),
+          m, ev, evalThr, xdrop, gaps, k)
+          .map(r => (p.dbId, r))
+      }
+    }
+
+    aligned.map { case (dbId, r) => (dbId, r.queryId, r.targetId, r.bits,
+      r.fident, r.eval, r.qStart, r.qEnd, r.qLen, r.tStart, r.tEnd, r.tLen,
+      r.backtrace, r.alnLen, r.mismatch, r.gapOpen) }
+      .toDF("dbId", "queryId", "targetId", "bits", "fident", "eval",
+        "qStart", "qEnd", "qLen", "tStart", "tEnd", "tLen", "backtrace",
+        "alnLen", "mismatch", "gapOpen")
+      .orderBy(col("queryId"), col("eval"), col("bits").desc, col("dbId"),
+        col("targetId"))
+  }
+
   private def reverseSlice(a: Array[Byte], end: Int): Array[Byte] = {
     val out = new Array[Byte](end)
     var i = 0

@@ -169,6 +169,45 @@ object PetaSearch {
       params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel, params.k)
   }
 
+  /** Single-job multi-DB search over a `dbId`-partitioned corpus
+    * (SURVEY §1.3/§3.2: "a targetlist becomes a partition column"): ONE
+    * index build, ONE prefilter join, ONE align stage across all DBs —
+    * per-DB semantics (independent unique-k-mer dedup and e-value residue
+    * counts) preserved by keying every stage on dbId. At 1000 executors
+    * this is the preferred shape: no per-DB job scheduling overhead, AQE
+    * balances partitions across the whole corpus.
+    *
+    * `targets` must carry (dbId, seqId, seq, seqLen); seqIds are per-DB.
+    */
+  def searchPartitioned(spark: SparkSession, queries: DataFrame,
+      targets: DataFrame, params: Params = Params()): DataFrame = {
+    val kmers = KmerCodec.explodeKmers(targets, "seq", params.k,
+      params.mode.kmerAlphabet)
+    val index = kmers
+      .groupBy(col("dbId"), col("kmer"))
+      .agg(max_by(
+        struct(col("seqId"), col("seqLen"), col("kmerPos")),
+        struct(col("seqLen"), (-col("seqId")).as("negId"),
+          (-col("kmerPos")).as("negPos"))).as("rep"))
+      .select(col("dbId"), col("kmer"), col("rep.seqId").as("targetId"),
+        col("rep.kmerPos").as("tpos"))
+    val qk = QueryTable.build(spark, queries, params.query.copy(
+      k = params.k, seedMatrix = params.mode.seedMatrix,
+      kmerAlphabetSize = params.mode.kmerAlphabet.length))
+    val hits = qk.join(index, Seq("kmer"))
+      .select(col("dbId"), col("targetId"), col("queryId"), col("kmerPos"),
+        col("kmer"), (col("kmerPos") - col("tpos")).cast("int").as("diag"))
+    val goodPairs = hits
+      .groupBy(col("dbId"), col("targetId"), col("queryId"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > params.requiredKmerMatches)
+      .select(col("dbId"), col("targetId"), col("queryId"))
+    val pf = hits.join(goodPairs, Seq("dbId", "targetId", "queryId"), "left_semi")
+    Align.runPartitioned(spark, pf, queries, targets, params.evalThr,
+      params.xdrop, params.mode.gaps, params.mode.alignMatrix,
+      params.mode.gumbel, params.k)
+  }
+
   /** Multi-target-DB fan-out (J2/J5/U1): the reference's `targetlist`
     * manifest becomes a sequence of target tables searched independently and
     * union'd (`data/petasearch.sh:42-65` shell fan-out as partition
