@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *    k-mer position, collapsing the reference's J3 binary-search re-lookup
   *    `blockalign.cpp:268-298` into the prefilter join);
   *  - J4: joins to fetch target and query sequences (target join shuffles on
-  *    targetId — the big side at petabase scale; query side is broadcast-able
-  *    and Catalyst/AQE picks that up);
+  *    targetId — the big side at petabase scale; query side is explicitly
+  *    broadcast-hinted, since RDD-backed query tables carry no stats);
   *  - the per-pair sequential cascade (O5 -> A6 -> T2/C5 -> C6 -> C7) runs
   *    inside one typed map — Catalyst cannot reorder these UDF stages, which
   *    is exactly right: the cascade order IS the optimization (SURVEY §4).
@@ -58,8 +58,8 @@ object Align {
     val withSeqs = pairs
       .join(targetSeqs.select(col("seqId").as("targetId"), col("seq").as("tSeq")),
         Seq("targetId"))
-      .join(querySeqs.select(col("seqId").as("queryId"), col("seq").as("qSeq")),
-        Seq("queryId"))
+      .join(broadcast(querySeqs.select(col("seqId").as("queryId"),
+        col("seq").as("qSeq"))), Seq("queryId"))
       .select(col("targetId"), col("queryId"), col("hits"), col("qSeq"), col("tSeq"))
       .as[PairRow]
 
@@ -174,8 +174,8 @@ object Align {
     val withSeqs = pairs
       .join(targetSeqs.select(col("dbId"), col("seqId").as("targetId"),
         col("seq").as("tSeq")), Seq("dbId", "targetId"))
-      .join(querySeqs.select(col("seqId").as("queryId"), col("seq").as("qSeq")),
-        Seq("queryId"))
+      .join(broadcast(querySeqs.select(col("seqId").as("queryId"),
+        col("seq").as("qSeq"))), Seq("queryId"))
       .select(col("dbId"), col("targetId"), col("queryId"), col("hits"),
         col("qSeq"), col("tSeq"))
       .as[PairRowDb]

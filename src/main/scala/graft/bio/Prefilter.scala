@@ -45,10 +45,19 @@ object Prefilter {
   /** As `run`, against a `buildWithPos` index: attaches the u32-wrapping
     * diagonal `diag = kmerPosInQuery - tpos` (C10, `blockalign.cpp:289` —
     * Int arithmetic wraps exactly like the reference's u32).
+    *
+    * The query k-mer table is explicitly broadcast-hinted: it comes from an
+    * RDD-backed flatMap (no catalog stats), so Catalyst would otherwise
+    * assume it huge and pick SMJ. The reference's design premise is the
+    * same — the query table must fit in RAM/3 per thread
+    * (comparekmertables.cpp:371-377). Pass broadcastQueries=false for
+    * pathological query batches.
     */
   def runWithDiag(queryKmers: DataFrame, indexWithPos: DataFrame,
-      requiredKmerMatches: Int = RequiredKmerMatches): DataFrame = {
-    val hits = queryKmers
+      requiredKmerMatches: Int = RequiredKmerMatches,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val q = if (broadcastQueries) broadcast(queryKmers) else queryKmers
+    val hits = q
       .join(indexWithPos.select(col("kmer"), col("seqId").as("targetId"), col("tpos")),
         Seq("kmer"))
       .select(col("targetId"), col("queryId"), col("kmerPos"), col("kmer"),
