@@ -5,12 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the fact⨝dims revenue rollup (exercises scan, broadcast join,
-    * partial agg, total sort end-to-end).
+  /** Flagship: the full protein search pipeline (FASTA ingest -> k-mer
+    * index -> similar-k-mer prefilter -> X-drop align -> BLAST-m8) as a
+    * self-search of the bundled Cas7-11 fixture. Driver smoke-checks
+    * rows>0 (21 self-hits + homolog hits).
     */
   def entry(spark: SparkSession): DataFrame =
-    relational.RelQueries.q2JoinAgg.run(spark, "/root/testdata/sf0.001")
+    bio.BioQueries.bioSelfSearch.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
