@@ -184,4 +184,23 @@ object Dedup {
       .reduce(_ + _)
     agg.select(col("id"), hash.cast("int").as("simhash"))
   }
+
+  /** SimHash near-dup pairs: query subset vs corpus, Hamming distance <=
+    * maxHamming over the 16-bit signatures. The query side is a broadcast
+    * against the signature table; at larger signature widths the standard
+    * scale path is (t+1)-band exact-match bucketing before the verify, same
+    * LSH shape as [[lshCandidates]].
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, maxHamming: Int): DataFrame = {
+    val sig = simhash16(df, idCol, textCol)
+    val q = sig.filter(queryPred)
+      .select(col("id").as("a"), col("simhash").as("ha"))
+    val c = sig.select(col("id").as("b"), col("simhash").as("hb"))
+    c.join(broadcast(q))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
 }

@@ -121,5 +121,38 @@ object DedupQueries {
       JOIN sizes zt ON zt.id = tid
       ORDER BY qid, tid"""))
 
-  def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard)
+  val dedupSimhashPairs = Q(
+    "dedup_simhash_pairs",
+    (s, d) => {
+      Dedup.simhashPairs(T.documents(s, d), "doc_id", "text",
+        col("id") % 20 === 0, maxHamming = 5)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        FROM documents),
+      h AS (
+        SELECT id, CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS h16
+        FROM tok WHERE length(tok) > 0),
+      bits AS (
+        SELECT id, h16, unnest(generate_series(0, 15)) AS bit FROM h),
+      votes AS (
+        SELECT id, bit,
+               SUM(((h16 >> CAST(bit AS INT)) & 1) * 2 - 1) AS votes
+        FROM bits GROUP BY 1, 2),
+      sig AS (
+        SELECT id, CAST(SUM(CASE WHEN votes > 0
+                          THEN (1 << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY 1)
+      SELECT q.id AS a, c.id AS b,
+             CAST(bit_count(xor(q.simhash, c.simhash)) AS INT) AS hamming
+      FROM sig q JOIN sig c ON q.id < c.id
+      WHERE q.id % 20 = 0
+        AND bit_count(xor(q.simhash, c.simhash)) <= 5
+      ORDER BY a, b"""))
+
+  def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupSimhash,
+    dedupNgramJaccard, dedupSimhashPairs)
 }
