@@ -185,6 +185,17 @@ object Dedup {
     agg.select(col("id"), hash.cast("int").as("simhash"))
   }
 
+  /** Apply near-dup pairs to a corpus: greedy keep-lowest-id — every doc
+    * that appears as the LARGER id of a qualifying pair is dropped. (Not
+    * transitive-closure clustering: a chain a-b, b-c drops b and c, keeping
+    * a, which matches the usual curation greedy; full clustering would need
+    * an iterative connected-components pass.)
+    */
+  def applyNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: query subset vs corpus, Hamming distance <=
     * maxHamming over the 16-bit signatures. The query side is a broadcast
     * against the signature table; at larger signature widths the standard

@@ -29,6 +29,18 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming face of `ops.Dedup.exact`:
+    * drop later copies of the same content hash, with a watermark bounding
+    * the dedup state (`dropDuplicatesWithinWatermark`: state for a hash is
+    * freed once its event time passes the watermark).
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, contentCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Gap-based sessionization with custom state — the streaming twin of
     * q15_sessionize: a session closes once a later event arrives more than
     * `gapSeconds` after it. State is one (count, start, end) triple per user

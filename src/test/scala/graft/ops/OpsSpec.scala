@@ -40,6 +40,15 @@ class OpsSpec extends AnyFunSuite {
     assert(!r.contains(2L))
   }
 
+  test("applyNearDups keeps the lowest id of each duplicate pair") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+    val kept = Dedup.applyNearDups(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(3L)) // exact pair (0,3)
+    assert(kept.contains(2L) && kept.contains(4L)) // unrelated survive
+  }
+
   test("simhash: identical texts get identical hashes; hamming near for near-dups") {
     val h = Dedup.simhash16(docs, "doc_id", "text")
       .as[(Long, Int)].collect().toMap

@@ -34,6 +34,24 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops later copies of the same content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), "same text"),
+      (ts("2024-01-01 10:05:00"), "same text"),
+      (ts("2024-01-01 10:06:00"), "other text"))
+    val q = EventsStream.dedupStream(
+      mem.toDF().toDF("ts", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("dedup").select("text").as[String].collect()
+      assert(rows.sorted.toSeq == Seq("other text", "same text"))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session on a 30-minute gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
