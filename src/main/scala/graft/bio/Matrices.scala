@@ -22,7 +22,10 @@ final class Matrices private (
     val name: String,
     val alphabet: String, // file column order; X is last
     val scores: Array[Array[Int]], // [alphabetSize][alphabetSize]
-    val pBack: Array[Double]) extends Serializable {
+    val pBack: Array[Double],
+    /** Q_xy / (P_x P_y) — the likelihood-ratio matrix MMseqs feeds tantan
+      * (`lib/mmseqs/src/commons/BaseMatrix.h:82-95`). */
+    val probRatio: Array[Array[Double]]) extends Serializable {
 
   val alphabetSize: Int = alphabet.length
 
@@ -89,7 +92,8 @@ object Matrices {
       val s = bitFactor * (math.log(prob(i)(j) / (bg(i) * bg(j))) / math.log(2.0)) + bias
       if (s < 0.0) (s - 0.5).toInt else (s + 0.5).toInt
     }
-    new Matrices(name, alphabet, scores, bg)
+    val ratio = Array.tabulate(n, n)((i, j) => prob(i)(j) / (bg(i) * bg(j)))
+    new Matrices(name, alphabet, scores, bg, ratio)
   }
 
   /** BLOSUM62 in half-bits (bitFactor 2.0) — the alignment matrix

@@ -141,7 +141,9 @@ object QueryTable {
   def rowsForSequence(seq: String, cfg: Config): Iterator[(Int, Long)] = {
     val m = Matrices.byName(cfg.seedMatrix)
     var ordinals = seq.map(c => m.aa2num(c & 0xff)).toArray
-    if (cfg.maskMode) ordinals = entropyMask(ordinals, m.xOrdinal)
+    // P5: tantan-model repeat masking (Tantan.scala); entropyMask remains
+    // available as a cheaper approximation
+    if (cfg.maskMode) ordinals = Tantan.mask(ordinals, m)
     val bias =
       if (cfg.biasCorrection) biasCorrection(ordinals, m) else null
     val x = m.xOrdinal
