@@ -1,0 +1,45 @@
+package graft.tools
+
+import graft.bio.{Align, PetaSearch, QueryTable}
+import org.apache.spark.sql.SparkSession
+
+/** CLI-equivalent of the reference's `easy-petasearch QUERY_FASTA
+  * TARGET_FASTA RESULT_M8` (`src/workflow/easypetasearch.cpp`):
+  *
+  *   runMain graft.tools.EasyPetasearch query.fasta target.fasta outDir \
+  *     [--e EVALUE] [--exact-kmer-matching] [--mode nucleotide]
+  *
+  * Writes the tab-separated BLAST-m8 result under outDir.
+  */
+object EasyPetasearch {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: EasyPetasearch <query.fasta> <target.fasta> <outDir> [--e N] [--exact-kmer-matching] [--mode nucleotide]")
+    val Array(queryFasta, targetFasta, outDir) = args.take(3)
+    var params = PetaSearch.Params()
+    var i = 3
+    while (i < args.length) {
+      args(i) match {
+        case "--e" => params = params.copy(evalThr = args(i + 1).toDouble); i += 2
+        case "--exact-kmer-matching" =>
+          params = params.copy(query = params.query.copy(exactKmerMatching = true)); i += 1
+        case "--mode" if args(i + 1) == "nucleotide" =>
+          params = params.copy(mode = PetaSearch.SearchMode.Nucleotide); i += 2
+        case other => throw new IllegalArgumentException(s"unknown option $other")
+      }
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("easy-petasearch")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val m8 = PetaSearch.easySearch(spark, queryFasta, targetFasta, params)
+    PetaSearch.writeM8(m8, outDir)
+    println(s"[easy-petasearch] wrote ${spark.read.option("sep", "\t").csv(outDir).count()} alignments to $outDir")
+    spark.stop()
+  }
+}
