@@ -73,15 +73,23 @@ object KmerCodec {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c => {
         val lutRef = ctx.addReferenceObj("kmerLut", lut, "int[]")
+        // freshName every local — fixed names collide (Janino "Redefinition")
+        // as soon as two KmerEncodes land in one generated method.
+        val bytes = ctx.freshName("kmerBytes")
+        val code = ctx.freshName("kmerCode")
+        val pw = ctx.freshName("kmerPw")
+        val bad = ctx.freshName("kmerBad")
+        val i = ctx.freshName("kmerI")
+        val v = ctx.freshName("kmerV")
         s"""
-        byte[] kmerBytes = $c.getBytes();
-        long kmerCode = 0L; long kmerPw = 1L; boolean kmerBad = false;
-        for (int i = 0; i < kmerBytes.length; i++) {
-          int v = $lutRef[kmerBytes[i] & 0xFF];
-          if (v < 0) { kmerBad = true; break; }
-          kmerCode += v * kmerPw; kmerPw *= ${alphabet.length}L;
+        byte[] $bytes = $c.getBytes();
+        long $code = 0L; long $pw = 1L; boolean $bad = false;
+        for (int $i = 0; $i < $bytes.length; $i++) {
+          int $v = $lutRef[$bytes[$i] & 0xFF];
+          if ($v < 0) { $bad = true; break; }
+          $code += $v * $pw; $pw *= ${alphabet.length}L;
         }
-        if (kmerBad) { ${ev.isNull} = true; } else { ${ev.value} = kmerCode; }
+        if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $code; }
         """
       })
 

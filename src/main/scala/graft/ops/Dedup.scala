@@ -197,19 +197,43 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: query subset vs corpus, Hamming distance <=
-    * maxHamming over the 16-bit signatures. The query side is a broadcast
-    * against the signature table; at larger signature widths the standard
-    * scale path is (t+1)-band exact-match bucketing before the verify, same
-    * LSH shape as [[lshCandidates]].
+    * maxHamming over the 16-bit signatures.
+    *
+    * Scale shape: (maxHamming+1)-band pigeonhole bucketing, the same LSH
+    * cascade as [[lshCandidates]]. If two signatures differ in at most
+    * `maxHamming` bits, at least one of the `maxHamming+1` disjoint bit
+    * bands is bit-identical, so an exact-match equi-join on (band, bandVal)
+    * produces a candidate superset — NO all-pairs nested loop — and the
+    * Hamming verify runs only on candidates. Candidate recall is exact
+    * (pigeonhole), so the result set is identical to the brute-force join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      queryPred: Column, maxHamming: Int): DataFrame = {
+      queryPred: Column, maxHamming: Int, bits: Int = 16): DataFrame = {
     val sig = simhash16(df, idCol, textCol)
-    val q = sig.filter(queryPred)
-      .select(col("id").as("a"), col("simhash").as("ha"))
-    val c = sig.select(col("id").as("b"), col("simhash").as("hb"))
-    c.join(broadcast(q))
+    val nBands = maxHamming + 1
+    // band i covers bits [i*bits/nBands, (i+1)*bits/nBands) — widths differ
+    // by at most 1; all `bits` bits are covered exactly once
+    val bounds = (0 to nBands).map(i => i * bits / nBands)
+    val bandCols = (0 until nBands).map { i =>
+      val lo = bounds(i)
+      val mask = (1 << (bounds(i + 1) - lo)) - 1
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bval"))
+    }
+    val banded = sig
+      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val q = banded.filter(queryPred)
+      .select(col("id").as("a"), col("simhash").as("ha"),
+        col("band"), col("bval"))
+    val c = banded.select(col("id").as("b"), col("simhash").as("hb"),
+      col("band"), col("bval"))
+    q.join(c, Seq("band", "bval"))
       .filter(col("a") < col("b"))
+      // a pair can collide in several bands — dedup before the verify
+      .select(col("a"), col("b"), col("ha"), col("hb"))
+      .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))

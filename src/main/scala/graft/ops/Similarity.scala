@@ -41,14 +41,23 @@ object Similarity {
       s
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        int dpN = java.lang.Math.min($a.numElements(), $b.numElements());
-        double dpS = 0.0;
-        for (int i = 0; i < dpN; i++) {
-          dpS += $a.getDouble(i) * $b.getDouble(i);
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        // ctx.freshName on every local: this expression appears several times
+        // per projection (cosine() expands to three DotProducts), and fixed
+        // names make Janino reject the generated method with "Redefinition
+        // of local variable", silently dropping the stage to interpreted eval.
+        val n = ctx.freshName("dpN")
+        val s = ctx.freshName("dpS")
+        val i = ctx.freshName("dpI")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += $a.getDouble($i) * $b.getDouble($i);
         }
-        ${ev.value} = dpS;
-        """)
+        ${ev.value} = $s;
+        """
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
@@ -102,14 +111,17 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, labelCol: String,
       k: Int, nprobe: Int): DataFrame = {
     val cents = centroids(corpus, labelCol)
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // query norm computed once here and carried through the probe fan-out —
+    // NOT recomputed per candidate row in the cluster scan below
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("label"))
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine(col("qv"), col("centroid")))
+      .withColumn("ccos", dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("label"))
+      .select(col("query_id"), col("qv"), col("qn"), col("label"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"), col(labelCol).as("label"),
       norm(col("embedding")).as("cn"))
@@ -117,16 +129,17 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(probes), Seq("label"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (norm(col("qv")) * col("cn")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Embedding near-dup pairs: all pairs with cosine >= threshold among a
-    * query subset vs corpus (dedup use-case of the ANN path).
+  /** Exact embedding near-dup pairs (brute force): all pairs with cosine >=
+    * threshold among a query subset vs corpus. The recall baseline for
+    * [[embeddingNearDup]]; O(|Q| x |C|) — do not run at corpus scale.
     */
-  def embeddingNearDup(corpus: DataFrame, queryPred: Column,
+  def embeddingNearDupExact(corpus: DataFrame, queryPred: Column,
       threshold: Double): DataFrame = {
     val q = corpus.filter(queryPred)
       .select(col("vec_id").as("a"), col("embedding").as("qv"),
@@ -135,6 +148,80 @@ object Similarity {
       norm(col("embedding")).as("cn"))
     c.crossJoin(broadcast(q))
       .filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Deterministic ±1 SRP vector for projection `p`: weight i is +1 when
+    * the first hex digit of md5("p:i") is < '8', else -1. md5-seeded (like
+    * the minhash) so an oracle can reproduce it in SQL; evaluated ONCE at
+    * plan time here (the weights are constants — recomputing 512 md5s per
+    * row on the executors would be pure waste).
+    */
+  private def srpWeights(p: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { i =>
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }.toArray
+  }
+
+  /** One signed-random-projection value: dot(embedding, r_p) with r_p a
+    * plan-time literal — a single codegen'd DotProduct per projection, with
+    * the same sequential fold order as an ordered SUM in SQL.
+    */
+  private def srpProj(emb: Column, p: Int, dims: Int): Column =
+    dot(emb, lit(srpWeights(p, dims)))
+
+  /** (vec_id, band, bval) rows: `nProj` SRP sign bits grouped into bands of
+    * `rowsPerBand` bits; `bval` is the packed band bit pattern.
+    */
+  def srpBanded(corpus: DataFrame, nProj: Int, rowsPerBand: Int,
+      dims: Int): DataFrame = {
+    val bits = (0 until nProj).map(p =>
+      when(srpProj(col("embedding"), p, dims) > 0, lit(1)).otherwise(lit(0))
+        .as(s"bit$p"))
+    val withBits = corpus.select((col("vec_id") +: bits): _*)
+    val nBands = nProj / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val bval = (0 until rowsPerBand)
+        .map(r => col(s"bit${b * rowsPerBand + r}") * lit(1 << r))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), bval.as("bval"))
+    }
+    withBits
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+  }
+
+  /** Embedding near-dup pairs, the 100 TB path: SRP band-bucket candidate
+    * generation (cosine-similar vectors agree on SRP sign bits with
+    * probability 1 - angle/pi per bit, so near-dups collide in some band
+    * w.h.p.) followed by exact cosine verification — the same
+    * cheap-candidates / expensive-verify cascade as MinHash→Jaccard. NO
+    * cross join: candidates come from an equi-join on (band, bval).
+    * Approximate by design: recall < 1 for pairs straddling the threshold
+    * (tune nProj/rowsPerBand); [[embeddingNearDupExact]] is the exact
+    * baseline.
+    */
+  def embeddingNearDup(corpus: DataFrame, queryPred: Column,
+      threshold: Double, nProj: Int = 8, rowsPerBand: Int = 2,
+      dims: Int = 64): DataFrame = {
+    val banded = srpBanded(corpus, nProj, rowsPerBand, dims)
+    val cand = banded.filter(queryPred)
+      .select(col("vec_id").as("a"), col("band"), col("bval"))
+      .join(banded.select(col("vec_id").as("b"), col("band"), col("bval")),
+        Seq("band", "bval"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val qv = corpus.select(col("vec_id").as("a"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val cv = corpus.select(col("vec_id").as("b"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    cand.join(qv, Seq("a")).join(cv, Seq("b"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))

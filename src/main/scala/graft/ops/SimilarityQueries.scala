@@ -110,22 +110,46 @@ object SimilarityQueries {
       SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
 
+  /** SRP-bucketed near-dup: the oracle mirrors the deterministic md5-seeded
+    * sign projections (8 bits, 4 bands of 2), the band equi-join candidate
+    * step, and the exact-cosine verify — same cascade, same result set.
+    */
   val embNearDup = Q(
     "emb_near_dup",
     (s, d) => {
       val emb = T.embeddings(s, d)
         .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
-      Similarity.embeddingNearDup(emb, col("vec_id") % 10 === 0, 0.4)
+      Similarity.embeddingNearDup(emb, col("vec_id") % 10 === 0, 0.4,
+        nProj = 8, rowsPerBand = 2, dims = 64)
         .select(col("a"), col("b"), round(col("cos"), 3).as("cos"))
         .orderBy(col("a"), col("b"))
     },
     Some(s"""
-      WITH q AS (
-        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        FROM embeddings WHERE vec_id % 10 = 0),
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      proj AS (
+        SELECT vec_id, p,
+               SUM(v[CAST(i AS INT)] *
+                   CASE WHEN substr(md5(p || ':' || (i - 1)), 1, 1) < '8'
+                        THEN 1.0 ELSE -1.0 END) AS proj
+        FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i FROM e),
+             (SELECT unnest(generate_series(0, 7)) AS p)
+        GROUP BY 1, 2),
+      banded AS (
+        SELECT vec_id, CAST(p // 2 AS INT) AS band,
+               SUM(CASE WHEN proj > 0 THEN 1 ELSE 0 END
+                   << CAST(p % 2 AS INT)) AS bval
+        FROM proj GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bval = r.bval AND l.vec_id < r.vec_id
+        WHERE l.vec_id % 10 = 0),
       pairs AS (
-        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding::DOUBLE[] AS cv
-        FROM embeddings e, q WHERE q.query_id < e.vec_id),
+        SELECT c.a AS query_id, c.b AS neighbor_id, ea.v AS qv, eb.v AS cv
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.a
+        JOIN e eb ON eb.vec_id = c.b),
       $duckCos
       SELECT query_id AS a, neighbor_id AS b, ROUND(cos, 3) AS cos
       FROM comp WHERE cos >= 0.4 ORDER BY a, b"""))

@@ -12,6 +12,10 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // strict: a generated-code compile failure fails the test instead of
+      // silently dropping the stage to interpreted eval (caught the
+      // hard-coded-local collision in DotProduct/KmerEncode doGenCode)
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Equivalence of the bucketed (scale-path) pair generators with their
+  * brute-force definitions.
+  *
+  *  - simhashPairs: pigeonhole banding is EXACT — (maxHamming+1) disjoint
+  *    bands mean any pair within the Hamming radius shares at least one
+  *    band, so the banded result must equal the brute-force join.
+  *  - embeddingNearDup: SRP bucketing is approximate by design; the spec
+  *    plants exact-duplicate vectors (identical SRP bits — always collide)
+  *    and checks they survive, and that every reported pair is a true pair
+  *    (precision 1 by construction: exact cosine verify).
+  */
+class BucketedPairsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhashPairs banding == brute-force Hamming join") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0L until 60L).map { i =>
+      val toks = (0 until 8).map(j => words(((i / 6) + j).toInt % words.length))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text",
+      col("id") % 3 === 0, maxHamming = 4)
+      .orderBy("a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+
+    // brute force straight from the signatures
+    val sig = Dedup.simhash16(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = (for {
+      a <- sig.keys if a % 3 == 0
+      b <- sig.keys if a < b
+      h = Integer.bitCount(sig(a) ^ sig(b)) if h <= 4
+    } yield (a, b, h)).toSeq.sorted
+
+    assert(banded.toSeq == brute)
+    assert(brute.nonEmpty) // the test corpus must actually produce pairs
+  }
+
+  test("embeddingNearDup: plants survive bucketing, precision is exact") {
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val base = (0L until 40L).map { i =>
+      (i, Array.fill(dims)(rnd.nextGaussian()))
+    }
+    // plant near-identical copies of the query-side vectors (id % 10 == 0)
+    val plants = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(_ * 1.0000001))
+    }
+    val emb = (base ++ plants).toDF("vec_id", "embedding")
+
+    val got = Similarity.embeddingNearDup(emb, col("vec_id") % 10 === 0,
+      threshold = 0.95, nProj = 8, rowsPerBand = 2, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted copy found (identical direction -> identical SRP bits)
+    val want = base.filter(_._1 % 10 == 0).map(p => (p._1, p._1 + 1000L)).toSet
+    assert(want.subsetOf(got))
+
+    // precision: all reported pairs really have cosine >= threshold
+    val exact = Similarity.embeddingNearDupExact(emb, col("vec_id") % 10 === 0,
+      threshold = 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+  }
+}

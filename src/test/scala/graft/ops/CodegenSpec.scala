@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.TestSpark
+import graft.bio.KmerCodec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression for the codegen-local-collision bug: any custom expression
+  * appearing more than once in a single projection must emit fresh local
+  * names, or Janino rejects the generated method ("Redefinition of local
+  * variable") and Spark silently drops the whole stage to interpreted eval.
+  * TestSpark sets spark.sql.codegen.fallback=false, so a collision here is a
+  * hard failure, not a slowdown.
+  */
+class CodegenSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("multiple DotProducts in one projection compile (cosine = 3 dots)") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0, 2.0), Array(0.5, 1.0, 1.0)),
+      (2L, Array(3.0, 4.0, 0.0), Array(3.0, 4.0, 0.0))
+    ).toDF("id", "a", "b")
+    val out = df
+      .withColumn("cos_ab", Similarity.cosine(col("a"), col("b")))
+      .withColumn("cos_ba", Similarity.cosine(col("b"), col("a")))
+      .withColumn("dot2", Similarity.dot(col("a"), col("b")) + Similarity.dot(col("b"), col("b")))
+      .orderBy("id")
+      .collect()
+    assert(math.abs(out(1).getAs[Double]("cos_ab") - 1.0) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("cos_ab") - out(0).getAs[Double]("cos_ba")) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("dot2") - 50.0) < 1e-12)
+  }
+
+  test("multiple KmerEncodes in one projection compile") {
+    val df = Seq(("ACDEF", "GHIKL"), ("ACXEF", "MNPQR")).toDF("s1", "s2")
+    val alpha = "ACDEFGHIKLMNPQRSTVWY"
+    val out = df
+      .withColumn("k1", KmerCodec.kmerEncode(col("s1"), alpha))
+      .withColumn("k2", KmerCodec.kmerEncode(col("s2"), alpha))
+      .collect()
+    // X in s1 of row 2 -> null; all others defined
+    assert(out.count(r => !r.isNullAt(2)) == 1)
+    assert(out.count(r => !r.isNullAt(3)) == 2)
+  }
+}
