@@ -46,10 +46,15 @@ object Align {
       xdrop: Int = DefaultXdrop, gaps: Aligner.Gaps = DefaultGaps,
       matrixName: String = "blosum62",
       gumbel: GumbelParams = GumbelParams.Blosum62Ungapped,
-      k: Int = KmerIndex.DefaultK): DataFrame = {
+      k: Int = KmerIndex.DefaultK,
+      knownDbResCount: Option[Long] = None): DataFrame = {
     import spark.implicits._
 
-    val dbResCount: Long = targetSeqs.agg(sum(col("seqLen"))).as[Long].head()
+    // the evaluer's database-residue scalar: an O(1) driver value the
+    // reference also needs (blockalign.cpp dbSize); callers with a persisted
+    // index pass it from index metadata instead of paying a corpus scan here
+    val dbResCount: Long = knownDbResCount.getOrElse(
+      targetSeqs.agg(sum(col("seqLen"))).as[Long].head())
 
     val pairs = prefilter
       .groupBy(col("targetId"), col("queryId"))

@@ -50,9 +50,19 @@ object Fasta {
   }
 
   /** FASTQ ingest (4-line records: @header / seq / + / qual; quality lines
-    * may START with '@', so records cannot be split by a delimiter —
-    * instead lines are numbered and grouped by `lineNo / 4`, which is
-    * boundary-safe under any partitioning. Gzipped files work transparently
+    * may START with '@', so records cannot be split by a delimiter).
+    *
+    * Shuffle-free record assembly: records are glued PARTITION-LOCALLY with
+    * a boundary handoff instead of shuffling every line through a
+    * `groupByKey(lineNo/4)`. Pass 1 collects per-partition line counts plus
+    * the <=3 lines adjacent to each partition boundary (O(partitions)
+    * driver data — a record spans at most 4 lines, so every line of a
+    * boundary-straddling record is within 3 lines of a boundary or inside a
+    * fully-captured tiny partition). Pass 2 assembles all fully-contained
+    * records in place; the handful of straddling records are assembled from
+    * the captured fragments. Net: two narrow scans (the same count-job cost
+    * `zipWithIndex` already paid) and ZERO shuffle — nothing like a 100 TB
+    * corpus ever crosses the network. Gzipped files work transparently
     * (Spark's text source applies the codec before splitting, same
     * single-stream behavior as the reference's kseq+zlib,
     * `lib/mmseqs/src/commons/KSeqWrapper.h:37-84`).
@@ -63,24 +73,87 @@ object Fasta {
       StructField("header", StringType, nullable = false),
       StructField("seq", StringType, nullable = false),
       StructField("qual", StringType, nullable = false)))
-    val rows = spark.read.text(path).rdd
-      .map(_.getString(0))
-      .zipWithIndex()
-      .map { case (line, idx) => (idx / 4, (idx % 4, line)) }
-      .groupByKey()
-      .map { case (rec, parts) =>
-        val m = parts.toMap
-        val header = m.getOrElse(0L, "")
-        require(header.startsWith("@"), s"malformed FASTQ record $rec: $header")
-        require(m.getOrElse(2L, "").startsWith("+"), s"malformed FASTQ record $rec")
-        org.apache.spark.sql.Row(rec, header.drop(1).trim,
-          cleanSequence(m.getOrElse(1L, "")), m.getOrElse(3L, ""))
-      }
+    val lines = spark.read.text(path).rdd.map(_.getString(0))
+    val rows = assembleFixedRecords(lines, 4).map { case (rec, parts) =>
+      val header = parts(0)
+      require(header.startsWith("@"), s"malformed FASTQ record $rec: $header")
+      require(parts(2).startsWith("+"), s"malformed FASTQ record $rec")
+      org.apache.spark.sql.Row(rec, header.drop(1).trim,
+        cleanSequence(parts(1)), parts(3))
+    }
     spark.createDataFrame(rows, schema)
       .withColumn("name", parseFastaHeaderCol(col("header")))
       .filter(length(col("name")) > 0)
       .withColumn("seqLen", length(col("seq")).cast("int"))
       .select("seqId", "header", "name", "seq", "seqLen", "qual")
+  }
+
+  /** Glue fixed-size `recLen`-line records partition-locally (see
+    * [[readFastq]]). Returns (recordId, lines) with missing trailing lines
+    * as "" (matching a truncated final record).
+    */
+  private[bio] def assembleFixedRecords(
+      lines: org.apache.spark.rdd.RDD[String],
+      recLen: Int): org.apache.spark.rdd.RDD[(Long, Array[String])] = {
+    val sc = lines.sparkContext
+    val margin = recLen - 1
+    // pass 1: per-partition line count + first/last `margin` lines
+    val info = lines.mapPartitionsWithIndex { (pi, it) =>
+      val head = new scala.collection.mutable.ArrayBuffer[String](margin)
+      val ring = new Array[String](margin)
+      var n = 0L
+      it.foreach { l =>
+        if (n < margin) head += l
+        if (margin > 0) ring((n % margin).toInt) = l
+        n += 1
+      }
+      val lastK = math.min(margin.toLong, n).toInt
+      val tail = Array.tabulate(lastK)(j =>
+        ring(((n - lastK + j) % margin).toInt))
+      Iterator((pi, n, head.toArray, tail))
+    }.collect().sortBy(_._1)
+
+    val offsets = info.map(_._2).scanLeft(0L)(_ + _)
+    val total = offsets.last
+    // captured global-lineNo -> line for everything near a boundary
+    val captured = scala.collection.mutable.Map.empty[Long, String]
+    info.foreach { case (pi, n, head, tail) =>
+      head.zipWithIndex.foreach { case (l, j) => captured(offsets(pi) + j) = l }
+      tail.zipWithIndex.foreach { case (l, j) =>
+        captured(offsets(pi) + n - tail.length + j) = l
+      }
+    }
+
+    val bOff = sc.broadcast(offsets)
+    val local = lines.mapPartitionsWithIndex { (pi, it) =>
+      val start = bOff.value(pi)
+      val end = bOff.value(pi + 1)
+      val buf = new Array[String](recLen)
+      it.zipWithIndex.flatMap { case (l, li) =>
+        val g = start + li
+        val r = g / recLen
+        // only records with every line inside this partition assemble here
+        if (r * recLen >= start && r * recLen + recLen <= end) {
+          buf((g % recLen).toInt) = l
+          if (g % recLen == recLen - 1) Some((r, buf.clone())) else None
+        } else None
+      }
+    }
+
+    // records crossing a partition boundary (plus a truncated final record):
+    // all their lines are captured; assemble on the driver
+    val straddleIds = ((1 until offsets.length - 1)
+      .map(pi => (offsets(pi) - 1) / recLen)
+      .filter { r =>
+        val lo = r * recLen
+        val hi = lo + recLen
+        // crosses some boundary b: lo < b < hi
+        offsets.exists(b => lo < b && b < hi) && lo < total
+      } ++ (if (total % recLen != 0) Seq(total / recLen) else Nil)).distinct
+    val straddles = straddleIds.sorted.map { r =>
+      (r, Array.tabulate(recLen)(j => captured.getOrElse(r * recLen + j, "")))
+    }
+    local.union(sc.parallelize(straddles, math.max(1, straddles.size)))
   }
 
   /** P1 char sanitize (`src/commons/SRAUtil.cpp:18-45`): '*'->'X', strip

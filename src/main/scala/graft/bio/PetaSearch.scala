@@ -128,15 +128,24 @@ object PetaSearch {
     * maskMode = false, biasCorrection = false)` for the exact-only path.
     */
   def search(spark: SparkSession, queries: DataFrame, targets: DataFrame,
-      params: Params = Params()): DataFrame = {
+      params: Params = Params(),
+      preparedQueryTable: Option[DataFrame] = None): DataFrame = {
     val index = KmerIndex.buildWithPos(targets, params.k, params.mode.kmerAlphabet)
-    val qk = QueryTable.build(spark, queries, params.query.copy(
-      k = params.k, seedMatrix = params.mode.seedMatrix,
-      kmerAlphabetSize = params.mode.kmerAlphabet.length))
+    val qk = preparedQueryTable.getOrElse(buildQueryTable(spark, queries, params))
     val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
     Align.run(spark, pf, queries, targets, params.evalThr, params.xdrop,
       params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel, params.k)
   }
+
+  /** The query-side k-mer table (masking, bias thresholds, similar-k-mer
+    * expansion) for `params` — the expensive query-side stage; build it once
+    * and pass to [[search]] when searching several target DBs.
+    */
+  def buildQueryTable(spark: SparkSession, queries: DataFrame,
+      params: Params): DataFrame =
+    QueryTable.build(spark, queries, params.query.copy(
+      k = params.k, seedMatrix = params.mode.seedMatrix,
+      kmerAlphabetSize = params.mode.kmerAlphabet.length))
 
   /** Ingest-once index build — `convert2sradb` + `createkmertable` as one
     * job: sequences + unique-k-mer index persisted under `dbPath`
@@ -151,6 +160,11 @@ object PetaSearch {
     KmerIndex.write(
       KmerIndex.buildWithPos(persisted, params.k, params.mode.kmerAlphabet),
       s"$dbPath/kmers")
+    // index metadata: the evaluer's residue total and the sequence count,
+    // computed once at build time so query-time never rescans the corpus
+    persisted
+      .agg(sum(col("seqLen")).as("dbResCount"), count(lit(1)).as("nSeqs"))
+      .write.mode("overwrite").parquet(s"$dbPath/meta")
   }
 
   /** Query a persisted target DB (the reference's `petasearch` against
@@ -161,12 +175,14 @@ object PetaSearch {
       params: Params = Params()): DataFrame = {
     val targets = spark.read.parquet(s"$dbPath/sequences")
     val index = spark.read.parquet(s"$dbPath/kmers")
-    val qk = QueryTable.build(spark, queries, params.query.copy(
-      k = params.k, seedMatrix = params.mode.seedMatrix,
-      kmerAlphabetSize = params.mode.kmerAlphabet.length))
+    // one-row metadata read instead of a full-corpus seqLen aggregate
+    val dbResCount = spark.read.parquet(s"$dbPath/meta")
+      .head().getAs[Long]("dbResCount")
+    val qk = buildQueryTable(spark, queries, params)
     val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
     Align.run(spark, pf, queries, targets, params.evalThr, params.xdrop,
-      params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel, params.k)
+      params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel, params.k,
+      knownDbResCount = Some(dbResCount))
   }
 
   /** Single-job multi-DB search over a `dbId`-partitioned corpus
@@ -215,8 +231,16 @@ object PetaSearch {
     * like per-DB `blockalign` runs).
     */
   def searchMany(spark: SparkSession, queries: DataFrame,
-      targets: Seq[DataFrame], params: Params = Params()): DataFrame =
-    targets.map(t => search(spark, queries, t, params)).reduce(_.unionAll(_))
+      targets: Seq[DataFrame], params: Params = Params()): DataFrame = {
+    // the expensive query-side work (masking, bias thresholds, similar-k-mer
+    // expansion) is built ONCE and reused across all target DBs — the
+    // reference builds its query table once too (comparekmertables.cpp
+    // QueryTableEntry load, reused per target table). cache(): N downstream
+    // prefilter joins read it.
+    val qk = buildQueryTable(spark, queries, params).cache()
+    targets.map(t => search(spark, queries, t, params, Some(qk)))
+      .reduce(_.unionAll(_))
+  }
 
   /** S9 m8 TSV sink: tab-separated, no header — byte-compatible with BLAST
     * m8 consumers (`data/petasearch.sh:61-65` final output).
