@@ -82,7 +82,19 @@ object Align {
   /** The per-pair cascade. Returns None when any gate rejects. */
   def alignPair(p: PairRow, m: Matrices, evaluer: Evaluer, evalThr: Double,
       xdrop: Int, gaps: Aligner.Gaps,
-      k: Int = KmerIndex.DefaultK): Option[Aligner.AlnResult] = {
+      k: Int = KmerIndex.DefaultK): Option[Aligner.AlnResult] =
+    alignPairScored(p, m, evaluer, evalThr, xdrop, gaps, k, None)
+
+  /** Cascade core; `profile` switches the GAPPED stages to per-position
+    * profile scoring (F4, `blockalign.cpp:313-323` + `BlockAligner.cpp`
+    * `align_local_profile`). The ungapped stage always scores consensus x
+    * matrix, exactly like the reference (it passes `realSeq` — the decoded
+    * consensus — to `ungappedDiagFilter`, and only the block aligner sees
+    * the profile columns).
+    */
+  private[bio] def alignPairScored(p: PairRow, m: Matrices, evaluer: Evaluer,
+      evalThr: Double, xdrop: Int, gaps: Aligner.Gaps, k: Int,
+      profile: Option[Array[Byte]]): Option[Aligner.AlnResult] = {
     val q = p.qSeq.getBytes("US-ASCII")
     val t = p.tSeq.getBytes("US-ASCII")
     if (t.length < k) return None // P7 min-length (blockalign.cpp:257-259)
@@ -105,12 +117,20 @@ object Align {
         (ungapped.endPos, ungapped.endPos + ungapped.distToDiagonal)
 
     // C6 two-pass X-drop extension (BlockAligner.cpp:60-93 structure)
-    val fwd = Aligner.xdropExtend(q, qAnchor, t, tAnchor, m, gaps, xdrop)
+    val fwdScorer = profile
+      .map(pr => new Aligner.ProfileScorer(pr, identity, t, m): Aligner.Scorer)
+      .getOrElse(new Aligner.MatrixScorer(q, t, m))
+    val fwd = Aligner.xdropExtend(q, qAnchor, t, tAnchor, fwdScorer, gaps, xdrop)
     val qEndExcl = qAnchor + fwd.aLen
     val tEndExcl = tAnchor + fwd.bLen
     val qRev = reverseSlice(q, qEndExcl)
     val tRev = reverseSlice(t, tEndExcl)
-    val traced = Aligner.xdropTraceback(qRev, qRev.length, tRev, tRev.length, m, gaps, xdrop)
+    // reversed pass: profile positions mirror like block_set_all_rev_aaprofile
+    val revScorer = profile
+      .map(pr => new Aligner.ProfileScorer(pr, ai => qEndExcl - 1 - ai, tRev, m): Aligner.Scorer)
+      .getOrElse(new Aligner.MatrixScorer(qRev, tRev, m))
+    val traced = Aligner.xdropTraceback(qRev, qRev.length, tRev, tRev.length,
+      revScorer, gaps, xdrop)
     if (traced.runs.isEmpty) return None // P10 zero-length
     val qStart = qEndExcl - traced.aConsumed
     val tStart = tEndExcl - traced.bConsumed
@@ -149,6 +169,57 @@ object Align {
       tStart = tStart, tEnd = tEndExcl - 1, tLen = t.length,
       backtrace = bt.toString, alnLen = alnLen, mismatch = mismatch,
       gapOpen = gapOpenCount))
+  }
+
+  final case class PairRowProf(
+      targetId: Long, queryId: Long,
+      hits: Seq[(Int, Long, Int)], qSeq: String, profile: Array[Byte],
+      tSeq: String)
+
+  /** Profile-mode variant of [[run]] (F4): `profileQueries` carries
+    * (seqId, seq = consensus, profile = raw 25-byte-per-position record).
+    * The ungapped gates score consensus x matrix; the gapped extension and
+    * traceback score target residues against the per-position profile
+    * columns (>>2), matching `align_local_profile`. fident counts
+    * identities against the CONSENSUS string (the reference's profile m8
+    * carries no identity information at all — its `=`-aware cigar is only
+    * produced in sequence mode; divergence documented).
+    */
+  def runProfile(spark: SparkSession, prefilter: DataFrame,
+      profileQueries: DataFrame, targetSeqs: DataFrame,
+      evalThr: Double = DefaultEvalThr, xdrop: Int = DefaultXdrop,
+      gaps: Aligner.Gaps = DefaultGaps, matrixName: String = "blosum62",
+      gumbel: GumbelParams = GumbelParams.Blosum62Ungapped,
+      k: Int = KmerIndex.DefaultK,
+      knownDbResCount: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+
+    val dbResCount: Long = knownDbResCount.getOrElse(
+      targetSeqs.agg(sum(col("seqLen"))).as[Long].head())
+
+    val pairs = prefilter
+      .groupBy(col("targetId"), col("queryId"))
+      .agg(collect_list(struct(col("kmerPos"), col("kmer"), col("diag"))).as("hits"))
+
+    val withSeqs = pairs
+      .join(targetSeqs.select(col("seqId").as("targetId"), col("seq").as("tSeq")),
+        Seq("targetId"))
+      .join(broadcast(profileQueries.select(col("seqId").as("queryId"),
+        col("seq").as("qSeq"), col("profile"))), Seq("queryId"))
+      .select(col("targetId"), col("queryId"), col("hits"), col("qSeq"),
+        col("profile"), col("tSeq"))
+      .as[PairRowProf]
+
+    val aligned = withSeqs.mapPartitions { iter =>
+      val m = Matrices.byName(matrixName)
+      val evaluer = new Evaluer(gumbel, dbResCount)
+      iter.flatMap(p => alignPairScored(
+        PairRow(p.targetId, p.queryId, p.hits, p.qSeq, p.tSeq),
+        m, evaluer, evalThr, xdrop, gaps, k, Some(p.profile)))
+    }
+
+    aligned.toDF()
+      .orderBy(col("queryId"), col("eval"), col("bits").desc, col("tLen"), col("targetId"))
   }
 
   final case class PairRowDb(

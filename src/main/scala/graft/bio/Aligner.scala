@@ -167,6 +167,36 @@ object Aligner {
     */
   final case class Gaps(open: Int, extend: Int)
 
+  /** Pluggable substitution scoring for the gapped kernels: score of
+    * aligning a(ai) against b(bi) (absolute indices into the arrays the
+    * kernel walks). Matrix scoring is the default; profile scoring
+    * (per-query-position score vectors, F4) swaps in here.
+    */
+  trait Scorer {
+    def score(ai: Int, bi: Int): Int
+  }
+
+  /** BLOSUM-style pair scoring: `m.scores(num(a))(num(b))`. */
+  final class MatrixScorer(a: Array[Byte], b: Array[Byte], m: Matrices)
+      extends Scorer {
+    def score(ai: Int, bi: Int): Int =
+      m.scores(m.aa2num(a(ai) & 0xff))(m.aa2num(b(bi) & 0xff))
+  }
+
+  /** Profile scoring (`BlockAligner.cpp align_local_profile`): the score of
+    * aligning query position `ai` against target residue b(bi) is the
+    * profile's stored per-residue score at that position, arithmetic-shifted
+    * right by 2 (the reference divides profile scores by 4 the same way:
+    * `block_set_all_aaprofile(..., 0, 2)`). `aMap` maps kernel index ->
+    * profile position (identity forwards; `pos => end-1-pos` for the
+    * reversed second pass, mirroring `block_set_all_rev_aaprofile`).
+    */
+  final class ProfileScorer(prof: Array[Byte], aMap: Int => Int,
+      b: Array[Byte], m: Matrices) extends Scorer {
+    def score(ai: Int, bi: Int): Int =
+      prof(aMap(ai) * Profiles.ReadInSize + m.aa2num(b(bi) & 0xff)).toInt >> 2
+  }
+
   /** Result of one anchored X-drop extension: lengths consumed on each side
     * plus the best score.
     */
@@ -184,7 +214,11 @@ object Aligner {
     * than a block boundary would allow (documented, not observed in tests).
     */
   def xdropExtend(a: Array[Byte], a0: Int, b: Array[Byte], b0: Int,
-      m: Matrices, gaps: Gaps, xdrop: Int): Extension = {
+      m: Matrices, gaps: Gaps, xdrop: Int): Extension =
+    xdropExtend(a, a0, b, b0, new MatrixScorer(a, b, m), gaps, xdrop)
+
+  def xdropExtend(a: Array[Byte], a0: Int, b: Array[Byte], b0: Int,
+      scorer: Scorer, gaps: Gaps, xdrop: Int): Extension = {
     val n = a.length - a0
     val mm = b.length - b0
     if (n <= 0 || mm <= 0) return Extension(0, 0, 0)
@@ -237,8 +271,7 @@ object Aligner {
           if (up > NegInf) up - gaps.open else NegInf,
           if (F(j) > NegInf) F(j) - gaps.extend else NegInf)
         val d =
-          if (diagH > NegInf)
-            diagH + m.scores(m.aa2num(a(a0 + i - 1) & 0xff))(m.aa2num(b(b0 + j - 1) & 0xff))
+          if (diagH > NegInf) diagH + scorer.score(a0 + i - 1, b0 + j - 1)
           else NegInf
         var h = math.max(d, math.max(e, f))
         if (h < best - margin) h = NegInf
@@ -281,7 +314,11 @@ object Aligner {
     * forward order.
     */
   def xdropTraceback(a: Array[Byte], aEnd: Int, b: Array[Byte], bEnd: Int,
-      m: Matrices, gaps: Gaps, xdrop: Int): TracedAln = {
+      m: Matrices, gaps: Gaps, xdrop: Int): TracedAln =
+    xdropTraceback(a, aEnd, b, bEnd, new MatrixScorer(a, b, m), gaps, xdrop)
+
+  def xdropTraceback(a: Array[Byte], aEnd: Int, b: Array[Byte], bEnd: Int,
+      scorer: Scorer, gaps: Gaps, xdrop: Int): TracedAln = {
     val n = aEnd
     val mm = bEnd
     if (n <= 0 || mm <= 0) return TracedAln(0, 0, 0, Nil)
@@ -338,8 +375,7 @@ object Aligner {
         val fExt = if (F(j) > NegInf) F(j) - gaps.extend else NegInf
         val f = math.max(fOpen, fExt)
         val d =
-          if (diagH > NegInf)
-            diagH + m.scores(m.aa2num(a(i - 1) & 0xff))(m.aa2num(b(j - 1) & 0xff))
+          if (diagH > NegInf) diagH + scorer.score(i - 1, j - 1)
           else NegInf
         var h = math.max(d, math.max(e, f))
         var dir = 0

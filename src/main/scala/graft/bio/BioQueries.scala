@@ -124,5 +124,42 @@ object BioQueries {
     None,
     bench = false) // fixed-size fixture — doesn't scale with sf, skews BENCH
 
-  def all: Seq[Q] = Seq(bioKmerIndex, bioPrefilter, bioSelfSearch)
+  /** F4 profile search: one PSSM profile built from the bundled Cas7-11 MSA
+    * (all 21 aligned rows), searched against the degapped member sequences —
+    * consensus k-mers seed the prefilter, the gapped aligner scores targets
+    * against the per-position profile columns. Not SQL-expressible =>
+    * rows-only; scoring correctness is covered by ProfilesSpec.
+    */
+  val bioProfileSearch = Q(
+    "bio_profile_search",
+    (s, _) => {
+      import s.implicits._
+      val in = getClass.getResourceAsStream("/MSA_Cas7-11_multiline.fa")
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      // records: header line, then wrapped sequence lines
+      val msa = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      lines.foreach { l =>
+        if (l.startsWith(">")) {
+          if (cur.nonEmpty) { msa += cur.toString; cur.clear() }
+        } else cur ++= l.trim
+      }
+      if (cur.nonEmpty) msa += cur.toString
+      val prof = Profiles.fromAlignedSeqs(msa.toSeq)
+      val profiles = Seq((0L, "cas711_profile", prof))
+        .toDF("seqId", "header", "profile")
+      val targets = msa.zipWithIndex.map { case (row, i) =>
+        val seq = row.replace("-", "").replace(".", "").toUpperCase
+        (i.toLong, s"member$i", s"member$i", seq, seq.length)
+      }.toSeq.toDF("seqId", "header", "name", "seq", "seqLen")
+      PetaSearch.searchProfiles(s, profiles, targets)
+        .select(col("queryId"), col("targetId"), col("bits"),
+          round(col("fident"), 3).as("fident"))
+        .orderBy(col("targetId"))
+    },
+    None,
+    bench = false) // fixed-size fixture, like bio_selfsearch_m8
+
+  def all: Seq[Q] = Seq(bioKmerIndex, bioPrefilter, bioSelfSearch,
+    bioProfileSearch)
 }

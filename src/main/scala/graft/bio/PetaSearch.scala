@@ -137,6 +137,25 @@ object PetaSearch {
       params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel, params.k)
   }
 
+  /** Profile-mode search (F4, `blockalign.cpp --profile-search`):
+    * `profiles(seqId, header, profile BINARY)` are decoded to their
+    * consensus strings for k-mer extraction and the ungapped gates (exactly
+    * the reference's `extractProfileConsensus` path), while the gapped
+    * aligner scores targets against the per-position profile columns.
+    */
+  def searchProfiles(spark: SparkSession, profiles: DataFrame,
+      targets: DataFrame, params: Params = Params()): DataFrame = {
+    val queries = Profiles.toSequences(spark, profiles)
+    val index = KmerIndex.buildWithPos(targets, params.k, params.mode.kmerAlphabet)
+    val qk = buildQueryTable(spark, queries, params)
+    val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
+    val profQueries = queries
+      .join(profiles.select(col("seqId"), col("profile")), Seq("seqId"))
+    Align.runProfile(spark, pf, profQueries, targets, params.evalThr,
+      params.xdrop, params.mode.gaps, params.mode.alignMatrix,
+      params.mode.gumbel, params.k)
+  }
+
   /** The query-side k-mer table (masking, bias thresholds, similar-k-mer
     * expansion) for `params` — the expensive query-side stage; build it once
     * and pass to [[search]] when searching several target DBs.
