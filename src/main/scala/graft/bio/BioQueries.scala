@@ -124,6 +124,139 @@ object BioQueries {
     None,
     bench = false) // fixed-size fixture — doesn't scale with sf, skews BENCH
 
+  /** The align path's first DuckDB-green slice (SURVEY §7.2): F1 k-mer
+    * extraction -> A1 argmax index -> J1 join -> A2 count gate -> C5
+    * restricted to identity-run scoring (Kadane needs scores; an identity
+    * run IS Kadane under +1/-inf scoring, SQL-expressible via
+    * gaps-and-islands) -> C13 m8-style columns. Per surviving pair: the
+    * diagonal with the most k-mer hits (ties -> smallest), then the longest
+    * run of identical characters along it (ties -> leftmost), reported with
+    * 1-based inclusive coordinates.
+    */
+  val bioM8Relational = Q(
+    "bio_m8_relational",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seqs = docsAsSeqs(s, d)
+      val index = KmerIndex.buildWithPos(seqs, K, Alpha)
+      val qk = Prefilter.queryKmers(seqs.filter(col("seqId") % 20 === 0), K, Alpha)
+      val hits = qk
+        .join(index.select(col("kmer"), col("seqId").as("targetId"), col("tpos")),
+          Seq("kmer"))
+        .select(col("queryId").as("query_id"), col("targetId").as("target_id"),
+          (col("kmerPos") - col("tpos")).cast("int").as("diag"))
+      val gated = hits.groupBy(col("query_id"), col("target_id"))
+        .agg(count(lit(1)).as("n_kmers"))
+        .filter(col("n_kmers") > Prefilter.RequiredKmerMatches)
+      val dc = hits
+        .join(gated.select("query_id", "target_id"),
+          Seq("query_id", "target_id"), "left_semi")
+        .groupBy(col("query_id"), col("target_id"), col("diag"))
+        .agg(count(lit(1)).as("nd"))
+      val wd = Window.partitionBy(col("query_id"), col("target_id"))
+        .orderBy(col("nd").desc, col("diag"))
+      val bestDiag = dc.withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1).select("query_id", "target_id", "diag")
+      val q = seqs.select(col("seqId").as("query_id"), col("seq").as("qtext"),
+        col("seqLen").as("qlen"))
+      val t = seqs.select(col("seqId").as("target_id"), col("seq").as("ttext"),
+        col("seqLen").as("tlen"))
+      val lo = greatest(col("diag"), lit(0))
+      val hiEx = least(col("qlen"), col("tlen") + col("diag"))
+      val pos = bestDiag.join(q, Seq("query_id")).join(t, Seq("target_id"))
+        .filter(lo < hiEx)
+        .select(col("query_id"), col("target_id"), col("diag"),
+          explode(sequence(lo, hiEx - 1)).as("i"), col("qtext"), col("ttext"))
+      val mpos = pos.filter(
+        col("qtext").substr(col("i") + 1, lit(1)) ===
+          col("ttext").substr(col("i") - col("diag") + 1, lit(1)))
+        .select("query_id", "target_id", "diag", "i")
+      val wi = Window.partitionBy(col("query_id"), col("target_id")).orderBy(col("i"))
+      val runs = mpos
+        .withColumn("grp", col("i") - row_number().over(wi))
+        .groupBy(col("query_id"), col("target_id"), col("diag"), col("grp"))
+        .agg(count(lit(1)).as("alnlen"), min(col("i")).as("q0"), max(col("i")).as("q1"))
+      val wb = Window.partitionBy(col("query_id"), col("target_id"))
+        .orderBy(col("alnlen").desc, col("q0"))
+      val best = runs.withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
+      best.join(gated, Seq("query_id", "target_id"))
+        .select(col("query_id"), col("target_id"), col("n_kmers"), col("diag"),
+          col("alnlen"), (col("q0") + 1).as("qstart"), (col("q1") + 1).as("qend"),
+          (col("q0") - col("diag") + 1).as("tstart"),
+          (col("q1") - col("diag") + 1).as("tend"))
+        .orderBy(col("query_id"), col("target_id"))
+    },
+    Some(s"""
+      WITH $duckKmersCte,
+      perdoc AS (
+        SELECT kmer, doc_id, n_chars, CAST(MIN(pos) AS INT) AS tpos
+        FROM valid GROUP BY 1, 2, 3),
+      idx AS (
+        SELECT kmer, doc_id AS target_id, tpos FROM (
+          SELECT kmer, doc_id, tpos,
+                 ROW_NUMBER() OVER (PARTITION BY kmer
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM perdoc) WHERE rn = 1),
+      hits AS (
+        SELECT v.doc_id AS query_id, i.target_id,
+               CAST(v.pos - i.tpos AS INT) AS diag
+        FROM valid v JOIN idx i USING (kmer) WHERE v.doc_id % 20 = 0),
+      gated AS (
+        SELECT query_id, target_id, CAST(COUNT(*) AS BIGINT) AS n_kmers
+        FROM hits GROUP BY 1, 2 HAVING COUNT(*) > 2),
+      dc AS (
+        SELECT h.query_id, h.target_id, h.diag, COUNT(*) AS nd
+        FROM hits h JOIN gated g USING (query_id, target_id)
+        GROUP BY 1, 2, 3),
+      bestdiag AS (
+        SELECT query_id, target_id, diag FROM (
+          SELECT query_id, target_id, diag,
+                 ROW_NUMBER() OVER (PARTITION BY query_id, target_id
+                                    ORDER BY nd DESC, diag) AS rn
+          FROM dc) WHERE rn = 1),
+      bounds AS (
+        -- series bounds precomputed BEFORE the unnest: DuckDB 1.0's binder
+        -- hits an internal error on unnest(generate_series(...)) over
+        -- freshly-joined columns, and the failure invalidates the whole
+        -- connection (poisoning every later oracle). Same staged shape as
+        -- the k-mer CTE above.
+        SELECT b.query_id, b.target_id, b.diag,
+               q.text AS qtext, t.text AS ttext,
+               CAST(GREATEST(b.diag, 0) AS BIGINT) AS lo,
+               CAST(LEAST(q.n_chars, t.n_chars + b.diag) AS BIGINT) - 1 AS hi
+        FROM bestdiag b
+        JOIN ds q ON q.doc_id = b.query_id
+        JOIN ds t ON t.doc_id = b.target_id
+        WHERE GREATEST(b.diag, 0) <= LEAST(q.n_chars, t.n_chars + b.diag) - 1),
+      pos AS (
+        SELECT query_id, target_id, diag, qtext, ttext,
+               unnest(generate_series(lo, hi)) AS i
+        FROM bounds),
+      mpos AS (
+        SELECT query_id, target_id, diag, CAST(i AS INT) AS i
+        FROM pos
+        WHERE substr(qtext, CAST(i AS INT) + 1, 1)
+                = substr(ttext, CAST(i AS INT) - diag + 1, 1)),
+      runs AS (
+        SELECT query_id, target_id, diag, CAST(COUNT(*) AS BIGINT) AS alnlen,
+               CAST(MIN(i) AS INT) AS q0, CAST(MAX(i) AS INT) AS q1
+        FROM (
+          SELECT query_id, target_id, diag, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY query_id, target_id
+                                        ORDER BY i) AS grp
+          FROM mpos)
+        GROUP BY query_id, target_id, diag, grp),
+      best AS (
+        SELECT query_id, target_id, diag, alnlen, q0, q1 FROM (
+          SELECT r.*, ROW_NUMBER() OVER (PARTITION BY query_id, target_id
+                                         ORDER BY alnlen DESC, q0) AS rn
+          FROM runs r) WHERE rn = 1)
+      SELECT b.query_id, b.target_id, g.n_kmers, b.diag, b.alnlen,
+             b.q0 + 1 AS qstart, b.q1 + 1 AS qend,
+             b.q0 - b.diag + 1 AS tstart, b.q1 - b.diag + 1 AS tend
+      FROM best b JOIN gated g USING (query_id, target_id)
+      ORDER BY query_id, target_id"""))
+
   /** F4 profile search: one PSSM profile built from the bundled Cas7-11 MSA
     * (all 21 aligned rows), searched against the degapped member sequences —
     * consensus k-mers seed the prefilter, the gapped aligner scores targets
@@ -160,6 +293,6 @@ object BioQueries {
     None,
     bench = false) // fixed-size fixture, like bio_selfsearch_m8
 
-  def all: Seq[Q] = Seq(bioKmerIndex, bioPrefilter, bioSelfSearch,
-    bioProfileSearch)
+  def all: Seq[Q] = Seq(bioKmerIndex, bioPrefilter, bioM8Relational,
+    bioSelfSearch, bioProfileSearch)
 }
