@@ -45,12 +45,8 @@ object GumbelParams {
     30.455610143099914211, -622.28684628915891608,
     29.602444874818868215, -601.81087985041381216)
 
-  /** Nucleotide (+2/-3), gapped 7/1 (`EvalueComputation.h:57-61`). The
-    * reference's nucleotide blockalign path constructs an UNGAPPED evaluer,
-    * which has no precomputed entry and triggers ALP's runtime numerical
-    * fitting; we substitute these published gapped constants instead
-    * (e-value scale differs slightly; ordering is preserved — documented
-    * divergence).
+  /** Nucleotide (+2/-3), gapped 7/1 (`EvalueComputation.h:57-61`) — the
+    * constants convertsraalignments-style gapped rescoring would use.
     */
   val NucleotideGapped: GumbelParams = GumbelParams(
     1.0960171987681839, 0.33538787507026158,
@@ -59,6 +55,23 @@ object GumbelParams {
     5.0543294182155085, 15.130999712620039,
     5.0543294182155085, 15.130999712620039,
     5.0543962679167036, 15.129930117400917)
+
+  /** Nucleotide (+2/-3, uniform 0.25 background), UNGAPPED — what the
+    * reference's nucleotide blockalign evaluer actually computes at runtime
+    * via ALP's gapless fit (`EvalueComputation.h:125-133` initGapless; the
+    * gapless path is deterministic Karlin–Dembo statistics, not
+    * simulation). Obtained by running that exact fit ONCE offline on the
+    * +2/-3 matrix and hard-coding the result, the same treatment the
+    * reference gives BLOSUM62. Sanity anchors: lambda equals the matrix
+    * file's precomputed 0.6337314 (`nucleotide.out` header) = the solution
+    * of (1/4)e^{2l} + (3/4)e^{-3l} = 1, and K matches the published BLAST
+    * +2/-3 ungapped K ~ 0.41. Gapless intercepts are exactly 0.
+    */
+  val NucleotideUngapped: GumbelParams = GumbelParams(
+    0.63373155264486880078, 0.40796623464181452912,
+    0.69454686319701297581, 0, 0.69454686319701297581, 0,
+    0.83333515157614945768, 0, 0.83333515157614945768, 0,
+    0.83333515157614945768, 0)
 
   /** BLOSUM62, ungapped (`EvalueComputation.h:70-76`). */
   val Blosum62Ungapped: GumbelParams = GumbelParams(

@@ -21,11 +21,12 @@ object PetaSearch {
   object SearchMode {
     val Protein: SearchMode = SearchMode("protein", "blosum62", "vtml80",
       Matrices.KmerAlphabet, Aligner.Gaps(11, 1), GumbelParams.Blosum62Ungapped)
-    // nucleotide gaps 5/2 (Parameters.cpp:2273-2274); gapped Gumbel
-    // constants substituted for the reference's runtime ALP fit (see Evalue)
+    // nucleotide gaps 5/2 (Parameters.cpp:2273-2274); ungapped Gumbel
+    // constants = the reference's runtime ALP gapless fit, run once offline
+    // and hard-coded (see GumbelParams.NucleotideUngapped)
     val Nucleotide: SearchMode = SearchMode("nucleotide", "nucleotide",
       "nucleotide", Matrices.KmerAlphabetNuc, Aligner.Gaps(5, 2),
-      GumbelParams.NucleotideGapped)
+      GumbelParams.NucleotideUngapped)
   }
 
   final case class Params(
