@@ -41,18 +41,31 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures over shingle sets: `numHashes` independent hash
-    * functions simulated as md5(seed || shingle); signature element = min
-    * hex digest (string order == unsigned numeric order on hex).
+  /** Per-seed hash of a shingle: 8 hex chars (32 bits) carved out of
+    * md5(group || ':' || shingle), 4 seeds per 32-char digest. One md5
+    * serves four hash functions — the standard "k hashes from one strong
+    * hash" minhash construction — so an 8-seed signature costs 2 md5s per
+    * row, not 8, and the min() compares 8-char strings instead of 32.
+    * String order on hex == unsigned numeric order, deterministic across
+    * engines.
+    */
+  private[ops] def seedHash(seed: Int): Column = {
+    val group = (seed - 1) / 4
+    val offset = ((seed - 1) % 4) * 8 + 1
+    substring(md5(concat(lit(s"$group:"), col("shingle"))), offset, 8)
+  }
+
+  /** MinHash signatures over shingle sets: `numHashes` hash functions via
+    * [[seedHash]]; signature element = min hex chunk.
     * Output: (id, seed, minhash).
     */
   def minhash(shingleRows: DataFrame, numHashes: Int): DataFrame = {
-    val seeds = explode(sequence(lit(1), lit(numHashes))).as("seed")
+    val hashes = array((1 to numHashes).map(s =>
+      struct(lit(s).as("seed"), seedHash(s).as("h"))): _*)
     shingleRows
-      .select(col("id"), col("shingle"), seeds)
-      .groupBy(col("id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))))
-        .as("minhash"))
+      .select(col("id"), explode(hashes).as("sh"))
+      .groupBy(col("id"), col("sh.seed").as("seed"))
+      .agg(min(col("sh.h")).as("minhash"))
   }
 
   /** LSH banding: group signature rows into bands of `rowsPerBand`, hash each
@@ -85,8 +98,7 @@ object Dedup {
     */
   def minhashBanded(shingleRows: DataFrame, numHashes: Int,
       rowsPerBand: Int): DataFrame = {
-    val minCols = (1 to numHashes).map(s =>
-      min(md5(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"m$s"))
+    val minCols = (1 to numHashes).map(s => min(seedHash(s)).as(s"m$s"))
     val sigs = shingleRows.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>

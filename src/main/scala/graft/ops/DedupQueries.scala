@@ -43,7 +43,10 @@ object DedupQueries {
       WITH $duckShingles,
       seeds AS (SELECT unnest(generate_series(1, 8)) AS seed),
       mh AS (
-        SELECT id, seed, MIN(md5(seed || ':' || shingle)) AS minhash
+        -- 4 seeds per md5 digest: 8-hex-char chunk of md5(group:shingle)
+        SELECT id, seed,
+               MIN(substr(md5(((seed - 1) // 4) || ':' || shingle),
+                          CAST(((seed - 1) % 4) * 8 + 1 AS INT), 8)) AS minhash
         FROM sh, seeds GROUP BY 1, 2),
       banded AS (
         SELECT id, CAST((seed - 1) // 2 AS INT) AS band,

@@ -8,6 +8,78 @@ import org.apache.spark.sql.functions._
   * UDFs — so they run at scan speed over 100 TB and push through Catalyst.
   */
 object TextAnalysis {
+  import org.apache.spark.sql.GraftShim
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+  import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Longest run of byte-identical positions between two same-length
+    * strings, as struct(len, start) with the LEFTMOST maximal run (strict >
+    * while scanning). A codegen'd expression because no built-in expresses a
+    * per-row character scan without an explode (row blowup + shuffle) or a
+    * higher-order-function fold (interpreted lambda per character — measured
+    * 3x slower than the explode it replaced). Byte comparison == character
+    * comparison for ASCII corpora (the curation corpus); documented limit.
+    */
+  case class LongestIdentityRun(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("len", IntegerType, nullable = false),
+      StructField("start", IntegerType, nullable = false)))
+    override def prettyName: String = "longest_identity_run"
+    private def run(a: Array[Byte], b: Array[Byte]): (Int, Int) = {
+      val n = math.min(a.length, b.length)
+      var bestLen = 0; var bestStart = 0; var curLen = 0; var curStart = 0
+      var i = 0
+      while (i < n) {
+        if (a(i) == b(i)) {
+          if (curLen == 0) curStart = i
+          curLen += 1
+          if (curLen > bestLen) { bestLen = curLen; bestStart = curStart }
+        } else curLen = 0
+        i += 1
+      }
+      (bestLen, bestStart)
+    }
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val (len, start) = run(l.asInstanceOf[UTF8String].getBytes,
+        r.asInstanceOf[UTF8String].getBytes)
+      org.apache.spark.sql.catalyst.InternalRow(len, start)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val a = ctx.freshName("lirA")
+        val b = ctx.freshName("lirB")
+        val n = ctx.freshName("lirN")
+        val bestLen = ctx.freshName("lirBestLen")
+        val bestStart = ctx.freshName("lirBestStart")
+        val curLen = ctx.freshName("lirCurLen")
+        val curStart = ctx.freshName("lirCurStart")
+        val i = ctx.freshName("lirI")
+        s"""
+        byte[] $a = $l.getBytes();
+        byte[] $b = $r.getBytes();
+        int $n = java.lang.Math.min($a.length, $b.length);
+        int $bestLen = 0; int $bestStart = 0; int $curLen = 0; int $curStart = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a[$i] == $b[$i]) {
+            if ($curLen == 0) { $curStart = $i; }
+            $curLen++;
+            if ($curLen > $bestLen) { $bestLen = $curLen; $bestStart = $curStart; }
+          } else { $curLen = 0; }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] { $bestLen, $bestStart });
+        """
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** struct(len, start) of the longest identical run of two aligned strings. */
+  def longestIdentityRun(a: Column, b: Column): Column =
+    GraftShim.column(LongestIdentityRun(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Stopword-marker language ID: per-language marker hit counts over the
     * token set, argmax with deterministic tie order. A real system swaps the

@@ -32,6 +32,25 @@ class CodegenSpec extends AnyFunSuite {
     assert(math.abs(out(1).getAs[Double]("dot2") - 50.0) < 1e-12)
   }
 
+  test("LongestIdentityRun: leftmost-maximal run, codegen, multiple per projection") {
+    val df = Seq(
+      ("abcdef", "abxdef"), // runs: [ab]=2, [def]=3 -> (3, 3)
+      ("aaaa", "aaaa"), // full match -> (4, 0)
+      ("abc", "xyz"), // no match -> (0, 0)
+      ("abab", "abab") // (4, 0)
+    ).toDF("x", "y")
+    val out = df
+      .withColumn("r1", Similarity.dot(array(lit(1.0)), array(lit(1.0))) * 0 +
+        TextAnalysis.longestIdentityRun(col("x"), col("y")).getField("len"))
+      .withColumn("r2", TextAnalysis.longestIdentityRun(col("x"), col("y")))
+      .withColumn("r3", TextAnalysis.longestIdentityRun(col("y"), col("x")))
+      .select(col("r2.len"), col("r2.start"), col("r3.len"))
+      .collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((3, 3), (4, 0), (0, 0), (4, 0)))
+    assert(out.forall(r => r.getInt(0) == r.getInt(2)))
+  }
+
   test("multiple KmerEncodes in one projection compile") {
     val df = Seq(("ACDEF", "GHIKL"), ("ACXEF", "MNPQR")).toDF("s1", "s2")
     val alpha = "ACDEFGHIKLMNPQRSTVWY"
