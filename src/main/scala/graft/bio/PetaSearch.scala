@@ -269,6 +269,27 @@ object PetaSearch {
     m8.write.mode("overwrite").option("sep", "\t").option("header", "false")
       .csv(path)
 
+  /** MSA-in / m8-out profile search: build ONE PSSM profile from an aligned
+    * FASTA (gaps kept by ingest), search it against the target set, emit m8
+    * rows under the first record's name. The MSA collects to the driver —
+    * profile construction is per-profile and MSAs are small by nature; the
+    * search itself is fully distributed.
+    */
+  def easyProfileSearch(spark: SparkSession, msaFasta: String,
+      targetFasta: String, params: Params = Params()): DataFrame = {
+    import spark.implicits._
+    val msa = Fasta.read(spark, msaFasta).orderBy("seqId")
+      .select("name", "seq").as[(String, String)].collect()
+    require(msa.nonEmpty, s"empty MSA: $msaFasta")
+    val prof = Profiles.fromAlignedSeqs(msa.map(_._2).toSeq)
+    val profiles = Seq((0L, msa.head._1, prof))
+      .toDF("seqId", "header", "profile")
+    val targets = Fasta.read(spark, targetFasta).cache()
+    val alis = searchProfiles(spark, profiles, targets, params)
+    val queryNames = Seq((0L, msa.head._1)).toDF("seqId", "name")
+    toM8(alis, queryNames, targets)
+  }
+
   /** FASTA-in / m8-out — `easy-petasearch`. */
   def easySearch(spark: SparkSession, queryFasta: String, targetFasta: String,
       params: Params = Params()): DataFrame = {

@@ -146,4 +146,53 @@ object TextAnalysis {
     */
   def fingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(split(lower(textCol), "\\s+"))), " "))
+
+  val UrlPattern = "https?://\\S+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII/URL scrubbing: count + remove URLs and email addresses, collapse
+    * whitespace. Pure regexp built-ins (patterns chosen to behave
+    * identically under Java regex and RE2) — scan-speed curation.
+    */
+  def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(UrlPattern), lit(0))).as("n_urls"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).as("n_emails"),
+      trim(regexp_replace(regexp_replace(regexp_replace(t,
+        UrlPattern, " "), EmailPattern, " "), "\\s+", " ")).as("clean_text"))
+  }
+
+  /** Deterministic per-row sampling decision: md5-derived uniform bucket in
+    * [0, 100). Reproducible across engines and runs (unlike rand()-based
+    * sampling) — the standard trick for stable training-mix sampling where
+    * re-runs must pick the SAME rows.
+    */
+  def hashBucket(idCol: Column, buckets: Int = 100): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long") % buckets
+
+  /** Stratified deterministic sampling: keep a row when its hash bucket
+    * falls under its stratum's percentage. `ratePct` is a per-row Column
+    * (join a rate table or CASE on the stratum).
+    */
+  def sampleStratified(df: DataFrame, idCol: String,
+      ratePct: Column): DataFrame =
+    df.filter(hashBucket(col(idCol)) < ratePct)
+
+  /** Corpus vocabulary with document frequency and idf = ln(N/df) — the
+    * rarity table quality filters and tf-idf featurizers consume. Distinct
+    * (doc, token) explode -> token groupBy: hash-distributed, no skew
+    * (token frequency skew is absorbed by partial aggregation).
+    */
+  def idfTable(df: DataFrame, idCol: String, textCol: String,
+      totalDocs: Long): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(totalDocs.toDouble) / col("df")))
 }

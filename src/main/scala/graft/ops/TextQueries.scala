@@ -99,5 +99,71 @@ object TextQueries {
                regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
       FROM documents ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount, textFingerprint)
+  val textScrub = Q(
+    "text_scrub",
+    (s, d) => {
+      TextAnalysis.scrub(T.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_urls").cast("long").as("n_urls"),
+          col("n_emails").cast("long").as("n_emails"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             trim(regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://\S+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean_text
+      FROM documents ORDER BY doc_id"""))
+
+  /** Deterministic stratified sampling: strata = doc_id % 5 with rates
+    * 10/20/30/40/50 pct; the md5 hash bucket makes the pick reproducible
+    * across engines (the oracle selects the same rows).
+    */
+  val textSampleStratified = Q(
+    "text_sample_stratified",
+    (s, d) => {
+      val stratum = col("doc_id") % 5
+      val rate = (stratum + 1) * 10
+      TextAnalysis.sampleStratified(T.documents(s, d), "doc_id", rate)
+        .select(col("doc_id"), stratum.cast("long").as("stratum"),
+          TextAnalysis.hashBucket(col("doc_id")).as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, doc_id % 5 AS stratum,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100 AS bucket
+        FROM documents)
+      SELECT doc_id, stratum, bucket FROM h
+      WHERE bucket < (stratum + 1) * 10
+      ORDER BY doc_id"""))
+
+  val textIdf = Q(
+    "text_idf",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val n = docs.count()
+      TextAnalysis.idfTable(docs, "doc_id", "text", n)
+        .select(col("token"), col("df").cast("long").as("df"),
+          round(col("idf"), 4).as("idf"))
+        .orderBy(col("token"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        FROM documents),
+      agg AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tok WHERE length(token) > 0 GROUP BY 1)
+      SELECT token, df,
+             ROUND(LN((SELECT COUNT(*) FROM documents) * 1.0 / df), 4) AS idf
+      FROM agg ORDER BY token"""))
+
+  def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
+    textFingerprint, textScrub, textSampleStratified, textIdf)
 }

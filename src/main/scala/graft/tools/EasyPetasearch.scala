@@ -7,16 +7,21 @@ import org.apache.spark.sql.SparkSession
   * TARGET_FASTA RESULT_M8` (`src/workflow/easypetasearch.cpp`):
   *
   *   runMain graft.tools.EasyPetasearch query.fasta target.fasta outDir \
-  *     [--e EVALUE] [--exact-kmer-matching] [--mode nucleotide]
+  *     [--e EVALUE] [--exact-kmer-matching] [--mode nucleotide] \
+  *     [--profile-search]
   *
+  * `--profile-search` treats the query file as an aligned MSA, builds one
+  * PSSM profile from it, and aligns targets against the per-position
+  * profile scores (the reference's `--profile-search` blockalign path).
   * Writes the tab-separated BLAST-m8 result under outDir.
   */
 object EasyPetasearch {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: EasyPetasearch <query.fasta> <target.fasta> <outDir> [--e N] [--exact-kmer-matching] [--mode nucleotide]")
+      "usage: EasyPetasearch <query.fasta> <target.fasta> <outDir> [--e N] [--exact-kmer-matching] [--mode nucleotide] [--profile-search]")
     val Array(queryFasta, targetFasta, outDir) = args.take(3)
     var params = PetaSearch.Params()
+    var profileSearch = false
     var i = 3
     while (i < args.length) {
       args(i) match {
@@ -25,6 +30,7 @@ object EasyPetasearch {
           params = params.copy(query = params.query.copy(exactKmerMatching = true)); i += 1
         case "--mode" if args(i + 1) == "nucleotide" =>
           params = params.copy(mode = PetaSearch.SearchMode.Nucleotide); i += 2
+        case "--profile-search" => profileSearch = true; i += 1
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }
@@ -37,7 +43,10 @@ object EasyPetasearch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val m8 = PetaSearch.easySearch(spark, queryFasta, targetFasta, params)
+    val m8 =
+      if (profileSearch)
+        PetaSearch.easyProfileSearch(spark, queryFasta, targetFasta, params)
+      else PetaSearch.easySearch(spark, queryFasta, targetFasta, params)
     PetaSearch.writeM8(m8, outDir)
     println(s"[easy-petasearch] wrote ${spark.read.option("sep", "\t").csv(outDir).count()} alignments to $outDir")
     spark.stop()

@@ -122,6 +122,25 @@ class ProfilesSpec extends AnyFunSuite {
     assert(self.nonEmpty && self.forall(_.getDouble(2) == 1.0))
   }
 
+  test("easyProfileSearch: MSA file in, m8 rows out") {
+    val spark = TestSpark.spark
+    val in = getClass.getResourceAsStream("/MSA_Cas7-11_multiline.fa")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    val msaFile = java.io.File.createTempFile("msa", ".fa")
+    msaFile.deleteOnExit()
+    java.nio.file.Files.writeString(msaFile.toPath, lines.mkString("\n"))
+    val tgtFile = java.io.File.createTempFile("tgt", ".fa")
+    tgtFile.deleteOnExit()
+    java.nio.file.Files.writeString(tgtFile.toPath,
+      lines.map(l => if (l.startsWith(">")) l
+      else l.replace("-", "").replace(".", "")).mkString("\n"))
+    val m8 = PetaSearch.easyProfileSearch(spark, msaFile.getAbsolutePath,
+      tgtFile.getAbsolutePath).collect()
+    assert(m8.nonEmpty)
+    // every hit is attributed to the profile (first MSA record's name)
+    assert(m8.forall(_.getString(0) == "WmCas7x3"))
+  }
+
   test("profile table converts to a searchable sequences table") {
     val spark = TestSpark.spark
     import spark.implicits._

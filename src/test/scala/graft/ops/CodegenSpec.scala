@@ -51,6 +51,25 @@ class CodegenSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(0) == r.getInt(2)))
   }
 
+  test("scrub removes URLs and emails; stratified sample is deterministic") {
+    val df = Seq(
+      (1L, "see https://example.com/x?a=1 and mail bob@test.org now"),
+      (2L, "no links here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrub(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_urls") == 1 && out(0).getAs[Int]("n_emails") == 1)
+    assert(out(0).getAs[String]("clean_text") == "see and mail now")
+    assert(out(1).getAs[String]("clean_text") == "no links here")
+
+    val big = spark.range(1000).toDF("doc_id")
+    val s1 = TextAnalysis.sampleStratified(big, "doc_id", lit(30))
+      .collect().map(_.getLong(0)).toSet
+    val s2 = TextAnalysis.sampleStratified(big, "doc_id", lit(30))
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // reproducible
+    assert(s1.size > 200 && s1.size < 400) // ~30%
+  }
+
   test("multiple KmerEncodes in one projection compile") {
     val df = Seq(("ACDEF", "GHIKL"), ("ACXEF", "MNPQR")).toDF("s1", "s2")
     val alpha = "ACDEFGHIKLMNPQRSTVWY"
