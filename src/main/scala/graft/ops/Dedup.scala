@@ -98,8 +98,19 @@ object Dedup {
     */
   def minhashBanded(shingleRows: DataFrame, numHashes: Int,
       rowsPerBand: Int): DataFrame = {
-    val minCols = (1 to numHashes).map(s => min(seedHash(s)).as(s"m$s"))
-    val sigs = shingleRows.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    // digests hoisted into a projection BEFORE the aggregation: agg-input
+    // expressions don't share subexpressions across aggregates, so without
+    // this each of the 4 chunk-minimums would recompute its group's md5
+    val nGroups = (numHashes + 3) / 4
+    val digests = (0 until nGroups).map(g =>
+      md5(concat(lit(s"$g:"), col("shingle"))).as(s"d$g"))
+    val withDigests = shingleRows.select((col("id") +: digests): _*)
+    val minCols = (1 to numHashes).map { s =>
+      val g = (s - 1) / 4
+      val off = ((s - 1) % 4) * 8 + 1
+      min(substring(col(s"d$g"), off, 8)).as(s"m$s")
+    }
+    val sigs = withDigests.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val members = (1 to numHashes).filter(s => (s - 1) / rowsPerBand == b)
