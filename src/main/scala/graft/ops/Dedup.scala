@@ -219,6 +219,48 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over near-dup pairs: iterative minimum-label
+    * propagation (each node adopts the smallest label in its neighborhood
+    * until fixpoint — converges in O(diameter) rounds, and dup clusters
+    * have tiny diameters). The transitive-closure clustering that
+    * [[applyNearDups]]'s greedy rule approximates: a chain a-b, b-c lands
+    * all three in component min(a,b,c). Output: (node, component).
+    *
+    * Scale: each round is two hash-shuffles over the PAIRS table (already
+    * the small output of LSH verification, not the corpus);
+    * `localCheckpoint` truncates lineage so plans don't grow per round.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = updated.alias("u")
+        .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+        .filter(col("label") =!= col("old"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** SimHash near-dup pairs: query subset vs corpus, Hamming distance <=
     * maxHamming over the 16-bit signatures.
     *

@@ -31,16 +31,11 @@ object DedupQueries {
              CAST(COUNT(*) AS BIGINT) AS n_copies
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
-  val dedupMinhashLsh = Q(
-    "dedup_minhash_lsh",
-    (s, d) => {
-      Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
-        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
-        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("a"), col("b"))
-    },
-    Some(s"""
-      WITH $duckShingles,
+  /** Shared DuckDB CTE chain: shingles -> chunked minhash -> banding ->
+    * candidates -> verified near-dup pairs at threshold 0.2 (`pairsq`).
+    * Callers prefix `WITH ` or `WITH RECURSIVE `.
+    */
+  private val duckPairs = s"""$duckShingles,
       seeds AS (SELECT unnest(generate_series(1, 8)) AS seed),
       mh AS (
         -- 4 seeds per md5 digest: 8-hex-char chunk of md5(group:shingle)
@@ -63,14 +58,52 @@ object DedupQueries {
         FROM cand c
         JOIN sh sa ON sa.id = c.a
         JOIN sh sb ON sb.id = c.b AND sb.shingle = sa.shingle
-        GROUP BY 1, 2)
-      SELECT a, b,
-             ROUND(ncommon * 1.0 / (za.setsize + zb.setsize - ncommon), 4) AS jaccard
-      FROM common
-      JOIN sizes za ON za.id = a
-      JOIN sizes zb ON zb.id = b
-      WHERE ncommon * 1.0 / (za.setsize + zb.setsize - ncommon) >= 0.2
-      ORDER BY a, b"""))
+        GROUP BY 1, 2),
+      pairsq AS (
+        SELECT a, b,
+               ncommon * 1.0 / (za.setsize + zb.setsize - ncommon) AS jac
+        FROM common
+        JOIN sizes za ON za.id = a
+        JOIN sizes zb ON zb.id = b
+        WHERE ncommon * 1.0 / (za.setsize + zb.setsize - ncommon) >= 0.2)"""
+
+  val dedupMinhashLsh = Q(
+    "dedup_minhash_lsh",
+    (s, d) => {
+      Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH $duckPairs
+      SELECT a, b, ROUND(jac, 4) AS jaccard FROM pairsq ORDER BY a, b"""))
+
+  /** Transitive-closure dedup clusters: Spark runs iterative min-label
+    * propagation; the oracle computes the same components via a recursive
+    * transitive closure (tractable at oracle scale — pair sets are small).
+    */
+  val dedupComponents = Q(
+    "dedup_components",
+    (s, d) => {
+      val pairs = Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      Dedup.components(pairs)
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $duckPairs,
+      edges AS (
+        SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      nodes AS (SELECT DISTINCT a AS node FROM edges)
+      SELECT n.node AS doc_id, LEAST(n.node, MIN(r.b)) AS component
+      FROM nodes n JOIN reach r ON r.a = n.node
+      GROUP BY n.node ORDER BY doc_id"""))
 
   val dedupSimhash = Q(
     "dedup_simhash",
@@ -156,6 +189,6 @@ object DedupQueries {
         AND bit_count(xor(q.simhash, c.simhash)) <= 5
       ORDER BY a, b"""))
 
-  def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupSimhash,
-    dedupNgramJaccard, dedupSimhashPairs)
+  def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupComponents,
+    dedupSimhash, dedupNgramJaccard, dedupSimhashPairs)
 }

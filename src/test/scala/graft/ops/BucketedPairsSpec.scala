@@ -46,6 +46,16 @@ class BucketedPairsSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the test corpus must actually produce pairs
   }
 
+  test("components: chains merge transitively, separate clusters stay apart") {
+    // chain 1-2, 2-3, 3-4 -> all label 1; pair 10-11 -> label 10; 20-21 + 21-22
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L), (21L, 22L),
+      (20L, 21L)).toDF("a", "b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("embeddingNearDup: plants survive bucketing, precision is exact") {
     val rnd = new scala.util.Random(7)
     val dims = 16
