@@ -63,6 +63,52 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize of a row-major byte plane: dst(x, y) =
+    * src(x*srcW/dstW, y*srcH/dstH), integer floor; indexes past the actual
+    * payload read as 0 (planes are logically width x height but payloads
+    * may be shorter). The geometry kernel a real image path would replace
+    * with a codec resampler — the plumbing (schema, batching, bounds) is
+    * what's exercised here.
+    */
+  def resizePlane(plane: Array[Byte], srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Array[Byte] = {
+    val out = new Array[Byte](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * srcW / dstW
+        val idx = sy * srcW + sx
+        out(y * dstW + x) = if (idx < plane.length) plane(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class ResizedFeatures(id: Long, dst_w: Int, dst_h: Int,
+      checksum: Long, n_src_bytes: Long)
+
+  /** Resize every payload to dstW x dstH and summarize (checksum = sum of
+    * resized bytes) — partition-batched like [[extractFeatures]].
+    */
+  def resizeFeatures(media: Dataset[MediaRow], dstW: Int,
+      dstH: Int): Dataset[ResizedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val plane = decodeStub(r.content)
+        val resized = resizePlane(plane, r.width, r.height, dstW, dstH)
+        var sum = 0L
+        var i = 0
+        while (i < resized.length) { sum += resized(i) & 0xff; i += 1 }
+        ResizedFeatures(r.id, dstW, dstH, sum, plane.length.toLong)
+      }
+    }
+  }
+
   /** Build a media table from the documents corpus (text bytes as payload —
     * the stand-in for real image/audio blobs in this environment).
     */

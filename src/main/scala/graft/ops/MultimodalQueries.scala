@@ -47,5 +47,34 @@ object MultimodalQueries {
       FROM base b JOIN histo ON histo.doc_id = b.doc_id
       ORDER BY id"""))
 
-  def all: Seq[Q] = Seq(mmFeatures)
+  /** Nearest-neighbor resize to an 8x8 plane: dst(x,y) = src(2x, y*h//8)
+    * over the 16-wide text-byte plane, out-of-payload reads = 0. The oracle
+    * mirrors the integer geometry exactly (`//` floor division).
+    */
+  val mmResize = Q(
+    "mm_resize",
+    (s, d) => {
+      val media = Multimodal.mediaFromDocuments(s, T.documents(s, d))
+      Multimodal.resizeFeatures(media, 8, 8).toDF()
+        .select(col("id"), col("checksum"), col("n_src_bytes"))
+        .orderBy(col("id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+               (length(text) // 16) + 1 AS h,
+               unnest(generate_series(0, 63)) AS p
+        FROM documents),
+      b AS (
+        SELECT doc_id, len, text,
+               ((p // 8) * h // 8) * 16 + ((p % 8) * 16 // 8) AS idx
+        FROM g)
+      SELECT doc_id AS id,
+             CAST(SUM(CASE WHEN idx < len
+                  THEN unicode(substr(text, CAST(idx AS INT) + 1, 1))
+                  ELSE 0 END) AS BIGINT) AS checksum,
+             len AS n_src_bytes
+      FROM b GROUP BY doc_id, len ORDER BY id"""))
+
+  def all: Seq[Q] = Seq(mmFeatures, mmResize)
 }

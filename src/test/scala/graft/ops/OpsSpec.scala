@@ -101,4 +101,16 @@ class OpsSpec extends AnyFunSuite {
     assert(f(0L).frames_sampled == 11)
     assert(f(0L).checksum == f(3L).checksum) // identical payloads
   }
+
+  test("multimodal: nearest-neighbor resize geometry") {
+    // 4x2 plane resized to 2x2: picks (0,0) (2,0) (0,1) (2,1)
+    val plane = Array[Byte](10, 11, 12, 13, 20, 21, 22, 23)
+    val r = Multimodal.resizePlane(plane, 4, 2, 2, 2)
+    assert(r.toSeq == Seq[Byte](10, 12, 20, 22))
+    // identity resize is a no-op
+    assert(Multimodal.resizePlane(plane, 4, 2, 4, 2).toSeq == plane.toSeq)
+    // reads past a short payload come back 0
+    val short = Multimodal.resizePlane(Array[Byte](1, 2), 4, 2, 2, 2)
+    assert(short.toSeq == Seq[Byte](1, 0, 0, 0))
+  }
 }
