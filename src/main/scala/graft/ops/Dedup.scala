@@ -231,12 +231,19 @@ object Dedup {
     * `localCheckpoint` truncates lineage so plans don't grow per round.
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // cache the (possibly expensive) pair pipeline BEFORE mirroring it —
+    // otherwise the union computes it twice
+    val p = pairs.select(col("a"), col("b")).cache()
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // labels only ever decrease, so an unchanged label SUM == fixpoint —
+    // one cheap single-stage agg per round instead of a join + count
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -249,14 +256,13 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
+      val s = labelSum(updated)
       labels = updated
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
+    p.unpersist()
     edges.unpersist()
     labels.select(col("node"), col("label").as("component"))
   }
