@@ -34,13 +34,22 @@ object GraftExtensions {
     ops.Similarity.DotProduct(args.head, args(1))
   }
 
+  private def lirBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "longest_identity_run(a, b) takes 2 arguments")
+    ops.TextAnalysis.LongestIdentityRun(args.head, args(1))
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
     (FunctionIdentifier("kmer_encode"),
       new ExpressionInfo(classOf[bio.KmerCodec.KmerEncode].getName, "kmer_encode"),
       kmerEncodeBuilder _),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[ops.Similarity.DotProduct].getName, "dot_product"),
-      dotBuilder _))
+      dotBuilder _),
+    (FunctionIdentifier("longest_identity_run"),
+      new ExpressionInfo(classOf[ops.TextAnalysis.LongestIdentityRun].getName,
+        "longest_identity_run"),
+      lirBuilder _))
 
   /** Register on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

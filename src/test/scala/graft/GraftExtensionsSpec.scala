@@ -19,5 +19,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT kmer_encode('CAAXAAAAA', 'ACDEFGHIKLMNPQRSTVWY') AS c")
       .collect().head
     assert(n.isNullAt(0))
+    val r = spark.sql(
+      "SELECT longest_identity_run('abcdef', 'abxdef') AS r")
+      .collect().head.getStruct(0)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 3)
   }
 }
