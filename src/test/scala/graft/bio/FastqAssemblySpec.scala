@@ -43,6 +43,16 @@ class FastqAssemblySpec extends AnyFunSuite {
     Seq(1, 2, 5).foreach(check(lines, _))
   }
 
+  test("property: random line counts x random partitionings match naive grouping") {
+    val rnd = new scala.util.Random(42)
+    (0 until 25).foreach { _ =>
+      val n = rnd.nextInt(60) + 1
+      val lines = (0 until n).map(i => s"x$i")
+      val slices = rnd.nextInt(12) + 1
+      check(lines, slices)
+    }
+  }
+
   test("multi-partition FASTQ file round-trips through readFastq") {
     val fq = java.io.File.createTempFile("many", ".fastq")
     fq.deleteOnExit()
