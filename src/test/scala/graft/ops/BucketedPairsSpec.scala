@@ -46,6 +46,28 @@ class BucketedPairsSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the test corpus must actually produce pairs
   }
 
+  test("SRP bucketing recall measured vs exact baseline on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val dims = 32
+    // correlated pairs: base vector + noisy copy (high cosine), plus noise
+    val base = (0L until 60L).map(i => (i, Array.fill(dims)(rnd.nextGaussian())))
+    val copies = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 500L, v.map(_ + rnd.nextGaussian() * 0.15))
+    }
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val pred = col("vec_id") % 10 === 0
+    val exact = Similarity.embeddingNearDupExact(emb, pred, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.embeddingNearDup(emb, pred, 0.8,
+      nProj = 8, rowsPerBand = 2, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // precision is exact by construction; recall must be high at cos>=0.8
+    assert(bucketed.subsetOf(exact))
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${bucketed.size}/${exact.size})")
+  }
+
   test("components: chains merge transitively, separate clusters stay apart") {
     // chain 1-2, 2-3, 3-4 -> all label 1; pair 10-11 -> label 10; 20-21 + 21-22
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L), (21L, 22L),
