@@ -195,14 +195,20 @@ object PetaSearch {
       params: Params = Params()): DataFrame = {
     val targets = spark.read.parquet(s"$dbPath/sequences")
     val index = spark.read.parquet(s"$dbPath/kmers")
-    // one-row metadata read instead of a full-corpus seqLen aggregate
-    val dbResCount = spark.read.parquet(s"$dbPath/meta")
-      .head().getAs[Long]("dbResCount")
+    // one-row metadata read instead of a full-corpus seqLen aggregate;
+    // DBs built before metadata existed fall back to the scan
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dbPath/meta")
+    val hasMeta = metaPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(metaPath)
+    val dbResCount: Option[Long] =
+      if (hasMeta)
+        Some(spark.read.parquet(s"$dbPath/meta").head().getAs[Long]("dbResCount"))
+      else None
     val qk = buildQueryTable(spark, queries, params)
     val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
     Align.run(spark, pf, queries, targets, params.evalThr, params.xdrop,
       params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel, params.k,
-      knownDbResCount = Some(dbResCount))
+      knownDbResCount = dbResCount)
   }
 
   /** Single-job multi-DB search over a `dbId`-partitioned corpus

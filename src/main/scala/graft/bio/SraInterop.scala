@@ -84,17 +84,26 @@ object SraInterop {
         val (fileNames, cum) = filesB.value
         val cf = new org.apache.hadoop.conf.Configuration()
         val streams = scala.collection.mutable.Map.empty[Int, org.apache.hadoop.fs.FSDataInputStream]
+        def openFile(fi: Int) = streams.getOrElseUpdate(fi, {
+          val p = new org.apache.hadoop.fs.Path(fileNames(fi))
+          p.getFileSystem(cf).open(p)
+        })
         val it = iter.map { case (seqId, start, end) =>
-          // locate the split holding this global offset
+          // locate the split holding this global offset; entries from the
+          // native writer never span splits, but read across them anyway
           var fi = java.util.Arrays.binarySearch(cum.toArray, start)
           if (fi < 0) fi = -fi - 2
           if (fi >= fileNames.length) fi = fileNames.length - 1
-          val in = streams.getOrElseUpdate(fi, {
-            val p = new org.apache.hadoop.fs.Path(fileNames(fi))
-            p.getFileSystem(cf).open(p)
-          })
           val buf = new Array[Byte]((end - start).toInt)
-          in.readFully(start - cum(fi), buf)
+          var done = 0
+          var pos = start
+          while (done < buf.length) {
+            val inFile = math.min(buf.length - done, (cum(fi + 1) - pos).toInt)
+            openFile(fi).readFully(pos - cum(fi), buf, done, inFile)
+            done += inFile
+            pos += inFile
+            if (done < buf.length) fi += 1
+          }
           (seqId, buf)
         }
         // note: streams leak until task end; Spark closes task-scoped

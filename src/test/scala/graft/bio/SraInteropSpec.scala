@@ -82,6 +82,30 @@ class SraInteropSpec extends AnyFunSuite {
     assert(back.toSeq == Seq((5L, 7L), (5L + 32768L, 9L)))
   }
 
+  test("multi-split data files (<db>.0/.1) read with global offsets") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val db = s"$dir/split"
+    // write a single-file DB, then split its data file in two by hand
+    val seqs = Seq((0L, "h0", "MKVLAT"), (1L, "h1", "GWSDEW"),
+      (2L, "h2", "IRRQCM")).toDF("seqId", "header", "seq")
+    SraInterop.writeSraDb(seqs, db)
+    val data = bytesOf(db)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(db))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$db.0"), data.take(4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$db.1"), data.drop(4))
+    // header file split too (uneven cut inside an entry)
+    val hdr = bytesOf(s"${db}_h")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"${db}_h"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"${db}_h.0"), hdr.take(5))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"${db}_h.1"), hdr.drop(5))
+    val back = SraInterop.readSraDb(spark, db)
+      .select("seqId", "seq", "header")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((0L, "MKVLAT", "h0"), (1L, "GWSDEW", "h1"),
+      (2L, "IRRQCM", "h2")))
+  }
+
   test("imported reference index searches identically to a native index") {
     import spark.implicits._
     val fixture = getClass.getResourceAsStream("/MSA_Cas7-11_multiline.fa")
