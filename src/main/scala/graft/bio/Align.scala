@@ -54,7 +54,7 @@ object Align {
     // reference also needs (blockalign.cpp dbSize); callers with a persisted
     // index pass it from index metadata instead of paying a corpus scan here
     val dbResCount: Long = knownDbResCount.getOrElse(
-      targetSeqs.agg(sum(col("seqLen"))).as[Long].head())
+      targetSeqs.agg(coalesce(sum(col("seqLen")), lit(0L))).as[Long].head())
 
     val pairs = prefilter
       .groupBy(col("targetId"), col("queryId"))
@@ -195,7 +195,7 @@ object Align {
     import spark.implicits._
 
     val dbResCount: Long = knownDbResCount.getOrElse(
-      targetSeqs.agg(sum(col("seqLen"))).as[Long].head())
+      targetSeqs.agg(coalesce(sum(col("seqLen")), lit(0L))).as[Long].head())
 
     val pairs = prefilter
       .groupBy(col("targetId"), col("queryId"))

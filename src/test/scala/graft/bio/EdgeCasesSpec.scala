@@ -46,6 +46,30 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(PetaSearch.search(spark, seqs, seqs).count() == 0)
   }
 
+  test("empty inputs flow through the round-2 operators without errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.ops.Dedup.components(noPairs).count() == 0)
+
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Dedup.simhashPairs(noDocs, "doc_id", "text",
+      lit(true), 3).count() == 0)
+    assert(graft.ops.TextAnalysis.scrub(noDocs, "doc_id", "text").count() == 0)
+    assert(graft.ops.TextAnalysis.idfTable(noDocs, "doc_id", "text", 0).count() == 0)
+
+    val noVecs = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.embeddingNearDup(noVecs, lit(true), 0.5,
+      dims = 4).count() == 0)
+
+    // profile search with an empty target set
+    val prof = Profiles.fromAlignedSeqs(Seq("MKVLATTPFG"))
+    val profiles = Seq((0L, "p", prof)).toDF("seqId", "header", "profile")
+    val noTargets = Seq.empty[(Long, String, String, String, Int)]
+      .toDF("seqId", "header", "name", "seq", "seqLen")
+    assert(PetaSearch.searchProfiles(spark, profiles, noTargets).count() == 0)
+  }
+
   test("SkewJoin with buckets=1 equals plain join") {
     import spark.implicits._
     val l = Seq(("k", 1), ("k", 2)).toDF("key", "lv")
