@@ -238,8 +238,12 @@ object Dedup {
       .distinct().cache()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // round 0 folded into init: label = min(node, min neighbor) — one
+    // aggregation replaces the distinct-node pass AND the first join round
+    // (pair-shaped components, the common case, converge immediately)
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
       .localCheckpoint()
     // labels only ever decrease, so an unchanged label SUM == fixpoint —
     // one cheap single-stage agg per round instead of a join + count
