@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
   *
   *   runMain graft.tools.EasyPetasearch query.fasta target.fasta outDir \
   *     [--e EVALUE] [--exact-kmer-matching] [--mode nucleotide] \
-  *     [--profile-search]
+  *     [--profile-search] [--format-output col1,col2,...]
+  *
+  * `--format-output` picks custom m8 columns (query target fident alnlen
+  * mismatch gapopen qstart qend tstart tend evalue bits qlen tlen qcov
+  * tcov cigar qaln taln qseq tseq).
   *
   * `--profile-search` treats the query file as an aligned MSA, builds one
   * PSSM profile from it, and aligns targets against the per-position
@@ -22,6 +26,7 @@ object EasyPetasearch {
     val Array(queryFasta, targetFasta, outDir) = args.take(3)
     var params = PetaSearch.Params()
     var profileSearch = false
+    var outfmt: Option[Seq[String]] = None
     var i = 3
     while (i < args.length) {
       args(i) match {
@@ -31,6 +36,7 @@ object EasyPetasearch {
         case "--mode" if args(i + 1) == "nucleotide" =>
           params = params.copy(mode = PetaSearch.SearchMode.Nucleotide); i += 2
         case "--profile-search" => profileSearch = true; i += 1
+        case "--format-output" => outfmt = Some(args(i + 1).split(",").toSeq); i += 2
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }
@@ -43,10 +49,14 @@ object EasyPetasearch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val m8 =
-      if (profileSearch)
+    val m8 = (profileSearch, outfmt) match {
+      case (true, _) =>
         PetaSearch.easyProfileSearch(spark, queryFasta, targetFasta, params)
-      else PetaSearch.easySearch(spark, queryFasta, targetFasta, params)
+      case (false, Some(cols)) =>
+        PetaSearch.easySearchCustom(spark, queryFasta, targetFasta, cols, params)
+      case (false, None) =>
+        PetaSearch.easySearch(spark, queryFasta, targetFasta, params)
+    }
     PetaSearch.writeM8(m8, outDir)
     println(s"[easy-petasearch] wrote ${spark.read.option("sep", "\t").csv(outDir).count()} alignments to $outDir")
     spark.stop()
