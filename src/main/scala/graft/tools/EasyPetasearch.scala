@@ -8,7 +8,13 @@ import org.apache.spark.sql.SparkSession
   *
   *   runMain graft.tools.EasyPetasearch query.fasta target.fasta outDir \
   *     [--e EVALUE] [--exact-kmer-matching] [--mode nucleotide] \
-  *     [--profile-search] [--format-output col1,col2,...]
+  *     [--profile-search] [--format-output col1,col2,...] \
+  *     [--k N] [--req-kmer-matches N] [--xdrop N] [--max-kmer-per-pos N] \
+  *     [--kmer-threshold N] [--no-mask]
+  *
+  * The tuning flags mirror the reference workflow's user-visible knobs
+  * (`src/commons/LocalParameters.h:29-80`: k, required matches, x-drop,
+  * expansion width/threshold, masking).
   *
   * `--format-output` picks custom m8 columns (query target fident alnlen
   * mismatch gapopen qstart qend tstart tend evalue bits qlen tlen qcov
@@ -37,6 +43,20 @@ object EasyPetasearch {
           params = params.copy(mode = PetaSearch.SearchMode.Nucleotide); i += 2
         case "--profile-search" => profileSearch = true; i += 1
         case "--format-output" => outfmt = Some(args(i + 1).split(",").toSeq); i += 2
+        case "--k" =>
+          val k = args(i + 1).toInt
+          params = params.copy(k = k, query = params.query.copy(k = k)); i += 2
+        case "--req-kmer-matches" =>
+          params = params.copy(requiredKmerMatches = args(i + 1).toInt); i += 2
+        case "--xdrop" => params = params.copy(xdrop = args(i + 1).toInt); i += 2
+        case "--max-kmer-per-pos" =>
+          params = params.copy(query =
+            params.query.copy(maxKmerPerPos = args(i + 1).toInt)); i += 2
+        case "--kmer-threshold" =>
+          params = params.copy(query =
+            params.query.copy(kmerThreshold = args(i + 1).toInt)); i += 2
+        case "--no-mask" =>
+          params = params.copy(query = params.query.copy(maskMode = false)); i += 1
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }
