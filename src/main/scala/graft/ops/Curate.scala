@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the standard training-data cleaning cascade
+  * composed from the primitive operators, cheap stages first —
+  *
+  *   1. quality gate (per-row projection, scan speed),
+  *   2. exact dedup (hash groupBy, keep smallest id),
+  *   3. near-dup removal (MinHash-LSH candidates + Jaccard verify, greedy
+  *      keep-lowest-id),
+  *
+  * so each stage shrinks the input of the next, exactly like the bio
+  * prefilter→align cascade. Fully deterministic — a re-run (or another
+  * engine) keeps the same rows.
+  */
+object Curate {
+
+  final case class Config(
+      minTokens: Int = 5,
+      minStopwordRatio: Double = 0.0,
+      shingleSize: Int = 2,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      nearDupThreshold: Double = 0.8)
+
+  /** Quality-gate predicate over [[TextAnalysis.qualityFeatures]] columns. */
+  def qualityPred(cfg: Config): Column =
+    col("n_tokens") >= cfg.minTokens &&
+      col("stopword_ratio") >= cfg.minStopwordRatio
+
+  /** Returns the kept rows of `df` (original columns). */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    // 1. quality gate
+    val q = TextAnalysis.qualityFeatures(df, idCol, textCol)
+      .filter(qualityPred(cfg))
+      .select(col(idCol))
+    val qualityDocs = df.join(q, Seq(idCol), "left_semi")
+
+    // 2. exact dedup: keep the smallest id per identical text
+    val keepers = qualityDocs
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val exactDeduped = qualityDocs.join(keepers, Seq(idCol), "left_semi")
+
+    // 3. near-dup removal (greedy keep-lowest-id over verified pairs)
+    val pairs = Dedup.nearDuplicates(exactDeduped, idCol, textCol,
+      cfg.shingleSize, cfg.numHashes, cfg.rowsPerBand, cfg.nearDupThreshold)
+    Dedup.applyNearDups(exactDeduped, idCol, pairs)
+  }
+}

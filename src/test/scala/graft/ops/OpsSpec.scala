@@ -102,6 +102,25 @@ class OpsSpec extends AnyFunSuite {
     assert(f(0L).checksum == f(3L).checksum) // identical payloads
   }
 
+  test("curate cascade: quality gate, exact dedup, near-dup removal compose") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"), // exact dup
+      (2L, "tiny"), // fails token gate
+      (3L, "the quick brown fox jumps over the lazy dog and runs away slow"), // near dup of 0
+      (4L, "completely different content with its own words and is unique here today")
+    ).toDF("doc_id", "text")
+    val kept = Curate.curate(corpus, "doc_id", "text",
+      Curate.Config(minTokens = 5, minStopwordRatio = 0.0,
+        nearDupThreshold = 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L)) // survivor of both dup groups
+    assert(!kept.contains(1L)) // exact dup dropped
+    assert(!kept.contains(2L)) // quality-gated
+    assert(!kept.contains(3L)) // near dup dropped
+    assert(kept.contains(4L))
+  }
+
   test("multimodal: nearest-neighbor resize geometry") {
     // 4x2 plane resized to 2x2: picks (0,0) (2,0) (0,1) (2,1)
     val plane = Array[Byte](10, 11, 12, 13, 20, 21, 22, 23)
