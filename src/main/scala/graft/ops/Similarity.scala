@@ -196,6 +196,100 @@ object Similarity {
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
   }
 
+  /** Deterministic Lloyd k-means over the embedding column (cosine
+    * assignment, elementwise-mean update): the coarse quantizer that feeds
+    * [[ivfTopK]] when the corpus ships unlabeled. Seeding is md5-ordered
+    * (the k rows with smallest md5(vec_id) — a reproducible spread sample,
+    * no rand()), so labels are stable across runs and engines. Each
+    * iteration is one broadcast assignment pass + one mean reduction;
+    * `localCheckpoint` truncates lineage. Returns (vec_id, label).
+    */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    var cents = corpus
+      .withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("label",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("label"), col("embedding").as("centroid"))
+      .localCheckpoint()
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("vn"))
+    var i = 0
+    var assigned: DataFrame = null
+    while (i < iters) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("label"))
+      assigned = c.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          dot(col("embedding"), col("centroid")) /
+            (col("vn") * norm(col("centroid"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      cents = assigned
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v")).as("mean"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+        .select(col("label"),
+          transform(col("pm"), x => x.getField("mean")).as("centroid"))
+        .localCheckpoint()
+      i += 1
+    }
+    assigned.select(col("vec_id"), col("label"))
+  }
+
+  /** Persist an IVF index: k-means labels + corpus PARTITIONED BY label
+    * (probing then prunes whole directories at scan time) + centroid table.
+    */
+  def buildAnnIndex(corpus: DataFrame, dbPath: String, nClusters: Int,
+      iters: Int = 5): Unit = {
+    val labels = kmeans(corpus, nClusters, iters)
+    val labeled = corpus.join(labels, Seq("vec_id"))
+    labeled.write.mode("overwrite").partitionBy("label")
+      .parquet(s"$dbPath/vectors")
+    val spark = corpus.sparkSession
+    centroids(spark.read.parquet(s"$dbPath/vectors"), "label")
+      .write.mode("overwrite").parquet(s"$dbPath/centroids")
+  }
+
+  /** Query a persisted IVF index: probe the stored centroids, scan ONLY the
+    * probed label partitions (directory pruning via the partition-column
+    * filter), exact cosine within. Same output schema as [[cosineTopK]].
+    */
+  def searchAnnIndexed(spark: org.apache.spark.sql.SparkSession,
+      dbPath: String, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dbPath/centroids")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("label"))
+    // union of probed labels -> partition-pruned scan (bounded by
+    // |queries| x nprobe distinct directories)
+    val probedLabels = probes.select(col("label")).distinct()
+      .collect().map(_.getAs[Number]("label").intValue).toSeq
+    val c = spark.read.parquet(s"$dbPath/vectors")
+      .filter(col("label").isin(probedLabels: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("label"), norm(col("embedding")).as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(probes), Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding near-dup pairs, the 100 TB path: SRP band-bucket candidate
     * generation (cosine-similar vectors agree on SRP sign bits with
     * probability 1 - angle/pi per bit, so near-dups collide in some band

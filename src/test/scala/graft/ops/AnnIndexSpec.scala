@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic k-means + persisted IVF index. */
+class AnnIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def blobs(): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(5)
+    // 3 well-separated direction blobs of 20 vectors each
+    val dirs = Seq(Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 0.0))
+    dirs.zipWithIndex.flatMap { case (d, b) =>
+      (0 until 20).map { j =>
+        val v = d.zipWithIndex.map { case (x, i) => x + rnd.nextGaussian() * 0.3 }
+        ((b * 20 + j).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("kmeans recovers separable blobs deterministically") {
+    val emb = blobs().cache()
+    val l1 = Similarity.kmeans(emb, 3, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val l2 = Similarity.kmeans(emb, 3, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(l1 == l2) // deterministic
+    // every blob lands in exactly one cluster
+    (0 until 3).foreach { b =>
+      val labels = (0 until 20).map(j => l1((b * 20 + j).toLong)).toSet
+      assert(labels.size == 1, s"blob $b split across $labels")
+    }
+    // blobs don't merge
+    assert((0 until 3).map(b => l1((b * 20).toLong)).toSet.size == 3)
+  }
+
+  test("persisted ANN index: probe + partition-pruned scan finds neighbors") {
+    val emb = blobs().cache()
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    Similarity.buildAnnIndex(emb, dir, nClusters = 3, iters = 5)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val got = Similarity.searchAnnIndexed(spark, dir, queries, k = 3, nprobe = 1)
+      .collect()
+    assert(got.nonEmpty)
+    // neighbors come from the query's own blob (cosine-separable by design)
+    got.foreach { r =>
+      assert(r.getLong(0) / 20 == r.getLong(1) / 20,
+        s"cross-blob neighbor: ${r.getLong(0)} -> ${r.getLong(1)}")
+    }
+    // indexed result matches in-memory ivfTopK over the same kmeans labels
+    val labels = Similarity.kmeans(emb, 3, iters = 5)
+    val labeled = emb.join(labels, Seq("vec_id"))
+    val direct = Similarity.ivfTopK(labeled, queries, "label", k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val indexed = got.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(indexed == direct)
+  }
+}
