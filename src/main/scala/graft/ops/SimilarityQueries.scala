@@ -154,5 +154,69 @@ object SimilarityQueries {
       SELECT query_id AS a, neighbor_id AS b, ROUND(cos, 3) AS cos
       FROM comp WHERE cos >= 0.4 ORDER BY a, b"""))
 
-  def all: Seq[Q] = Seq(embCosineTopK, embIvfTopK, embNearDup)
+  /** Deterministic k-means (2 Lloyd iterations, md5-ordered seeding): the
+    * oracle unrolls both iterations in SQL — seed selection, cosine argmax
+    * assignment, elementwise-mean update, reassignment.
+    */
+  val embKmeans = Q(
+    "emb_kmeans",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.kmeans(emb, 10, iters = 2)
+        .select(col("vec_id"), col("label").cast("int").as("label"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sel AS (
+        SELECT vec_id, v FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10),
+      c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS label,
+               v AS centroid
+        FROM sel),
+      p1 AS (
+        SELECT e.vec_id, e.v, c.label, c.centroid,
+               unnest(generate_series(1, 64)) AS i
+        FROM e, c0 c),
+      s1 AS (
+        SELECT vec_id, label,
+               SUM(v[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+                 / (SQRT(SUM(v[CAST(i AS INT)] * v[CAST(i AS INT)]))
+                    * SQRT(SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]))) AS ccos
+        FROM p1 GROUP BY 1, 2),
+      a1 AS (
+        SELECT vec_id, label FROM (
+          SELECT vec_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY ccos DESC, label) AS rn
+          FROM s1) WHERE rn = 1),
+      x1 AS (
+        SELECT a.label, e.v, unnest(generate_series(1, 64)) AS i
+        FROM a1 a JOIN e ON e.vec_id = a.vec_id),
+      m1 AS (
+        SELECT label, i, AVG(v[CAST(i AS INT)]) AS mean
+        FROM x1 GROUP BY 1, 2),
+      c1 AS (
+        SELECT label, list(mean ORDER BY i) AS centroid FROM m1 GROUP BY 1),
+      p2 AS (
+        SELECT e.vec_id, e.v, c.label, c.centroid,
+               unnest(generate_series(1, 64)) AS i
+        FROM e, c1 c),
+      s2 AS (
+        SELECT vec_id, label,
+               SUM(v[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+                 / (SQRT(SUM(v[CAST(i AS INT)] * v[CAST(i AS INT)]))
+                    * SQRT(SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]))) AS ccos
+        FROM p2 GROUP BY 1, 2),
+      a2 AS (
+        SELECT vec_id, label FROM (
+          SELECT vec_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY ccos DESC, label) AS rn
+          FROM s2) WHERE rn = 1)
+      SELECT vec_id, CAST(label AS INT) AS label FROM a2 ORDER BY vec_id"""))
+
+  def all: Seq[Q] = Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans)
 }
