@@ -44,7 +44,10 @@ object Curate {
       .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
+    // cached: feeds BOTH the shingle pipeline and the final anti-join —
+    // uncached, the quality+dedup join chain replays per consumer
     val exactDeduped = qualityDocs.join(keepers, Seq(idCol), "left_semi")
+      .cache()
 
     // 3. near-dup removal (greedy keep-lowest-id over verified pairs)
     val pairs = Dedup.nearDuplicates(exactDeduped, idCol, textCol,
