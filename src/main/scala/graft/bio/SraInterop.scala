@@ -84,6 +84,10 @@ object SraInterop {
         val (fileNames, cum) = filesB.value
         val cf = new org.apache.hadoop.conf.Configuration()
         val streams = scala.collection.mutable.Map.empty[Int, org.apache.hadoop.fs.FSDataInputStream]
+        // close whatever we opened when the task finishes (success or not)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            streams.values.foreach(s => scala.util.Try(s.close()))))
         def openFile(fi: Int) = streams.getOrElseUpdate(fi, {
           val p = new org.apache.hadoop.fs.Path(fileNames(fi))
           p.getFileSystem(cf).open(p)
@@ -106,8 +110,6 @@ object SraInterop {
           }
           (seqId, buf)
         }
-        // note: streams leak until task end; Spark closes task-scoped
-        // resources on completion via finalizers — acceptable for ingest
         it
       }
     fetched.toDF("seqId", "bytes")
