@@ -147,6 +147,81 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(split(lower(textCol), "\\s+"))), " "))
 
+  /** Winnowing fingerprints (the MOSS scheme): polynomial rolling hashes of
+    * every k-character gram, then the (hash, pos)-minimum of each window of
+    * `w` consecutive grams, deduplicated — the standard rolling-hash
+    * document fingerprint whose guarantee is that any shared substring of
+    * length >= k+w-1 contributes a shared fingerprint. Per-row O(len) via
+    * a monotone deque; hash values are plain modular polynomials, so an
+    * oracle can recompute each gram's hash directly (no rolling needed on
+    * the SQL side — same residues).
+    */
+  case class RollingWinnow(child: Expression, k: Int, w: Int,
+      base: Long, mod: Long)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(StructType(Seq(
+        StructField("pos", IntegerType, nullable = false),
+        StructField("hash", org.apache.spark.sql.types.LongType, nullable = false))),
+        containsNull = false)
+    override def prettyName: String = "rolling_winnow"
+
+    private lazy val topPow: Long = {
+      var p = 1L
+      (1 until k).foreach(_ => p = p * base % mod)
+      p
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].getBytes
+      val g = s.length - k + 1
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow]
+      if (g > 0) {
+        val hashes = new Array[Long](g)
+        var h = 0L
+        var i = 0
+        while (i < s.length) {
+          h = (h * base + (s(i) & 0xff)) % mod
+          if (i >= k - 1) {
+            hashes(i - k + 1) = h
+            // roll: drop the leading character before the next append
+            h = (h - (s(i - k + 1) & 0xff) * topPow % mod + mod) % mod
+          }
+          i += 1
+        }
+        // sliding-window minimum by (hash, pos) with a monotone deque
+        val dq = new java.util.ArrayDeque[Int]()
+        var lastPicked = -1
+        i = 0
+        while (i < g) {
+          while (!dq.isEmpty && hashes(dq.peekLast()) > hashes(i)) dq.pollLast()
+          dq.addLast(i)
+          if (dq.peekFirst() <= i - w) dq.pollFirst()
+          if (i >= w - 1) { // strict scheme: only full w-gram windows
+            val m = dq.peekFirst()
+            if (m != lastPicked) {
+              out += org.apache.spark.sql.catalyst.InternalRow(m, hashes(m))
+              lastPicked = m
+            }
+          }
+          i += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  val WinnowBase = 257L
+  val WinnowMod = 2147483647L // 2^31 - 1
+
+  /** array<struct<pos, hash>> winnowing fingerprints of a text column. */
+  def winnowFingerprints(textCol: Column, k: Int = 8, w: Int = 4): Column =
+    GraftShim.column(RollingWinnow(GraftShim.expression(textCol), k, w,
+      WinnowBase, WinnowMod))
+
   val UrlPattern = "https?://\\S+"
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

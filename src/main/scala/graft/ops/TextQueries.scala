@@ -242,6 +242,51 @@ object TextQueries {
       FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
       WHERE l.b IS NULL ORDER BY doc_id"""))
 
+  /** Winnowing rolling-hash fingerprints (MOSS): the oracle recomputes each
+    * gram's polynomial hash directly (precomputed powers of 257 mod 2^31-1,
+    * so sums stay in int64) and replays the per-window (hash, pos) argmin.
+    */
+  val textWinnow = Q(
+    "text_winnow",
+    (s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowFingerprints(col("text"), 8, 4)).as("f"))
+        .select(col("doc_id"), col("f.pos").as("pos"), col("f.hash").as("hash"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some("""
+      WITH pw(j, p) AS (VALUES (0, 1), (1, 257), (2, 66049), (3, 16974593),
+        (4, 67503107), (5, 168429323), (6, 336663071), (7, 623063367)),
+      d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        FROM documents WHERE length(text) >= 11),
+      grams AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, CAST(len AS INT) - 8)) AS pos
+        FROM d),
+      gh AS (
+        SELECT doc_id, CAST(pos AS INT) AS pos,
+               CAST(SUM(CAST(unicode(substr(text, CAST(pos + t.jj AS INT) + 1, 1))
+                        AS BIGINT) * p.p) AS BIGINT) % 2147483647 AS hash
+        FROM grams, (SELECT unnest(generate_series(0, 7)) AS jj) t
+        JOIN pw p ON p.j = 7 - t.jj
+        GROUP BY doc_id, pos),
+      win AS (
+        SELECT doc_id,
+               unnest(generate_series(0, CAST(len AS INT) - 11)) AS wj
+        FROM d),
+      cand AS (
+        SELECT w.doc_id, g.pos, g.hash,
+               ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.wj
+                                  ORDER BY g.hash, g.pos) AS rn
+        FROM win w
+        JOIN gh g ON g.doc_id = w.doc_id
+               AND g.pos BETWEEN CAST(w.wj AS INT) AND CAST(w.wj AS INT) + 3)
+      SELECT DISTINCT doc_id, pos, hash FROM cand WHERE rn = 1
+      ORDER BY doc_id, pos"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
-    textFingerprint, textScrub, textSampleStratified, textIdf, textCurate)
+    textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
+    textWinnow)
 }

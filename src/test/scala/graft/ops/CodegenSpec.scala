@@ -51,6 +51,23 @@ class CodegenSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(0) == r.getInt(2)))
   }
 
+  test("winnowing guarantee: docs sharing a >=k+w-1 substring share a fingerprint") {
+    val shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghij" // 36 chars >= 11
+    val df = Seq(
+      (1L, s"prefix-one $shared suffix-one"),
+      (2L, s"zzz $shared yyy longer tail here"),
+      (3L, "completely unrelated text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      explode(TextAnalysis.winnowFingerprints(col("text"), 8, 4)).as("f"))
+      .select(col("doc_id"), col("f.hash"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty) // MOSS guarantee
+    assert((fps(1L) intersect fps(3L)).isEmpty ||
+      (fps(1L) intersect fps(3L)).size < (fps(1L) intersect fps(2L)).size)
+  }
+
   test("scrub removes URLs and emails; stratified sample is deterministic") {
     val df = Seq(
       (1L, "see https://example.com/x?a=1 and mail bob@test.org now"),
