@@ -46,6 +46,19 @@ class BucketedPairsSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the test corpus must actually produce pairs
   }
 
+  test("minhash + lshCandidates == fused minhashBanded (same candidate pairs)") {
+    val docs = (0L until 30L).map { i =>
+      (i, (0 until 10).map(j => s"w${(i / 3 + j) % 12}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 2).cache()
+    val unfused = Dedup.lshCandidates(Dedup.minhash(sh, 8), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = Dedup.minhashBanded(sh, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unfused == fused)
+    assert(fused.nonEmpty)
+  }
+
   test("SRP bucketing recall measured vs exact baseline on random vectors") {
     val rnd = new scala.util.Random(11)
     val dims = 32
