@@ -21,8 +21,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     } catch { case _: Throwable => }
-    // best-of-2 per query: this host shows 2x wall-clock swings from
-    // external load; min damps the noise without hiding real cost
+    // Noise control: this host shows sustained multi-minute external-load
+    // windows that poison back-to-back trials of the SAME query (round 3:
+    // a min-of-3 still reported a 12x outlier). So trials are INTERLEAVED
+    // across the suite — two full passes separated by the whole suite's
+    // wall-clock, plus a targeted third pass for queries whose two times
+    // still disagree >2x — and each query reports its min across passes.
+    // One loaded window can then poison at most one pass, never a query.
     def timeOnce(q: graft.Q): Double = {
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -31,19 +36,18 @@ object Bench {
         -1.0
       }
     }
-    val results = Registry.all.filter(_.bench).map { q =>
-      val a = timeOnce(q)
-      val best =
-        if (a < 0) a
-        else {
-          val b = timeOnce(q)
-          val m = math.min(a, math.max(b, 0.0))
-          // a >2x disagreement means one run hit a host load spike — take a
-          // third opinion
-          if (b > 0 && math.max(a, b) > 2 * m) math.min(m, math.max(timeOnce(q), 0.0))
-          else m
-        }
-      q.name -> best
+    val benched = Registry.all.filter(_.bench)
+    val pass1 = benched.map(q => q.name -> timeOnce(q)).toMap
+    val pass2 = benched.map(q => q.name -> timeOnce(q)).toMap
+    val needThird = benched.filter { q =>
+      val a = pass1(q.name); val b = pass2(q.name)
+      (a < 0) != (b < 0) || (a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b))
+    }
+    val pass3 = needThird.map(q => q.name -> timeOnce(q)).toMap
+    val results = benched.map { q =>
+      val ts = (Seq(pass1.get(q.name), pass2.get(q.name), pass3.get(q.name))
+        .flatten).filter(_ >= 0)
+      q.name -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -262,7 +262,10 @@ object PetaSearch {
     // expansion) is built ONCE and reused across all target DBs — the
     // reference builds its query table once too (comparekmertables.cpp
     // QueryTableEntry load, reused per target table). cache(): N downstream
-    // prefilter joins read it.
+    // prefilter joins read it. Cache lifetime is CALLER-OWNED: the returned
+    // union is lazy, so unpersisting here would drop the blocks before any
+    // action reads them — materialize the result, then release with
+    // result.sparkSession.catalog.clearCache() (or keep the session short).
     val qk = buildQueryTable(spark, queries, params).cache()
     targets.map(t => search(spark, queries, t, params, Some(qk)))
       .reduce(_.unionAll(_))

@@ -162,6 +162,12 @@ object SraInterop {
         kp.getFileSystem(cf).open(kp), 1 << 20))
       val iIn = new java.io.DataInputStream(new java.io.BufferedInputStream(
         ip.getFileSystem(cf).open(ip), 1 << 20))
+      // EOF closes the streams below, but a partially-consumed partition
+      // (downstream limit()) would leak them — mirror readEntries' listener
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          try kIn.close() finally iIn.close()
+        })
       new Iterator[Row] {
         private var current = 0L
         private var acc = 0L
@@ -296,6 +302,10 @@ object SraInterop {
         kOut.write(w & 0xff); kOut.write((w >> 8) & 0xff)
       }
       val id = r.getLong(1)
+      // the native _ids stream is uint32 — refuse to wrap rather than
+      // silently corrupt the exported index
+      require(id >= 0L && id <= 0xFFFFFFFFL,
+        s"seqId $id does not fit the reference table's uint32 id stream")
       iOut.write((id & 0xff).toInt); iOut.write(((id >> 8) & 0xff).toInt)
       iOut.write(((id >> 16) & 0xff).toInt); iOut.write(((id >> 24) & 0xff).toInt)
     }

@@ -45,7 +45,10 @@ object Curate {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     // cached: feeds BOTH the shingle pipeline and the final anti-join —
-    // uncached, the quality+dedup join chain replays per consumer
+    // uncached, the quality+dedup join chain replays per consumer. Lifetime
+    // is CALLER-OWNED (the returned frame is lazy; unpersisting here would
+    // evict before the caller's action): materialize, then clearCache() —
+    // or unpersist implicitly when the session ends.
     val exactDeduped = qualityDocs.join(keepers, Seq(idCol), "left_semi")
       .cache()
 

@@ -19,6 +19,44 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default hot-bucket cap for LSH candidate generation. A (band,bucket)
+    * group with b members emits b(b-1)/2 candidate pairs, so one
+    * template-heavy bucket (boilerplate pages, license headers) can go
+    * quadratic on its own — AQE can split the partition but cannot reduce
+    * the pair count. Groups larger than the cap are dropped wholesale,
+    * mirroring [[ngramJaccard]]'s maxDocFreq shingle cap: a bucket shared by
+    * >10k docs carries no near-dup signal worth n^2 work, and genuinely
+    * duplicated docs still collide in their other bands. 10k members is
+    * ~50M pairs per bucket — the largest group a single task should ever
+    * verify.
+    */
+  val DefaultMaxBucket: Int = 10000
+
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drop (key...) groups with more than `maxBucket` rows. Dropped volume is
+    * reported as an observed metric (`lsh_bucket_cap_N`: dropped_rows,
+    * max_bucket) — visible to QueryExecutionListeners and the UI at zero
+    * extra cost, since counting drops with a separate action would recompute
+    * the whole upstream pipeline. The size count is a window over the same
+    * keys the caller joins on, so the exchange is reused by the join.
+    */
+  private[ops] def capBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      banded
+        .withColumn("_bsz", count(lit(1)).over(w))
+        .observe(s"lsh_bucket_cap_${obsId.incrementAndGet()}",
+          sum(when(col("_bsz") > maxBucket, lit(1)).otherwise(lit(0)))
+            .as("dropped_rows"),
+          coalesce(max(col("_bsz")), lit(0L)).as("max_bucket"))
+        .filter(col("_bsz") <= maxBucket)
+        .drop("_bsz")
+    }
+
   /** Exact dedup by content hash: one keeper (min id) per distinct key.
     * Output: (key_hash, keeper_id, n_copies).
     */
@@ -70,21 +108,24 @@ object Dedup {
 
   /** LSH banding: group signature rows into bands of `rowsPerBand`, hash each
     * band, self-join band buckets -> candidate pairs (a < b). The join is
-    * bucket-local: no all-pairs blowup; AQE splits skewed buckets.
+    * bucket-local: no all-pairs blowup; AQE splits skewed buckets; buckets
+    * above `maxBucket` are dropped (see [[DefaultMaxBucket]]).
     */
-  def lshCandidates(sigRows: DataFrame, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sigRows: DataFrame, rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = sigRows
       .withColumn("band", ((col("seed") - 1) / rowsPerBand).cast("int"))
       .groupBy(col("id"), col("band"))
       .agg(md5(array_join(sort_array(collect_list(
         concat(col("seed").cast("string"), lit(":"), col("minhash")))), "|"))
         .as("bucket"))
-    bucketJoin(banded)
+    bucketJoin(banded, maxBucket)
   }
 
-  private def bucketJoin(banded: DataFrame): DataFrame = {
-    val l = banded.select(col("band"), col("bucket"), col("id").as("a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("b"))
+  private def bucketJoin(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    val l = capped.select(col("band"), col("bucket"), col("id").as("a"))
+    val r = capped.select(col("band"), col("bucket"), col("id").as("b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
@@ -97,7 +138,7 @@ object Dedup {
     * Semantically identical to minhash + lshCandidates' banding.
     */
   def minhashBanded(shingleRows: DataFrame, numHashes: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // digests hoisted into a projection BEFORE the aggregation: agg-input
     // expressions don't share subexpressions across aggregates, so without
     // this each of the 4 chunk-minimums would recompute its group's md5
@@ -121,7 +162,7 @@ object Dedup {
     val banded = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    bucketJoin(banded)
+    bucketJoin(banded, maxBucket)
   }
 
   /** Exact Jaccard over shingle sets for given candidate pairs:
@@ -151,9 +192,9 @@ object Dedup {
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 2, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleSize).cache()
-    val cands = minhashBanded(sh, numHashes, rowsPerBand)
+    val cands = minhashBanded(sh, numHashes, rowsPerBand, maxBucket)
     jaccard(cands, sh).filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -186,26 +227,43 @@ object Dedup {
       .select(col("qid"), col("tid"), col("nCommon"), col("jaccard"))
   }
 
-  /** 16-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes (4 hex digits of md5 = 16 bits), ties -> bit 0. Fully built-in:
-    * tokens explode once, bits via a constant 16-element sequence.
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes (first 16 hex digits of md5 = 64 bits, carried as two signed
+    * 32-bit halves so `conv` never overflows), ties -> bit 0. Fully
+    * built-in: tokens explode once, one partial-aggregating sum per bit.
+    *
+    * 64 bits matter at corpus scale: a 16-bit signature has only 65k
+    * distinct values, so Hamming-band buckets degenerate to ~n/2^bandWidth
+    * rows and the candidate join goes quadratic. 64-bit signatures give
+    * (maxHamming+1) bands of ~64/(h+1) bits each — at h=3 that is 16-bit
+    * bands with 65k bucket values PER BAND, which keeps buckets small.
     */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val h = tok.withColumn("h16",
-      conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-    // single shuffle: one partial-aggregating sum per bit (no 16x explode);
+    // digest hoisted into a projection once; two 32-bit halves because
+    // conv() of 16 hex chars would overflow signed 64-bit for half the space
+    val h = tok
+      .select(col("id"), md5(col("tok")).as("dg"))
+      .select(col("id"),
+        conv(substring(col("dg"), 1, 8), 16, 10).cast("long").as("hhi"),
+        conv(substring(col("dg"), 9, 8), 16, 10).cast("long").as("hlo"))
+    // single shuffle: one partial-aggregating sum per bit (no 64x explode);
     // majority vote of (+-1) == 2*sum(bit) - count > 0
-    val bitSums = (0 until 16).map(b =>
-      sum(expr(s"(h16 >> $b) & 1")).as(s"b$b"))
+    val bitSums = (0 until 64).map { b =>
+      val src = if (b < 32) s"(hlo >> $b)" else s"(hhi >> ${b - 32})"
+      sum(expr(s"$src & 1")).as(s"b$b")
+    }
     val aggCols = count(lit(1)).as("n") +: bitSums
     val agg = h.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*)
-    val hash = (0 until 16).map(b =>
-      when(col(s"b$b") * 2 - col("n") > 0, lit(1 << b)).otherwise(lit(0)))
+    // bits 0..62 sum to at most Long.MaxValue and the bit-63 term
+    // (Long.MinValue) is added last, so the signed sum never overflows and
+    // lands on exactly the two's-complement 64-bit signature
+    val hash = (0 until 64).map(b =>
+      when(col(s"b$b") * 2 - col("n") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    agg.select(col("id"), hash.cast("int").as("simhash"))
+    agg.select(col("id"), hash.as("simhash"))
   }
 
   /** Apply near-dup pairs to a corpus: greedy keep-lowest-id — every doc
@@ -266,13 +324,18 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components() hit maxIter=$maxIter before the label fixpoint — " +
+          "clusters with diameter > maxIter are returned split; rerun with " +
+          "a larger maxIter for full transitive closure")
     p.unpersist()
     edges.unpersist()
     labels.select(col("node"), col("label").as("component"))
   }
 
   /** SimHash near-dup pairs: query subset vs corpus, Hamming distance <=
-    * maxHamming over the 16-bit signatures.
+    * maxHamming over the 64-bit signatures.
     *
     * Scale shape: (maxHamming+1)-band pigeonhole bucketing, the same LSH
     * cascade as [[lshCandidates]]. If two signatures differ in at most
@@ -283,15 +346,17 @@ object Dedup {
     * (pigeonhole), so the result set is identical to the brute-force join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      queryPred: Column, maxHamming: Int, bits: Int = 16): DataFrame = {
-    val sig = simhash16(df, idCol, textCol)
+      queryPred: Column, maxHamming: Int, bits: Int = 64): DataFrame = {
+    val sig = simhash64(df, idCol, textCol)
     val nBands = maxHamming + 1
     // band i covers bits [i*bits/nBands, (i+1)*bits/nBands) — widths differ
-    // by at most 1; all `bits` bits are covered exactly once
+    // by at most 1; all `bits` bits are covered exactly once. shiftright is
+    // arithmetic, but the mask kills the sign-extended high bits, so band
+    // values are the true bit slices even for negative signatures.
     val bounds = (0 to nBands).map(i => i * bits / nBands)
     val bandCols = (0 until nBands).map { i =>
       val lo = bounds(i)
-      val mask = (1 << (bounds(i + 1) - lo)) - 1
+      val mask = (1L << (bounds(i + 1) - lo)) - 1
       struct(lit(i).as("band"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bval"))
     }

@@ -105,30 +105,45 @@ object DedupQueries {
       FROM nodes n JOIN reach r ON r.a = n.node
       GROUP BY n.node ORDER BY doc_id"""))
 
+  /** Shared DuckDB CTE chain: 64-bit SimHash signatures (two 32-bit md5
+    * halves — BIGINT-safe — with the bit-63 weight spelled as MinValue so no
+    * shift ever overflows). Callers prefix `WITH `.
+    */
+  private val duckSimhash64 = """
+    tok AS (
+      SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      FROM documents),
+    h AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hhi,
+             CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS hlo
+      FROM tok WHERE length(tok) > 0),
+    bits AS (
+      SELECT id, hhi, hlo, unnest(generate_series(0, 63)) AS bit FROM h),
+    votes AS (
+      SELECT id, bit,
+             SUM(((CASE WHEN bit < 32 THEN hlo >> CAST(bit AS INT)
+                        ELSE hhi >> CAST(bit - 32 AS INT) END) & 1) * 2 - 1)
+               AS votes
+      FROM bits GROUP BY 1, 2),
+    sig AS (
+      SELECT id,
+             CAST(SUM(CASE WHEN votes <= 0 THEN 0
+                           WHEN bit = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                           ELSE (CAST(1 AS BIGINT) << CAST(bit AS INT)) END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY 1)"""
+
   val dedupSimhash = Q(
     "dedup_simhash",
     (s, d) => {
-      Dedup.simhash16(T.documents(s, d), "doc_id", "text")
+      Dedup.simhash64(T.documents(s, d), "doc_id", "text")
         .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))
     },
-    Some("""
-      WITH tok AS (
-        SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\s+')) AS tok
-        FROM documents),
-      h AS (
-        SELECT id, CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS h16
-        FROM tok WHERE length(tok) > 0),
-      bits AS (
-        SELECT id, h16, unnest(generate_series(0, 15)) AS bit FROM h),
-      votes AS (
-        SELECT id, bit,
-               SUM(((h16 >> CAST(bit AS INT)) & 1) * 2 - 1) AS votes
-        FROM bits GROUP BY 1, 2)
-      SELECT id AS doc_id,
-             CAST(SUM(CASE WHEN votes > 0
-                           THEN (1 << CAST(bit AS INT)) ELSE 0 END) AS INT) AS simhash
-      FROM votes GROUP BY 1 ORDER BY 1"""))
+    Some(s"""
+      WITH $duckSimhash64
+      SELECT id AS doc_id, simhash FROM sig ORDER BY 1"""))
 
   val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
@@ -165,23 +180,8 @@ object DedupQueries {
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("a"), col("b"))
     },
-    Some("""
-      WITH tok AS (
-        SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\s+')) AS tok
-        FROM documents),
-      h AS (
-        SELECT id, CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS h16
-        FROM tok WHERE length(tok) > 0),
-      bits AS (
-        SELECT id, h16, unnest(generate_series(0, 15)) AS bit FROM h),
-      votes AS (
-        SELECT id, bit,
-               SUM(((h16 >> CAST(bit AS INT)) & 1) * 2 - 1) AS votes
-        FROM bits GROUP BY 1, 2),
-      sig AS (
-        SELECT id, CAST(SUM(CASE WHEN votes > 0
-                          THEN (1 << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-        FROM votes GROUP BY 1)
+    Some(s"""
+      WITH $duckSimhash64
       SELECT q.id AS a, c.id AS b,
              CAST(bit_count(xor(q.simhash, c.simhash)) AS INT) AS hamming
       FROM sig q JOIN sig c ON q.id < c.id

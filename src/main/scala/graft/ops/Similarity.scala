@@ -180,6 +180,10 @@ object Similarity {
     */
   def srpBanded(corpus: DataFrame, nProj: Int, rowsPerBand: Int,
       dims: Int): DataFrame = {
+    // a non-divisible nProj would silently ignore the trailing projections
+    // (nBands floors), quietly reducing recall vs the requested config
+    require(nProj % rowsPerBand == 0,
+      s"nProj ($nProj) must be a multiple of rowsPerBand ($rowsPerBand)")
     val bits = (0 until nProj).map(p =>
       when(srpProj(col("embedding"), p, dims) > 0, lit(1)).otherwise(lit(0))
         .as(s"bit$p"))
@@ -205,14 +209,18 @@ object Similarity {
     * `localCheckpoint` truncates lineage. Returns (vec_id, label).
     */
   def kmeans(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    // seed labels = rank of vec_id among the k chosen rows. Computed via a
+    // single-row collect_list + posexplode rather than an unpartitioned
+    // row_number window: k rows make the window harmless, but WindowExec
+    // still logs a move-everything-to-one-partition warning on every run
     var cents = corpus
       .withColumn("hk", md5(col("vec_id").cast("string")))
       .orderBy(col("hk"), col("vec_id")).limit(k)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("label",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("vec_id"))) - 1).cast("int"))
-      .select(col("label"), col("embedding").as("centroid"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("seeds"))
+      .select(posexplode(col("seeds")).as(Seq("label", "ve")))
+      .select(col("label").cast("int").as("label"),
+        col("ve.embedding").as("centroid"))
       .localCheckpoint()
     val c = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("vn"))
@@ -302,8 +310,11 @@ object Similarity {
     */
   def embeddingNearDup(corpus: DataFrame, queryPred: Column,
       threshold: Double, nProj: Int = 8, rowsPerBand: Int = 2,
-      dims: Int = 64): DataFrame = {
-    val banded = srpBanded(corpus, nProj, rowsPerBand, dims)
+      dims: Int = 64, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // hot-bucket cap: SRP buckets of near-constant vectors (zero embeddings,
+    // template pages) would otherwise emit quadratic candidate pairs
+    val banded = Dedup.capBuckets(
+      srpBanded(corpus, nProj, rowsPerBand, dims), Seq("band", "bval"), maxBucket)
     val cand = banded.filter(queryPred)
       .select(col("vec_id").as("a"), col("band"), col("bval"))
       .join(banded.select(col("vec_id").as("b"), col("band"), col("bval")),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming near-duplicate detection — the streaming face of
-  * `ops.Dedup.simhashPairs`: per-row 16-bit SimHash, (maxHamming+1)-band
+  * `ops.Dedup.simhashPairs`: per-row 64-bit SimHash, (maxHamming+1)-band
   * pigeonhole bucketing (same exact-recall scheme as batch), and per-bucket
   * state holding the signatures seen so far. A new document emits one
   * NearDupHit per stored bucket-mate within the Hamming radius.
@@ -18,41 +18,46 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object DedupStream {
 
   final case class DocRow(doc_id: Long, text: String)
-  final case class BandRow(band: Int, bval: Int, doc_id: Long, sig: Int)
+  final case class BandRow(band: Int, bval: Long, doc_id: Long, sig: Long)
   final case class NearDupHit(a: Long, b: Long, hamming: Int)
 
-  /** Per-row 16-bit SimHash, value-identical to `ops.Dedup.simhash16`'s
-    * grouped formulation: token h16 = first 4 hex chars of md5, per-bit
-    * majority vote of ±1, ties -> 0. Plain Scala so it runs inside typed
-    * streaming maps without a groupBy (streaming aggs would need their own
-    * watermark/output-mode machinery).
+  /** Per-row 64-bit SimHash, value-identical to `ops.Dedup.simhash64`'s
+    * grouped formulation: token hash = first 16 hex chars of md5 (= high 8
+    * digest bytes, big-endian), per-bit majority vote of ±1, ties -> 0.
+    * Plain Scala so it runs inside typed streaming maps without a groupBy
+    * (streaming aggs would need their own watermark/output-mode machinery).
     */
-  def simhash16Value(text: String): Int = {
+  def simhash64Value(text: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val votes = new Array[Int](16)
+    val votes = new Array[Int](64)
     text.split("\\s+").iterator.filter(_.nonEmpty).foreach { tok =>
       val d = md.digest(tok.getBytes("UTF-8"))
-      // first 4 hex chars == high 2 bytes of the digest
-      val h16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      // first 16 hex chars == high 8 bytes of the digest, big-endian
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
       var b = 0
-      while (b < 16) {
-        votes(b) += (if (((h16 >> b) & 1) == 1) 1 else -1)
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
         b += 1
       }
     }
-    (0 until 16).map(b => if (votes(b) > 0) 1 << b else 0).sum
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
   }
 
   /** Pigeonhole band rows for a signature (same bounds as the batch
-    * operator: band i covers bits [i*16/nb, (i+1)*16/nb)).
+    * operator: band i covers bits [i*64/nb, (i+1)*64/nb)).
     */
-  def bandRows(docId: Long, sig: Int, maxHamming: Int): Seq[BandRow] = {
+  def bandRows(docId: Long, sig: Long, maxHamming: Int): Seq[BandRow] = {
     val nb = maxHamming + 1
-    val bounds = (0 to nb).map(i => i * 16 / nb)
+    val bounds = (0 to nb).map(i => i * 64 / nb)
     (0 until nb).map { i =>
       val lo = bounds(i)
-      val mask = (1 << (bounds(i + 1) - lo)) - 1
-      BandRow(i, (sig >> lo) & mask, docId, sig)
+      val mask = (1L << (bounds(i + 1) - lo)) - 1
+      BandRow(i, (sig >>> lo) & mask, docId, sig)
     }
   }
 
@@ -64,17 +69,17 @@ object DedupStream {
   def nearDupPairs(docs: Dataset[DocRow], maxHamming: Int): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     docs
-      .flatMap(d => bandRows(d.doc_id, simhash16Value(d.text), maxHamming))
+      .flatMap(d => bandRows(d.doc_id, simhash64Value(d.text), maxHamming))
       .groupByKey(r => (r.band, r.bval))
-      .flatMapGroupsWithState[List[(Long, Int)], NearDupHit](
+      .flatMapGroupsWithState[List[(Long, Long)], NearDupHit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[List[(Long, Int)]]) =>
+        case (_, rows, state: GroupState[List[(Long, Long)]]) =>
           var seen = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
           rows.toSeq.sortBy(_.doc_id).foreach { r =>
             seen.foreach { case (oid, osig) =>
               if (oid != r.doc_id) {
-                val ham = Integer.bitCount(osig ^ r.sig)
+                val ham = java.lang.Long.bitCount(osig ^ r.sig)
                 if (ham <= maxHamming)
                   out += NearDupHit(math.min(oid, r.doc_id),
                     math.max(oid, r.doc_id), ham)

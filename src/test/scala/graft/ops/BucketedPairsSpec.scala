@@ -34,12 +34,12 @@ class BucketedPairsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
 
     // brute force straight from the signatures
-    val sig = Dedup.simhash16(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sig = Dedup.simhash64(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val brute = (for {
       a <- sig.keys if a % 3 == 0
       b <- sig.keys if a < b
-      h = Integer.bitCount(sig(a) ^ sig(b)) if h <= 4
+      h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= 4
     } yield (a, b, h)).toSeq.sorted
 
     assert(banded.toSeq == brute)
@@ -79,6 +79,51 @@ class BucketedPairsSpec extends AnyFunSuite {
     assert(bucketed.subsetOf(exact))
     val recall = bucketed.size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall (${bucketed.size}/${exact.size})")
+  }
+
+  test("hot-bucket cap bounds LSH candidate volume on a template corpus") {
+    // 200 byte-identical template docs: every band bucket they share has 200
+    // members -> 200*199/2 candidate pairs PER BAND uncapped. The cap drops
+    // those buckets wholesale; the genuine near-dup pair living in its own
+    // small buckets must survive.
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val hot = (0L until 200L).map(i => (i, template))
+    val a = (1000L, "unique alpha beta gamma delta epsilon zeta eta theta")
+    val b = (1001L, "unique alpha beta gamma delta epsilon zeta eta iota")
+    val docs = (hot :+ a :+ b).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 2).cache()
+
+    val uncapped = Dedup.minhashBanded(sh, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 200 * 199 / 2) // the quadratic blowup is real
+
+    val capped = Dedup.minhashBanded(sh, 8, 2, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly the uncapped pairs that avoid the hot buckets: candidate
+    // volume is bounded by cap^2 per bucket, and real near-dups survive
+    assert(capped == uncapped.filter { case (x, _) => x >= 1000L })
+    assert(capped.contains((1000L, 1001L)))
+  }
+
+  test("embeddingNearDup hot-bucket cap drops degenerate SRP buckets") {
+    val dims = 16
+    // 100 identical vectors: identical SRP bits in every band
+    val hot = (0L until 100L).map(i => (i, Array.fill(dims)(1.0)))
+    val rnd = new scala.util.Random(3)
+    val v = Array.fill(dims)(rnd.nextGaussian())
+    val pair = Seq((2000L, v), (2001L, v.map(_ * 1.000001)))
+    val emb = (hot ++ pair).toDF("vec_id", "embedding")
+
+    val uncapped = Similarity.embeddingNearDup(emb, lit(true), 0.99,
+      nProj = 8, rowsPerBand = 2, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 100 * 99 / 2)
+
+    val capped = Similarity.embeddingNearDup(emb, lit(true), 0.99,
+      nProj = 8, rowsPerBand = 2, dims = dims, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped.filter { case (x, _) => x >= 2000L })
+    assert(capped.contains((2000L, 2001L)))
   }
 
   test("components: chains merge transitively, separate clusters stay apart") {

@@ -50,10 +50,10 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("simhash: identical texts get identical hashes; hamming near for near-dups") {
-    val h = Dedup.simhash16(docs, "doc_id", "text")
-      .as[(Long, Int)].collect().toMap
+    val h = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
     assert(h(0L) == h(3L))
-    def ham(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)))
   }
 

@@ -52,11 +52,11 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
         r.getAs[Number](2).intValue)).toSet
 
     // per-row simhash must equal the grouped batch formulation
-    val batchSigs = graft.ops.Dedup.simhash16(
+    val batchSigs = graft.ops.Dedup.simhash64(
       docs.toDF("doc_id", "text"), "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     docs.foreach(d =>
-      assert(DedupStream.simhash16Value(d.text) == batchSigs(d.doc_id)))
+      assert(DedupStream.simhash64Value(d.text) == batchSigs(d.doc_id)))
 
     // stream in two micro-batches through MemoryStream
     implicit val sqlCtx = spark.sqlContext
