@@ -14,7 +14,15 @@
 set -euo pipefail
 
 REF=${REF:-/root/reference}
-BUILD=${BUILD:-/tmp/srasearch_build}
+# ASAN=1 builds an AddressSanitizer binary into its own build dir — the
+# sandbox has no gdb, so ASan reports are the debugging story.
+if [ "${ASAN:-0}" = 1 ]; then
+  BUILD=${BUILD:-/tmp/srasearch_asan}
+  EXTRA_FLAGS=(-fsanitize=address -g -O1)
+else
+  BUILD=${BUILD:-/tmp/srasearch_build}
+  EXTRA_FLAGS=()
+fi
 JOBS=${JOBS:-$(nproc)}
 GEN=$BUILD/generated
 OBJ=$BUILD/obj
@@ -39,6 +47,14 @@ for f in "$REF"/lib/mmseqs/data/* \
   case "$f" in */CMakeLists.txt) continue ;; esac
   [ -f "$f" ] && gen_header "$f"
 done
+# K4000.crf (context-library for CSProfile) is referenced by the vendored
+# CMake but absent from the vendored tree; the sra tools never call
+# CSProfile, so an empty payload satisfies the compile. A runtime use would
+# fail loudly at parse, not silently.
+if [ ! -f "$GEN/K4000.crf.h" ]; then
+  printf 'static const unsigned char K4000_crf[] = {0};\nstatic const unsigned int K4000_crf_len = 0;\n' \
+    > "$GEN/K4000.crf.h"
+fi
 
 # ------------------------------------------------------------ 2. block-aligner
 if [ ! -f "$BUILD/libblock_aligner_c.a" ]; then
@@ -71,7 +87,10 @@ INCS=(
   -I"$MM/src/workflow"
   -I"$MM/lib" -I"$MM/lib/simd" -I"$MM/lib/alp" -I"$MM/lib/cacode"
   -I"$MM/lib/ksw2" -I"$MM/lib/microtar" -I"$MM/lib/tinyexpr"
-  -I"$MM/lib/gzstream" -I"$MM/lib/omptl" -I"$MM/lib/base64"
+  # NOTE: lib/omptl must NOT be an include dir — it contains a file named
+  # `algorithm` that would shadow the standard <algorithm> header; sources
+  # reach it as <omptl/...> through the -I lib root instead
+  -I"$MM/lib/gzstream" -I"$MM/lib/base64"
   -I"$MM/lib/xxhash" -I"$MM/lib/ips4o" -I"$MM/lib/simde"
   -I"$BUILD/zstd/lib"
 )
@@ -83,12 +102,13 @@ DEFS=(
   -DGIT_SHA1=hand-built
 )
 CXXFLAGS=(-O2 -march=native -fsigned-char -fopenmp -fno-exceptions
-  -std=c++14 -w "${DEFS[@]}" "${INCS[@]}")
+  -std=c++14 -w "${DEFS[@]}" "${INCS[@]}" "${EXTRA_FLAGS[@]}")
 # alp/cacode/ksw2 are separate CMake object libs: they do NOT inherit the
 # framework's -fno-exceptions (alp throws)
 CXXFLAGS_EXC=(-O2 -march=native -fsigned-char -fopenmp
-  -std=c++14 -w "${DEFS[@]}" "${INCS[@]}")
-CFLAGS=(-O2 -march=native -fsigned-char -fopenmp -w "${DEFS[@]}" "${INCS[@]}")
+  -std=c++14 -w "${DEFS[@]}" "${INCS[@]}" "${EXTRA_FLAGS[@]}")
+CFLAGS=(-O2 -march=native -fsigned-char -fopenmp -w "${DEFS[@]}" "${INCS[@]}"
+  "${EXTRA_FLAGS[@]}")
 
 SRCS_CPP=()
 # mmseqs framework (everything CMake's per-dir lists collect, minus mains/tests)
@@ -97,15 +117,20 @@ while IFS= read -r f; do SRCS_CPP+=("$f"); done < <(
        "$MM/src/linclust" "$MM/src/multihit" "$MM/src/prefiltering" \
        "$MM/src/taxonomy" "$MM/src/util" "$MM/src/workflow" \
        -name '*.cpp' | sort)
-SRCS_CPP+=("$MM/src/MMseqsBase.cpp" "$MM/src/version/Version.cpp")
-# bundled object libs compiled into the framework
+# NOT mmseqs's src/version/Version.cpp: srasearch links its own version
+# object (reference src/version) and the two define the same symbol
+SRCS_CPP+=("$MM/src/MMseqsBase.cpp")
+# bundled object libs compiled into the framework. cacode's
+# lambda_calculator.cpp textually #includes its siblings (nrutil.cpp etc.),
+# so compile ONLY that TU or symbols double up at link time.
 while IFS= read -r f; do SRCS_CPP+=("$f"); done < <(
-  find "$MM/lib/alp" "$MM/lib/cacode" "$MM/lib/ksw2" -name '*.cpp' | sort)
+  find "$MM/lib/alp" "$MM/lib/ksw2" -name '*.cpp' | sort)
+SRCS_CPP+=("$MM/lib/cacode/lambda_calculator.cpp")
 # reference sources
 while IFS= read -r f; do SRCS_CPP+=("$f"); done < <(
   find "$REF/src/commons" "$REF/src/sra" "$REF/src/workflow" \
        -name '*.cpp' | sort)
-SRCS_CPP+=("$REF/src/version/Version.cpp" "$REF/srasearch.cpp")
+SRCS_CPP+=("$REF/src/version/Version.cpp" "$REF/src/srasearch.cpp")
 
 SRCS_C=("$MM/lib/microtar/microtar.c" "$MM/lib/tinyexpr/tinyexpr.c")
 
@@ -140,8 +165,18 @@ printf '%s\n' "${SRCS_CPP[@]}" "${SRCS_C[@]}" \
   | xargs -P "$JOBS" -I{} bash -c 'compile_one_sh "$@"' _ {}
 
 # --------------------------------------------------------------------- 5. link
+# Link order matters: srasearch.cpp's static init (LocalParameters) MUST run
+# before MMseqsBase.cpp's `Parameters::getInstance()` or the singleton comes
+# up as the BASE class and every LocalParameters member is garbage (CMake
+# gets this for free: executable objects precede the framework archive).
 log "linking srasearch"
-g++ -O2 -fopenmp -o "$BUILD/srasearch" "$OBJ"/*.o \
+REF_OBJS=("$OBJ"/_root_reference_src_*.o)
+MM_OBJS=()
+for o in "$OBJ"/*.o; do
+  case "$o" in "$OBJ"/_root_reference_src_*) ;; *) MM_OBJS+=("$o") ;; esac
+done
+g++ -O2 -fopenmp "${EXTRA_FLAGS[@]}" -o "$BUILD/srasearch" \
+  "${REF_OBJS[@]}" "${MM_OBJS[@]}" \
   "$BUILD/libblock_aligner_c.a" "$BUILD/libzstd.a" \
   -lz -lbz2 -latomic -lpthread -ldl -lm
 log "OK: $BUILD/srasearch"

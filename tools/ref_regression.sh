@@ -1,0 +1,51 @@
+#!/usr/bin/env bash
+# Differential m8 regression: our engine vs the reference srasearch binary
+# on the bundled Cas7-11 fixture (the reference's own regression style:
+# end-to-end m8 compare, cf. /root/reference/.github/workflows/build.yml).
+#
+# Usage: tools/ref_regression.sh [workdir]
+#   1. builds the reference binary if missing (tools/build_reference.sh)
+#   2. runs the reference pipeline: createdb (query) + convert2sradb (target)
+#      -> createkmertable -> comparekmertables -> blockalign -> convertsraalis
+#   3. runs our engine: graft.tools.EasyPetasearch on the same FASTA
+#   4. tools/ref_regression.py writes the per-line diff report
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+W=${1:-/tmp/ref_regression}
+S=${SRASEARCH_BIN:-/tmp/srasearch_build/srasearch}
+mkdir -p "$W"
+
+if [ ! -x "$S" ]; then
+  echo "[ref_regression] building reference binary"
+  bash tools/build_reference.sh
+fi
+
+# fixture: the bundled Cas7-11 MSA, degapped (same recipe as bio_selfsearch_m8)
+FA="$W/cas711.fa"
+awk '/^>/{print; next} {gsub(/[-.]/, ""); print}' \
+  src/main/resources/MSA_Cas7-11_multiline.fa > "$FA"
+
+echo "[ref_regression] running reference pipeline"
+R="$W/ref"; rm -rf "$R"; mkdir -p "$R"
+# query side is a standard mmseqs DB; target side the SRA-DB + k-mer table
+"$S" createdb "$FA" "$R/qdb" -v 1 >/dev/null 2>&1
+echo "$FA" > "$R/tlist"
+"$S" convert2sradb "$R/tlist" "$R/tdb" -v 1 >/dev/null 2>&1
+"$S" createkmertable "$R/tdb" "$R/ttable" -k 9 --spaced-kmer-mode 0 -v 1 >/dev/null 2>&1
+printf '%s\t%s\n' "$R/ttable" "$R/tdb" > "$R/targets.tsv"
+printf '%s\n' "$R/cmp0" > "$R/results.tsv"
+"$S" comparekmertables "$R/qdb" "$R/targets.tsv" "$R/results.tsv" \
+  -k 9 --spaced-kmer-mode 0 -v 1 >/dev/null 2>&1
+"$S" blockalign "$R/qdb" "$R/tdb" "$R/cmp0" "$R/alis" -e 1000 -v 1 >/dev/null 2>&1
+"$S" convertsraalis "$R/qdb" "$R/tdb" "$R/alis" "$R/out.m8" -v 1 >/dev/null 2>&1
+echo "[ref_regression] reference: $(wc -l < "$R/out.m8") m8 lines"
+
+echo "[ref_regression] running our engine"
+rm -rf "$W/ours_out"
+sbt -batch "runMain graft.tools.EasyPetasearch $FA $FA $W/ours_out" >/dev/null 2>&1
+OURS=$(find "$W/ours_out" -name 'part*.csv' | head -1)
+echo "[ref_regression] ours: $(wc -l < "$OURS") m8 lines"
+
+python3 tools/ref_regression.py "$OURS" "$R/out.m8" "$W/report.md"
+echo "[ref_regression] report: $W/report.md"
