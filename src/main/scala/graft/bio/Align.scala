@@ -168,7 +168,7 @@ object Align {
       eval = evalFinal, qStart = qStart, qEnd = qEndExcl - 1, qLen = q.length,
       tStart = tStart, tEnd = tEndExcl - 1, tLen = t.length,
       backtrace = bt.toString, alnLen = alnLen, mismatch = mismatch,
-      gapOpen = gapOpenCount))
+      gapOpen = gapOpenCount, raw = score))
   }
 
   final case class PairRowProf(

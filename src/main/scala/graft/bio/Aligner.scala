@@ -26,7 +26,8 @@ object Aligner {
   final case class AlnResult(
       queryId: Long, targetId: Long, bits: Int, fident: Double, eval: Double,
       qStart: Int, qEnd: Int, qLen: Int, tStart: Int, tEnd: Int, tLen: Int,
-      backtrace: String, alnLen: Int, mismatch: Int, gapOpen: Int)
+      backtrace: String, alnLen: Int, mismatch: Int, gapOpen: Int,
+      raw: Int)
 
   // ---------------------------------------------------------------- sorting
 

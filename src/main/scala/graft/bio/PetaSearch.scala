@@ -63,35 +63,58 @@ object PetaSearch {
   /** C12: project the gapped alignment strings from the backtrace
     * (`src/sra/convertsraalignments.cpp:59-87`): 'M' consumes both sides,
     * 'I' consumes query (gap in target), 'D' consumes target (gap in query).
+    * `reverseStrand` replicates the printer's `isReverseStrand` walk: start
+    * at the (larger) start coordinate, step BACKWARD, complement each base
+    * (`Orf::complement`) — used for the target side of minus-strand
+    * nucleotide hits, where tstart > tend.
     */
   def alignedString(seq: String, start: Int, backtrace: String,
-      querySide: Boolean): String = {
+      querySide: Boolean, reverseStrand: Boolean = false): String = {
+    def complement(c: Char): Char = c match {
+      case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+      case 'a' => 't'; case 'c' => 'g'; case 'g' => 'c'; case 't' => 'a'
+      case other => other
+    }
     val sb = new StringBuilder(backtrace.length)
+    val step = if (reverseStrand) -1 else 1
+    def ch(pos: Int): Char =
+      if (reverseStrand) complement(seq(pos)) else seq(pos)
     var pos = start
     backtrace.foreach {
-      case 'M' => sb += seq(pos); pos += 1
-      case 'I' => if (querySide) { sb += seq(pos); pos += 1 } else sb += '-'
-      case 'D' => if (querySide) sb += '-' else { sb += seq(pos); pos += 1 }
+      case 'M' => sb += ch(pos); pos += step
+      case 'I' => if (querySide) { sb += ch(pos); pos += step } else sb += '-'
+      case 'D' => if (querySide) sb += '-' else { sb += ch(pos); pos += step }
       case _ =>
     }
     sb.toString
   }
 
-  /** Custom-column m8 (`--format-output`,
-    * `lib/mmseqs/src/commons/Parameters.cpp:2318` column vocabulary subset).
-    * Supported: query target fident alnlen mismatch gapopen qstart qend
-    * tstart tend evalue bits qlen tlen qcov tcov cigar qaln taln qseq tseq.
+  /** Custom-column m8 (`--format-output`): the COMPLETE vocabulary of the
+    * reference printer (`src/sra/convertsraalignments.cpp:27-57,324-449`):
+    * query target fident pident nident alnlen mismatch gapopen qstart qend
+    * tstart tend evalue bits raw qlen tlen qcov tcov cigar qaln taln qseq
+    * tseq qheader theader qset tset qorfstart qorfend torfstart torfend
+    * empty qframe tframe.
+    *
+    * Reference-parity notes: qframe/tframe are in the reference's
+    * documentation block but have NO case in its printer switch, so it
+    * emits an empty field — replicated. qorfstart/... come from the
+    * alignment record's ORF fields, which the srasearch pipeline never sets
+    * (no ORF-translated search) — emitted as the mmseqs unset value (-1).
+    * qset/tset map sequences to their source set: 0 for the single query
+    * set; the target-DB fan-out id (`dbId`) when present, else 0.
     */
   def toM8Custom(alignments: DataFrame, queries: DataFrame, targets: DataFrame,
       columns: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Column
     val qalnUdf = udf((s: String, st: Int, bt: String) => alignedString(s, st, bt, querySide = true))
-    val talnUdf = udf((s: String, st: Int, bt: String) => alignedString(s, st, bt, querySide = false))
+    val talnUdf = udf((s: String, st: Int, bt: String, rev: Boolean) =>
+      alignedString(s, st, bt, querySide = false, reverseStrand = rev))
     val joined = alignments
       .join(queries.select(col("seqId").as("queryId"), col("name").as("_qname"),
-        col("seq").as("_qseq")), Seq("queryId"))
+        col("header").as("_qheader"), col("seq").as("_qseq")), Seq("queryId"))
       .join(targets.select(col("seqId").as("targetId"), col("name").as("_tname"),
-        col("seq").as("_tseq")), Seq("targetId"))
+        col("header").as("_theader"), col("seq").as("_tseq")), Seq("targetId"))
     def colFor(name: String): Column = (name match {
       case "query" => col("_qname")
       case "target" => col("_tname")
@@ -107,14 +130,34 @@ object PetaSearch {
       case "bits" => col("bits")
       case "qlen" => col("qLen")
       case "tlen" => col("tLen")
-      // C8 coverage (SmithWaterman::computeCov: (end-start+1)/len)
-      case "qcov" => round((col("qEnd") - col("qStart") + 1).cast("double") / col("qLen"), 3)
-      case "tcov" => round((col("tEnd") - col("tStart") + 1).cast("double") / col("tLen"), 3)
+      // C8 coverage (SmithWaterman::computeCov: (end-start+1)/len; abs like
+      // convertsraalignments' abs(dbEndPos - dbStartPos) — minus-strand
+      // rows carry tstart > tend)
+      case "qcov" => round((abs(col("qEnd") - col("qStart")) + 1).cast("double") / col("qLen"), 3)
+      case "tcov" => round((abs(col("tEnd") - col("tStart")) + 1).cast("double") / col("tLen"), 3)
       case "cigar" => col("backtrace")
       case "qaln" => qalnUdf(col("_qseq"), col("qStart"), col("backtrace"))
-      case "taln" => talnUdf(col("_tseq"), col("tStart"), col("backtrace"))
+      case "taln" => talnUdf(col("_tseq"), col("tStart"), col("backtrace"),
+        col("tStart") > col("tEnd"))
       case "qseq" => col("_qseq")
       case "tseq" => col("_tseq")
+      // pident = fident * 100 (convertsraalignments.cpp:342 SSTR(seqId*100))
+      case "pident" => format_string("%.3f", col("fident") * 100)
+      // nident = identical columns; fident was identical/alnLen exactly
+      case "nident" => round(col("fident") * col("alnLen")).cast("int")
+      // raw SW score (the printer re-derives it from bits; we carry it)
+      case "raw" => col("raw")
+      case "qheader" => col("_qheader")
+      case "theader" => col("_theader")
+      case "qset" => lit(0)
+      case "tset" =>
+        if (joined.columns.contains("dbId")) col("dbId") else lit(0)
+      // never set by the srasearch pipeline (no ORF-translated search)
+      case "qorfstart" | "qorfend" | "torfstart" | "torfend" => lit(-1)
+      // documented in the reference header comment but absent from its
+      // printer switch -> empty field
+      case "qframe" | "tframe" => lit("")
+      case "empty" => lit("-")
       case other => throw new IllegalArgumentException(s"unknown outfmt column $other")
     }).as(name)
     joined
@@ -136,6 +179,54 @@ object PetaSearch {
     val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
     Align.run(spark, pf, queries, targets, params.evalThr, params.xdrop,
       params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel, params.k)
+  }
+
+  /** Reverse complement of a nucleotide sequence column — codegen'd
+    * built-ins only (translate + reverse), no UDF in the scan path.
+    */
+  def revComp(seq: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    reverse(translate(seq, "ACGTacgt", "TGCAtgca"))
+
+  /** Nucleotide search over BOTH strands. The reference only supports the
+    * reverse strand at the OUTPUT layer (`convertsraalignments.cpp:59-87`
+    * walks the target backward through `Orf::complement` when an alignment
+    * record arrives with dbStartPos > dbEndPos) — its search pipeline never
+    * generates such records, so minus-strand homology is invisible to it.
+    * Here the query k-mer table is built a second time over the
+    * reverse-complemented queries (one extra scan; the target index is
+    * built and probed ONCE and reused by both strands), and minus-strand
+    * hits are mapped back to the m8 minus convention: query coordinates
+    * forward ascending, tstart > tend, backtrace reversed.
+    */
+  def searchBothStrands(spark: SparkSession, queries: DataFrame,
+      targets: DataFrame,
+      params: Params = Params(mode = SearchMode.Nucleotide)): DataFrame = {
+    val index = KmerIndex.buildWithPos(targets, params.k, params.mode.kmerAlphabet)
+      .cache()
+    def oneStrand(qs: DataFrame): DataFrame = {
+      val qk = buildQueryTable(spark, qs, params)
+      val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
+      Align.run(spark, pf, qs, targets, params.evalThr, params.xdrop,
+        params.mode.gaps, params.mode.alignMatrix, params.mode.gumbel, params.k)
+    }
+    val plus = oneStrand(queries).withColumn("strand", lit("+"))
+    val rcQueries = queries.withColumn("seq", revComp(col("seq")))
+    // alignment of revcomp(q) vs t == minus-strand hit of q: flip the query
+    // coordinates back to the forward frame (0-based: L-1-pos) and swap the
+    // target ends; reversing the alignment direction reverses the backtrace
+    // (M stays M, I/D keep their sides)
+    val minus = oneStrand(rcQueries)
+      .withColumn("_qs", col("qLen") - 1 - col("qEnd"))
+      .withColumn("qEnd", col("qLen") - 1 - col("qStart"))
+      .withColumn("qStart", col("_qs"))
+      .drop("_qs")
+      .withColumn("_ts", col("tEnd"))
+      .withColumn("tEnd", col("tStart"))
+      .withColumn("tStart", col("_ts"))
+      .drop("_ts")
+      .withColumn("backtrace", reverse(col("backtrace")))
+      .withColumn("strand", lit("-"))
+    plus.unionByName(minus)
   }
 
   /** Profile-mode search (F4, `blockalign.cpp --profile-search`):

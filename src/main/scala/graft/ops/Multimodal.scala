@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata; decode / feature-extract / resize /
   * frame-sample run as partition-batched functions over the binary payload.
   *
-  * The decode step is STUBBED (this container ships no image/audio codecs):
-  * `decodeStub` is a deterministic fake that treats the payload as a raw
-  * byte plane. Everything around it — schema, partitioning, batch shape,
-  * feature extraction over decoded planes — is real and tested, so swapping
-  * in an actual codec is a one-function change.
+  * Image decode is REAL for the JDK-native formats: `image/png`,
+  * `image/bmp`, `image/gif`, `image/jpeg` payloads go through
+  * `javax.imageio` and come out as a row-major grayscale plane (integer
+  * BT.601 luminance). Any other `kind` treats the payload as a raw byte
+  * plane with the row's declared width/height — the path the synthetic
+  * corpus (text bytes standing in for blobs) exercises. Audio/video codecs
+  * are out of scope for this container; their payloads ride the raw path.
   *
   * Scale notes: binary payloads stay columnar in Parquet (never exploded),
-  * the mapPartitions batches amortize per-task setup (codec init in real
-  * life), and feature vectors are fixed-width arrays friendly to downstream
-  * ANN (see [[Similarity]]).
+  * the mapPartitions batches amortize per-task setup (ImageIO reader
+  * lookup), and feature vectors are fixed-width arrays friendly to
+  * downstream ANN (see [[Similarity]]).
   */
 object Multimodal {
 
@@ -26,10 +28,55 @@ object Multimodal {
   final case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
       checksum: Long, histo_head: Seq[Long], frames_sampled: Int)
 
-  /** STUB decode: payload bytes -> one "plane". A real implementation would
-    * dispatch on `kind` to an image/audio codec here.
+  /** A decoded payload: row-major byte plane + its actual geometry. */
+  final case class Plane(bytes: Array[Byte], width: Int, height: Int)
+
+  private val ImageKinds =
+    Set("image/png", "image/bmp", "image/gif", "image/jpeg")
+
+  /** Decode a payload to a grayscale plane. Image kinds dispatch to
+    * `javax.imageio` (readers ship with the JDK) and take their geometry
+    * from the decoded image; everything else is a raw plane with the
+    * declared geometry. A corrupt image payload fails loudly with the row
+    * id rather than silently falling back to raw bytes.
     */
-  def decodeStub(content: Array[Byte]): Array[Byte] = content
+  def decode(r: MediaRow): Plane =
+    if (ImageKinds.contains(r.kind)) {
+      // in-memory decode only: the default ImageIO path spills a temp file
+      // per read, which would thrash executor-local disks at scale
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException(
+          s"media id=${r.id}: no ImageIO reader for kind=${r.kind}")
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        var y = 0
+        var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            out(i) = lum.toByte
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+        Plane(out, w, h)
+      } finally {
+        reader.dispose()
+        in.close()
+      }
+    } else Plane(r.content, r.width, r.height)
 
   /** Deterministic "frame sampling": every `stride`-th byte of the decoded
     * plane stands in for a sampled frame.
@@ -45,9 +92,8 @@ object Multimodal {
       frameStride: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init point (real codec context would live here)
       rows.map { r =>
-        val plane = decodeStub(r.content)
+        val plane = decode(r).bytes
         val frames = sampleFrames(plane, frameStride)
         val histo = new Array[Long](histoBins)
         var sum = 0L
@@ -99,12 +145,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val plane = decodeStub(r.content)
-        val resized = resizePlane(plane, r.width, r.height, dstW, dstH)
+        val p = decode(r)
+        val resized = resizePlane(p.bytes, p.width, p.height, dstW, dstH)
         var sum = 0L
         var i = 0
         while (i < resized.length) { sum += resized(i) & 0xff; i += 1 }
-        ResizedFeatures(r.id, dstW, dstH, sum, plane.length.toLong)
+        ResizedFeatures(r.id, dstW, dstH, sum, p.bytes.length.toLong)
       }
     }
   }

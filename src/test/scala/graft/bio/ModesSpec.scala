@@ -84,6 +84,66 @@ class ModesSpec extends AnyFunSuite {
     assert(seqs.map(_.getAs[String]("seq")).toSet == Set("MKVLATTPFG", "WSDEWIRRQC"))
   }
 
+  test("reverse-strand nucleotide search recovers a planted minus-strand hit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = "ACGT"
+    val t = Array.fill(160)(bases(rnd.nextInt(4))).mkString
+    // query = revcomp of t[40,140): visible ONLY on the minus strand
+    val comp = Map('A' -> 'T', 'T' -> 'A', 'C' -> 'G', 'G' -> 'C')
+    val q = t.substring(40, 140).reverse.map(comp)
+    val qs = Fasta.read(spark, writeFasta(Seq(("qrev", q)))).cache()
+    val ts = Fasta.read(spark, writeFasta(Seq(("t0", t)))).cache()
+    val params = PetaSearch.Params(mode = PetaSearch.SearchMode.Nucleotide)
+
+    assert(PetaSearch.search(spark, qs, ts, params).count() == 0,
+      "forward-only search must miss a minus-strand-only homolog")
+
+    val both = PetaSearch.searchBothStrands(spark, qs, ts, params).cache()
+    val minus = both.filter($"strand" === "-").collect()
+    assert(minus.length == 1)
+    val h = minus.head
+    // m8 minus convention: query ascending in the FORWARD frame, t flipped
+    val (qS, qE) = (h.getAs[Int]("qStart"), h.getAs[Int]("qEnd"))
+    val (tS, tE) = (h.getAs[Int]("tStart"), h.getAs[Int]("tEnd"))
+    assert(qS <= qE && tS > tE, s"q[$qS,$qE] t[$tS,$tE]")
+    assert(h.getAs[Double]("fident") == 1.0)
+    // the exact plant: q covers [0,100) of the query, t covers [40,140)
+    assert(qS == 0 && qE == 99)
+    assert(tE == 40 && tS == 139)
+
+    // C12 on the minus strand: target walked backward + complemented must
+    // equal the forward query slice (identical alignment, no gaps)
+    val out = PetaSearch.toM8Custom(both.filter($"strand" === "-"), qs, ts,
+      Seq("query", "target", "qaln", "taln", "qcov", "tcov")).collect().head
+    assert(out.getAs[String]("qaln") == out.getAs[String]("taln"))
+    assert(out.getAs[String]("qaln") == q)
+    assert(out.getAs[Double]("tcov") == 0.625) // 100 of 160 bases
+  }
+
+  test("full --format-output vocabulary: every reference column accepted") {
+    import spark.implicits._
+    val q = "MKVLATTPFGWSDEWIRRQCHHKNMKVLATT"
+    val qs = Fasta.read(spark, writeFasta(Seq(("q0 some desc", q)))).cache()
+    val alis = PetaSearch.search(spark, qs, qs,
+      PetaSearch.Params(query = QueryTable.Config(maskMode = false)))
+    val cols = Seq("query", "target", "fident", "pident", "nident", "alnlen",
+      "mismatch", "gapopen", "qstart", "qend", "tstart", "tend", "evalue",
+      "bits", "raw", "qlen", "tlen", "qcov", "tcov", "cigar", "qaln", "taln",
+      "qseq", "tseq", "qheader", "theader", "qset", "tset", "qorfstart",
+      "qorfend", "torfstart", "torfend", "qframe", "tframe", "empty")
+    val r = PetaSearch.toM8Custom(alis, qs, qs, cols).collect().head
+    assert(r.getAs[String]("qheader") == "q0 some desc")
+    assert(r.getAs[String]("theader") == "q0 some desc")
+    assert(r.getAs[Int]("nident") == q.length) // self-hit: all identical
+    assert(r.getAs[String]("pident") == "100.000")
+    assert(r.getAs[Int]("raw") > r.getAs[Int]("bits")) // blosum raw > bits
+    assert(r.getAs[Int]("qset") == 0 && r.getAs[Int]("tset") == 0)
+    assert(r.getAs[Int]("qorfstart") == -1 && r.getAs[Int]("torfend") == -1)
+    assert(r.getAs[String]("qframe") == "") // no printer case in reference
+    assert(r.getAs[String]("empty") == "-")
+  }
+
   test("nucleotide matrix reconstructs +2/-3 with ACTG alphabet") {
     val m = Matrices.nucleotide
     assert(m.alphabet == "ACTGX")

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real image decode through javax.imageio: synthetic images with a known
+  * gradient encode -> decode round-trip to the exact BT.601 luminance plane
+  * (PNG/BMP are lossless RGB; GIF palettizes, so it checks geometry and
+  * successful decode only), and the Spark feature/resize paths consume the
+  * DECODED geometry, not the declared one.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def synth(w: Int, h: Int, fmt: String): (Array[Byte], Array[Byte]) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val expected = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 40) % 256
+      val g = (y * 70) % 256
+      val b = (x + y) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      expected(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    (bos.toByteArray, expected)
+  }
+
+  test("PNG/BMP decode to the exact luminance plane; GIF to the right geometry") {
+    for ((fmt, kind) <- Seq("png" -> "image/png", "bmp" -> "image/bmp")) {
+      val (bytes, expected) = synth(7, 5, fmt)
+      val p = Multimodal.decode(Multimodal.MediaRow(1L, kind, bytes, 0, 0))
+      assert(p.width == 7 && p.height == 5)
+      assert(p.bytes.toSeq == expected.toSeq, s"$fmt plane mismatch")
+    }
+    val (gif, _) = synth(7, 5, "gif")
+    val pg = Multimodal.decode(Multimodal.MediaRow(2L, "image/gif", gif, 0, 0))
+    assert(pg.width == 7 && pg.height == 5 && pg.bytes.length == 35)
+  }
+
+  test("non-image kinds stay raw; corrupt image payloads fail loudly") {
+    val raw = Multimodal.decode(
+      Multimodal.MediaRow(3L, "audio/pcm", Array[Byte](1, 2, 3, 4), 2, 2))
+    assert(raw.bytes.toSeq == Seq[Byte](1, 2, 3, 4) && raw.width == 2)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decode(
+        Multimodal.MediaRow(9L, "image/png", Array[Byte](1, 2, 3), 0, 0))
+    }
+    assert(e.getMessage.contains("id=9"))
+  }
+
+  test("Spark feature/resize paths use the decoded geometry end-to-end") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (png, expected) = synth(16, 4, "png")
+    // declared geometry is WRONG on purpose: decode must override it
+    val media = Seq(Multimodal.MediaRow(7L, "image/png", png, 1, 1)).toDS()
+
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_bytes == 64)
+    assert(f.checksum == expected.map(_ & 0xff).map(_.toLong).sum)
+
+    val r = Multimodal.resizeFeatures(media, 8, 2).collect().head
+    assert(r.n_src_bytes == 64)
+    // nearest-neighbor on the DECODED 16x4 plane: src(x*2, y*2)
+    val want = (for (y <- 0 until 2; x <- 0 until 8)
+      yield expected((y * 2) * 16 + x * 2) & 0xff).map(_.toLong).sum
+    assert(r.checksum == want)
+  }
+}

@@ -49,3 +49,29 @@ echo "[ref_regression] ours: $(wc -l < "$OURS") m8 lines"
 
 python3 tools/ref_regression.py "$OURS" "$R/out.m8" "$W/report.md"
 echo "[ref_regression] report: $W/report.md"
+
+# ---- interop leg: the REFERENCE binary consumes OUR native-format exports,
+# validating SraInterop.writeSraDb/writeKmerTable against the real reader
+# instead of our own frozen byte goldens.
+echo "[ref_regression] exporting native formats from our engine"
+rm -rf "$W/native"; mkdir -p "$W/native"
+sbt -batch "runMain graft.tools.ExportNative $FA $W/native/tdb" >/dev/null 2>&1
+
+if cmp -s "$R/ttable" "$W/native/tdb_ktable" &&
+   cmp -s "$R/ttable_ids" "$W/native/tdb_ktable_ids"; then
+  echo "[ref_regression] k-mer table: byte-identical to the reference's own"
+else
+  echo "[ref_regression] k-mer table: DIFFERS from the reference's own"
+fi
+
+printf '%s\t%s\n' "$W/native/tdb_ktable" "$W/native/tdb" > "$R/interop_targets.tsv"
+printf '%s\n' "$R/icmp0" > "$R/interop_results.tsv"
+"$S" comparekmertables "$R/qdb" "$R/interop_targets.tsv" "$R/interop_results.tsv" \
+  -k 9 --spaced-kmer-mode 0 -v 1 >/dev/null 2>&1
+"$S" blockalign "$R/qdb" "$W/native/tdb" "$R/icmp0" "$R/ialis" -e 1000 -v 1 >/dev/null 2>&1
+"$S" convertsraalis "$R/qdb" "$W/native/tdb" "$R/ialis" "$R/interop.m8" -v 1 >/dev/null 2>&1
+if diff -q <(sort "$R/out.m8") <(sort "$R/interop.m8") >/dev/null; then
+  echo "[ref_regression] interop m8: IDENTICAL ($(wc -l < "$R/interop.m8") lines) — reference pipeline on our exported DB reproduces its own output"
+else
+  echo "[ref_regression] interop m8: differs ($(wc -l < "$R/interop.m8") vs $(wc -l < "$R/out.m8") lines)"
+fi
