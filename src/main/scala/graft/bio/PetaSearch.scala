@@ -231,15 +231,19 @@ object PetaSearch {
 
   /** Profile-mode search (F4, `blockalign.cpp --profile-search`):
     * `profiles(seqId, header, profile BINARY)` are decoded to their
-    * consensus strings for k-mer extraction and the ungapped gates (exactly
-    * the reference's `extractProfileConsensus` path), while the gapped
-    * aligner scores targets against the per-position profile columns.
+    * consensus strings for k-mer sliding and the ungapped gates (exactly
+    * the reference's `extractProfileConsensus` path); similar-k-mer
+    * expansion is scored by the per-position PSSM columns
+    * (QueryTable.rowsForProfile), and the gapped aligner scores targets
+    * against the same profile columns.
     */
   def searchProfiles(spark: SparkSession, profiles: DataFrame,
       targets: DataFrame, params: Params = Params()): DataFrame = {
     val queries = Profiles.toSequences(spark, profiles)
     val index = KmerIndex.buildWithPos(targets, params.k, params.mode.kmerAlphabet)
-    val qk = buildQueryTable(spark, queries, params)
+    val qk = QueryTable.buildFromProfiles(spark, profiles, params.query.copy(
+      k = params.k, seedMatrix = params.mode.seedMatrix,
+      kmerAlphabetSize = params.mode.kmerAlphabet.length))
     val pf = Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
     val profQueries = queries
       .join(profiles.select(col("seqId"), col("profile")), Seq("seqId"))

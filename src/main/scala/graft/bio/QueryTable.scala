@@ -91,12 +91,26 @@ object QueryTable {
     */
   def similarKmers(window: Array[Int], m: Matrices, threshold: Int,
       maxKmers: Int): Array[Long] = {
-    val k = window.length
-    val base = (m.alphabetSize - 1).toLong
-    // per position: substitution candidates sorted by score desc
-    val subs: Array[Array[(Int, Int)]] = Array.tabulate(k) { i =>
+    val rows = Array.tabulate(window.length) { i =>
       val row = m.scores(window(i))
-      (0 until m.alphabetSize - 1).map(c => (row(c), c)).sortBy(-_._1).toArray
+      Array.tabulate(m.alphabetSize - 1)(row)
+    }
+    latticeTopK(rows, (m.alphabetSize - 1).toLong, threshold, maxKmers)
+  }
+
+  /** The same best-first lattice over ARBITRARY per-position candidate
+    * score rows — `rowScores(i)(c)` = score of emitting residue ordinal `c`
+    * at window position `i`. Sequence mode feeds matrix rows; profile mode
+    * feeds the PSSM columns (the reference's
+    * `kmerGenerator.setDivideStrategy(sequence.profile_matrix)`,
+    * `comparekmertables.cpp:185-190`).
+    */
+  private def latticeTopK(rowScores: Array[Array[Int]], base: Long,
+      threshold: Int, maxKmers: Int): Array[Long] = {
+    val k = rowScores.length
+    // per position: substitution candidates sorted by score desc
+    val subs: Array[Array[(Int, Int)]] = rowScores.map { row =>
+      row.indices.map(c => (row(c), c)).sortBy(-_._1).toArray
     }
     val startScore = subs.map(_.head._1).sum
     if (startScore < threshold) return Array.empty
@@ -181,6 +195,52 @@ object QueryTable {
     sequences.select("seqId", "seq").as[(Long, String)]
       .flatMap { case (id, seq) =>
         rowsForSequence(seq, cfg).map { case (pos, code) => (id, pos, code) }
+      }
+      .toDF("queryId", "kmerPos", "kmer")
+  }
+
+  /** One PROFILE record -> query table rows: k-mers slide over the
+    * consensus, but similar-k-mer expansion is scored by the per-position
+    * PSSM columns (8x-log2 scale, the same family as the 8.0-bit seed
+    * matrix, so the 225 threshold carries over) instead of a substitution
+    * matrix — the reference's profile divide strategy
+    * (`comparekmertables.cpp:185-190`). Bias correction is OFF in the
+    * reference's profile path (Sequence ctor arg, `:184`); masking applies
+    * to the consensus string.
+    */
+  def rowsForProfile(profile: Array[Byte], cfg: Config): Iterator[(Int, Long)] = {
+    val m = Matrices.blosum62 // profile records use the alignment alphabet
+    val nRes = Profiles.QueryOffset
+    val consensus = Profiles.extractConsensus(profile, m)
+    var ordinals = consensus.map(c => m.aa2num(c & 0xff)).toArray
+    if (cfg.maskMode) ordinals = Tantan.mask(ordinals, m)
+    val x = m.xOrdinal
+    (0 to ordinals.length - cfg.k).iterator.flatMap { pos =>
+      val window = java.util.Arrays.copyOfRange(ordinals, pos, pos + cfg.k)
+      if (window.exists(_ == x)) Iterator.empty
+      else {
+        var code = 0L
+        var pw = 1L
+        window.foreach { o => code += o * pw; pw *= nRes.toLong }
+        val self = Iterator.single((pos, code))
+        if (cfg.exactKmerMatching) self
+        else {
+          val rows = Array.tabulate(cfg.k)(i =>
+            Array.tabulate(nRes)(c => Profiles.scoreAt(profile, pos + i, c)))
+          self ++ latticeTopK(rows, nRes.toLong, cfg.kmerThreshold,
+            cfg.maxKmerPerPos).iterator.map(c => (pos, c))
+        }
+      }
+    }
+  }
+
+  /** profiles(seqId, profile, ...) -> qkmers(queryId, kmerPos, kmer). */
+  def buildFromProfiles(spark: SparkSession, profiles: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    profiles.select("seqId", "profile").as[(Long, Array[Byte])]
+      .flatMap { case (id, prof) =>
+        rowsForProfile(prof, cfg).map { case (pos, code) => (id, pos, code) }
       }
       .toDF("queryId", "kmerPos", "kmer")
   }

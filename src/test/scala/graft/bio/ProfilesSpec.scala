@@ -40,7 +40,7 @@ class ProfilesSpec extends AnyFunSuite {
 
   test("single-sequence profile (4x matrix rows >>2) reproduces matrix alignment") {
     val s = "MKVLATTPFGWSDEWIRRQC"
-    val prof = Profiles.fromAlignedSeqs(Seq(s), m)
+    val prof = Profiles.fromAlignedSeqsAvg(Seq(s), m)
     assert(Profiles.extractConsensus(prof, m) == s)
     // profile row at position p is 4x the matrix row of s(p); >>2 recovers it
     val t = s.getBytes("US-ASCII")
@@ -108,7 +108,7 @@ class ProfilesSpec extends AnyFunSuite {
       "MKVLATTPFGWSDEWIRRQCLATTPFGMKV",
       "GWSDEWIRRQCMKVLATTPFGSDEWIRRQC")
     val profiles = seqs.zipWithIndex.map { case (s, i) =>
-      (i.toLong, s"prof$i", Profiles.fromAlignedSeqs(Seq(s), m))
+      (i.toLong, s"prof$i", Profiles.fromAlignedSeqsAvg(Seq(s), m))
     }.toDF("seqId", "header", "profile")
     val targets = seqs.zipWithIndex.map { case (s, i) =>
       (i.toLong, s"t$i", s"t$i", s, s.length)
