@@ -48,7 +48,48 @@ OURS=$(find "$W/ours_out" -name 'part*.csv' | head -1)
 echo "[ref_regression] ours: $(wc -l < "$OURS") m8 lines"
 
 python3 tools/ref_regression.py "$OURS" "$R/out.m8" "$W/report.md"
-echo "[ref_regression] report: $W/report.md"
+echo "[ref_regression] report (defaults): $W/report.md"
+
+# ---- matched-sensitivity leg: the reference at its most sensitive
+# supported settings (block matrix 1024, xdrop 100) vs ours at xdrop 100 —
+# REFDIFF.md's headline numbers (89/97 bits exact) come from this compare.
+echo "[ref_regression] matched-sensitivity pass (range-max 1024, xdrop 100)"
+"$S" blockalign "$R/qdb" "$R/tdb" "$R/cmp0" "$R/alis_hi" \
+  -e 1000 --range-min 32 --range-max 1024 --xdrop 100 -v 1 >/dev/null 2>&1
+"$S" convertsraalis "$R/qdb" "$R/tdb" "$R/alis_hi" "$R/out_hi.m8" -v 1 >/dev/null 2>&1
+rm -rf "$W/ours_hi"
+sbt -batch "runMain graft.tools.EasyPetasearch $FA $FA $W/ours_hi --xdrop 100" >/dev/null 2>&1
+OURS_HI=$(find "$W/ours_hi" -name 'part*.csv' | head -1)
+python3 tools/ref_regression.py "$OURS_HI" "$R/out_hi.m8" "$W/report_sensitive.md" \
+  | grep -E "bits exact|exclusive-end|MISS"
+echo "[ref_regression] report (matched): $W/report_sensitive.md"
+
+# ---- profile leg: reference msa2profile + profile search vs our
+# --profile-search on the same MSA (REFDIFF.md profile section).
+echo "[ref_regression] profile-search pass"
+P="$W/prof"; rm -rf "$P"; mkdir -p "$P"
+cp src/main/resources/MSA_Cas7-11_multiline.fa "$P/msa.fa"
+python3 - "$P" <<'EOF'
+import sys
+p = sys.argv[1]
+data = open(f'{p}/msa.fa', 'rb').read() + b'\0'
+open(f'{p}/msadb', 'wb').write(data)
+open(f'{p}/msadb.index', 'w').write(f"0\t0\t{len(data)}\n")
+open(f'{p}/msadb.dbtype', 'wb').write((11).to_bytes(4, 'little'))  # DBTYPE_MSA_DB
+EOF
+"$S" msa2profile "$P/msadb" "$P/profdb" --match-mode 0 -v 1 >/dev/null 2>&1
+printf '%s\n' "$P/pcmp0" > "$P/results.tsv"
+"$S" comparekmertables "$P/profdb" "$R/targets.tsv" "$P/results.tsv" \
+  -k 9 --spaced-kmer-mode 0 -v 1 >/dev/null 2>&1
+"$S" blockalign "$P/profdb" "$R/tdb" "$P/pcmp0" "$P/palis" \
+  -e 1000 --range-max 1024 --xdrop 100 -v 1 >/dev/null 2>&1
+"$S" convertsraalis "$P/profdb" "$R/tdb" "$P/palis" "$P/ref_prof.m8" -v 1 >/dev/null 2>&1
+rm -rf "$W/ours_prof"
+sbt -batch "runMain graft.tools.EasyPetasearch $P/msa.fa $FA $W/ours_prof --profile-search --xdrop 100" >/dev/null 2>&1
+OURS_PROF=$(find "$W/ours_prof" -name 'part*.csv' | head -1)
+python3 tools/ref_regression.py "$OURS_PROF" "$P/ref_prof.m8" "$W/report_profile.md" \
+  | grep -E "common pairs|MISS"
+echo "[ref_regression] report (profile): $W/report_profile.md"
 
 # ---- interop leg: the REFERENCE binary consumes OUR native-format exports,
 # validating SraInterop.writeSraDb/writeKmerTable against the real reader
