@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
   *
   *   runMain graft.tools.EasyPetasearch query.fasta target.fasta outDir \
   *     [--e EVALUE] [--exact-kmer-matching] [--mode nucleotide] \
-  *     [--profile-search] [--format-output col1,col2,...] \
+  *     [--both-strands] [--profile-search] [--format-output col1,col2,...] \
   *     [--k N] [--req-kmer-matches N] [--xdrop N] [--max-kmer-per-pos N] \
   *     [--kmer-threshold N] [--no-mask]
+  *
+  * `--both-strands` (implies `--mode nucleotide`) also searches the
+  * reverse complement of each query; minus-strand hits are emitted in the
+  * m8 minus convention (tstart > tend).
   *
   * The tuning flags mirror the reference workflow's user-visible knobs
   * (`src/commons/LocalParameters.h:29-80`: k, required matches, x-drop,
@@ -32,6 +36,7 @@ object EasyPetasearch {
     val Array(queryFasta, targetFasta, outDir) = args.take(3)
     var params = PetaSearch.Params()
     var profileSearch = false
+    var bothStrands = false
     var outfmt: Option[Seq[String]] = None
     var i = 3
     while (i < args.length) {
@@ -42,6 +47,9 @@ object EasyPetasearch {
         case "--mode" if args(i + 1) == "nucleotide" =>
           params = params.copy(mode = PetaSearch.SearchMode.Nucleotide); i += 2
         case "--profile-search" => profileSearch = true; i += 1
+        case "--both-strands" =>
+          bothStrands = true
+          params = params.copy(mode = PetaSearch.SearchMode.Nucleotide); i += 1
         case "--format-output" => outfmt = Some(args(i + 1).split(",").toSeq); i += 2
         case "--k" =>
           val k = args(i + 1).toInt
@@ -69,14 +77,25 @@ object EasyPetasearch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val m8 = (profileSearch, outfmt) match {
-      case (true, _) =>
+    val m8 =
+      if (profileSearch)
         PetaSearch.easyProfileSearch(spark, queryFasta, targetFasta, params)
-      case (false, Some(cols)) =>
-        PetaSearch.easySearchCustom(spark, queryFasta, targetFasta, cols, params)
-      case (false, None) =>
-        PetaSearch.easySearch(spark, queryFasta, targetFasta, params)
-    }
+      else if (bothStrands) {
+        val queries = graft.bio.Fasta.read(spark, queryFasta).cache()
+        val targets =
+          if (targetFasta == queryFasta) queries
+          else graft.bio.Fasta.read(spark, targetFasta).cache()
+        val alis = PetaSearch.searchBothStrands(spark, queries, targets, params)
+        outfmt match {
+          case Some(cols) => PetaSearch.toM8Custom(alis, queries, targets, cols)
+          case None => PetaSearch.toM8(alis, queries, targets)
+        }
+      } else outfmt match {
+        case Some(cols) =>
+          PetaSearch.easySearchCustom(spark, queryFasta, targetFasta, cols, params)
+        case None =>
+          PetaSearch.easySearch(spark, queryFasta, targetFasta, params)
+      }
     PetaSearch.writeM8(m8, outDir)
     println(s"[easy-petasearch] wrote ${spark.read.option("sep", "\t").csv(outDir).count()} alignments to $outDir")
     spark.stop()
