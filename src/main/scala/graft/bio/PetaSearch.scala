@@ -282,6 +282,70 @@ object PetaSearch {
       .write.mode("overwrite").parquet(s"$dbPath/meta")
   }
 
+  /** Incrementally add sequences to a persisted target DB: ingest ONLY the
+    * new FASTA, never rescan the existing corpus. Exact, not approximate:
+    * the A1 representative rule (longest sequence, ties to smallest id,
+    * then smallest position) is an associative max, so re-reducing the
+    * STORED winners against the new batch's winners yields the identical
+    * index to a full rebuild (spec-pinned equality). New sequences take ids
+    * after the current maximum; metadata updates by addition. At 100 TB
+    * this is the difference between an O(new batch) nightly ingest and an
+    * O(corpus) re-extraction — the reference has no equivalent
+    * (createkmertable always rebuilds its table whole).
+    */
+  def appendToTargetDb(spark: SparkSession, targetFasta: String,
+      dbPath: String, params: Params = Params()): Unit = {
+    val existing = spark.read.parquet(s"$dbPath/sequences")
+    val offset = existing.agg(max(col("seqId"))).head().getLong(0) + 1
+    val newSeqs = Fasta.read(spark, targetFasta)
+      .withColumn("seqId", col("seqId") + lit(offset))
+    newSeqs.write.mode("append").parquet(s"$dbPath/sequences")
+    val appended = spark.read.parquet(s"$dbPath/sequences")
+      .filter(col("seqId") >= offset)
+    val newIdx = KmerIndex.buildWithPos(appended, params.k,
+      params.mode.kmerAlphabet)
+    val merged = spark.read.parquet(s"$dbPath/kmers")
+      .unionByName(newIdx)
+      .groupBy(col("kmer"))
+      .agg(max_by(
+        struct(col("seqId"), col("seqLen"), col("tpos")),
+        struct(col("seqLen"), (-col("seqId")).as("negId"),
+          (-col("tpos")).as("negPos"))).as("rep"))
+      .select(col("kmer"), col("rep.seqId").as("seqId"),
+        col("rep.seqLen").as("seqLen"), col("rep.tpos").as("tpos"))
+    // stage-and-swap: parquet can't overwrite a path it is reading
+    KmerIndex.write(merged, s"$dbPath/kmers_staging")
+    swapIn(spark, s"$dbPath/kmers_staging", s"$dbPath/kmers")
+    val (batchRes, batchN) = {
+      val r = appended.agg(sum(col("seqLen")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dbPath/meta")
+    val hasMeta = metaPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(metaPath)
+    val (oldRes, oldN) =
+      if (hasMeta) {
+        val r = spark.read.parquet(s"$dbPath/meta").head()
+        (r.getAs[Long]("dbResCount"), r.getAs[Long]("nSeqs"))
+      } else {
+        // pre-metadata DB: one-time column-pruned scan of the old corpus
+        val r = existing.agg(sum(col("seqLen")), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    import spark.implicits._
+    Seq((oldRes + batchRes, oldN + batchN)).toDF("dbResCount", "nSeqs")
+      .write.mode("overwrite").parquet(s"$dbPath/meta")
+  }
+
+  private def swapIn(spark: SparkSession, staging: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = dstPath.getFileSystem(conf)
+    fs.delete(dstPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dstPath),
+      s"failed to swap $staging into $dst")
+  }
+
   /** Query a persisted target DB (the reference's `petasearch` against
     * prebuilt k-mer tables): scans only the stored index — no target-side
     * k-mer extraction at query time.

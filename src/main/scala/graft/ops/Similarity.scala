@@ -264,6 +264,30 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dbPath/centroids")
   }
 
+  /** Incrementally add vectors to a persisted IVF index: assign each new
+    * vector to its nearest STORED centroid (broadcast — centroids are k
+    * rows) and append into that label's partition directory. Standard IVF
+    * maintenance: centroids stay frozen, so existing partitions are never
+    * rewritten and ingest cost is O(new batch); recall drifts only if the
+    * data distribution does, at which point [[buildAnnIndex]] re-clusters.
+    */
+  def appendToAnnIndex(corpus: DataFrame, dbPath: String): Unit = {
+    val spark = corpus.sparkSession
+    val cents = spark.read.parquet(s"$dbPath/centroids")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val labeled = corpus
+      .withColumn("vn", norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("centroid")) / (col("vn") * norm(col("centroid"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    labeled.write.mode("append").partitionBy("label")
+      .parquet(s"$dbPath/vectors")
+  }
+
   /** Query a persisted IVF index: probe the stored centroids, scan ONLY the
     * probed label partitions (directory pruning via the partition-column
     * filter), exact cosine within. Same output schema as [[cosineTopK]].

@@ -84,6 +84,39 @@ class ModesSpec extends AnyFunSuite {
     assert(seqs.map(_.getAs[String]("seq")).toSet == Set("MKVLATTPFG", "WSDEWIRRQC"))
   }
 
+  test("appendToTargetDb: incremental ingest equals full rebuild exactly") {
+    val rnd = new scala.util.Random(7)
+    def protein(n: Int) =
+      Array.fill(n)("ACDEFGHIKLMNPQRSTVWY"(rnd.nextInt(20))).mkString
+    val batchA = (0 until 6).map(i => (s"a$i", protein(80 + i)))
+    val batchB = (0 until 5).map(i => (s"b$i", protein(90 + i)))
+    val faA = writeFasta(batchA)
+    val faB = writeFasta(batchB)
+    val faAll = writeFasta(batchA ++ batchB)
+    val dbInc = java.nio.file.Files.createTempDirectory("dbinc").toString
+    val dbFull = java.nio.file.Files.createTempDirectory("dbfull").toString
+    PetaSearch.buildTargetDb(spark, faA, dbInc)
+    PetaSearch.appendToTargetDb(spark, faB, dbInc)
+    PetaSearch.buildTargetDb(spark, faAll, dbFull)
+
+    // A1 argmax is associative -> merged index must EQUAL the full rebuild
+    val inc = spark.read.parquet(s"$dbInc/kmers").collect().map(_.toSeq).toSet
+    val full = spark.read.parquet(s"$dbFull/kmers").collect().map(_.toSeq).toSet
+    assert(inc == full)
+    val mi = spark.read.parquet(s"$dbInc/meta").head()
+    val mf = spark.read.parquet(s"$dbFull/meta").head()
+    assert(mi.getAs[Long]("dbResCount") == mf.getAs[Long]("dbResCount"))
+    assert(mi.getAs[Long]("nSeqs") == mf.getAs[Long]("nSeqs"))
+
+    // and the indexed search path returns identical hits
+    val queries = Fasta.read(spark, faB).cache()
+    val ri = PetaSearch.searchIndexed(spark, queries, dbInc)
+      .select("queryId", "targetId", "bits").collect().map(_.toSeq).toSet
+    val rf = PetaSearch.searchIndexed(spark, queries, dbFull)
+      .select("queryId", "targetId", "bits").collect().map(_.toSeq).toSet
+    assert(ri == rf && ri.nonEmpty)
+  }
+
   test("reverse-strand nucleotide search recovers a planted minus-strand hit") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

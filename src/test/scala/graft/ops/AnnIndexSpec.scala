@@ -38,6 +38,27 @@ class AnnIndexSpec extends AnyFunSuite {
     assert((0 until 3).map(b => l1((b * 20).toLong)).toSet.size == 3)
   }
 
+  test("appendToAnnIndex: new vectors land in their blob's partition and are found") {
+    val emb = blobs().cache()
+    val dir = java.nio.file.Files.createTempDirectory("annapp").toString
+    Similarity.buildAnnIndex(emb, dir, nClusters = 3, iters = 5)
+    // plant near-copies of one vector from each blob, ids 1000+
+    val rnd = new scala.util.Random(9)
+    val plants = emb.filter(col("vec_id") % 20 === 0)
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray.map(_ + rnd.nextGaussian() * 0.05)
+        (r.getLong(0) + 1000L, v)
+      }.toSeq.toDF("vec_id", "embedding")
+    Similarity.appendToAnnIndex(plants, dir)
+    // each plant is its source vector's nearest neighbor after the append
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val got = Similarity.searchAnnIndexed(spark, dir, queries, k = 1, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    queries.select("vec_id").as[Long].collect().foreach { q =>
+      assert(got(q) == q + 1000L, s"query $q nearest ${got(q)}")
+    }
+  }
+
   test("persisted ANN index: probe + partition-pruned scan finds neighbors") {
     val emb = blobs().cache()
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
