@@ -117,6 +117,47 @@ object Profiles {
     computePssm(kept, m)
   }
 
+  /** msa2profile's final transform (`msa2profile.cpp:417-421`,
+    * `SubstitutionMatrix::calcGlobalAaBiasCorrection`, compBiasCorrection
+    * default ON): per-position composition correction over a 40-wide
+    * window of the FINISHED pssm. Replicated exactly, including the
+    * sequential in-place mutation (neighborhood reads already-corrected
+    * rows for j < i while pNull comes from the uncorrected scores), float
+    * arithmetic, and the toward-zero int cast.
+    */
+  private def globalAaBiasCorrection(scores: Array[Array[Int]]): Unit = {
+    val len = scores.length
+    val window = 40
+    val pNull = new Array[Float](len)
+    var p = 0
+    while (p < len) {
+      var a = 0
+      while (a < 20) { pNull(p) += (PBack(a) * scores(p)(a)).toFloat; a += 1 }
+      p += 1
+    }
+    var i = 0
+    while (i < len) {
+      val minPos = math.max(0, i - window / 2)
+      val maxPos = math.min(len, i + window / 2)
+      val windowLength = maxPos - minPos
+      val aaSum = new Array[Float](20)
+      var j = minPos
+      while (j < maxPos) {
+        if (j != i) {
+          var a = 0
+          while (a < 20) { aaSum(a) += scores(j)(a) - pNull(j); a += 1 }
+        }
+        j += 1
+      }
+      var a = 0
+      while (a < 20) {
+        scores(i)(a) = (scores(i)(a) - aaSum(a) / windowLength).toInt
+        a += 1
+      }
+      i += 1
+    }
+  }
+
   private def computePssm(rows: Seq[String], m: Matrices): Array[Byte] = {
     val len = rows.head.length
     val n = rows.size
@@ -152,47 +193,13 @@ object Profiles {
     val wSum = w.sum
     val wn = w.map(_ / wSum)
 
-    // weighted column frequencies (computeMatchWeights; background fallback
-    // for all-gap columns, NormalizeTo1's def_array semantics)
-    val f = Array.ofDim[Double](len, NRes)
-    p = 0
-    while (p < len) {
-      var k = 0
-      while (k < n) {
-        val a = ords(k)(p)
-        if (a >= 0 && a < NRes) f(p)(a) += wn(k)
-        k += 1
-      }
-      val s = f(p).sum
-      if (s > 0) { var a = 0; while (a < NRes) { f(p)(a) /= s; a += 1 } }
-      else Array.copy(PBack, 0, f(p), 0, NRes)
-      p += 1
-    }
-
-    // per-column Neff (computeNeff_M)
+    // context-specific per-column weights + Neff — the reference's wg=false
+    // DEFAULT path (computeContextSpecificWeights, PSSMCalculator.cpp:
+    // 393-570): for every column i, the subalignment of sequences with a
+    // residue at i gets its own Henikoff-style weights computed over the
+    // end-gap-trimmed columns; f[i] and Neff[i] come from those weights.
     val log2 = math.log(2)
-    var neffHmm = 0.0
-    p = 0
-    while (p < len) {
-      var ent = 0.0
-      var a = 0
-      while (a < NRes) {
-        val v = f(p)(a)
-        if (v > 1e-10) ent -= v * math.log(v) / log2
-        a += 1
-      }
-      neffHmm += math.pow(2, ent)
-      p += 1
-    }
-    neffHmm /= len
-    val nlim = math.max(10.0, neffHmm + 1.0)
-    val scale = math.log((nlim - neffHmm) / (nlim - 1.0)) / log2
-    val neffM = Array.tabulate(len) { pos =>
-      var wM = -1.0 / n
-      var k = 0
-      while (k < n) { if (ords(k)(pos) >= 0) wM += wn(k); k += 1 }
-      if (wM < 0) 1.0 else nlim - (nlim - 1.0) * math.pow(2, scale * wM)
-    }
+    val (f, neffM) = contextWeights(ords, wn, len)
 
     // pseudo-count admixture + 8*log2 scores (preparePseudoCounts,
     // computePseudoCounts, computeLogPSSM) and consensus (prob - background
@@ -233,7 +240,145 @@ object Profiles {
       query += (if (qc == '-' || qc == '.') consChar else qc)
       p += 1
     }
+    globalAaBiasCorrection(scoreRows)
     encode(scoreRows.toSeq, query.toString, consensus.toString, m)
+  }
+
+  /** The reference's context-specific weighting
+    * (`PSSMCalculator::computeContextSpecificWeights`): per column i, the
+    * SUBALIGNMENT of sequences holding a residue there (X excluded) gets
+    * position-based weights computed over the columns where at most 10% of
+    * the subalignment is in an end-gap; short subalignments (< 20 columns)
+    * fall back to the global Henikoff weights. Membership counts update
+    * incrementally (only sequences entering/leaving between i-1 and i).
+    * Codes: 0-19 residue, 20 X, 21 gap, 22 end-gap.
+    * Returns (per-column frequencies over 20 residues normalized with
+    * background fallback, per-column Neff).
+    */
+  private def contextWeights(ords: Array[Array[Int]], wg: Array[Double],
+      len: Int): (Array[Array[Double]], Array[Double]) = {
+    val n = ords.length
+    val Any = 20
+    val EndGap = 22
+    val log2 = math.log(2)
+    // recode: -1 gap -> 21, then end-gap runs -> 22
+    val x = ords.map(_.map(o => if (o < 0) 21 else math.min(o, Any)))
+    x.foreach { row =>
+      var i = 0
+      while (i < len && row(i) == 21) { row(i) = EndGap; i += 1 }
+      i = len - 1
+      while (i >= 0 && row(i) == 21) { row(i) = EndGap; i -= 1 }
+    }
+    val counts = Array.ofDim[Int](len, 23)
+    val f = Array.ofDim[Double](len, Any)
+    val neffM = new Array[Double](len)
+    val wi = new Array[Double](n)
+    var nseqi = 0
+    var i = 0
+    while (i < len) {
+      var change = false
+      var k = 0
+      while (k < n) {
+        if ((i == 0 && x(k)(0) < Any) ||
+            (i != 0 && x(k)(i - 1) >= Any && x(k)(i) < Any)) {
+          change = true
+          nseqi += 1
+          var j = 0
+          while (j < len) { counts(j)(x(k)(j)) += 1; j += 1 }
+        } else if (i != 0 && x(k)(i - 1) < Any && x(k)(i) >= Any) {
+          change = true
+          nseqi -= 1
+          var j = 0
+          while (j < len) { counts(j)(x(k)(j)) -= 1; j += 1 }
+        }
+        k += 1
+      }
+      if (change) {
+        java.util.Arrays.fill(wi, 1e-8)
+        var jmin = 0
+        while (jmin < len && counts(jmin)(EndGap) > 0.1 * nseqi) jmin += 1
+        var jmax = len - 1
+        while (jmax >= 0 && counts(jmax)(EndGap) > 0.1 * nseqi) jmax -= 1
+        val ncol = jmax - jmin + 1
+        if (ncol < 20) {
+          k = 0
+          while (k < n) {
+            wi(k) = if (x(k)(i) < Any) wg(k) else 0.0
+            k += 1
+          }
+        } else {
+          val wContrib = Array.ofDim[Double](len, Any)
+          var j = jmin
+          while (j <= jmax) {
+            var naa = 0
+            var a = 0
+            while (a < Any) { if (counts(j)(a) > 0) naa += 1; a += 1 }
+            a = 0
+            while (a < Any) {
+              wContrib(j)(a) =
+                if (counts(j)(a) > 0) 1.0 / (naa.toDouble * counts(j)(a))
+                else 0.0
+              a += 1
+            }
+            j += 1
+          }
+          k = 0
+          while (k < n) {
+            if (x(k)(i) < Any) {
+              var s = 0.0
+              var j = jmin
+              while (j <= jmax) {
+                val c = x(k)(j)
+                if (c < Any) s += wContrib(j)(c)
+                j += 1
+              }
+              wi(k) += s
+            }
+            k += 1
+          }
+        }
+        // Neff[i]: average residue entropy of the subalignment's columns
+        var ent = 0.0
+        val fj = new Array[Double](Any)
+        var j = jmin
+        while (j <= jmax) {
+          java.util.Arrays.fill(fj, 0.0)
+          k = 0
+          while (k < n) {
+            if (x(k)(i) < Any) {
+              val c = x(k)(j)
+              if (c < Any) fj(c) += wi(k)
+            }
+            k += 1
+          }
+          val s = fj.sum
+          if (s != 0) {
+            var a = 0
+            while (a < Any) {
+              val v = fj(a) / s
+              if (v > 1e-10) ent -= v * math.log(v) / log2
+              a += 1
+            }
+          }
+          j += 1
+        }
+        neffM(i) = if (ncol > 0) math.pow(2, ent / ncol) else 1.0
+      } else {
+        neffM(i) = if (i == 0) 0.0 else neffM(i - 1)
+      }
+      // column frequencies from the (possibly carried-over) weights
+      var kk = 0
+      while (kk < n) {
+        val c = x(kk)(i)
+        if (c < Any) f(i)(c) += wi(kk)
+        kk += 1
+      }
+      val s = f(i).sum
+      if (s > 0) { var a = 0; while (a < Any) { f(i)(a) /= s; a += 1 } }
+      else Array.copy(PBack, 0, f(i), 0, Any)
+      i += 1
+    }
+    (f, neffM)
   }
 
   /** Background probabilities and the pseudo-count conditional matrix
