@@ -116,3 +116,34 @@ if diff -q <(sort "$R/out.m8") <(sort "$R/interop.m8") >/dev/null; then
 else
   echo "[ref_regression] interop m8: differs ($(wc -l < "$R/interop.m8") vs $(wc -l < "$R/out.m8") lines)"
 fi
+
+# ---- masking leg: our tantan model vs the reference's tantan::maskSequences
+# (the exact call comparekmertables makes: VTML80 8.0/-0.2 probability
+# matrix, maxCycleLength 50, repeatProb 0.005, endProb 0.05, decay 0.5,
+# minMaskProb 0.9, hard-mask to X).
+echo "[ref_regression] masking pass"
+MM=/root/reference/lib/mmseqs; B=${SRASEARCH_BUILD:-/tmp/srasearch_build}; O=$B/obj
+g++ -O1 -march=native -fsigned-char -fopenmp -std=c++14 -w -D_GNU_SOURCE=1 -DOPENMP=1 \
+  -I"$B/generated" -I$MM/src/commons -I$MM/src -I$MM/lib -I$MM/lib/simd \
+  -I$MM/lib/simde -I$MM/lib/xxhash -I$MM/lib/ips4o -DENABLE_IPS4O=1 \
+  -I"$B/zstd/lib" -DZSTD_STATIC_LINKING_ONLY=1 \
+  tools/probe_tantan.cpp \
+  $O/_root_reference_lib_mmseqs_src_commons_{SubstitutionMatrix,BaseMatrix,Util,Debug,ProfileStates,MemoryTracker,LibraryReader,MemoryMapped,tantan}_cpp.o \
+  $O/_root_reference_lib_mmseqs_lib_cacode_lambda_calculator_cpp.o \
+  "$B/libzstd.a" -lz -lbz2 -lm -o "$W/probe_tantan"
+(cd $MM/data && "$W/probe_tantan" "$FA") > "$W/ref_mask.txt"
+sbt -batch "runMain graft.tools.TantanDump $FA" 2>/dev/null \
+  | sed -n 's/^\[info\] \([A-Za-z].* [01]*\)$/\1/p' > "$W/ours_mask.txt"
+python3 - "$W" <<'PYEOF'
+import sys
+w = sys.argv[1]
+ref = dict(l.split() for l in open(f'{w}/ref_mask.txt') if ' ' in l)
+ours = dict(l.split() for l in open(f'{w}/ours_mask.txt') if ' ' in l)
+agree = total = 0
+for k in ref:
+    r, o = ref[k], ours.get(k, '')
+    total += len(r)
+    agree += sum(1 for a, b in zip(r, o) if a == b) if len(r) == len(o) else 0
+print(f"[ref_regression] masking: {agree}/{total} positions agree "
+      f"({'IDENTICAL' if agree == total else 'DIFFERS'})")
+PYEOF
