@@ -57,6 +57,38 @@ object Dedup {
         .drop("_bsz")
     }
 
+  /** Candidate pairs from (band, bucket, id) rows via ONE aggregation:
+    * each bucket's members are collected into an array (bounded by
+    * `maxBucket`, so at most ~80 KB per group) and pairs expand
+    * array-locally — `a` explodes, `b` comes from the members greater than
+    * `a`. Compared to the capBuckets + self-join formulation this computes
+    * the (expensive) upstream pipeline ONCE instead of twice, needs no
+    * window sort, and shuffles one row per bucket instead of two per
+    * member; the emitted pair set is identical. Oversized buckets are
+    * dropped wholesale with the same observed metric as [[capBuckets]].
+    *
+    * Scale note: with `maxBucket == Int.MaxValue` the member list is
+    * unbounded — only disable the cap on corpora known to have no hot
+    * buckets.
+    */
+  private[ops] def bucketPairs(banded: DataFrame, keys: Seq[String],
+      idCol: String, maxBucket: Int): DataFrame = {
+    val grouped = banded.groupBy(keys.map(col): _*)
+      .agg(collect_list(col(idCol)).as("_ids"))
+    val observed =
+      if (maxBucket == Int.MaxValue) grouped
+      else grouped.observe(s"lsh_bucket_cap_${obsId.incrementAndGet()}",
+        sum(when(size(col("_ids")) > maxBucket, size(col("_ids")))
+          .otherwise(lit(0))).cast("long").as("dropped_rows"),
+        coalesce(max(size(col("_ids"))), lit(0)).cast("long").as("max_bucket"))
+    observed
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(col("_ids")).as("a"), col("_ids"))
+      .select(col("a"),
+        explode(filter(col("_ids"), x => x > col("a"))).as("b"))
+      .distinct()
+  }
+
   /** Exact dedup by content hash: one keeper (min id) per distinct key.
     * Output: (key_hash, keeper_id, n_copies).
     */
@@ -122,15 +154,8 @@ object Dedup {
     bucketJoin(banded, maxBucket)
   }
 
-  private def bucketJoin(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-    val l = capped.select(col("band"), col("bucket"), col("id").as("a"))
-    val r = capped.select(col("band"), col("bucket"), col("id").as("b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-  }
+  private def bucketJoin(banded: DataFrame, maxBucket: Int): DataFrame =
+    bucketPairs(banded, Seq("band", "bucket"), "id", maxBucket)
 
   /** Fused minhash+banding: all `numHashes` signature minima computed as agg
     * columns in ONE groupBy over the shingle rows (no numHashes-way row

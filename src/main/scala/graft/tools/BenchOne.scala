@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.Registry
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time selected queries in isolation (same session config as
+  * Bench). `runMain graft.tools.BenchOne [sfDir] [name ...]`; each query is
+  * timed `SPARK_GRAFT_TRIALS` times (default 2) and reports all trials, so a
+  * plan change can be judged without running the whole suite.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq else Seq("q1_agg")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try { spark.read.parquet(s"$sfDir/documents.parquet").count() }
+    catch { case _: Throwable => }
+    val byName = Registry.byName
+    names.foreach { n =>
+      byName.get(n) match {
+        case Some(q) =>
+          val ts = (1 to trials).map { _ =>
+            val t0 = System.nanoTime()
+            val rows = q.run(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            f"$dt%.2f" + s" (rows=$rows)"
+          }
+          println(s"[benchone] $n: ${ts.mkString(", ")}")
+        case None => println(s"[benchone] unknown query: $n")
+      }
+    }
+    spark.stop()
+  }
+}
