@@ -201,6 +201,12 @@ object PetaSearch {
   def searchBothStrands(spark: SparkSession, queries: DataFrame,
       targets: DataFrame,
       params: Params = Params(mode = SearchMode.Nucleotide)): DataFrame = {
+    // cache(): both strand passes probe the same target index. Cache
+    // lifetime is CALLER-OWNED (same contract as the multi-DB query-table
+    // cache below): the returned union is lazy, so unpersisting here would
+    // drop the blocks before any action reads them — materialize the
+    // result, then release with result.sparkSession.catalog.clearCache()
+    // (or keep the session short).
     val index = KmerIndex.buildWithPos(targets, params.k, params.mode.kmerAlphabet)
       .cache()
     def oneStrand(qs: DataFrame): DataFrame = {
@@ -296,7 +302,25 @@ object PetaSearch {
   def appendToTargetDb(spark: SparkSession, targetFasta: String,
       dbPath: String, params: Params = Params()): Unit = {
     val existing = spark.read.parquet(s"$dbPath/sequences")
-    val offset = existing.agg(max(col("seqId"))).head().getLong(0) + 1
+    // coalesce: an empty existing table yields a null max (getLong would NPE)
+    val offset = existing
+      .agg(coalesce(max(col("seqId")), lit(-1L))).head().getLong(0) + 1
+    // old-corpus totals for the metadata update are snapshotted BEFORE the
+    // new batch lands — the fallback below scans `existing`'s path, and a
+    // post-append scan would double-count the batch
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dbPath/meta")
+    val hasMeta = metaPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(metaPath)
+    val (oldRes, oldN) =
+      if (hasMeta) {
+        val r = spark.read.parquet(s"$dbPath/meta").head()
+        (r.getAs[Long]("dbResCount"), r.getAs[Long]("nSeqs"))
+      } else {
+        // pre-metadata DB: one-time column-pruned scan of the old corpus
+        val r = existing.agg(coalesce(sum(col("seqLen")), lit(0L)),
+          count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
     val newSeqs = Fasta.read(spark, targetFasta)
       .withColumn("seqId", col("seqId") + lit(offset))
     newSeqs.write.mode("append").parquet(s"$dbPath/sequences")
@@ -317,33 +341,34 @@ object PetaSearch {
     KmerIndex.write(merged, s"$dbPath/kmers_staging")
     swapIn(spark, s"$dbPath/kmers_staging", s"$dbPath/kmers")
     val (batchRes, batchN) = {
-      val r = appended.agg(sum(col("seqLen")), count(lit(1))).head()
+      val r = appended.agg(coalesce(sum(col("seqLen")), lit(0L)),
+        count(lit(1))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val metaPath = new org.apache.hadoop.fs.Path(s"$dbPath/meta")
-    val hasMeta = metaPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration).exists(metaPath)
-    val (oldRes, oldN) =
-      if (hasMeta) {
-        val r = spark.read.parquet(s"$dbPath/meta").head()
-        (r.getAs[Long]("dbResCount"), r.getAs[Long]("nSeqs"))
-      } else {
-        // pre-metadata DB: one-time column-pruned scan of the old corpus
-        val r = existing.agg(sum(col("seqLen")), count(lit(1))).head()
-        (r.getLong(0), r.getLong(1))
-      }
     import spark.implicits._
     Seq((oldRes + batchRes, oldN + batchN)).toDF("dbResCount", "nSeqs")
       .write.mode("overwrite").parquet(s"$dbPath/meta")
   }
 
+  /** Crash-safe stage-and-swap: the live directory is renamed aside before
+    * the staged one moves in, so there is no window where `dst` is missing
+    * with the only copy in staging — a crash leaves either the old data
+    * (recoverable by rerunning the append from staging) or the new data
+    * (plus a stale `_old` that the next swap clears). Renames are atomic on
+    * HDFS-like filesystems; delete-then-rename was not.
+    */
   private def swapIn(spark: SparkSession, staging: String, dst: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val oldPath = new org.apache.hadoop.fs.Path(dst + "_old")
     val fs = dstPath.getFileSystem(conf)
-    fs.delete(dstPath, true)
+    fs.delete(oldPath, true) // stale leftover from an interrupted swap
+    if (fs.exists(dstPath))
+      require(fs.rename(dstPath, oldPath),
+        s"failed to move $dst aside to $oldPath")
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), dstPath),
       s"failed to swap $staging into $dst")
+    fs.delete(oldPath, true)
   }
 
   /** Query a persisted target DB (the reference's `petasearch` against

@@ -24,15 +24,54 @@ object Dedup {
     * template-heavy bucket (boilerplate pages, license headers) can go
     * quadratic on its own — AQE can split the partition but cannot reduce
     * the pair count. Groups larger than the cap are dropped wholesale,
-    * mirroring [[ngramJaccard]]'s maxDocFreq shingle cap: a bucket shared by
-    * >10k docs carries no near-dup signal worth n^2 work, and genuinely
-    * duplicated docs still collide in their other bands. 10k members is
+    * mirroring [[ngramJaccard]]'s maxDocFreq shingle cap. 10k members is
     * ~50M pairs per bucket — the largest group a single task should ever
     * verify.
+    *
+    * The trade-off is real, not free: a near-identical cluster LARGER than
+    * the cap is hot in EVERY band, so the whole cluster becomes invisible
+    * to near-dup detection (its docs collide nowhere below the cap). Run
+    * [[exact]] dedup first so byte-identical mega-clusters collapse before
+    * LSH, and watch the `lsh_bucket_cap_N` observed metric — a run that
+    * drops rows logs a driver-side warning (see the listener in
+    * [[bucketPairs]]) and should be re-examined, not ignored.
     */
   val DefaultMaxBucket: Int = 10000
 
   private val obsId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // sessions that already carry the warn-on-drop listener (weak keys —
+  // sessions come and go; a strong set would pin them)
+  private val capListenerSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Surface the `lsh_bucket_cap_N` observed metric as a driver-side WARN:
+    * dropped rows mean whole clusters above the cap were invisible to
+    * near-dup detection (see [[DefaultMaxBucket]]), which should be a loud
+    * signal, not a metric nobody reads. Registered once per session.
+    */
+  private def ensureCapWarnListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    if (capListenerSessions.put(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("lsh_bucket_cap_") &&
+                  row.getAs[Long]("dropped_rows") > 0)
+                org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+                  s"$name: ${row.getAs[Long]("dropped_rows")} banded rows " +
+                    s"fell in buckets above the cap (largest bucket " +
+                    s"${row.getAs[Long]("max_bucket")}) and were dropped — " +
+                    "clusters above the cap are INVISIBLE to near-dup " +
+                    "detection; run exact dedup first or raise maxBucket")
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
 
   /** Drop (key...) groups with more than `maxBucket` rows. Dropped volume is
     * reported as an observed metric (`lsh_bucket_cap_N`: dropped_rows,
@@ -73,6 +112,7 @@ object Dedup {
     */
   private[ops] def bucketPairs(banded: DataFrame, keys: Seq[String],
       idCol: String, maxBucket: Int): DataFrame = {
+    ensureCapWarnListener(banded.sparkSession)
     val grouped = banded.groupBy(keys.map(col): _*)
       .agg(collect_list(col(idCol)).as("_ids"))
     val observed =

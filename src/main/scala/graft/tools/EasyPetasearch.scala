@@ -68,6 +68,11 @@ object EasyPetasearch {
         case other => throw new IllegalArgumentException(s"unknown option $other")
       }
     }
+    // the two modes drive incompatible pipelines (MSA-profile vs per-query
+    // revcomp); silently preferring one would drop the other request
+    require(!(profileSearch && bothStrands),
+      "--profile-search and --both-strands are mutually exclusive: a PSSM " +
+        "profile has no nucleotide reverse complement")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("easy-petasearch")
@@ -97,6 +102,9 @@ object EasyPetasearch {
           PetaSearch.easySearch(spark, queryFasta, targetFasta, params)
       }
     PetaSearch.writeM8(m8, outDir)
+    // the m8 write materialized every cached frame (both-strands corpus,
+    // query tables); release them in case the session outlives this call
+    spark.catalog.clearCache()
     println(s"[easy-petasearch] wrote ${spark.read.option("sep", "\t").csv(outDir).count()} alignments to $outDir")
     spark.stop()
   }

@@ -117,6 +117,25 @@ class ModesSpec extends AnyFunSuite {
     assert(ri == rf && ri.nonEmpty)
   }
 
+  test("appendToTargetDb: append into an EMPTY existing DB (null max(seqId))") {
+    val rnd = new scala.util.Random(13)
+    def protein(n: Int) =
+      Array.fill(n)("ACDEFGHIKLMNPQRSTVWY"(rnd.nextInt(20))).mkString
+    val batch = (0 until 4).map(i => (s"e$i", protein(70 + i)))
+    val faEmpty = writeFasta(Seq.empty)
+    val fa = writeFasta(batch)
+    val dbInc = java.nio.file.Files.createTempDirectory("dbempty").toString
+    val dbFull = java.nio.file.Files.createTempDirectory("dbref").toString
+    PetaSearch.buildTargetDb(spark, faEmpty, dbInc)
+    PetaSearch.appendToTargetDb(spark, fa, dbInc) // NPE'd before the guard
+    PetaSearch.buildTargetDb(spark, fa, dbFull)
+    val inc = spark.read.parquet(s"$dbInc/kmers").collect().map(_.toSeq).toSet
+    val full = spark.read.parquet(s"$dbFull/kmers").collect().map(_.toSeq).toSet
+    assert(inc == full && inc.nonEmpty)
+    val mi = spark.read.parquet(s"$dbInc/meta").head()
+    assert(mi.getAs[Long]("nSeqs") == 4)
+  }
+
   test("reverse-strand nucleotide search recovers a planted minus-strand hit") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
