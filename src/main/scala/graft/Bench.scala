@@ -12,6 +12,11 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS); read as long, normalized
       // back to timestamp in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the suite generates well over the default 100 unique codegen
+      // classes, so the class cache thrashes and pass 2 recompiles every
+      // stage from scratch — the min-across-passes then never sees a
+      // compile-free run
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader spin-up shouldn't be
