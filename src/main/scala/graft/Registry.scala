@@ -26,6 +26,7 @@ object Registry {
     graft.relational.RelQueries.all ++
       graft.ops.DedupQueries.all ++
       graft.ops.TextQueries.all ++
+      graft.ops.TrainQueries.all ++
       graft.ops.SimilarityQueries.all ++
       graft.bio.BioQueries.all ++
       graft.ops.MultimodalQueries.all

@@ -15,6 +15,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long, normalized
       // back to timestamp in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 43 queries generate well over the default 100 unique codegen
+      // classes — keep them all compiled (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -57,4 +57,37 @@ object Curate {
       cfg.shingleSize, cfg.numHashes, cfg.rowsPerBand, cfg.nearDupThreshold)
     Dedup.applyNearDups(exactDeduped, idCol, pairs)
   }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct word-`shingleSize`-grams with the eval slice
+    * (`evalPred` rows). The standard test-set-overlap scrub run before
+    * training; eval docs themselves are never flagged. Returns
+    * (id, n_shared) for flagged docs.
+    *
+    * Scale shape: the eval side collapses to its DISTINCT gram set first —
+    * a benchmark is tiny next to the corpus, so that set broadcasts and
+    * the corpus-side probe is a scan-speed semi-join, never a corpus-level
+    * shuffle by gram. Real deployments use long grams (8-13 words), which
+    * also keeps any single gram's document frequency — and thus join
+    * fan-out — low.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, shingleSize: Int = 3, minShared: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(corpus, idCol, textCol, shingleSize)
+    val evalIds = corpus.filter(evalPred).select(col(idCol).as("id"))
+    val evalGrams = sh.join(evalIds, Seq("id"), "left_semi")
+      .select(col("shingle")).distinct()
+    sh.join(evalIds, Seq("id"), "left_anti")
+      .join(evalGrams, Seq("shingle"))
+      // shingle rows are distinct per (id, shingle), so the count IS the
+      // distinct shared-gram count
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Drop flagged docs (the apply step of [[decontaminate]]). */
+  def removeContaminated(corpus: DataFrame, idCol: String,
+      flagged: DataFrame): DataFrame =
+    corpus.join(flagged.select(col("id").as(idCol)), Seq(idCol), "left_anti")
 }

@@ -429,15 +429,25 @@ object Dedup {
       .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val q = banded.filter(queryPred)
-      .select(col("id").as("a"), col("simhash").as("ha"),
-        col("band"), col("bval"))
-    val c = banded.select(col("id").as("b"), col("simhash").as("hb"),
-      col("band"), col("bval"))
-    q.join(c, Seq("band", "bval"))
-      .filter(col("a") < col("b"))
-      // a pair can collide in several bands — dedup before the verify
-      .select(col("a"), col("b"), col("ha"), col("hb"))
+    // candidate pairs via ONE aggregation over the banded rows (the
+    // query-side/corpus-side equi-join formulation computed the whole
+    // signature pipeline twice): each (band, bval) bucket collects its
+    // members with a query flag, pairs expand array-locally — `a` must be
+    // a query member, `b` any member with a larger id. A qualifying pair
+    // (a < b, a in Q) can collide in several bands — distinct before the
+    // Hamming verify. The signature rides along in the member struct, so
+    // no re-join against `sig` is needed for the verify.
+    banded
+      .groupBy(col("band"), col("bval"))
+      .agg(collect_list(
+        struct(col("id"), col("simhash").as("h"), queryPred.as("isq")))
+        .as("_ms"))
+      .filter(size(col("_ms")) >= 2)
+      .select(explode(col("_ms")).as("m"), col("_ms"))
+      .filter(col("m.isq"))
+      .select(col("m.id").as("a"), col("m.h").as("ha"),
+        explode(expr("filter(_ms, x -> x.id > m.id)")).as("x"))
+      .select(col("a"), col("x.id").as("b"), col("ha"), col("x.h").as("hb"))
       .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)

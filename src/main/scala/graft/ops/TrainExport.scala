@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-export operators: the last mile of a data pipeline — turn a
+  * curated corpus into the deterministically-shuffled, shard-partitioned,
+  * context-packed form a trainer consumes.
+  *
+  * Scale design (100 TB):
+  *  - the "global shuffle" is hash-derived, not a sort: shard and in-shard
+  *    order come from md5(id), so no operator ever needs a total order over
+  *    the corpus — assignment is a per-row projection, and the only sort is
+  *    within-shard (parallel across shards, exactly what a sorted
+  *    partitioned write costs anyway);
+  *  - md5 makes the shuffle reproducible across runs AND engines (same
+  *    portable-hash trick as the minhash family), so an interrupted export
+  *    resumes per-shard with identical contents;
+  *  - context packing is a window partitioned BY SHARD — state never
+  *    crosses shard boundaries, so packing parallelizes with the shard
+  *    count (pick nShards >> executor count).
+  */
+object TrainExport {
+
+  /** Deterministic pseudo-random shard assignment: `shard = md5(id) mod n`,
+    * plus the full digest as `sort_key` — ordering by it inside a shard IS
+    * the global shuffle, without any global sort. Adds (sort_key, shard) to
+    * `df`'s columns.
+    */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn("sort_key", md5(col(idCol).cast("string")))
+      // 15 hex chars < 2^60: positive in a signed long, so % n is safe
+      .withColumn("shard",
+        (conv(substring(col("sort_key"), 1, 15), 16, 10).cast("long")
+          % nShards).cast("int"))
+  }
+
+  /** Write the corpus as `nShards` shard directories, each sorted by
+    * `sort_key` (= shuffled order). One shuffle, parallel sorted writes;
+    * re-running produces byte-identical shards.
+    */
+  def writeShards(df: DataFrame, idCol: String, path: String,
+      nShards: Int): Unit =
+    assignShards(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Greedy sequential context packing (GPT-style document packing): walk
+    * each shard in shuffled order, accumulate whitespace-token counts, and
+    * cut a new context every `tokenBudget` tokens —
+    * `ctx_id = floor(preceding_tokens / tokenBudget)`. Documents may
+    * straddle a budget boundary (the trainer's concat-and-split handles
+    * that); what matters is that contexts are deterministic, size-balanced,
+    * and computable without cross-shard state. Adds (sort_key, shard,
+    * tokens, ctx_id).
+    */
+  def packContexts(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, tokenBudget: Int): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("sort_key"), col(idCol))
+    assignShards(df, idCol, nShards)
+      // same whitespace-token formula as TextAnalysis.tokenCounts
+      .withColumn("tokens",
+        size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("_cum", sum(col("tokens")).over(w))
+      .withColumn("ctx_id",
+        floor((col("_cum") - col("tokens")) / lit(tokenBudget.toLong)))
+      .drop("_cum")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Training-export + decontamination suite over the documents corpus, each
+  * with a DuckDB mirror as correctness oracle. The md5-derived shard/order
+  * values are engine-portable (same trick as the minhash family), so the
+  * oracles check the actual shuffle, not just row counts.
+  */
+object TrainQueries {
+
+  /** Portable 60-bit hash of doc_id, mod n — matches
+    * TrainExport.assignShards. */
+  private def duckShard(n: Int) =
+    s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $n"
+
+  private val duckTokens =
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+
+  val trainShards = Q(
+    "train_shards",
+    (s, d) => {
+      TrainExport.assignShards(T.documents(s, d), "doc_id", 8)
+        .withColumn("tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH s AS (
+        SELECT CAST(${duckShard(8)} AS INT) AS shard, $duckTokens AS tokens
+        FROM documents)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS total_tokens
+      FROM s GROUP BY 1 ORDER BY 1"""))
+
+  val trainPack = Q(
+    "train_pack",
+    (s, d) => {
+      TrainExport.packContexts(T.documents(s, d), "doc_id", "text", 4, 512)
+        .groupBy(col("shard"), col("ctx_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("ctx_tokens"))
+        .orderBy(col("shard"), col("ctx_id"))
+    },
+    Some(s"""
+      WITH s AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+               CAST(${duckShard(4)} AS INT) AS shard, $duckTokens AS tokens
+        FROM documents),
+      c AS (
+        SELECT shard,
+               (SUM(tokens) OVER (PARTITION BY shard ORDER BY sort_key, doc_id)
+                - tokens) // 512 AS ctx_id,
+               tokens
+        FROM s)
+      SELECT shard, ctx_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS ctx_tokens
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val textDecontaminate = Q(
+    "text_decontaminate",
+    (s, d) => {
+      Curate.decontaminate(T.documents(s, d), "doc_id", "text",
+        col("doc_id") % 50 === 0, shingleSize = 3, minShared = 3)
+        .select(col("id").as("doc_id"), col("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      shx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM tok WHERE len(w) >= 3),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+               w[CAST(i AS INT) + 2] AS shingle
+        FROM shx),
+      eg AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0)
+      SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh JOIN eg USING (shingle)
+      WHERE id % 50 <> 0
+      GROUP BY 1 HAVING COUNT(*) >= 3
+      ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(trainShards, trainPack, textDecontaminate)
+}

@@ -16,6 +16,9 @@ object TestSpark {
       // silently dropping the stage to interpreted eval (caught the
       // hard-coded-local collision in DotProduct/KmerEncode doGenCode)
       .config("spark.sql.codegen.fallback", "false")
+      // the suite compiles hundreds of unique codegen classes; the default
+      // 100-entry class cache thrashes across specs (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training export: deterministic sharding, context packing,
+  * decontamination. */
+class TrainExportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = docs((0L until 100L).map { i =>
+    (i, (0 until (3 + (i % 7).toInt)).map(j => s"w${(i * 31 + j * 7) % 23}")
+      .mkString(" "))
+  })
+
+  test("assignShards: stable, in-range, and reproducible") {
+    val a = TrainExport.assignShards(corpus, "doc_id", 8).collect()
+    assert(a.forall(r => (0 until 8).contains(r.getAs[Int]("shard"))))
+    val b = TrainExport.assignShards(corpus, "doc_id", 8).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    // every doc present exactly once — sharding is a partition, not a sample
+    assert(a.map(_.getAs[Long]("doc_id")).toSet == (0L until 100L).toSet)
+  }
+
+  test("writeShards: re-export produces identical shard contents") {
+    val p1 = java.nio.file.Files.createTempDirectory("shards1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    TrainExport.writeShards(corpus, "doc_id", p1, 4)
+    TrainExport.writeShards(corpus, "doc_id", p2, 4)
+    val r1 = spark.read.parquet(p1).collect().map(_.toSeq).toSet
+    val r2 = spark.read.parquet(p2).collect().map(_.toSeq).toSet
+    assert(r1 == r2 && r1.size == 100)
+    // shard dirs exist as partition directories
+    val dirs = new java.io.File(p1).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == 4)
+  }
+
+  test("packContexts: contexts are contiguous token-budget bins per shard") {
+    val packed = TrainExport.packContexts(corpus, "doc_id", "text", 2, 20)
+      .collect()
+    assert(packed.map(_.getAs[Long]("doc_id")).toSet == (0L until 100L).toSet)
+    packed.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(r =>
+        (r.getAs[String]("sort_key"), r.getAs[Long]("doc_id")))
+      var cum = 0L
+      inOrder.foreach { r =>
+        // ctx_id is the bin of the tokens PRECEDING this doc
+        assert(r.getAs[Long]("ctx_id") == cum / 20)
+        cum += r.getAs[Long]("tokens")
+      }
+      // ctx ids are a prefix 0..max with no gaps
+      val ids = inOrder.map(_.getAs[Long]("ctx_id"))
+      assert(ids.distinct.toSeq == (0L to ids.max).toSeq)
+    }
+  }
+
+  test("decontaminate flags planted overlap and only that") {
+    val eval = (0L, "alpha beta gamma delta epsilon zeta")
+    val copier = (1L, "intro words alpha beta gamma delta epsilon outro")
+    val partial = (2L, "alpha beta gamma unrelated tail here")   // 1 shared gram
+    val clean = (3L, "completely different content with no overlap at all")
+    val df = docs(Seq(eval, copier, partial, clean))
+    val flagged = Curate.decontaminate(df, "doc_id", "text",
+      col("doc_id") === 0, shingleSize = 3, minShared = 3)
+    val byId = flagged.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("n_shared")).toMap
+    assert(byId.keySet == Set(1L))
+    assert(byId(1L) == 3) // alpha-beta-gamma, beta-gamma-delta, gamma-delta-epsilon
+    val kept = Curate.removeContaminated(df, "doc_id", flagged)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L))
+  }
+}
