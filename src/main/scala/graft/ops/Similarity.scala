@@ -322,6 +322,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** SemDeDup-style semantic dedup pairs: k-means clusters the corpus
+    * (the deterministic [[kmeans]]), then exact cosine runs only WITHIN
+    * clusters — pairs in different clusters are never considered, which is
+    * the method's approximation (Abbas et al. 2023: semantic duplicates
+    * land in the same cluster w.h.p.). Returns (a, b, cos, label) pairs
+    * with cosine >= threshold; feed to [[Dedup.applyNearDups]] or
+    * [[Dedup.components]] to pick keepers.
+    *
+    * Scale shape: the pair space is an equi-join on the cluster label, so
+    * work is sum(|cluster|^2), not |corpus|^2 — pick k so clusters stay
+    * ~1e4; AQE splits skewed labels. The embeddings stay OUT of any
+    * aggregation buffer (unlike the LSH single-agg trick, a cluster's
+    * member embeddings would be megabytes per group), so this is a plain
+    * self-join — scan-bound, twice.
+    */
+  def semDedup(corpus: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    // cache(): the label table feeds both join sides, and uncached each
+    // side would replay the full k-means assignment pass. (vec_id, label)
+    // rows are ~16 bytes — tiny next to the corpus. Lifetime is
+    // CALLER-OWNED (same contract as the query-table cache): materialize
+    // the result, then clearCache(), or keep the session short.
+    val labels = kmeans(corpus, k, iters).cache()
+    val labeled = corpus.join(labels, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        norm(col("embedding")).as("vn"))
+    val l = labeled.select(col("vec_id").as("a"), col("embedding").as("va"),
+      col("vn").as("na"), col("label"))
+    val r = labeled.select(col("vec_id").as("b"), col("embedding").as("vb"),
+      col("vn").as("nb"), col("label"))
+    l.join(r, Seq("label"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"), col("label"))
+  }
+
   /** Embedding near-dup pairs, the 100 TB path: SRP band-bucket candidate
     * generation (cosine-similar vectors agree on SRP sign bits with
     * probability 1 - angle/pi per bit, so near-dups collide in some band

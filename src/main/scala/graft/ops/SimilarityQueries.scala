@@ -154,21 +154,12 @@ object SimilarityQueries {
       SELECT query_id AS a, neighbor_id AS b, ROUND(cos, 3) AS cos
       FROM comp WHERE cos >= 0.4 ORDER BY a, b"""))
 
-  /** Deterministic k-means (2 Lloyd iterations, md5-ordered seeding): the
-    * oracle unrolls both iterations in SQL — seed selection, cosine argmax
-    * assignment, elementwise-mean update, reassignment.
+  /** Shared DuckDB CTE chain: 2 unrolled Lloyd iterations (md5-ordered
+    * seeding, cosine argmax assignment, elementwise-mean update,
+    * reassignment), ending in `a2(vec_id, label)` with `e(vec_id, v)` the
+    * double-cast corpus. Callers prefix `WITH `.
     */
-  val embKmeans = Q(
-    "emb_kmeans",
-    (s, d) => {
-      val emb = T.embeddings(s, d)
-        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
-      Similarity.kmeans(emb, 10, iters = 2)
-        .select(col("vec_id"), col("label").cast("int").as("label"))
-        .orderBy(col("vec_id"))
-    },
-    Some("""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private val duckKmeans2 = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       sel AS (
         SELECT vec_id, v FROM e
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10),
@@ -215,8 +206,58 @@ object SimilarityQueries {
           SELECT vec_id, label,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                                     ORDER BY ccos DESC, label) AS rn
-          FROM s2) WHERE rn = 1)
+          FROM s2) WHERE rn = 1)"""
+
+  /** Deterministic k-means (2 Lloyd iterations, md5-ordered seeding): the
+    * oracle unrolls both iterations in SQL — seed selection, cosine argmax
+    * assignment, elementwise-mean update, reassignment.
+    */
+  val embKmeans = Q(
+    "emb_kmeans",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.kmeans(emb, 10, iters = 2)
+        .select(col("vec_id"), col("label").cast("int").as("label"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $duckKmeans2
       SELECT vec_id, CAST(label AS INT) AS label FROM a2 ORDER BY vec_id"""))
 
-  def all: Seq[Q] = Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans)
+  /** SemDeDup: within-k-means-cluster exact cosine pairs. The oracle
+    * replays the full cascade — the unrolled k-means, the label equi-join
+    * pair space, and the indexed-unnest cosine — so the cluster
+    * restriction itself is verified, not just the final cosines.
+    */
+  val embSemDedup = Q(
+    "emb_semdedup",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.semDedup(emb, 10, iters = 2, threshold = 0.35)
+        .select(col("a"), col("b"), round(col("cos"), 3).as("cos"),
+          col("label").cast("int").as("label"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH $duckKmeans2,
+      prs AS (
+        SELECT x.vec_id AS a, y.vec_id AS b, x.label
+        FROM a2 x JOIN a2 y ON x.label = y.label AND x.vec_id < y.vec_id),
+      pe AS (
+        SELECT p.a, p.b, p.label, ea.v AS qv, eb.v AS cv
+        FROM prs p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b),
+      pc AS (
+        SELECT a, b, label,
+               SUM(qv[CAST(i AS INT)] * cv[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(cv[CAST(i AS INT)] * cv[CAST(i AS INT)]))) AS cos
+        FROM (SELECT *, unnest(generate_series(1, 64)) AS i FROM pe)
+        GROUP BY 1, 2, 3)
+      SELECT a, b, ROUND(cos, 3) AS cos, CAST(label AS INT) AS label
+      FROM pc WHERE cos >= 0.35 ORDER BY a, b"""))
+
+  def all: Seq[Q] =
+    Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup)
 }

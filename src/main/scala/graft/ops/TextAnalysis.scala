@@ -141,6 +141,33 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
 
+  /** Unigram-LM perplexity scoring (the CCNet-style quality proxy, with
+    * the corpus itself as the LM): per-doc average negative log of each
+    * token's corpus MLE probability, exponentiated. Low perplexity =
+    * ordinary, fluent text; high = rare-token soup (OCR noise, spam,
+    * wrong-language fragments). A real deployment swaps the count table
+    * for a trained KenLM — the Spark shape is identical.
+    *
+    * Scale: one shuffle for the vocab counts, one hash join tokens->counts
+    * (vocab ~ 1e8 rows at 100 TB — a plain shuffled join, no broadcast),
+    * one per-doc aggregation; the corpus total joins in as a broadcast
+    * 1-row table. Output: (id, n_tokens, ppl).
+    */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum(col("tf")).as("n"))
+    tok
+      .join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log(col("tf") / col("n"))).as("nll"))
+      .select(col("id"), col("n_tokens"), exp(col("nll")).as("ppl"))
+  }
+
   /** Content-defined fingerprint: md5 over the sorted distinct token set —
     * order-insensitive near-dup key (bag-of-words collision = same vocab).
     */

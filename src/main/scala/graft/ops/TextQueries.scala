@@ -286,7 +286,35 @@ object TextQueries {
       SELECT DISTINCT doc_id, pos, hash FROM cand WHERE rn = 1
       ORDER BY doc_id, pos"""))
 
+  /** Unigram-LM perplexity with the corpus as its own LM: token MLE probs
+    * from global counts, per-doc mean negative log-prob, exponentiated.
+    * Both engines sum identical log terms over the same token multiset.
+    */
+  val textLmPpl = Q(
+    "text_lm_ppl",
+    (s, d) => {
+      TextAnalysis.lmPerplexity(T.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("ppl"), 2).as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      t2 AS (SELECT * FROM tok WHERE length(tok) > 0),
+      counts AS (SELECT tok, COUNT(*) AS tf FROM t2 GROUP BY 1),
+      tot AS (SELECT SUM(tf) AS n FROM counts),
+      sc AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               AVG(-LN(tf * 1.0 / n)) AS nll
+        FROM t2 JOIN counts USING (tok) CROSS JOIN tot
+        GROUP BY 1)
+      SELECT id AS doc_id, n_tokens, ROUND(EXP(nll), 2) AS ppl
+      FROM sc ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
-    textWinnow)
+    textWinnow, textLmPpl)
 }

@@ -78,6 +78,52 @@ class OpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(1L)) // probe stays in cluster 0
   }
 
+  test("semDedup: within-cluster pairs equal brute force restricted to clusters") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 60L).map { i =>
+      val base = Array.tabulate(8)(j =>
+        if (j == (i % 3).toInt * 2) 1.0 else 0.1 * rnd.nextDouble())
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val pairs = Similarity.semDedup(vecs, k = 3, iters = 2, threshold = 0.9)
+      .select("a", "b", "label").as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    // verify against brute force over the SAME labels: every emitted pair
+    // is same-cluster with cosine >= threshold, and none is missing
+    val labels = Similarity.kmeans(vecs, 3, 2)
+      .as[(Long, Int)].collect().toMap
+    val v = vecs.as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val brute = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+      if labels(a) == labels(b) && cos(v(a), v(b)) >= 0.9
+    } yield (a, b, labels(a))).toSet
+    assert(pairs.toSet == brute)
+    spark.catalog.clearCache()
+  }
+
+  test("lmPerplexity: rare-token docs score higher; uniform corpus is exact") {
+    // 4 docs over a skewed vocab: 'common' appears 6x, rares once each
+    val lm = Seq(
+      (0L, "common common common"),
+      (1L, "common rare1"),
+      (2L, "rare2 rare3 common"),
+      (3L, "common common")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lmPerplexity(lm, "doc_id", "text")
+      .select("id", "n_tokens", "ppl")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(0L)._1 == 3 && r(1L)._1 == 2)
+    // doc 0 = all-common tokens -> lowest ppl; doc 2 has two rares -> highest
+    assert(r(0L)._2 < r(1L)._2 && r(1L)._2 < r(2L)._2)
+    // exact value: p(common)=7/10 -> ppl(doc0) = 10/7
+    assert(math.abs(r(0L)._2 - 10.0 / 7.0) < 1e-9)
+  }
+
   test("text analysis: langid markers, token counts, fingerprint invariance") {
     val r = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .as[(Long, String)].collect().toMap
