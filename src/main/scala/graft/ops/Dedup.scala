@@ -73,38 +73,18 @@ object Dedup {
               exception: Exception): Unit = ()
         })
 
-  /** Drop (key...) groups with more than `maxBucket` rows. Dropped volume is
-    * reported as an observed metric (`lsh_bucket_cap_N`: dropped_rows,
-    * max_bucket) — visible to QueryExecutionListeners and the UI at zero
-    * extra cost, since counting drops with a separate action would recompute
-    * the whole upstream pipeline. The size count is a window over the same
-    * keys the caller joins on, so the exchange is reused by the join.
-    */
-  private[ops] def capBuckets(banded: DataFrame, keys: Seq[String],
-      maxBucket: Int): DataFrame =
-    if (maxBucket == Int.MaxValue) banded
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*)
-      banded
-        .withColumn("_bsz", count(lit(1)).over(w))
-        .observe(s"lsh_bucket_cap_${obsId.incrementAndGet()}",
-          sum(when(col("_bsz") > maxBucket, lit(1)).otherwise(lit(0)))
-            .as("dropped_rows"),
-          coalesce(max(col("_bsz")), lit(0L)).as("max_bucket"))
-        .filter(col("_bsz") <= maxBucket)
-        .drop("_bsz")
-    }
-
   /** Candidate pairs from (band, bucket, id) rows via ONE aggregation:
     * each bucket's members are collected into an array (bounded by
     * `maxBucket`, so at most ~80 KB per group) and pairs expand
     * array-locally — `a` explodes, `b` comes from the members greater than
-    * `a`. Compared to the capBuckets + self-join formulation this computes
-    * the (expensive) upstream pipeline ONCE instead of twice, needs no
-    * window sort, and shuffles one row per bucket instead of two per
-    * member; the emitted pair set is identical. Oversized buckets are
-    * dropped wholesale with the same observed metric as [[capBuckets]].
+    * `a`. Compared to a capped self-join formulation this computes the
+    * (expensive) upstream pipeline ONCE instead of twice, needs no window
+    * sort, and shuffles one row per bucket instead of two per member; the
+    * emitted pair set is identical. Oversized buckets are dropped
+    * wholesale; dropped volume is reported as an observed metric
+    * (`lsh_bucket_cap_N`: dropped_rows, max_bucket) at zero extra cost —
+    * counting drops with a separate action would recompute the whole
+    * upstream pipeline — and surfaced as a driver WARN by the listener.
     *
     * Scale note: with `maxBucket == Int.MaxValue` the member list is
     * unbounded — only disable the cap on corpora known to have no hot
