@@ -311,6 +311,60 @@ object Dedup {
     agg.select(col("id"), hash.as("simhash"))
   }
 
+  /** Exact duplicate-substring spans (the Lee et al. 2021 "Deduplicating
+    * Training Data" method, token-granular): hash every `w`-token window,
+    * keep windows whose hash occurs at least `minOccurrences` times in the
+    * WHOLE corpus (cross-doc or repeated within one doc), and merge
+    * overlapping/adjacent duplicate windows into maximal spans per doc.
+    * Output: (id, span_start, span_end, n_windows) with token-index bounds
+    * (inclusive) — feed to a span-removal rewrite or drop whole docs above
+    * a duplication ratio.
+    *
+    * Scale shape: one hash-distributed aggregation over window hashes (the
+    * only corpus-wide shuffle — md5 keys, skew-free), a semi-join of
+    * window rows against the duplicated-hash set (each row matches at most
+    * one key — no fan-out), and span merging as a per-doc window function
+    * (partitioned by doc, never cross-doc state). Window count = token
+    * count, so the whole pipeline is linear in corpus size.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    require(w >= 1 && minOccurrences >= 2,
+      s"need w >= 1 and minOccurrences >= 2, got w=$w, min=$minOccurrences")
+    val positions = when(size(col("_w")) >= w,
+      sequence(lit(0), size(col("_w")) - w)).otherwise(array())
+    val gram = concat_ws(" ",
+      (0 until w).map(j => element_at(col("_w"), col("_i") + j + 1)): _*)
+    // NOT distinct-per-doc: a window repeated inside one doc is a
+    // duplicate too (Lee et al. dedups self-repeats as well)
+    val windows = df
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
+      .withColumn("_i", explode(positions))
+      .select(col("id"), col("_i").as("start"), md5(gram).as("h"))
+    val dupHashes = windows.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("h"))
+    val dupWindows = windows.join(dupHashes, Seq("h"), "left_semi")
+    // merge [start, start+w-1] intervals per doc: a window starts a new
+    // span when it begins past every previous window's end
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("start"))
+    val prev = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    dupWindows
+      .withColumn("_maxPrevEnd", max(col("start") + lit(w - 1)).over(prev))
+      .withColumn("_newSpan",
+        when(col("_maxPrevEnd").isNull ||
+          col("start") > col("_maxPrevEnd") + 1, lit(1)).otherwise(lit(0)))
+      .withColumn("_span", sum(col("_newSpan")).over(byDoc))
+      .groupBy(col("id"), col("_span"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + lit(w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** Apply near-dup pairs to a corpus: greedy keep-lowest-id — every doc
     * that appears as the LARGER id of a qualifying pair is dropped. (Not
     * transitive-closure clustering: a chain a-b, b-c drops b and c, keeping

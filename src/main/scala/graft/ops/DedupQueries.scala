@@ -189,6 +189,59 @@ object DedupQueries {
         AND bit_count(xor(q.simhash, c.simhash)) <= 5
       ORDER BY a, b"""))
 
+  /** Exact duplicate-substring spans (Lee et al. 2021): the oracle replays
+    * the whole construction — 8-token window hashes, corpus-wide
+    * occurrence gate, and the per-doc interval merge (running-max window +
+    * segment counter).
+    */
+  val dedupSubstringSpans = Q(
+    "dedup_substring_spans",
+    (s, d) => {
+      Dedup.duplicateSpans(T.documents(s, d), "doc_id", "text",
+        w = 8, minOccurrences = 2)
+        .select(col("id").as("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"), col("n_windows"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some {
+      val w = 8
+      val terms = (0 until w).map(j => s"wd[CAST(i AS INT) + $j]")
+        .mkString(" || ' ' || ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS wd
+        FROM documents),
+      wx AS (
+        SELECT doc_id, wd, unnest(generate_series(1, len(wd) - ${w - 1})) AS i
+        FROM tok WHERE len(wd) >= $w),
+      win AS (
+        SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS start,
+               md5($terms) AS h
+        FROM wx),
+      dup AS (SELECT h FROM win GROUP BY 1 HAVING COUNT(*) >= 2),
+      dw AS (SELECT id, start FROM win JOIN dup USING (h)),
+      m AS (
+        SELECT id, start,
+               MAX(start + ${w - 1}) OVER (PARTITION BY id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS max_prev_end
+        FROM dw),
+      f AS (
+        SELECT id, start,
+               CASE WHEN max_prev_end IS NULL OR start > max_prev_end + 1
+                    THEN 1 ELSE 0 END AS newspan
+        FROM m),
+      g AS (
+        SELECT id, start,
+               SUM(newspan) OVER (PARTITION BY id ORDER BY start) AS span
+        FROM f)
+      SELECT id AS doc_id, MIN(start) AS span_start,
+             MAX(start) + ${w - 1} AS span_end,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM g GROUP BY id, span ORDER BY doc_id, span_start"""
+    })
+
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupComponents,
-    dedupSimhash, dedupNgramJaccard, dedupSimhashPairs)
+    dedupSimhash, dedupNgramJaccard, dedupSimhashPairs, dedupSubstringSpans)
 }

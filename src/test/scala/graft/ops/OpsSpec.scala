@@ -78,6 +78,29 @@ class OpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(1L)) // probe stays in cluster 0
   }
 
+  test("duplicateSpans: planted cross-doc substring and self-repeat found") {
+    val shared = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (0L, s"prefix words here $shared and a tail"),
+      (1L, s"different opening $shared closing words"),
+      (2L, "totally unrelated text with no repeats at all whatsoever"),
+      (3L, "a b c d e f g h X a b c d e f g h") // self-repeat, gap of 1
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text",
+      w = 8, minOccurrences = 2)
+      .select("id", "span_start", "span_end", "n_windows")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // docs 0/1: the 10-token shared run -> one merged span each, exactly
+    // covering the shared region (3 windows of 8 tokens)
+    assert(spans.contains((0L, 3, 12, 3L)))
+    assert(spans.contains((1L, 2, 11, 3L)))
+    // doc 3: the repeated 8-gram at 0 and 9 -> two spans (gap prevents merge)
+    assert(spans.contains((3L, 0, 7, 1L)))
+    assert(spans.contains((3L, 9, 16, 1L)))
+    assert(!spans.exists(_._1 == 2L))
+    assert(spans.size == 4)
+  }
+
   test("semDedup: within-cluster pairs equal brute force restricted to clusters") {
     val rnd = new scala.util.Random(5)
     val vecs = (0L until 60L).map { i =>
