@@ -168,6 +168,68 @@ object TextAnalysis {
       .select(col("id"), col("n_tokens"), exp(col("nll")).as("ppl"))
   }
 
+  /** Gopher-style repetition stats (Rae et al. 2021 quality rules, token
+    * flavor): per doc —
+    *  - `dup_2gram_frac`: fraction of 2-gram occurrences beyond each
+    *    gram's first (1 - distinct/total);
+    *  - `top_2gram_frac`: tokens covered by the most frequent 2-gram over
+    *    total tokens (only the max COUNT matters, so ties need no order);
+    *  - `dup_5gram_token_frac`: fraction of TOKENS covered by 5-grams that
+    *    occur at least twice in the doc (interval union of their [p, p+4]
+    *    windows — the within-doc twin of [[Dedup.duplicateSpans]]).
+    * The standard repetition gates a curation pipeline thresholds on
+    * (Gopher drops docs with dup-5-gram coverage > 0.3 etc.).
+    *
+    * Scale: gram stats are per-doc hash aggregations; the coverage merge
+    * is a window partitioned by doc — nothing crosses doc boundaries.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("_w"))
+      .withColumn("n_tokens", size(col("_w")).cast("long"))
+    def gramRows(w: Int) = toks
+      .withColumn("_i", explode(when(size(col("_w")) >= w,
+        sequence(lit(0), size(col("_w")) - w)).otherwise(array())))
+      .select(col("id"), col("_i").as("pos"), concat_ws(" ",
+        (0 until w).map(j => element_at(col("_w"), col("_i") + j + 1)): _*)
+        .as("g"))
+    val g2 = gramRows(2).groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("total2"), count(lit(1)).as("distinct2"),
+        max(col("c")).as("max2"))
+    // positions of within-doc duplicated 5-grams -> union of [p, p+4]
+    val dupPos = gramRows(5).groupBy(col("id"), col("g"))
+      .agg(collect_list(col("pos")).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(col("id"), explode(col("ps")).as("pos"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevW = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val cov = dupPos
+      .withColumn("_maxPrevEnd", max(col("pos") + lit(4)).over(prevW))
+      .withColumn("_new", when(col("_maxPrevEnd").isNull ||
+        col("pos") > col("_maxPrevEnd"), lit(1)).otherwise(lit(0)))
+      .withColumn("_span", sum(col("_new")).over(byDoc))
+      .groupBy(col("id"), col("_span"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(4)).as("e"))
+      .groupBy(col("id"))
+      .agg(sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+    toks.select(col("id"), col("n_tokens"))
+      .join(g2, Seq("id"), "left")
+      .join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce((col("total2") - col("distinct2")) / col("total2"), lit(0.0))
+          .as("dup_2gram_frac"),
+        // overlapping occurrences ("spam spam spam") can exceed the token
+        // count — cap at 1: "the whole doc is this gram"
+        least(lit(1.0),
+          coalesce(col("max2") * lit(2) / col("n_tokens"), lit(0.0)))
+          .as("top_2gram_frac"),
+        coalesce(col("dup_tokens") / col("n_tokens"), lit(0.0))
+          .as("dup_5gram_token_frac"))
+  }
+
   /** Content-defined fingerprint: md5 over the sorted distinct token set —
     * order-insensitive near-dup key (bag-of-words collision = same vocab).
     */

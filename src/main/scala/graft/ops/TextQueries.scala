@@ -314,7 +314,75 @@ object TextQueries {
       SELECT id AS doc_id, n_tokens, ROUND(EXP(nll), 2) AS ppl
       FROM sc ORDER BY doc_id"""))
 
+  /** Gopher repetition rules: the oracle replays 2-gram occurrence stats
+    * and the duplicated-5-gram interval-union coverage per doc.
+    */
+  val textRepetition = Q(
+    "text_repetition",
+    (s, d) => {
+      TextAnalysis.repetitionStats(T.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("dup_2gram_frac"), 4).as("dup_2gram_frac"),
+          round(col("top_2gram_frac"), 4).as("top_2gram_frac"),
+          round(col("dup_5gram_token_frac"), 4).as("dup_5gram_token_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents),
+      base AS (SELECT id, CAST(len(w) AS BIGINT) AS n_tokens FROM tok),
+      g2x AS (
+        SELECT id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        FROM (SELECT id, w, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM tok WHERE len(w) >= 2)),
+      g2 AS (
+        SELECT id, SUM(c) AS total2, COUNT(*) AS distinct2, MAX(c) AS max2
+        FROM (SELECT id, g, COUNT(*) AS c FROM g2x GROUP BY 1, 2)
+        GROUP BY 1),
+      g5x AS (
+        SELECT id, CAST(i - 1 AS BIGINT) AS pos,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+               w[CAST(i AS INT) + 2] || ' ' || w[CAST(i AS INT) + 3] || ' ' ||
+               w[CAST(i AS INT) + 4] AS g
+        FROM (SELECT id, w, unnest(generate_series(1, len(w) - 4)) AS i
+              FROM tok WHERE len(w) >= 5)),
+      dpos AS (
+        SELECT id, pos FROM g5x
+        QUALIFY COUNT(*) OVER (PARTITION BY id, g) >= 2),
+      m AS (
+        SELECT id, pos,
+               MAX(pos + 4) OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS max_prev_end
+        FROM dpos),
+      f AS (
+        SELECT id, pos,
+               CASE WHEN max_prev_end IS NULL OR pos > max_prev_end
+                    THEN 1 ELSE 0 END AS newspan
+        FROM m),
+      sp AS (
+        SELECT id, SUM(newspan) OVER (PARTITION BY id ORDER BY pos) AS span,
+               pos
+        FROM f),
+      cov AS (
+        SELECT id, CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+        FROM (SELECT id, span, MIN(pos) AS s, MAX(pos) + 4 AS e
+              FROM sp GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT b.id AS doc_id, b.n_tokens,
+             ROUND(COALESCE((total2 - distinct2) * 1.0 / total2, 0), 4)
+               AS dup_2gram_frac,
+             ROUND(LEAST(1.0, COALESCE(max2 * 2.0 / b.n_tokens, 0)), 4)
+               AS top_2gram_frac,
+             ROUND(COALESCE(dup_tokens * 1.0 / b.n_tokens, 0), 4)
+               AS dup_5gram_token_frac
+      FROM base b
+      LEFT JOIN g2 ON g2.id = b.id
+      LEFT JOIN cov ON cov.id = b.id
+      ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
-    textWinnow, textLmPpl)
+    textWinnow, textLmPpl, textRepetition)
 }

@@ -78,6 +78,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(1L)) // probe stays in cluster 0
   }
 
+  test("repetitionStats: Gopher rules on planted repetitive docs") {
+    val reps = Seq(
+      (0L, "spam spam spam spam spam spam"),
+      (1L, "a b c a b c a b"),
+      (2L, "all tokens here are fully distinct words")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(reps, "doc_id", "text")
+      .select("id", "n_tokens", "dup_2gram_frac", "top_2gram_frac",
+        "dup_5gram_token_frac")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // doc 0: one distinct 2-gram occurring 5x -> dup 4/5, top capped at 1,
+    // both 5-gram windows identical -> full coverage
+    assert(r(0L)._2 == 6 && math.abs(r(0L)._3 - 0.8) < 1e-9)
+    assert(r(0L)._4 == 1.0 && r(0L)._5 == 1.0)
+    // doc 1: counts {ab:3, bc:2, ca:2} -> dup 4/7, top 6/8; dup 5-grams at
+    // 0 and 3 -> union [0,7] = whole doc
+    assert(math.abs(r(1L)._3 - 4.0 / 7) < 1e-9)
+    assert(math.abs(r(1L)._4 - 0.75) < 1e-9)
+    assert(r(1L)._5 == 1.0)
+    // doc 2: no repetition anywhere
+    assert(r(2L)._3 == 0.0 && r(2L)._4 == 2.0 / 7 && r(2L)._5 == 0.0)
+  }
+
   test("duplicateSpans: planted cross-doc substring and self-repeat found") {
     val shared = "one two three four five six seven eight nine ten"
     val corpus = Seq(
