@@ -134,6 +134,39 @@ object Multimodal {
     out
   }
 
+  final case class FrameRow(id: Long, frame_idx: Int, n_bytes: Int,
+      checksum: Long)
+
+  /** Frame sampling with one OUTPUT ROW PER FRAME: the decoded payload is
+    * cut into consecutive `frameBytes`-byte chunks ("frames"; the last may
+    * be short) and every `everyK`-th frame is emitted with its own
+    * summary — the shape a video pipeline needs when sampled frames feed
+    * per-frame downstream work (frame dedup, per-frame embeddings) rather
+    * than a per-media scalar. A real codec swaps the chunking for keyframe
+    * decode; the Spark surface (flatMap fan-out, per-frame rows, bounded
+    * memory per row) is what's exercised.
+    */
+  def sampleFrameRows(media: Dataset[MediaRow], frameBytes: Int,
+      everyK: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && everyK > 0,
+      s"frameBytes and everyK must be positive, got $frameBytes, $everyK")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val plane = decode(r).bytes
+        val nFrames = (plane.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).filter(_ % everyK == 0).map { f =>
+          val s = f * frameBytes
+          val e = math.min(s + frameBytes, plane.length)
+          var sum = 0L
+          var i = s
+          while (i < e) { sum += plane(i) & 0xff; i += 1 }
+          FrameRow(r.id, f, e - s, sum)
+        }
+      }
+    }
+  }
+
   final case class ResizedFeatures(id: Long, dst_w: Int, dst_h: Int,
       checksum: Long, n_src_bytes: Long)
 

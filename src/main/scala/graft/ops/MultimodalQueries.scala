@@ -76,5 +76,29 @@ object MultimodalQueries {
              len AS n_src_bytes
       FROM b GROUP BY doc_id, len ORDER BY id"""))
 
-  def all: Seq[Q] = Seq(mmFeatures, mmResize)
+  /** Per-frame sampling: payload chunked into 32-byte frames, every 2nd
+    * frame emitted as its own row; the oracle groups character codes by
+    * frame index and keeps even frames.
+    */
+  val mmFrameSample = Q(
+    "mm_frame_sample",
+    (s, d) => {
+      val media = Multimodal.mediaFromDocuments(s, T.documents(s, d))
+      Multimodal.sampleFrameRows(media, frameBytes = 32, everyK = 2).toDF()
+        .select(col("id"), col("frame_idx"), col("n_bytes"), col("checksum"))
+        .orderBy(col("id"), col("frame_idx"))
+    },
+    Some("""
+      WITH chars AS (
+        SELECT doc_id, CAST((i - 1) // 32 AS INT) AS frame_idx,
+               unicode(substr(text, CAST(i AS INT), 1)) AS code
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+              FROM documents))
+      SELECT doc_id AS id, frame_idx, CAST(COUNT(*) AS INT) AS n_bytes,
+             CAST(SUM(code) AS BIGINT) AS checksum
+      FROM chars WHERE frame_idx % 2 = 0
+      GROUP BY 1, 2 ORDER BY id, frame_idx"""))
+
+  def all: Seq[Q] = Seq(mmFeatures, mmResize, mmFrameSample)
 }

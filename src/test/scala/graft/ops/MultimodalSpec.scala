@@ -50,6 +50,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("id=9"))
   }
 
+  test("sampleFrameRows: per-frame rows over the DECODED plane, short tail kept") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (png, expected) = synth(10, 5, "png") // 50-byte decoded plane
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", png, 1, 1),
+      Multimodal.MediaRow(2L, "audio/pcm", Array.tabulate(7)(_.toByte), 7, 1)
+    ).toDS()
+    val frames = Multimodal.sampleFrameRows(media, frameBytes = 16, everyK = 2)
+      .collect().map(f => (f.id, f.frame_idx) -> f).toMap
+    // id 1: 50 bytes -> frames 0..3 (last 2 bytes), sampled 0 and 2
+    assert(frames.keySet == Set((1L, 0), (1L, 2), (2L, 0)))
+    assert(frames((1L, 0)).n_bytes == 16 && frames((1L, 2)).n_bytes == 16)
+    assert(frames((1L, 0)).checksum ==
+      expected.take(16).map(_ & 0xff).map(_.toLong).sum)
+    assert(frames((1L, 2)).checksum ==
+      expected.slice(32, 48).map(_ & 0xff).map(_.toLong).sum)
+    // id 2 raw path: one short frame of all 7 bytes
+    assert(frames((2L, 0)).n_bytes == 7 && frames((2L, 0)).checksum == 21)
+  }
+
   test("Spark feature/resize paths use the decoded geometry end-to-end") {
     val spark = TestSpark.spark
     import spark.implicits._
