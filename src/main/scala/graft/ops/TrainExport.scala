@@ -48,6 +48,40 @@ object TrainExport {
       .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Deterministic mixture balancing (the Pile/Dolma-style source
+    * reweighting): downsample groups so the output approaches the target
+    * proportions, keeping the LARGEST corpus that satisfies them — output
+    * size M = min over groups of supply/target-share (the binding group
+    * survives whole), per-group keep fraction = target*M/supply, and the
+    * keep decision is an md5-hash threshold on the id (reproducible across
+    * runs and engines: a doc's fate depends only on its id and its group's
+    * recomputed keep fraction, never on scan order). Groups not in
+    * `targets` are dropped.
+    *
+    * Scale: one count aggregation (collapses to |groups| driver scalars),
+    * then a scan-speed filter — no shuffle of the corpus itself.
+    */
+  def sampleToMixture(df: DataFrame, idCol: String, groupCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive shares")
+    val inTargets = col(groupCol).isin(targets.keys.toSeq: _*)
+    val counts = df.filter(inTargets)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a group with zero supply forces M = 0 (cannot hit its share at all)
+    val m = targets.keys.map(g => counts.getOrElse(g, 0L) / targets(g)).min
+    val keepFrac = targets.foldLeft(lit(0.0)) { case (acc, (g, t)) =>
+      when(col(groupCol) === g,
+        lit(t * m / math.max(1L, counts.getOrElse(g, 1L)).toDouble))
+        .otherwise(acc)
+    }
+    // uniform [0,1) hash fraction from the 60-bit md5 prefix of the id
+    val frac = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2, 60))
+    df.filter(inTargets).filter(frac < keepFrac)
+  }
+
   /** Greedy sequential context packing (GPT-style document packing): walk
     * each shard in shuffled order, accumulate whitespace-token counts, and
     * cut a new context every `tokenBudget` tokens —

@@ -59,6 +59,39 @@ object TrainQueries {
              CAST(SUM(tokens) AS BIGINT) AS ctx_tokens
       FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Mixture balancing to target language shares. The oracle recomputes
+    * the same double arithmetic (counts -> binding-group output size ->
+    * per-group keep fraction -> md5-hash threshold); dividing the 60-bit
+    * hash by 2^60 is exact IEEE scaling, so the kept row set is identical
+    * across engines.
+    */
+  val trainMixture = Q(
+    "train_mixture",
+    (s, d) => {
+      TrainExport.sampleToMixture(T.documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15,
+          "zh" -> 0.05))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tv(lang, t) AS (
+        VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+               ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+               ('zh', CAST(0.05 AS DOUBLE))),
+      cnt AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents JOIN tv USING (lang) GROUP BY 1),
+      mm AS (SELECT MIN(n / t) AS m FROM cnt JOIN tv USING (lang)),
+      keep AS (
+        SELECT lang, t * (SELECT m FROM mm) / n AS kf
+        FROM cnt JOIN tv USING (lang))
+      SELECT doc_id, lang
+      FROM documents JOIN keep USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) * 1.0 / 1152921504606846976.0 < kf
+      ORDER BY doc_id"""))
+
   val textDecontaminate = Q(
     "text_decontaminate",
     (s, d) => {
@@ -85,5 +118,6 @@ object TrainQueries {
       GROUP BY 1 HAVING COUNT(*) >= 3
       ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(trainShards, trainPack, textDecontaminate)
+  def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
+    textDecontaminate)
 }

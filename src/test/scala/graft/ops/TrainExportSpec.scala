@@ -61,6 +61,32 @@ class TrainExportSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleToMixture: binding group survives whole, shares approach targets") {
+    import spark.implicits._
+    // 300 a / 60 b / 40 c; targets 50/25/25 -> M = min(600, 240, 160) = 160
+    val rows = ((0 until 300).map(i => (i.toLong, "a")) ++
+      (300 until 360).map(i => (i.toLong, "b")) ++
+      (360 until 400).map(i => (i.toLong, "c")) ++
+      (400 until 410).map(i => (i.toLong, "junk"))).toDF("doc_id", "grp")
+    val kept = TrainExport.sampleToMixture(rows, "doc_id", "grp",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .select("doc_id", "grp").as[(Long, String)].collect()
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // c is binding: keep fraction 1.0 -> ALL 40 rows survive exactly
+    assert(byGrp("c") == 40)
+    // non-target group dropped entirely
+    assert(!byGrp.contains("junk"))
+    // hash sampling: expected 80 a (of 300) and 40 b (of 60) — allow
+    // binomial slack (4+ sigma), the determinism spec is the re-run below
+    assert(byGrp("a") > 50 && byGrp("a") < 110)
+    assert(byGrp("b") > 25 && byGrp("b") < 55)
+    // deterministic: identical output on a re-run
+    val again = TrainExport.sampleToMixture(rows, "doc_id", "grp",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .select("doc_id", "grp").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+  }
+
   test("decontaminate flags planted overlap and only that") {
     val eval = (0L, "alpha beta gamma delta epsilon zeta")
     val copier = (1L, "intro words alpha beta gamma delta epsilon outro")
