@@ -29,6 +29,43 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming benchmark decontamination — the streaming face of
+    * `ops.Curate.decontaminate`: incoming documents are flagged when they
+    * share at least `minShared` distinct word-`shingleSize`-grams with the
+    * STATIC eval gram set. The eval set is a benchmark (bounded by
+    * construction), so it collects once at plan time and rides as a task
+    * broadcast; the per-doc count is then row-local — a stateless map, so
+    * the query runs in append mode with NO streaming aggregation state.
+    * Output: (id, n_shared) for flagged docs, matching the batch
+    * operator's schema (spec-pinned equivalence).
+    */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+      evalGrams: DataFrame, shingleSize: Int = 3,
+      minShared: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = evalGrams.select(col("shingle").cast("string"))
+      .as[String].collect().toSet
+    val bc = spark.sparkContext.broadcast(grams)
+    val n = shingleSize
+    docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val w = text.split("\\s+")
+        val seen = scala.collection.mutable.HashSet[String]()
+        var i = 0
+        while (i + n <= w.length) {
+          val g = w.slice(i, i + n).mkString(" ")
+          if (bc.value.contains(g)) seen += g
+          i += 1
+        }
+        (id, seen.size.toLong)
+      }
+      .toDF("id", "n_shared")
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Streaming exact dedup — the streaming face of `ops.Dedup.exact`:
     * drop later copies of the same content hash, with a watermark bounding
     * the dedup state (`dropDuplicatesWithinWatermark`: state for a hash is

@@ -76,4 +76,44 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       assert(batchPairs.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming decontamination == batch Curate.decontaminate") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val eval = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "one two three four five six"))
+    val corpus = Seq(
+      (0L, "noise alpha beta gamma delta epsilon tail"), // 3 shared 3-grams
+      (1L, "one two three something four five six"),     // 2 + 2 -> 4? see batch
+      (2L, "nothing in common with the benchmark here"),
+      (3L, "alpha beta gamma padding one two three"))    // 1 + 1 = 2 shared
+    val all = (eval ++ corpus).toDF("doc_id", "text")
+    val isEval = col("doc_id") >= 1000L
+    val batch = graft.ops.Curate.decontaminate(all, "doc_id", "text",
+      isEval, shingleSize = 3, minShared = 3)
+      .as[(Long, Long)].collect().toSet
+
+    // static eval gram set = what the batch operator derives internally
+    val evalGrams = graft.ops.Dedup.shingles(
+      all.filter(isEval), "doc_id", "text", 3).select("shingle").distinct()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = EventsStream.decontaminateStream(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      evalGrams, shingleSize = 3, minShared = 3)
+      .writeStream.format("memory").queryName("deconeq").outputMode("append")
+      .start()
+    try {
+      mem.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("deconeq")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
