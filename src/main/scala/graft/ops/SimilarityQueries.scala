@@ -258,6 +258,29 @@ object SimilarityQueries {
       SELECT a, b, ROUND(cos, 3) AS cos, CAST(label AS INT) AS label
       FROM pc WHERE cos >= 0.35 ORDER BY a, b"""))
 
+  /** Product-quantization ANN: train 8x8 codebooks, encode the corpus to
+    * 8 small ints per vector, ADC top-10 per query. Approximate scores by
+    * design → no SQL oracle (driver records a rows-only check); quality
+    * and determinism are spec-pinned in PqSpec (recall vs the exact
+    * inner-product scan).
+    */
+  val embPqTopK = Q(
+    "emb_pq_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val books = Similarity.pqTrain(emb, dim = 64, nSub = 8, k = 8,
+        iters = 2).cache()
+      val codes = Similarity.pqEncode(emb, books, 64, 8)
+      Similarity.pqSearch(codes, books, emb.filter(col("vec_id") % 50 === 0),
+        dim = 64, nSub = 8, k = 8, topK = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 3).as("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   def all: Seq[Q] =
-    Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup)
+    Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
+      embPqTopK)
 }

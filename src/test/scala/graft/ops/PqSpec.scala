@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: codebook/encode/search quality on the synthetic
+  * embeddings corpus. PQ scoring is approximate by design, so the checks
+  * are recall against the exact scan and determinism — not value equality
+  * (hence a rows-only driver entry, like the bio goldens).
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    .select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+
+  test("pqEncode: codes in range, deterministic, one per subspace") {
+    import spark.implicits._
+    val books = Similarity.pqTrain(emb, dim = 64, nSub = 8, k = 8, iters = 2)
+    assert(books.count() == 64) // 8 subspaces x 8 centroids
+    val codes = Similarity.pqEncode(emb, books, 64, 8)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length == 500)
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 8)))
+    val again = Similarity.pqEncode(emb, books, 64, 8)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.toSet == again.toSet)
+  }
+
+  test("pqSearch: ADC recall@10 beats random ranking by a wide margin") {
+    import spark.implicits._
+    val books = Similarity.pqTrain(emb, dim = 64, nSub = 8, k = 16, iters = 3)
+    val codes = Similarity.pqEncode(emb, books, 64, 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val approx = Similarity.pqSearch(codes, books, queries,
+      dim = 64, nSub = 8, k = 16, topK = 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact INNER-PRODUCT top-10 ground truth (ADC estimates the inner
+    // product, not the cosine — comparing against a cosine ranking would
+    // punish PQ for norm variation it faithfully preserves)
+    val v = emb.as[(Long, Seq[Double])].collect().toMap
+    def ip(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qIds = v.keys.filter(_ % 50 == 0)
+    val exact = qIds.map { q =>
+      q -> v.keys.filter(_ != q).toSeq
+        .sortBy(n => (-ip(v(q), v(n)), n)).take(10).toSet
+    }.toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      (approx.getOrElse(q, Set.empty) & exact(q)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    // random top-10 of 500 would recall ~0.02; 8x16 codebooks on this
+    // corpus measure ~0.29 — assert a margin >12x random, not the exact
+    // value (codebook quality shifts with seeding details)
+    assert(mean > 0.25, s"mean recall@10 = $mean")
+    assert(recalls.nonEmpty && approx.keys.toSet == exact.keys.toSet)
+  }
+}
