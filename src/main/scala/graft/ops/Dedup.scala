@@ -365,6 +365,35 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Apply [[duplicateSpans]]: rewrite each flagged doc with its
+    * duplicated token spans REMOVED (conservative scrub — every flagged
+    * occurrence goes; the keep-one-canonical-occurrence variant needs a
+    * global winner per duplicate cluster, which rarely pays for itself).
+    * Returns only the rewritten docs: (id, n_removed, clean_text) — docs
+    * without spans are untouched by construction, so callers left-join /
+    * coalesce to assemble the full corpus.
+    *
+    * Scale: spans collapse to one array per flagged doc (bounded — spans
+    * are disjoint, so at most n_tokens/w of them), and the rewrite is a
+    * row-local indexed filter over the token array. No shuffle beyond the
+    * span groupBy.
+    */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("_spans"))
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("_text"))
+      .join(sp, Seq("id"))
+      .withColumn("_w", split(col("_text"), "\\s+"))
+      .withColumn("_kept", filter(col("_w"), (t, i) =>
+        !exists(col("_spans"), s =>
+          i >= s.getField("span_start") && i <= s.getField("span_end"))))
+      .select(col("id"),
+        (size(col("_w")) - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), " ").as("clean_text"))
+  }
+
   /** Apply near-dup pairs to a corpus: greedy keep-lowest-id — every doc
     * that appears as the LARGER id of a qualifying pair is dropped. (Not
     * transitive-closure clustering: a chain a-b, b-c drops b and c, keeping

@@ -189,27 +189,15 @@ object DedupQueries {
         AND bit_count(xor(q.simhash, c.simhash)) <= 5
       ORDER BY a, b"""))
 
-  /** Exact duplicate-substring spans (Lee et al. 2021): the oracle replays
-    * the whole construction — 8-token window hashes, corpus-wide
-    * occurrence gate, and the per-doc interval merge (running-max window +
-    * segment counter).
+  /** Shared DuckDB CTE chain: 8-token duplicate-window spans, ending in
+    * `spans(id, span_start, span_end, n_windows)` with `tok(doc_id, wd)`
+    * the token arrays. Callers prefix `WITH `.
     */
-  val dedupSubstringSpans = Q(
-    "dedup_substring_spans",
-    (s, d) => {
-      Dedup.duplicateSpans(T.documents(s, d), "doc_id", "text",
-        w = 8, minOccurrences = 2)
-        .select(col("id").as("doc_id"),
-          col("span_start").cast("long").as("span_start"),
-          col("span_end").cast("long").as("span_end"), col("n_windows"))
-        .orderBy(col("doc_id"), col("span_start"))
-    },
-    Some {
-      val w = 8
-      val terms = (0 until w).map(j => s"wd[CAST(i AS INT) + $j]")
-        .mkString(" || ' ' || ")
-      s"""
-      WITH tok AS (
+  private val duckSpans = {
+    val w = 8
+    val terms = (0 until w).map(j => s"wd[CAST(i AS INT) + $j]")
+      .mkString(" || ' ' || ")
+    s"""tok AS (
         SELECT doc_id, regexp_split_to_array(text, '\\s+') AS wd
         FROM documents),
       wx AS (
@@ -235,13 +223,70 @@ object DedupQueries {
       g AS (
         SELECT id, start,
                SUM(newspan) OVER (PARTITION BY id ORDER BY start) AS span
-        FROM f)
-      SELECT id AS doc_id, MIN(start) AS span_start,
-             MAX(start) + ${w - 1} AS span_end,
-             CAST(COUNT(*) AS BIGINT) AS n_windows
-      FROM g GROUP BY id, span ORDER BY doc_id, span_start"""
-    })
+        FROM f),
+      spans AS (
+        SELECT id, MIN(start) AS span_start, MAX(start) + ${w - 1} AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM g GROUP BY id, span)"""
+  }
+
+  /** Exact duplicate-substring spans (Lee et al. 2021): the oracle replays
+    * the whole construction — 8-token window hashes, corpus-wide
+    * occurrence gate, and the per-doc interval merge (running-max window +
+    * segment counter).
+    */
+  val dedupSubstringSpans = Q(
+    "dedup_substring_spans",
+    (s, d) => {
+      Dedup.duplicateSpans(T.documents(s, d), "doc_id", "text",
+        w = 8, minOccurrences = 2)
+        .select(col("id").as("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"), col("n_windows"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""
+      WITH $duckSpans
+      SELECT id AS doc_id, span_start, span_end, n_windows
+      FROM spans ORDER BY doc_id, span_start"""))
+
+  /** The apply step: flagged docs rewritten with their duplicated spans
+    * removed. The oracle rebuilds each clean text by anti-filtering token
+    * positions against the span intervals and reassembling in order.
+    */
+  val dedupSubstringStrip = Q(
+    "dedup_substring_strip",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+        w = 8, minOccurrences = 2)
+      Dedup.stripSpans(docs, "doc_id", "text", spans)
+        .select(col("id").as("doc_id"), col("n_removed"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $duckSpans,
+      tot AS (SELECT doc_id AS id, CAST(len(wd) AS BIGINT) AS n FROM tok),
+      tp AS (
+        SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
+               wd[CAST(i AS INT)] AS t
+        FROM (SELECT doc_id, wd, unnest(generate_series(1, len(wd))) AS i
+              FROM tok)),
+      fl AS (SELECT DISTINCT id FROM spans),
+      kept AS (
+        SELECT tp.id, tp.pos, tp.t
+        FROM tp JOIN fl USING (id)
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+                          WHERE s.id = tp.id
+                            AND tp.pos BETWEEN s.span_start AND s.span_end))
+      SELECT fl.id AS doc_id,
+             CAST(tot.n - COUNT(kept.pos) AS BIGINT) AS n_removed,
+             COALESCE(string_agg(kept.t, ' ' ORDER BY kept.pos), '')
+               AS clean_text
+      FROM fl JOIN tot USING (id) LEFT JOIN kept USING (id)
+      GROUP BY fl.id, tot.n ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupComponents,
-    dedupSimhash, dedupNgramJaccard, dedupSimhashPairs, dedupSubstringSpans)
+    dedupSimhash, dedupNgramJaccard, dedupSimhashPairs, dedupSubstringSpans,
+    dedupSubstringStrip)
 }

@@ -123,6 +123,19 @@ class OpsSpec extends AnyFunSuite {
     assert(spans.contains((3L, 9, 16, 1L)))
     assert(!spans.exists(_._1 == 2L))
     assert(spans.size == 4)
+
+    // apply step: spans stripped, order preserved, unflagged docs absent
+    val clean = Dedup.stripSpans(corpus, "doc_id", "text",
+      Dedup.duplicateSpans(corpus, "doc_id", "text", w = 8,
+        minOccurrences = 2))
+      .select("id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(clean.keySet == Set(0L, 1L, 3L))
+    assert(clean(0L)._3 == "prefix words here and a tail" &&
+      clean(0L)._2 == 10)
+    assert(clean(1L)._3 == "different opening closing words")
+    // doc 3: both spans removed -> only the gap token survives
+    assert(clean(3L)._3 == "X" && clean(3L)._2 == 16)
   }
 
   test("semDedup: within-cluster pairs equal brute force restricted to clusters") {
