@@ -238,6 +238,10 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 2, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // cache(): the shingle rows feed BOTH candidate generation and the
+    // Jaccard verify. Lifetime is CALLER-OWNED (the returned frame is
+    // lazy; unpersisting here would evict before the caller's action):
+    // materialize, then clearCache(), or keep the session short.
     val sh = shingles(df, idCol, textCol, shingleSize).cache()
     val cands = minhashBanded(sh, numHashes, rowsPerBand, maxBucket)
     jaccard(cands, sh).filter(col("jaccard") >= threshold)
@@ -251,6 +255,9 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       queryPred: Column, shingleSize: Int = 2, minCommon: Int = 3,
       maxDocFreq: Int = 100): DataFrame = {
+    // cache(): shingle rows feed the doc-frequency gate, the common-gram
+    // join (both sides), and the set sizes. CALLER-OWNED lifetime — see
+    // nearDuplicates.
     val sh = shingles(df, idCol, textCol, shingleSize).cache()
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select("shingle")
