@@ -304,12 +304,13 @@ object Similarity {
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("label"))
-    // union of probed labels -> partition-pruned scan (bounded by
-    // |queries| x nprobe distinct directories)
-    val probedLabels = probes.select(col("label")).distinct()
-      .collect().map(_.getAs[Number]("label").intValue).toSeq
+    // partition pruning happens via dynamic partition pruning on the
+    // broadcast join below (label is the partition column): the scan lists
+    // only the probed directories, with no driver-side collect and no
+    // literal label list inflating the plan (a large query batch would
+    // otherwise inline |queries| x nprobe values and recompute the probe
+    // pipeline a second time for the collect)
     val c = spark.read.parquet(s"$dbPath/vectors")
-      .filter(col("label").isin(probedLabels: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         col("label"), norm(col("embedding")).as("cn"))
     val w = Window.partitionBy(col("query_id"))

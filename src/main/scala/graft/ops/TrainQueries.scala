@@ -51,8 +51,9 @@ object TrainQueries {
         FROM documents),
       c AS (
         SELECT shard,
-               (SUM(tokens) OVER (PARTITION BY shard ORDER BY sort_key, doc_id)
-                - tokens) // 512 AS ctx_id,
+               CAST((SUM(tokens) OVER (PARTITION BY shard
+                                       ORDER BY sort_key, doc_id)
+                     - tokens) // 512 AS BIGINT) AS ctx_id,
                tokens
         FROM s)
       SELECT shard, ctx_id, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -64,8 +64,16 @@ class AnnIndexSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
     Similarity.buildAnnIndex(emb, dir, nClusters = 3, iters = 5)
     val queries = emb.filter(col("vec_id") % 20 === 0)
-    val got = Similarity.searchAnnIndexed(spark, dir, queries, k = 3, nprobe = 1)
-      .collect()
+    val res = Similarity.searchAnnIndexed(spark, dir, queries, k = 3, nprobe = 1)
+    // directory pruning is DYNAMIC: the probed labels reach the scan as a
+    // dynamicpruning subquery on the broadcast join, not a driver-collected
+    // isin literal (which would recompute the probe pipeline and inline
+    // |queries| x nprobe values into the plan)
+    val planStr = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(planStr.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the vectors scan:\n$planStr")
+    val got = res.collect()
     assert(got.nonEmpty)
     // neighbors come from the query's own blob (cosine-separable by design)
     got.foreach { r =>
