@@ -338,23 +338,68 @@ object Dedup {
       w: Int = 8, minOccurrences: Int = 2): DataFrame = {
     require(w >= 1 && minOccurrences >= 2,
       s"need w >= 1 and minOccurrences >= 2, got w=$w, min=$minOccurrences")
-    val positions = when(size(col("_w")) >= w,
-      sequence(lit(0), size(col("_w")) - w)).otherwise(array())
-    val gram = concat_ws(" ",
-      (0 until w).map(j => element_at(col("_w"), col("_i") + j + 1)): _*)
-    // NOT distinct-per-doc: a window repeated inside one doc is a
-    // duplicate too (Lee et al. dedups self-repeats as well)
-    val windows = df
-      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
-      .withColumn("_i", explode(positions))
-      .select(col("id"), col("_i").as("start"), md5(gram).as("h"))
+    val windows = windowHashes(df, idCol, textCol, w)
     val dupHashes = windows.groupBy(col("h"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences)
       .select(col("h"))
-    val dupWindows = windows.join(dupHashes, Seq("h"), "left_semi")
-    // merge [start, start+w-1] intervals per doc: a window starts a new
-    // span when it begins past every previous window's end
+    mergeSpans(windows.join(dupHashes, Seq("h"), "left_semi"), w)
+  }
+
+  /** Keep-one-canonical variant of [[duplicateSpans]] (Lee et al.'s actual
+    * policy: each duplicated substring survives in exactly one place). Per
+    * duplicated window hash, the globally-first occurrence — smallest
+    * (id, start) — is the canonical copy and is NOT flagged; every other
+    * occurrence is. A span repeated across docs therefore stays intact in
+    * the lowest-id doc (ties to the earliest position within it, for
+    * self-repeats) and is stripped everywhere else, so [[stripSpans]] on
+    * this output removes duplicates without destroying the text itself.
+    *
+    * Scale shape: identical to [[duplicateSpans]] — the winner rides the
+    * SAME single corpus-wide hash aggregation as a min(struct) (no extra
+    * shuffle, no per-cluster iteration: a duplicate cluster here is "all
+    * occurrences of one window hash", so the argmin IS the cluster winner),
+    * and the join back is the same hash-distributed equi-join as the
+    * left-semi gate.
+    */
+  def duplicateSpansKeepOne(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    require(w >= 1 && minOccurrences >= 2,
+      s"need w >= 1 and minOccurrences >= 2, got w=$w, min=$minOccurrences")
+    val windows = windowHashes(df, idCol, textCol, w)
+    val gate = windows.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("start"))).as("_win"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("h"), col("_win.id").as("_wid"),
+        col("_win.start").as("_wstart"))
+    val losers = windows.join(gate, Seq("h"))
+      .filter(!(col("id") === col("_wid") && col("start") === col("_wstart")))
+      .select(col("id"), col("start"))
+    mergeSpans(losers, w)
+  }
+
+  /** (id, start, h) rows: md5 of every `w`-token window. NOT
+    * distinct-per-doc — a window repeated inside one doc is a duplicate
+    * too (Lee et al. dedups self-repeats as well).
+    */
+  private def windowHashes(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val positions = when(size(col("_w")) >= w,
+      sequence(lit(0), size(col("_w")) - w)).otherwise(array())
+    val gram = concat_ws(" ",
+      (0 until w).map(j => element_at(col("_w"), col("_i") + j + 1)): _*)
+    df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
+      .withColumn("_i", explode(positions))
+      .select(col("id"), col("_i").as("start"), md5(gram).as("h"))
+  }
+
+  /** Merge flagged (id, start) windows into maximal [start, start+w-1]
+    * spans per doc: a window starts a new span when it begins past every
+    * previous window's end. Per-doc window functions — never cross-doc
+    * state.
+    */
+  private def mergeSpans(dupWindows: DataFrame, w: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("start"))
     val prev = byDoc.rowsBetween(
@@ -373,9 +418,10 @@ object Dedup {
   }
 
   /** Apply [[duplicateSpans]]: rewrite each flagged doc with its
-    * duplicated token spans REMOVED (conservative scrub — every flagged
-    * occurrence goes; the keep-one-canonical-occurrence variant needs a
-    * global winner per duplicate cluster, which rarely pays for itself).
+    * duplicated token spans REMOVED. On [[duplicateSpans]] output this is
+    * the conservative scrub (every flagged occurrence goes); feed it
+    * [[duplicateSpansKeepOne]] spans instead to keep one canonical copy of
+    * each duplicated substring.
     * Returns only the rewritten docs: (id, n_removed, clean_text) — docs
     * without spans are untouched by construction, so callers left-join /
     * coalesce to assemble the full corpus.

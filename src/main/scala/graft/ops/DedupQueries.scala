@@ -191,9 +191,10 @@ object DedupQueries {
 
   /** Shared DuckDB CTE chain: 8-token duplicate-window spans, ending in
     * `spans(id, span_start, span_end, n_windows)` with `tok(doc_id, wd)`
-    * the token arrays. Callers prefix `WITH `.
+    * the token arrays; `dwSql` supplies the flagged-window CTEs ending in
+    * `dw(id, start)`. Callers prefix `WITH `.
     */
-  private val duckSpans = {
+  private def duckSpansFrom(dwSql: String) = {
     val w = 8
     val terms = (0 until w).map(j => s"wd[CAST(i AS INT) + $j]")
       .mkString(" || ' ' || ")
@@ -207,8 +208,7 @@ object DedupQueries {
         SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS start,
                md5($terms) AS h
         FROM wx),
-      dup AS (SELECT h FROM win GROUP BY 1 HAVING COUNT(*) >= 2),
-      dw AS (SELECT id, start FROM win JOIN dup USING (h)),
+      $dwSql,
       m AS (
         SELECT id, start,
                MAX(start + ${w - 1}) OVER (PARTITION BY id ORDER BY start
@@ -229,6 +229,21 @@ object DedupQueries {
                CAST(COUNT(*) AS BIGINT) AS n_windows
         FROM g GROUP BY id, span)"""
   }
+
+  private val duckSpans = duckSpansFrom(
+    """dup AS (SELECT h FROM win GROUP BY 1 HAVING COUNT(*) >= 2),
+      dw AS (SELECT id, start FROM win JOIN dup USING (h))""")
+
+  /** Keep-one flagged windows: per duplicated hash, every occurrence
+    * EXCEPT the globally-first (min id, then min start) one.
+    */
+  private val duckSpansKeepOne = duckSpansFrom(
+    """dup AS (SELECT h FROM win GROUP BY 1 HAVING COUNT(*) >= 2),
+      wn AS (
+        SELECT id, start,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY id, start) AS rn
+        FROM win JOIN dup USING (h)),
+      dw AS (SELECT id, start FROM wn WHERE rn > 1)""")
 
   /** Exact duplicate-substring spans (Lee et al. 2021): the oracle replays
     * the whole construction — 8-token window hashes, corpus-wide
@@ -286,7 +301,27 @@ object DedupQueries {
       FROM fl JOIN tot USING (id) LEFT JOIN kept USING (id)
       GROUP BY fl.id, tot.n ORDER BY doc_id"""))
 
+  /** Keep-one-canonical substring dedup: same window/merge machinery, but
+    * each duplicated window's globally-first occurrence is exempt, so the
+    * canonical copy of every duplicated substring survives a strip. The
+    * oracle mirrors the winner rule as a per-hash ROW_NUMBER.
+    */
+  val dedupSubstringKeepOne = Q(
+    "dedup_substring_keep_one",
+    (s, d) => {
+      Dedup.duplicateSpansKeepOne(T.documents(s, d), "doc_id", "text",
+        w = 8, minOccurrences = 2)
+        .select(col("id").as("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"), col("n_windows"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""
+      WITH $duckSpansKeepOne
+      SELECT id AS doc_id, span_start, span_end, n_windows
+      FROM spans ORDER BY doc_id, span_start"""))
+
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupComponents,
     dedupSimhash, dedupNgramJaccard, dedupSimhashPairs, dedupSubstringSpans,
-    dedupSubstringStrip)
+    dedupSubstringStrip, dedupSubstringKeepOne)
 }

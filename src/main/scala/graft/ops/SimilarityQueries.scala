@@ -259,10 +259,14 @@ object SimilarityQueries {
       FROM pc WHERE cos >= 0.35 ORDER BY a, b"""))
 
   /** Product-quantization ANN: train 8x8 codebooks, encode the corpus to
-    * 8 small ints per vector, ADC top-10 per query. Approximate scores by
-    * design → no SQL oracle (driver records a rows-only check); quality
-    * and determinism are spec-pinned in PqSpec (recall vs the exact
-    * inner-product scan).
+    * 8 small ints per vector, ADC top-10 per query. The whole pipeline is
+    * deterministic (md5-ordered seeding, 2 fixed Lloyd iterations,
+    * (dist, label) argmin tie-break), so the oracle unrolls it end to end:
+    * subvector slicing, the shared seed ranking, both fused-Lloyd rounds
+    * (L2 argmin mirrored as dist = sv.sv - 2 sv.c + c.c with the exact
+    * three-dot formulation, elementwise-mean update), the encode argmin,
+    * the per-query distance tables, and the ADC top-10. Recall quality is
+    * separately spec-pinned in PqSpec vs the exact inner-product scan.
     */
   val embPqTopK = Q(
     "emb_pq_topk",
@@ -278,7 +282,106 @@ object SimilarityQueries {
           round(col("score"), 3).as("score"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      subs AS (
+        SELECT vec_id, CAST(s AS INT) AS sub,
+               list_slice(v, CAST(s * 8 + 1 AS INT), CAST(s * 8 + 8 AS INT)) AS sv
+        FROM e, (SELECT unnest(generate_series(0, 7)) AS s)),
+      sel AS (
+        SELECT vec_id FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      sl AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS label
+        FROM sel),
+      c0 AS (
+        SELECT s.sub, l.label, s.sv AS centroid
+        FROM subs s JOIN sl l USING (vec_id)),
+      d1 AS (
+        SELECT vec_id, sub, label,
+               SUM(sv[CAST(i AS INT)] * sv[CAST(i AS INT)])
+               - 2.0 * SUM(sv[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+               + SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]) AS dist
+        FROM (SELECT s.vec_id, s.sub, s.sv, c.label, c.centroid,
+                     unnest(generate_series(1, 8)) AS i
+              FROM subs s JOIN c0 c ON c.sub = s.sub)
+        GROUP BY 1, 2, 3),
+      a1 AS (
+        SELECT vec_id, sub, label FROM (
+          SELECT vec_id, sub, label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dist, label) AS rn
+          FROM d1) WHERE rn = 1),
+      x1 AS (
+        SELECT a.sub, a.label, s.sv, unnest(generate_series(1, 8)) AS i
+        FROM a1 a JOIN subs s ON s.vec_id = a.vec_id AND s.sub = a.sub),
+      m1 AS (
+        SELECT sub, label, i, AVG(sv[CAST(i AS INT)]) AS mean
+        FROM x1 GROUP BY 1, 2, 3),
+      c1 AS (
+        SELECT sub, label, list(mean ORDER BY i) AS centroid
+        FROM m1 GROUP BY 1, 2),
+      d2 AS (
+        SELECT vec_id, sub, label,
+               SUM(sv[CAST(i AS INT)] * sv[CAST(i AS INT)])
+               - 2.0 * SUM(sv[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+               + SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]) AS dist
+        FROM (SELECT s.vec_id, s.sub, s.sv, c.label, c.centroid,
+                     unnest(generate_series(1, 8)) AS i
+              FROM subs s JOIN c1 c ON c.sub = s.sub)
+        GROUP BY 1, 2, 3),
+      a2 AS (
+        SELECT vec_id, sub, label FROM (
+          SELECT vec_id, sub, label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dist, label) AS rn
+          FROM d2) WHERE rn = 1),
+      x2 AS (
+        SELECT a.sub, a.label, s.sv, unnest(generate_series(1, 8)) AS i
+        FROM a2 a JOIN subs s ON s.vec_id = a.vec_id AND s.sub = a.sub),
+      m2 AS (
+        SELECT sub, label, i, AVG(sv[CAST(i AS INT)]) AS mean
+        FROM x2 GROUP BY 1, 2, 3),
+      c2 AS (
+        SELECT sub, label, list(mean ORDER BY i) AS centroid
+        FROM m2 GROUP BY 1, 2),
+      d3 AS (
+        SELECT vec_id, sub, label,
+               SUM(sv[CAST(i AS INT)] * sv[CAST(i AS INT)])
+               - 2.0 * SUM(sv[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+               + SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]) AS dist
+        FROM (SELECT s.vec_id, s.sub, s.sv, c.label, c.centroid,
+                     unnest(generate_series(1, 8)) AS i
+              FROM subs s JOIN c2 c ON c.sub = s.sub)
+        GROUP BY 1, 2, 3),
+      code AS (
+        SELECT vec_id, sub, label FROM (
+          SELECT vec_id, sub, label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dist, label) AS rn
+          FROM d3) WHERE rn = 1),
+      qdp AS (
+        SELECT vec_id AS query_id, sub, label,
+               SUM(sv[CAST(i AS INT)] * centroid[CAST(i AS INT)]) AS dp
+        FROM (SELECT s.vec_id, s.sub, s.sv, c.label, c.centroid,
+                     unnest(generate_series(1, 8)) AS i
+              FROM subs s JOIN c2 c ON c.sub = s.sub
+              WHERE s.vec_id % 50 = 0)
+        GROUP BY 1, 2, 3),
+      sc AS (
+        SELECT q.query_id, co.vec_id AS neighbor_id, SUM(q.dp) AS score
+        FROM code co
+        JOIN qdp q ON q.sub = co.sub AND q.label = co.label
+        WHERE co.vec_id <> q.query_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM sc)
+      SELECT query_id, neighbor_id, ROUND(score, 3) AS score, rank
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""))
 
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,

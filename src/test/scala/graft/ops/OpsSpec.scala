@@ -138,6 +138,32 @@ class OpsSpec extends AnyFunSuite {
     assert(clean(3L)._3 == "X" && clean(3L)._2 == 16)
   }
 
+  test("duplicateSpansKeepOne: canonical occurrence survives the strip") {
+    val shared = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (0L, s"prefix words here $shared and a tail"),
+      (1L, s"different opening $shared closing words"),
+      (2L, "totally unrelated text with no repeats at all whatsoever"),
+      (3L, "a b c d e f g h X a b c d e f g h") // self-repeat, gap of 1
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpansKeepOne(corpus, "doc_id", "text",
+      w = 8, minOccurrences = 2)
+    val got = spans.select("id", "span_start", "span_end", "n_windows")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // winners: doc 0 keeps the shared run (lowest id), doc 3 keeps its
+    // FIRST copy (earliest start) — only the non-canonical occurrences flag
+    assert(got == Set((1L, 2, 11, 3L), (3L, 9, 16, 1L)))
+
+    // strip: every duplicated substring still exists exactly once somewhere
+    val clean = Dedup.stripSpans(corpus, "doc_id", "text", spans)
+      .select("id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(clean.keySet == Set(1L, 3L))
+    assert(clean(1L)._3 == "different opening closing words" &&
+      clean(1L)._2 == 10)
+    assert(clean(3L)._3 == "a b c d e f g h X" && clean(3L)._2 == 8)
+  }
+
   test("semDedup: within-cluster pairs equal brute force restricted to clusters") {
     val rnd = new scala.util.Random(5)
     val vecs = (0L until 60L).map { i =>
