@@ -37,7 +37,8 @@ object EventsStream {
     * broadcast; the per-doc count is then row-local — a stateless map, so
     * the query runs in append mode with NO streaming aggregation state.
     * Output: (id, n_shared) for flagged docs, matching the batch
-    * operator's schema (spec-pinned equivalence).
+    * operator's schema (spec-pinned equivalence). For an eval corpus too
+    * large to collect, use [[decontaminateStreamJoin]].
     */
   def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
       evalGrams: DataFrame, shingleSize: Int = 3,
@@ -64,6 +65,47 @@ object EventsStream {
       }
       .toDF("id", "n_shared")
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Stream-static-join decontamination for UNBOUNDED eval sets — the
+    * scale-out twin of [[decontaminateStream]] (which collects the gram
+    * set to the driver: right for benchmark-sized eval corpora, wrong once
+    * the eval side outgrows a task broadcast). Here the eval grams stay a
+    * DataFrame: each doc builds its distinct gram array ROW-LOCALLY
+    * (array_distinct over a transform — no stateful dropDuplicates), grams
+    * explode with the doc's id+ts, and membership is a stream-static inner
+    * equi-join (stateless, re-planned per micro-batch, broadcast or
+    * shuffled by Catalyst depending on the eval side's size). The per-doc
+    * count is then a watermarked aggregation keyed by (id, ts) — every
+    * gram of a doc carries the doc's own event time, so state for a doc is
+    * dropped once the watermark passes its ts, and the query runs in
+    * append mode with bounded state.
+    *
+    * Results emit only after the watermark advances past a doc's ts (the
+    * append-mode contract) — unlike the broadcast variant, which emits in
+    * the doc's own micro-batch.
+    */
+  def decontaminateStreamJoin(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, evalGrams: DataFrame, shingleSize: Int = 3,
+      minShared: Int = 3, watermark: String = "1 hour"): DataFrame = {
+    val n = shingleSize
+    val positions = when(size(col("_w")) >= n,
+      sequence(lit(0), size(col("_w")) - n)).otherwise(array())
+    val gramArr = transform(col("_pos"), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(col("_w"), i + j + 1)): _*))
+    docs
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("_ts"),
+        split(col(textCol), "\\s+").as("_w"))
+      .withColumn("_pos", positions)
+      .select(col("id"), col("_ts"), array_distinct(gramArr).as("_g"))
+      .withWatermark("_ts", watermark)
+      .select(col("id"), col("_ts"), explode(col("_g")).as("shingle"))
+      .join(evalGrams.select(col("shingle").cast("string").as("shingle"))
+        .distinct(), Seq("shingle"))
+      .groupBy(col("id"), col("_ts"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id"), col("n_shared"))
   }
 
   /** Streaming exact dedup — the streaming face of `ops.Dedup.exact`:

@@ -126,6 +126,77 @@ class BucketedPairsSpec extends AnyFunSuite {
     assert(capped.contains((2000L, 2001L)))
   }
 
+  test("hot-bucket cap fire drill: driver WARN fires, exact-dedup-first recovers the cluster") {
+    // capture WARNs from the cap listener (async QueryExecutionListener ->
+    // slf4j -> log4j2): hook an appender onto the root logger config
+    val warns = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "capwarn-capture", null, null, false,
+      org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        warns.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      // a near-identical cluster LARGER than the cap: hot in EVERY band, so
+      // LSH alone is blind to it — the documented trade-off
+      val template = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+      val hot = (0L until 80L).map(i => (i, template))
+      val a = (1000L, "unique alpha beta gamma delta epsilon zeta eta theta")
+      val b = (1001L, "unique alpha beta gamma delta epsilon zeta eta iota")
+      val docs = (hot :+ a :+ b).toDF("doc_id", "text")
+
+      val lshOnly = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2,
+        maxBucket = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the oversized cluster is invisible; the small genuine pair survives
+      assert(!lshOnly.exists(_._1 < 80L))
+      assert(lshOnly == Set((1000L, 1001L)))
+
+      // the drop must be LOUD: the observed-metric listener raises a driver
+      // WARN (asynchronously — poll the captured log)
+      val deadline = System.currentTimeMillis() + 15000
+      var fired = false
+      while (!fired && System.currentTimeMillis() < deadline) {
+        fired = warns.synchronized {
+          warns.toArray.exists(w => w.toString.contains("lsh_bucket_cap") &&
+            w.toString.contains("INVISIBLE"))
+        }
+        if (!fired) Thread.sleep(100)
+      }
+      assert(fired, s"no lsh_bucket_cap WARN captured; got: $warns")
+
+      // documented mitigation: exact dedup FIRST collapses the
+      // byte-identical cluster to one keeper, then LSH runs uncapped-clean
+      val ex = Dedup.exact(docs, "doc_id", Seq(col("text"))).cache()
+      val cluster = ex.filter(col("n_copies") === 80L).collect()
+      assert(cluster.length == 1 && cluster(0).getAs[Long]("keeper_id") == 0L)
+      val collapsed = docs.join(
+        ex.select(col("keeper_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val afterExact = Dedup.nearDuplicates(collapsed, "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2,
+        maxBucket = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // nothing hot remains (no bucket above the cap -> no blind spot), and
+      // every hot-cluster member is accounted for via its exact-dedup keeper
+      assert(afterExact == Set((1000L, 1001L)))
+      val recovered = (0L until 80L).map(i => (0L, i)).filter(p => p._1 != p._2)
+      assert(ex.filter(col("n_copies") === 80L).count() == 1 &&
+        recovered.size == 79) // cluster membership fully known from exact()
+    } finally {
+      rootCfg.removeAppender("capwarn-capture")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
+
   test("components: chains merge transitively, separate clusters stay apart") {
     // chain 1-2, 2-3, 3-4 -> all label 1; pair 10-11 -> label 10; 20-21 + 21-22
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L), (21L, 22L),

@@ -116,4 +116,55 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-static-join decontamination == batch (unbounded eval path)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val eval = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "one two three four five six"))
+    val corpus = Seq(
+      (0L, "noise alpha beta gamma delta epsilon tail"),
+      (1L, "one two three something four five six"),
+      (2L, "nothing in common with the benchmark here"),
+      (3L, "alpha beta gamma padding one two three"))
+    val all = (eval ++ corpus).toDF("doc_id", "text")
+    val isEval = col("doc_id") >= 1000L
+    val batch = graft.ops.Curate.decontaminate(all, "doc_id", "text",
+      isEval, shingleSize = 3, minShared = 3)
+      .as[(Long, Long)].collect().toSet
+
+    // eval grams stay a DataFrame — never collected to the driver
+    val evalGrams = graft.ops.Dedup.shingles(
+      all.filter(isEval), "doc_id", "text", 3).select("shingle").distinct()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val base = 1700000000000L
+    val withTs = corpus.zipWithIndex.map { case ((id, text), i) =>
+      (id, new java.sql.Timestamp(base + i * 1000L), text)
+    }
+    val q = EventsStream.decontaminateStreamJoin(
+      mem.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      evalGrams, shingleSize = 3, minShared = 3, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("deconjoineq")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(withTs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(withTs.drop(2): _*)
+      q.processAllAvailable()
+      // append mode emits a doc only once the watermark passes its ts —
+      // push the watermark with a late no-match row, as a real feed would
+      mem.addData((99L, new java.sql.Timestamp(base + 3600 * 1000L),
+        "watermark pusher with no shared grams"))
+      q.processAllAvailable()
+      val streamed = spark.table("deconjoineq")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
