@@ -44,9 +44,15 @@ object Bench {
     val benched = Registry.all.filter(_.bench)
     val pass1 = benched.map(q => q.name -> timeOnce(q)).toMap
     val pass2 = benched.map(q => q.name -> timeOnce(q)).toMap
+    // sub-second queries are noise-dominated (host-load swings exceed their
+    // own runtime, so two passes still disagree round-over-round — the
+    // q13-q17 drift every verdict chases); a third trial costs <1 s each
+    // and min-of-3 keeps one loaded window from poisoning them
     val needThird = benched.filter { q =>
       val a = pass1(q.name); val b = pass2(q.name)
-      (a < 0) != (b < 0) || (a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b))
+      (a < 0) != (b < 0) ||
+        (a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b)) ||
+        (a >= 0 && b >= 0 && math.min(a, b) < 1.0)
     }
     val pass3 = needThird.map(q => q.name -> timeOnce(q)).toMap
     val results = benched.map { q =>
