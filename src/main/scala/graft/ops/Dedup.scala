@@ -210,6 +210,191 @@ object Dedup {
     bucketJoin(banded, maxBucket)
   }
 
+  /** MinHash signatures as ONE array column per doc: (id, sig) with
+    * sig[s-1] the seed-s minimum (the [[minhashBanded]] chunked-md5
+    * construction, so signatures are engine-portable). The persistable
+    * form of a doc's dedup identity — store nHashes*8 hex chars instead
+    * of the shingle set.
+    */
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame = {
+    val nGroups = (numHashes + 3) / 4
+    val digests = (0 until nGroups).map(g =>
+      md5(concat(lit(s"$g:"), col("shingle"))).as(s"d$g"))
+    val withDigests = shingleRows.select((col("id") +: digests): _*)
+    val minCols = (1 to numHashes).map { s =>
+      val g = (s - 1) / 4
+      val off = ((s - 1) % 4) * 8 + 1
+      min(substring(col(s"d$g"), off, 8)).as(s"m$s")
+    }
+    withDigests.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((1 to numHashes).map(s => col(s"m$s")): _*).as("sig"))
+  }
+
+  /** Estimated Jaccard between two signature arrays: the fraction of
+    * agreeing minima — an unbiased estimator with granularity 1/numHashes
+    * (Broder 1997). Row-local; no shingle sets touched.
+    */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) =>
+      when(x === y, lit(1)).otherwise(lit(0))), lit(0),
+      (acc, v) => acc + v).cast("double") / size(sigA)
+
+  /** Signature-only near-dup pairs — the verify-at-scale variant of
+    * [[nearDuplicates]]: candidates come from the same band buckets, but
+    * similarity is ESTIMATED from signature agreement instead of exact
+    * Jaccard over shingle sets. The exact verify re-joins the corpus-wide
+    * shingle table twice per candidate side; at 100 TB the shingle table
+    * dwarfs the corpus and that join dominates the pipeline. Signatures
+    * ride along in the bucket aggregation's member structs (like
+    * [[simhashPairs]] carries its 64-bit signature), so after the ONE
+    * corpus-wide aggregation everything is row-local: no second shuffle,
+    * no shingle re-join, and the signature table is what a persisted dedup
+    * index stores (see [[buildDedupIndex]]).
+    *
+    * Trade-off: est_jaccard has granularity 1/numHashes and Binomial
+    * noise, so pairs straddling the threshold can flip vs [[jaccard]] —
+    * standard at scale (Spark MLlib's MinHashLSH verifies the same way).
+    * Member structs carry numHashes*8 hex chars each, so a full bucket is
+    * ~maxBucket*(8+64*numHashes/8) bytes — at the default cap and 8
+    * hashes, ~1 MB per group buffer. Lower maxBucket if numHashes grows.
+    */
+  def nearDuplicatesEstimated(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 2, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sigs = minhashSignatures(
+      shingles(df, idCol, textCol, shingleSize), numHashes)
+    pairsFromSignatures(sigs, numHashes, rowsPerBand, threshold, maxBucket)
+  }
+
+  /** Candidate generation + estimated verify over a signature table
+    * (id, sig): band buckets assemble row-locally from the signature
+    * array, one aggregation collects bucket members (signature in the
+    * struct), pairs expand array-locally and the estimate is row-local.
+    */
+  private[ops] def pairsFromSignatures(sigs: DataFrame, numHashes: Int,
+      rowsPerBand: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    ensureCapWarnListener(sigs.sparkSession)
+    val banded = bandSignatures(sigs, numHashes, rowsPerBand)
+    val grouped = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sig").as("s"))).as("_ms"))
+    val observed =
+      if (maxBucket == Int.MaxValue) grouped
+      else grouped.observe(s"lsh_bucket_cap_${obsId.incrementAndGet()}",
+        sum(when(size(col("_ms")) > maxBucket, size(col("_ms")))
+          .otherwise(lit(0))).cast("long").as("dropped_rows"),
+        coalesce(max(size(col("_ms"))), lit(0)).cast("long").as("max_bucket"))
+    observed
+      .filter(size(col("_ms")).between(2, maxBucket))
+      .select(explode(col("_ms")).as("m"), col("_ms"))
+      .select(col("m.id").as("a"), col("m.s").as("sa"),
+        explode(expr("filter(_ms, x -> x.id > m.id)")).as("x"))
+      .select(col("a"), col("x.id").as("b"), col("sa"), col("x.s").as("sb"))
+      .distinct()
+      .withColumn("est_jaccard", estimatedJaccard(col("sa"), col("sb")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), col("est_jaccard"))
+  }
+
+  /** (id, sig, band, bucket) rows: LSH band buckets assembled ROW-LOCALLY
+    * from the signature array — banding is a projection, so a persisted
+    * index only ever stores signatures and re-derives bands on read.
+    */
+  private def bandSignatures(sigs: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val nBands = numHashes / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val members = (1 to numHashes).filter(s => (s - 1) / rowsPerBand == b)
+        .map(s => concat(lit(s.toString), lit(":"),
+          element_at(col("sig"), s)))
+      struct(lit(b).as("band"),
+        md5(array_join(sort_array(array(members: _*)), "|")).as("bucket"))
+    }
+    sigs
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Persist a dedup index: the corpus's minhash signature table (the
+    * complete dedup identity — bands re-derive from it row-locally) plus a
+    * one-row meta table pinning the construction params so appends can't
+    * silently mix incompatible signatures. ~(8 + numHashes*8) bytes per
+    * doc: at 100 TB of text this is tens of GB — the thing that makes
+    * incremental curation O(batch) instead of re-shingling the corpus.
+    */
+  def buildDedupIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 2, numHashes: Int = 8): Unit = {
+    minhashSignatures(shingles(df, idCol, textCol, shingleSize), numHashes)
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((shingleSize, numHashes)).toDF("shingle_size", "num_hashes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incrementally dedup a new batch against a persisted index: returns
+    * every near-dup pair INVOLVING the batch (cross old-new and
+    * within-new; old-old pairs were reported when their batches arrived),
+    * then appends the batch's signatures to the index.
+    *
+    * Scale shape — per batch, the stored side is ONE narrow scan of the
+    * signature table with NO shuffle: the batch's touched (band, bucket)
+    * keys broadcast into a left-semi prune, so only stored rows actually
+    * colliding with the batch (≈ the candidate neighborhood, not the
+    * corpus) reach the bucket aggregation. Everything downstream is the
+    * [[pairsFromSignatures]] row-local cascade gated on "at least one
+    * member is new". Pairs are materialized (eager localCheckpoint)
+    * BEFORE the append lands, so the returned frame can never read the
+    * batch back as pre-existing corpus (the appendToTargetDb
+    * snapshot-before-write rule).
+    */
+  def appendToDedupIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, rowsPerBand: Int = 2, threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val spark = newDocs.sparkSession
+    ensureCapWarnListener(spark)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val shingleSize = meta.getAs[Int]("shingle_size")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val newSigs = minhashSignatures(
+      shingles(newDocs, idCol, textCol, shingleSize), numHashes).cache()
+    val newBanded = bandSignatures(newSigs, numHashes, rowsPerBand)
+    val touched = newBanded.select(col("band"), col("bucket")).distinct()
+    val storedBanded = bandSignatures(
+      spark.read.parquet(s"$path/signatures"), numHashes, rowsPerBand)
+      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+    val banded = storedBanded.withColumn("isn", lit(false))
+      .unionByName(newBanded.withColumn("isn", lit(true)))
+    val grouped = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(
+        struct(col("id"), col("sig").as("s"), col("isn"))).as("_ms"))
+    val observed =
+      if (maxBucket == Int.MaxValue) grouped
+      else grouped.observe(s"lsh_bucket_cap_${obsId.incrementAndGet()}",
+        sum(when(size(col("_ms")) > maxBucket, size(col("_ms")))
+          .otherwise(lit(0))).cast("long").as("dropped_rows"),
+        coalesce(max(size(col("_ms"))), lit(0)).cast("long").as("max_bucket"))
+    val pairs = observed
+      .filter(size(col("_ms")).between(2, maxBucket))
+      .select(explode(col("_ms")).as("m"), col("_ms"))
+      .select(col("m.id").as("a"), col("m.s").as("sa"), col("m.isn").as("an"),
+        explode(expr("filter(_ms, x -> x.id > m.id)")).as("x"))
+      // at least one side from the new batch — old-old pairs are history
+      .filter(col("an") || col("x.isn"))
+      .select(col("a"), col("x.id").as("b"), col("sa"), col("x.s").as("sb"))
+      .distinct()
+      .withColumn("est_jaccard", estimatedJaccard(col("sa"), col("sb")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), col("est_jaccard"))
+      .localCheckpoint() // eager: snapshot pairs BEFORE the append lands
+    newSigs.write.mode("append").parquet(s"$path/signatures")
+    newSigs.unpersist()
+    pairs
+  }
+
   /** Exact Jaccard over shingle sets for given candidate pairs:
     * |A ∩ B| / |A ∪ B|. Join-based — intersection counted by shingle
     * co-occurrence, sizes joined in; never materializes sets on the driver.

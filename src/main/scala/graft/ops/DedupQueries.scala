@@ -31,11 +31,10 @@ object DedupQueries {
              CAST(COUNT(*) AS BIGINT) AS n_copies
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
-  /** Shared DuckDB CTE chain: shingles -> chunked minhash -> banding ->
-    * candidates -> verified near-dup pairs at threshold 0.2 (`pairsq`).
-    * Callers prefix `WITH ` or `WITH RECURSIVE `.
+  /** Shared DuckDB CTE chain: shingles -> chunked minhash (`mh`) ->
+    * banding -> candidate pairs (`cand`). Callers prefix `WITH `.
     */
-  private val duckPairs = s"""$duckShingles,
+  private val duckCand = s"""$duckShingles,
       seeds AS (SELECT unnest(generate_series(1, 8)) AS seed),
       mh AS (
         -- 4 seeds per md5 digest: 8-hex-char chunk of md5(group:shingle)
@@ -51,7 +50,12 @@ object DedupQueries {
       cand AS (
         SELECT DISTINCT l.id AS a, r.id AS b
         FROM banded l JOIN banded r
-          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)"""
+
+  /** duckCand extended with the exact-Jaccard verify at threshold 0.2
+    * (`pairsq`). Callers prefix `WITH ` or `WITH RECURSIVE `.
+    */
+  private val duckPairs = s"""$duckCand,
       sizes AS (SELECT id, COUNT(*) AS setsize FROM sh GROUP BY 1),
       common AS (
         SELECT c.a, c.b, COUNT(*) AS ncommon
@@ -78,6 +82,33 @@ object DedupQueries {
     Some(s"""
       WITH $duckPairs
       SELECT a, b, ROUND(jac, 4) AS jaccard FROM pairsq ORDER BY a, b"""))
+
+  /** Signature-only near-dup (the verify-at-scale variant): similarity is
+    * ESTIMATED from minhash-signature agreement, never re-joining shingle
+    * sets. The oracle recomputes the per-seed minima and counts agreeing
+    * seeds per candidate pair.
+    */
+  val dedupMinhashEst = Q(
+    "dedup_minhash_est",
+    (s, d) => {
+      Dedup.nearDuplicatesEstimated(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+        .select(col("a"), col("b"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH $duckCand,
+      est AS (
+        SELECT c.a, c.b,
+               SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+                 * 1.0 / 8 AS ej
+        FROM cand c
+        JOIN mh ma ON ma.id = c.a
+        JOIN mh mb ON mb.id = c.b AND mb.seed = ma.seed
+        GROUP BY 1, 2)
+      SELECT a, b, ROUND(ej, 4) AS est_jaccard FROM est
+      WHERE ej >= 0.5 ORDER BY a, b"""))
 
   /** Transitive-closure dedup clusters: Spark runs iterative min-label
     * propagation; the oracle computes the same components via a recursive
@@ -321,7 +352,7 @@ object DedupQueries {
       SELECT id AS doc_id, span_start, span_end, n_windows
       FROM spans ORDER BY doc_id, span_start"""))
 
-  def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupComponents,
-    dedupSimhash, dedupNgramJaccard, dedupSimhashPairs, dedupSubstringSpans,
-    dedupSubstringStrip, dedupSubstringKeepOne)
+  def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupMinhashEst,
+    dedupComponents, dedupSimhash, dedupNgramJaccard, dedupSimhashPairs,
+    dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne)
 }
