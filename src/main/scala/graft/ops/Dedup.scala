@@ -355,12 +355,49 @@ object Dedup {
       path: String, rowsPerBand: Int = 2, threshold: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = newDocs.sparkSession
-    ensureCapWarnListener(spark)
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val (newSigs, numHashes) = sigsForIndex(newDocs, idCol, textCol, path)
+    val cached = newSigs.cache()
+    val pairs = indexPairs(cached, path, numHashes, rowsPerBand, threshold,
+      maxBucket)
+      .localCheckpoint() // eager: snapshot pairs BEFORE the append lands
+    cached.write.mode("append").parquet(s"$path/signatures")
+    cached.unpersist()
+    pairs
+  }
+
+  /** Read-only probe of a persisted dedup index: the [[appendToDedupIndex]]
+    * candidate/verify cascade WITHOUT committing the probe batch — "would
+    * these docs be near-dups of the corpus (or of each other)?" The
+    * decontamination-shaped question a curation pipeline asks before
+    * deciding what to ingest. Lazy (no checkpoint): nothing is written, so
+    * there is no read-back hazard.
+    */
+  def searchDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, rowsPerBand: Int = 2, threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (probeSigs, numHashes) = sigsForIndex(docs, idCol, textCol, path)
+    indexPairs(probeSigs, path, numHashes, rowsPerBand, threshold, maxBucket)
+  }
+
+  /** Batch signatures under a stored index's pinned params. */
+  private def sigsForIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): (DataFrame, Int) = {
+    val meta = docs.sparkSession.read.parquet(s"$path/meta").head()
     val shingleSize = meta.getAs[Int]("shingle_size")
     val numHashes = meta.getAs[Int]("num_hashes")
-    val newSigs = minhashSignatures(
-      shingles(newDocs, idCol, textCol, shingleSize), numHashes).cache()
+    (minhashSignatures(
+      shingles(docs, idCol, textCol, shingleSize), numHashes), numHashes)
+  }
+
+  /** Pairs involving the batch vs a stored signature table: broadcast
+    * left-semi prune of the stored side (no shuffle of the corpus), one
+    * bucket aggregation over the surviving collision rows + the batch,
+    * row-local estimate, "at least one member new" gate.
+    */
+  private def indexPairs(newSigs: DataFrame, path: String, numHashes: Int,
+      rowsPerBand: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    val spark = newSigs.sparkSession
+    ensureCapWarnListener(spark)
     val newBanded = bandSignatures(newSigs, numHashes, rowsPerBand)
     val touched = newBanded.select(col("band"), col("bucket")).distinct()
     val storedBanded = bandSignatures(
@@ -377,7 +414,7 @@ object Dedup {
         sum(when(size(col("_ms")) > maxBucket, size(col("_ms")))
           .otherwise(lit(0))).cast("long").as("dropped_rows"),
         coalesce(max(size(col("_ms"))), lit(0)).cast("long").as("max_bucket"))
-    val pairs = observed
+    observed
       .filter(size(col("_ms")).between(2, maxBucket))
       .select(explode(col("_ms")).as("m"), col("_ms"))
       .select(col("m.id").as("a"), col("m.s").as("sa"), col("m.isn").as("an"),
@@ -389,10 +426,6 @@ object Dedup {
       .withColumn("est_jaccard", estimatedJaccard(col("sa"), col("sb")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"))
-      .localCheckpoint() // eager: snapshot pairs BEFORE the append lands
-    newSigs.write.mode("append").parquet(s"$path/signatures")
-    newSigs.unpersist()
-    pairs
   }
 
   /** Exact Jaccard over shingle sets for given candidate pairs:

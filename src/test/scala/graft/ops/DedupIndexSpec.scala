@@ -42,8 +42,13 @@ class DedupIndexSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
     Dedup.buildDedupIndex(b1.toDF("doc_id", "text"), "doc_id", "text", dir,
       shingleSize = 2, numHashes = 8)
+    // read-only probe first: identical pairs, nothing committed
+    val probed = toSet(Dedup.searchDedupIndex(b2.toDF("doc_id", "text"),
+      "doc_id", "text", dir, rowsPerBand = 2, threshold = 0.5))
+    assert(spark.read.parquet(s"$dir/signatures").count() == 20L)
     val p2 = toSet(Dedup.appendToDedupIndex(b2.toDF("doc_id", "text"),
       "doc_id", "text", dir, rowsPerBand = 2, threshold = 0.5))
+    assert(probed == p2)
     val p3 = toSet(Dedup.appendToDedupIndex(b3.toDF("doc_id", "text"),
       "doc_id", "text", dir, rowsPerBand = 2, threshold = 0.5))
 
