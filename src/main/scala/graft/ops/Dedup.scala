@@ -34,7 +34,7 @@ object Dedup {
     * [[exact]] dedup first so byte-identical mega-clusters collapse before
     * LSH, and watch the `lsh_bucket_cap_N` observed metric — a run that
     * drops rows logs a driver-side warning (see the listener in
-    * [[bucketPairs]]) and should be re-examined, not ignored.
+    * [[cappedMemberBuckets]]) and should be re-examined, not ignored.
     */
   val DefaultMaxBucket: Int = 10000
 
@@ -73,41 +73,65 @@ object Dedup {
               exception: Exception): Unit = ()
         })
 
-  /** Candidate pairs from (band, bucket, id) rows via ONE aggregation:
-    * each bucket's members are collected into an array (bounded by
-    * `maxBucket`, so at most ~80 KB per group) and pairs expand
-    * array-locally — `a` explodes, `b` comes from the members greater than
-    * `a`. Compared to a capped self-join formulation this computes the
-    * (expensive) upstream pipeline ONCE instead of twice, needs no window
-    * sort, and shuffles one row per bucket instead of two per member; the
-    * emitted pair set is identical. Oversized buckets are dropped
-    * wholesale; dropped volume is reported as an observed metric
+  /** The ONE capped bucket aggregation behind every LSH-style candidate
+    * generator in this file ([[bucketPairs]], [[pairsFromSignatures]],
+    * [[indexPairs]], [[simhashPairs]]): group the banded rows by bucket
+    * key, collect each bucket's member structs into an array (bounded by
+    * `maxBucket`), report dropped volume as an observed metric
     * (`lsh_bucket_cap_N`: dropped_rows, max_bucket) at zero extra cost —
     * counting drops with a separate action would recompute the whole
-    * upstream pipeline — and surfaced as a driver WARN by the listener.
+    * upstream pipeline — and surface it as a driver WARN via the listener.
+    * Compared to a capped self-join formulation this computes the
+    * (expensive) upstream pipeline ONCE instead of twice, needs no window
+    * sort, and shuffles one row per bucket instead of two per member.
+    *
+    * Member structs MUST carry an `id` field — [[expandMemberPairs]]
+    * orders pairs by it. Extra fields (signatures, flags) ride along so
+    * downstream verification never re-joins the upstream pipeline.
     *
     * Scale note: with `maxBucket == Int.MaxValue` the member list is
     * unbounded — only disable the cap on corpora known to have no hot
     * buckets.
     */
-  private[ops] def bucketPairs(banded: DataFrame, keys: Seq[String],
-      idCol: String, maxBucket: Int): DataFrame = {
+  private[ops] def cappedMemberBuckets(banded: DataFrame, keys: Seq[String],
+      member: Column, maxBucket: Int): DataFrame = {
     ensureCapWarnListener(banded.sparkSession)
     val grouped = banded.groupBy(keys.map(col): _*)
-      .agg(collect_list(col(idCol)).as("_ids"))
+      .agg(collect_list(member).as("_ms"))
     val observed =
       if (maxBucket == Int.MaxValue) grouped
       else grouped.observe(s"lsh_bucket_cap_${obsId.incrementAndGet()}",
-        sum(when(size(col("_ids")) > maxBucket, size(col("_ids")))
+        sum(when(size(col("_ms")) > maxBucket, size(col("_ms")))
           .otherwise(lit(0))).cast("long").as("dropped_rows"),
-        coalesce(max(size(col("_ids"))), lit(0)).cast("long").as("max_bucket"))
-    observed
-      .filter(size(col("_ids")).between(2, maxBucket))
-      .select(explode(col("_ids")).as("a"), col("_ids"))
-      .select(col("a"),
-        explode(filter(col("_ids"), x => x > col("a"))).as("b"))
-      .distinct()
+        coalesce(max(size(col("_ms"))), lit(0)).cast("long").as("max_bucket"))
+    observed.filter(size(col("_ms")).between(2, maxBucket))
   }
+
+  /** Array-local ordered-pair expansion over [[cappedMemberBuckets]]
+    * output: `m` explodes, `x` ranges over the bucket members with a
+    * larger id; `aKeep` prunes left members BEFORE the (more expensive)
+    * second explode. Returns one (m, x) struct row per (bucket, ordered
+    * pair) — callers project fields, `.distinct()` away multi-band
+    * collisions, and verify.
+    */
+  private[ops] def expandMemberPairs(buckets: DataFrame,
+      aKeep: Column = lit(true)): DataFrame =
+    buckets
+      .select(explode(col("_ms")).as("m"), col("_ms"))
+      .filter(aKeep)
+      .select(col("m"), explode(expr("filter(_ms, x -> x.id > m.id)")).as("x"))
+
+  /** Candidate pairs from (band, bucket, id) rows: the
+    * [[cappedMemberBuckets]] aggregation with bare-id members, expanded
+    * array-locally. Oversized buckets are dropped wholesale (see
+    * [[DefaultMaxBucket]] for the trade-off).
+    */
+  private[ops] def bucketPairs(banded: DataFrame, keys: Seq[String],
+      idCol: String, maxBucket: Int): DataFrame =
+    expandMemberPairs(cappedMemberBuckets(banded, keys,
+        struct(col(idCol).as("id")), maxBucket))
+      .select(col("m.id").as("a"), col("x.id").as("b"))
+      .distinct()
 
   /** Exact dedup by content hash: one keeper (min id) per distinct key.
     * Output: (key_hash, keeper_id, n_copies).
@@ -274,22 +298,12 @@ object Dedup {
     */
   private[ops] def pairsFromSignatures(sigs: DataFrame, numHashes: Int,
       rowsPerBand: Int, threshold: Double, maxBucket: Int): DataFrame = {
-    ensureCapWarnListener(sigs.sparkSession)
     val banded = bandSignatures(sigs, numHashes, rowsPerBand)
-    val grouped = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("sig").as("s"))).as("_ms"))
-    val observed =
-      if (maxBucket == Int.MaxValue) grouped
-      else grouped.observe(s"lsh_bucket_cap_${obsId.incrementAndGet()}",
-        sum(when(size(col("_ms")) > maxBucket, size(col("_ms")))
-          .otherwise(lit(0))).cast("long").as("dropped_rows"),
-        coalesce(max(size(col("_ms"))), lit(0)).cast("long").as("max_bucket"))
-    observed
-      .filter(size(col("_ms")).between(2, maxBucket))
-      .select(explode(col("_ms")).as("m"), col("_ms"))
-      .select(col("m.id").as("a"), col("m.s").as("sa"),
-        explode(expr("filter(_ms, x -> x.id > m.id)")).as("x"))
-      .select(col("a"), col("x.id").as("b"), col("sa"), col("x.s").as("sb"))
+    val buckets = cappedMemberBuckets(banded, Seq("band", "bucket"),
+      struct(col("id"), col("sig").as("s")), maxBucket)
+    expandMemberPairs(buckets)
+      .select(col("m.id").as("a"), col("x.id").as("b"),
+        col("m.s").as("sa"), col("x.s").as("sb"))
       .distinct()
       .withColumn("est_jaccard", estimatedJaccard(col("sa"), col("sb")))
       .filter(col("est_jaccard") >= threshold)
@@ -335,6 +349,26 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Max distinct (band, bucket) keys broadcast to prune the stored side
+    * of a dedup-index search/append. The design case is an incremental
+    * batch — thousands to low millions of docs — whose touched-key set
+    * (~40 bytes per key) broadcasts in tens of MB. [[appendToDedupIndex]]
+    * accepts ANY DataFrame though, and a bulk re-ingest of 10^8 docs ×
+    * nBands keys would be a multi-GB broadcast that kills the driver;
+    * above this bound the prune flips to a shuffled left-semi join (still
+    * corpus-pruning, at the cost of one shuffle of both key sides).
+    */
+  val DefaultMaxBroadcastKeys: Long = 1L << 20
+
+  /** Touched-key upper bound deciding the prune strategy: batch docs ×
+    * bands (every doc lands in every band; distinct-ing bucket values only
+    * shrinks it). One cheap count of the INPUT frame — not the signature
+    * pipeline — so the decision costs a metadata-ish scan, not a shuffle.
+    */
+  private def touchedFits(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
+      maxBroadcastKeys: Long): Boolean =
+    docs.count() * (numHashes / rowsPerBand) <= maxBroadcastKeys
+
   /** Incrementally dedup a new batch against a persisted index: returns
     * every near-dup pair INVOLVING the batch (cross old-new and
     * within-new; old-old pairs were reported when their batches arrived),
@@ -344,7 +378,10 @@ object Dedup {
     * signature table with NO shuffle: the batch's touched (band, bucket)
     * keys broadcast into a left-semi prune, so only stored rows actually
     * colliding with the batch (≈ the candidate neighborhood, not the
-    * corpus) reach the bucket aggregation. Everything downstream is the
+    * corpus) reach the bucket aggregation. Batches too large to broadcast
+    * (> `maxBroadcastKeys` estimated keys — bulk re-ingest, not the design
+    * case) fall back to a shuffled left-semi prune instead of a
+    * driver-killing broadcast. Everything downstream is the
     * [[pairsFromSignatures]] row-local cascade gated on "at least one
     * member is new". Pairs are materialized (eager localCheckpoint)
     * BEFORE the append lands, so the returned frame can never read the
@@ -353,12 +390,14 @@ object Dedup {
     */
   def appendToDedupIndex(newDocs: DataFrame, idCol: String, textCol: String,
       path: String, rowsPerBand: Int = 2, threshold: Double = 0.5,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
     val spark = newDocs.sparkSession
     val (newSigs, numHashes) = sigsForIndex(newDocs, idCol, textCol, path)
     val cached = newSigs.cache()
     val pairs = indexPairs(cached, path, numHashes, rowsPerBand, threshold,
-      maxBucket)
+      maxBucket,
+      touchedFits(newDocs, numHashes, rowsPerBand, maxBroadcastKeys))
       .localCheckpoint() // eager: snapshot pairs BEFORE the append lands
     cached.write.mode("append").parquet(s"$path/signatures")
     cached.unpersist()
@@ -369,14 +408,16 @@ object Dedup {
     * candidate/verify cascade WITHOUT committing the probe batch — "would
     * these docs be near-dups of the corpus (or of each other)?" The
     * decontamination-shaped question a curation pipeline asks before
-    * deciding what to ingest. Lazy (no checkpoint): nothing is written, so
-    * there is no read-back hazard.
+    * deciding what to ingest. Lazy apart from the prune-strategy count (no
+    * checkpoint): nothing is written, so there is no read-back hazard.
     */
   def searchDedupIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, rowsPerBand: Int = 2, threshold: Double = 0.5,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
     val (probeSigs, numHashes) = sigsForIndex(docs, idCol, textCol, path)
-    indexPairs(probeSigs, path, numHashes, rowsPerBand, threshold, maxBucket)
+    indexPairs(probeSigs, path, numHashes, rowsPerBand, threshold, maxBucket,
+      touchedFits(docs, numHashes, rowsPerBand, maxBroadcastKeys))
   }
 
   /** Batch signatures under a stored index's pinned params. */
@@ -389,39 +430,35 @@ object Dedup {
       shingles(docs, idCol, textCol, shingleSize), numHashes), numHashes)
   }
 
-  /** Pairs involving the batch vs a stored signature table: broadcast
-    * left-semi prune of the stored side (no shuffle of the corpus), one
-    * bucket aggregation over the surviving collision rows + the batch,
-    * row-local estimate, "at least one member new" gate.
+  /** Pairs involving the batch vs a stored signature table: left-semi
+    * prune of the stored side on the batch's touched (band, bucket) keys —
+    * broadcast when the batch is small (no shuffle of the corpus),
+    * shuffled hash otherwise (build side = the touched keys, still the
+    * small side) — then one bucket aggregation over the surviving
+    * collision rows + the batch, row-local estimate, "at least one member
+    * new" gate.
     */
   private def indexPairs(newSigs: DataFrame, path: String, numHashes: Int,
-      rowsPerBand: Int, threshold: Double, maxBucket: Int): DataFrame = {
+      rowsPerBand: Int, threshold: Double, maxBucket: Int,
+      broadcastTouched: Boolean): DataFrame = {
     val spark = newSigs.sparkSession
-    ensureCapWarnListener(spark)
     val newBanded = bandSignatures(newSigs, numHashes, rowsPerBand)
     val touched = newBanded.select(col("band"), col("bucket")).distinct()
+    val prune =
+      if (broadcastTouched) broadcast(touched)
+      else touched.hint("shuffle_hash")
     val storedBanded = bandSignatures(
       spark.read.parquet(s"$path/signatures"), numHashes, rowsPerBand)
-      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+      .join(prune, Seq("band", "bucket"), "left_semi")
     val banded = storedBanded.withColumn("isn", lit(false))
       .unionByName(newBanded.withColumn("isn", lit(true)))
-    val grouped = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(
-        struct(col("id"), col("sig").as("s"), col("isn"))).as("_ms"))
-    val observed =
-      if (maxBucket == Int.MaxValue) grouped
-      else grouped.observe(s"lsh_bucket_cap_${obsId.incrementAndGet()}",
-        sum(when(size(col("_ms")) > maxBucket, size(col("_ms")))
-          .otherwise(lit(0))).cast("long").as("dropped_rows"),
-        coalesce(max(size(col("_ms"))), lit(0)).cast("long").as("max_bucket"))
-    observed
-      .filter(size(col("_ms")).between(2, maxBucket))
-      .select(explode(col("_ms")).as("m"), col("_ms"))
-      .select(col("m.id").as("a"), col("m.s").as("sa"), col("m.isn").as("an"),
-        explode(expr("filter(_ms, x -> x.id > m.id)")).as("x"))
+    val buckets = cappedMemberBuckets(banded, Seq("band", "bucket"),
+      struct(col("id"), col("sig").as("s"), col("isn")), maxBucket)
+    expandMemberPairs(buckets)
       // at least one side from the new batch — old-old pairs are history
-      .filter(col("an") || col("x.isn"))
-      .select(col("a"), col("x.id").as("b"), col("sa"), col("x.s").as("sb"))
+      .filter(col("m.isn") || col("x.isn"))
+      .select(col("m.id").as("a"), col("x.id").as("b"),
+        col("m.s").as("sa"), col("x.s").as("sb"))
       .distinct()
       .withColumn("est_jaccard", estimatedJaccard(col("sa"), col("sb")))
       .filter(col("est_jaccard") >= threshold)
@@ -742,10 +779,18 @@ object Dedup {
     * bands is bit-identical, so an exact-match equi-join on (band, bandVal)
     * produces a candidate superset — NO all-pairs nested loop — and the
     * Hamming verify runs only on candidates. Candidate recall is exact
-    * (pigeonhole), so the result set is identical to the brute-force join.
+    * (pigeonhole), so the result set is identical to the brute-force join
+    * — UP TO the hot-bucket cap: real corpora concentrate signature mass
+    * (boilerplate, near-empty docs) into few values, and at h=3 the bands
+    * are ~16-bit slices, so one hot (band, bval) bucket means an unbounded
+    * member buffer and b² pair expansion in a single task. Buckets above
+    * `maxBucket` are dropped wholesale with the same observed-metric +
+    * driver-WARN contract as [[lshCandidates]] (see [[DefaultMaxBucket]]
+    * for the trade-off and the exact-dedup-first mitigation).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      queryPred: Column, maxHamming: Int, bits: Int = 64): DataFrame = {
+      queryPred: Column, maxHamming: Int, bits: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = simhash64(df, idCol, textCol)
     val nBands = maxHamming + 1
     // band i covers bits [i*bits/nBands, (i+1)*bits/nBands) — widths differ
@@ -771,17 +816,12 @@ object Dedup {
     // (a < b, a in Q) can collide in several bands — distinct before the
     // Hamming verify. The signature rides along in the member struct, so
     // no re-join against `sig` is needed for the verify.
-    banded
-      .groupBy(col("band"), col("bval"))
-      .agg(collect_list(
-        struct(col("id"), col("simhash").as("h"), queryPred.as("isq")))
-        .as("_ms"))
-      .filter(size(col("_ms")) >= 2)
-      .select(explode(col("_ms")).as("m"), col("_ms"))
-      .filter(col("m.isq"))
-      .select(col("m.id").as("a"), col("m.h").as("ha"),
-        explode(expr("filter(_ms, x -> x.id > m.id)")).as("x"))
-      .select(col("a"), col("x.id").as("b"), col("ha"), col("x.h").as("hb"))
+    val buckets = cappedMemberBuckets(banded, Seq("band", "bval"),
+      struct(col("id"), col("simhash").as("h"), queryPred.as("isq")),
+      maxBucket)
+    expandMemberPairs(buckets, col("m.isq"))
+      .select(col("m.id").as("a"), col("x.id").as("b"),
+        col("m.h").as("ha"), col("x.h").as("hb"))
       .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)

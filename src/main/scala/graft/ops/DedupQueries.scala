@@ -110,6 +110,41 @@ object DedupQueries {
       SELECT a, b, ROUND(ej, 4) AS est_jaccard FROM est
       WHERE ej >= 0.5 ORDER BY a, b"""))
 
+  /** The persisted-index flagship path end-to-end: corpus docs
+    * (doc_id % 10 != 0) build the signature index, probe docs
+    * (doc_id % 10 == 0) search it read-only. The stored-side touched-key
+    * prune is performance-only (it never changes which buckets collide),
+    * so the oracle replays the estimated-pair cascade over the UNION and
+    * keeps pairs with at least one probe member — exactly the "would this
+    * batch be near-dups of the corpus (or of each other)?" contract.
+    */
+  val dedupIndexSearch = Q(
+    "dedup_index_search",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx").toString
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", dir, shingleSize = 2, numHashes = 8)
+      Dedup.searchDedupIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", dir, rowsPerBand = 2, threshold = 0.5)
+        .select(col("a"), col("b"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      WITH $duckCand,
+      est AS (
+        SELECT c.a, c.b,
+               SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+                 * 1.0 / 8 AS ej
+        FROM cand c
+        JOIN mh ma ON ma.id = c.a
+        JOIN mh mb ON mb.id = c.b AND mb.seed = ma.seed
+        GROUP BY 1, 2)
+      SELECT a, b, ROUND(ej, 4) AS est_jaccard FROM est
+      WHERE ej >= 0.5 AND (a % 10 = 0 OR b % 10 = 0) ORDER BY a, b"""))
+
   /** Transitive-closure dedup clusters: Spark runs iterative min-label
     * propagation; the oracle computes the same components via a recursive
     * transitive closure (tractable at oracle scale — pair sets are small).
@@ -353,6 +388,7 @@ object DedupQueries {
       FROM spans ORDER BY doc_id, span_start"""))
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupMinhashEst,
-    dedupComponents, dedupSimhash, dedupNgramJaccard, dedupSimhashPairs,
-    dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne)
+    dedupIndexSearch, dedupComponents, dedupSimhash, dedupNgramJaccard,
+    dedupSimhashPairs, dedupSubstringSpans, dedupSubstringStrip,
+    dedupSubstringKeepOne)
 }

@@ -126,15 +126,17 @@ class BucketedPairsSpec extends AnyFunSuite {
     assert(capped.contains((2000L, 2001L)))
   }
 
-  test("hot-bucket cap fire drill: driver WARN fires, exact-dedup-first recovers the cluster") {
-    // capture WARNs from the cap listener (async QueryExecutionListener ->
-    // slf4j -> log4j2): hook an appender onto the root logger config
+  /** Capture WARNs from the cap listener (async QueryExecutionListener ->
+    * slf4j -> log4j2) while `body` runs: hook an appender onto the root
+    * logger config, hand the captured list to the body, detach after.
+    */
+  private def withWarnCapture(body: java.util.List[String] => Unit): Unit = {
     val warns = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
     val ctx = org.apache.logging.log4j.LogManager.getContext(false)
       .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
     val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
-      "capwarn-capture", null, null, false,
+      s"capwarn-capture-${System.nanoTime()}", null, null, false,
       org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
       override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
         warns.add(e.getMessage.getFormattedMessage)
@@ -143,7 +145,33 @@ class BucketedPairsSpec extends AnyFunSuite {
     val rootCfg = ctx.getConfiguration.getRootLogger
     rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
     ctx.updateLoggers()
-    try {
+    try body(warns)
+    finally {
+      rootCfg.removeAppender(appender.getName)
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
+
+  /** Poll the captured WARN list until the cap warning shows (the listener
+    * fires asynchronously after the action completes).
+    */
+  private def awaitCapWarn(warns: java.util.List[String]): Boolean = {
+    val deadline = System.currentTimeMillis() + 15000
+    var fired = false
+    while (!fired && System.currentTimeMillis() < deadline) {
+      fired = warns.synchronized {
+        warns.toArray.exists(w => w.toString.contains("lsh_bucket_cap") &&
+          w.toString.contains("INVISIBLE"))
+      }
+      if (!fired) Thread.sleep(100)
+    }
+    fired
+  }
+
+  test("hot-bucket cap fire drill: driver WARN fires, exact-dedup-first recovers the cluster") {
+    withWarnCapture { warns =>
+
       // a near-identical cluster LARGER than the cap: hot in EVERY band, so
       // LSH alone is blind to it — the documented trade-off
       val template = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
@@ -162,16 +190,7 @@ class BucketedPairsSpec extends AnyFunSuite {
 
       // the drop must be LOUD: the observed-metric listener raises a driver
       // WARN (asynchronously — poll the captured log)
-      val deadline = System.currentTimeMillis() + 15000
-      var fired = false
-      while (!fired && System.currentTimeMillis() < deadline) {
-        fired = warns.synchronized {
-          warns.toArray.exists(w => w.toString.contains("lsh_bucket_cap") &&
-            w.toString.contains("INVISIBLE"))
-        }
-        if (!fired) Thread.sleep(100)
-      }
-      assert(fired, s"no lsh_bucket_cap WARN captured; got: $warns")
+      assert(awaitCapWarn(warns), s"no lsh_bucket_cap WARN captured; got: $warns")
 
       // documented mitigation: exact dedup FIRST collapses the
       // byte-identical cluster to one keeper, then LSH runs uncapped-clean
@@ -190,10 +209,43 @@ class BucketedPairsSpec extends AnyFunSuite {
       val recovered = (0L until 80L).map(i => (0L, i)).filter(p => p._1 != p._2)
       assert(ex.filter(col("n_copies") === 80L).count() == 1 &&
         recovered.size == 79) // cluster membership fully known from exact()
-    } finally {
-      rootCfg.removeAppender("capwarn-capture")
-      ctx.updateLoggers()
-      appender.stop()
+    }
+  }
+
+  test("simhashPairs hot-bucket cap fire drill: over-cap cluster drops with WARN, exact-dedup-first recovers") {
+    withWarnCapture { warns =>
+      // 80 byte-identical docs share ONE simhash, so every (band, bval)
+      // bucket they land in has 80 members — over the cap in EVERY band,
+      // the same blind spot as the minhash drill. The genuine pair (two
+      // more identical docs with a different text) lives in its own size-2
+      // buckets and must survive.
+      val template = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+      val hot = (0L until 80L).map(i => (i, template))
+      val other = "unique alpha beta gamma delta epsilon zeta eta theta"
+      val docs = (hot :+ (1000L, other) :+ (1001L, other))
+        .toDF("doc_id", "text")
+
+      val capped = Dedup.simhashPairs(docs, "doc_id", "text",
+        lit(true), maxHamming = 3, maxBucket = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the oversized cluster is invisible; the small genuine pair survives
+      assert(capped == Set((1000L, 1001L)))
+
+      assert(awaitCapWarn(warns), s"no lsh_bucket_cap WARN captured; got: $warns")
+
+      // documented mitigation: exact dedup FIRST collapses the identical
+      // cluster to its keeper, then the capped banding sees small buckets
+      val ex = Dedup.exact(docs, "doc_id", Seq(col("text")))
+      val collapsed = docs.join(
+        ex.select(col("keeper_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val afterExact = Dedup.simhashPairs(collapsed, "doc_id", "text",
+        lit(true), maxHamming = 3, maxBucket = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
+      // the two keepers (0 and 1000) have different texts; only the
+      // genuine near-dup pair remains IF within radius — and since doc
+      // 1001 collapsed into keeper 1000, membership is known from exact()
+      assert(afterExact.forall(p => p._3 <= 3))
+      assert(!afterExact.exists(p => p._1 >= 1L && p._1 < 80L))
     }
   }
 

@@ -82,6 +82,40 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(p.columns.toSeq == Seq("a", "b", "est_jaccard"))
   }
 
+  test("broadcast guard: big batches prune the stored side with a shuffled semi-join, not a broadcast") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidxg").toString
+    Dedup.buildDedupIndex((0L until 20L).map(doc).toDF("doc_id", "text"),
+      "doc_id", "text", dir, shingleSize = 2, numHashes = 8)
+    val batch = (20L until 40L).map(doc).toDF("doc_id", "text")
+
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.sparkPlan.toString
+
+    // design case: batch keys fit -> the touched set broadcasts (no
+    // shuffle of the stored corpus anywhere in the prune)
+    val small = Dedup.searchDedupIndex(batch, "doc_id", "text", dir,
+      rowsPerBand = 2, threshold = 0.5)
+    assert(planOf(small).contains("BroadcastHashJoin"),
+      s"expected broadcast prune in:\n${planOf(small)}")
+
+    // bulk re-ingest: estimated keys exceed the bound -> NO broadcast of
+    // the touched set; the prune is a shuffled left-semi (hash build on
+    // the touched side)
+    val big = Dedup.searchDedupIndex(batch, "doc_id", "text", dir,
+      rowsPerBand = 2, threshold = 0.5, maxBroadcastKeys = 10L)
+    val bigPlan = planOf(big)
+    assert(!bigPlan.contains("BroadcastHashJoin"),
+      s"broadcast prune should have been guarded off in:\n$bigPlan")
+    assert(bigPlan.contains("ShuffledHashJoin") &&
+      bigPlan.contains("LeftSemi"), s"expected shuffled semi prune in:\n$bigPlan")
+
+    // both prune strategies report the identical pair set
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("est_jaccard"))).toSet
+    assert(toSet(small) == toSet(big) && toSet(big).nonEmpty)
+  }
+
   test("estimated pairs: signature agreement matches row-local estimator") {
     val docs = (0L until 30L).map(doc).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(
