@@ -74,8 +74,10 @@ object EventsStream {
     * DataFrame: each doc builds its distinct gram array ROW-LOCALLY
     * (array_distinct over a transform — no stateful dropDuplicates), grams
     * explode with the doc's id+ts, and membership is a stream-static inner
-    * equi-join (stateless, re-planned per micro-batch, broadcast or
-    * shuffled by Catalyst depending on the eval side's size). The per-doc
+    * equi-join (stateless, re-planned per micro-batch — against a
+    * persisted distinct gram table, so only the join itself re-runs;
+    * broadcast or shuffled by Catalyst depending on the eval side's size).
+    * The per-doc
     * count is then a watermarked aggregation keyed by (id, ts) — every
     * gram of a doc carries the doc's own event time, so state for a doc is
     * dropped once the watermark passes its ts, and the query runs in
@@ -93,6 +95,15 @@ object EventsStream {
       sequence(lit(0), size(col("_w")) - n)).otherwise(array())
     val gramArr = transform(col("_pos"), i =>
       concat_ws(" ", (0 until n).map(j => element_at(col("_w"), i + j + 1)): _*))
+    // the static side is distinct-ed ONCE and persisted here: a
+    // stream-static join re-evaluates the static plan EVERY micro-batch,
+    // so an unpersisted distinct() would re-shuffle the eval corpus per
+    // batch for the lifetime of the query. First micro-batch pays the
+    // shuffle and pins the result; lifetime is caller-owned (unpersist
+    // after stopping the query — the Dedup.nearDuplicates cache rule).
+    val evalDistinct = evalGrams
+      .select(col("shingle").cast("string").as("shingle"))
+      .distinct().persist()
     docs
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("_ts"),
         split(col(textCol), "\\s+").as("_w"))
@@ -100,8 +111,7 @@ object EventsStream {
       .select(col("id"), col("_ts"), array_distinct(gramArr).as("_g"))
       .withWatermark("_ts", watermark)
       .select(col("id"), col("_ts"), explode(col("_g")).as("shingle"))
-      .join(evalGrams.select(col("shingle").cast("string").as("shingle"))
-        .distinct(), Seq("shingle"))
+      .join(evalDistinct, Seq("shingle"))
       .groupBy(col("id"), col("_ts"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -122,31 +132,57 @@ object EventsStream {
 
   /** Gap-based sessionization with custom state — the streaming twin of
     * q15_sessionize: a session closes once a later event arrives more than
-    * `gapSeconds` after it. State is one (count, start, end) triple per user
-    * (bounded); a production deployment adds an event-time timeout to flush
-    * trailing sessions.
+    * `gapSeconds` after it, OR once the event-time watermark passes its
+    * end + gap (EventTimeTimeout) — so trailing sessions FLUSH instead of
+    * living in state forever. State is one (count, start, end) triple per
+    * user, and a timed-out user's state is removed outright, so total
+    * state is bounded by the users active inside one gap+delay horizon.
+    *
+    * Watermark contract: `watermarkDelay` bounds how late an event may
+    * arrive and still extend its session. Events older than the watermark
+    * are dropped before reaching the state function, and the timeout only
+    * fires once the watermark passes end + gap, so a flushed session can
+    * never be reopened or extended retroactively (flush-then-extend is
+    * impossible by construction).
     */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Long, Long), SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[(Long, Long, Long, Long)]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var out = List.empty[SessionUpdate]
-          var (n, start, end, _) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (n == 0) { n = 1; start = t; end = t }
-            else if (t - end > gapSeconds * 1000) {
-              out ::= SessionUpdate(userId, n, new java.sql.Timestamp(start),
-                new java.sql.Timestamp(end), closed = true)
-              n = 1; start = t; end = t
-            } else { n += 1; end = math.max(end, t) }
+          if (state.hasTimedOut) {
+            // the watermark passed end + gap with no extending event: the
+            // trailing session is final — emit it and clear the state
+            val (n, start, end, _) = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, n,
+              new java.sql.Timestamp(start), new java.sql.Timestamp(end),
+              closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[SessionUpdate]
+            var (n, start, end, _) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (n == 0) { n = 1; start = t; end = t }
+              else if (t - end > gapSeconds * 1000) {
+                out ::= SessionUpdate(userId, n, new java.sql.Timestamp(start),
+                  new java.sql.Timestamp(end), closed = true)
+                n = 1; start = t; end = t
+              } else { n += 1; end = math.max(end, t) }
+            }
+            state.update((n, start, end, 0L))
+            // flush once the watermark passes the gap horizon; clamped above
+            // the current watermark because a batch of already-stale events
+            // would otherwise set an in-the-past timeout, which Spark rejects
+            state.setTimeoutTimestamp(math.max(end + gapSeconds * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.reverseIterator
           }
-          state.update((n, start, end, 0L))
-          out.reverseIterator
       }
   }
 }

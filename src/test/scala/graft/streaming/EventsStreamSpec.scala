@@ -68,6 +68,22 @@ class EventsStreamSpec extends AnyFunSuite {
       assert(rows.length == 1) // first session closed by the in-batch gap
       assert(rows.head.getAs[Long]("n_events") == 2)
       assert(rows.head.getAs[Boolean]("closed"))
+
+      // trailing session (11:30, still open): once another user's event
+      // pushes the watermark past end + gap, the EventTimeTimeout flushes
+      // it — no session lives in state forever
+      mem.addData(EventsStream.Event(4, ts("2024-01-01 14:00:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("sess").collect()
+      assert(after.length == 2)
+      val trailing = after.filter(r => r.getAs[Long]("user_id") == 7L &&
+        r.getAs[Long]("n_events") == 1L)
+      assert(trailing.length == 1)
+      assert(trailing.head.getAs[java.sql.Timestamp]("start") == ts("2024-01-01 11:30:00"))
+      assert(trailing.head.getAs[java.sql.Timestamp]("end") == ts("2024-01-01 11:30:00"))
+      assert(trailing.head.getAs[Boolean]("closed"))
+      // user 8's fresh session stays open: the watermark hasn't passed it
+      assert(!after.exists(r => r.getAs[Long]("user_id") == 8L))
     } finally q.stop()
   }
 }

@@ -35,6 +35,59 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize over sf0.001 events == batch q15 sessions once the watermark passes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+
+    // batch truth: q15's window-lag construction, per-user session counts
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = events
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev") > 1800, 1).otherwise(0))
+      .groupBy($"user_id")
+      .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // stream the same events in ts order (never late under a 0s delay),
+    // split across micro-batches mid-corpus
+    val sorted = events.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val maxTs = sorted.map(_.ts.getTime).max
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sesseq").outputMode("append")
+      .start()
+    try {
+      val (h1, h2) = sorted.splitAt(sorted.length / 2)
+      mem.addData(h1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // a far-future pusher drives the watermark past every end + gap, so
+      // EVERY trailing session flushes; its own session is excluded below
+      mem.addData(EventsStream.Event(Long.MaxValue,
+        new java.sql.Timestamp(maxTs + 7 * 24 * 3600 * 1000L), -1L, "eof", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sesseq")
+        .filter($"user_id" =!= -1L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // and every emitted session is closed — nothing left dangling
+      assert(spark.table("sesseq").filter(!$"closed").count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming simhash near-dup pairs == batch simhashPairs (all-pairs)") {
     val spark = TestSpark.spark
     import spark.implicits._
