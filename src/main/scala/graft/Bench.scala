@@ -40,6 +40,11 @@ object Bench {
         System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
         -1.0
       }
+      // caller-owned caches (nearDuplicates/ngramJaccard shingles, Curate's
+      // deduped frame) would otherwise accumulate across the whole suite ×
+      // three passes — release them OUTSIDE the timed window (the timing
+      // expression above is evaluated before finally runs)
+      finally spark.catalog.clearCache()
     }
     val benched = Registry.all.filter(_.bench)
     val pass1 = benched.map(q => q.name -> timeOnce(q)).toMap

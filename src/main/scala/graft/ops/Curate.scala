@@ -23,7 +23,17 @@ object Curate {
       shingleSize: Int = 2,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      nearDupThreshold: Double = 0.8)
+      nearDupThreshold: Double = 0.8,
+      /** Verify near-dup candidates by exact Jaccard over shingle sets
+        * (engine-reproducible, re-joins the corpus-wide shingle table
+        * twice) or by minhash-signature agreement
+        * ([[Dedup.nearDuplicatesEstimated]] — row-local after one
+        * aggregation, the right verify once the shingle table dwarfs
+        * memory; threshold granularity becomes 1/numHashes). The 10×
+        * scale spot-bench (BASELINE.md §e) measured the exact verify as
+        * the one ~linear-boundary stage of this cascade.
+        */
+      estimatedVerify: Boolean = false)
 
   /** Quality-gate predicate over [[TextAnalysis.qualityFeatures]] columns. */
   def qualityPred(cfg: Config): Column =
@@ -53,8 +63,13 @@ object Curate {
       .cache()
 
     // 3. near-dup removal (greedy keep-lowest-id over verified pairs)
-    val pairs = Dedup.nearDuplicates(exactDeduped, idCol, textCol,
-      cfg.shingleSize, cfg.numHashes, cfg.rowsPerBand, cfg.nearDupThreshold)
+    val pairs =
+      if (cfg.estimatedVerify)
+        Dedup.nearDuplicatesEstimated(exactDeduped, idCol, textCol,
+          cfg.shingleSize, cfg.numHashes, cfg.rowsPerBand, cfg.nearDupThreshold)
+      else
+        Dedup.nearDuplicates(exactDeduped, idCol, textCol,
+          cfg.shingleSize, cfg.numHashes, cfg.rowsPerBand, cfg.nearDupThreshold)
     Dedup.applyNearDups(exactDeduped, idCol, pairs)
   }
 

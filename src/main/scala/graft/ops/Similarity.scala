@@ -502,29 +502,21 @@ object Similarity {
   def embeddingNearDup(corpus: DataFrame, queryPred: Column,
       threshold: Double, nProj: Int = 8, rowsPerBand: Int = 2,
       dims: Int = 64, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    // Candidate pairs via ONE aggregation over the banded rows (see
-    // Dedup.bucketPairs): each (band, bval) bucket collects its members
-    // with a query-side flag, pairs expand array-locally — `a` must be a
-    // query member, `b` any member with a larger id. This computes the
-    // nProj dot products per row ONCE (the filtered-side + full-side
-    // equi-join formulation ran srpBanded twice) and needs no window.
-    // Hot-bucket cap: SRP buckets of near-constant vectors (zero
-    // embeddings, template pages) would otherwise emit quadratic pairs;
-    // oversized buckets are dropped wholesale (see Dedup.DefaultMaxBucket).
-    val grouped = srpBanded(corpus, nProj, rowsPerBand, dims)
-      .groupBy(col("band"), col("bval"))
-      .agg(collect_list(struct(col("vec_id").as("id"), queryPred.as("isq")))
-        .as("_ms"))
-    val capped =
-      if (maxBucket == Int.MaxValue) grouped
-      else grouped.filter(size(col("_ms")) <= maxBucket)
-    val cand = capped
-      .filter(size(col("_ms")) >= 2)
-      .select(explode(col("_ms")).as("m"), col("_ms"))
-      .filter(col("m.isq"))
-      .select(col("m.id").as("a"),
-        explode(expr("filter(_ms, x -> x.id > m.id)")).as("x"))
-      .select(col("a"), col("x.id").as("b"))
+    // Candidate pairs via the shared Dedup cascade (ONE aggregation over
+    // the banded rows — see Dedup.cappedMemberBuckets): each (band, bval)
+    // bucket collects its members with a query-side flag, pairs expand
+    // array-locally — `a` must be a query member, `b` any member with a
+    // larger id. This computes the nProj dot products per row ONCE (the
+    // filtered-side + full-side equi-join formulation ran srpBanded twice)
+    // and needs no window. Hot-bucket cap: SRP buckets of near-constant
+    // vectors (zero embeddings, template pages) would otherwise emit
+    // quadratic pairs; oversized buckets are dropped wholesale with the
+    // observed-metric + driver-WARN contract (see Dedup.DefaultMaxBucket).
+    val buckets = Dedup.cappedMemberBuckets(
+      srpBanded(corpus, nProj, rowsPerBand, dims), Seq("band", "bval"),
+      struct(col("vec_id").as("id"), queryPred.as("isq")), maxBucket)
+    val cand = Dedup.expandMemberPairs(buckets, col("m.isq"))
+      .select(col("m.id").as("a"), col("x.id").as("b"))
       .distinct()
     val qv = corpus.select(col("vec_id").as("a"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))

@@ -242,6 +242,83 @@ object TextQueries {
       FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
       WHERE l.b IS NULL ORDER BY doc_id"""))
 
+  /** The scale-path cascade: same quality gate and exact dedup, but the
+    * near-dup verify is minhash-signature agreement
+    * (Config.estimatedVerify) instead of exact Jaccard over shingle sets —
+    * no corpus-wide shingle re-join (BASELINE.md §e measured the exact
+    * verify as this cascade's linear-boundary stage). The oracle swaps the
+    * common/sizes CTEs for the per-seed agreement count.
+    */
+  val textCurateEst = Q(
+    "text_curate_est",
+    (s, d) => {
+      val cfg = Curate.Config(minTokens = 30, minStopwordRatio = 0.02,
+        nearDupThreshold = 0.5, estimatedVerify = true)
+      Curate.curate(T.documents(s, d), "doc_id", "text", cfg)
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok0 AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(text, '\s+') AS w,
+               regexp_split_to_array(lower(text), '\s+') AS wl
+        FROM documents),
+      qual AS (
+        SELECT doc_id, text, len(w) AS n_tokens,
+               len(list_filter(wl, x -> x = 'the'))
+                 + len(list_filter(wl, x -> x = 'a'))
+                 + len(list_filter(wl, x -> x = 'of'))
+                 + len(list_filter(wl, x -> x = 'and'))
+                 + len(list_filter(wl, x -> x = 'is'))
+                 + len(list_filter(wl, x -> x = 'to'))
+                 + len(list_filter(wl, x -> x = 'in')) AS stop_hits
+        FROM tok0),
+      kept1 AS (
+        SELECT doc_id, text, n_tokens FROM qual
+        WHERE n_tokens >= 30 AND stop_hits * 1.0 / n_tokens >= 0.02),
+      kept2 AS (
+        SELECT k.doc_id, k.text, k.n_tokens FROM kept1 k
+        JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+              FROM kept1 GROUP BY 1) e ON e.keeper = k.doc_id),
+      t2 AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM kept2),
+      shx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t2 WHERE len(w) >= 2),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS shingle
+        FROM shx),
+      seeds AS (SELECT unnest(generate_series(1, 8)) AS seed),
+      mh AS (
+        SELECT id, seed,
+               MIN(substr(md5(((seed - 1) // 4) || ':' || shingle),
+                          CAST(((seed - 1) % 4) * 8 + 1 AS INT), 8)) AS minhash
+        FROM sh, seeds GROUP BY 1, 2),
+      banded AS (
+        SELECT id, CAST((seed - 1) // 2 AS INT) AS band,
+               md5(string_agg(seed || ':' || minhash, '|'
+                              ORDER BY seed || ':' || minhash)) AS bucket
+        FROM mh GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT l.id AS a, r.id AS b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+      est AS (
+        SELECT c.a, c.b,
+               SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+                 * 1.0 / 8 AS ej
+        FROM cand c
+        JOIN mh ma ON ma.id = c.a
+        JOIN mh mb ON mb.id = c.b AND mb.seed = ma.seed
+        GROUP BY 1, 2),
+      losers AS (SELECT DISTINCT b FROM est WHERE ej >= 0.5)
+      SELECT k.doc_id, CAST(k.n_tokens AS BIGINT) AS n_tokens
+      FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
+      WHERE l.b IS NULL ORDER BY doc_id"""))
+
   /** Winnowing rolling-hash fingerprints (MOSS): the oracle recomputes each
     * gram's polynomial hash directly (precomputed powers of 257 mod 2^31-1,
     * so sums stay in int64) and replays the per-window (hash, pos) argmin.
@@ -384,5 +461,5 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
-    textWinnow, textLmPpl, textRepetition)
+    textCurateEst, textWinnow, textLmPpl, textRepetition)
 }

@@ -33,6 +33,9 @@ object BenchOne {
             val t0 = System.nanoTime()
             val rows = q.run(spark, sfDir).count()
             val dt = (System.nanoTime() - t0) / 1e9
+            // release caller-owned caches so trial N+1 doesn't pay trial
+            // N's pinned shingle/dedup frames (untimed)
+            spark.catalog.clearCache()
             f"$dt%.2f" + s" (rows=$rows)"
           }
           println(s"[benchone] $n: ${ts.mkString(", ")}")
