@@ -770,8 +770,11 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
-  /** SimHash near-dup pairs: query subset vs corpus, Hamming distance <=
-    * maxHamming over the 64-bit signatures.
+  /** SimHash near-dup pairs: every (a < b) pair within `maxHamming` where
+    * AT LEAST ONE side satisfies `queryPred` — a query doc's near-dups are
+    * reported regardless of which side has the smaller id (the
+    * "at least one member new" gate of [[appendToDedupIndex]], with
+    * "new" = query).
     *
     * Scale shape: (maxHamming+1)-band pigeonhole bucketing, the same LSH
     * cascade as [[lshCandidates]]. If two signatures differ in at most
@@ -811,15 +814,16 @@ object Dedup {
     // candidate pairs via ONE aggregation over the banded rows (the
     // query-side/corpus-side equi-join formulation computed the whole
     // signature pipeline twice): each (band, bval) bucket collects its
-    // members with a query flag, pairs expand array-locally — `a` must be
-    // a query member, `b` any member with a larger id. A qualifying pair
-    // (a < b, a in Q) can collide in several bands — distinct before the
-    // Hamming verify. The signature rides along in the member struct, so
-    // no re-join against `sig` is needed for the verify.
+    // members with a query flag, pairs expand array-locally — at least
+    // one side must be a query member. A qualifying pair can collide in
+    // several bands — distinct before the Hamming verify. The signature
+    // rides along in the member struct, so no re-join against `sig` is
+    // needed for the verify.
     val buckets = cappedMemberBuckets(banded, Seq("band", "bval"),
       struct(col("id"), col("simhash").as("h"), queryPred.as("isq")),
       maxBucket)
-    expandMemberPairs(buckets, col("m.isq"))
+    expandMemberPairs(buckets)
+      .filter(col("m.isq") || col("x.isq"))
       .select(col("m.id").as("a"), col("x.id").as("b"),
         col("m.h").as("ha"), col("x.h").as("hb"))
       .distinct()

@@ -53,9 +53,10 @@ object DedupQueries {
           ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)"""
 
   /** duckCand extended with the exact-Jaccard verify at threshold 0.2
-    * (`pairsq`). Callers prefix `WITH ` or `WITH RECURSIVE `.
+    * (`pairsq`). Callers prefix `WITH ` or `WITH RECURSIVE `. Shared with
+    * TrainQueries' cluster-split oracle.
     */
-  private val duckPairs = s"""$duckCand,
+  private[ops] val duckPairs = s"""$duckCand,
       sizes AS (SELECT id, COUNT(*) AS setsize FROM sh GROUP BY 1),
       common AS (
         SELECT c.a, c.b, COUNT(*) AS ncommon
@@ -251,7 +252,7 @@ object DedupQueries {
       SELECT q.id AS a, c.id AS b,
              CAST(bit_count(xor(q.simhash, c.simhash)) AS INT) AS hamming
       FROM sig q JOIN sig c ON q.id < c.id
-      WHERE q.id % 20 = 0
+      WHERE (q.id % 20 = 0 OR c.id % 20 = 0)
         AND bit_count(xor(q.simhash, c.simhash)) <= 5
       ORDER BY a, b"""))
 

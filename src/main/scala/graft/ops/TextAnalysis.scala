@@ -359,4 +359,49 @@ object TextAnalysis {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(totalDocs.toDouble) / col("df")))
+
+  /** BM25 relevance search: top-k docs for a bag-of-words query
+    * (Robertson et al.; Lucene's always-positive idf form
+    * ln(1 + (N - df + 0.5)/(df + 0.5))). The exploration/retrieval query a
+    * corpus tool runs constantly ("show me the docs about X") expressed
+    * fully relationally — no index structure needed, one corpus scan.
+    *
+    * Scale shape: tokens explode ONCE; the per-(doc, term) tf aggregation
+    * filters to the query terms BEFORE its shuffle, so only matching
+    * token rows (≈ corpus frequency of the query terms, not the corpus)
+    * move; doc lengths ride a separate count aggregation joined back by
+    * id; N, avgdl, and the per-term df table are 1-row/q-row broadcasts.
+    * Absent terms contribute 0 (only matched (doc, term) rows score), and
+    * the final top-k is TakeOrderedAndProject — no global sort
+    * materialization. Ties break on doc id for determinism.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val docLen = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qTok = tok.filter(col("tok").isin(queryTerms.map(_.toLowerCase): _*))
+    val tf = qTok.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(docLen, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
 }

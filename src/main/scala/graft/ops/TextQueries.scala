@@ -319,6 +319,42 @@ object TextQueries {
       FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
       WHERE l.b IS NULL ORDER BY doc_id"""))
 
+  /** BM25 top-k retrieval (Lucene idf form): the oracle replays tf, df,
+    * doc-length normalization, and the scoring sum, with the same
+    * (score DESC, doc_id) tie-break before the LIMIT.
+    */
+  val textBm25 = Q(
+    "text_bm25",
+    (s, d) => {
+      TextAnalysis.bm25(T.documents(s, d), "doc_id", "text",
+        Seq("hash", "join", "vector"), k1 = 1.2, b = 0.75, topK = 20)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"),
+          col("n_matched"))
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents),
+      t AS (SELECT id, tok FROM tok WHERE length(tok) > 0),
+      dl AS (SELECT id, COUNT(*) AS dl FROM t GROUP BY 1),
+      stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      tf AS (SELECT id, tok, COUNT(*) AS tf FROM t
+             WHERE tok IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+      dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.id,
+               SUM(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                 AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM tf JOIN dfq USING (tok) JOIN dl USING (id), stats s
+        GROUP BY 1)
+      SELECT id AS doc_id, ROUND(score, 4) AS score, n_matched
+      FROM sc ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** Winnowing rolling-hash fingerprints (MOSS): the oracle recomputes each
     * gram's polynomial hash directly (precomputed powers of 257 mod 2^31-1,
     * so sums stay in int64) and replays the per-window (hash, pos) argmin.
@@ -461,5 +497,5 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
-    textCurateEst, textWinnow, textLmPpl, textRepetition)
+    textCurateEst, textBm25, textWinnow, textLmPpl, textRepetition)
 }

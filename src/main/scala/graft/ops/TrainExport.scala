@@ -105,4 +105,35 @@ object TrainExport {
         floor((col("_cum") - col("tokens")) / lit(tokenBudget.toLong)))
       .drop("_cum")
   }
+
+  /** Near-dup-aware train/eval split: all docs of one near-dup COMPONENT
+    * land on the same side, so no eval doc has a training-set twin (the
+    * leakage a plain random split causes whenever the corpus still
+    * contains near-dups — the reason decontamination pipelines split by
+    * cluster, not by doc). `pairs` is any near-dup pair table (a, b) —
+    * LSH, SimHash, or estimated; transitive closure comes from
+    * [[Dedup.components]], singleton docs are their own cluster. The side
+    * is an md5-hash threshold on the CLUSTER label (deterministic across
+    * runs and engines, same rule as [[sampleToMixture]]); expected eval
+    * share = `evalFrac` of clusters (by mass if cluster sizes are
+    * id-independent). Adds (cluster, split) to every input row.
+    *
+    * Scale: components runs over the pairs table (small), its labels
+    * hash-join back to the corpus by id, the hash threshold is a per-row
+    * projection — no corpus shuffle beyond the one label join.
+    */
+  def splitByComponent(df: DataFrame, idCol: String, pairs: DataFrame,
+      evalFrac: Double): DataFrame = {
+    require(evalFrac > 0 && evalFrac < 1, s"evalFrac in (0,1), got $evalFrac")
+    val labels = Dedup.components(pairs)
+      .select(col("node").as(idCol), col("component"))
+    val frac = conv(substring(md5(concat(lit("split:"),
+      col("cluster").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2, 60))
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(frac < evalFrac, lit("eval")).otherwise(lit("train")))
+      .drop("component")
+  }
 }

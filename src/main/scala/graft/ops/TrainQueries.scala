@@ -119,6 +119,43 @@ object TrainQueries {
       GROUP BY 1 HAVING COUNT(*) >= 3
       ORDER BY doc_id"""))
 
+  /** Near-dup-aware train/eval split: the whole near-dup component lands
+    * on one side (no eval doc with a training twin). The oracle replays
+    * the LSH pair pipeline, the recursive-CTE transitive closure, and the
+    * md5-threshold side pick on the cluster label.
+    */
+  val trainSplitCluster = Q(
+    "train_split_cluster",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      TrainExport.splitByComponent(docs, "doc_id", pairs, evalFrac = 0.1)
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${DedupQueries.duckPairs},
+      edges AS (
+        SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (
+        SELECT n.a AS node, LEAST(n.a, MIN(r.b)) AS component
+        FROM (SELECT DISTINCT a FROM edges) n
+        JOIN reach r ON r.a = n.a GROUP BY n.a),
+      lab AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+      SELECT doc_id, cluster,
+             CASE WHEN CAST(('0x' || substr(md5('split:' ||
+                            CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT)
+                       * 1.0 / 1152921504606846976.0 < 0.1
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM lab ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
-    textDecontaminate)
+    textDecontaminate, trainSplitCluster)
 }

@@ -33,12 +33,12 @@ class BucketedPairsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
 
-    // brute force straight from the signatures
+    // brute force straight from the signatures: a < b, either side in Q
     val sig = Dedup.simhash64(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val brute = (for {
-      a <- sig.keys if a % 3 == 0
-      b <- sig.keys if a < b
+      a <- sig.keys
+      b <- sig.keys if a < b && (a % 3 == 0 || b % 3 == 0)
       h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= 4
     } yield (a, b, h)).toSeq.sorted
 

@@ -87,6 +87,58 @@ class TrainExportSpec extends AnyFunSuite {
     assert(kept.toSet == again.toSet)
   }
 
+  test("splitByComponent: whole near-dup components land on one side") {
+    import spark.implicits._
+    // chain 1-2-3 is one component; 10-11 another; the rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val split = TrainExport.splitByComponent(corpus, "doc_id", pairs, 0.25)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[String]("split"))).toMap
+    // every input row present, components share cluster AND side
+    assert(split.size == 100)
+    assert(Seq(1L, 2L, 3L).map(split(_)).distinct.size == 1)
+    assert(Seq(10L, 11L).map(split(_)).distinct.size == 1)
+    assert(split(1L)._1 == 1L && split(10L)._1 == 10L)
+    // singletons cluster to themselves
+    assert(split(50L)._1 == 50L)
+    // both sides non-empty at evalFrac 0.25 over ~97 clusters, and the
+    // pick is deterministic across runs
+    val sides = split.values.map(_._2).toSet
+    assert(sides == Set("train", "eval"))
+    val again = TrainExport.splitByComponent(corpus, "doc_id", pairs, 0.25)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    assert(again == split.map { case (k, v) => k -> v._2 })
+  }
+
+  test("bm25: hand-computed scores on a tiny corpus, top-k order, absent terms score 0") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "spark spark hash join"),   // tf(spark)=2, tf(hash)=1, dl=4
+      (1L, "hash table lookup here"),  // tf(hash)=1, dl=4
+      (2L, "nothing relevant at all"), // no query terms
+      (3L, "spark hash hash hash spark join extra pad")) // dl=8
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(tiny, "doc_id", "text",
+      Seq("spark", "hash"), k1 = 1.2, b = 0.75, topK = 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("score"), r.getAs[Long]("n_matched"))).toMap
+    // doc 2 has no matching term: absent entirely (absent terms score 0)
+    assert(!got.contains(2L))
+    assert(got(0L)._2 == 2 && got(1L)._2 == 1 && got(3L)._2 == 2)
+    // hand replay (Lucene idf, N=4, avgdl=5)
+    val n = 4.0; val avgdl = (4 + 4 + 4 + 8) / 4.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val want0 = term(2, 4, 2) + term(1, 4, 3)
+    val want1 = term(1, 4, 3)
+    val want3 = term(2, 8, 2) + term(3, 8, 3)
+    assert(math.abs(got(0L)._1 - want0) < 1e-9)
+    assert(math.abs(got(1L)._1 - want1) < 1e-9)
+    assert(math.abs(got(3L)._1 - want3) < 1e-9)
+  }
+
   test("decontaminate flags planted overlap and only that") {
     val eval = (0L, "alpha beta gamma delta epsilon zeta")
     val copier = (1L, "intro words alpha beta gamma delta epsilon outro")
