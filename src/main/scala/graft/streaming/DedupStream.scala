@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming near-duplicate detection — the streaming face of
   * `ops.Dedup.simhashPairs`: per-row 64-bit SimHash, (maxHamming+1)-band
@@ -60,6 +60,35 @@ object DedupStream {
       BandRow(i, (sig >>> lo) & mask, docId, sig)
     }
   }
+
+  /** Streaming face of the persisted dedup index: each micro-batch runs
+    * `ops.Dedup.appendToDedupIndex` — report every near-dup pair involving
+    * the batch (vs the index so far AND within the batch), then commit the
+    * batch's signatures — via foreachBatch. The index cascade is a batch
+    * plan (stored-side scan, prune join, bucket aggregation, parquet
+    * append): foreachBatch is exactly the batch-at-a-time contract the
+    * index was designed around, and what a continuous streaming plan
+    * cannot express (arbitrary join + write per trigger).
+    *
+    * The index at `indexPath` must exist (`Dedup.buildDedupIndex`, possibly
+    * on an empty frame) — its meta pins the signature params for every
+    * batch. Pairs land under `pairsOutPath/batch=<id>`: a REPLAYED
+    * micro-batch overwrites its own pairs directory instead of duplicating
+    * pairs, but the signature append itself is at-least-once on replay —
+    * exactly-once ingest needs a batchId high-watermark around the append
+    * (deployment-specific; the pairs output stays correct either way
+    * because re-appended signatures are byte-identical rows that band into
+    * the same buckets).
+    */
+  def indexAppendSink(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, pairsOutPath: String, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val pairs = graft.ops.Dedup.appendToDedupIndex(batch, idCol, textCol,
+        indexPath, rowsPerBand, threshold)
+      pairs.write.mode("overwrite")
+        .parquet(s"$pairsOutPath/batch=$batchId")
+    }
 
   /** Streaming near-dup pairs: every emitted hit pairs a new document with
     * an earlier one in the same band bucket at Hamming distance <=

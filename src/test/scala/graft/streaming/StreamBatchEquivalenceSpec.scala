@@ -130,6 +130,55 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed dedup-index appends == batch appendToDedupIndex, pair-exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(i: Long) = (i, (0 until 10).map(j =>
+      words(((i / 3) + j).toInt % words.length)).mkString(" "))
+    val b1 = (0L until 20L).map(doc)
+    val b2 = (20L until 40L).map(doc)
+    val b3 = (40L until 50L).map(doc)
+
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("est_jaccard"))).toSet
+
+    // batch truth: two explicit appends against an index built from b1
+    val bDir = java.nio.file.Files.createTempDirectory("idxsinkb").toString
+    graft.ops.Dedup.buildDedupIndex(b1.toDF("doc_id", "text"),
+      "doc_id", "text", bDir, shingleSize = 2, numHashes = 8)
+    val p2 = toSet(graft.ops.Dedup.appendToDedupIndex(b2.toDF("doc_id", "text"),
+      "doc_id", "text", bDir, rowsPerBand = 2, threshold = 0.5))
+    val p3 = toSet(graft.ops.Dedup.appendToDedupIndex(b3.toDF("doc_id", "text"),
+      "doc_id", "text", bDir, rowsPerBand = 2, threshold = 0.5))
+
+    // streamed: the same two batches through the foreachBatch sink
+    val sDir = java.nio.file.Files.createTempDirectory("idxsinks").toString
+    val outDir = java.nio.file.Files.createTempDirectory("idxsinko").toString
+    graft.ops.Dedup.buildDedupIndex(b1.toDF("doc_id", "text"),
+      "doc_id", "text", sDir, shingleSize = 2, numHashes = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = DedupStream.indexAppendSink(mem.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", sDir, outDir, rowsPerBand = 2, threshold = 0.5)
+      .start()
+    try {
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      mem.addData(b3: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = toSet(spark.read.parquet(s"$outDir/batch=0")
+      .unionByName(spark.read.parquet(s"$outDir/batch=1")))
+    assert(streamed == (p2 ++ p3) && p2.nonEmpty && p3.nonEmpty)
+    // and the streamed index committed every batch's signatures
+    assert(spark.read.parquet(s"$sDir/signatures").count() == 50L)
+  }
+
   test("streaming decontamination == batch Curate.decontaminate") {
     val spark = TestSpark.spark
     import spark.implicits._
