@@ -505,17 +505,27 @@ object Dedup {
 
   /** Direct n-gram Jaccard between a query subset and the corpus: candidate
     * pairs share >= `minCommon` shingles (count gate == SURVEY A2), with
-    * frequent shingles (> maxDocFreq docs) dropped to bound skew.
+    * frequent shingles dropped to bound skew. The frequency cap is either
+    * absolute (`maxDocFreq` docs) or — the right knob at corpus scale,
+    * where any absolute number is eventually exceeded by EVERY common
+    * shingle or by NONE — a corpus fraction (`maxDocFreqFrac`, which wins
+    * when set; the doc count rides in as a 1-row broadcast).
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       queryPred: Column, shingleSize: Int = 2, minCommon: Int = 3,
-      maxDocFreq: Int = 100): DataFrame = {
+      maxDocFreq: Int = 100, maxDocFreqFrac: Option[Double] = None): DataFrame = {
     // cache(): shingle rows feed the doc-frequency gate, the common-gram
     // join (both sides), and the set sizes. CALLER-OWNED lifetime — see
     // nearDuplicates.
     val sh = shingles(df, idCol, textCol, shingleSize).cache()
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq).select("shingle")
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = maxDocFreqFrac match {
+      case Some(f) =>
+        require(f > 0 && f <= 1, s"maxDocFreqFrac in (0,1], got $f")
+        freq.crossJoin(broadcast(df.agg(count(lit(1)).as("_n"))))
+          .filter(col("df") <= col("_n") * f).select("shingle")
+      case None => freq.filter(col("df") <= maxDocFreq).select("shingle")
+    }
     val shRare = sh.join(rare, Seq("shingle"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("setSize"))
     val q = df.filter(queryPred).select(col(idCol).as("qid"))
@@ -774,7 +784,9 @@ object Dedup {
     * AT LEAST ONE side satisfies `queryPred` — a query doc's near-dups are
     * reported regardless of which side has the smaller id (the
     * "at least one member new" gate of [[appendToDedupIndex]], with
-    * "new" = query).
+    * "new" = query). `queryPred` is evaluated over the signature rows, so
+    * it may reference only the doc id (exposed as `id`); pre-filter-and-tag
+    * upstream for predicates over other doc columns.
     *
     * Scale shape: (maxHamming+1)-band pigeonhole bucketing, the same LSH
     * cascade as [[lshCandidates]]. If two signatures differ in at most

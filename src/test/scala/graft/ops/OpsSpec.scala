@@ -40,6 +40,33 @@ class OpsSpec extends AnyFunSuite {
     assert(!r.contains(2L))
   }
 
+  test("ngramJaccard fractional doc-freq cap scales with the corpus") {
+    import spark.implicits._
+    // "boiler plate" appears in 6/10 docs (60%); each doc also carries a
+    // unique tail so only the planted near-pair shares rare shingles
+    val c = (0L until 10L).map { i =>
+      val common = if (i < 6) "boiler plate " else ""
+      (i, s"${common}unique$i tail$i extra$i")
+    } ++ Seq((100L, "shared alpha beta gamma one"),
+      (101L, "shared alpha beta gamma two"))
+    val cdf = c.toDF("doc_id", "text")
+    // frac 0.8: the 60%-shingle survives the gate -> boilerplate docs pair up
+    val loose = Dedup.ngramJaccard(cdf, "doc_id", "text", col("doc_id") < 6,
+      shingleSize = 2, minCommon = 1, maxDocFreqFrac = Some(0.8))
+      .select("qid", "tid").as[(Long, Long)].collect().toSet
+    assert(loose.exists { case (q, t) => q < 6 && t < 6 })
+    // frac 0.25: 60% > 25% of the corpus -> the boilerplate shingle drops,
+    // only genuinely-rare overlap (the planted pair) can match
+    val tight = Dedup.ngramJaccard(cdf, "doc_id", "text", col("doc_id") >= 100,
+      shingleSize = 2, minCommon = 1, maxDocFreqFrac = Some(0.25))
+      .select("qid", "tid").as[(Long, Long)].collect().toSet
+    assert(tight == Set((100L, 101L), (101L, 100L)))
+    val none = Dedup.ngramJaccard(cdf, "doc_id", "text", col("doc_id") < 6,
+      shingleSize = 2, minCommon = 1, maxDocFreqFrac = Some(0.25))
+      .select("qid", "tid").as[(Long, Long)].collect().toSet
+    assert(none.isEmpty)
+  }
+
   test("applyNearDups keeps the lowest id of each duplicate pair") {
     val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
       shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
