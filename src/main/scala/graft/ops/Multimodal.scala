@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * Image decode is REAL for the JDK-native formats: `image/png`,
   * `image/bmp`, `image/gif`, `image/jpeg` payloads go through
   * `javax.imageio` and come out as a row-major grayscale plane (integer
-  * BT.601 luminance). Any other `kind` treats the payload as a raw byte
-  * plane with the row's declared width/height — the path the synthetic
-  * corpus (text bytes standing in for blobs) exercises. Audio/video codecs
+  * BT.601 luminance). Audio decode is REAL for canonical RIFF/WAVE PCM16
+  * (`audio/wav`, [[decodeWavPcm16]] — a pure byte walk, no external
+  * codec). Any other `kind` treats the payload as a raw byte plane with
+  * the row's declared width/height — the path the synthetic corpus (text
+  * bytes standing in for blobs) exercises. Compressed audio/video codecs
   * are out of scope for this container; their payloads ride the raw path.
   *
   * Scale notes: binary payloads stay columnar in Parquet (never exploded),
@@ -184,6 +186,101 @@ object Multimodal {
         var i = 0
         while (i < resized.length) { sum += resized(i) & 0xff; i += 1 }
         ResizedFeatures(r.id, dstW, dstH, sum, p.bytes.length.toLong)
+      }
+    }
+  }
+
+  final case class AudioFeatures(id: Long, sample_rate: Int, n_samples: Int,
+      rms: Double, zero_crossings: Long, window_rms: Seq[Double])
+
+  /** Decode a canonical RIFF/WAVE PCM16 payload: chunk-walk to `fmt ` and
+    * `data`, little-endian samples, stereo averaged to mono. Returns
+    * (sampleRate, samples). Pure JDK byte walk — audio's answer to the
+    * ImageIO image path: REAL decode, zero external codecs. Malformed or
+    * non-PCM16 payloads fail loudly with the row id (the image path's
+    * corrupt-payload rule).
+    */
+  def decodeWavPcm16(id: Long, bytes: Array[Byte]): (Int, Array[Short]) = {
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"media id=$id: not a RIFF/WAVE payload")
+    var off = 12
+    var rate = -1
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val chunk = tag(off)
+      val sz = le32(off + 4)
+      if (chunk == "fmt ") {
+        val fmt = le16(off + 8)
+        require(fmt == 1,
+          s"media id=$id: WAV audioFormat=$fmt, only PCM (1) supported")
+        channels = le16(off + 10)
+        rate = le32(off + 12)
+        val bits = le16(off + 22)
+        require(bits == 16,
+          s"media id=$id: $bits-bit WAV, only PCM16 supported")
+        require(channels > 0, s"media id=$id: zero-channel WAV")
+      } else if (chunk == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    require(rate > 0 && dataOff >= 0, s"media id=$id: missing fmt/data chunk")
+    val end = math.min(dataOff.toLong + dataLen, bytes.length.toLong).toInt
+    val nFrames = (end - dataOff) / (2 * channels)
+    val out = new Array[Short](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0
+      var c = 0
+      while (c < channels) {
+        acc += le16(dataOff + (f * channels + c) * 2).toShort
+        c += 1
+      }
+      out(f) = (acc / channels).toShort
+      f += 1
+    }
+    (rate, out)
+  }
+
+  /** Per-payload audio features over REAL PCM16 WAV decode: RMS and
+    * zero-crossings over [-1, 1]-normalized samples, plus per-window RMS —
+    * the fixed-width vector shape downstream ANN consumes (see
+    * [[Similarity]]). Partition-batched like [[extractFeatures]]; non-WAV
+    * kinds fail loudly rather than silently reading garbage.
+    */
+  def audioFeatures(media: Dataset[MediaRow],
+      nWindows: Int = 8): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    require(nWindows > 0, s"nWindows must be positive, got $nWindows")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        require(r.kind == "audio/wav",
+          s"media id=${r.id}: audioFeatures expects kind=audio/wav, got ${r.kind}")
+        val (rate, s) = decodeWavPcm16(r.id, r.content)
+        val n = s.length
+        var sumSq = 0.0
+        var zc = 0L
+        var i = 0
+        while (i < n) {
+          val v = s(i) / 32768.0
+          sumSq += v * v
+          if (i > 0 && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+          i += 1
+        }
+        val wrms = (0 until nWindows).map { w =>
+          val a = w.toLong * n / nWindows
+          val b = (w + 1).toLong * n / nWindows
+          var ss = 0.0
+          var j = a.toInt
+          while (j < b) { val v = s(j) / 32768.0; ss += v * v; j += 1 }
+          if (b > a) math.sqrt(ss / (b - a)) else 0.0
+        }
+        AudioFeatures(r.id, rate, n,
+          if (n > 0) math.sqrt(sumSq / n) else 0.0, zc, wrms)
       }
     }
   }

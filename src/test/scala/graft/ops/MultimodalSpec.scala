@@ -89,4 +89,61 @@ class MultimodalSpec extends AnyFunSuite {
       yield expected((y * 2) * 16 + x * 2) & 0xff).map(_.toLong).sum
     assert(r.checksum == want)
   }
+
+  /** Canonical 44-byte-header RIFF/WAVE PCM16 writer for the tests. */
+  private def wav(rate: Int, channels: Int,
+      frames: Array[Array[Short]]): Array[Byte] = {
+    val n = frames.length
+    val dataLen = n * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    frames.foreach(f => f.foreach(bb.putShort))
+    bb.array()
+  }
+
+  test("WAV PCM16 decode: mono sine features, stereo channel averaging") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rate = 8000
+    val n = 800 // 0.1 s
+    val amp = 0.5
+    val mono = Array.tabulate(n)(i => Array(
+      (amp * 32767 * math.sin(2 * math.Pi * 440 * i / rate)).toShort))
+    val (gotRate, s) = Multimodal.decodeWavPcm16(1L, wav(rate, 1, mono))
+    assert(gotRate == rate && s.length == n)
+    assert(s.toSeq == mono.map(_(0)).toSeq) // bit-exact sample round-trip
+
+    val media = Seq(Multimodal.MediaRow(1L, "audio/wav",
+      wav(rate, 1, mono), 0, 0)).toDS()
+    val f = Multimodal.audioFeatures(media, nWindows = 4).collect().head
+    assert(f.sample_rate == rate && f.n_samples == n)
+    // sine at amplitude 0.5: rms = 0.5/sqrt(2), zero crossings = 2 per
+    // cycle x 44 cycles (+-1 for the boundary)
+    assert(math.abs(f.rms - amp / math.sqrt(2)) < 0.01, s"rms ${f.rms}")
+    assert(math.abs(f.zero_crossings - 88L) <= 2, s"zc ${f.zero_crossings}")
+    // stationary signal: every window's rms equals the global rms
+    assert(f.window_rms.length == 4)
+    f.window_rms.foreach(w => assert(math.abs(w - f.rms) < 0.01))
+
+    // stereo with R = -L averages to silence sample-by-sample
+    val stereo = Array.tabulate(n) { i =>
+      val v = (amp * 32767 * math.sin(2 * math.Pi * 440 * i / rate)).toShort
+      Array(v, (-v).toShort)
+    }
+    val (_, sz) = Multimodal.decodeWavPcm16(2L, wav(rate, 2, stereo))
+    assert(sz.length == n && sz.forall(v => math.abs(v.toInt) <= 1))
+
+    // loud failure on a non-wav payload, with the row id in the message
+    val bad = intercept[Exception] {
+      Multimodal.audioFeatures(Seq(Multimodal.MediaRow(7L, "audio/wav",
+        "not a wav".getBytes, 0, 0)).toDS()).collect()
+    }
+    assert(bad.getMessage.contains("id=7"))
+  }
 }
