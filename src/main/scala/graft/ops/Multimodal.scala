@@ -285,6 +285,42 @@ object Multimodal {
     }
   }
 
+  /** Encode PCM16 mono samples as a canonical 44-byte-header RIFF/WAVE
+    * payload — the sink-side twin of [[decodeWavPcm16]] (round-trip is
+    * bit-exact, spec-pinned).
+    */
+  def encodeWavPcm16Mono(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate)
+      .putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Audio media table derived from the documents corpus: each text byte
+    * becomes one centered PCM16 sample ((code - 128) * 256) inside a REAL
+    * WAV container. The oracle can then recompute features straight from
+    * character codes while Spark runs the full encode → container →
+    * [[decodeWavPcm16]] → [[audioFeatures]] path — so the hash compare
+    * covers the container round-trip, not just the arithmetic.
+    */
+  def audioFromDocuments(spark: SparkSession, documents: DataFrame,
+      rate: Int = 8000): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val samples = text.getBytes("UTF-8")
+          .map(b => (((b & 0xff) - 128) * 256).toShort)
+        MediaRow(id, "audio/wav", encodeWavPcm16Mono(rate, samples), 0, 0)
+      }
+  }
+
   /** Build a media table from the documents corpus (text bytes as payload —
     * the stand-in for real image/audio blobs in this environment).
     */

@@ -100,5 +100,43 @@ object MultimodalQueries {
       FROM chars WHERE frame_idx % 2 = 0
       GROUP BY 1, 2 ORDER BY id, frame_idx"""))
 
-  def all: Seq[Q] = Seq(mmFeatures, mmResize, mmFrameSample)
+  /** Audio features through the REAL WAV container: Spark encodes each
+    * doc's bytes as PCM16 into a RIFF/WAVE payload, decodes it back, and
+    * extracts rms/zero-crossings; the oracle recomputes both straight from
+    * character codes ((code-128)/128 is exactly the normalized sample), so
+    * a hash match proves the container round-trip, not just the math.
+    */
+  val mmAudio = Q(
+    "mm_audio",
+    (s, d) => {
+      val media = Multimodal.audioFromDocuments(s, T.documents(s, d))
+      Multimodal.audioFeatures(media, nWindows = 4).toDF()
+        .select(col("id"), col("sample_rate"), col("n_samples"),
+          round(col("rms"), 4).as("rms"), col("zero_crossings"))
+        .orderBy(col("id"))
+    },
+    Some("""
+      WITH chars AS (
+        SELECT doc_id, i,
+               (unicode(substr(text, CAST(i AS INT), 1)) - 128) / 128.0 AS v
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+              FROM documents)),
+      zc AS (
+        SELECT doc_id,
+               SUM(CASE WHEN prev IS NOT NULL AND (v < 0) <> (prev < 0)
+                        THEN 1 ELSE 0 END) AS zero_crossings
+        FROM (SELECT doc_id, v,
+                     LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM chars)
+        GROUP BY 1)
+      SELECT c.doc_id AS id, 8000 AS sample_rate,
+             CAST(COUNT(*) AS INT) AS n_samples,
+             ROUND(SQRT(AVG(c.v * c.v)), 4) AS rms,
+             CAST(zc.zero_crossings AS BIGINT) AS zero_crossings
+      FROM chars c JOIN zc USING (doc_id)
+      GROUP BY c.doc_id, zc.zero_crossings
+      ORDER BY id"""))
+
+  def all: Seq[Q] = Seq(mmFeatures, mmResize, mmFrameSample, mmAudio)
 }

@@ -118,6 +118,10 @@ class MultimodalSpec extends AnyFunSuite {
     val (gotRate, s) = Multimodal.decodeWavPcm16(1L, wav(rate, 1, mono))
     assert(gotRate == rate && s.length == n)
     assert(s.toSeq == mono.map(_(0)).toSeq) // bit-exact sample round-trip
+    // the library's own encoder round-trips bit-exactly too
+    val enc = Multimodal.encodeWavPcm16Mono(rate, mono.map(_(0)))
+    val (r2, s2) = Multimodal.decodeWavPcm16(1L, enc)
+    assert(r2 == rate && s2.toSeq == mono.map(_(0)).toSeq)
 
     val media = Seq(Multimodal.MediaRow(1L, "audio/wav",
       wav(rate, 1, mono), 0, 0)).toDS()
