@@ -723,6 +723,31 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Apply near-dup pairs keeping the BEST doc of each duplicate CLUSTER
+    * (argmax of `rank`, ties to the smallest id) — curation usually keeps
+    * the highest-quality copy, not the lowest id. Clustering is the full
+    * transitive closure ([[components]]), so unlike [[applyNearDups]]'s
+    * greedy pairwise rule, exactly ONE doc survives per connected cluster
+    * regardless of chain shape; docs in no pair survive untouched.
+    *
+    * Scale: components runs over the pairs table; winners are one argmax
+    * aggregation over the labeled members (max_by rides the same shuffle);
+    * survivors assemble from two semi/anti joins on id — the corpus is
+    * never shuffled on anything but its id.
+    */
+  def applyNearDupsBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      rank: Column): DataFrame = {
+    val labels = components(pairs)
+      .select(col("node").as(idCol), col("component"))
+    val winners = df.join(labels, Seq(idCol))
+      .groupBy(col("component"))
+      .agg(max_by(col(idCol),
+        struct(rank.as("r"), (-col(idCol)).as("nid"))).as(idCol))
+      .select(col(idCol))
+    df.join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(df.join(winners, Seq(idCol), "left_semi"))
+  }
+
   /** Connected components over near-dup pairs: iterative minimum-label
     * propagation (each node adopts the smallest label in its neighborhood
     * until fixpoint — converges in O(diameter) rounds, and dup clusters

@@ -172,6 +172,44 @@ object DedupQueries {
       FROM nodes n JOIN reach r ON r.a = n.node
       GROUP BY n.node ORDER BY doc_id"""))
 
+  /** Keep-best apply: one survivor per transitive near-dup cluster, argmax
+    * of n_chars (ties to smallest id). The oracle replays the recursive
+    * closure and the per-component ROW_NUMBER winner rule.
+    */
+  val dedupApplyBest = Q(
+    "dedup_apply_best",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      Dedup.applyNearDupsBest(docs, "doc_id", pairs, col("n_chars"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $duckPairs,
+      edges AS (
+        SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (
+        SELECT n.a AS node, LEAST(n.a, MIN(r.b)) AS component
+        FROM (SELECT DISTINCT a FROM edges) n
+        JOIN reach r ON r.a = n.a GROUP BY n.a),
+      winners AS (
+        SELECT node FROM (
+          SELECT c.node,
+                 ROW_NUMBER() OVER (PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+          FROM comp c JOIN documents d ON d.doc_id = c.node)
+        WHERE rn = 1)
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM comp)
+         OR doc_id IN (SELECT node FROM winners)
+      ORDER BY doc_id"""))
+
   /** Shared DuckDB CTE chain: 64-bit SimHash signatures (two 32-bit md5
     * halves — BIGINT-safe — with the bit-63 weight spelled as MinValue so no
     * shift ever overflows). Callers prefix `WITH `.
@@ -389,7 +427,7 @@ object DedupQueries {
       FROM spans ORDER BY doc_id, span_start"""))
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupMinhashEst,
-    dedupIndexSearch, dedupComponents, dedupSimhash, dedupNgramJaccard,
-    dedupSimhashPairs, dedupSubstringSpans, dedupSubstringStrip,
-    dedupSubstringKeepOne)
+    dedupIndexSearch, dedupComponents, dedupApplyBest, dedupSimhash,
+    dedupNgramJaccard, dedupSimhashPairs, dedupSubstringSpans,
+    dedupSubstringStrip, dedupSubstringKeepOne)
 }

@@ -360,6 +360,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(totalDocs.toDouble) / col("df")))
 
+  /** Per-group corpus length profile: doc count + exact interpolated
+    * token-count percentiles — the telemetry table a curation run reports
+    * per source/language before and after each filter stage. One hash
+    * aggregation; exact `percentile` buffers each group's values, which is
+    * right for bounded group sets (sources, languages) — switch to
+    * `approx_percentile` if the group key is ever high-cardinality.
+    */
+  def lengthProfile(df: DataFrame, textCol: String, groupCol: String,
+      percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be within [0,1], got $percentiles")
+    val pCols = percentiles.map(p =>
+      expr(s"percentile(n_tokens, $p)").as(s"p${(p * 100).round}"))
+    df.select(col(groupCol),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), pCols: _*)
+  }
+
   /** BM25 relevance search: top-k docs for a bag-of-words query
     * (Robertson et al.; Lucene's always-positive idf form
     * ln(1 + (N - df + 0.5)/(df + 0.5))). The exploration/retrieval query a

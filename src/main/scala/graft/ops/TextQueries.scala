@@ -319,6 +319,31 @@ object TextQueries {
       FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
       WHERE l.b IS NULL ORDER BY doc_id"""))
 
+  /** Per-source token-length percentiles: Spark's exact `percentile` and
+    * DuckDB's `quantile_cont` share the (n-1)·p linear interpolation, so
+    * the profile hash-matches exactly.
+    */
+  val textLengthProfile = Q(
+    "text_length_profile",
+    (s, d) => {
+      TextAnalysis.lengthProfile(T.documents(s, d), "text", "source")
+        .select(col("source"), col("n_docs"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+          round(col("p99"), 4).as("p99"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50,
+             ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90,
+             ROUND(quantile_cont(n_tokens, 0.99), 4) AS p99
+      FROM t GROUP BY source ORDER BY source"""))
+
   /** BM25 top-k retrieval (Lucene idf form): the oracle replays tf, df,
     * doc-length normalization, and the scoring sum, with the same
     * (score DESC, doc_id) tie-break before the LIMIT.
@@ -497,5 +522,6 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
-    textCurateEst, textBm25, textWinnow, textLmPpl, textRepetition)
+    textCurateEst, textBm25, textLengthProfile, textWinnow, textLmPpl,
+    textRepetition)
 }

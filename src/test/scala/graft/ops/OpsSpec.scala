@@ -67,6 +67,19 @@ class OpsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("applyNearDupsBest keeps one argmax-rank survivor per cluster") {
+    import spark.implicits._
+    // chain 1-2, 2-3 = one cluster; 10-11 another; 50 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val corpus = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 2L), (11L, 7L),
+      (50L, 1L)).toDF("doc_id", "quality")
+    val kept = Dedup.applyNearDupsBest(corpus, "doc_id", pairs, col("quality"))
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: max quality 9 tied between 2 and 3 -> smallest id 2;
+    // cluster {10,11}: 11 wins on quality; 50 survives untouched
+    assert(kept == Set(2L, 11L, 50L))
+  }
+
   test("applyNearDups keeps the lowest id of each duplicate pair") {
     val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
       shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
