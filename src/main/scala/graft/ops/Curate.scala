@@ -101,6 +101,32 @@ object Curate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Attribution variant of [[decontaminate]]: per (corpus doc, eval doc)
+    * pair the count of distinct shared grams — the "WHICH benchmark did
+    * this doc leak from" report an audit wants, where the flag alone
+    * isn't actionable. Same scale shape as [[decontaminate]] except the
+    * eval gram table keeps its eval-doc id (it cannot collapse to a
+    * distinct gram set), so join fan-out is gram × eval docs containing
+    * it — bounded by the benchmark side, which is small by construction.
+    * Returns (id, eval_id, n_shared); eval docs are never on the left.
+    */
+  def decontaminateAttribution(corpus: DataFrame, idCol: String,
+      textCol: String, evalPred: Column, shingleSize: Int = 3,
+      minShared: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(corpus, idCol, textCol, shingleSize)
+    val evalIds = corpus.filter(evalPred).select(col(idCol).as("eval_id"))
+    val evalGrams = sh
+      .join(evalIds, sh("id") === evalIds("eval_id"))
+      .select(col("eval_id"), col("shingle"))
+    sh.join(evalIds, sh("id") === evalIds("eval_id"), "left_anti")
+      .join(evalGrams, Seq("shingle"))
+      // shingle rows are distinct per (id, shingle) and evalGrams per
+      // (eval_id, shingle), so the count IS the distinct shared-gram count
+      .groupBy(col("id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Drop flagged docs (the apply step of [[decontaminate]]). */
   def removeContaminated(corpus: DataFrame, idCol: String,
       flagged: DataFrame): DataFrame =

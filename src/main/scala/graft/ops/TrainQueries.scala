@@ -119,6 +119,36 @@ object TrainQueries {
       GROUP BY 1 HAVING COUNT(*) >= 3
       ORDER BY doc_id"""))
 
+  /** Contamination attribution: per (train doc, eval doc) shared-gram
+    * counts — the audit report behind text_decontaminate's flags. Same
+    * gram machinery; the eval side keeps its doc id.
+    */
+  val textDecontaminateWho = Q(
+    "text_decontaminate_who",
+    (s, d) => {
+      Curate.decontaminateAttribution(T.documents(s, d), "doc_id", "text",
+        col("doc_id") % 50 === 0, shingleSize = 3, minShared = 3)
+        .select(col("id").as("doc_id"), col("eval_id"), col("n_shared"))
+        .orderBy(col("doc_id"), col("eval_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      shx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM tok WHERE len(w) >= 3),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+               w[CAST(i AS INT) + 2] AS shingle
+        FROM shx),
+      eg AS (SELECT id AS eval_id, shingle FROM sh WHERE id % 50 = 0)
+      SELECT s.id AS doc_id, eg.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh s JOIN eg USING (shingle)
+      WHERE s.id % 50 <> 0
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY doc_id, eval_id"""))
+
   /** Near-dup-aware train/eval split: the whole near-dup component lands
     * on one side (no eval doc with a training twin). The oracle replays
     * the LSH pair pipeline, the recursive-CTE transitive closure, and the
@@ -157,5 +187,5 @@ object TrainQueries {
       FROM lab ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
-    textDecontaminate, trainSplitCluster)
+    textDecontaminate, textDecontaminateWho, trainSplitCluster)
 }

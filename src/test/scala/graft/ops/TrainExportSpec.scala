@@ -154,5 +154,17 @@ class TrainExportSpec extends AnyFunSuite {
     val kept = Curate.removeContaminated(df, "doc_id", flagged)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 2L, 3L))
+
+    // attribution names the leaked-from eval doc, pairwise
+    val who = Curate.decontaminateAttribution(df, "doc_id", "text",
+      col("doc_id") === 0, shingleSize = 3, minShared = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("eval_id"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(who == Set((1L, 0L, 3L)))
+    // at minShared 1, the partial overlap attributes too — to eval 0 only
+    val whoLoose = Curate.decontaminateAttribution(df, "doc_id", "text",
+      col("doc_id") === 0, shingleSize = 3, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("eval_id"))).toSet
+    assert(whoLoose == Set((1L, 0L), (2L, 0L)))
   }
 }
