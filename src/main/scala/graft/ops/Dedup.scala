@@ -74,8 +74,9 @@ object Dedup {
         })
 
   /** The ONE capped bucket aggregation behind every LSH-style candidate
-    * generator in this file ([[bucketPairs]], [[pairsFromSignatures]],
-    * [[indexPairs]], [[simhashPairs]]): group the banded rows by bucket
+    * generator ([[bucketPairs]], [[pairsFromSignatures]], [[indexPairs]],
+    * [[simhashPairs]], and [[Similarity.embeddingNearDup]]'s SRP
+    * buckets): group the banded rows by bucket
     * key, collect each bucket's member structs into an array (bounded by
     * `maxBucket`), report dropped volume as an observed metric
     * (`lsh_bucket_cap_N`: dropped_rows, max_bucket) at zero extra cost —
