@@ -215,7 +215,11 @@ object Multimodal {
     while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
       val chunk = tag(off)
       val sz = le32(off + 4)
+      // a corrupt negative size would walk the offset backwards forever
+      require(sz >= 0, s"media id=$id: negative RIFF chunk size $sz")
       if (chunk == "fmt ") {
+        require(off + 24 <= bytes.length,
+          s"media id=$id: truncated fmt chunk")
         val fmt = le16(off + 8)
         require(fmt == 1,
           s"media id=$id: WAV audioFormat=$fmt, only PCM (1) supported")
