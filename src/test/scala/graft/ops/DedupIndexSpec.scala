@@ -116,6 +116,32 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(toSet(small) == toSet(big) && toSet(big).nonEmpty)
   }
 
+  test("duplicate stored signatures (at-least-once replay) don't change search results") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidxr").toString
+    Dedup.buildDedupIndex((0L until 20L).map(doc).toDF("doc_id", "text"),
+      "doc_id", "text", dir, shingleSize = 2, numHashes = 8)
+    val probe = (20L until 30L).map(doc).toDF("doc_id", "text")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("est_jaccard"))).toSet
+    val before = toSet(Dedup.searchDedupIndex(probe, "doc_id", "text", dir,
+      rowsPerBand = 2, threshold = 0.5))
+    // simulate a replayed micro-batch append: the SAME signature rows land
+    // a second time (materialize locally first — appending a path to
+    // itself while scanning it is undefined)
+    val sigs = spark.read.parquet(s"$dir/signatures")
+    val rows = sigs.collect().toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), sigs.schema)
+      .write.mode("append").parquet(s"$dir/signatures")
+    assert(spark.read.parquet(s"$dir/signatures").count() == 40L)
+    // strict id ordering excludes self-pairs, distinct() collapses the
+    // doubled collisions: the pair set is unchanged
+    val after = toSet(Dedup.searchDedupIndex(probe, "doc_id", "text", dir,
+      rowsPerBand = 2, threshold = 0.5))
+    assert(after == before && before.nonEmpty)
+  }
+
   test("estimated pairs: signature agreement matches row-local estimator") {
     val docs = (0L until 30L).map(doc).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(
