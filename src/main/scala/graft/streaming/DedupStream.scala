@@ -92,29 +92,54 @@ object DedupStream {
 
   /** Streaming near-dup pairs: every emitted hit pairs a new document with
     * an earlier one in the same band bucket at Hamming distance <=
-    * maxHamming. Exact recall (pigeonhole): any qualifying pair shares at
-    * least one bucket. Output orientation: a < b.
+    * maxHamming. Exact recall (pigeonhole) BELOW the bucket cap: any
+    * qualifying pair shares at least one bucket. Output orientation:
+    * a < b.
+    *
+    * Hot-bucket cap — the streaming twin of the batch generators'
+    * `maxBucket` (see `ops.Dedup.DefaultMaxBucket`): a bucket whose state
+    * already holds `maxBucket` signatures SATURATES — new members are
+    * neither compared nor remembered (each one would otherwise compare
+    * against an ever-growing list: unbounded state AND quadratic
+    * emission), and a driver-side WARN names the bucket once, mirroring
+    * the batch observed-metric contract. Run exact dedup upstream
+    * (`dedupStream`) so identical-doc floods collapse before this
+    * operator.
     */
-  def nearDupPairs(docs: Dataset[DocRow], maxHamming: Int): Dataset[NearDupHit] = {
+  def nearDupPairs(docs: Dataset[DocRow], maxHamming: Int,
+      maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     docs
       .flatMap(d => bandRows(d.doc_id, simhash64Value(d.text), maxHamming))
       .groupByKey(r => (r.band, r.bval))
       .flatMapGroupsWithState[List[(Long, Long)], NearDupHit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[List[(Long, Long)]]) =>
+        case (key, rows, state: GroupState[List[(Long, Long)]]) =>
           var seen = state.getOption.getOrElse(Nil)
+          var nSeen = seen.size
+          var warned = false
           val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
           rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            seen.foreach { case (oid, osig) =>
-              if (oid != r.doc_id) {
-                val ham = java.lang.Long.bitCount(osig ^ r.sig)
-                if (ham <= maxHamming)
-                  out += NearDupHit(math.min(oid, r.doc_id),
-                    math.max(oid, r.doc_id), ham)
+            if (nSeen >= maxBucket) {
+              if (!warned) {
+                org.slf4j.LoggerFactory.getLogger(DedupStream.getClass).warn(
+                  s"stream bucket $key saturated at $maxBucket members — " +
+                    "further docs in it are INVISIBLE to near-dup " +
+                    "detection; run exact dedup upstream or raise maxBucket")
+                warned = true
               }
+            } else {
+              seen.foreach { case (oid, osig) =>
+                if (oid != r.doc_id) {
+                  val ham = java.lang.Long.bitCount(osig ^ r.sig)
+                  if (ham <= maxHamming)
+                    out += NearDupHit(math.min(oid, r.doc_id),
+                      math.max(oid, r.doc_id), ham)
+                }
+              }
+              seen ::= (r.doc_id, r.sig)
+              nSeen += 1
             }
-            seen ::= (r.doc_id, r.sig)
           }
           state.update(seen)
           out.iterator

@@ -130,6 +130,36 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup bucket saturation bounds state and emission") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 30 byte-identical docs flood every bucket they band into; a distinct
+    // identical pair lives in its own buckets and must survive the cap
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val other = "unique alpha beta gamma delta epsilon zeta eta"
+    val docs = (0L until 30L).map(i => DedupStream.DocRow(i, template)) ++
+      Seq(DedupStream.DocRow(1000L, other), DedupStream.DocRow(1001L, other))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DedupStream.DocRow]
+    val q = DedupStream.nearDupPairs(mem.toDS(), maxHamming = 3, maxBucket = 5)
+      .writeStream.format("memory").queryName("ndcap").outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.take(16): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(16): _*)
+      q.processAllAvailable()
+      val hits = spark.table("ndcap").as[DedupStream.NearDupHit].collect()
+        .map(h => (h.a, h.b)).toSet
+      // flood pairs are capped at C(5,2) per bucket (same 5 members in
+      // every band -> same 10 pairs), instead of C(30,2) = 435
+      assert(hits.count(p => p._1 < 30L) <= 10)
+      // the genuine pair in its own (unsaturated) buckets still reports
+      assert(hits.contains((1000L, 1001L)))
+    } finally q.stop()
+  }
+
   test("streamed dedup-index appends == batch appendToDedupIndex, pair-exact") {
     val spark = TestSpark.spark
     import spark.implicits._
