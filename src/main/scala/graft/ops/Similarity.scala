@@ -423,9 +423,25 @@ object Similarity {
     */
   def pqSearch(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
       dim: Int, nSub: Int, k: Int, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(adcTables(queries, codebooks, dim, nSub, k)))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", adcScore(k, nSub))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Per-query flat ADC table: entry [s*k + label] = dot(query_sub_s,
+    * centroid). One row per query, k*nSub doubles — the broadcast side of
+    * every PQ scan ([[pqSearch]], [[ivfPqTopK]]).
+    */
+  private def adcTables(queries: DataFrame, codebooks: DataFrame, dim: Int,
+      nSub: Int, k: Int): DataFrame = {
     val d = dim / nSub
-    // per-query flat table: entry [s*k + label] = dot(query_sub_s, centroid)
-    val tbl = queries
+    queries
       .select(col("vec_id").as("query_id"), posexplode(
         array((0 until nSub).map(s =>
           slice(col("embedding"), s * d + 1, d)): _*)).as(Seq("sub", "qv")))
@@ -437,16 +453,58 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("slot"), col("dp")))).as("te"))
       .select(col("query_id"),
         transform(col("te"), x => x.getField("dp")).as("tbl"))
-    val score = aggregate(
+  }
+
+  /** Row-local ADC estimate: nSub table lookups over a `codes` array and
+    * the query's flat `tbl`.
+    */
+  private def adcScore(k: Int, nSub: Int): Column =
+    aggregate(
       sequence(lit(0), lit(nSub - 1)), lit(0.0),
       (acc, s) => acc + element_at(col("tbl"),
         (s * k + element_at(col("codes"), s + 1) + 1).cast("int")))
+
+  /** IVF-PQ top-k — the FAISS-IVFPQ composition, the default ANN shape at
+    * corpus scale: the coarse quantizer (the stored cluster label) bounds
+    * WHICH rows each query scans (`nprobe` clusters), and PQ codes bound
+    * what each scanned row COSTS (nSub small ints + table lookups — the
+    * raw embedding is never read in the scan). Residual-free: codes
+    * quantize the raw vectors, so the same [[pqTrain]]/[[pqEncode]]
+    * artifacts serve flat [[pqSearch]] and this composition unchanged,
+    * and probing ALL clusters degenerates exactly to [[pqSearch]]
+    * (spec-pinned).
+    *
+    * Scale shape: centroids broadcast (nClusters rows), the per-query ADC
+    * tables join the probe fan-out into ONE broadcast of |Q|*nprobe rows,
+    * and the corpus-side work is an equi-join on the label column over
+    * the codes table — partition-prunable when codes persist partitioned
+    * by label (see [[buildAnnIndex]]).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, labelCol: String,
+      codes: DataFrame, codebooks: DataFrame, dim: Int, nSub: Int, k: Int,
+      topK: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, labelCol)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("label"))
+    val probeTbl = probes
+      .join(adcTables(queries, codebooks, dim, nSub, k), Seq("query_id"))
+    val labeled = codes
+      .join(corpus.select(col("vec_id"), col(labelCol).as("label")),
+        Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("codes"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    codes.select(col("vec_id").as("neighbor_id"), col("codes"))
-      .crossJoin(broadcast(tbl))
+    labeled.join(broadcast(probeTbl), Seq("label"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", score)
+      .withColumn("score", adcScore(k, nSub))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))

@@ -283,7 +283,28 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      WITH $duckPqCode,
+      sc AS (
+        SELECT q.query_id, co.vec_id AS neighbor_id, SUM(q.dp) AS score
+        FROM code co
+        JOIN qdp q ON q.sub = co.sub AND q.label = co.label
+        WHERE co.vec_id <> q.query_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM sc)
+      SELECT query_id, neighbor_id, ROUND(score, 3) AS score, rank
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""))
+
+  /** Shared DuckDB CTE chain for the PQ family: two unrolled fused-Lloyd
+    * iterations over every subspace (md5-ordered seeding — exactly
+    * [[Similarity.pqTrain]]), row-local argmin encode (`code`), and the
+    * per-query ADC dot tables (`qdp`, queries = vec_id % 50). Callers
+    * prefix `WITH ` and append their scan/rank CTEs.
+    */
+  private lazy val duckPqCode = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       subs AS (
         SELECT vec_id, CAST(s AS INT) AS sub,
                list_slice(v, CAST(s * 8 + 1 AS INT), CAST(s * 8 + 8 AS INT)) AS sv
@@ -368,12 +389,66 @@ object SimilarityQueries {
                      unnest(generate_series(1, 8)) AS i
               FROM subs s JOIN c2 c ON c.sub = s.sub
               WHERE s.vec_id % 50 = 0)
-        GROUP BY 1, 2, 3),
+        GROUP BY 1, 2, 3)"""
+
+  /** IVF-PQ composition (the FAISS-IVFPQ shape): the coarse quantizer
+    * (stored label) bounds which rows are scanned, PQ codes bound what a
+    * scanned row costs. The oracle composes the shared PQ chain with the
+    * IVF probe chain and restricts the ADC scan to probed clusters.
+    */
+  val embIvfPqTopK = Q(
+    "emb_ivfpq_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          doubled(col("embedding")).as("embedding"))
+      val books = Similarity.pqTrain(emb, dim = 64, nSub = 8, k = 8,
+        iters = 2).cache()
+      val codes = Similarity.pqEncode(emb, books, 64, 8)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "label", codes, books, dim = 64, nSub = 8, k = 8, topK = 10,
+        nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 3).as("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckPqCode,
+      expl AS (
+        SELECT label, vec_id, embedding::DOUBLE[] AS v,
+               unnest(generate_series(1, 64)) AS i
+        FROM embeddings),
+      centm AS (
+        SELECT label, i, AVG(v[CAST(i AS INT)]) AS mean
+        FROM expl GROUP BY 1, 2),
+      centv AS (
+        SELECT label, list(mean ORDER BY i) AS centroid FROM centm GROUP BY 1),
+      qe AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0),
+      pcomp AS (
+        SELECT query_id, label,
+               SUM(qv[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]))) AS ccos
+        FROM (SELECT qe.query_id, qe.qv, c.label, c.centroid,
+                     unnest(generate_series(1, 64)) AS i
+              FROM qe, centv c)
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT query_id, label FROM (
+          SELECT query_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ccos DESC, label) AS pr
+          FROM pcomp) WHERE pr <= 2),
       sc AS (
-        SELECT q.query_id, co.vec_id AS neighbor_id, SUM(q.dp) AS score
+        SELECT qd.query_id, co.vec_id AS neighbor_id, SUM(qd.dp) AS score
         FROM code co
-        JOIN qdp q ON q.sub = co.sub AND q.label = co.label
-        WHERE co.vec_id <> q.query_id
+        JOIN embeddings em ON em.vec_id = co.vec_id
+        JOIN probes p ON p.label = em.label
+        JOIN qdp qd ON qd.sub = co.sub AND qd.label = co.label
+                   AND qd.query_id = p.query_id
+        WHERE co.vec_id <> qd.query_id
         GROUP BY 1, 2),
       ranked AS (
         SELECT query_id, neighbor_id, score,
@@ -385,5 +460,5 @@ object SimilarityQueries {
 
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
-      embPqTopK)
+      embPqTopK, embIvfPqTopK)
 }

@@ -31,6 +31,36 @@ class PqSpec extends AnyFunSuite {
     assert(codes.toSet == again.toSet)
   }
 
+  test("ivfPqTopK probing every cluster degenerates exactly to flat pqSearch") {
+    import spark.implicits._
+    val labeled = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val nLabels = labeled.select("label").distinct().count().toInt
+    val books = Similarity.pqTrain(labeled, dim = 64, nSub = 8, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(labeled, books, 64, 8)
+    val queries = labeled.filter(col("vec_id") % 50 === 0)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+    val flat = toSet(Similarity.pqSearch(codes, books, queries,
+      dim = 64, nSub = 8, k = 8, topK = 10))
+    val ivfAll = toSet(Similarity.ivfPqTopK(labeled, queries, "label",
+      codes, books, dim = 64, nSub = 8, k = 8, topK = 10, nprobe = nLabels))
+    assert(ivfAll == flat && flat.nonEmpty)
+    // narrowing nprobe restricts every query's candidates to its probed
+    // clusters: each reported neighbor must carry the query's top cluster
+    val ivf1 = Similarity.ivfPqTopK(labeled, queries, "label",
+      codes, books, dim = 64, nSub = 8, k = 8, topK = 10, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val labelOf = labeled.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val clustersPerQuery = ivf1.groupBy(_._1).view
+      .mapValues(_.map(p => labelOf(p._2)).toSet).toMap
+    assert(ivf1.nonEmpty && clustersPerQuery.values.forall(_.size == 1))
+  }
+
   test("pqSearch: ADC recall@10 beats random ranking by a wide margin") {
     import spark.implicits._
     val books = Similarity.pqTrain(emb, dim = 64, nSub = 8, k = 16, iters = 3)
