@@ -323,6 +323,66 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Persist an IVF-PQ index — the production shape of [[ivfPqTopK]]: a
+    * coarse k-means routes vectors to label partitions, but what lands in
+    * each partition is the PQ CODES (nSub small ints per vector), not the
+    * raw embeddings — the stored corpus shrinks ~dim*4/nSub-fold and a
+    * search scan reads only codes. Codebooks and coarse centroids persist
+    * alongside (k*nSub and nClusters rows — the broadcast side of every
+    * search). Raw vectors are NOT stored: re-ranking against exact
+    * distances needs the original corpus table, by design.
+    */
+  def buildPqIndex(corpus: DataFrame, dbPath: String, nClusters: Int,
+      dim: Int, nSub: Int, pqK: Int, iters: Int = 5): Unit = {
+    val labels = kmeans(corpus, nClusters, iters)
+    val labeled = corpus.join(labels, Seq("vec_id"))
+    val books = pqTrain(corpus, dim, nSub, pqK, iters)
+    books.write.mode("overwrite").parquet(s"$dbPath/codebooks")
+    val spark = corpus.sparkSession
+    pqEncode(corpus, spark.read.parquet(s"$dbPath/codebooks"), dim, nSub)
+      .join(labeled.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$dbPath/codes")
+    // coarse centroids from the raw vectors (codes can't reconstruct them)
+    centroids(labeled, "label")
+      .write.mode("overwrite").parquet(s"$dbPath/centroids")
+  }
+
+  /** Query a persisted IVF-PQ index: probe the stored coarse centroids,
+    * scan ONLY the probed label partitions of the CODES table (directory
+    * pruning via dynamic partition pruning on the broadcast probe join —
+    * same plan shape as [[searchAnnIndexed]], but each pruned scan reads
+    * nSub ints per row instead of `dim` floats), score by ADC lookup.
+    */
+  def searchPqIndexed(spark: org.apache.spark.sql.SparkSession,
+      dbPath: String, queries: DataFrame, dim: Int, nSub: Int, pqK: Int,
+      topK: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dbPath/centroids")
+    val books = spark.read.parquet(s"$dbPath/codebooks")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("label"))
+    val probeTbl = probes
+      .join(adcTables(queries, books, dim, nSub, pqK), Seq("query_id"))
+    val codes = spark.read.parquet(s"$dbPath/codes")
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("codes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    codes.join(broadcast(probeTbl), Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", adcScore(pqK, nSub))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Product-quantization codebooks (Jegou et al. 2011): the embedding
     * splits into `nSub` contiguous subvectors and each subspace gets its
     * own deterministic k-means codebook (k centroids of dim/nSub dims).

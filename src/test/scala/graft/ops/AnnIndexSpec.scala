@@ -88,4 +88,33 @@ class AnnIndexSpec extends AnyFunSuite {
     val indexed = got.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(indexed == direct)
   }
+
+  test("persisted IVF-PQ index: pruned code scan == in-memory ivfPqTopK, DPP in plan") {
+    val emb = blobs().cache()
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.buildPqIndex(emb, dir, nClusters = 3, dim = 4, nSub = 2,
+      pqK = 4, iters = 5)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val res = Similarity.searchPqIndexed(spark, dir, queries, dim = 4,
+      nSub = 2, pqK = 4, topK = 3, nprobe = 1)
+    // the CODES scan is directory-pruned dynamically, like searchAnnIndexed
+    val planStr = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(planStr.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the codes scan:\n$planStr")
+    val indexed = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(indexed.nonEmpty)
+    // equality with the in-memory composition over the same kmeans labels
+    // and the same persisted codebooks/codes
+    val labels = Similarity.kmeans(emb, 3, iters = 5)
+    val labeled = emb.join(labels, Seq("vec_id"))
+    val books = spark.read.parquet(s"$dir/codebooks")
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("codes"))
+    val direct = Similarity.ivfPqTopK(labeled, queries, "label", codes,
+      books, dim = 4, nSub = 2, k = 4, topK = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(indexed == direct)
+  }
 }
