@@ -90,6 +90,21 @@ object DedupStream {
         .parquet(s"$pairsOutPath/batch=$batchId")
     }
 
+  /** Streaming ingest into a persisted IVF ANN index: each micro-batch
+    * runs `ops.Similarity.appendToAnnIndex` via foreachBatch — frozen
+    * stored centroids assign the batch (broadcast, k rows) and each
+    * vector appends into its label partition, so ingest stays O(batch)
+    * per trigger and existing partitions never rewrite. The index at
+    * `dbPath` must exist (`Similarity.buildAnnIndex`). At-least-once on
+    * replay (a replayed batch re-appends its vectors), same contract and
+    * caveat as [[indexAppendSink]].
+    */
+  def annAppendSink(vectors: DataFrame,
+      dbPath: String): DataStreamWriter[Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.ops.Similarity.appendToAnnIndex(batch, dbPath)
+    }
+
   /** Streaming near-dup pairs: every emitted hit pairs a new document with
     * an earlier one in the same band bucket at Hamming distance <=
     * maxHamming. Exact recall (pigeonhole) BELOW the bucket cap: any

@@ -209,6 +209,46 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$sDir/signatures").count() == 50L)
   }
 
+  test("streamed ANN appends == batch appendToAnnIndex (same partitions, same neighbors)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val dirs = Seq(Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 0.0))
+    val base = dirs.zipWithIndex.flatMap { case (dv, b) =>
+      (0 until 20).map { j =>
+        ((b * 20 + j).toLong, dv.map(_ + rnd.nextGaussian() * 0.3))
+      }
+    }
+    val plants = base.filter(_._1 % 20 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(_ + rnd.nextGaussian() * 0.05))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("annsink").toString
+    graft.ops.Similarity.buildAnnIndex(base.toDF("vec_id", "embedding"),
+      dir, nClusters = 3, iters = 5)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Double])]
+    val q = DedupStream.annAppendSink(
+      mem.toDS().toDF("vec_id", "embedding"), dir).start()
+    try {
+      mem.addData(plants.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(plants.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every streamed plant is its source vector's nearest indexed neighbor
+    val queries = base.filter(_._1 % 20 == 0).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.searchAnnIndexed(spark, dir, queries,
+      k = 1, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plants.foreach { case (pid, _) =>
+      assert(got(pid - 1000L) == pid, s"plant $pid not found via the index")
+    }
+  }
+
   test("streaming decontamination == batch Curate.decontaminate") {
     val spark = TestSpark.spark
     import spark.implicits._
