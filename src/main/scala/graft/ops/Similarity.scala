@@ -348,6 +348,34 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dbPath/centroids")
   }
 
+  /** Incrementally add vectors to a persisted IVF-PQ index: assign each
+    * new vector to its nearest STORED coarse centroid, encode it with the
+    * STORED codebooks, append the codes into that label's partition —
+    * O(batch) per ingest, no partition rewrites, same frozen-artifact
+    * contract as [[appendToAnnIndex]] (re-run [[buildPqIndex]] when the
+    * distribution drifts).
+    */
+  def appendToPqIndex(corpus: DataFrame, dbPath: String, dim: Int,
+      nSub: Int): Unit = {
+    val spark = corpus.sparkSession
+    val cents = spark.read.parquet(s"$dbPath/centroids")
+    val books = spark.read.parquet(s"$dbPath/codebooks")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val assigned = corpus
+      .withColumn("vn", norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("embedding"), col("centroid"))
+        / (col("vn") * norm(col("centroid"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"))
+    pqEncode(corpus, books, dim, nSub)
+      .join(assigned, Seq("vec_id"))
+      .write.mode("append").partitionBy("label")
+      .parquet(s"$dbPath/codes")
+  }
+
   /** Query a persisted IVF-PQ index: probe the stored coarse centroids,
     * scan ONLY the probed label partitions of the CODES table (directory
     * pruning via dynamic partition pruning on the broadcast probe join —
