@@ -135,19 +135,23 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Exact embedding near-dup pairs (brute force): all pairs with cosine >=
-    * threshold among a query subset vs corpus. The recall baseline for
-    * [[embeddingNearDup]]; O(|Q| x |C|) — do not run at corpus scale.
+  /** Exact embedding near-dup pairs (brute force): all (a < b) pairs with
+    * cosine >= threshold where EITHER side is a query member — the same
+    * either-side membership contract as [[embeddingNearDup]] (a query doc
+    * carrying the larger vec_id of a pair still qualifies). The recall
+    * baseline for [[embeddingNearDup]]; O(|C|^2) — do not run at corpus
+    * scale.
     */
   def embeddingNearDupExact(corpus: DataFrame, queryPred: Column,
       threshold: Double): DataFrame = {
-    val q = corpus.filter(queryPred)
-      .select(col("vec_id").as("a"), col("embedding").as("qv"),
-        norm(col("embedding")).as("qn"))
-    val c = corpus.select(col("vec_id").as("b"), col("embedding").as("cv"),
-      norm(col("embedding")).as("cn"))
-    c.crossJoin(broadcast(q))
-      .filter(col("a") < col("b"))
+    val flagged = corpus.select(col("vec_id"), col("embedding"),
+      queryPred.as("isq"))
+    val l = flagged.select(col("vec_id").as("a"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"), col("isq").as("aq"))
+    val r = flagged.select(col("vec_id").as("b"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"), col("isq").as("bq"))
+    l.crossJoin(broadcast(r))
+      .filter(col("a") < col("b") && (col("aq") || col("bq")))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
@@ -651,9 +655,11 @@ object Similarity {
     // Candidate pairs via the shared Dedup cascade (ONE aggregation over
     // the banded rows — see Dedup.cappedMemberBuckets): each (band, bval)
     // bucket collects its members with a query-side flag, pairs expand
-    // array-locally — `a` must be a query member, `b` any member with a
-    // larger id. This computes the nProj dot products per row ONCE (the
-    // filtered-side + full-side equi-join formulation ran srpBanded twice)
+    // array-locally — AT LEAST ONE side must be a query member (the
+    // either-side rule shared with simhashPairs/indexPairs: pairs where
+    // the query doc carries the LARGER id still emit). This computes the
+    // nProj dot products per row ONCE (the filtered-side + full-side
+    // equi-join formulation ran srpBanded twice)
     // and needs no window. Hot-bucket cap: SRP buckets of near-constant
     // vectors (zero embeddings, template pages) would otherwise emit
     // quadratic pairs; oversized buckets are dropped wholesale with the
@@ -661,7 +667,8 @@ object Similarity {
     val buckets = Dedup.cappedMemberBuckets(
       srpBanded(corpus, nProj, rowsPerBand, dims), Seq("band", "bval"),
       struct(col("vec_id").as("id"), queryPred.as("isq")), maxBucket)
-    val cand = Dedup.expandMemberPairs(buckets, col("m.isq"))
+    val cand = Dedup.expandMemberPairs(buckets)
+      .filter(col("m.isq") || col("x.isq"))
       .select(col("m.id").as("a"), col("x.id").as("b"))
       .distinct()
     val qv = corpus.select(col("vec_id").as("a"), col("embedding").as("qv"),

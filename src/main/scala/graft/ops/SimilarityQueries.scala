@@ -113,6 +113,9 @@ object SimilarityQueries {
   /** SRP-bucketed near-dup: the oracle mirrors the deterministic md5-seeded
     * sign projections (8 bits, 4 bands of 2), the band equi-join candidate
     * step, and the exact-cosine verify — same cascade, same result set.
+    * Query membership is EITHER-SIDE (the simhashPairs contract): a pair
+    * qualifies when either endpoint is a query doc, so query docs carrying
+    * the larger vec_id of a colliding pair are not silently dropped.
     */
   val embNearDup = Q(
     "emb_near_dup",
@@ -144,7 +147,7 @@ object SimilarityQueries {
         SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.bval = r.bval AND l.vec_id < r.vec_id
-        WHERE l.vec_id % 10 = 0),
+        WHERE l.vec_id % 10 = 0 OR r.vec_id % 10 = 0),
       pairs AS (
         SELECT c.a AS query_id, c.b AS neighbor_id, ea.v AS qv, eb.v AS cv
         FROM cand c

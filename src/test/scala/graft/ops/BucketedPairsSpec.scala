@@ -283,4 +283,26 @@ class BucketedPairsSpec extends AnyFunSuite {
       threshold = 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.subsetOf(exact))
   }
+
+  test("embeddingNearDup either-side membership: query doc with the LARGER id emits") {
+    val rnd = new scala.util.Random(13)
+    val dims = 16
+    val v = Array.fill(dims)(rnd.nextGaussian())
+    // NON-query doc 5 (smaller id) is a near-identical copy of QUERY doc
+    // 900 (larger id): the one-sided rule tested only the smaller-id
+    // member for query membership and silently dropped this pair
+    val emb = (Seq((5L, v.map(_ * 1.0000001)), (900L, v)) ++
+      (10L until 30L).map(i => (i, Array.fill(dims)(rnd.nextGaussian()))))
+      .toDF("vec_id", "embedding")
+    val pred = col("vec_id") >= 900L
+    val got = Similarity.embeddingNearDup(emb, pred, threshold = 0.95,
+      nProj = 8, rowsPerBand = 2, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((5L, 900L)))
+    // the exact baseline shares the contract, and precision still holds
+    val exact = Similarity.embeddingNearDupExact(emb, pred, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((5L, 900L)))
+    assert(got.subsetOf(exact))
+  }
 }
