@@ -157,59 +157,66 @@ object SimilarityQueries {
       SELECT query_id AS a, neighbor_id AS b, ROUND(cos, 3) AS cos
       FROM comp WHERE cos >= 0.4 ORDER BY a, b"""))
 
-  /** Shared DuckDB CTE chain: 2 unrolled Lloyd iterations (md5-ordered
-    * seeding, cosine argmax assignment, elementwise-mean update,
-    * reassignment), ending in `a2(vec_id, label)` with `e(vec_id, v)` the
-    * double-cast corpus. Callers prefix `WITH `.
+  /** Unrolled 2-iteration Lloyd k-means CTE chain (md5-ordered seeding,
+    * cosine argmax assignment, elementwise-mean update, reassignment),
+    * ending in `<p>a2(vec_id, label)`. Every CTE name carries prefix `p`
+    * so the chain composes with others (the PQ chain reuses sel/c0/a1/...)
+    * — only `e(vec_id, v)` (the double-cast corpus) is expected to exist.
     */
-  private val duckKmeans2 = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      sel AS (
+  private def duckKmeansChain(p: String): String = s"""${p}sel AS (
         SELECT vec_id, v FROM e
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10),
-      c0 AS (
+      ${p}c0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS label,
                v AS centroid
-        FROM sel),
-      p1 AS (
+        FROM ${p}sel),
+      ${p}p1 AS (
         SELECT e.vec_id, e.v, c.label, c.centroid,
                unnest(generate_series(1, 64)) AS i
-        FROM e, c0 c),
-      s1 AS (
+        FROM e, ${p}c0 c),
+      ${p}s1 AS (
         SELECT vec_id, label,
                SUM(v[CAST(i AS INT)] * centroid[CAST(i AS INT)])
                  / (SQRT(SUM(v[CAST(i AS INT)] * v[CAST(i AS INT)]))
                     * SQRT(SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]))) AS ccos
-        FROM p1 GROUP BY 1, 2),
-      a1 AS (
+        FROM ${p}p1 GROUP BY 1, 2),
+      ${p}a1 AS (
         SELECT vec_id, label FROM (
           SELECT vec_id, label,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                                     ORDER BY ccos DESC, label) AS rn
-          FROM s1) WHERE rn = 1),
-      x1 AS (
+          FROM ${p}s1) WHERE rn = 1),
+      ${p}x1 AS (
         SELECT a.label, e.v, unnest(generate_series(1, 64)) AS i
-        FROM a1 a JOIN e ON e.vec_id = a.vec_id),
-      m1 AS (
+        FROM ${p}a1 a JOIN e ON e.vec_id = a.vec_id),
+      ${p}m1 AS (
         SELECT label, i, AVG(v[CAST(i AS INT)]) AS mean
-        FROM x1 GROUP BY 1, 2),
-      c1 AS (
-        SELECT label, list(mean ORDER BY i) AS centroid FROM m1 GROUP BY 1),
-      p2 AS (
+        FROM ${p}x1 GROUP BY 1, 2),
+      ${p}c1 AS (
+        SELECT label, list(mean ORDER BY i) AS centroid FROM ${p}m1 GROUP BY 1),
+      ${p}p2 AS (
         SELECT e.vec_id, e.v, c.label, c.centroid,
                unnest(generate_series(1, 64)) AS i
-        FROM e, c1 c),
-      s2 AS (
+        FROM e, ${p}c1 c),
+      ${p}s2 AS (
         SELECT vec_id, label,
                SUM(v[CAST(i AS INT)] * centroid[CAST(i AS INT)])
                  / (SQRT(SUM(v[CAST(i AS INT)] * v[CAST(i AS INT)]))
                     * SQRT(SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]))) AS ccos
-        FROM p2 GROUP BY 1, 2),
-      a2 AS (
+        FROM ${p}p2 GROUP BY 1, 2),
+      ${p}a2 AS (
         SELECT vec_id, label FROM (
           SELECT vec_id, label,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                                     ORDER BY ccos DESC, label) AS rn
-          FROM s2) WHERE rn = 1)"""
+          FROM ${p}s2) WHERE rn = 1)"""
+
+  /** Shared DuckDB CTE chain: the unprefixed k-means unroll over
+    * `e(vec_id, v)`, ending in `a2(vec_id, label)`. Callers prefix `WITH `.
+    */
+  private val duckKmeans2 =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n      " +
+      duckKmeansChain("")
 
   /** Deterministic k-means (2 Lloyd iterations, md5-ordered seeding): the
     * oracle unrolls both iterations in SQL — seed selection, cosine argmax
@@ -461,7 +468,143 @@ object SimilarityQueries {
       SELECT query_id, neighbor_id, ROUND(score, 3) AS score, rank
       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** The persisted-IVF flagship path end-to-end, stored artifacts included:
+    * [[Similarity.buildAnnIndex]] k-means-clusters the corpus into a
+    * temp-dir index (vectors partitioned by label + a centroid table) and
+    * [[Similarity.searchAnnIndexed]] probes the STORED centroids and scans
+    * only the probed label partitions (dynamic partition pruning). The
+    * oracle replays the unrolled k-means, recomputes the stored per-label
+    * centroids, probes, and restricts the exact-cosine scan to probed
+    * clusters — so a regression anywhere in the build/persist/search
+    * cascade (label assignment, centroid persistence, partition pruning,
+    * final ranking) hash-mismatches.
+    */
+  val embAnnIndexSearch = Q(
+    "emb_ann_index_search",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_idx").toString
+      Similarity.buildAnnIndex(emb, dir, nClusters = 10, iters = 2)
+      Similarity.searchAnnIndexed(s, dir,
+        emb.filter(col("vec_id") % 50 === 0), k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckKmeans2,
+      lab AS (
+        SELECT e.vec_id, e.v, a.label FROM e JOIN a2 a ON a.vec_id = e.vec_id),
+      centm AS (
+        SELECT label, i, AVG(v[CAST(i AS INT)]) AS mean
+        FROM (SELECT label, v, unnest(generate_series(1, 64)) AS i FROM lab)
+        GROUP BY 1, 2),
+      centv AS (
+        SELECT label, list(mean ORDER BY i) AS centroid FROM centm GROUP BY 1),
+      q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+      pcomp AS (
+        SELECT query_id, label,
+               SUM(qv[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]))) AS ccos
+        FROM (SELECT q.query_id, q.qv, c.label, c.centroid,
+                     unnest(generate_series(1, 64)) AS i
+              FROM q, centv c)
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT query_id, label FROM (
+          SELECT query_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ccos DESC, label) AS pr
+          FROM pcomp) WHERE pr <= 2),
+      pairs AS (
+        SELECT p.query_id, l.vec_id AS neighbor_id, q.qv, l.v AS cv
+        FROM probes p
+        JOIN lab l ON l.label = p.label
+        JOIN q ON q.query_id = p.query_id
+        WHERE l.vec_id <> p.query_id),
+      $duckCos,
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)
+      SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  /** The persisted-IVF-PQ flagship path end-to-end:
+    * [[Similarity.buildPqIndex]] persists coarse-labeled PQ CODES (plus
+    * codebooks and coarse centroids) into a temp dir, and
+    * [[Similarity.searchPqIndexed]] probes the stored centroids, scans
+    * only the probed label partitions of the codes table, and scores by
+    * ADC lookup. The oracle composes the shared PQ chain (codes + ADC
+    * tables) with a `k`-prefixed unrolled-k-means chain for the coarse
+    * labels and restricts the ADC scan to probed clusters.
+    */
+  val embPqIndexSearch = Q(
+    "emb_pqindex_search",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pq_idx").toString
+      Similarity.buildPqIndex(emb, dir, nClusters = 10, dim = 64, nSub = 8,
+        pqK = 8, iters = 2)
+      Similarity.searchPqIndexed(s, dir, emb.filter(col("vec_id") % 50 === 0),
+        dim = 64, nSub = 8, pqK = 8, topK = 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 3).as("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckPqCode,
+      ${duckKmeansChain("k")},
+      klab AS (
+        SELECT e.vec_id, e.v, a.label FROM e JOIN ka2 a ON a.vec_id = e.vec_id),
+      kcentm AS (
+        SELECT label, i, AVG(v[CAST(i AS INT)]) AS mean
+        FROM (SELECT label, v, unnest(generate_series(1, 64)) AS i FROM klab)
+        GROUP BY 1, 2),
+      kcentv AS (
+        SELECT label, list(mean ORDER BY i) AS centroid FROM kcentm GROUP BY 1),
+      kq AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+      kpcomp AS (
+        SELECT query_id, label,
+               SUM(qv[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]))) AS ccos
+        FROM (SELECT kq.query_id, kq.qv, c.label, c.centroid,
+                     unnest(generate_series(1, 64)) AS i
+              FROM kq, kcentv c)
+        GROUP BY 1, 2),
+      kprobes AS (
+        SELECT query_id, label FROM (
+          SELECT query_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ccos DESC, label) AS pr
+          FROM kpcomp) WHERE pr <= 2),
+      ksc AS (
+        SELECT qd.query_id, co.vec_id AS neighbor_id, SUM(qd.dp) AS score
+        FROM code co
+        JOIN ka2 al ON al.vec_id = co.vec_id
+        JOIN kprobes p ON p.label = al.label
+        JOIN qdp qd ON qd.sub = co.sub AND qd.label = co.label
+                   AND qd.query_id = p.query_id
+        WHERE co.vec_id <> qd.query_id
+        GROUP BY 1, 2),
+      kranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM ksc)
+      SELECT query_id, neighbor_id, ROUND(score, 3) AS score, rank
+      FROM kranked WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
-      embPqTopK, embIvfPqTopK)
+      embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch)
 }
