@@ -34,8 +34,11 @@ object BenchOne {
             val rows = q.run(spark, sfDir).count()
             val dt = (System.nanoTime() - t0) / 1e9
             // release caller-owned caches so trial N+1 doesn't pay trial
-            // N's pinned shingle/dedup frames (untimed)
-            spark.catalog.clearCache()
+            // N's pinned shingle/dedup frames (untimed). KEEP_CACHE=1
+            // reproduces the pre-round-7 flattered measurement mode (warm
+            // caller-owned caches) for adjudicating cache-hygiene deltas.
+            if (!sys.env.contains("SPARK_GRAFT_KEEP_CACHE"))
+              spark.catalog.clearCache()
             f"$dt%.2f" + s" (rows=$rows)"
           }
           println(s"[benchone] $n: ${ts.mkString(", ")}")
