@@ -11,14 +11,17 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   *
   * Pairs colliding in several bands are emitted once per band — run
   * `dropDuplicates("a","b")` (or dedupe at the sink) when exact-once pairs
-  * matter. State grows with distinct docs per bucket; production bounds it
-  * with an event-time timeout, exactly like [[EventsStream.sessionize]]'s
-  * note.
+  * matter. Total state is bounded two ways: per-bucket membership saturates
+  * at `maxBucket`, and whole buckets idle past the event-time horizon are
+  * evicted (EventTimeTimeout — the [[EventsStream.sessionize]] pattern), so
+  * bucket COUNT no longer grows with distinct docs over the stream's
+  * lifetime.
   */
 object DedupStream {
 
-  final case class DocRow(doc_id: Long, text: String)
-  final case class BandRow(band: Int, bval: Long, doc_id: Long, sig: Long)
+  final case class DocRow(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  final case class BandRow(band: Int, bval: Long, doc_id: Long, sig: Long,
+      ts: java.sql.Timestamp)
   final case class NearDupHit(a: Long, b: Long, hamming: Int)
 
   /** Per-row 64-bit SimHash, value-identical to `ops.Dedup.simhash64`'s
@@ -51,13 +54,14 @@ object DedupStream {
   /** Pigeonhole band rows for a signature (same bounds as the batch
     * operator: band i covers bits [i*64/nb, (i+1)*64/nb)).
     */
-  def bandRows(docId: Long, sig: Long, maxHamming: Int): Seq[BandRow] = {
+  def bandRows(docId: Long, ts: java.sql.Timestamp, sig: Long,
+      maxHamming: Int): Seq[BandRow] = {
     val nb = maxHamming + 1
     val bounds = (0 to nb).map(i => i * 64 / nb)
     (0 until nb).map { i =>
       val lo = bounds(i)
       val mask = (1L << (bounds(i + 1) - lo)) - 1
-      BandRow(i, (sig >>> lo) & mask, docId, sig)
+      BandRow(i, (sig >>> lo) & mask, docId, sig, ts)
     }
   }
 
@@ -107,57 +111,90 @@ object DedupStream {
 
   /** Streaming near-dup pairs: every emitted hit pairs a new document with
     * an earlier one in the same band bucket at Hamming distance <=
-    * maxHamming. Exact recall (pigeonhole) BELOW the bucket cap: any
-    * qualifying pair shares at least one bucket. Output orientation:
-    * a < b.
+    * maxHamming. Exact recall (pigeonhole) BELOW the bucket cap AND within
+    * the event-time horizon: any qualifying pair shares at least one
+    * bucket. Output orientation: a < b.
     *
-    * Hot-bucket cap — the streaming twin of the batch generators'
-    * `maxBucket` (see `ops.Dedup.DefaultMaxBucket`): a bucket whose state
-    * already holds `maxBucket` signatures SATURATES — new members are
-    * neither compared nor remembered (each one would otherwise compare
-    * against an ever-growing list: unbounded state AND quadratic
-    * emission), and a driver-side WARN names the bucket once, mirroring
-    * the batch observed-metric contract. Run exact dedup upstream
-    * (`dedupStream`) so identical-doc floods collapse before this
-    * operator.
+    * Total state is bounded on BOTH axes:
+    *  - Hot-bucket cap — the streaming twin of the batch generators'
+    *    `maxBucket` (see `ops.Dedup.DefaultMaxBucket`): a bucket whose
+    *    state already holds `maxBucket` signatures SATURATES — new members
+    *    are neither compared nor remembered (each one would otherwise
+    *    compare against an ever-growing list: unbounded state AND
+    *    quadratic emission), and a driver-side WARN names the bucket once,
+    *    mirroring the batch observed-metric contract. Run exact dedup
+    *    upstream (`dedupStream`) so identical-doc floods collapse first.
+    *  - Horizon eviction — a bucket that sees no new member for
+    *    `horizonSeconds` of EVENT time is removed outright once the
+    *    watermark passes its newest member's ts + horizon
+    *    (EventTimeTimeout, the [[EventsStream.sessionize]] pattern), so
+    *    bucket count is bounded by the docs active inside one
+    *    horizon+delay window instead of growing with stream lifetime.
+    *    The semantic contract: a pair is reported only when its two docs
+    *    arrive within the horizon of each other — the right near-dup
+    *    meaning on an infinite stream (and `horizonSeconds` of centuries
+    *    recovers the old keep-everything behavior on bounded replays).
+    *
+    * `watermarkDelay` bounds how late a doc may arrive and still be
+    * compared (events older than the watermark are dropped before the
+    * state function — same contract as [[EventsStream.sessionize]]).
     */
   def nearDupPairs(docs: Dataset[DocRow], maxHamming: Int,
+      horizonSeconds: Long = 7 * 24 * 3600,
+      watermarkDelay: String = "1 hour",
       maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     docs
-      .flatMap(d => bandRows(d.doc_id, simhash64Value(d.text), maxHamming))
+      .flatMap(d => bandRows(d.doc_id, d.ts, simhash64Value(d.text), maxHamming))
+      // the watermark goes on the BANDED rows: a typed flatMap re-serializes
+      // its output, so a watermark tagged upstream would not survive to the
+      // state operator (Spark then rejects EventTimeTimeout outright)
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(r => (r.band, r.bval))
-      .flatMapGroupsWithState[List[(Long, Long)], NearDupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (key, rows, state: GroupState[List[(Long, Long)]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          var nSeen = seen.size
-          var warned = false
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-          rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            if (nSeen >= maxBucket) {
-              if (!warned) {
-                org.slf4j.LoggerFactory.getLogger(DedupStream.getClass).warn(
-                  s"stream bucket $key saturated at $maxBucket members — " +
-                    "further docs in it are INVISIBLE to near-dup " +
-                    "detection; run exact dedup upstream or raise maxBucket")
-                warned = true
-              }
-            } else {
-              seen.foreach { case (oid, osig) =>
-                if (oid != r.doc_id) {
-                  val ham = java.lang.Long.bitCount(osig ^ r.sig)
-                  if (ham <= maxHamming)
-                    out += NearDupHit(math.min(oid, r.doc_id),
-                      math.max(oid, r.doc_id), ham)
+      .flatMapGroupsWithState[(List[(Long, Long)], Long), NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[(List[(Long, Long)], Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed newest-member ts + horizon: the bucket is
+            // cold — drop all members (they can no longer pair in-horizon)
+            state.remove()
+            Iterator.empty
+          } else {
+            var (seen, maxTs) = state.getOption.getOrElse((Nil, Long.MinValue))
+            var nSeen = seen.size
+            var warned = false
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            rows.toSeq.sortBy(_.doc_id).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              if (nSeen >= maxBucket) {
+                if (!warned) {
+                  org.slf4j.LoggerFactory.getLogger(DedupStream.getClass).warn(
+                    s"stream bucket $key saturated at $maxBucket members — " +
+                      "further docs in it are INVISIBLE to near-dup " +
+                      "detection; run exact dedup upstream or raise maxBucket")
+                  warned = true
                 }
+              } else {
+                seen.foreach { case (oid, osig) =>
+                  if (oid != r.doc_id) {
+                    val ham = java.lang.Long.bitCount(osig ^ r.sig)
+                    if (ham <= maxHamming)
+                      out += NearDupHit(math.min(oid, r.doc_id),
+                        math.max(oid, r.doc_id), ham)
+                  }
+                }
+                seen ::= (r.doc_id, r.sig)
+                nSeen += 1
               }
-              seen ::= (r.doc_id, r.sig)
-              nSeen += 1
             }
+            state.update((seen, maxTs))
+            // evict once the watermark passes the horizon after the NEWEST
+            // member; clamped above the current watermark (an already-stale
+            // batch would otherwise set an in-the-past timeout — rejected)
+            state.setTimeoutTimestamp(math.max(maxTs + horizonSeconds * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
   }
 }

@@ -92,21 +92,24 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val base = 1700000000000L
     val docs = (0L until 40L).map { i =>
       val toks = (0 until 6).map(j => words(((i / 5) + j).toInt % words.length))
-      DedupStream.DocRow(i, toks.mkString(" "))
+      // increasing in-horizon timestamps: the bounded operator must equal
+      // the batch result when nothing crosses the horizon
+      DedupStream.DocRow(i, new java.sql.Timestamp(base + i * 1000L),
+        toks.mkString(" "))
     }
 
     // batch truth over the same corpus, unrestricted query side
-    val batchPairs = graft.ops.Dedup.simhashPairs(
-      docs.toDF("doc_id", "text").withColumnRenamed("doc_id", "doc_id"),
+    val docsDf = docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val batchPairs = graft.ops.Dedup.simhashPairs(docsDf,
       "doc_id", "text", lit(true), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getAs[Number](2).intValue)).toSet
 
     // per-row simhash must equal the grouped batch formulation
-    val batchSigs = graft.ops.Dedup.simhash64(
-      docs.toDF("doc_id", "text"), "doc_id", "text")
+    val batchSigs = graft.ops.Dedup.simhash64(docsDf, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     docs.foreach(d =>
       assert(DedupStream.simhash64Value(d.text) == batchSigs(d.doc_id)))
@@ -137,8 +140,11 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     // identical pair lives in its own buckets and must survive the cap
     val template = "lorem ipsum dolor sit amet consectetur adipiscing elit"
     val other = "unique alpha beta gamma delta epsilon zeta eta"
-    val docs = (0L until 30L).map(i => DedupStream.DocRow(i, template)) ++
-      Seq(DedupStream.DocRow(1000L, other), DedupStream.DocRow(1001L, other))
+    val base = 1700000000000L
+    def ts(i: Long) = new java.sql.Timestamp(base + i * 1000L)
+    val docs = (0L until 30L).map(i => DedupStream.DocRow(i, ts(i), template)) ++
+      Seq(DedupStream.DocRow(1000L, ts(31), other),
+        DedupStream.DocRow(1001L, ts(32), other))
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[DedupStream.DocRow]
@@ -157,6 +163,48 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       assert(hits.count(p => p._1 < 30L) <= 10)
       // the genuine pair in its own (unsaturated) buckets still reports
       assert(hits.contains((1000L, 1001L)))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup horizon evicts cold buckets; in-horizon pairs still emit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val base = 1700000000000L
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000L)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DedupStream.DocRow]
+    // 60 s horizon, zero lateness tolerance: watermark == max seen ts
+    val q = DedupStream.nearDupPairs(mem.toDS(), maxHamming = 3,
+      horizonSeconds = 60, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ndhorizon").outputMode("append")
+      .start()
+    try {
+      // batch 1: an identical pair 10 s apart — in-horizon, must emit
+      mem.addData(DedupStream.DocRow(1L, ts(0), template),
+        DedupStream.DocRow(2L, ts(10), template))
+      q.processAllAvailable()
+      // batch 2 advances the watermark far past ts(10) + 60 s; batch 3
+      // fires the timeout for the now-dataless template buckets (a group
+      // with new data in the SAME batch would not time out — hence two
+      // pusher batches; pushers use unrelated text and filtered-out ids)
+      mem.addData(DedupStream.DocRow(10001L, ts(5000),
+        "first watermark pusher with completely different words here"))
+      q.processAllAvailable()
+      mem.addData(DedupStream.DocRow(10002L, ts(5001),
+        "second watermark pusher also sharing nothing with the template"))
+      q.processAllAvailable()
+      // batch 4: same template text again — docs 1/2's state is GONE, so
+      // only the new in-horizon pair (3, 4) may emit
+      mem.addData(DedupStream.DocRow(3L, ts(5100), template),
+        DedupStream.DocRow(4L, ts(5105), template))
+      q.processAllAvailable()
+      val hits = spark.table("ndhorizon").as[DedupStream.NearDupHit]
+        .collect().map(h => (h.a, h.b)).toSet
+        .filter(p => p._1 < 10000L && p._2 < 10000L) // drop pusher pairs
+      assert(hits == Set((1L, 2L), (3L, 4L)),
+        s"expected horizon eviction to suppress cross-horizon pairs, got $hits")
     } finally q.stop()
   }
 
