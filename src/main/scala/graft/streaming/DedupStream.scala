@@ -76,23 +76,61 @@ object DedupStream {
     *
     * The index at `indexPath` must exist (`Dedup.buildDedupIndex`, possibly
     * on an empty frame) — its meta pins the signature params for every
-    * batch. Pairs land under `pairsOutPath/batch=<id>`: a REPLAYED
-    * micro-batch overwrites its own pairs directory instead of duplicating
-    * pairs, but the signature append itself is at-least-once on replay —
-    * exactly-once ingest needs a batchId high-watermark around the append
-    * (deployment-specific; the pairs output stays correct either way
-    * because re-appended signatures are byte-identical rows that band into
-    * the same buckets).
+    * batch. Pairs land under `pairsOutPath/batch=<id>`.
+    *
+    * Signature ingest is EXACTLY-ONCE under replay: the max committed
+    * batchId persists alongside the index (`<indexPath>/stream_commit`,
+    * written after each successful append), and a redelivered batch at or
+    * below that high-watermark skips the append and recomputes its pairs
+    * READ-ONLY via `searchDedupIndex` — the output is identical, because
+    * the replayed batch's signatures are already in the index and the
+    * either-side-new gate reports the same pair set. Residual window: a
+    * crash BETWEEN the signature append and the marker write replays as
+    * one duplicate append (marker-after-data is the losing side of
+    * two-phase commit without a transactional table format; the window is
+    * one tiny parquet write wide, and duplicated signatures band into the
+    * same buckets, so pair OUTPUT stays correct even then).
     */
   def indexAppendSink(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, pairsOutPath: String, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val pairs = graft.ops.Dedup.appendToDedupIndex(batch, idCol, textCol,
-        indexPath, rowsPerBand, threshold)
-      pairs.write.mode("overwrite")
-        .parquet(s"$pairsOutPath/batch=$batchId")
+      processIndexBatch(batch, batchId, idCol, textCol, indexPath,
+        pairsOutPath, rowsPerBand, threshold)
     }
+
+  /** One micro-batch of [[indexAppendSink]], exposed so replay semantics
+    * are testable without restarting a streaming query. See the sink's
+    * scaladoc for the exactly-once contract.
+    */
+  def processIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexPath: String, pairsOutPath: String,
+      rowsPerBand: Int = 2, threshold: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val pairs =
+      if (batchId <= committedBatchId(spark, indexPath)) {
+        // REPLAY: signatures already committed — recompute pairs read-only
+        graft.ops.Dedup.searchDedupIndex(batch, idCol, textCol, indexPath,
+          rowsPerBand, threshold)
+      } else {
+        val p = graft.ops.Dedup.appendToDedupIndex(batch, idCol, textCol,
+          indexPath, rowsPerBand, threshold)
+        Seq(batchId).toDF("batch_id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexPath/stream_commit")
+        p
+      }
+    pairs.write.mode("overwrite").parquet(s"$pairsOutPath/batch=$batchId")
+  }
+
+  /** The persisted replay high-watermark; -1 when no batch committed yet
+    * (fresh index — the marker directory does not exist).
+    */
+  def committedBatchId(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Long =
+    try spark.read.parquet(s"$indexPath/stream_commit")
+      .head().getAs[Long]("batch_id")
+    catch { case _: org.apache.spark.sql.AnalysisException => -1L }
 
   /** Streaming ingest into a persisted IVF ANN index: each micro-batch
     * runs `ops.Similarity.appendToAnnIndex` via foreachBatch — frozen

@@ -257,6 +257,45 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$sDir/signatures").count() == 50L)
   }
 
+  test("index append replay: redelivered batch leaves the signature table unchanged") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(i: Long) = (i, (0 until 10).map(j =>
+      words(((i / 3) + j).toInt % words.length)).mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("idxreplay").toString
+    val outDir = java.nio.file.Files.createTempDirectory("idxreplayo").toString
+    graft.ops.Dedup.buildDedupIndex((0L until 20L).map(doc).toDF("doc_id", "text"),
+      "doc_id", "text", dir, shingleSize = 2, numHashes = 8)
+    assert(DedupStream.committedBatchId(spark, dir) == -1L)
+
+    def pairsOut() = spark.read.parquet(s"$outDir/batch=0")
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("est_jaccard"))).toSet
+
+    val batch = (20L until 40L).map(doc).toDF("doc_id", "text")
+    DedupStream.processIndexBatch(batch, 0L, "doc_id", "text", dir, outDir)
+    val sigsAfterFirst = spark.read.parquet(s"$dir/signatures").count()
+    val pairsFirst = pairsOut()
+    assert(sigsAfterFirst == 40L)
+    assert(DedupStream.committedBatchId(spark, dir) == 0L)
+    assert(pairsFirst.nonEmpty)
+
+    // the SAME batch redelivered (foreachBatch replay after a restart):
+    // the signature append must be skipped, the pairs output identical
+    DedupStream.processIndexBatch(batch, 0L, "doc_id", "text", dir, outDir)
+    assert(spark.read.parquet(s"$dir/signatures").count() == sigsAfterFirst)
+    assert(DedupStream.committedBatchId(spark, dir) == 0L)
+    assert(pairsOut() == pairsFirst)
+
+    // the NEXT batch still appends normally
+    DedupStream.processIndexBatch((40L until 50L).map(doc).toDF("doc_id", "text"),
+      1L, "doc_id", "text", dir, outDir)
+    assert(spark.read.parquet(s"$dir/signatures").count() == 50L)
+    assert(DedupStream.committedBatchId(spark, dir) == 1L)
+  }
+
   test("streamed ANN appends == batch appendToAnnIndex (same partitions, same neighbors)") {
     val spark = TestSpark.spark
     import spark.implicits._
