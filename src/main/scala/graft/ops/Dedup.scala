@@ -361,14 +361,17 @@ object Dedup {
     */
   val DefaultMaxBroadcastKeys: Long = 1L << 20
 
-  /** Touched-key upper bound deciding the prune strategy: batch docs ×
-    * bands (every doc lands in every band; distinct-ing bucket values only
-    * shrinks it). One cheap count of the INPUT frame — not the signature
-    * pipeline — so the decision costs a metadata-ish scan, not a shuffle.
+  /** Touched-key upper bound deciding the prune strategy: signature rows ×
+    * bands (every signed doc lands in every band; distinct-ing bucket
+    * values only shrinks it). Takes the COUNT, not a frame: append counts
+    * its already-cached signature frame (free beyond the cache
+    * materialization it needs anyway) and search counts the input docs —
+    * re-counting an uncached upstream per call was the waste the
+    * round-7 advice flagged in per-micro-batch ingest.
     */
-  private def touchedFits(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
-      maxBroadcastKeys: Long): Boolean =
-    docs.count() * (numHashes / rowsPerBand) <= maxBroadcastKeys
+  private def touchedFits(nSigRows: Long, numHashes: Int,
+      rowsPerBand: Int, maxBroadcastKeys: Long): Boolean =
+    nSigRows * (numHashes / rowsPerBand) <= maxBroadcastKeys
 
   /** Incrementally dedup a new batch against a persisted index: returns
     * every near-dup pair INVOLVING the batch (cross old-new and
@@ -396,9 +399,11 @@ object Dedup {
     val spark = newDocs.sparkSession
     val (newSigs, numHashes) = sigsForIndex(newDocs, idCol, textCol, path)
     val cached = newSigs.cache()
+    // count() pins the cache AND supplies the prune-strategy bound in one
+    // pass — the raw input frame is never executed a second time
     val pairs = indexPairs(cached, path, numHashes, rowsPerBand, threshold,
       maxBucket,
-      touchedFits(newDocs, numHashes, rowsPerBand, maxBroadcastKeys))
+      touchedFits(cached.count(), numHashes, rowsPerBand, maxBroadcastKeys))
       .localCheckpoint() // eager: snapshot pairs BEFORE the append lands
     cached.write.mode("append").parquet(s"$path/signatures")
     cached.unpersist()
@@ -412,13 +417,19 @@ object Dedup {
     * deciding what to ingest. Lazy apart from the prune-strategy count (no
     * checkpoint): nothing is written, so there is no read-back hazard.
     */
+  /** `rowCountHint`: when the caller already knows (an upper bound on) the
+    * probe batch size, passing it skips the one count() action this method
+    * otherwise spends on the prune-strategy decision.
+    */
   def searchDedupIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, rowsPerBand: Int = 2, threshold: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket,
-      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
+      rowCountHint: Option[Long] = None): DataFrame = {
     val (probeSigs, numHashes) = sigsForIndex(docs, idCol, textCol, path)
     indexPairs(probeSigs, path, numHashes, rowsPerBand, threshold, maxBucket,
-      touchedFits(docs, numHashes, rowsPerBand, maxBroadcastKeys))
+      touchedFits(rowCountHint.getOrElse(docs.count()), numHashes,
+        rowsPerBand, maxBroadcastKeys))
   }
 
   /** Batch signatures under a stored index's pinned params. */

@@ -207,30 +207,35 @@ object Multimodal {
     def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
     require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
       s"media id=$id: not a RIFF/WAVE payload")
-    var off = 12
+    // the offset walks in LONG: a corrupt near-Int.MaxValue chunk size
+    // would overflow an Int offset to negative and the next tag() would
+    // throw a raw StringIndexOutOfBounds instead of the id-tagged error
+    // this decoder promises
+    var off = 12L
     var rate = -1
     var channels = -1
     var dataOff = -1
     var dataLen = -1
     while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
-      val chunk = tag(off)
-      val sz = le32(off + 4)
+      val o = off.toInt
+      val chunk = tag(o)
+      val sz = le32(o + 4)
       // a corrupt negative size would walk the offset backwards forever
       require(sz >= 0, s"media id=$id: negative RIFF chunk size $sz")
       if (chunk == "fmt ") {
-        require(off + 24 <= bytes.length,
+        require(o + 24 <= bytes.length,
           s"media id=$id: truncated fmt chunk")
-        val fmt = le16(off + 8)
+        val fmt = le16(o + 8)
         require(fmt == 1,
           s"media id=$id: WAV audioFormat=$fmt, only PCM (1) supported")
-        channels = le16(off + 10)
-        rate = le32(off + 12)
-        val bits = le16(off + 22)
+        channels = le16(o + 10)
+        rate = le32(o + 12)
+        val bits = le16(o + 22)
         require(bits == 16,
           s"media id=$id: $bits-bit WAV, only PCM16 supported")
         require(channels > 0, s"media id=$id: zero-channel WAV")
-      } else if (chunk == "data") { dataOff = off + 8; dataLen = sz }
-      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      } else if (chunk == "data") { dataOff = o + 8; dataLen = sz }
+      off += 8L + sz + (sz & 1) // RIFF chunks are word-aligned
     }
     require(rate > 0 && dataOff >= 0, s"media id=$id: missing fmt/data chunk")
     val end = math.min(dataOff.toLong + dataLen, bytes.length.toLong).toInt

@@ -105,6 +105,13 @@ object MultimodalQueries {
     * extracts rms/zero-crossings; the oracle recomputes both straight from
     * character codes ((code-128)/128 is exactly the normalized sample), so
     * a hash match proves the container round-trip, not just the math.
+    *
+    * ASCII assumption (shared with mm_frame_sample): Spark derives samples
+    * from UTF-8 BYTES (getBytes) while the oracle walks CODE POINTS
+    * (unicode/substr/length) — equal only while every char is single-byte
+    * ASCII, which the driver's synthetic corpus guarantees by
+    * construction. A non-ASCII corpus would need the oracle rewritten over
+    * encode(text) blobs.
     */
   val mmAudio = Q(
     "mm_audio",

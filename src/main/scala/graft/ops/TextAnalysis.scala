@@ -371,8 +371,19 @@ object TextAnalysis {
       percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1),
       s"percentiles must be within [0,1], got $percentiles")
-    val pCols = percentiles.map(p =>
-      expr(s"percentile(n_tokens, $p)").as(s"p${(p * 100).round}"))
+    // label from the full value, not (p*100).round — rounding mapped e.g.
+    // 0.995 and 1.0 both to "p100" (duplicate output columns -> runtime
+    // AnalysisException); stripping the decimal point keeps labels unique
+    // for distinct inputs: 0.5 -> p0_5, 0.995 -> p0_995
+    def label(p: Double): String =
+      if (p * 100 == (p * 100).floor) s"p${(p * 100).toLong}"
+      else s"p${p.toString.replace('.', '_')}"
+    val labels = percentiles.map(label)
+    require(labels.distinct.size == labels.size,
+      s"percentile labels collide: $percentiles -> $labels")
+    val pCols = percentiles.zip(labels).map { case (p, l) =>
+      expr(s"percentile(n_tokens, $p)").as(l)
+    }
     df.select(col(groupCol),
       size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
       .groupBy(col(groupCol))

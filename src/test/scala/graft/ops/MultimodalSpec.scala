@@ -150,4 +150,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("id=7"))
   }
+
+  test("WAV decode: huge corrupt chunk size fails with the id-tagged error, not overflow") {
+    // a chunk claiming ~Int.MaxValue bytes would wrap an Int offset
+    // negative (off += 8 + sz) and crash with a raw
+    // StringIndexOutOfBoundsException from tag(); the Long walk must
+    // instead terminate and raise the contractual id-tagged require
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(Int.MaxValue - 4)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16(9L, bb.array())
+    }
+    assert(e.getMessage.contains("id=9"), e.getMessage)
+  }
 }

@@ -263,6 +263,24 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(0) == fp(1))
   }
 
+  test("lengthProfile: fractional percentiles get unique labels") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0 until 20)
+      .map(i => (i.toLong, "src", ("tok " * (i + 1)).trim))
+      .toDF("id", "source", "text")
+    // 0.995 and 1.0 both rounded to "p100" before the fix -> duplicate
+    // output columns and a runtime AnalysisException
+    val cols = TextAnalysis.lengthProfile(docs, "text", "source",
+      Seq(0.5, 0.995, 1.0)).columns.toSeq
+    assert(cols == Seq("source", "n_docs", "p50", "p0_995", "p100"))
+    // genuinely equal percentiles still fail loudly, not with dup columns
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.lengthProfile(docs, "text", "source", Seq(0.5, 0.5))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("multimodal: stub decode plumbing produces stable features") {
     val media = Multimodal.mediaFromDocuments(spark,
       docs.select($"doc_id", $"text", length($"text").as("n_chars")))
