@@ -348,7 +348,19 @@ object Dedup {
     import spark.implicits._
     Seq((shingleSize, numHashes)).toDF("shingle_size", "num_hashes")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // a rebuild may change the pinned params — drop the cached copy
+    metaCache.remove(path)
   }
+
+  /** Per-JVM cache of each index's pinned (shingle_size, num_hashes):
+    * meta is immutable between [[buildDedupIndex]] calls (which
+    * invalidate), so streaming ingest stops paying a parquet head() per
+    * micro-batch. An index rebuilt WITH DIFFERENT PARAMS by another JVM
+    * mid-stream would be read stale here — but that scenario corrupts the
+    * signature table itself long before the cache matters.
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
   /** Max distinct (band, bucket) keys broadcast to prune the stored side
     * of a dedup-index search/append. The design case is an incremental
@@ -432,12 +444,15 @@ object Dedup {
         rowsPerBand, maxBroadcastKeys))
   }
 
-  /** Batch signatures under a stored index's pinned params. */
+  /** Batch signatures under a stored index's pinned params (read once per
+    * JVM per path — see [[metaCache]]).
+    */
   private def sigsForIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String): (DataFrame, Int) = {
-    val meta = docs.sparkSession.read.parquet(s"$path/meta").head()
-    val shingleSize = meta.getAs[Int]("shingle_size")
-    val numHashes = meta.getAs[Int]("num_hashes")
+    val (shingleSize, numHashes) = metaCache.computeIfAbsent(path, { p =>
+      val meta = docs.sparkSession.read.parquet(s"$p/meta").head()
+      (meta.getAs[Int]("shingle_size"), meta.getAs[Int]("num_hashes"))
+    })
     (minhashSignatures(
       shingles(docs, idCol, textCol, shingleSize), numHashes), numHashes)
   }

@@ -268,6 +268,25 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dbPath/centroids")
   }
 
+  /** Assign each vector to its nearest STORED centroid by cosine
+    * (broadcast — centroids are k rows; ties to the smallest label), the
+    * frozen-quantizer step shared by every incremental index ingest path.
+    * Returns (vec_id, embedding, label).
+    */
+  private def assignToStoredCentroids(corpus: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    corpus
+      .withColumn("vn", norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("centroid")) / (col("vn") * norm(col("centroid"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"))
+  }
+
   /** Incrementally add vectors to a persisted IVF index: assign each new
     * vector to its nearest STORED centroid (broadcast — centroids are k
     * rows) and append into that label's partition directory. Standard IVF
@@ -278,17 +297,8 @@ object Similarity {
   def appendToAnnIndex(corpus: DataFrame, dbPath: String): Unit = {
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$dbPath/centroids")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val labeled = corpus
-      .withColumn("vn", norm(col("embedding")))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        dot(col("embedding"), col("centroid")) / (col("vn") * norm(col("centroid"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("label"))
-    labeled.write.mode("append").partitionBy("label")
+    assignToStoredCentroids(corpus, cents)
+      .write.mode("append").partitionBy("label")
       .parquet(s"$dbPath/vectors")
   }
 
@@ -364,15 +374,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$dbPath/centroids")
     val books = spark.read.parquet(s"$dbPath/codebooks")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val assigned = corpus
-      .withColumn("vn", norm(col("embedding")))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("embedding"), col("centroid"))
-        / (col("vn") * norm(col("centroid"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val assigned = assignToStoredCentroids(corpus, cents)
       .select(col("vec_id"), col("label"))
     pqEncode(corpus, books, dim, nSub)
       .join(assigned, Seq("vec_id"))
