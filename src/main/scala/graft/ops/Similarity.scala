@@ -348,18 +348,24 @@ object Similarity {
     */
   def buildPqIndex(corpus: DataFrame, dbPath: String, nClusters: Int,
       dim: Int, nSub: Int, pqK: Int, iters: Int = 5): Unit = {
-    val labels = kmeans(corpus, nClusters, iters)
-    val labeled = corpus.join(labels, Seq("vec_id"))
-    val books = pqTrain(corpus, dim, nSub, pqK, iters)
-    books.write.mode("overwrite").parquet(s"$dbPath/codebooks")
-    val spark = corpus.sparkSession
-    pqEncode(corpus, spark.read.parquet(s"$dbPath/codebooks"), dim, nSub)
-      .join(labeled.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("label")
-      .parquet(s"$dbPath/codes")
-    // coarse centroids from the raw vectors (codes can't reconstruct them)
-    centroids(labeled, "label")
-      .write.mode("overwrite").parquet(s"$dbPath/centroids")
+    // cache(): the label table feeds BOTH artifact writes below (codes
+    // partitioning and coarse centroids), and kmeans' returned assignment
+    // is lazy — uncached, each use would re-run the final broadcast
+    // assignment pass over the corpus. (vec_id, label) rows are ~16 bytes.
+    val labels = kmeans(corpus, nClusters, iters).cache()
+    try {
+      val labeled = corpus.join(labels, Seq("vec_id"))
+      val books = pqTrain(corpus, dim, nSub, pqK, iters)
+      books.write.mode("overwrite").parquet(s"$dbPath/codebooks")
+      val spark = corpus.sparkSession
+      pqEncode(corpus, spark.read.parquet(s"$dbPath/codebooks"), dim, nSub)
+        .join(labels, Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"$dbPath/codes")
+      // coarse centroids from the raw vectors (codes can't reconstruct them)
+      centroids(labeled, "label")
+        .write.mode("overwrite").parquet(s"$dbPath/centroids")
+    } finally labels.unpersist()
   }
 
   /** Incrementally add vectors to a persisted IVF-PQ index: assign each

@@ -137,15 +137,54 @@ object DedupStream {
     * stored centroids assign the batch (broadcast, k rows) and each
     * vector appends into its label partition, so ingest stays O(batch)
     * per trigger and existing partitions never rewrite. The index at
-    * `dbPath` must exist (`Similarity.buildAnnIndex`). At-least-once on
-    * replay (a replayed batch re-appends its vectors), same contract and
-    * caveat as [[indexAppendSink]].
+    * `dbPath` must exist (`Similarity.buildAnnIndex`).
+    *
+    * EXACTLY-ONCE under replay via the same persisted batchId
+    * high-watermark as [[indexAppendSink]]: a redelivered batch at or
+    * below `<dbPath>/stream_commit` is skipped outright (an ANN append
+    * has no per-batch output to recompute). Same residual
+    * crash-between-append-and-marker window, one tiny parquet write wide.
     */
   def annAppendSink(vectors: DataFrame,
       dbPath: String): DataStreamWriter[Row] =
-    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.ops.Similarity.appendToAnnIndex(batch, dbPath)
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processAnnBatch(batch, batchId, dbPath)
     }
+
+  /** One micro-batch of [[annAppendSink]], exposed for replay testing. */
+  def processAnnBatch(batch: DataFrame, batchId: Long, dbPath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batchId > committedBatchId(spark, dbPath)) {
+      graft.ops.Similarity.appendToAnnIndex(batch, dbPath)
+      Seq(batchId).toDF("batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dbPath/stream_commit")
+    }
+  }
+
+  /** Streaming ingest into a persisted IVF-PQ index — [[annAppendSink]]'s
+    * twin over `ops.Similarity.appendToPqIndex`: frozen stored centroids
+    * route each batch vector, the STORED codebooks encode it, and only
+    * codes land in the label partitions. Same exactly-once replay contract
+    * (persisted batchId high-watermark at `<dbPath>/stream_commit`).
+    */
+  def pqAppendSink(vectors: DataFrame, dbPath: String, dim: Int,
+      nSub: Int): DataStreamWriter[Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processPqBatch(batch, batchId, dbPath, dim, nSub)
+    }
+
+  /** One micro-batch of [[pqAppendSink]], exposed for replay testing. */
+  def processPqBatch(batch: DataFrame, batchId: Long, dbPath: String,
+      dim: Int, nSub: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batchId > committedBatchId(spark, dbPath)) {
+      graft.ops.Similarity.appendToPqIndex(batch, dbPath, dim, nSub)
+      Seq(batchId).toDF("batch_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dbPath/stream_commit")
+    }
+  }
 
   /** Streaming near-dup pairs: every emitted hit pairs a new document with
     * an earlier one in the same band bucket at Hamming distance <=

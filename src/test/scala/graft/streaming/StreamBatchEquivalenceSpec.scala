@@ -334,6 +334,63 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     plants.foreach { case (pid, _) =>
       assert(got(pid - 1000L) == pid, s"plant $pid not found via the index")
     }
+
+    // replay: redelivering the last batch must not duplicate its vectors
+    val nVecs = spark.read.parquet(s"$dir/vectors").count()
+    DedupStream.processAnnBatch(plants.drop(2).toDF("vec_id", "embedding"),
+      1L, dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == nVecs)
+    assert(DedupStream.committedBatchId(spark, dir) == 1L)
+  }
+
+  test("streamed PQ appends == batch appendToPqIndex; replay appends nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val dirsV = Seq(
+      Array.tabulate(dim)(i => if (i < 8) 10.0 else 0.0),
+      Array.tabulate(dim)(i => if (i >= 8) 10.0 else 0.0))
+    val base = dirsV.zipWithIndex.flatMap { case (dv, b) =>
+      (0 until 25).map { j =>
+        ((b * 25 + j).toLong, dv.map(_ + rnd.nextGaussian() * 0.3))
+      }
+    }
+    val batch1 = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(_ + rnd.nextGaussian() * 0.05))
+    }
+    val batch2 = base.filter(_._1 % 10 == 5).map { case (i, v) =>
+      (i + 2000L, v.map(_ + rnd.nextGaussian() * 0.05))
+    }
+
+    // twin indexes: one fed by explicit batch appends, one by the sink body
+    val bDir = java.nio.file.Files.createTempDirectory("pqsinkb").toString
+    val sDir = java.nio.file.Files.createTempDirectory("pqsinks").toString
+    Seq(bDir, sDir).foreach { p =>
+      graft.ops.Similarity.buildPqIndex(base.toDF("vec_id", "embedding"),
+        p, nClusters = 2, dim = dim, nSub = 4, pqK = 4, iters = 3)
+    }
+    graft.ops.Similarity.appendToPqIndex(batch1.toDF("vec_id", "embedding"),
+      bDir, dim, nSub = 4)
+    graft.ops.Similarity.appendToPqIndex(batch2.toDF("vec_id", "embedding"),
+      bDir, dim, nSub = 4)
+    DedupStream.processPqBatch(batch1.toDF("vec_id", "embedding"), 0L,
+      sDir, dim, nSub = 4)
+    DedupStream.processPqBatch(batch2.toDF("vec_id", "embedding"), 1L,
+      sDir, dim, nSub = 4)
+
+    def search(p: String) = graft.ops.Similarity.searchPqIndexed(spark, p,
+      base.filter(_._1 % 10 == 0).toDF("vec_id", "embedding"),
+      dim, nSub = 4, pqK = 4, topK = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(search(sDir) == search(bDir) && search(bDir).nonEmpty)
+
+    // replay of the last batch: the codes table must not grow
+    val nCodes = spark.read.parquet(s"$sDir/codes").count()
+    DedupStream.processPqBatch(batch2.toDF("vec_id", "embedding"), 1L,
+      sDir, dim, nSub = 4)
+    assert(spark.read.parquet(s"$sDir/codes").count() == nCodes)
+    assert(DedupStream.committedBatchId(spark, sDir) == 1L)
   }
 
   test("streaming decontamination == batch Curate.decontaminate") {
