@@ -124,13 +124,18 @@ object DedupStream {
   }
 
   /** The persisted replay high-watermark; -1 when no batch committed yet
-    * (fresh index — the marker directory does not exist).
+    * (fresh index — the marker directory does not exist) or when the
+    * marker is unreadable/empty (a crash mid-overwrite): degrading to -1
+    * re-runs the batch — one duplicate append, the same documented
+    * residual window — instead of crash-looping the stream on head() of
+    * an empty table.
     */
   def committedBatchId(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Long =
-    try spark.read.parquet(s"$indexPath/stream_commit")
-      .head().getAs[Long]("batch_id")
-    catch { case _: org.apache.spark.sql.AnalysisException => -1L }
+    try {
+      val rows = spark.read.parquet(s"$indexPath/stream_commit").collect()
+      if (rows.isEmpty) -1L else rows.map(_.getAs[Long]("batch_id")).max
+    } catch { case _: org.apache.spark.sql.AnalysisException => -1L }
 
   /** Streaming ingest into a persisted IVF ANN index: each micro-batch
     * runs `ops.Similarity.appendToAnnIndex` via foreachBatch — frozen
