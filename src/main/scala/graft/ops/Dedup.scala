@@ -832,6 +832,50 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Incrementally merge a batch of NEW near-dup pairs into an existing
+    * (node, component) labeling without recomputing connected components
+    * over history — the cluster-maintenance twin of
+    * [[appendToDedupIndex]]: the index makes pair DISCOVERY O(batch), this
+    * makes cluster maintenance O(touched clusters).
+    *
+    * Correctness shape: a component label is its minimum member id, so the
+    * label table compresses every prior edge into per-component STARS
+    * (member → min-member). Min-label propagation over only (a) the new
+    * pairs and (b) the star edges of components the batch touches yields
+    * exactly the labels a full [[components]] recompute over (all old
+    * pairs ∪ new pairs) would assign: merged sets get min(union of member
+    * ids), and components untouched by the batch cannot change — they pass
+    * through untouched beyond two semi-joins on the (small) label table.
+    * Convergence is O(new-pair chain diameter) rounds, not historical
+    * diameter — stars have diameter 2 regardless of how the component grew.
+    *
+    * `labels` is (node, component) from [[components]] or a previous merge;
+    * `newPairs` is (a, b) (e.g. an [[appendToDedupIndex]] batch result).
+    * Pairs between brand-new docs work — they simply touch no existing
+    * component. Output: (node, component), same contract as [[components]].
+    */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val p = newPairs.select(col("a"), col("b")).cache()
+    val batchNodes = p.select(col("a").as("node"))
+      .union(p.select(col("b").as("node"))).distinct()
+    // components with at least one member in the batch
+    val touchedComps = labels.join(batchNodes, Seq("node"), "left_semi")
+      .select(col("component")).distinct()
+    // their star edges (min-member rows are (m, m) — no self-edge needed:
+    // every component has >= 2 members, so m appears on the b side)
+    val starPairs = labels.join(touchedComps, Seq("component"), "left_semi")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("a"), col("component").as("b"))
+    val merged = components(starPairs.unionByName(p), maxIter)
+    p.unpersist()
+    // joining on "component" moves it to the first column — re-project so
+    // the (node, component) contract matches components()
+    labels.join(touchedComps, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+      .unionByName(merged.select(col("node"), col("component")))
+  }
+
   /** SimHash near-dup pairs: every (a < b) pair within `maxHamming` where
     * AT LEAST ONE side satisfies `queryPred` — a query doc's near-dups are
     * reported regardless of which side has the smaller id (the

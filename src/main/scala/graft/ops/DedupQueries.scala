@@ -172,6 +172,39 @@ object DedupQueries {
       FROM nodes n JOIN reach r ON r.a = n.node
       GROUP BY n.node ORDER BY doc_id"""))
 
+  /** Incremental cluster maintenance: components over the 90%-old pair
+    * set, then mergeComponents folds in every pair touching the 10% batch
+    * — the result must equal a FULL recompute over all pairs, which is
+    * exactly what the oracle computes (the same recursive transitive
+    * closure as dedup_components). Validates the star-compression merge:
+    * touched components relabel through min-label propagation over stars +
+    * new pairs, untouched components pass through.
+    */
+  val dedupComponentsIncr = Q(
+    "dedup_components_incr",
+    (s, d) => {
+      val pairs = Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+        .cache()
+      val oldPairs = pairs.filter(col("a") % 10 =!= 0 && col("b") % 10 =!= 0)
+      val batch = pairs.filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      Dedup.mergeComponents(Dedup.components(oldPairs), batch)
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $duckPairs,
+      edges AS (
+        SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      nodes AS (SELECT DISTINCT a AS node FROM edges)
+      SELECT n.node AS doc_id, LEAST(n.node, MIN(r.b)) AS component
+      FROM nodes n JOIN reach r ON r.a = n.node
+      GROUP BY n.node ORDER BY doc_id"""))
+
   /** Keep-best apply: one survivor per transitive near-dup cluster, argmax
     * of n_chars (ties to smallest id). The oracle replays the recursive
     * closure and the per-component ROW_NUMBER winner rule.
@@ -427,7 +460,7 @@ object DedupQueries {
       FROM spans ORDER BY doc_id, span_start"""))
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupMinhashEst,
-    dedupIndexSearch, dedupComponents, dedupApplyBest, dedupSimhash,
-    dedupNgramJaccard, dedupSimhashPairs, dedupSubstringSpans,
+    dedupIndexSearch, dedupComponents, dedupComponentsIncr, dedupApplyBest,
+    dedupSimhash, dedupNgramJaccard, dedupSimhashPairs, dedupSubstringSpans,
     dedupSubstringStrip, dedupSubstringKeepOne)
 }

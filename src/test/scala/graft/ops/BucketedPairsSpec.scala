@@ -259,6 +259,38 @@ class BucketedPairsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("mergeComponents: directed cases — bridge, new-new, untouched pass-through") {
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val labels = Dedup.components(old)
+    // one batch: a bridge merging clusters 1 and 10 via a NEW doc 100, a
+    // pair of brand-new docs, and nothing touching cluster {20, 21}
+    val batch = Seq((3L, 100L), (100L, 10L), (500L, 501L)).toDF("a", "b")
+    val got = Dedup.mergeComponents(labels, batch).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      100L -> 1L, 500L -> 500L, 501L -> 500L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("mergeComponents == full components recompute on random pair splits") {
+    val rnd = new scala.util.Random(23)
+    (0 until 3).foreach { round =>
+      // random sparse graph: ~90 edges over 120 nodes -> many multi-node
+      // components, chains, and isolated pairs
+      val pairs = (0 until 90).map { _ =>
+        val x = rnd.nextInt(120).toLong
+        val y = rnd.nextInt(120).toLong
+        (math.min(x, y), math.max(x, y))
+      }.filter(p => p._1 != p._2).distinct
+      val (oldP, newP) = pairs.splitAt(pairs.length * 2 / 3)
+      val full = Dedup.components(pairs.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val merged = Dedup.mergeComponents(
+        Dedup.components(oldP.toDF("a", "b")), newP.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged == full, s"round $round: incremental != full recompute")
+    }
+  }
+
   test("embeddingNearDup: plants survive bucketing, precision is exact") {
     val rnd = new scala.util.Random(7)
     val dims = 16
