@@ -123,6 +123,57 @@ object DedupStream {
     pairs.write.mode("overwrite").parquet(s"$pairsOutPath/batch=$batchId")
   }
 
+  /** Streaming end-to-end incremental curation: per micro-batch, dedup
+    * the batch against the persisted index ([[processIndexBatch]] — pairs
+    * involving the batch, exactly-once signature append), then fold those
+    * pairs into a persisted (node, component) labels table via
+    * `ops.Dedup.mergeComponents` — pair DISCOVERY and cluster MAINTENANCE
+    * both O(batch-ish) per trigger, with `<labelsPath>` always holding the
+    * labels a full recompute over every pair seen so far would produce.
+    *
+    * Replay-safe end to end: the signature append is guarded by the
+    * batchId high-watermark, the batch's pairs directory overwrites
+    * itself, and the label merge is IDEMPOTENT — re-merging pairs already
+    * folded in relabels the same components to the same minima — so a
+    * redelivered batch converges to the same labels table.
+    */
+  def clusterMaintSink(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, pairsOutPath: String, labelsPath: String,
+      rowsPerBand: Int = 2, threshold: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processClusterBatch(batch, batchId, idCol, textCol, indexPath,
+        pairsOutPath, labelsPath, rowsPerBand, threshold)
+    }
+
+  /** One micro-batch of [[clusterMaintSink]], exposed for replay testing. */
+  def processClusterBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexPath: String, pairsOutPath: String,
+      labelsPath: String, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): Unit = {
+    processIndexBatch(batch, batchId, idCol, textCol, indexPath,
+      pairsOutPath, rowsPerBand, threshold)
+    val spark = batch.sparkSession
+    // the batch's own materialized pairs output — no recompute
+    val pairs = spark.read.parquet(s"$pairsOutPath/batch=$batchId")
+    val prev =
+      try spark.read.parquet(labelsPath)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("node",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("component",
+                org.apache.spark.sql.types.LongType))))
+      }
+    // eager snapshot BEFORE overwriting the directory the plan reads from
+    // (the appendToDedupIndex snapshot-before-write rule)
+    val merged = graft.ops.Dedup.mergeComponents(prev, pairs)
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(labelsPath)
+  }
+
   /** The persisted replay high-watermark; -1 when no batch committed yet
     * (fresh index — the marker directory does not exist) or when the
     * marker is unreadable/empty (a crash mid-overwrite): degrading to -1

@@ -296,6 +296,49 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(DedupStream.committedBatchId(spark, dir) == 1L)
   }
 
+  test("cluster maintenance sink: streamed labels == full components recompute; replay converges") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(i: Long) = (i, (0 until 10).map(j =>
+      words(((i / 3) + j).toInt % words.length)).mkString(" "))
+    val all = (0L until 50L).map(doc)
+    val batches = Seq(all.take(20), all.slice(20, 40), all.drop(40))
+
+    // empty initial index: every pair of the streamed corpus is discovered
+    // when its later member arrives, so the union of per-batch pairs is
+    // the full estimated pair set
+    val idxDir = java.nio.file.Files.createTempDirectory("clmidx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("clmout").toString
+    val labDir = java.nio.file.Files.createTempDirectory("clmlab").toString + "/labels"
+    graft.ops.Dedup.buildDedupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", idxDir, shingleSize = 2, numHashes = 8)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupStream.processClusterBatch(b.toDF("doc_id", "text"), i.toLong,
+        "doc_id", "text", idxDir, outDir, labDir)
+    }
+    def labelMap() = spark.read.parquet(labDir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+
+    // ground truth: components over the full corpus's estimated pair set
+    val truth = graft.ops.Dedup.components(
+      graft.ops.Dedup.nearDuplicatesEstimated(all.toDF("doc_id", "text"),
+        "doc_id", "text", shingleSize = 2, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = labelMap()
+    assert(streamed == truth && truth.nonEmpty)
+
+    // replay of the last batch: signature append skipped, label merge
+    // idempotent — the labels table converges to the same state
+    DedupStream.processClusterBatch(batches.last.toDF("doc_id", "text"), 2L,
+      "doc_id", "text", idxDir, outDir, labDir)
+    assert(labelMap() == truth)
+    assert(spark.read.parquet(s"$idxDir/signatures").count() == 50L)
+  }
+
   test("streamed ANN appends == batch appendToAnnIndex (same partitions, same neighbors)") {
     val spark = TestSpark.spark
     import spark.implicits._
