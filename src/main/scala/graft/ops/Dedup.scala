@@ -856,6 +856,32 @@ object Dedup {
     */
   def mergeComponents(labels: DataFrame, newPairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    val (touchedComps, delta) = mergeParts(labels, newPairs, maxIter)
+    // joining on "component" moves it to the first column — re-project so
+    // the (node, component) contract matches components()
+    labels.join(touchedComps, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+      .unionByName(delta)
+  }
+
+  /** The RELABELED subset of [[mergeComponents]] only: (node, component)
+    * for every node in a component the batch touches, plus brand-new
+    * nodes — i.e. exactly the rows whose label may differ from `labels`.
+    * The partial-rewrite primitive for persisted label tables: a sink
+    * bucketing labels by NODE hash rewrites only the buckets holding
+    * delta nodes (a node's bucket never changes, so relabeling never
+    * migrates rows across partitions — see
+    * `streaming/DedupStream.processClusterBatch`).
+    */
+  def mergeComponentsDelta(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame =
+    mergeParts(labels, newPairs, maxIter)._2
+
+  /** Shared core of the incremental merge: (touched components, relabeled
+    * delta rows).
+    */
+  private def mergeParts(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int): (DataFrame, DataFrame) = {
     val p = newPairs.select(col("a"), col("b")).cache()
     val batchNodes = p.select(col("a").as("node"))
       .union(p.select(col("b").as("node"))).distinct()
@@ -869,11 +895,7 @@ object Dedup {
       .select(col("node").as("a"), col("component").as("b"))
     val merged = components(starPairs.unionByName(p), maxIter)
     p.unpersist()
-    // joining on "component" moves it to the first column — re-project so
-    // the (node, component) contract matches components()
-    labels.join(touchedComps, Seq("component"), "left_anti")
-      .select(col("node"), col("component"))
-      .unionByName(merged.select(col("node"), col("component")))
+    (touchedComps, merged.select(col("node"), col("component")))
   }
 
   /** SimHash near-dup pairs: every (a < b) pair within `maxHamming` where

@@ -127,29 +127,41 @@ object DedupStream {
     * the batch against the persisted index ([[processIndexBatch]] — pairs
     * involving the batch, exactly-once signature append), then fold those
     * pairs into a persisted (node, component) labels table via
-    * `ops.Dedup.mergeComponents` — pair DISCOVERY and cluster MAINTENANCE
-    * both O(batch-ish) per trigger, with `<labelsPath>` always holding the
-    * labels a full recompute over every pair seen so far would produce.
+    * `ops.Dedup.mergeComponentsDelta` — pair DISCOVERY and cluster
+    * MAINTENANCE both O(batch-ish) per trigger, with `<labelsPath>`
+    * always holding the labels a full recompute over every pair seen so
+    * far would produce (read it with `spark.read.parquet(labelsPath)`;
+    * rows carry an extra `lbucket` partition column).
+    *
+    * 100 TB write shape: labels persist PARTITIONED by node-hash bucket,
+    * and each trigger rewrites ONLY the buckets holding relabeled nodes
+    * (dynamic partition overwrite). Bucketing by NODE — not component —
+    * is what makes the partial rewrite sound: a node's bucket never
+    * changes, so relabeling can never migrate a row out of a partition
+    * and leave a stale copy behind. Per-batch write cost is
+    * O(|touched buckets|), not O(|all labels|).
     *
     * Replay-safe end to end: the signature append is guarded by the
     * batchId high-watermark, the batch's pairs directory overwrites
     * itself, and the label merge is IDEMPOTENT — re-merging pairs already
-    * folded in relabels the same components to the same minima — so a
-    * redelivered batch converges to the same labels table.
+    * folded in relabels the same components to the same minima, so a
+    * redelivered batch rewrites the same buckets with the same rows.
     */
   def clusterMaintSink(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, pairsOutPath: String, labelsPath: String,
-      rowsPerBand: Int = 2, threshold: Double = 0.5): DataStreamWriter[Row] =
+      rowsPerBand: Int = 2, threshold: Double = 0.5,
+      nBuckets: Int = 64): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processClusterBatch(batch, batchId, idCol, textCol, indexPath,
-        pairsOutPath, labelsPath, rowsPerBand, threshold)
+        pairsOutPath, labelsPath, rowsPerBand, threshold, nBuckets)
     }
 
   /** One micro-batch of [[clusterMaintSink]], exposed for replay testing. */
   def processClusterBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, indexPath: String, pairsOutPath: String,
-      labelsPath: String, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): Unit = {
+      labelsPath: String, rowsPerBand: Int = 2, threshold: Double = 0.5,
+      nBuckets: Int = 64): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     processIndexBatch(batch, batchId, idCol, textCol, indexPath,
       pairsOutPath, rowsPerBand, threshold)
     val spark = batch.sparkSession
@@ -157,6 +169,7 @@ object DedupStream {
     val pairs = spark.read.parquet(s"$pairsOutPath/batch=$batchId")
     val prev =
       try spark.read.parquet(labelsPath)
+        .select(col("node"), col("component"))
       catch {
         case _: org.apache.spark.sql.AnalysisException =>
           spark.createDataFrame(
@@ -167,11 +180,27 @@ object DedupStream {
               org.apache.spark.sql.types.StructField("component",
                 org.apache.spark.sql.types.LongType))))
       }
-    // eager snapshot BEFORE overwriting the directory the plan reads from
+    def bucket(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(nBuckets.toLong))
+    // eager snapshot BEFORE overwriting directories the plan reads from
     // (the appendToDedupIndex snapshot-before-write rule)
-    val merged = graft.ops.Dedup.mergeComponents(prev, pairs)
+    val delta = graft.ops.Dedup.mergeComponentsDelta(prev, pairs)
       .localCheckpoint()
-    merged.write.mode("overwrite").parquet(labelsPath)
+    // rewrite exactly the buckets holding delta nodes: delta rows plus the
+    // bucket-mates whose labels did not change ride along, everything else
+    // stays on disk untouched
+    val affected = delta.select(bucket(col("node")).as("lbucket")).distinct()
+    val keep = prev.withColumn("lbucket", bucket(col("node")))
+      .join(affected, Seq("lbucket"), "left_semi")
+      .join(delta.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("component"))
+    delta.unionByName(keep)
+      .withColumn("lbucket", bucket(col("node")))
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lbucket")
+      .parquet(labelsPath)
   }
 
   /** The persisted replay high-watermark; -1 when no batch committed yet

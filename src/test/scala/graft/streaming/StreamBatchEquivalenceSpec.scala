@@ -299,10 +299,10 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
   test("cluster maintenance sink: streamed labels == full components recompute; replay converges") {
     val spark = TestSpark.spark
     import spark.implicits._
-    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-      "eta", "theta", "iota", "kappa", "lambda", "mu")
-    def doc(i: Long) = (i, (0 until 10).map(j =>
-      words(((i / 3) + j).toInt % words.length)).mkString(" "))
+    // 10 DISJOINT clusters of 5 identical docs (per-group vocabularies
+    // share nothing): later batches touch only their own clusters, so the
+    // partial-rewrite assertion below is satisfiable
+    def doc(i: Long) = (i, (0 until 10).map(j => s"w${i / 5}x$j").mkString(" "))
     val all = (0L until 50L).map(doc)
     val batches = Seq(all.take(20), all.slice(20, 40), all.drop(40))
 
@@ -331,12 +331,27 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     val streamed = labelMap()
     assert(streamed == truth && truth.nonEmpty)
 
+    // the labels table is node-hash bucketed for partial rewrites
+    val bucketDirs = new java.io.File(labDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lbucket="))
+    assert(bucketDirs.nonEmpty)
+    def fileState() = bucketDirs.flatMap(d => d.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified())).toMap
+
     // replay of the last batch: signature append skipped, label merge
-    // idempotent — the labels table converges to the same state
+    // idempotent — the labels table converges to the same state, and only
+    // the buckets holding the replayed delta's nodes are rewritten
+    val before = fileState()
     DedupStream.processClusterBatch(batches.last.toDF("doc_id", "text"), 2L,
       "doc_id", "text", idxDir, outDir, labDir)
     assert(labelMap() == truth)
     assert(spark.read.parquet(s"$idxDir/signatures").count() == 50L)
+    val after = fileState()
+    val untouched = before.keySet.intersect(after.keySet)
+      .count(p => before(p) == after(p))
+    assert(untouched > 0,
+      "replay rewrote every bucket — the partial-rewrite path is not partial")
   }
 
   test("streamed ANN appends == batch appendToAnnIndex (same partitions, same neighbors)") {
