@@ -42,7 +42,34 @@ object Curate {
 
   /** Returns the kept rows of `df` (original columns). */
   def curate(df: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame =
+    cascade(df, idCol, textCol, cfg)._3
+
+  /** Per-stage survivor counts of the [[curate]] cascade — the funnel
+    * telemetry a production curation run reports ("how much did each
+    * filter remove?"). One row per stage: 0_input, 1_quality,
+    * 2_exact_dedup, 3_near_dup; `n_docs` is the count SURVIVING that
+    * stage. Stage prefixes replay within one plan (AQE exchange reuse
+    * dedupes the shared subtrees; the exact-deduped frame is cached by
+    * the cascade either way).
+    */
+  def curateReport(df: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
+    val (qualityDocs, exactDeduped, kept) = cascade(df, idCol, textCol, cfg)
+    def c(stage: String, d: DataFrame) =
+      d.agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    c("0_input", df)
+      .unionByName(c("1_quality", qualityDocs))
+      .unionByName(c("2_exact_dedup", exactDeduped))
+      .unionByName(c("3_near_dup", kept))
+  }
+
+  /** The cascade's three stage outputs (quality-gated, exact-deduped,
+    * near-dup-removed), shared by [[curate]] and [[curateReport]].
+    */
+  private def cascade(df: DataFrame, idCol: String, textCol: String,
+      cfg: Config): (DataFrame, DataFrame, DataFrame) = {
     // 1. quality gate
     val q = TextAnalysis.qualityFeatures(df, idCol, textCol)
       .filter(qualityPred(cfg))
@@ -70,7 +97,7 @@ object Curate {
       else
         Dedup.nearDuplicates(exactDeduped, idCol, textCol,
           cfg.shingleSize, cfg.numHashes, cfg.rowsPerBand, cfg.nearDupThreshold)
-    Dedup.applyNearDups(exactDeduped, idCol, pairs)
+    (qualityDocs, exactDeduped, Dedup.applyNearDups(exactDeduped, idCol, pairs))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing at least

@@ -164,22 +164,12 @@ object TextQueries {
              ROUND(LN((SELECT COUNT(*) FROM documents) * 1.0 / df), 4) AS idf
       FROM agg ORDER BY token"""))
 
-  /** The full curation cascade (quality gate -> exact dedup -> LSH near-dup
-    * removal) hash-checked end to end: the oracle replays every stage in
-    * SQL over the same corpus.
+  /** Shared DuckDB CTE chain replaying the full curation cascade at
+    * minTokens=30, stopword 0.02, threshold 0.8: quality gate (`kept1`),
+    * exact dedup (`kept2`), LSH candidates + exact-Jaccard losers
+    * (`losers`). Callers prefix `WITH ` and select from kept1/kept2/losers.
     */
-  val textCurate = Q(
-    "text_curate",
-    (s, d) => {
-      val cfg = Curate.Config(minTokens = 30, minStopwordRatio = 0.02,
-        nearDupThreshold = 0.8)
-      Curate.curate(T.documents(s, d), "doc_id", "text", cfg)
-        .select(col("doc_id"),
-          size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      WITH tok0 AS (
+  private val duckCurateChain = """tok0 AS (
         SELECT doc_id, text,
                regexp_split_to_array(text, '\s+') AS w,
                regexp_split_to_array(lower(text), '\s+') AS wl
@@ -237,10 +227,55 @@ object TextQueries {
         FROM common c
         JOIN sizes za ON za.id = c.a
         JOIN sizes zb ON zb.id = c.b
-        WHERE c.ncommon * 1.0 / (za.setsize + zb.setsize - c.ncommon) >= 0.8)
+        WHERE c.ncommon * 1.0 / (za.setsize + zb.setsize - c.ncommon) >= 0.8)"""
+
+  /** The full curation cascade (quality gate -> exact dedup -> LSH near-dup
+    * removal) hash-checked end to end: the oracle replays every stage in
+    * SQL over the same corpus.
+    */
+  val textCurate = Q(
+    "text_curate",
+    (s, d) => {
+      val cfg = Curate.Config(minTokens = 30, minStopwordRatio = 0.02,
+        nearDupThreshold = 0.8)
+      Curate.curate(T.documents(s, d), "doc_id", "text", cfg)
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $duckCurateChain
       SELECT k.doc_id, CAST(k.n_tokens AS BIGINT) AS n_tokens
       FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
       WHERE l.b IS NULL ORDER BY doc_id"""))
+
+  /** The cascade's funnel telemetry: one row per stage with the count
+    * surviving it. The oracle replays the same chain and unions scalar
+    * counts — so the per-stage shrink itself is verified, not only the
+    * final kept set.
+    */
+  val textCurateReport = Q(
+    "text_curate_report",
+    (s, d) => {
+      val cfg = Curate.Config(minTokens = 30, minStopwordRatio = 0.02,
+        nearDupThreshold = 0.8)
+      Curate.curateReport(T.documents(s, d), "doc_id", "text", cfg)
+        .orderBy(col("stage"))
+    },
+    Some(s"""
+      WITH $duckCurateChain
+      SELECT * FROM (
+        SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        UNION ALL
+        SELECT '1_quality', CAST(COUNT(*) AS BIGINT) FROM kept1
+        UNION ALL
+        SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM kept2
+        UNION ALL
+        SELECT '3_near_dup', CAST(COUNT(*) AS BIGINT)
+        FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
+        WHERE l.b IS NULL)
+      ORDER BY stage"""))
 
   /** The scale-path cascade: same quality gate and exact dedup, but the
     * near-dup verify is minhash-signature agreement
@@ -522,6 +557,6 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
-    textCurateEst, textBm25, textLengthProfile, textWinnow, textLmPpl,
-    textRepetition)
+    textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
+    textLmPpl, textRepetition)
 }
