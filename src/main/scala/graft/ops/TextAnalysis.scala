@@ -390,6 +390,48 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), pCols: _*)
   }
 
+  /** Vocabulary growth curve (Heaps-law telemetry): the corpus splits into
+    * `nBuckets` id-range slices (ingestion order for monotonically
+    * assigned ids) and each bucket reports docs, token occurrences, the
+    * token TYPES first seen in it, and the cumulative vocabulary — the
+    * "is the vocabulary saturating?" report that sizes tokenizers and
+    * predicts dedup yield on the next crawl slice.
+    *
+    * Scale shape: one explode + one hash aggregation keyed by token (the
+    * min-first-bucket per type), one by bucket; the cumulative sum runs
+    * over nBuckets rows (a driver-scale window, not a corpus one). The
+    * only scalar action is the max-id read.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val maxId = df.agg(max(col(idCol).cast("long"))).head().getLong(0)
+    val bucket = least(
+      floor(col("_id").cast("double") * nBuckets / (maxId + 1.0)),
+      lit(nBuckets - 1)).cast("int")
+    val toks = df
+      .select(col(idCol).cast("long").as("_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("bucket", bucket)
+    val perBucket = toks.groupBy(col("bucket"))
+      .agg(countDistinct(col("_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy(col("token"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      // nBuckets rows total: the unpartitioned running-sum window is a
+      // driver-scale frame, not a corpus move
+      .withColumn("cum_vocab", sum(col("new_types")).over(w))
+  }
+
   /** BM25 relevance search: top-k docs for a bag-of-words query
     * (Robertson et al.; Lucene's always-positive idf form
     * ln(1 + (N - df + 0.5)/(df + 0.5))). The exploration/retrieval query a

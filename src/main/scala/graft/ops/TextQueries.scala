@@ -555,8 +555,43 @@ object TextQueries {
       LEFT JOIN cov ON cov.id = b.id
       ORDER BY doc_id"""))
 
+  /** Heaps-law vocabulary growth over id-order corpus slices: per decile,
+    * docs, token occurrences, first-seen token types, cumulative vocab.
+    * The oracle mirrors the bucket formula (double math, floor, clamp)
+    * and the min-first-bucket per type.
+    */
+  val textVocabGrowth = Q(
+    "text_vocab_growth",
+    (s, d) => {
+      TextAnalysis.vocabGrowth(T.documents(s, d), "doc_id", "text",
+        nBuckets = 10)
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+      toks AS (
+        SELECT doc_id,
+               CAST(LEAST(FLOOR(doc_id * 10.0 / (m + 1.0)), 9) AS INT) AS bucket,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        FROM documents, mx),
+      t AS (SELECT * FROM toks WHERE length(token) > 0),
+      pb AS (
+        SELECT bucket, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM t GROUP BY 1),
+      fs AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+          SELECT token, MIN(bucket) AS bucket FROM t GROUP BY 1)
+        GROUP BY 1)
+      SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+             COALESCE(fs.new_types, 0) AS new_types,
+             SUM(COALESCE(fs.new_types, 0))
+               OVER (ORDER BY pb.bucket) AS cum_vocab
+      FROM pb LEFT JOIN fs USING (bucket)
+      ORDER BY bucket"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
-    textLmPpl, textRepetition)
+    textLmPpl, textRepetition, textVocabGrowth)
 }

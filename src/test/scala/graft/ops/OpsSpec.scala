@@ -263,6 +263,21 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(0) == fp(1))
   }
 
+  test("vocabGrowth: types count where first seen, cumulative vocab saturates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // bucket 0 (ids 0-9): vocabulary {a b c}; bucket 1 (ids 10-19): the
+    // same vocabulary plus {d} — only d is new in the second slice
+    val docs = ((0 until 10).map(i => (i.toLong, "a b c a")) ++
+      (10 until 20).map(i => (i.toLong, "a b c d"))).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text", nBuckets = 2)
+      .orderBy("bucket")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq((0, 10L, 40L, 3L, 3L), (1, 10L, 40L, 1L, 4L)))
+  }
+
   test("lengthProfile: fractional percentiles get unique labels") {
     val spark = TestSpark.spark
     import spark.implicits._
