@@ -405,7 +405,9 @@ object TextAnalysis {
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 10): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val maxId = df.agg(max(col(idCol).cast("long"))).head().getLong(0)
+    val maxRow = df.agg(max(col(idCol).cast("long"))).head()
+    // empty corpus: max() is null — zero buckets to report
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val bucket = least(
       floor(col("_id").cast("double") * nBuckets / (maxId + 1.0)),
       lit(nBuckets - 1)).cast("int")

@@ -276,6 +276,10 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(got.toSeq == Seq((0, 10L, 40L, 3L, 3L), (1, 10L, 40L, 1L, 4L)))
+    // empty corpus: zero rows, not a null-max crash
+    assert(TextAnalysis.vocabGrowth(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", nBuckets = 2).count() == 0)
   }
 
   test("lengthProfile: fractional percentiles get unique labels") {
