@@ -22,9 +22,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter for fast local single-query
-    // differentials (tools/check.py); the driver sets nothing => all
+    // differentials (tools/check.py); the driver sets nothing => all.
+    // A set-but-empty/blank value also means "all" — an unset-vs-empty
+    // shell mixup must not silently filter out every query
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(',').map(_.trim).toSet)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -432,16 +432,26 @@ object Dedup {
   /** `rowCountHint`: when the caller already knows (an upper bound on) the
     * probe batch size, passing it skips the one count() action this method
     * otherwise spends on the prune-strategy decision.
+    *
+    * `excludeProbeFromStored`: drop stored rows whose id is in the probe
+    * batch before bucketing — the REPLAY mode: when the probe batch's own
+    * signatures were already committed to the index, keeping both copies
+    * inflates bucket membership and a bucket near `maxBucket` could drop
+    * wholesale on replay while it survived the original run (divergent
+    * pair output). With the exclusion, a replayed search sees exactly the
+    * pre-append index state and reproduces the original pairs at ANY cap
+    * state.
     */
   def searchDedupIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, rowsPerBand: Int = 2, threshold: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket,
       maxBroadcastKeys: Long = DefaultMaxBroadcastKeys,
-      rowCountHint: Option[Long] = None): DataFrame = {
+      rowCountHint: Option[Long] = None,
+      excludeProbeFromStored: Boolean = false): DataFrame = {
     val (probeSigs, numHashes) = sigsForIndex(docs, idCol, textCol, path)
     indexPairs(probeSigs, path, numHashes, rowsPerBand, threshold, maxBucket,
       touchedFits(rowCountHint.getOrElse(docs.count()), numHashes,
-        rowsPerBand, maxBroadcastKeys))
+        rowsPerBand, maxBroadcastKeys), excludeProbeFromStored)
   }
 
   /** Batch signatures under a stored index's pinned params (read once per
@@ -467,15 +477,22 @@ object Dedup {
     */
   private def indexPairs(newSigs: DataFrame, path: String, numHashes: Int,
       rowsPerBand: Int, threshold: Double, maxBucket: Int,
-      broadcastTouched: Boolean): DataFrame = {
+      broadcastTouched: Boolean,
+      excludeProbeFromStored: Boolean = false): DataFrame = {
     val spark = newSigs.sparkSession
     val newBanded = bandSignatures(newSigs, numHashes, rowsPerBand)
     val touched = newBanded.select(col("band"), col("bucket")).distinct()
     val prune =
       if (broadcastTouched) broadcast(touched)
       else touched.hint("shuffle_hash")
-    val storedBanded = bandSignatures(
-      spark.read.parquet(s"$path/signatures"), numHashes, rowsPerBand)
+    val storedRaw = spark.read.parquet(s"$path/signatures")
+    // replay mode: the probe's own committed copies would double-count
+    // bucket membership (see searchDedupIndex scaladoc)
+    val stored =
+      if (excludeProbeFromStored)
+        storedRaw.join(newSigs.select(col("id")), Seq("id"), "left_anti")
+      else storedRaw
+    val storedBanded = bandSignatures(stored, numHashes, rowsPerBand)
       .join(prune, Seq("band", "bucket"), "left_semi")
     val banded = storedBanded.withColumn("isn", lit(false))
       .unionByName(newBanded.withColumn("isn", lit(true)))
@@ -885,9 +902,14 @@ object Dedup {
     val p = newPairs.select(col("a"), col("b")).cache()
     val batchNodes = p.select(col("a").as("node"))
       .union(p.select(col("b").as("node"))).distinct()
-    // components with at least one member in the batch
+    // components with at least one member in the batch — eagerly
+    // checkpointed (it's a small distinct-component set): the returned
+    // frames must not depend on `p` after the unpersist below, or the
+    // caller's final action would replay the whole newPairs pipeline
+    // uncached
     val touchedComps = labels.join(batchNodes, Seq("node"), "left_semi")
       .select(col("component")).distinct()
+      .localCheckpoint()
     // their star edges (min-member rows are (m, m) — no self-edge needed:
     // every component has >= 2 members, so m appears on the b side)
     val starPairs = labels.join(touchedComps, Seq("component"), "left_semi")

@@ -139,22 +139,31 @@ object Similarity {
     * cosine >= threshold where EITHER side is a query member — the same
     * either-side membership contract as [[embeddingNearDup]] (a query doc
     * carrying the larger vec_id of a pair still qualifies). The recall
-    * baseline for [[embeddingNearDup]]; O(|C|^2) — do not run at corpus
-    * scale.
+    * baseline for [[embeddingNearDup]]; O(|Q| x |C|) with only the QUERY
+    * side broadcast — the corpus never crosses itself: the query set
+    * scans the corpus once per orientation (query id smaller, query id
+    * larger), and both-query pairs, present in both orientations, dedupe
+    * via distinct.
     */
   def embeddingNearDupExact(corpus: DataFrame, queryPred: Column,
       threshold: Double): DataFrame = {
-    val flagged = corpus.select(col("vec_id"), col("embedding"),
-      queryPred.as("isq"))
-    val l = flagged.select(col("vec_id").as("a"), col("embedding").as("qv"),
-      norm(col("embedding")).as("qn"), col("isq").as("aq"))
-    val r = flagged.select(col("vec_id").as("b"), col("embedding").as("cv"),
-      norm(col("embedding")).as("cn"), col("isq").as("bq"))
-    l.crossJoin(broadcast(r))
-      .filter(col("a") < col("b") && (col("aq") || col("bq")))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), col("cos"))
+    val q = corpus.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    def oriented(asA: Boolean) = {
+      val keep = if (asA) col("qid") < col("cid") else col("cid") < col("qid")
+      c.crossJoin(broadcast(q))
+        .filter(keep)
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .filter(col("cos") >= threshold)
+        .select(
+          (if (asA) col("qid") else col("cid")).as("a"),
+          (if (asA) col("cid") else col("qid")).as("b"),
+          col("cos"))
+    }
+    oriented(asA = true).unionByName(oriented(asA = false)).distinct()
   }
 
   /** Deterministic ±1 SRP vector for projection `p`: weight i is +1 when

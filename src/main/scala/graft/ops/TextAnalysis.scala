@@ -374,10 +374,14 @@ object TextAnalysis {
     // label from the full value, not (p*100).round — rounding mapped e.g.
     // 0.995 and 1.0 both to "p100" (duplicate output columns -> runtime
     // AnalysisException); stripping the decimal point keeps labels unique
-    // for distinct inputs: 0.5 -> p0_5, 0.995 -> p0_995
-    def label(p: Double): String =
-      if (p * 100 == (p * 100).floor) s"p${(p * 100).toLong}"
+    // for distinct inputs: 0.5 -> p0_5, 0.995 -> p0_995. Integer-percent
+    // detection uses a tolerance, not == — 0.07*100 is 7.000000000000001
+    // in doubles and exact equality would leak "p0_07" for it.
+    def label(p: Double): String = {
+      val h = p * 100
+      if (math.abs(h - h.round) < 1e-9) s"p${h.round}"
       else s"p${p.toString.replace('.', '_')}"
+    }
     val labels = percentiles.map(label)
     require(labels.distinct.size == labels.size,
       s"percentile labels collide: $percentiles -> $labels")

@@ -93,29 +93,37 @@ object DedupStream {
     */
   def indexAppendSink(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, pairsOutPath: String, rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataStreamWriter[Row] =
+      threshold: Double = 0.5,
+      maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processIndexBatch(batch, batchId, idCol, textCol, indexPath,
-        pairsOutPath, rowsPerBand, threshold)
+        pairsOutPath, rowsPerBand, threshold, maxBucket)
     }
 
   /** One micro-batch of [[indexAppendSink]], exposed so replay semantics
     * are testable without restarting a streaming query. See the sink's
-    * scaladoc for the exactly-once contract.
+    * scaladoc for the exactly-once contract. The replay search excludes
+    * the batch's own committed signatures from the stored side
+    * (`excludeProbeFromStored`) so it sees exactly the pre-append index —
+    * without that, bucket membership would double-count the batch and a
+    * bucket near `maxBucket` could drop wholesale on replay while it
+    * survived the original run.
     */
   def processIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, indexPath: String, pairsOutPath: String,
-      rowsPerBand: Int = 2, threshold: Double = 0.5): Unit = {
+      rowsPerBand: Int = 2, threshold: Double = 0.5,
+      maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val pairs =
       if (batchId <= committedBatchId(spark, indexPath)) {
         // REPLAY: signatures already committed — recompute pairs read-only
         graft.ops.Dedup.searchDedupIndex(batch, idCol, textCol, indexPath,
-          rowsPerBand, threshold)
+          rowsPerBand, threshold, maxBucket,
+          excludeProbeFromStored = true)
       } else {
         val p = graft.ops.Dedup.appendToDedupIndex(batch, idCol, textCol,
-          indexPath, rowsPerBand, threshold)
+          indexPath, rowsPerBand, threshold, maxBucket)
         Seq(batchId).toDF("batch_id").coalesce(1)
           .write.mode("overwrite").parquet(s"$indexPath/stream_commit")
         p
@@ -162,9 +170,28 @@ object DedupStream {
       labelsPath: String, rowsPerBand: Int = 2, threshold: Double = 0.5,
       nBuckets: Int = 64): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // nBuckets is part of the table's on-disk layout: a different value on
+    // a later run would bucket delta nodes differently and leave stale
+    // duplicate rows in old partitions (dynamic overwrite only touches
+    // partitions that receive rows). Pin it next to the table and fail
+    // loudly on mismatch — BEFORE anything is appended this trigger.
+    val metaPath = s"${labelsPath.stripSuffix("/")}_meta"
+    val storedBuckets =
+      try Some(spark.read.parquet(metaPath).head().getAs[Int]("n_buckets"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    storedBuckets match {
+      case Some(n) => require(n == nBuckets,
+        s"labels table at $labelsPath was built with nBuckets=$n, " +
+          s"got $nBuckets — partial rewrites would leave stale rows; " +
+          "pass the original value or rebuild the table")
+      case None =>
+        Seq(nBuckets).toDF("n_buckets").coalesce(1)
+          .write.mode("overwrite").parquet(metaPath)
+    }
     processIndexBatch(batch, batchId, idCol, textCol, indexPath,
       pairsOutPath, rowsPerBand, threshold)
-    val spark = batch.sparkSession
     // the batch's own materialized pairs output — no recompute
     val pairs = spark.read.parquet(s"$pairsOutPath/batch=$batchId")
     val prev =
@@ -205,17 +232,27 @@ object DedupStream {
 
   /** The persisted replay high-watermark; -1 when no batch committed yet
     * (fresh index — the marker directory does not exist) or when the
-    * marker is unreadable/empty (a crash mid-overwrite): degrading to -1
-    * re-runs the batch — one duplicate append, the same documented
-    * residual window — instead of crash-looping the stream on head() of
-    * an empty table.
+    * marker is unreadable/empty (a crash mid-overwrite can leave a
+    * truncated part file, which surfaces as SparkException/IOException,
+    * not just AnalysisException): degrading to -1 re-runs the batch — one
+    * duplicate append, the same documented residual window — instead of
+    * crash-looping the stream forever on a torn marker. The degradation
+    * is WARNed so a persistent read problem is visible.
     */
   def committedBatchId(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Long =
     try {
       val rows = spark.read.parquet(s"$indexPath/stream_commit").collect()
       if (rows.isEmpty) -1L else rows.map(_.getAs[Long]("batch_id")).max
-    } catch { case _: org.apache.spark.sql.AnalysisException => -1L }
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => -1L // no marker yet
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(DedupStream.getClass).warn(
+          s"unreadable stream_commit marker at $indexPath (${e.getClass
+            .getSimpleName}: ${e.getMessage}) — treating as no commit; " +
+            "the next batch may append once more (at-least-once window)")
+        -1L
+    }
 
   /** Streaming ingest into a persisted IVF ANN index: each micro-batch
     * runs `ops.Similarity.appendToAnnIndex` via foreachBatch — frozen
@@ -286,16 +323,17 @@ object DedupStream {
     *    quadratic emission), and a driver-side WARN names the bucket once,
     *    mirroring the batch observed-metric contract. Run exact dedup
     *    upstream (`dedupStream`) so identical-doc floods collapse first.
-    *  - Horizon eviction — a bucket that sees no new member for
-    *    `horizonSeconds` of EVENT time is removed outright once the
-    *    watermark passes its newest member's ts + horizon
-    *    (EventTimeTimeout, the [[EventsStream.sessionize]] pattern), so
-    *    bucket count is bounded by the docs active inside one
-    *    horizon+delay window instead of growing with stream lifetime.
-    *    The semantic contract: a pair is reported only when its two docs
-    *    arrive within the horizon of each other — the right near-dup
-    *    meaning on an infinite stream (and `horizonSeconds` of centuries
-    *    recovers the old keep-everything behavior on bounded replays).
+    *  - Horizon — the semantic contract "a pair is reported only when its
+    *    two docs arrive within `horizonSeconds` of each other (event
+    *    time)" is enforced PER PAIR via per-member timestamps: a
+    *    continuously-warm bucket still never pairs docs a horizon apart.
+    *    State is bounded to the same window from two directions: buckets
+    *    idle past the horizon are removed outright once the watermark
+    *    passes their newest member's ts + horizon (EventTimeTimeout, the
+    *    [[EventsStream.sessionize]] pattern), and inside a warm bucket,
+    *    members older than watermark - horizon are pruned on access (no
+    *    future in-watermark row can pair with them). `horizonSeconds` of
+    *    centuries recovers keep-everything behavior on bounded replays.
     *
     * `watermarkDelay` bounds how late a doc may arrive and still be
     * compared (events older than the watermark are dropped before the
@@ -313,16 +351,24 @@ object DedupStream {
       // state operator (Spark then rejects EventTimeTimeout outright)
       .withWatermark("ts", watermarkDelay)
       .groupByKey(r => (r.band, r.bval))
-      .flatMapGroupsWithState[(List[(Long, Long)], Long), NearDupHit](
+      .flatMapGroupsWithState[(List[(Long, Long, Long)], Long), NearDupHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (key, rows, state: GroupState[(List[(Long, Long)], Long)]) =>
+        case (key, rows, state: GroupState[(List[(Long, Long, Long)], Long)]) =>
           if (state.hasTimedOut) {
             // watermark passed newest-member ts + horizon: the bucket is
             // cold — drop all members (they can no longer pair in-horizon)
             state.remove()
             Iterator.empty
           } else {
+            val horizonMs = horizonSeconds * 1000
+            val wm = state.getCurrentWatermarkMs()
             var (seen, maxTs) = state.getOption.getOrElse((Nil, Long.MinValue))
+            // a member older than watermark - horizon can never pair again:
+            // every future non-late row has ts > watermark, putting it more
+            // than one horizon away — drop now so a continuously-WARM
+            // bucket's member list stays bounded by the active horizon too
+            // (the bucket-level timeout only covers buckets that go idle)
+            seen = seen.filter { case (_, _, ts) => ts >= wm - horizonMs }
             var nSeen = seen.size
             var warned = false
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
@@ -337,15 +383,19 @@ object DedupStream {
                   warned = true
                 }
               } else {
-                seen.foreach { case (oid, osig) =>
-                  if (oid != r.doc_id) {
+                seen.foreach { case (oid, osig, ots) =>
+                  // the horizon is enforced PER PAIR, not just by bucket
+                  // eviction: a warm bucket must not pair docs arbitrarily
+                  // far apart in event time
+                  if (oid != r.doc_id &&
+                      math.abs(r.ts.getTime - ots) <= horizonMs) {
                     val ham = java.lang.Long.bitCount(osig ^ r.sig)
                     if (ham <= maxHamming)
                       out += NearDupHit(math.min(oid, r.doc_id),
                         math.max(oid, r.doc_id), ham)
                   }
                 }
-                seen ::= (r.doc_id, r.sig)
+                seen ::= (r.doc_id, r.sig, r.ts.getTime)
                 nSeen += 1
               }
             }
@@ -353,7 +403,7 @@ object DedupStream {
             // evict once the watermark passes the horizon after the NEWEST
             // member; clamped above the current watermark (an already-stale
             // batch would otherwise set an in-the-past timeout — rejected)
-            state.setTimeoutTimestamp(math.max(maxTs + horizonSeconds * 1000,
+            state.setTimeoutTimestamp(math.max(maxTs + horizonMs,
               state.getCurrentWatermarkMs() + 1))
             out.iterator
           }

@@ -296,6 +296,62 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(DedupStream.committedBatchId(spark, dir) == 1L)
   }
 
+  test("index replay near the bucket cap reproduces the original pairs exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 5 indexed + 4 batch copies of one text: bucket membership is 9 on
+    // the original run (under maxBucket=10, pairs emit). A replay that
+    // kept the batch's committed signatures on the stored side would see
+    // 9 + 4 = 13 members, drop the bucket wholesale, and write ZERO pairs
+    // — the excludeProbeFromStored replay mode must reproduce all 26
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val dir = java.nio.file.Files.createTempDirectory("idxcap").toString
+    val outDir = java.nio.file.Files.createTempDirectory("idxcapo").toString
+    graft.ops.Dedup.buildDedupIndex(
+      (0L until 5L).map(i => (i, template)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, shingleSize = 2, numHashes = 8)
+    val batch = (10L until 14L).map(i => (i, template)).toDF("doc_id", "text")
+    def pairsOut() = spark.read.parquet(s"$outDir/batch=0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    DedupStream.processIndexBatch(batch, 0L, "doc_id", "text", dir, outDir,
+      maxBucket = 10)
+    val first = pairsOut()
+    assert(first.size == 26) // 4 new x 5 old + C(4,2) within-batch
+    DedupStream.processIndexBatch(batch, 0L, "doc_id", "text", dir, outDir,
+      maxBucket = 10)
+    assert(pairsOut() == first,
+      "replay near the cap diverged from the original pair output")
+  }
+
+  test("warm bucket never pairs docs more than a horizon apart") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val base = 1700000000000L
+    def d(id: Long, sec: Long) =
+      DedupStream.DocRow(id, new java.sql.Timestamp(base + sec * 1000L), template)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DedupStream.DocRow]
+    val q = DedupStream.nearDupPairs(mem.toDS(), maxHamming = 3,
+      horizonSeconds = 60, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ndwarm").outputMode("append")
+      .start()
+    try {
+      // one identical doc every 50-60 s keeps the bucket WARM forever; the
+      // per-pair horizon must still exclude pairs > 60 s apart
+      Seq(d(1L, 0), d(2L, 50), d(3L, 110), d(4L, 170)).foreach { doc =>
+        mem.addData(doc)
+        q.processAllAvailable()
+      }
+      val hits = spark.table("ndwarm").as[DedupStream.NearDupHit]
+        .collect().map(h => (h.a, h.b)).toSet
+      assert(hits == Set((1L, 2L), (2L, 3L), (3L, 4L)),
+        s"expected only adjacent in-horizon pairs, got $hits")
+    } finally q.stop()
+  }
+
   test("cluster maintenance sink: streamed labels == full components recompute; replay converges") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -352,6 +408,14 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .count(p => before(p) == after(p))
     assert(untouched > 0,
       "replay rewrote every bucket — the partial-rewrite path is not partial")
+
+    // the bucket count is part of the on-disk layout: a mismatched value
+    // would strand stale rows in old partitions — it must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      DedupStream.processClusterBatch(batches.last.toDF("doc_id", "text"),
+        2L, "doc_id", "text", idxDir, outDir, labDir, nBuckets = 16)
+    }
+    assert(e.getMessage.contains("nBuckets"))
   }
 
   test("streamed ANN appends == batch appendToAnnIndex (same partitions, same neighbors)") {
