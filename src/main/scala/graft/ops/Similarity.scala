@@ -432,6 +432,38 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Two-stage retrieval over a persisted IVF-PQ index: ADC-scored
+    * candidates from [[searchPqIndexed]] (top `rerankK` per query),
+    * re-ranked by EXACT cosine against the raw corpus — the standard
+    * production ANN shape (Jegou et al.): the index bounds what is
+    * SCANNED, the re-rank fixes ADC's quantization error on the short
+    * candidate list. The codes table stores no raw vectors by design, so
+    * the corpus rides in as a DataFrame and only |Q| x rerankK rows of it
+    * are ever fetched (id-keyed join — no corpus scan beyond the pruned
+    * code partitions).
+    */
+  def searchPqIndexedRerank(spark: org.apache.spark.sql.SparkSession,
+      dbPath: String, corpus: DataFrame, queries: DataFrame, dim: Int,
+      nSub: Int, pqK: Int, topK: Int, rerankK: Int,
+      nprobe: Int): DataFrame = {
+    require(rerankK >= topK, s"rerankK $rerankK must be >= topK $topK")
+    val cands = searchPqIndexed(spark, dbPath, queries, dim, nSub, pqK,
+      rerankK, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Product-quantization codebooks (Jegou et al. 2011): the embedding
     * splits into `nSub` contiguous subvectors and each subspace gets its
     * own deterministic k-means codebook (k centroids of dim/nSub dims).

@@ -544,23 +544,13 @@ object SimilarityQueries {
     * tables) with a `k`-prefixed unrolled-k-means chain for the coarse
     * labels and restricts the ADC scan to probed clusters.
     */
-  val embPqIndexSearch = Q(
-    "emb_pqindex_search",
-    (s, d) => {
-      val emb = T.embeddings(s, d)
-        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_pq_idx").toString
-      Similarity.buildPqIndex(emb, dir, nClusters = 10, dim = 64, nSub = 8,
-        pqK = 8, iters = 2)
-      Similarity.searchPqIndexed(s, dir, emb.filter(col("vec_id") % 50 === 0),
-        dim = 64, nSub = 8, pqK = 8, topK = 10, nprobe = 2)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("score"), 3).as("score"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""
-      WITH $duckPqCode,
+  /** Shared DuckDB chain for the persisted-IVF-PQ oracles: the PQ chain
+    * (codes + ADC tables) composed with a `k`-prefixed unrolled-k-means
+    * chain for the coarse labels, probes, ADC scan restricted to probed
+    * clusters, ending in `kranked(query_id, neighbor_id, score, rank)`.
+    * Callers prefix `WITH ` and select at their own rank cutoff.
+    */
+  private lazy val duckPqIndexChain = s"""$duckPqCode,
       ${duckKmeansChain("k")},
       klab AS (
         SELECT e.vec_id, e.v, a.label FROM e JOIN ka2 a ON a.vec_id = e.vec_id),
@@ -600,11 +590,70 @@ object SimilarityQueries {
         SELECT query_id, neighbor_id, score,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY score DESC, neighbor_id) AS INT) AS rank
-        FROM ksc)
+        FROM ksc)"""
+
+  val embPqIndexSearch = Q(
+    "emb_pqindex_search",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pq_idx").toString
+      Similarity.buildPqIndex(emb, dir, nClusters = 10, dim = 64, nSub = 8,
+        pqK = 8, iters = 2)
+      Similarity.searchPqIndexed(s, dir, emb.filter(col("vec_id") % 50 === 0),
+        dim = 64, nSub = 8, pqK = 8, topK = 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 3).as("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckPqIndexChain
       SELECT query_id, neighbor_id, ROUND(score, 3) AS score, rank
       FROM kranked WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** Two-stage retrieval: ADC candidates from the persisted IVF-PQ index
+    * (top 30), re-ranked by exact cosine against the raw corpus, top 5
+    * kept. The oracle extends the persisted-index chain with the exact
+    * re-rank, so BOTH stages — the approximate candidate cut and the
+    * exact final ordering — are verified.
+    */
+  val embPqIndexRerank = Q(
+    "emb_pqindex_rerank",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pqrr_idx").toString
+      Similarity.buildPqIndex(emb, dir, nClusters = 10, dim = 64, nSub = 8,
+        pqK = 8, iters = 2)
+      Similarity.searchPqIndexedRerank(s, dir, emb,
+        emb.filter(col("vec_id") % 50 === 0),
+        dim = 64, nSub = 8, pqK = 8, topK = 5, rerankK = 30, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckPqIndexChain,
+      cands AS (
+        SELECT query_id, neighbor_id FROM kranked WHERE rank <= 30),
+      pairs AS (
+        SELECT c.query_id, c.neighbor_id, qe2.v AS qv, ce.v AS cv
+        FROM cands c
+        JOIN e qe2 ON qe2.vec_id = c.query_id
+        JOIN e ce ON ce.vec_id = c.neighbor_id),
+      $duckCos,
+      rr AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)
+      SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
+      FROM rr WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
-      embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch)
+      embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
+      embPqIndexRerank)
 }

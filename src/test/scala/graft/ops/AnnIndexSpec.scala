@@ -140,4 +140,37 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(after.nonEmpty)
   }
+
+  test("PQ rerank: exact re-ranking of ADC candidates matches the exact top-k within candidates") {
+    val emb = blobs().cache()
+    val dir = java.nio.file.Files.createTempDirectory("pqrr").toString
+    Similarity.buildPqIndex(emb, dir, nClusters = 3, dim = 4, nSub = 2,
+      pqK = 4, iters = 5)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val rr = Similarity.searchPqIndexedRerank(spark, dir, emb, queries,
+      dim = 4, nSub = 2, pqK = 4, topK = 3, rerankK = 15, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // ground truth: exact cosine over the SAME candidate set (ADC top-15)
+    val cands = Similarity.searchPqIndexed(spark, dir, queries, dim = 4,
+      nSub = 2, pqK = 4, topK = 15, nprobe = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val truth = cands.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id")).toMap
+    assert(rr == truth && rr.nonEmpty)
+    // and on separable blobs the reranked top-1 is the global exact top-1
+    val exact = Similarity.cosineTopK(emb, queries, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rrTop1 = rr.collect { case ((qid, 1), nid) => qid -> nid }
+    assert(rrTop1 == exact)
+  }
 }
