@@ -115,13 +115,7 @@ object Similarity {
     // NOT recomputed per candidate row in the cluster scan below
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("label"))
+    val probes = probeTopCentroids(q, cents, nprobe)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"), col(labelCol).as("label"),
       norm(col("embedding")).as("cn"))
@@ -277,24 +271,36 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dbPath/centroids")
   }
 
+  /** The top-`n` nearest centroids per query row by cosine (broadcast —
+    * centroids are k rows; ties to the smallest label): the shared probe
+    * step of every IVF-family search. `q` must carry (query_id, qv, qn);
+    * output keeps those columns plus `label`, `n` rows per query.
+    */
+  private def probeTopCentroids(q: DataFrame, cents: DataFrame,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
+      .withColumn("prank", row_number().over(w))
+      .filter(col("prank") <= n)
+      .select(col("query_id"), col("qv"), col("qn"), col("label"))
+  }
+
   /** Assign each vector to its nearest STORED centroid by cosine
     * (broadcast — centroids are k rows; ties to the smallest label), the
     * frozen-quantizer step shared by every incremental index ingest path.
     * Returns (vec_id, embedding, label).
     */
   private def assignToStoredCentroids(corpus: DataFrame,
-      cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    corpus
-      .withColumn("vn", norm(col("embedding")))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        dot(col("embedding"), col("centroid")) / (col("vn") * norm(col("centroid"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("label"))
-  }
+      cents: DataFrame): DataFrame =
+    probeTopCentroids(
+      corpus.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), norm(col("embedding")).as("qn")),
+      cents, 1)
+      .select(col("query_id").as("vec_id"), col("qv").as("embedding"),
+        col("label"))
 
   /** Incrementally add vectors to a persisted IVF index: assign each new
     * vector to its nearest STORED centroid (broadcast — centroids are k
@@ -320,13 +326,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$dbPath/centroids")
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("label"))
+    val probes = probeTopCentroids(q, cents, nprobe)
     // partition pruning happens via dynamic partition pruning on the
     // broadcast join below (label is the partition column): the scan lists
     // only the probed directories, with no driver-side collect and no
@@ -410,13 +410,7 @@ object Similarity {
     val books = spark.read.parquet(s"$dbPath/codebooks")
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), norm(col("embedding")).as("qn"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nprobe)
+    val probes = probeTopCentroids(q, cents, nprobe)
       .select(col("query_id"), col("label"))
     val probeTbl = probes
       .join(adcTables(queries, books, dim, nSub, pqK), Seq("query_id"))
@@ -627,13 +621,7 @@ object Similarity {
     val cents = centroids(corpus, labelCol)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), norm(col("embedding")).as("qn"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        dot(col("qv"), col("centroid")) / (col("qn") * norm(col("centroid"))))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nprobe)
+    val probes = probeTopCentroids(q, cents, nprobe)
       .select(col("query_id"), col("label"))
     val probeTbl = probes
       .join(adcTables(queries, codebooks, dim, nSub, k), Seq("query_id"))

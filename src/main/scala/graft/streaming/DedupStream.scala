@@ -114,7 +114,6 @@ object DedupStream {
       rowsPerBand: Int = 2, threshold: Double = 0.5,
       maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
     val pairs =
       if (batchId <= committedBatchId(spark, indexPath)) {
         // REPLAY: signatures already committed — recompute pairs read-only
@@ -124,11 +123,26 @@ object DedupStream {
       } else {
         val p = graft.ops.Dedup.appendToDedupIndex(batch, idCol, textCol,
           indexPath, rowsPerBand, threshold, maxBucket)
-        Seq(batchId).toDF("batch_id").coalesce(1)
-          .write.mode("overwrite").parquet(s"$indexPath/stream_commit")
+        commitBatchId(spark, indexPath, batchId)
         p
       }
     pairs.write.mode("overwrite").parquet(s"$pairsOutPath/batch=$batchId")
+  }
+
+  /** Per-JVM cache of each labels table's pinned bucket count — see the
+    * layout note in [[processClusterBatch]].
+    */
+  private val labelsBucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** Persist the replay high-watermark after a successful append (shared
+    * by every exactly-once sink; see [[committedBatchId]]).
+    */
+  private def commitBatchId(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batchId: Long): Unit = {
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/stream_commit")
   }
 
   /** Streaming end-to-end incremental curation: per micro-batch, dedup
@@ -176,20 +190,23 @@ object DedupStream {
     // a later run would bucket delta nodes differently and leave stale
     // duplicate rows in old partitions (dynamic overwrite only touches
     // partitions that receive rows). Pin it next to the table and fail
-    // loudly on mismatch — BEFORE anything is appended this trigger.
+    // loudly on mismatch — BEFORE anything is appended this trigger. The
+    // pinned value caches per JVM (the sigsForIndex pattern) so steady
+    // streaming stops paying the 1-row parquet read per trigger.
     val metaPath = s"${labelsPath.stripSuffix("/")}_meta"
-    val storedBuckets =
-      try Some(spark.read.parquet(metaPath).head().getAs[Int]("n_buckets"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    storedBuckets match {
-      case Some(n) => require(n == nBuckets,
-        s"labels table at $labelsPath was built with nBuckets=$n, " +
-          s"got $nBuckets — partial rewrites would leave stale rows; " +
-          "pass the original value or rebuild the table")
-      case None =>
-        Seq(nBuckets).toDF("n_buckets").coalesce(1)
-          .write.mode("overwrite").parquet(metaPath)
-    }
+    val storedBuckets = labelsBucketCache.computeIfAbsent(labelsPath, { _ =>
+      try spark.read.parquet(metaPath).head().getAs[Int]("n_buckets")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Seq(nBuckets).toDF("n_buckets").coalesce(1)
+            .write.mode("overwrite").parquet(metaPath)
+          nBuckets
+      }
+    })
+    require(storedBuckets == nBuckets,
+      s"labels table at $labelsPath was built with nBuckets=$storedBuckets, " +
+        s"got $nBuckets — partial rewrites would leave stale rows; " +
+        "pass the original value or rebuild the table")
     processIndexBatch(batch, batchId, idCol, textCol, indexPath,
       pairsOutPath, rowsPerBand, threshold)
     // the batch's own materialized pairs output — no recompute
@@ -199,13 +216,7 @@ object DedupStream {
         .select(col("node"), col("component"))
       catch {
         case _: org.apache.spark.sql.AnalysisException =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("node",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("component",
-                org.apache.spark.sql.types.LongType))))
+          Seq.empty[(Long, Long)].toDF("node", "component")
       }
     def bucket(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(nBuckets.toLong))
@@ -276,11 +287,9 @@ object DedupStream {
   /** One micro-batch of [[annAppendSink]], exposed for replay testing. */
   def processAnnBatch(batch: DataFrame, batchId: Long, dbPath: String): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
     if (batchId > committedBatchId(spark, dbPath)) {
       graft.ops.Similarity.appendToAnnIndex(batch, dbPath)
-      Seq(batchId).toDF("batch_id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dbPath/stream_commit")
+      commitBatchId(spark, dbPath, batchId)
     }
   }
 
@@ -300,11 +309,9 @@ object DedupStream {
   def processPqBatch(batch: DataFrame, batchId: Long, dbPath: String,
       dim: Int, nSub: Int): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
     if (batchId > committedBatchId(spark, dbPath)) {
       graft.ops.Similarity.appendToPqIndex(batch, dbPath, dim, nSub)
-      Seq(batchId).toDF("batch_id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dbPath/stream_commit")
+      commitBatchId(spark, dbPath, batchId)
     }
   }
 

@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.Registry
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time selected queries in isolation (same session config as
   * Bench). `runMain graft.tools.BenchOne [sfDir] [name ...]`; each query is
@@ -13,16 +12,7 @@ object BenchOne {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.tail.toSeq else Seq("q1_agg")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DevSession.local()
     try { spark.read.parquet(s"$sfDir/documents.parquet").count() }
     catch { case _: Throwable => }
     val byName = Registry.byName

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: salt-stable BM25 scale bench (BASELINE §e). The registry's
   * text_bm25 terms ("hash join vector") are renamed by MakeScale's token
@@ -18,15 +17,7 @@ object Bm25Scale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("target/scale/sf1")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DevSession.local()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val terms = Seq("hashz0", "joinz0", "vectorz0")
     val ts = (1 to trials).map { _ =>

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{functions => F, SparkSession}
+import org.apache.spark.sql.{functions => F}
 
 /** Dev tool: measure OPERATIONAL incremental cluster maintenance
   * (BASELINE §e) — the cost a deployed pipeline pays per batch once
@@ -15,15 +15,7 @@ object MergeScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = DevSession.local()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // setup, untimed: pair discovery + the pre-existing label table
     val pairs = graft.ops.Dedup.nearDuplicatesEstimated(docs,
