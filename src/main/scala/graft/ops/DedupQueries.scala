@@ -360,7 +360,7 @@ object DedupQueries {
         FROM m),
       g AS (
         SELECT id, start,
-               SUM(newspan) OVER (PARTITION BY id ORDER BY start) AS span
+               CAST(SUM(newspan) OVER (PARTITION BY id ORDER BY start) AS BIGINT) AS span
         FROM f),
       spans AS (
         SELECT id, MIN(start) AS span_start, MAX(start) + ${w - 1} AS span_end,

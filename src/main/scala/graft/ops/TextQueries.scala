@@ -535,7 +535,7 @@ object TextQueries {
                     THEN 1 ELSE 0 END AS newspan
         FROM m),
       sp AS (
-        SELECT id, SUM(newspan) OVER (PARTITION BY id ORDER BY pos) AS span,
+        SELECT id, CAST(SUM(newspan) OVER (PARTITION BY id ORDER BY pos) AS BIGINT) AS span,
                pos
         FROM f),
       cov AS (
@@ -584,9 +584,9 @@ object TextQueries {
           SELECT token, MIN(bucket) AS bucket FROM t GROUP BY 1)
         GROUP BY 1)
       SELECT pb.bucket, pb.n_docs, pb.n_tokens,
-             COALESCE(fs.new_types, 0) AS new_types,
-             SUM(COALESCE(fs.new_types, 0))
-               OVER (ORDER BY pb.bucket) AS cum_vocab
+             CAST(COALESCE(fs.new_types, 0) AS BIGINT) AS new_types,
+             CAST(SUM(COALESCE(fs.new_types, 0))
+               OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_vocab
       FROM pb LEFT JOIN fs USING (bucket)
       ORDER BY bucket"""))
 

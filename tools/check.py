@@ -20,6 +20,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def kinds(df: pd.DataFrame) -> dict:
+    """Numeric *kind* per column (int vs float vs other), sorted by name.
+
+    The driver hashes pandas values, so a DuckDB HUGEINT (-> float64)
+    vs Spark int64 mismatch fails its gate even when the string-canonical
+    values here are identical. Comparing kinds reproduces that locally.
+    """
+    return {c: df[c].dtype.kind for c in sorted(df.columns)}
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
@@ -70,7 +80,15 @@ def main():
             n_fail += 1
             continue
         a, b = canon(spark_df), canon(duck_df)
-        if list(a.columns) != list(b.columns):
+        ka, kb = kinds(spark_df), kinds(duck_df)
+        kind_diff = {c: (ka[c], kb.get(c)) for c in ka
+                     if c in kb and ka[c] != kb[c]
+                     and {ka[c], kb[c]} & {"i", "u", "f"}}
+        if kind_diff:
+            print(f"FAIL  {name}: dtype kind mismatch (spark, duck): "
+                  f"{kind_diff} — would fail the driver hash")
+            n_fail += 1
+        elif list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns {list(a.columns)} != {list(b.columns)}")
             n_fail += 1
         elif len(a) != len(b):
