@@ -348,8 +348,12 @@ object Dedup {
     import spark.implicits._
     Seq((shingleSize, numHashes)).toDF("shingle_size", "num_hashes")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    // a rebuild may change the pinned params — drop the cached copy
+    // a rebuild may change the pinned params — drop the cached copy, and
+    // drop any streaming replay high-watermark left by a previous stream
+    // (a fresh query restarts batchIds at 0; a stale marker would make
+    // its early batches look already-committed and skip their appends)
     metaCache.remove(path)
+    StreamCommitMarker.clear(spark, path)
   }
 
   /** Per-JVM cache of each index's pinned (shingle_size, num_hashes):

@@ -269,6 +269,9 @@ object Similarity {
     val spark = corpus.sparkSession
     centroids(spark.read.parquet(s"$dbPath/vectors"), "label")
       .write.mode("overwrite").parquet(s"$dbPath/centroids")
+    // rebuild invalidates any streaming replay marker (see the scaladoc
+    // on StreamCommitMarker — stale markers silently drop fresh batches)
+    StreamCommitMarker.clear(spark, dbPath)
   }
 
   /** The top-`n` nearest centroids per query row by cosine (broadcast —
@@ -374,6 +377,7 @@ object Similarity {
       // coarse centroids from the raw vectors (codes can't reconstruct them)
       centroids(labeled, "label")
         .write.mode("overwrite").parquet(s"$dbPath/centroids")
+      StreamCommitMarker.clear(spark, dbPath)
     } finally labels.unpersist()
   }
 
@@ -429,12 +433,14 @@ object Similarity {
   /** Two-stage retrieval over a persisted IVF-PQ index: ADC-scored
     * candidates from [[searchPqIndexed]] (top `rerankK` per query),
     * re-ranked by EXACT cosine against the raw corpus — the standard
-    * production ANN shape (Jegou et al.): the index bounds what is
-    * SCANNED, the re-rank fixes ADC's quantization error on the short
+    * production ANN shape (Jegou et al.): the index bounds what the ADC
+    * stage SCANS, the re-rank fixes ADC's quantization error on the short
     * candidate list. The codes table stores no raw vectors by design, so
-    * the corpus rides in as a DataFrame and only |Q| x rerankK rows of it
-    * are ever fetched (id-keyed join — no corpus scan beyond the pruned
-    * code partitions).
+    * the corpus rides in as a DataFrame; the id-keyed equi-join prunes it
+    * to |Q| x rerankK rows but still reads the corpus ONCE to do so (row
+    * pruning in the join, not partition pruning). For fetch-only
+    * semantics at 100 TB, point `corpus` at an id-partitioned or
+    * id-bucketed table so the join keys prune at scan time.
     */
   def searchPqIndexedRerank(spark: org.apache.spark.sql.SparkSession,
       dbPath: String, corpus: DataFrame, queries: DataFrame, dim: Int,

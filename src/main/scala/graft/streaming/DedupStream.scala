@@ -130,19 +130,40 @@ object DedupStream {
   }
 
   /** Per-JVM cache of each labels table's pinned bucket count — see the
-    * layout note in [[processClusterBatch]].
+    * layout note in [[processClusterBatch]]. Unlike `Dedup.metaCache`,
+    * (re)creation happens inside [[processClusterBatch]] itself, so the
+    * cache is validated against the meta file's existence each trigger:
+    * deleting the table (meta included) drops the stale entry instead of
+    * letting it spuriously pass — or fail — the bucket-count pin.
     */
   private val labelsBucketCache =
     new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
+  /** Drop the cached bucket-count pin for a labels table — call after
+    * deleting/recreating the table out-of-band in the same JVM (the
+    * meta-existence check in [[processClusterBatch]] covers the common
+    * delete-everything case automatically).
+    */
+  def invalidateLabelsMeta(labelsPath: String): Unit =
+    labelsBucketCache.remove(labelsPath)
+
   /** Persist the replay high-watermark after a successful append (shared
     * by every exactly-once sink; see [[committedBatchId]]).
+    *
+    * SINGLE WRITER: one streaming query owns an index path at a time —
+    * two queries sharing a path would clobber each other's marker
+    * (last-writer-wins overwrite) and corrupt both replay guards. An
+    * in-place index rebuild (`Dedup.buildDedupIndex`,
+    * `Similarity.buildAnnIndex`/`buildPqIndex`) deletes the marker so a
+    * fresh query's batchIds (restarting at 0) are not mistaken for
+    * replays.
     */
   private def commitBatchId(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batchId: Long): Unit = {
     import spark.implicits._
     Seq(batchId).toDF("batch_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/stream_commit")
+      .write.mode("overwrite")
+      .parquet(graft.ops.StreamCommitMarker.path(indexPath))
   }
 
   /** Streaming end-to-end incremental curation: per micro-batch, dedup
@@ -194,6 +215,13 @@ object DedupStream {
     // pinned value caches per JVM (the sigsForIndex pattern) so steady
     // streaming stops paying the 1-row parquet read per trigger.
     val metaPath = s"${labelsPath.stripSuffix("/")}_meta"
+    // validate the cache against disk: a deleted-and-recreated table (its
+    // meta gone) must re-pin from the CURRENT run's nBuckets, not the old
+    // JVM-cached value (stale pass = stranded rows, stale fail = spurious)
+    val metaFsPath = new org.apache.hadoop.fs.Path(metaPath)
+    val metaFs =
+      metaFsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!metaFs.exists(metaFsPath)) labelsBucketCache.remove(labelsPath)
     val storedBuckets = labelsBucketCache.computeIfAbsent(labelsPath, { _ =>
       try spark.read.parquet(metaPath).head().getAs[Int]("n_buckets")
       catch {
@@ -253,7 +281,8 @@ object DedupStream {
   def committedBatchId(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Long =
     try {
-      val rows = spark.read.parquet(s"$indexPath/stream_commit").collect()
+      val rows = spark.read
+        .parquet(graft.ops.StreamCommitMarker.path(indexPath)).collect()
       if (rows.isEmpty) -1L else rows.map(_.getAs[Long]("batch_id")).max
     } catch {
       case _: org.apache.spark.sql.AnalysisException => -1L // no marker yet
@@ -367,7 +396,13 @@ object DedupStream {
             state.remove()
             Iterator.empty
           } else {
-            val horizonMs = horizonSeconds * 1000
+            // saturating ms conversion: the scaladoc invites huge horizons
+            // ("centuries recovers keep-everything"), and a naive *1000
+            // past Long.MaxValue/1000 seconds flips negative — silently
+            // suppressing every pair instead of keeping everything
+            val horizonMs =
+              if (horizonSeconds > Long.MaxValue / 1000) Long.MaxValue
+              else horizonSeconds * 1000
             val wm = state.getCurrentWatermarkMs()
             var (seen, maxTs) = state.getOption.getOrElse((Nil, Long.MinValue))
             // a member older than watermark - horizon can never pair again:
@@ -409,8 +444,14 @@ object DedupStream {
             state.update((seen, maxTs))
             // evict once the watermark passes the horizon after the NEWEST
             // member; clamped above the current watermark (an already-stale
-            // batch would otherwise set an in-the-past timeout — rejected)
-            state.setTimeoutTimestamp(math.max(maxTs + horizonMs,
+            // batch would otherwise set an in-the-past timeout — rejected),
+            // with a saturating add so a near-MaxValue horizon means
+            // "never evict", not a negative timeout
+            val evictAt =
+              if (maxTs > 0 && horizonMs > Long.MaxValue - maxTs)
+                Long.MaxValue
+              else maxTs + horizonMs
+            state.setTimeoutTimestamp(math.max(evictAt,
               state.getCurrentWatermarkMs() + 1))
             out.iterator
           }

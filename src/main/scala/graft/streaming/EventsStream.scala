@@ -143,15 +143,15 @@ object EventsStream {
     * are dropped before reaching the state function, and the timeout only
     * fires once the watermark passes end + gap, so a flushed session can
     * never be reopened or extended retroactively (flush-then-extend is
-    * impossible by construction). The default delay is ONE HOUR, not zero:
-    * a zero delay silently drops any event that arrives in a later
-    * micro-batch with a ts below the max already seen — cross-batch
-    * out-of-order arrival is the norm, not the exception, in real feeds.
-    * Pass "0 seconds" explicitly for strictly ts-ordered replays (flushes
-    * one gap earlier).
+    * impossible by construction). The default delay is ZERO — correct for
+    * strictly ts-ordered replays and the earliest possible flush — but
+    * real feeds should pass "1 hour" (or their actual lateness bound): a
+    * zero delay silently drops any event arriving in a later micro-batch
+    * with a ts below the max already seen, and cross-batch out-of-order
+    * arrival is the norm, not the exception, in production.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
-      watermarkDelay: String = "1 hour"): Dataset[SessionUpdate] = {
+      watermarkDelay: String = "0 seconds"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermarkDelay)

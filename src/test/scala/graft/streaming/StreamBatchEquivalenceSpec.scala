@@ -605,4 +605,103 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("in-place index rebuild clears the stream_commit replay marker") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def doc(i: Long) = (i, s"tok${i / 2} filler words shared $i")
+    val dir = java.nio.file.Files.createTempDirectory("rebuildwm").toString
+    val outDir = java.nio.file.Files.createTempDirectory("rebuildwmo").toString
+
+    graft.ops.Dedup.buildDedupIndex((0L until 4L).map(doc)
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    DedupStream.processIndexBatch((4L until 8L).map(doc)
+      .toDF("doc_id", "text"), 0L, "doc_id", "text", dir, outDir)
+    assert(DedupStream.committedBatchId(spark, dir) == 0L)
+
+    // rebuild in place: a FRESH query's batchIds restart at 0 — a stale
+    // marker would make its batch 0 replay read-only and never append
+    graft.ops.Dedup.buildDedupIndex((0L until 4L).map(doc)
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(DedupStream.committedBatchId(spark, dir) == -1L,
+      "rebuild left the old replay high-watermark behind")
+    DedupStream.processIndexBatch((4L until 8L).map(doc)
+      .toDF("doc_id", "text"), 0L, "doc_id", "text", dir, outDir)
+    assert(spark.read.parquet(s"$dir/signatures")
+      .select("id").distinct().count() == 8L,
+      "fresh batch 0 after rebuild did not append its signatures")
+
+    // same contract for the ANN index
+    val annDir = java.nio.file.Files.createTempDirectory("rebuildann").toString
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * j).toDouble + 1.0)))
+      .toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildAnnIndex(vecs(0 until 6), annDir, nClusters = 2)
+    DedupStream.processAnnBatch(vecs(6 until 9), 0L, annDir)
+    assert(DedupStream.committedBatchId(spark, annDir) == 0L)
+    graft.ops.Similarity.buildAnnIndex(vecs(0 until 6), annDir, nClusters = 2)
+    assert(DedupStream.committedBatchId(spark, annDir) == -1L)
+    DedupStream.processAnnBatch(vecs(6 until 9), 0L, annDir)
+    assert(spark.read.parquet(s"$annDir/vectors").count() == 9L,
+      "ANN batch 0 after rebuild was dropped as a replay")
+  }
+
+  test("near-MaxValue horizon means keep-everything, not overflow-suppressed") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val base = 1700000000000L
+    def d(id: Long, sec: Long) =
+      DedupStream.DocRow(id, new java.sql.Timestamp(base + sec * 1000L), template)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DedupStream.DocRow]
+    // horizonSeconds * 1000 would wrap negative without the saturating
+    // conversion — every pair then silently fails the per-pair gate
+    val q = DedupStream.nearDupPairs(mem.toDS(), maxHamming = 3,
+      horizonSeconds = Long.MaxValue, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ndhuge").outputMode("append")
+      .start()
+    try {
+      Seq(d(1L, 0), d(2L, 365L * 24 * 3600)).foreach { doc =>
+        mem.addData(doc)
+        q.processAllAvailable()
+      }
+      val hits = spark.table("ndhuge").as[DedupStream.NearDupHit]
+        .collect().map(h => (h.a, h.b)).toSet
+      assert(hits == Set((1L, 2L)),
+        s"a year-apart pair under a MaxValue horizon must emit, got $hits")
+    } finally q.stop()
+  }
+
+  test("deleted-and-recreated labels table re-pins nBuckets instead of trusting the JVM cache") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def doc(i: Long) = (i, (0 until 10).map(j => s"w${i / 5}x$j").mkString(" "))
+    val root = java.nio.file.Files.createTempDirectory("labrepin").toString
+    val idxDir = s"$root/idx"
+    val outDir = s"$root/pairs"
+    val labDir = s"$root/labels"
+    graft.ops.Dedup.buildDedupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+    DedupStream.processClusterBatch((0L until 10L).map(doc)
+      .toDF("doc_id", "text"), 0L, "doc_id", "text", idxDir, outDir, labDir,
+      nBuckets = 4)
+
+    // wipe the table AND its meta (plus the index, so batch 0 re-ingests)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(root)).deleteRecursively()
+    graft.ops.Dedup.buildDedupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+    // a different nBuckets must be accepted now — the stale cached pin (4)
+    // would spuriously reject it
+    DedupStream.processClusterBatch((0L until 10L).map(doc)
+      .toDF("doc_id", "text"), 0L, "doc_id", "text", idxDir, outDir, labDir,
+      nBuckets = 8)
+    val pinned = spark.read.parquet(s"${labDir}_meta")
+      .head().getAs[Int]("n_buckets")
+    assert(pinned == 8, s"recreated table pinned nBuckets=$pinned, want 8")
+  }
 }
