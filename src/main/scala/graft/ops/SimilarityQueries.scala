@@ -652,8 +652,85 @@ object SimilarityQueries {
       SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
       FROM rr WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Per-JVM prebuilt index fixtures, keyed by sfDir. The `*_probe`
+    * queries below time (and verify) the per-query SEARCH path alone —
+    * probe join, partition-pruned scan, ADC/cosine ranking — which is
+    * what runs per query in production; the `emb_*_index_search` rows
+    * keep timing the whole build→persist→search cascade. The build runs
+    * once per JVM, outside any timed window (Bench warms the fixtures
+    * explicitly before pass 1). Build params match
+    * [[embAnnIndexSearch]] / [[embPqIndexSearch]] exactly, so those
+    * queries' oracles verify the probe rows too.
+    */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureAnnFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    fixtureCache.computeIfAbsent(s"ann:$d", { _ =>
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_fixture").toString
+      Similarity.buildAnnIndex(emb, dir, nClusters = 10, iters = 2)
+      dir
+    })
+
+  def ensurePqFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    fixtureCache.computeIfAbsent(s"pq:$d", { _ =>
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pq_fixture").toString
+      Similarity.buildPqIndex(emb, dir, nClusters = 10, dim = 64, nSub = 8,
+        pqK = 8, iters = 2)
+      dir
+    })
+
+  val embAnnProbe = Q(
+    "emb_ann_probe",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.searchAnnIndexed(s, ensureAnnFixture(s, d),
+        emb.filter(col("vec_id") % 50 === 0), k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    embAnnIndexSearch.oracle)
+
+  val embPqProbe = Q(
+    "emb_pq_probe",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.searchPqIndexed(s, ensurePqFixture(s, d),
+        emb.filter(col("vec_id") % 50 === 0),
+        dim = 64, nSub = 8, pqK = 8, topK = 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 3).as("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    embPqIndexSearch.oracle)
+
+  val embPqRerankProbe = Q(
+    "emb_pq_rerank_probe",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.searchPqIndexedRerank(s, ensurePqFixture(s, d), emb,
+        emb.filter(col("vec_id") % 50 === 0),
+        dim = 64, nSub = 8, pqK = 8, topK = 5, rerankK = 30, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    embPqIndexRerank.oracle)
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
-      embPqIndexRerank)
+      embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe)
 }
