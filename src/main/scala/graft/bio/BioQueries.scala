@@ -258,27 +258,36 @@ object BioQueries {
       FROM best b JOIN gated g USING (query_id, target_id)
       ORDER BY query_id, target_id"""))
 
+  /** Aligned rows of the bundled Cas7-11 MSA fixture (header lines
+    * stripped, wrapped sequence lines joined) — shared by the profile
+    * queries below.
+    */
+  private lazy val msaAligned: Vector[String] = {
+    val in = getClass.getResourceAsStream("/MSA_Cas7-11_multiline.fa")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    val msa = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    lines.foreach { l =>
+      if (l.startsWith(">")) {
+        if (cur.nonEmpty) { msa += cur.toString; cur.clear() }
+      } else cur ++= l.trim
+    }
+    if (cur.nonEmpty) msa += cur.toString
+    msa.toVector
+  }
+
   /** F4 profile search: one PSSM profile built from the bundled Cas7-11 MSA
     * (all 21 aligned rows), searched against the degapped member sequences —
     * consensus k-mers seed the prefilter, the gapped aligner scores targets
     * against the per-position profile columns. Not SQL-expressible =>
-    * rows-only; scoring correctness is covered by ProfilesSpec.
+    * rows-only; scoring correctness is covered by ProfilesSpec and the
+    * relational prefix by [[bioProfilePrefilter]]'s hash-checked oracle.
     */
   val bioProfileSearch = Q(
     "bio_profile_search",
     (s, _) => {
       import s.implicits._
-      val in = getClass.getResourceAsStream("/MSA_Cas7-11_multiline.fa")
-      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      // records: header line, then wrapped sequence lines
-      val msa = scala.collection.mutable.ArrayBuffer.empty[String]
-      val cur = new StringBuilder
-      lines.foreach { l =>
-        if (l.startsWith(">")) {
-          if (cur.nonEmpty) { msa += cur.toString; cur.clear() }
-        } else cur ++= l.trim
-      }
-      if (cur.nonEmpty) msa += cur.toString
+      val msa = msaAligned
       val prof = Profiles.fromAlignedSeqs(msa.toSeq)
       val profiles = Seq((0L, "cas711_profile", prof))
         .toDF("seqId", "header", "profile")
@@ -294,6 +303,132 @@ object BioQueries {
     None,
     bench = false) // fixed-size fixture, like bio_selfsearch_m8
 
+  /** The Cas7-11 profile's masked consensus string — the exact input
+    * `QueryTable.rowsForProfile` windows over (consensus extraction +
+    * tantan masking, with masked positions as 'X'). Computed once, plain
+    * Scala; embedded as a literal in [[bioProfilePrefilter]]'s oracle.
+    */
+  private lazy val profMaskedConsensus: String = {
+    val m = Matrices.blosum62
+    val prof = Profiles.fromAlignedSeqs(msaAligned)
+    val cons = Profiles.extractConsensus(prof, m)
+    val ords = Tantan.mask(cons.map(c => m.aa2num(c & 0xff)).toArray, m)
+    ords.map(o => m.alphabet(o)).mkString
+  }
+
+  /** The profile path's RELATIONAL PREFIX, hash-checked: masked-consensus
+    * k-mers (exact seeding — the profile twin of `--exact-kmer-matching`,
+    * ref `Parameters.cpp:2255`) joined against the A1 argmax target index,
+    * count-gated (strict >, `comparekmertables.cpp`), with C10 diagonals.
+    * The oracle takes the masked consensus and the degapped member
+    * sequences as LITERALS and independently replays every relational
+    * stage in DuckDB: 9-windowing, base-20 positional encoding, X-window
+    * drop, the argmax index (longest target, ties -> smallest id, min-pos
+    * representative), the k-mer join, the match-count gate, and
+    * kmerPos - tpos diagonals. PSSM-specific stages (consensus extraction,
+    * tantan masking, lattice similar-k-mer expansion, profile alignment)
+    * stay spec/REFDIFF-covered — with this row the profile path is
+    * partially hash-checked instead of rows-only.
+    */
+  val bioProfilePrefilter = Q(
+    "bio_profile_prefilter",
+    (s, _) => {
+      import s.implicits._
+      val prof = Profiles.fromAlignedSeqs(msaAligned)
+      val profiles = Seq((0L, "cas711_profile", prof))
+        .toDF("seqId", "header", "profile")
+      val targets = msaAligned.zipWithIndex.map { case (row, i) =>
+        val seq = row.replace("-", "").replace(".", "").toUpperCase
+        (i.toLong, s"member$i", seq, seq.length)
+      }.toSeq.toDF("seqId", "header", "seq", "seqLen")
+      val params = PetaSearch.Params()
+      val index = KmerIndex.buildWithPos(targets, params.k,
+        params.mode.kmerAlphabet)
+      val qk = QueryTable.buildFromProfiles(s, profiles,
+        params.query.copy(k = params.k, seedMatrix = params.mode.seedMatrix,
+          kmerAlphabetSize = params.mode.kmerAlphabet.length,
+          exactKmerMatching = true))
+      Prefilter.runWithDiag(qk, index, params.requiredKmerMatches)
+        .groupBy(col("queryId").as("query_id"),
+          col("targetId").as("target_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("kmer")).as("n_kmers"),
+          min(col("diag")).as("min_diag"), max(col("diag")).as("max_diag"))
+        .orderBy(col("target_id"))
+    },
+    Some {
+      val ka = Matrices.KmerAlphabet
+      val k = KmerIndex.DefaultK
+      val tvals = msaAligned.zipWithIndex.map { case (row, i) =>
+        val seq = row.replace("-", "").replace(".", "").toUpperCase
+        s"($i, '$seq')"
+      }.mkString(",\n        ")
+      s"""
+      WITH tseq(target_id, seq) AS (VALUES
+        $tvals),
+      ts AS (
+        SELECT target_id, seq, CAST(length(seq) AS BIGINT) AS n_chars
+        FROM tseq),
+      tki AS (
+        SELECT target_id, n_chars, seq,
+               unnest(generate_series(1, n_chars - ${k - 1})) AS i
+        FROM ts WHERE n_chars >= $k),
+      tkm AS (
+        SELECT target_id, n_chars, i - 1 AS pos,
+               substr(seq, CAST(i AS INT), $k) AS s
+        FROM tki),
+      tenc AS (
+        SELECT target_id, n_chars, pos,
+               CAST(SUM((strpos('$ka', substr(s, CAST(j.j AS INT), 1)) - 1)
+                    * POWER(${ka.length}, j.j - 1)) AS BIGINT) AS kmer,
+               MIN(strpos('$ka', substr(s, CAST(j.j AS INT), 1))) AS minp
+        FROM tkm, generate_series(1, $k) AS j(j)
+        GROUP BY target_id, n_chars, pos, s),
+      tvalid AS (
+        SELECT target_id, n_chars, pos, kmer FROM tenc WHERE minp > 0),
+      perdoc AS (
+        SELECT kmer, target_id, n_chars, CAST(MIN(pos) AS INT) AS tpos
+        FROM tvalid GROUP BY 1, 2, 3),
+      idx AS (
+        SELECT kmer, target_id, tpos FROM (
+          SELECT kmer, target_id, tpos,
+                 ROW_NUMBER() OVER (PARTITION BY kmer
+                                    ORDER BY n_chars DESC, target_id) AS rn
+          FROM perdoc) WHERE rn = 1),
+      qs AS (
+        SELECT '$profMaskedConsensus' AS cons),
+      qki AS (
+        SELECT cons,
+               unnest(generate_series(1,
+                 CAST(length(cons) AS BIGINT) - ${k - 1})) AS i
+        FROM qs WHERE length(cons) >= $k),
+      qkm AS (
+        SELECT i - 1 AS kmer_pos, substr(cons, CAST(i AS INT), $k) AS s
+        FROM qki),
+      qenc AS (
+        SELECT kmer_pos,
+               CAST(SUM((strpos('$ka', substr(s, CAST(j.j AS INT), 1)) - 1)
+                    * POWER(${ka.length}, j.j - 1)) AS BIGINT) AS kmer,
+               MIN(strpos('$ka', substr(s, CAST(j.j AS INT), 1))) AS minp
+        FROM qkm, generate_series(1, $k) AS j(j)
+        GROUP BY kmer_pos, s),
+      qvalid AS (SELECT kmer_pos, kmer FROM qenc WHERE minp > 0),
+      hits AS (
+        SELECT CAST(0 AS BIGINT) AS query_id,
+               CAST(i.target_id AS BIGINT) AS target_id, v.kmer,
+               CAST(v.kmer_pos - i.tpos AS INT) AS diag
+        FROM qvalid v JOIN idx i USING (kmer)),
+      gated AS (
+        SELECT query_id, target_id FROM hits
+        GROUP BY 1, 2 HAVING COUNT(*) > ${Prefilter.RequiredKmerMatches})
+      SELECT h.query_id, h.target_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(COUNT(DISTINCT h.kmer) AS BIGINT) AS n_kmers,
+             MIN(h.diag) AS min_diag, MAX(h.diag) AS max_diag
+      FROM hits h JOIN gated g USING (query_id, target_id)
+      GROUP BY 1, 2 ORDER BY target_id"""
+    },
+    bench = false) // fixed-size fixture, like the other profile rows
+
   def all: Seq[Q] = Seq(bioKmerIndex, bioPrefilter, bioM8Relational,
-    bioSelfSearch, bioProfileSearch)
+    bioSelfSearch, bioProfileSearch, bioProfilePrefilter)
 }
