@@ -60,6 +60,30 @@ object MergeScale {
         graft.ops.Dedup.mergeComponents(labelsB, batchB).count()
       }
     }
+    // scenario C (fixed ABSOLUTE batch vs scaled labels): the batch is
+    // replica 0's %10 pairs — IDENTICAL at any MakeScale k, since salting
+    // preserves replica 0's pair structure exactly — while the label
+    // table scales with k. Backs the O(touched-clusters + batch) claim
+    // directly: the delta path's time should be ~flat in k (ratio ≈ 1×),
+    // because untouched components cost only the two label-table
+    // semi-joins, never CC work. mergeComponentsDelta is the operational
+    // primitive (its output is bounded by touched clusters, so the count
+    // doesn't rescan the untouched passthrough); the full-contract
+    // mergeComponents row shows the O(labels) passthrough union on top.
+    val stride = 1000000L
+    val inBatchC = F.col("a") < stride && F.col("b") < stride &&
+      (F.col("a") % 10 === 0 || F.col("b") % 10 === 0)
+    val batchC = pairs.filter(inBatchC).localCheckpoint()
+    val labelsC = graft.ops.Dedup.components(pairs.filter(!inBatchC))
+      .localCheckpoint()
+    println(s"[mergescale] $sfDir fixed-batch C: batch=${batchC.count()} " +
+      s"pairs, labels=${labelsC.count()} rows")
+    time("mergeComponentsDelta(fixed replica-0 batch)") {
+      graft.ops.Dedup.mergeComponentsDelta(labelsC, batchC).count()
+    }
+    time("mergeComponents(fixed replica-0 batch, full output)") {
+      graft.ops.Dedup.mergeComponents(labelsC, batchC).count()
+    }
     spark.stop()
   }
 }
