@@ -561,7 +561,46 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       queryPred: Column, shingleSize: Int = 2, minCommon: Int = 3,
-      maxDocFreq: Int = 100, maxDocFreqFrac: Option[Double] = None): DataFrame = {
+      maxDocFreq: Int = 100, maxDocFreqFrac: Option[Double] = None): DataFrame =
+    commonShingles(df, idCol, textCol, queryPred, shingleSize, minCommon,
+      maxDocFreq, maxDocFreqFrac)
+      .withColumn("jaccard",
+        col("nCommon") / (col("sizeQ") + col("sizeT") - col("nCommon")))
+      .select(col("qid"), col("tid"), col("nCommon"), col("jaccard"))
+
+  /** Containment near-dup pairs — the subset-duplication detector Jaccard
+    * misses (Broder's containment measure): containment(q ⊆ t) =
+    * |shingles(q) ∩ shingles(t)| / |shingles(q)| reads ~1.0 when a short
+    * document is embedded verbatim in a long one, while Jaccard stays
+    * near |q|/|t| (a 50-token quote inside a 5000-token page scores
+    * Jaccard ~0.01 — invisible to [[nearDuplicates]] at any sane
+    * threshold). Candidates come from the same frequency-capped
+    * rare-shingle inverted-index join as [[ngramJaccard]], so candidate
+    * volume is bounded by rare-shingle co-occurrence, never all-pairs;
+    * exact containment is computed only on count-gated candidates.
+    * Orientation: containment of the QUERY side (qid's shingles inside
+    * tid's) — run with the small/new side as queries to find what they
+    * duplicate from the corpus.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, shingleSize: Int = 2, minCommon: Int = 3,
+      threshold: Double = 0.8, maxDocFreq: Int = 100,
+      maxDocFreqFrac: Option[Double] = None): DataFrame =
+    commonShingles(df, idCol, textCol, queryPred, shingleSize, minCommon,
+      maxDocFreq, maxDocFreqFrac)
+      .withColumn("containment", col("nCommon") / col("sizeQ"))
+      .filter(col("containment") >= threshold)
+      .select(col("qid"), col("tid"), col("nCommon"), col("containment"))
+
+  /** Shared candidate machinery of [[ngramJaccard]] and
+    * [[containmentPairs]]: frequency-capped rare-shingle inverted-index
+    * join between the query subset and the corpus, count-gated (A2),
+    * with both sides' exact shingle-set sizes joined on. Returns
+    * (qid, tid, nCommon, sizeQ, sizeT).
+    */
+  private def commonShingles(df: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, shingleSize: Int, minCommon: Int,
+      maxDocFreq: Int, maxDocFreqFrac: Option[Double]): DataFrame = {
     // cache(): shingle rows feed the doc-frequency gate, the common-gram
     // join (both sides), and the set sizes. CALLER-OWNED lifetime — see
     // nearDuplicates.
@@ -587,9 +626,6 @@ object Dedup {
     common
       .join(sizes.select(col("id").as("qid"), col("setSize").as("sizeQ")), Seq("qid"))
       .join(sizes.select(col("id").as("tid"), col("setSize").as("sizeT")), Seq("tid"))
-      .withColumn("jaccard",
-        col("nCommon") / (col("sizeQ") + col("sizeT") - col("nCommon")))
-      .select(col("qid"), col("tid"), col("nCommon"), col("jaccard"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

@@ -310,6 +310,40 @@ object DedupQueries {
       JOIN sizes zt ON zt.id = tid
       ORDER BY qid, tid"""))
 
+  /** Containment dedup: the subset-duplication detector — a query doc
+    * largely contained in another doc is flagged even when Jaccard is
+    * tiny (short-inside-long). Same rare-shingle candidate machinery as
+    * dedup_ngram_jaccard; the oracle divides by the QUERY's shingle-set
+    * size instead of the union.
+    */
+  val dedupContainment = Q(
+    "dedup_containment",
+    (s, d) => {
+      Dedup.containmentPairs(T.documents(s, d), "doc_id", "text",
+        col("doc_id") % 20 === 0, shingleSize = 2, minCommon = 3,
+        threshold = 0.5, maxDocFreq = 100)
+        .select(col("qid"), col("tid"), col("nCommon").as("n_common"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy(col("qid"), col("tid"))
+    },
+    Some(s"""
+      WITH $duckShingles,
+      rare AS (
+        SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100),
+      shr AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      sizes AS (SELECT id, COUNT(*) AS setsize FROM sh GROUP BY 1),
+      common AS (
+        SELECT sa.id AS qid, sb.id AS tid, COUNT(*) AS ncommon
+        FROM shr sa JOIN shr sb ON sa.shingle = sb.shingle AND sa.id <> sb.id
+        WHERE sa.id % 20 = 0
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT qid, tid, CAST(ncommon AS BIGINT) AS n_common,
+             ROUND(ncommon * 1.0 / zq.setsize, 4) AS containment
+      FROM common
+      JOIN sizes zq ON zq.id = qid
+      WHERE ncommon * 1.0 / zq.setsize >= 0.5
+      ORDER BY qid, tid"""))
+
   val dedupSimhashPairs = Q(
     "dedup_simhash_pairs",
     (s, d) => {
@@ -461,6 +495,6 @@ object DedupQueries {
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupMinhashEst,
     dedupIndexSearch, dedupComponents, dedupComponentsIncr, dedupApplyBest,
-    dedupSimhash, dedupNgramJaccard, dedupSimhashPairs, dedupSubstringSpans,
-    dedupSubstringStrip, dedupSubstringKeepOne)
+    dedupSimhash, dedupNgramJaccard, dedupContainment, dedupSimhashPairs,
+    dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne)
 }

@@ -67,6 +67,31 @@ class OpsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("containmentPairs flags short-inside-long that Jaccard misses") {
+    import spark.implicits._
+    // a 6-token quote embedded verbatim inside a 200-token page: every
+    // quote shingle appears in the page, but the union is dominated by
+    // the page, so Jaccard ~ 5/199 while containment = 1.0
+    val quote = "alpha bravo charlie delta echo foxtrot"
+    val page = quote + " " + (0 until 194).map(i => s"w$i").mkString(" ")
+    val cdf = Seq((0L, quote), (1L, page), (2L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(cdf, "doc_id", "text",
+      col("doc_id") === 0, shingleSize = 2, minCommon = 3, threshold = 0.8)
+      .select("tid", "containment").as[(Long, Double)].collect().toMap
+    assert(cont == Map(1L -> 1.0),
+      s"quote fully contained in page, nothing else: $cont")
+    val jac = Dedup.ngramJaccard(cdf, "doc_id", "text", col("doc_id") === 0,
+      shingleSize = 2, minCommon = 3)
+      .select("tid", "jaccard").as[(Long, Double)].collect().toMap
+    assert(jac(1L) < 0.05, s"Jaccard must stay tiny for the same pair: $jac")
+    // orientation: the PAGE as query is barely contained in the quote
+    val rev = Dedup.containmentPairs(cdf, "doc_id", "text",
+      col("doc_id") === 1, shingleSize = 2, minCommon = 3, threshold = 0.8)
+      .count()
+    assert(rev == 0, "containment is directional: page !⊆ quote")
+  }
+
   test("applyNearDupsBest keeps one argmax-rank survivor per cluster") {
     import spark.implicits._
     // chain 1-2, 2-3 = one cluster; 10-11 another; 50 untouched
