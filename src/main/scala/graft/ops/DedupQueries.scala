@@ -286,8 +286,14 @@ object DedupQueries {
   val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
     (s, d) => {
+      // frac 0.2 == the absolute-100 cap at the sf0.01 correctness scale
+      // (500 docs), so oracle outputs are unchanged — but the gate now
+      // SCALES: at sf0.1 the old absolute cap dropped every shingle in
+      // the denser corpus (0 candidates, the bench measured an empty
+      // pipeline); the corpus-fraction knob is the right one at scale
       Dedup.ngramJaccard(T.documents(s, d), "doc_id", "text",
-        col("doc_id") % 20 === 0, shingleSize = 2, minCommon = 3, maxDocFreq = 100)
+        col("doc_id") % 20 === 0, shingleSize = 2, minCommon = 3,
+        maxDocFreqFrac = Some(0.2))
         .select(col("qid"), col("tid"), col("nCommon").as("n_common"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("qid"), col("tid"))
@@ -295,7 +301,8 @@ object DedupQueries {
     Some(s"""
       WITH $duckShingles,
       rare AS (
-        SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100),
+        SELECT shingle FROM sh GROUP BY 1
+        HAVING COUNT(*) <= (SELECT COUNT(*) FROM documents) * 0.2),
       shr AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
       sizes AS (SELECT id, COUNT(*) AS setsize FROM sh GROUP BY 1),
       common AS (
@@ -321,7 +328,7 @@ object DedupQueries {
     (s, d) => {
       Dedup.containmentPairs(T.documents(s, d), "doc_id", "text",
         col("doc_id") % 20 === 0, shingleSize = 2, minCommon = 3,
-        threshold = 0.5, maxDocFreq = 100)
+        threshold = 0.5, maxDocFreqFrac = Some(0.2))
         .select(col("qid"), col("tid"), col("nCommon").as("n_common"),
           round(col("containment"), 4).as("containment"))
         .orderBy(col("qid"), col("tid"))
@@ -329,7 +336,8 @@ object DedupQueries {
     Some(s"""
       WITH $duckShingles,
       rare AS (
-        SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100),
+        SELECT shingle FROM sh GROUP BY 1
+        HAVING COUNT(*) <= (SELECT COUNT(*) FROM documents) * 0.2),
       shr AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
       sizes AS (SELECT id, COUNT(*) AS setsize FROM sh GROUP BY 1),
       common AS (
