@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer-training primitives (Sennrich et al. 2016).
+  *
+  * The operation a training-data pipeline runs once per corpus snapshot to
+  * size/fit a subword vocabulary. The scale shape is the whole point:
+  *
+  *   - The ONLY corpus-scale work is the unique-word frequency count — one
+  *     explode + one hash aggregation with map-side partial combine. At
+  *     100 TB that shuffle moves (word, partial-count) pairs, not tokens.
+  *   - Everything after — symbol splitting, pair counting, every merge
+  *     iteration — runs over the UNIQUE-WORD table (vocab-sized: millions
+  *     of rows, not trillions), because pair frequencies are word
+  *     frequencies times within-word pair multiplicity. This mirrors how
+  *     every real BPE trainer (subword-nmt, SentencePiece) operates on the
+  *     word-count dictionary, re-expressed relationally.
+  *   - Each merge iteration collects exactly ONE row (the argmax pair) —
+  *     a bounded scalar read, same pattern as the kmeans centroid step.
+  *
+  * Words carry a terminal `</w>` symbol so merges can't cross word
+  * boundaries and end-of-word units stay distinct (the paper's setup).
+  */
+object Bpe {
+
+  val EndMarker = "</w>"
+
+  /** Unique words with frequencies: the one corpus-scale aggregation. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("wf"))
+
+  /** Initial symbol table: one row per unique word, its character-split
+    * symbol sequence (plus the end marker) and its corpus frequency.
+    * Explicit substring transform — not split(word, "") — so regex
+    * trailing-empty edge cases can't differ across engines.
+    */
+  def initVocab(df: DataFrame, textCol: String): DataFrame = {
+    wordCounts(df, textCol).select(
+      col("word"), col("wf"),
+      concat(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        array(lit(EndMarker))).as("syms"))
+  }
+
+  /** Adjacent-pair frequencies over a symbol table (syms, wf):
+    * sum of word frequencies per (lhs, rhs) adjacent symbol pair.
+    * Vocab-sized input; the zip_with avoids an index explode.
+    */
+  def pairsOf(vocab: DataFrame): DataFrame = {
+    val n = greatest(size(col("syms")) - 1, lit(0))
+    vocab
+      .select(col("wf"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), n),
+          slice(col("syms"), lit(2), n),
+          (l, r) => struct(l.as("lhs"), r.as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("wf")).as("cnt"))
+  }
+
+  /** One-pass pair statistics straight from documents — the "what would
+    * the first merges be" corpus report. Deterministic total order.
+    */
+  def pairCounts(df: DataFrame, textCol: String, topK: Int = 50): DataFrame =
+    pairsOf(initVocab(df, textCol))
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      .limit(topK)
+
+  /** Apply one merge (lhs, rhs) -> lhs+rhs to every symbol sequence,
+    * greedy left-to-right non-overlapping (the BPE contract). A fold over
+    * the symbol array: merge when the accumulated tail is `lhs` and the
+    * next symbol is `rhs`. A just-merged token can never re-match `lhs`
+    * within the pass (lhs+rhs == lhs would need an empty rhs).
+    * Interpreted HOF, but it runs over the vocab-sized table only.
+    */
+  private def applyMerge(syms: Column, lhs: String, rhs: String): Column =
+    aggregate(
+      syms,
+      typedlit(Array.empty[String]),
+      (acc, x) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train nMerges BPE merges; returns the ordered merge table
+    * (merge_rank, lhs, rhs, cnt). Stops early when no pair remains or the
+    * best pair drops below minCount. Each iteration: one vocab-sized
+    * aggregation, one 1-row collect, one vocab-sized map, then a
+    * localCheckpoint so lineage doesn't grow with the merge count.
+    */
+  def train(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    val spark = df.sparkSession
+    var vocab = initVocab(df, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val top = pairsOf(vocab)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank + 1, l, r, c))
+        val next = vocab.withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt")
+      .orderBy(col("merge_rank"))
+  }
+}

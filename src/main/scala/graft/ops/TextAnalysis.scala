@@ -438,6 +438,64 @@ object TextAnalysis {
       .withColumn("cum_vocab", sum(col("new_types")).over(w))
   }
 
+  /** Word2vec-style phrase (collocation) detection — Mikolov et al. 2013
+    * §4: score(a,b) = (count(ab) - delta) * N / (count(a) * count(b)).
+    * Bigrams scoring far above 1 co-occur more than independence predicts
+    * and become merge candidates ("new york" -> "new_york") before
+    * embedding/tokenizer training.
+    *
+    * Scale shape: bigrams are built ROW-LOCALLY (zip_with over the token
+    * array — no posexplode + window adjacency join), so the corpus is
+    * scanned once and only (bigram, count) pairs shuffle, with map-side
+    * combine. The unigram table is vocab-sized and broadcast to both
+    * sides of the scoring join; N is a 1-row broadcast. No corpus-scale
+    * join anywhere.
+    */
+  def phraseScores(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, delta: Double = 5.0, topK: Int = 50): DataFrame = {
+    val arr = filter(split(lower(col(textCol)), "\\s+"),
+      x => length(x) > 0)
+    val n = greatest(size(col("a")) - 1, lit(0))
+    val bigrams = df.select(arr.as("a"))
+      .select(explode(zip_with(
+        slice(col("a"), lit(1), n),
+        slice(col("a"), lit(2), n),
+        (l, r) => struct(l.as("lhs"), r.as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(count(lit(1)).as("pair_cnt"))
+    val uni = df.select(explode(arr).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    bigrams
+      .filter(col("pair_cnt") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("lhs"), col("c").as("c_lhs"))), Seq("lhs"))
+      .join(broadcast(uni.select(col("tok").as("rhs"), col("c").as("c_rhs"))), Seq("rhs"))
+      .crossJoin(broadcast(total))
+      .select(col("lhs"), col("rhs"), col("pair_cnt"),
+        ((col("pair_cnt") - lit(delta)) * col("n_total")
+          / (col("c_lhs") * col("c_rhs"))).as("score"))
+      .orderBy(col("score").desc, col("lhs"), col("rhs"))
+      .limit(topK)
+  }
+
+  /** Collapse runs of consecutively-repeated tokens within each document —
+    * the "the the the" / stutter-loop cleanup every crawl pipeline applies
+    * before training. Returns (id, clean_text, n_removed).
+    *
+    * Scale shape: a PURE per-row expression — split, an indexed filter
+    * lambda comparing each token to its predecessor (get() is 0-based and
+    * null-safe, so position 0 compares against null and is always kept),
+    * re-join. Zero shuffle, zero explode: this runs at scan speed and
+    * pipelines into whatever operator follows it.
+    */
+  def collapseRuns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = split(col(textCol), " ")
+    val kept = filter(arr, (x, i) => !(x <=> get(arr, i - 1)))
+    df.select(col(idCol),
+      array_join(kept, " ").as("clean_text"),
+      (size(arr) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** BM25 relevance search: top-k docs for a bag-of-words query
     * (Robertson et al.; Lucene's always-positive idf form
     * ln(1 + (N - df + 0.5)/(df + 0.5))). The exploration/retrieval query a

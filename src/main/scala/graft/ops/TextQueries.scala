@@ -590,8 +590,86 @@ object TextQueries {
       FROM pb LEFT JOIN fs USING (bucket)
       ORDER BY bucket"""))
 
+  /** First BPE statistics pass: char-pair frequencies (with end-of-word
+    * marker) over the unique-word table — "what would the first merges be".
+    * The oracle mirrors the word-count-weighted pair expansion.
+    */
+  val textBpePairs = Q(
+    "text_bpe_pairs",
+    (s, d) => Bpe.pairCounts(T.documents(s, d), "text", topK = 50),
+    Some("""
+      WITH w AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+          FROM documents)
+        WHERE length(word) > 0 GROUP BY 1),
+      p AS (
+        SELECT substring(word, i, 1) AS lhs,
+               CASE WHEN i = length(word) THEN '</w>'
+                    ELSE substring(word, i + 1, 1) END AS rhs,
+               wf
+        FROM (SELECT word, wf, unnest(range(1, length(word) + 1)) AS i FROM w))
+      SELECT lhs, rhs, CAST(SUM(wf) AS BIGINT) AS cnt
+      FROM p GROUP BY 1, 2
+      ORDER BY cnt DESC, lhs, rhs
+      LIMIT 50"""))
+
+  /** Word2vec phrase detection (Mikolov et al. 2013 delta-discounted
+    * collocation score). Raw double score: both engines compute the same
+    * ((cnt-d)*N)/(ca*cb) expression tree, so the doubles are bit-identical
+    * (the lm_ppl precedent).
+    */
+  val textPmiPhrases = Q(
+    "text_pmi_phrases",
+    (s, d) => TextAnalysis.phraseScores(T.documents(s, d), "doc_id", "text",
+      minCount = 5L, delta = 5.0, topK = 40),
+    Some("""
+      WITH arrs AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> length(x) > 0) AS a
+        FROM documents),
+      uni AS (SELECT unnest(a) AS tok FROM arrs),
+      uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM uni),
+      bi AS (
+        SELECT a[i] AS lhs, a[i + 1] AS rhs
+        FROM (SELECT a, unnest(range(1, len(a))) AS i FROM arrs)),
+      bc AS (SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+             FROM bi GROUP BY 1, 2)
+      SELECT bc.lhs, bc.rhs, bc.pair_cnt,
+             (bc.pair_cnt - 5.0) * n.n_total / (ul.c * ur.c) AS score
+      FROM bc, n
+      JOIN uc ul ON ul.tok = bc.lhs
+      JOIN uc ur ON ur.tok = bc.rhs
+      WHERE bc.pair_cnt >= 5
+      ORDER BY score DESC, lhs, rhs
+      LIMIT 40"""))
+
+  /** Intra-document consecutive-duplicate collapse; the oracle replays the
+    * keep-unless-equal-to-predecessor rule with a lag window.
+    */
+  val textCollapseRuns = Q(
+    "text_collapse_runs",
+    (s, d) => TextAnalysis.collapseRuns(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      u AS (SELECT doc_id, unnest(a) AS tok,
+                   unnest(range(1, len(a) + 1)) AS i FROM t),
+      k AS (SELECT doc_id, tok, i,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM u)
+      SELECT doc_id,
+        COALESCE(string_agg(tok, ' ' ORDER BY i)
+          FILTER (WHERE prev IS NULL OR tok IS DISTINCT FROM prev), '')
+          AS clean_text,
+        CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL
+          AND tok IS NOT DISTINCT FROM prev) AS BIGINT) AS n_removed
+      FROM k GROUP BY doc_id ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
-    textLmPpl, textRepetition, textVocabGrowth)
+    textLmPpl, textRepetition, textVocabGrowth, textBpePairs, textPmiPhrases,
+    textCollapseRuns)
 }

@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE training, phrase detection, and run-collapse specs. The BPE tests
+  * run a differential against an independent naive Scala implementation
+  * (per-word symbol lists, hand-rolled pair counting and greedy merge) so
+  * the distributed fold is checked against first principles, not itself.
+  */
+class TokenizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- naive reference BPE (independent of the Spark code) ----
+  private def naiveVocab(texts: Seq[String]): Map[Vector[String], Long] =
+    texts.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector :+ Bpe.EndMarker) -> ws.size.toLong
+      }
+
+  private def naivePairs(v: Map[Vector[String], Long]): Map[(String, String), Long] =
+    v.toSeq.flatMap { case (syms, wf) =>
+      syms.zip(syms.tail).map(p => p -> wf)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+
+  private def naiveMergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toVector
+  }
+
+  private def naiveTrain(texts: Seq[String], n: Int): Seq[(String, String, Long)] = {
+    var v = naiveVocab(texts)
+    (1 to n).flatMap { _ =>
+      val ps = naivePairs(v)
+      if (ps.isEmpty) None
+      else {
+        val ((l, r), c) = ps.minBy { case ((a, b), cnt) => (-cnt, a, b) }
+        v = v.toSeq.map { case (syms, wf) => naiveMergeWord(syms, l, r) -> wf }
+          .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        Some((l, r, c))
+      }
+    }
+  }
+
+  // the BPE-paper-shaped corpus: low x2, lower x1, newest x3, widest x1
+  private def corpus = Seq(
+    (0L, "low low lower newest newest"),
+    (1L, "newest widest low low lower"),
+    (2L, "low newest")
+  ).toDF("doc_id", "text")
+
+  test("pairCounts matches the naive word-frequency-weighted pair count") {
+    val texts = corpus.select("text").as[String].collect().toSeq
+    val expected = naivePairs(naiveVocab(texts))
+    val got = Bpe.pairCounts(corpus, "text", topK = 1000)
+      .as[(String, String, Long)].collect()
+      .map { case (l, r, c) => (l, r) -> c }.toMap
+    assert(got == expected)
+  }
+
+  test("train reproduces the naive greedy merge sequence (ties broken lexically)") {
+    val texts = corpus.select("text").as[String].collect().toSeq
+    val expected = naiveTrain(texts, 8)
+    val got = Bpe.train(corpus, "text", nMerges = 8)
+      .select("lhs", "rhs", "cnt").as[(String, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("train on a run-heavy word merges non-overlapping left-to-right") {
+    // "aaaa": pairs (a,a)=3 from one word of freq 2 -> 6; greedy merge gives
+    // [aa, aa, </w>], NOT [aa, a, a, </w>] or overlap-counted variants
+    val df = Seq((0L, "aaaa aaaa")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", nMerges = 2)
+      .select("lhs", "rhs", "cnt").as[(String, String, Long)].collect()
+    assert(merges(0) == ("a", "a", 6L))
+    // after merge 1 every word is [aa, aa, </w>] x2 -> (aa,aa)=2, (aa,</w>)=2;
+    // lexical tie-break: "</w>" < "aa", so rhs "</w>" sorts first
+    assert(merges(1) == ("aa", "</w>", 2L))
+  }
+
+  test("train stops early when fully merged") {
+    val df = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    // ab -> [a,b,</w>]: merges (a,b), (ab,</w>), then nothing left
+    val merges = Bpe.train(df, "text", nMerges = 10).collect()
+    assert(merges.length == 2)
+  }
+
+  test("phraseScores ranks a planted collocation above loosely-associated pairs") {
+    // "zz qq": both tokens occur ONLY in this bigram (perfect association).
+    // "uu vv": each occurs 20 times but adjacent in only 5 docs.
+    // "big"/"data": frequent, never adjacent -> must be absent entirely.
+    val rows =
+      (0 until 10).map(i => (i.toLong, "zz qq big table data")) ++
+      (10 until 15).map(i => (i.toLong, "uu vv big row data")) ++
+      (15 until 30).map(i => (i.toLong, "uu lake vv data big"))
+    val df = rows.toDF("doc_id", "text")
+    val r = TextAnalysis.phraseScores(df, "doc_id", "text",
+      minCount = 2L, delta = 0.0, topK = 20)
+      .select("lhs", "rhs", "score").as[(String, String, Double)].collect()
+    val byPair = r.map(p => (p._1, p._2) -> p._3).toMap
+    assert((r.head._1, r.head._2) == ("zz", "qq"))
+    assert(byPair(("zz", "qq")) > byPair(("uu", "vv")))
+    assert(!byPair.contains(("big", "data")))
+  }
+
+  test("phraseScores score formula matches hand computation") {
+    // corpus: "a b" x4 plus "a" x4, "b" x4 as singles -> c_a=8, c_b=8,
+    // c_ab=4, N=16; delta=1 -> score = (4-1)*16/(8*8) = 0.75
+    val df = ((0 until 4).map(i => (i.toLong, "a b")) ++
+      (4 until 8).map(i => (i.toLong, "a")) ++
+      (8 until 12).map(i => (i.toLong, "b"))).toDF("doc_id", "text")
+    val r = TextAnalysis.phraseScores(df, "doc_id", "text",
+      minCount = 1L, delta = 1.0, topK = 5)
+      .select("lhs", "rhs", "pair_cnt", "score")
+      .as[(String, String, Long, Double)].collect()
+    assert(r.length == 1)
+    assert(r.head == ("a", "b", 4L, 0.75))
+  }
+
+  test("collapseRuns removes consecutive repeats only") {
+    val df = Seq(
+      (0L, "the the the quick fox fox"),
+      (1L, "a b a b a"), // alternation: nothing to remove
+      (2L, "x"),
+      (3L, "y y y y y")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.collapseRuns(df, "doc_id", "text")
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(r(0) == (0L, "the quick fox", 3L))
+    assert(r(1) == (1L, "a b a b a", 0L))
+    assert(r(2) == (2L, "x", 0L))
+    assert(r(3) == (3L, "y", 4L))
+  }
+
+  test("collapseRuns is idempotent and preserves non-run content order") {
+    val df = Seq((0L, "k1 k1 k2 k3 k3 k3 k2 k2 k1")).toDF("doc_id", "text")
+    val once = TextAnalysis.collapseRuns(df, "doc_id", "text")
+    val c1 = once.select("clean_text").as[String].head()
+    assert(c1 == "k1 k2 k3 k2 k1")
+    val twice = TextAnalysis.collapseRuns(
+      once.withColumnRenamed("clean_text", "text"), "doc_id", "text")
+    assert(twice.select("clean_text").as[String].head() == c1)
+    assert(twice.select("n_removed").as[Long].head() == 0L)
+  }
+}
