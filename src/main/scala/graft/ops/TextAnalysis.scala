@@ -496,6 +496,69 @@ object TextAnalysis {
       (size(arr) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"), hashed-n-gram variant: estimate
+    * target/source distributions over hashed unigram+bigram feature
+    * buckets, weight every document by its summed log importance ratio,
+    * and resample via deterministic Gumbel top-k (md5-derived uniforms, so
+    * reruns and engines agree — the house hashBucket trick).
+    *
+    * Scale shape: ONE corpus-scale explode (unigrams + row-local zip_with
+    * bigrams concatenated before the explode), ONE bucket aggregation
+    * computing source and target counts together (map-side combined,
+    * nBuckets output rows), the log-ratio table broadcast back, and one
+    * per-doc sum. No corpus-scale join; the only shuffles are the two
+    * aggregations. Distributions are Laplace-smoothed (alpha), so an empty
+    * target degrades to uniform rather than dividing by zero. Documents
+    * with zero features carry no weight and are not sampled (documented).
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 256,
+      alpha: Double = 1.0): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val arr = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    val nbi = greatest(size(col("a")) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("a"), lit(1), nbi), slice(col("a"), lit(2), nbi),
+      (l, r) => concat_ws(" ", l, r))
+    val feats = df
+      .select(col(idCol).as("_id"), isTarget.as("is_t"), arr.as("a"))
+      .select(col("_id"), col("is_t"),
+        explode(concat(col("a"), bigrams)).as("f"))
+      .select(col("_id"), col("is_t"), hashBucket(col("f"), nBuckets).as("b"))
+    val counts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"))
+    val ab = alpha * nBuckets
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        log(((col("ct") + lit(alpha)) / (col("tt") + lit(ab)))
+          / ((col("cs") + lit(alpha)) / (col("ts") + lit(ab)))).as("lw"))
+    feats.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("_id"))
+      // round before anything downstream: double sums are order-sensitive
+      // in the last ulp, and the rounded value is the contract
+      .agg(round(sum(col("lw")), 4).as("log_w"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Gumbel-top-k resampling over dsirWeights: score = log_w + Gumbel(0,1)
+    * with the Gumbel noise derived deterministically from md5(id), i.e.
+    * sampling-without-replacement proportional to exp(log_w), reproducible
+    * across engines and reruns. Returns the selected top-k.
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 256, alpha: Double = 1.0,
+      topK: Int = 60): DataFrame = {
+    val u = (hashBucket(col(idCol), 1000000000).cast("double") + lit(0.5)) /
+      lit(1000000000.0)
+    dsirWeights(df, idCol, textCol, isTarget, nBuckets, alpha)
+      .withColumn("score", round(col("log_w") + -log(-log(u)), 4))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** BM25 relevance search: top-k docs for a bag-of-words query
     * (Robertson et al.; Lucene's always-positive idf form
     * ln(1 + (N - df + 0.5)/(df + 0.5))). The exploration/retrieval query a

@@ -667,9 +667,57 @@ object TextQueries {
           AND tok IS NOT DISTINCT FROM prev) AS BIGINT) AS n_removed
       FROM k GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** DSIR importance resampling toward the English sub-corpus: hashed
+    * unigram+bigram buckets (md5, the cross-engine hash), Laplace-smoothed
+    * target/source log-ratios, per-doc weight, deterministic-Gumbel top-k.
+    * The oracle replays the full cascade; log-weight sums are rounded in
+    * both engines before use (double-sum order sensitivity).
+    */
+  val textDsir = Q(
+    "text_dsir",
+    (s, d) => TextAnalysis.dsirSelect(T.documents(s, d), "doc_id", "text",
+      col("lang") === "en", nBuckets = 256, alpha = 1.0, topK = 60),
+    Some("""
+      WITH arrs AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> length(x) > 0) AS a
+        FROM documents),
+      feats AS (
+        SELECT doc_id, lang = 'en' AS is_t, unnest(a) AS f FROM arrs
+        UNION ALL
+        SELECT doc_id, lang = 'en' AS is_t, a[i] || ' ' || a[i + 1] AS f
+        FROM (SELECT doc_id, lang, a, unnest(range(1, len(a))) AS i
+              FROM arrs)),
+      fb AS (
+        SELECT doc_id, is_t,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b
+        FROM feats),
+      bc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS cs,
+               CAST(COUNT(*) FILTER (WHERE is_t) AS BIGINT) AS ct
+        FROM fb GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ts,
+                     CAST(SUM(ct) AS BIGINT) AS tt FROM bc),
+      ratio AS (
+        SELECT b, ln(((ct + 1.0) / (tt + 256.0))
+                     / ((cs + 1.0) / (ts + 256.0))) AS lw
+        FROM bc, tot),
+      dw AS (
+        SELECT doc_id, ROUND(SUM(lw), 4) AS log_w
+        FROM fb JOIN ratio USING (b) GROUP BY 1)
+      SELECT doc_id, log_w,
+             ROUND(log_w + -ln(-ln(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 1000000000 AS DOUBLE) + 0.5) / 1000000000.0)),
+               4) AS score
+      FROM dw
+      ORDER BY score DESC, doc_id
+      LIMIT 60"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
     textLmPpl, textRepetition, textVocabGrowth, textBpePairs, textPmiPhrases,
-    textCollapseRuns)
+    textCollapseRuns, textDsir)
 }

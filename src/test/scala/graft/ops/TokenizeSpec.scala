@@ -125,6 +125,45 @@ class TokenizeSpec extends AnyFunSuite {
     assert(r.head == ("a", "b", 4L, 0.75))
   }
 
+  test("dsir: target-like documents outweigh off-target ones") {
+    // target = lang 'en'; doc 10 is English-vocab but UNLABELED (lang 'xx'),
+    // doc 11 is German-vocab. DSIR should weight 10 above 11 even though
+    // neither is in the target set.
+    val df = (
+      (0 until 8).map(i => (i.toLong, "the quick brown fox runs fast", "en")) ++
+      (8 until 10).map(i => (i.toLong, "der schnelle braune fuchs hier", "de")) ++
+      Seq((10L, "the quick brown fox runs fast", "xx"),
+          (11L, "der schnelle braune fuchs hier", "xx"))
+    ).toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.dsirWeights(df, "doc_id", "text",
+      col("lang") === "en", nBuckets = 64)
+      .as[(Long, Double)].collect().toMap
+    assert(w(10L) > w(11L))
+    assert(w(0L) > 0.0 && w(8L) < 0.0)
+  }
+
+  test("dsir: target == source collapses every weight to zero") {
+    val df = Seq((0L, "a b c"), (1L, "d e f"), (2L, "a a a")).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(df, "doc_id", "text", lit(true))
+      .as[(Long, Double)].collect()
+    assert(w.length == 3 && w.forall(_._2 == 0.0))
+  }
+
+  test("dsirSelect is deterministic and honors topK") {
+    val df = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "alpha beta gamma" else "delta epsilon zeta",
+        if (i % 4 == 0) "en" else "xx")).toDF("doc_id", "text", "lang")
+    val s1 = TextAnalysis.dsirSelect(df, "doc_id", "text",
+      col("lang") === "en", nBuckets = 64, topK = 10).collect()
+    val s2 = TextAnalysis.dsirSelect(df, "doc_id", "text",
+      col("lang") === "en", nBuckets = 64, topK = 10).collect()
+    assert(s1.length == 10)
+    assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq)
+    // target-vocab docs (even ids) should dominate the selection
+    val evens = s1.map(_.getLong(0)).count(_ % 2 == 0)
+    assert(evens >= 8)
+  }
+
   test("collapseRuns removes consecutive repeats only") {
     val df = Seq(
       (0L, "the the the quick fox fox"),
