@@ -88,6 +88,58 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
           .otherwise(concat(acc, array(x))))
 
+  /** Segment one word with a trained merge list: start from characters
+    * (+ end marker) and apply each merge in rank order, greedy
+    * left-to-right non-overlapping — subword-nmt's apply semantics, and
+    * exactly the end state train() leaves a corpus word in. Works on OOV
+    * words too (merges that don't occur are no-ops).
+    */
+  def segmentWord(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms = (word.map(_.toString) :+ EndMarker).toVector
+    merges.foreach { case (l, r) =>
+      if (syms.length >= 2) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  /** Tokenize the corpus with a trained merge list:
+    * (id, subwords, n_subwords) per document.
+    *
+    * Scale shape: ONE corpus pass, ZERO shuffle — a mapPartitions whose
+    * per-partition word->segmentation memo recovers most of the
+    * unique-word dedup a join-based apply would buy, without the explode
+    * + re-assembly-by-position shuffle that plan needs. The merge list
+    * rides the closure (tokenizer-sized, i.e. small). mapPartitions is
+    * justified here the same way the SW kernel is: an iterative
+    * per-element algorithm Catalyst can't express.
+    */
+  def applyBpe(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+        it.map { case (id, text) =>
+          val subs = text.split("\\s+").iterator.filter(_.nonEmpty)
+            .flatMap(w => memo.getOrElseUpdate(w, segmentWord(w, merges)))
+            .toSeq
+          (id, subs, subs.length.toLong)
+        }
+      }
+      .toDF(idCol, "subwords", "n_subwords")
+  }
+
   /** Train nMerges BPE merges; returns the ordered merge table
     * (merge_rank, lhs, rhs, cnt). Stops early when no pair remains or the
     * best pair drops below minCount. Each iteration: one vocab-sized

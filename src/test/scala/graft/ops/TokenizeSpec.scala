@@ -93,6 +93,41 @@ class TokenizeSpec extends AnyFunSuite {
     assert(merges.length == 2)
   }
 
+  test("applyBpe segments corpus words into train's final vocab state") {
+    // evolve the naive vocab through the trained merges; every corpus
+    // word's segmentation must equal its end-state symbol sequence
+    val texts = corpus.select("text").as[String].collect().toSeq
+    val mergeList = Bpe.train(corpus, "text", nMerges = 5)
+      .select("lhs", "rhs").as[(String, String)].collect().toSeq
+    var v = naiveVocab(texts).keys.map(s => s -> s).toMap // start -> current
+    mergeList.foreach { case (l, r) =>
+      v = v.map { case (k, s) => k -> naiveMergeWord(s, l, r) }
+    }
+    val expectedByWord = v.map { case (orig, fin) =>
+      orig.dropRight(1).mkString -> fin // key: the word without end marker
+    }
+    val got = Bpe.applyBpe(corpus, "doc_id", "text", mergeList)
+      .select("doc_id", "subwords").as[(Long, Seq[String])].collect().toMap
+    val docs = corpus.select("doc_id", "text").as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val expect = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => expectedByWord(w)).toSeq
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+
+  test("applyBpe handles OOV words and empty merge lists") {
+    val mergeList = Seq(("l", "o"), ("lo", "w"))
+    val df = Seq((0L, "low lox zzz")).toDF("doc_id", "text")
+    val r = Bpe.applyBpe(df, "doc_id", "text", mergeList)
+      .select("subwords").as[Seq[String]].head()
+    // "low" fully merges, "lox" partially (lo+x), "zzz" not at all
+    assert(r == Seq("low", "</w>", "lo", "x", "</w>", "z", "z", "z", "</w>"))
+    val none = Bpe.applyBpe(df, "doc_id", "text", Nil)
+      .select("n_subwords").as[Long].head()
+    assert(none == 3 + 1 + 3 + 1 + 3 + 1)
+  }
+
   test("phraseScores ranks a planted collocation above loosely-associated pairs") {
     // "zz qq": both tokens occur ONLY in this bigram (perfect association).
     // "uu vv": each occurs 20 times but adjacent in only 5 docs.
