@@ -512,34 +512,112 @@ object TextAnalysis {
     * target degrades to uniform rather than dividing by zero. Documents
     * with zero features carry no weight and are not sampled (documented).
     */
-  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, nBuckets: Int = 256,
-      alpha: Double = 1.0): DataFrame = {
+  /** Hashed unigram+bigram feature buckets per doc: (_id, is_t, b), one
+    * corpus-scale explode with the bigrams built row-locally first.
+    */
+  private def dsirFeatures(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val arr = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
     val nbi = greatest(size(col("a")) - 1, lit(0))
     val bigrams = zip_with(
       slice(col("a"), lit(1), nbi), slice(col("a"), lit(2), nbi),
       (l, r) => concat_ws(" ", l, r))
-    val feats = df
-      .select(col(idCol).as("_id"), isTarget.as("is_t"), arr.as("a"))
+    df.select(col(idCol).as("_id"), isTarget.as("is_t"), arr.as("a"))
       .select(col("_id"), col("is_t"),
         explode(concat(col("a"), bigrams)).as("f"))
       .select(col("_id"), col("is_t"), hashBucket(col("f"), nBuckets).as("b"))
-    val counts = feats.groupBy(col("b")).agg(
+  }
+
+  /** Source + target feature counts per bucket, in ONE aggregation. */
+  private def dsirCounts(feats: DataFrame): DataFrame =
+    feats.groupBy(col("b")).agg(
       count(lit(1)).as("cs"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
-    val totals = counts.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"))
+
+  /** Smoothed log-importance-ratio per bucket from a (b, cs, ct) table. */
+  private def dsirRatio(counts: DataFrame, nBuckets: Int,
+      alpha: Double): DataFrame = {
     val ab = alpha * nBuckets
-    val ratio = counts.crossJoin(broadcast(totals))
+    val totals = counts.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"))
+    counts.crossJoin(broadcast(totals))
       .select(col("b"),
         log(((col("ct") + lit(alpha)) / (col("tt") + lit(ab)))
           / ((col("cs") + lit(alpha)) / (col("ts") + lit(ab)))).as("lw"))
+  }
+
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 256,
+      alpha: Double = 1.0): DataFrame = {
+    val feats = dsirFeatures(df, idCol, textCol, isTarget, nBuckets)
+    val ratio = dsirRatio(dsirCounts(feats), nBuckets, alpha)
     feats.join(broadcast(ratio), Seq("b"))
       .groupBy(col("_id"))
       // round before anything downstream: double sums are order-sensitive
       // in the last ulp, and the rounded value is the contract
       .agg(round(sum(col("lw")), 4).as("log_w"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Persist DSIR bucket distributions so a raw stream can be scored
+    * against FIXED target/source estimates — the paper's deployment
+    * shape (fit once on a reference corpus, score crawls forever):
+    * `<path>/buckets` holds (b, cs, ct) delta rows (appends just add
+    * rows; readers aggregate — at most nBuckets distinct keys, so the
+    * read-side fold is O(buckets) regardless of append count) and
+    * `<path>/meta` pins (n_buckets, alpha) the way the dedup index pins
+    * its shingle params. Rebuild clears any streaming replay marker.
+    */
+  def buildDsirIndex(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, path: String, nBuckets: Int = 256,
+      alpha: Double = 1.0): Unit = {
+    val spark = df.sparkSession
+    dsirCounts(dsirFeatures(df, idCol, textCol, isTarget, nBuckets))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    import spark.implicits._
+    Seq((nBuckets, alpha)).toDF("n_buckets", "alpha")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    StreamCommitMarker.clear(spark, path)
+  }
+
+  /** Fold one batch into the stored distributions: O(batch) — one
+    * aggregation over the batch's features, appended as delta rows.
+    */
+  def appendToDsirIndex(batch: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, path: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    dsirCounts(dsirFeatures(batch, idCol, textCol, isTarget, nBuckets))
+      .write.mode("append").parquet(s"$path/buckets")
+  }
+
+  /** Score a batch against the STORED distributions: (id, log_w). The
+    * stored table folds to ≤ nBuckets rows and broadcasts; features the
+    * index never saw take the all-smoothing ratio ln((ts+aB)/(tt+aB))
+    * (both counts 0), so out-of-vocabulary mass is priced, not dropped.
+    * One batch-scale explode + one per-doc sum — no corpus term at all.
+    */
+  def scoreDsirIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val alpha = meta.getAs[Double]("alpha")
+    val ab = alpha * nBuckets
+    val stored = spark.read.parquet(s"$path/buckets")
+      .groupBy(col("b"))
+      .agg(sum(col("cs")).as("cs"), sum(col("ct")).as("ct"))
+    val ratio = dsirRatio(stored, nBuckets, alpha)
+    // bounded 1-row read: the totals feed the unseen-bucket default
+    val t = stored.agg(sum(col("cs")), sum(col("ct"))).head()
+    // empty index: sums are null -> pure-smoothing (uniform) scoring
+    val ts = if (t.isNullAt(0)) 0L else t.getLong(0)
+    val tt = if (t.isNullAt(1)) 0L else t.getLong(1)
+    val defaultLw = math.log((ts + ab) / (tt + ab))
+    dsirFeatures(batch, idCol, textCol, lit(false), nBuckets)
+      .join(broadcast(ratio), Seq("b"), "left")
+      .groupBy(col("_id"))
+      .agg(round(sum(coalesce(col("lw"), lit(defaultLw))), 4).as("log_w"))
       .withColumnRenamed("_id", idCol)
   }
 

@@ -715,9 +715,59 @@ object TextQueries {
       ORDER BY score DESC, doc_id
       LIMIT 60"""))
 
+  /** The persisted-index face of DSIR: build distributions on the 90%
+    * slice (temp dir, inside the query so the STORED artifact round-trip
+    * is what's verified), score the held-out 10% against them. Buckets
+    * the index never saw take the all-smoothing default ratio — the
+    * oracle replays that via COALESCE after its LEFT join.
+    */
+  val textDsirIndexed = Q(
+    "text_dsir_indexed",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dsir_idx").toString
+      TextAnalysis.buildDsirIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", col("lang") === "en", dir, nBuckets = 256)
+      TextAnalysis.scoreDsirIndexed(s, dir,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH arrs AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> length(x) > 0) AS a
+        FROM documents),
+      feats AS (
+        SELECT doc_id, lang = 'en' AS is_t, unnest(a) AS f FROM arrs
+        UNION ALL
+        SELECT doc_id, lang = 'en' AS is_t, a[i] || ' ' || a[i + 1] AS f
+        FROM (SELECT doc_id, lang, a, unnest(range(1, len(a))) AS i
+              FROM arrs)),
+      fb AS (
+        SELECT doc_id, is_t,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b
+        FROM feats),
+      bc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS cs,
+               CAST(COUNT(*) FILTER (WHERE is_t) AS BIGINT) AS ct
+        FROM fb WHERE doc_id % 10 != 0 GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ts,
+                     CAST(SUM(ct) AS BIGINT) AS tt FROM bc),
+      probe AS (SELECT doc_id, b FROM fb WHERE doc_id % 10 = 0),
+      scored AS (
+        SELECT probe.doc_id,
+               COALESCE(ln(((bc.ct + 1.0) / (tt + 256.0))
+                           / ((bc.cs + 1.0) / (ts + 256.0))),
+                        ln((ts + 256.0) / (tt + 256.0))) AS lw
+        FROM probe LEFT JOIN bc USING (b), tot)
+      SELECT doc_id, ROUND(SUM(lw), 4) AS log_w
+      FROM scored GROUP BY 1 ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
     textLmPpl, textRepetition, textVocabGrowth, textBpePairs, textPmiPhrases,
-    textCollapseRuns, textDsir)
+    textCollapseRuns, textDsir, textDsirIndexed)
 }

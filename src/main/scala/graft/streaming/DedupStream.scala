@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming near-duplicate detection — the streaming face of
@@ -319,6 +319,32 @@ object DedupStream {
     if (batchId > committedBatchId(spark, dbPath)) {
       graft.ops.Similarity.appendToAnnIndex(batch, dbPath)
       commitBatchId(spark, dbPath, batchId)
+    }
+  }
+
+  /** Streaming ingest into a persisted DSIR distribution index: each
+    * micro-batch folds its hashed-feature bucket counts into
+    * `<path>/buckets` via `ops.TextAnalysis.appendToDsirIndex` — O(batch)
+    * per trigger (one aggregation, delta rows appended; readers fold to
+    * ≤ nBuckets rows). Same exactly-once replay contract as the other
+    * index sinks (persisted batchId high-watermark, single writer per
+    * index path). The crawl keeps updating the SOURCE estimate while
+    * `scoreDsirIndexed` prices new batches against it.
+    */
+  def dsirAppendSink(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, indexPath: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processDsirBatch(batch, batchId, idCol, textCol, isTarget, indexPath)
+    }
+
+  /** One micro-batch of [[dsirAppendSink]], exposed for replay testing. */
+  def processDsirBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, isTarget: Column, indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    if (batchId > committedBatchId(spark, indexPath)) {
+      graft.ops.TextAnalysis.appendToDsirIndex(
+        batch, idCol, textCol, isTarget, indexPath)
+      commitBatchId(spark, indexPath, batchId)
     }
   }
 

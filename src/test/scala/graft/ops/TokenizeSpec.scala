@@ -199,6 +199,69 @@ class TokenizeSpec extends AnyFunSuite {
     assert(evens >= 8)
   }
 
+  test("dsir index: scoring the build corpus equals in-memory dsirWeights") {
+    val df = (0 until 30).map(i =>
+      (i.toLong, if (i % 3 == 0) "alpha beta gamma delta" else "epsilon zeta eta",
+        if (i % 3 == 0) "en" else "xx")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("dsir_idx_spec").toString
+    TextAnalysis.buildDsirIndex(df, "doc_id", "text", col("lang") === "en",
+      dir, nBuckets = 64)
+    val stored = TextAnalysis.scoreDsirIndexed(spark, dir, df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val mem = TextAnalysis.dsirWeights(df, "doc_id", "text",
+      col("lang") === "en", nBuckets = 64).as[(Long, Double)].collect().toMap
+    assert(stored == mem) // every in-corpus bucket is stored -> identical
+  }
+
+  test("dsir index: build+append equals build-on-union; OOV priced not dropped") {
+    val a = (0 until 20).map(i => (i.toLong, "alpha beta gamma", "en"))
+      .toDF("doc_id", "text", "lang")
+    val b = (20 until 30).map(i => (i.toLong, "delta epsilon zeta", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val probe = Seq((100L, "alpha beta unseen tokens here"))
+      .toDF("doc_id", "text")
+    val d1 = java.nio.file.Files.createTempDirectory("dsir_inc").toString
+    TextAnalysis.buildDsirIndex(a, "doc_id", "text", col("lang") === "en",
+      d1, nBuckets = 64)
+    TextAnalysis.appendToDsirIndex(b, "doc_id", "text",
+      col("lang") === "en", d1)
+    val d2 = java.nio.file.Files.createTempDirectory("dsir_full").toString
+    TextAnalysis.buildDsirIndex(a.unionByName(b), "doc_id", "text",
+      col("lang") === "en", d2, nBuckets = 64)
+    val s1 = TextAnalysis.scoreDsirIndexed(spark, d1, probe, "doc_id", "text")
+      .as[(Long, Double)].head()
+    val s2 = TextAnalysis.scoreDsirIndexed(spark, d2, probe, "doc_id", "text")
+      .as[(Long, Double)].head()
+    assert(s1 == s2)
+    assert(s1._2 != 0.0) // OOV features contribute the smoothing default
+  }
+
+  test("dsir streaming sink: redelivered batch folds nothing (exactly-once)") {
+    import graft.streaming.DedupStream
+    val dir = java.nio.file.Files.createTempDirectory("dsir_stream").toString
+    val b0 = (0 until 10).map(i => (i.toLong, "alpha beta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val b1 = (10 until 20).map(i => (i.toLong, "gamma delta", "xx"))
+      .toDF("doc_id", "text", "lang")
+    TextAnalysis.buildDsirIndex(b0.limit(0), "doc_id", "text",
+      col("lang") === "en", dir, nBuckets = 64)
+    DedupStream.processDsirBatch(b0, 0L, "doc_id", "text",
+      col("lang") === "en", dir)
+    DedupStream.processDsirBatch(b1, 1L, "doc_id", "text",
+      col("lang") === "en", dir)
+    val probe = Seq((99L, "alpha beta gamma")).toDF("doc_id", "text")
+    val before = TextAnalysis.scoreDsirIndexed(spark, dir, probe,
+      "doc_id", "text").as[(Long, Double)].head()
+    // replay both batches: high-watermark must swallow them
+    DedupStream.processDsirBatch(b0, 0L, "doc_id", "text",
+      col("lang") === "en", dir)
+    DedupStream.processDsirBatch(b1, 1L, "doc_id", "text",
+      col("lang") === "en", dir)
+    val after = TextAnalysis.scoreDsirIndexed(spark, dir, probe,
+      "doc_id", "text").as[(Long, Double)].head()
+    assert(before == after)
+  }
+
   test("collapseRuns removes consecutive repeats only") {
     val df = Seq(
       (0L, "the the the quick fox fox"),
