@@ -168,6 +168,57 @@ object TextAnalysis {
       .select(col("id"), col("n_tokens"), exp(col("nll")).as("ppl"))
   }
 
+  /** Interpolated bigram LM perplexity — the step from [[lmPerplexity]]'s
+    * unigram model toward the KenLM n-gram filter CCNet actually deploys:
+    * p(w|v) = lambda * c(vw)/c(v) + (1-lambda) * c(w)/N (Jelinek-Mercer
+    * interpolation; the unigram floor means unseen bigrams are priced,
+    * never zero), first token scored by the unigram model. Corpus-as-LM
+    * self-scoring like lmPerplexity; swap the count tables for an
+    * external reference corpus to get the CCNet train-on-wiki shape.
+    *
+    * Scale shape: bigrams built row-locally (zip_with), ONE corpus-scale
+    * count per gram order with map-side combine, then the scoring join —
+    * bigram rows against the bigram count table — hash-distributed on the
+    * gram key (skew-free: frequency skew is absorbed by the partial
+    * aggregation, and the scoring join key space is the DISTINCT gram
+    * set). Unigram tables broadcast; N is a 1-row broadcast.
+    */
+  def lmPerplexityInterp(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val a0 = filter(split(trim(col(textCol)), "\\s+"), x => length(x) > 0)
+    val base = df.select(col(idCol).as("id"), a0.as("a"))
+      .filter(size(col("a")) > 0)
+    val uni = base.select(explode(col("a")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("uf"))
+    val total = uni.agg(sum(col("uf")).as("n"))
+    val nbi = greatest(size(col("a")) - 1, lit(0))
+    val bi = base.select(col("id"),
+      explode(zip_with(
+        slice(col("a"), lit(1), nbi), slice(col("a"), lit(2), nbi),
+        (l, r) => struct(l.as("prev"), r.as("cur")))).as("p"))
+      .select(col("id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bc = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bf"))
+    val biScored = bi
+      .join(bc, Seq("prev", "cur"))
+      .join(broadcast(uni.select(col("tok").as("prev"), col("uf").as("pf"))),
+        Seq("prev"))
+      .join(broadcast(uni.select(col("tok").as("cur"), col("uf").as("cf"))),
+        Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        (-log(lit(lambda) * col("bf") / col("pf")
+          + lit(1.0 - lambda) * col("cf") / col("n"))).as("nll"))
+    val first = base.select(col("id"), element_at(col("a"), 1).as("tok"))
+      .join(broadcast(uni), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("id"), (-log(col("uf") / col("n"))).as("nll"))
+    first.unionByName(biScored)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("nll")).as("nll"))
+      .select(col("id"), col("n_tokens"), exp(col("nll")).as("ppl"))
+  }
+
   /** Gopher-style repetition stats (Rae et al. 2021 quality rules, token
     * flavor): per doc —
     *  - `dup_2gram_frac`: fraction of 2-gram occurrences beyond each

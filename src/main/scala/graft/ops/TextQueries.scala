@@ -590,6 +590,49 @@ object TextQueries {
       FROM pb LEFT JOIN fs USING (bucket)
       ORDER BY bucket"""))
 
+  /** Interpolated bigram LM self-scoring (Jelinek-Mercer lambda=0.75);
+    * the oracle replays both gram orders and the first-token unigram
+    * term with the same expression shapes.
+    */
+  val textLmPplBigram = Q(
+    "text_lm_ppl_bigram",
+    (s, d) => {
+      TextAnalysis.lmPerplexityInterp(T.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("ppl"), 2).as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH arrs AS (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> length(x) > 0) AS a
+        FROM documents),
+      base AS (SELECT * FROM arrs WHERE len(a) > 0),
+      uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS uf
+              FROM (SELECT unnest(a) AS tok FROM base) GROUP BY 1),
+      tot AS (SELECT CAST(SUM(uf) AS BIGINT) AS n FROM uni),
+      bi AS (SELECT id, a[i] AS prev, a[i + 1] AS cur
+             FROM (SELECT id, a, unnest(range(1, len(a))) AS i FROM base)),
+      bc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bf
+             FROM bi GROUP BY 1, 2),
+      bs AS (
+        SELECT id, -LN(0.75 * bf / pf + 0.25 * cf / n) AS nll
+        FROM bi
+        JOIN bc USING (prev, cur)
+        JOIN (SELECT tok AS prev, uf AS pf FROM uni) USING (prev)
+        JOIN (SELECT tok AS cur, uf AS cf FROM uni) USING (cur)
+        CROSS JOIN tot),
+      fs AS (
+        SELECT id, -LN(uf * 1.0 / n) AS nll
+        FROM (SELECT id, a[1] AS tok FROM base)
+        JOIN uni USING (tok) CROSS JOIN tot),
+      u AS (SELECT * FROM fs UNION ALL SELECT * FROM bs),
+      sc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    AVG(nll) AS nll FROM u GROUP BY 1)
+      SELECT id AS doc_id, n_tokens, ROUND(EXP(nll), 2) AS ppl
+      FROM sc ORDER BY doc_id"""))
+
   /** First BPE statistics pass: char-pair frequencies (with end-of-word
     * marker) over the unique-word table — "what would the first merges be".
     * The oracle mirrors the word-count-weighted pair expansion.
@@ -768,6 +811,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
-    textLmPpl, textRepetition, textVocabGrowth, textBpePairs, textPmiPhrases,
-    textCollapseRuns, textDsir, textDsirIndexed)
+    textLmPpl, textLmPplBigram, textRepetition, textVocabGrowth,
+    textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
+    textDsirIndexed)
 }

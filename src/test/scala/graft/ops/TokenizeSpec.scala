@@ -160,6 +160,33 @@ class TokenizeSpec extends AnyFunSuite {
     assert(r.head == ("a", "b", 4L, 0.75))
   }
 
+  test("bigram LM: hand-computed interpolated perplexity") {
+    // corpus: "a b" x2, "a c" x1 -> uni a=3 b=2 c=1, N=6;
+    // bigrams (a,b)=2, (a,c)=1
+    val df = Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmPerplexityInterp(df, "doc_id", "text", lambda = 0.75)
+      .select("id", "n_tokens", "ppl").as[(Long, Long, Double)]
+      .collect().map(x => x._1 -> (x._2, x._3)).toMap
+    val pFirstA = 3.0 / 6
+    val pAB = 0.75 * 2 / 3 + 0.25 * (2.0 / 6)
+    val pAC = 0.75 * 1 / 3 + 0.25 * (1.0 / 6)
+    val ppl0 = math.exp((-math.log(pFirstA) - math.log(pAB)) / 2)
+    val ppl2 = math.exp((-math.log(pFirstA) - math.log(pAC)) / 2)
+    assert(r(0L)._1 == 2L && math.abs(r(0L)._2 - ppl0) < 1e-9)
+    assert(math.abs(r(2L)._2 - ppl2) < 1e-9)
+    // the rarer continuation must cost more
+    assert(r(2L)._2 > r(0L)._2)
+  }
+
+  test("bigram LM: rare continuation prices higher, stays finite") {
+    // self-scoring: (b,a) occurs once (from doc 2 itself) vs (a,b) twice;
+    // the interpolation floor keeps even count-1 grams finite
+    val df = Seq((0L, "a b"), (1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmPerplexityInterp(df, "doc_id", "text")
+      .select("id", "ppl").as[(Long, Double)].collect().toMap
+    assert(r(2L).isFinite && r(2L) > r(0L))
+  }
+
   test("dsir: target-like documents outweigh off-target ones") {
     // target = lang 'en'; doc 10 is English-vocab but UNLABELED (lang 'xx'),
     // doc 11 is German-vocab. DSIR should weight 10 above 11 even though
