@@ -732,4 +732,66 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
   }
+
+  /** Multinomial Naive Bayes text classifier — the classic trainable
+    * quality/domain filter baseline a curation pipeline reaches for
+    * before a fastText model (CCNet/DCLM-style label filtering). Trains
+    * on a labeled corpus (pure distributed counting — one shuffle) and
+    * scores any corpus against the trained model. Laplace add-one
+    * smoothing; unseen tokens price at 1/(classTotal + V).
+    *
+    * Hash-stability design: every log term (class prior, per-(class,
+    * token) likelihood) is rounded to integer MICRO-nats
+    * (round(ln(p)*1e6) as long) BEFORE the per-document sum, so the
+    * aggregation is exact integer arithmetic — associative under any
+    * partitioning / execution order and reproducible bit-for-bit in any
+    * engine. Argmax ties break on the smallest class value.
+    *
+    * Scale shape: training is two hash aggregations with map-side
+    * combine ((class, token) counts, class totals); V and doc priors are
+    * 1-row / n-class broadcasts. Scoring expands each token row by
+    * n_classes (the classifier's intrinsic cost — bounded by the class
+    * count, not the corpus), joins hash-distributed on (token, class)
+    * against the count table (no broadcast: vocab×classes can be large),
+    * then one (id, class) aggregation and a per-id window over n_classes
+    * rows. Docs with no tokens produce no output rows.
+    */
+  def nbClassify(train: DataFrame, scoreDf: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def micro(c: Column): Column = round(log(c) * lit(1e6)).cast("long")
+    val tTok = train.select(col(labelCol).as("cls"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val ctc = tTok.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cf"))
+    val ctot = ctc.groupBy(col("cls")).agg(sum(col("cf")).as("ctot"))
+    val vsize = ctc.select(countDistinct(col("tok")).as("v"))
+    val priors = train.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("nd"))
+    val nAll = priors.select(sum(col("nd")).as("n_docs"))
+    val classTable = ctot
+      .join(priors, Seq("cls"))
+      .crossJoin(vsize).crossJoin(nAll)
+      .select(col("cls"), col("ctot"), col("v"),
+        micro(col("nd") / col("n_docs")).as("prior_micro"))
+    val sTok = scoreDf.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val perClass = sTok
+      .crossJoin(broadcast(classTable))
+      .join(ctc, Seq("tok", "cls"), "left")
+      .select(col("id"), col("cls"), col("prior_micro"),
+        micro((coalesce(col("cf"), lit(0L)) + lit(1.0))
+          / (col("ctot") + col("v"))).as("llh_micro"))
+      .groupBy(col("id"), col("cls"), col("prior_micro"))
+      .agg(sum(col("llh_micro")).as("tok_micro"))
+      .select(col("id"), col("cls"),
+        (col("prior_micro") + col("tok_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_micro").desc, col("cls").asc)
+    perClass
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cls").as("pred"), col("score_micro"))
+  }
 }

@@ -808,10 +808,63 @@ object TextQueries {
       SELECT doc_id, ROUND(SUM(lw), 4) AS log_w
       FROM scored GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Trained-classifier filtering: multinomial NB self-classification of
+    * the corpus by language label. Scores are exact integer micro-nats
+    * (see [[TextAnalysis.nbClassify]]), so the oracle replays the whole
+    * train+score cascade bit-for-bit: counting, add-one likelihoods,
+    * micro-rounding, integer sums, argmax with class tie-break.
+    */
+  val textNbClassify = Q(
+    "text_nb_classify",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      TextAnalysis.nbClassify(docs, docs, "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("pred"), col("score_micro"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH ttok AS (
+        SELECT lang AS cls,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      t2 AS (SELECT * FROM ttok WHERE length(tok) > 0),
+      ctc AS (SELECT cls, tok, COUNT(*) AS cf FROM t2 GROUP BY 1, 2),
+      ctot AS (SELECT cls, SUM(cf) AS ctot FROM ctc GROUP BY 1),
+      vs AS (SELECT COUNT(DISTINCT tok) AS v FROM ctc),
+      pri AS (SELECT lang AS cls, COUNT(*) AS nd FROM documents GROUP BY 1),
+      nall AS (SELECT SUM(nd) AS n_docs FROM pri),
+      clst AS (
+        SELECT c.cls, c.ctot, vs.v,
+               CAST(ROUND(LN(p.nd * 1.0 / nall.n_docs) * 1e6) AS BIGINT)
+                 AS prior_micro
+        FROM ctot c JOIN pri p USING (cls), vs, nall),
+      stok AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      s2 AS (SELECT * FROM stok WHERE length(tok) > 0),
+      scored AS (
+        SELECT s.id, c.cls, c.prior_micro,
+               CAST(ROUND(LN((COALESCE(x.cf, 0) + 1.0) / (c.ctot + c.v))
+                          * 1e6) AS BIGINT) AS llh
+        FROM s2 s CROSS JOIN clst c
+        LEFT JOIN ctc x ON x.tok = s.tok AND x.cls = c.cls),
+      pc AS (
+        SELECT id, cls,
+               CAST(prior_micro + SUM(llh) AS BIGINT) AS score_micro
+        FROM scored GROUP BY id, cls, prior_micro),
+      r AS (
+        SELECT id AS doc_id, cls AS pred, score_micro,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY score_micro DESC, cls) AS rn
+        FROM pc)
+      SELECT doc_id, pred, score_micro FROM r WHERE rn = 1
+      ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
     textLmPpl, textLmPplBigram, textRepetition, textVocabGrowth,
     textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
-    textDsirIndexed)
+    textDsirIndexed, textNbClassify)
 }

@@ -315,4 +315,56 @@ class TokenizeSpec extends AnyFunSuite {
     assert(twice.select("clean_text").as[String].head() == c1)
     assert(twice.select("n_removed").as[Long].head() == 0L)
   }
+
+  private def microNats(x: Double): Long = math.round(math.log(x) * 1e6)
+
+  test("nbClassify: hand-computed micro-nat scores and argmax") {
+    // train: en {the x2, cat, dog} ctot=4; de {der, hund} ctot=2; V=5;
+    // priors en 2/3, de 1/3. Score "the":
+    //   en: micro(2/3) + micro((2+1)/(4+5)); de: micro(1/3) + micro(1/7)
+    val train = Seq((0L, "the cat", "en"), (1L, "the dog", "en"),
+      (2L, "der hund", "de")).toDF("doc_id", "text", "lang")
+    val score = Seq((10L, "the")).toDF("doc_id", "text")
+    val r = TextAnalysis.nbClassify(train, score, "doc_id", "text", "lang")
+      .select("id", "pred", "score_micro").as[(Long, String, Long)]
+      .collect()
+    assert(r.length == 1)
+    val expEn = microNats(2.0 / 3) + microNats(3.0 / 9)
+    assert(r.head == (10L, "en", expEn))
+  }
+
+  test("nbClassify: exact tie breaks on the smallest class") {
+    // two classes with identical token distributions and priors -> equal
+    // integer scores; argmax must pick the lexicographically first class
+    val train = Seq((0L, "x y", "b"), (1L, "x y", "a"))
+      .toDF("doc_id", "text", "lang")
+    val score = Seq((5L, "x y x")).toDF("doc_id", "text")
+    val r = TextAnalysis.nbClassify(train, score, "doc_id", "text", "lang")
+      .select("pred").as[String].collect()
+    assert(r.toSeq == Seq("a"))
+  }
+
+  test("nbClassify: unseen tokens price at the smoothing floor; empty docs drop") {
+    val train = Seq((0L, "the cat sat", "en"), (1L, "der hund lief", "de"))
+      .toDF("doc_id", "text", "lang")
+    val score = Seq((7L, "zzz qqq"), (8L, "  "), (9L, "der der"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.nbClassify(train, score, "doc_id", "text", "lang")
+      .select("id", "pred").as[(Long, String)].collect().toMap
+    assert(!out.contains(8L)) // no tokens -> no row
+    assert(out(9L) == "de")
+    // both classes have ctot=3, V=6: the unseen floor is identical, so the
+    // all-unseen doc falls back to the (equal) prior and the class tie-break
+    assert(out(7L) == "de")
+  }
+
+  test("nbClassify: self-classification recovers the training label on clean classes") {
+    val train = ((0 until 6).map(i => (i.toLong, "the cat sat on the mat", "en")) ++
+      (6 until 12).map(i => (i.toLong, "der hund lief im park schnell", "de")))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.nbClassify(train, train, "doc_id", "text", "lang")
+      .select("id", "pred").as[(Long, String)].collect()
+    assert(r.length == 12)
+    assert(r.forall { case (id, p) => if (id < 6) p == "en" else p == "de" })
+  }
 }
