@@ -158,4 +158,49 @@ object Curate {
   def removeContaminated(corpus: DataFrame, idCol: String,
       flagged: DataFrame): DataFrame =
     corpus.join(flagged.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+
+  /** Sketch-accelerated [[decontaminate]]: a Bloom filter over the eval
+    * slice's gram set screens corpus grams at SCAN speed before the
+    * exact-verify join. Output is IDENTICAL to [[decontaminate]] — Bloom
+    * filters have no false negatives, so the prefilter can only drop
+    * rows the join would drop anyway, and the surviving candidates are
+    * verified against the true gram set (false positives die there, not
+    * in the output).
+    *
+    * When it matters: [[decontaminate]] ships every corpus (id, gram)
+    * row into the probe join. At 100 TB that join's corpus side is the
+    * whole exploded gram table — even as a broadcast-hash probe, every
+    * row reaches the operator. Here the ~fpp-of-corpus survivors reach
+    * it instead; the gram explosion itself stays, but the join input
+    * (and any shuffle fallback if the eval side ever outgrows
+    * broadcast) shrinks by ~1/fpp. The sketch is built with ONE bounded
+    * driver action (the eval vocabulary count — benchmark-scale by
+    * construction) + a treeAggregate, then broadcast once: at fpp=0.01
+    * a 100M-gram eval suite costs ~120 MB, well inside executor
+    * memory; size scales as n·ln(1/fpp), so cap fpp no lower than the
+    * memory budget allows. The probe is a deterministic scalar UDF —
+    * off-codegen, but branch-free hashing per row, no shuffle.
+    */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, shingleSize: Int = 3, minShared: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    // eval side explodes ONLY the eval slice (predicate reaches the scan)
+    val evalGrams = Dedup.shingles(corpus.filter(evalPred), idCol, textCol,
+      shingleSize).select(col("shingle")).distinct().cache()
+    val nGrams = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("shingle", nGrams, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val bloomHit = udf((s: String) => bloomB.value.mightContain(s))
+    val evalIds = corpus.filter(evalPred).select(col(idCol).as("id"))
+    Dedup.shingles(corpus, idCol, textCol, shingleSize)
+      .join(evalIds, Seq("id"), "left_anti")
+      .filter(bloomHit(col("shingle")))
+      .join(evalGrams, Seq("shingle"))
+      // both join sides are distinct per (id, shingle) / shingle, so the
+      // row count IS the distinct shared-gram count
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

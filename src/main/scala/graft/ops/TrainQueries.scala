@@ -119,6 +119,39 @@ object TrainQueries {
       GROUP BY 1 HAVING COUNT(*) >= 3
       ORDER BY doc_id"""))
 
+  /** Sketch-path decontamination: Bloom prefilter + exact verify. The
+    * output is exactly [[Curate.decontaminate]]'s (no false negatives;
+    * false positives die in the verify join), so the oracle is the same
+    * exact-overlap SQL — the sketch is a pure execution-strategy change,
+    * and the hash compare proves it invisible. Distinct eval slice /
+    * threshold from text_decontaminate so the rows differ.
+    */
+  val textDecontaminateBloom = Q(
+    "text_decontaminate_bloom",
+    (s, d) => {
+      Curate.decontaminateBloom(T.documents(s, d), "doc_id", "text",
+        col("doc_id") % 40 === 0, shingleSize = 3, minShared = 2)
+        .select(col("id").as("doc_id"), col("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+      shx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM tok WHERE len(w) >= 3),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+               w[CAST(i AS INT) + 2] AS shingle
+        FROM shx),
+      eg AS (SELECT DISTINCT shingle FROM sh WHERE id % 40 = 0)
+      SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh JOIN eg USING (shingle)
+      WHERE id % 40 <> 0
+      GROUP BY 1 HAVING COUNT(*) >= 2
+      ORDER BY doc_id"""))
+
   /** Contamination attribution: per (train doc, eval doc) shared-gram
     * counts — the audit report behind text_decontaminate's flags. Same
     * gram machinery; the eval side keeps its doc id.
@@ -187,5 +220,6 @@ object TrainQueries {
       FROM lab ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
-    textDecontaminate, textDecontaminateWho, trainSplitCluster)
+    textDecontaminate, textDecontaminateBloom, textDecontaminateWho,
+    trainSplitCluster)
 }

@@ -167,4 +167,37 @@ class TrainExportSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("eval_id"))).toSet
     assert(whoLoose == Set((1L, 0L), (2L, 0L)))
   }
+
+  test("decontaminateBloom == decontaminate (sketch is execution-only)") {
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_shared")).toSet
+    for (minShared <- Seq(1, 2, 3)) {
+      val exact = rows(Curate.decontaminate(corpus, "doc_id", "text",
+        col("doc_id") % 10 === 0, shingleSize = 2, minShared = minShared))
+      val bloom = rows(Curate.decontaminateBloom(corpus, "doc_id", "text",
+        col("doc_id") % 10 === 0, shingleSize = 2, minShared = minShared))
+      assert(bloom == exact, s"minShared=$minShared")
+      assert(exact.nonEmpty, s"vacuous fixture at minShared=$minShared")
+    }
+    // a sloppy sketch (fpp near 1 admits almost everything) still cannot
+    // change the output: false positives die in the exact-verify join
+    val loose = rows(Curate.decontaminateBloom(corpus, "doc_id", "text",
+      col("doc_id") % 10 === 0, shingleSize = 2, minShared = 1, fpp = 0.5))
+    val exact1 = rows(Curate.decontaminate(corpus, "doc_id", "text",
+      col("doc_id") % 10 === 0, shingleSize = 2, minShared = 1))
+    assert(loose == exact1)
+  }
+
+  test("decontaminateBloom: planted overlap, flags and counts match exact") {
+    val df = docs(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "intro words alpha beta gamma delta epsilon outro"),
+      (2L, "alpha beta gamma unrelated tail here"),
+      (3L, "completely different content with no overlap at all")))
+    val flagged = Curate.decontaminateBloom(df, "doc_id", "text",
+      col("doc_id") === 0, shingleSize = 3, minShared = 3)
+    val byId = flagged.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("n_shared")).toMap
+    assert(byId == Map(1L -> 3L))
+  }
 }
