@@ -147,6 +147,35 @@ object DedupStream {
   def invalidateLabelsMeta(labelsPath: String): Unit =
     labelsBucketCache.remove(labelsPath)
 
+  /** Read-or-create the pinned bucket count of a hash-bucketed on-disk
+    * table (the cluster labels table, the curate hash table): nBuckets is
+    * part of the LAYOUT — a later run with a different value would probe
+    * buckets the old rows aren't in, or strand stale rows in partitions a
+    * partial rewrite never touches. The pinned value caches per JVM (the
+    * sigsForIndex pattern — steady streaming stops paying a 1-row parquet
+    * read per trigger), and the cache is validated against the meta
+    * file's existence so a deleted-and-recreated table re-pins from the
+    * CURRENT run's value instead of spuriously passing — or failing — on
+    * the old one.
+    */
+  private def pinnedBuckets(spark: org.apache.spark.sql.SparkSession,
+      metaPath: String, cacheKey: String, nBuckets: Int): Int = {
+    import spark.implicits._
+    val metaFsPath = new org.apache.hadoop.fs.Path(metaPath)
+    val metaFs =
+      metaFsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!metaFs.exists(metaFsPath)) labelsBucketCache.remove(cacheKey)
+    labelsBucketCache.computeIfAbsent(cacheKey, { _ =>
+      try spark.read.parquet(metaPath).head().getAs[Int]("n_buckets")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Seq(nBuckets).toDF("n_buckets").coalesce(1)
+            .write.mode("overwrite").parquet(metaPath)
+          nBuckets
+      }
+    })
+  }
+
   /** Persist the replay high-watermark after a successful append (shared
     * by every exactly-once sink; see [[committedBatchId]]).
     *
@@ -211,26 +240,9 @@ object DedupStream {
     // a later run would bucket delta nodes differently and leave stale
     // duplicate rows in old partitions (dynamic overwrite only touches
     // partitions that receive rows). Pin it next to the table and fail
-    // loudly on mismatch — BEFORE anything is appended this trigger. The
-    // pinned value caches per JVM (the sigsForIndex pattern) so steady
-    // streaming stops paying the 1-row parquet read per trigger.
-    val metaPath = s"${labelsPath.stripSuffix("/")}_meta"
-    // validate the cache against disk: a deleted-and-recreated table (its
-    // meta gone) must re-pin from the CURRENT run's nBuckets, not the old
-    // JVM-cached value (stale pass = stranded rows, stale fail = spurious)
-    val metaFsPath = new org.apache.hadoop.fs.Path(metaPath)
-    val metaFs =
-      metaFsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!metaFs.exists(metaFsPath)) labelsBucketCache.remove(labelsPath)
-    val storedBuckets = labelsBucketCache.computeIfAbsent(labelsPath, { _ =>
-      try spark.read.parquet(metaPath).head().getAs[Int]("n_buckets")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          Seq(nBuckets).toDF("n_buckets").coalesce(1)
-            .write.mode("overwrite").parquet(metaPath)
-          nBuckets
-      }
-    })
+    // loudly on mismatch — BEFORE anything is appended this trigger.
+    val storedBuckets = pinnedBuckets(spark,
+      s"${labelsPath.stripSuffix("/")}_meta", labelsPath, nBuckets)
     require(storedBuckets == nBuckets,
       s"labels table at $labelsPath was built with nBuckets=$storedBuckets, " +
         s"got $nBuckets — partial rewrites would leave stale rows; " +
@@ -267,6 +279,121 @@ object DedupStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("lbucket")
       .parquet(labelsPath)
+  }
+
+  /** Streaming end-to-end curation — the streaming twin of
+    * `ops.Curate.curate`. Per micro-batch:
+    *
+    *   1. quality gate (row-local `TextAnalysis.qualityFeatures` filter),
+    *   2. exact dedup — within the batch (keep the smallest id per text
+    *      hash) and against every PRIOR batch via a persisted,
+    *      hash-bucketed md5 table,
+    *   3. near-dup removal against the persisted dedup index at
+    *      `indexPath` (the [[processIndexBatch]] exactly-once cascade): a
+    *      batch doc pairing with anything already indexed, or with a
+    *      smaller id in its own batch, is dropped,
+    *
+    * with survivors appended to a curated corpus. With doc ids increasing
+    * across batches (the natural arrival order), the union of the batch
+    * outputs equals `Curate.curate(union, cfg.copy(estimatedVerify =
+    * true))` — keep-first-arrival IS keep-lowest-id, and the index replays
+    * the same signature-agreement verify under the same pinned params
+    * (build the index with `cfg.shingleSize`/`cfg.numHashes`; the
+    * stream==batch spec pins the equivalence).
+    *
+    * Layout under `outPath`:
+    *   - `docs/batch=<id>` — curated survivors (original columns); read
+    *     the corpus with `spark.read.parquet("<outPath>/docs")`
+    *   - `hashes/batch=<id>/hb=<b>` — exact-dedup survivors' text hashes,
+    *     bucketed by hash for pruned probes (layout pinned in
+    *     `hashes_meta`)
+    *   - `pairs/batch=<id>` — the near-dup pairs the batch generated
+    *
+    * 100 TB shape: the quality gate is scan-speed; the exact-dedup probe
+    * reads ONLY the stored hash buckets the batch touches (one bounded
+    * `isin` over ≤ nHashBuckets collected values — directory-level
+    * partition pruning, not a corpus scan); the near-dup stage is the
+    * O(batch) pruned index cascade. Nothing per trigger scales with
+    * corpus size. Every per-batch directory write is an idempotent
+    * overwrite and the signature append rides the shared batchId
+    * high-watermark, so a replayed batch rewrites identical bytes and
+    * appends nothing (the stored-hash probe filters `batch < batchId`, so
+    * a replay never sees its own committed hashes).
+    */
+  def curateStreamSink(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String,
+      cfg: graft.ops.Curate.Config = graft.ops.Curate.Config(),
+      nHashBuckets: Int = 64): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processCurateBatch(batch, batchId, idCol, textCol, indexPath, outPath,
+        cfg, nHashBuckets)
+    }
+
+  /** One micro-batch of [[curateStreamSink]], exposed for replay testing. */
+  def processCurateBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexPath: String, outPath: String,
+      cfg: graft.ops.Curate.Config = graft.ops.Curate.Config(),
+      nHashBuckets: Int = 64): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val base = outPath.stripSuffix("/")
+    val hashesPath = s"$base/hashes"
+    val storedB = pinnedBuckets(spark, s"$base/hashes_meta", hashesPath,
+      nHashBuckets)
+    require(storedB == nHashBuckets,
+      s"curate hash table at $hashesPath was built with " +
+        s"nHashBuckets=$storedB, got $nHashBuckets — probes would miss " +
+        "stored hashes; pass the original value or rebuild the table")
+
+    // 1. quality gate
+    val q = graft.ops.TextAnalysis.qualityFeatures(batch, idCol, textCol)
+      .filter(graft.ops.Curate.qualityPred(cfg)).select(col(idCol))
+    val quality = batch.join(q, Seq(idCol), "left_semi")
+
+    // 2. exact dedup: within-batch min id per hash, then anti-join the
+    // stored table pruned to the batch's touched buckets
+    def hb(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(nHashBuckets.toLong)).cast("int")
+    val hashed = quality.withColumn("_h", md5(col(textCol)))
+    val minIds = hashed.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val batchKept = hashed.join(minIds, Seq(idCol), "left_semi")
+    val touched = batchKept.select(hb(col("_h")).as("hb")).distinct()
+      .as[Int].collect() // bounded: <= nHashBuckets values
+    val stored =
+      try spark.read.parquet(hashesPath)
+        .filter(col("batch") < batchId && col("hb").isin(touched: _*))
+        .select(col("h").as("_h"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => // first batch
+          Seq.empty[String].toDF("_h")
+      }
+    // eager snapshot: the frame is consumed by three writers below, and
+    // the hash write lands in a directory this plan reads from
+    val exact = batchKept.join(stored, Seq("_h"), "left_anti")
+      .localCheckpoint()
+
+    // 3. near-dup vs the persisted index — exactly-once signature append
+    val pairs = (if (batchId <= committedBatchId(spark, indexPath))
+        graft.ops.Dedup.searchDedupIndex(exact, idCol, textCol, indexPath,
+          cfg.rowsPerBand, cfg.nearDupThreshold,
+          excludeProbeFromStored = true)
+      else {
+        val p = graft.ops.Dedup.appendToDedupIndex(exact, idCol, textCol,
+          indexPath, cfg.rowsPerBand, cfg.nearDupThreshold)
+        commitBatchId(spark, indexPath, batchId)
+        p
+      }).localCheckpoint()
+    val kept = exact.join(pairs.select(col("b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+    kept.drop("_h").write.mode("overwrite")
+      .parquet(s"$base/docs/batch=$batchId")
+    pairs.write.mode("overwrite").parquet(s"$base/pairs/batch=$batchId")
+    exact.select(col("_h").as("h"), hb(col("_h")).as("hb"))
+      .write.mode("overwrite").partitionBy("hb")
+      .parquet(s"$hashesPath/batch=$batchId")
   }
 
   /** The persisted replay high-watermark; -1 when no batch committed yet

@@ -704,4 +704,66 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       .head().getAs[Int]("n_buckets")
     assert(pinned == 8, s"recreated table pinned nBuckets=$pinned, want 8")
   }
+
+  test("curate sink: streamed union == batch curate; replay appends nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cfg = graft.ops.Curate.Config(minTokens = 5, shingleSize = 2,
+      numHashes = 8, rowsPerBand = 2, nearDupThreshold = 0.5,
+      estimatedVerify = true)
+    // 6 near-dup families of 4 one-token variants, exact copies of each
+    // family head, and sub-minTokens junk — every cascade stage has work
+    def famDoc(g: Long, m: Int): String = {
+      val toks = (0 until 10).map(j => s"w${g}x$j").toArray
+      if (m > 0) toks(m) = s"v${g}m$m"
+      toks.mkString(" ")
+    }
+    val fams = for (g <- 0L until 6L; m <- 0 until 4)
+      yield (g * 4 + m, famDoc(g, m))
+    val copies = (0L until 6L).map(g => (100L + g, famDoc(g, 0)))
+    val junk = (200L until 206L).map(i => (i, "tiny doc"))
+    val all = (fams ++ copies ++ junk).sortBy(_._1)
+    // ids increase across batches — the arrival order under which
+    // keep-first-arrival IS the batch cascade's keep-lowest-id
+    val batches = Seq(all.filter(_._1 < 8L),
+      all.filter(x => x._1 >= 8L && x._1 < 100L), all.filter(_._1 >= 100L))
+
+    val idxDir = java.nio.file.Files.createTempDirectory("curidx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("curout").toString
+    graft.ops.Dedup.buildDedupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      idxDir, shingleSize = cfg.shingleSize, numHashes = cfg.numHashes)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupStream.processCurateBatch(b.toDF("doc_id", "text"), i.toLong,
+        "doc_id", "text", idxDir, outDir, cfg)
+    }
+    def streamedIds() = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    val batchKept = graft.ops.Curate.curate(all.toDF("doc_id", "text"),
+      "doc_id", "text", cfg).select("doc_id").as[Long].collect().toSet
+    val streamed = streamedIds()
+    assert(streamed == batchKept)
+    // every stage actually dropped something (non-vacuous fixture)
+    assert(junk.map(_._1).toSet.intersect(streamed).isEmpty)
+    assert(copies.map(_._1).toSet.intersect(streamed).isEmpty)
+    assert(streamed.size < fams.size,
+      "near-dup stage dropped nothing — fixture families too dissimilar")
+    assert(streamed.nonEmpty)
+
+    // replay of the last batch: outputs identical, index/hashes unchanged
+    val sigCount = spark.read.parquet(s"$idxDir/signatures").count()
+    val hashCount = spark.read.parquet(s"$outDir/hashes").count()
+    DedupStream.processCurateBatch(batches.last.toDF("doc_id", "text"), 2L,
+      "doc_id", "text", idxDir, outDir, cfg)
+    assert(streamedIds() == batchKept)
+    assert(spark.read.parquet(s"$idxDir/signatures").count() == sigCount)
+    assert(spark.read.parquet(s"$outDir/hashes").count() == hashCount)
+
+    // the hash-bucket layout is pinned — a mismatch must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      DedupStream.processCurateBatch(batches.last.toDF("doc_id", "text"),
+        2L, "doc_id", "text", idxDir, outDir, cfg, nHashBuckets = 8)
+    }
+    assert(e.getMessage.contains("nHashBuckets"))
+  }
 }
