@@ -163,7 +163,7 @@ object SimilarityQueries {
     * so the chain composes with others (the PQ chain reuses sel/c0/a1/...)
     * — only `e(vec_id, v)` (the double-cast corpus) is expected to exist.
     */
-  private def duckKmeansChain(p: String): String = s"""${p}sel AS (
+  private[ops] def duckKmeansChain(p: String): String = s"""${p}sel AS (
         SELECT vec_id, v FROM e
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10),
       ${p}c0 AS (

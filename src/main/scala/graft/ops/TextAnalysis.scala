@@ -756,6 +756,63 @@ object TextAnalysis {
     * then one (id, class) aggregation and a per-id window over n_classes
     * rows. Docs with no tokens produce no output rows.
     */
+  /** Hashed TF-IDF document vectors — the feature-hashing featurizer
+    * (Weinberger et al. 2009) that turns raw text into fixed-`dim`
+    * vectors without a vocabulary dictionary: tokens hash straight to
+    * buckets, so the feature space is O(dim) regardless of corpus
+    * vocabulary, and a NEW batch featurizes identically with no fitted
+    * state to ship. Output: (vec_id, embedding: array<double> of length
+    * `dim`) — directly consumable by [[Similarity.kmeans]]/[[textClusters]]
+    * and every embedding operator.
+    *
+    * Exactness design: idf is quantized to integer MICRO-units
+    * (round(ln((N+1)/(df+1))·1e6) + 1e6, the [[nbClassify]] trick), so
+    * every bucket weight is an exact integer sum (tf × idf_micro) —
+    * associative under any partitioning and bit-identical in any engine;
+    * the final cast to double is exact below 2^53.
+    *
+    * Scale shape: one corpus-scale (doc, token) count with map-side
+    * combine; df/idf is a vocab-sized aggregation; the idf join is
+    * hash-distributed on token (NOT broadcast — vocab can be large); the
+    * vector assembly is ONE doc-keyed aggregation with `dim` conditional
+    * integer sums (codegen'd, no pivot/collect). Nothing driver-side.
+    */
+  def tfidfHashedVectors(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    val toks = df.select(col(idCol).as("vec_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("vec_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        (round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          * lit(1e6)).cast("long") + lit(1000000L)).as("idf_micro"))
+    tf.join(idf, Seq("tok"))
+      .select(col("vec_id"), hashBucket(col("tok"), dim).cast("int").as("bkt"),
+        (col("tf") * col("idf_micro")).as("w"))
+      .groupBy(col("vec_id"))
+      .agg(array((0 until dim).map(j =>
+        coalesce(sum(when(col("bkt") === lit(j), col("w"))), lit(0L))
+          .cast("double")): _*).as("embedding"))
+  }
+
+  /** Text clustering over hashed TF-IDF vectors — the DCLM/Dolma-style
+    * cluster-based curation primitive (cluster the corpus, then inspect /
+    * reweight / drop whole clusters). Composition of
+    * [[tfidfHashedVectors]] and the deterministic [[Similarity.kmeans]]
+    * (md5-ordered seeding, cosine assignment): no new distributed
+    * machinery, which is the point — text becomes `embedding` and every
+    * vector operator (kmeans, SemDeDup, ANN) applies as-is. Returns
+    * (id, label).
+    */
+  def textClusters(df: DataFrame, idCol: String, textCol: String, k: Int,
+      iters: Int = 2, dim: Int = 64): DataFrame =
+    Similarity.kmeans(tfidfHashedVectors(df, idCol, textCol, dim), k, iters)
+      .select(col("vec_id").as(idCol), col("label"))
+
   def nbClassify(train: DataFrame, scoreDf: DataFrame, idCol: String,
       textCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

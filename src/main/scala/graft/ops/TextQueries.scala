@@ -861,10 +861,60 @@ object TextQueries {
       SELECT doc_id, pred, score_micro FROM r WHERE rn = 1
       ORDER BY doc_id"""))
 
+  /** Cluster-based curation: k-means over hashed TF-IDF vectors. The
+    * oracle replays the ENTIRE cascade — tokenize, integer micro-idf,
+    * md5 feature hashing, dense-vector assembly, then the shared
+    * unrolled 2-iteration Lloyd chain (seeding, cosine argmax, mean
+    * update, reassignment) — so the featurizer and the clustering are
+    * both hash-verified, not just the label histogram.
+    */
+  val textCluster = Q(
+    "text_cluster",
+    (s, d) => {
+      TextAnalysis.textClusters(T.documents(s, d), "doc_id", "text",
+        k = 10, iters = 2, dim = 64)
+        .select(col("doc_id"), col("label").cast("int").as("label"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+      t2 AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+      dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      idf AS (
+        SELECT tok,
+               CAST(ROUND(LN((nd.n_docs + 1.0) / (df + 1.0)) * 1e6) AS BIGINT)
+                 + 1000000 AS idf_micro
+        FROM dfq, nd),
+      wtd AS (
+        SELECT f.doc_id,
+               CAST(('0x' || substr(md5(f.tok), 1, 15))::BIGINT % 64 AS INT)
+                 AS bkt,
+               f.tf * i.idf_micro AS w
+        FROM tf f JOIN idf i USING (tok)),
+      grid AS (
+        SELECT doc_id, unnest(generate_series(0, 63)) AS bkt
+        FROM (SELECT DISTINCT doc_id FROM wtd)),
+      bw AS (
+        SELECT g.doc_id, g.bkt,
+               CAST(COALESCE(SUM(w.w), 0) AS DOUBLE) AS val
+        FROM grid g LEFT JOIN wtd w
+          ON w.doc_id = g.doc_id AND w.bkt = g.bkt
+        GROUP BY 1, 2),
+      e AS (
+        SELECT doc_id AS vec_id, list(val ORDER BY bkt) AS v
+        FROM bw GROUP BY 1),
+      ${SimilarityQueries.duckKmeansChain("")}
+      SELECT vec_id AS doc_id, CAST(label AS INT) AS label
+      FROM a2 ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
     textLmPpl, textLmPplBigram, textRepetition, textVocabGrowth,
     textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
-    textDsirIndexed, textNbClassify)
+    textDsirIndexed, textNbClassify, textCluster)
 }

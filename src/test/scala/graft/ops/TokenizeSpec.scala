@@ -358,6 +358,57 @@ class TokenizeSpec extends AnyFunSuite {
     assert(out(7L) == "de")
   }
 
+  private def md5Bucket(tok: String, dim: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (BigInt(d.substring(0, 15), 16) % dim).toInt
+  }
+
+  test("tfidfHashedVectors: hand-computed integer micro-weights at md5 buckets") {
+    // 2 docs: "a a b" and "c". idf_micro(a)=idf_micro(b)=
+    //   round(ln(3/2)*1e6)+1e6 (df=1 of n=2); same for c
+    val df = Seq((0L, "a a b"), (1L, "c")).toDF("doc_id", "text")
+    val idfM = math.round(math.log(3.0 / 2.0) * 1e6) + 1000000L
+    val vecs = TextAnalysis.tfidfHashedVectors(df, "doc_id", "text", dim = 64)
+      .select("vec_id", "embedding").as[(Long, Array[Double])]
+      .collect().toMap
+    val exp0 = Array.fill(64)(0.0)
+    exp0(md5Bucket("a", 64)) += 2.0 * idfM
+    exp0(md5Bucket("b", 64)) += 1.0 * idfM
+    val exp1 = Array.fill(64)(0.0)
+    exp1(md5Bucket("c", 64)) += 1.0 * idfM
+    assert(vecs(0L).sameElements(exp0))
+    assert(vecs(1L).sameElements(exp1))
+  }
+
+  test("tfidfHashedVectors: partitioning-invariant (exact integer sums)") {
+    val df = (0L until 40L)
+      .map(i => (i, (0 until 12).map(j => s"t${(i * 7 + j) % 19}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def vecs(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.tfidfHashedVectors(d, "doc_id", "text", 64)
+        .select("vec_id", "embedding").as[(Long, Array[Double])]
+        .collect().toMap
+    val a = vecs(df.repartition(1))
+    val b = vecs(df.repartition(17, col("text")))
+    assert(a.keySet == b.keySet && a.keySet.nonEmpty)
+    assert(a.forall { case (k, v) => v.sameElements(b(k)) })
+  }
+
+  test("textClusters: disjoint-vocabulary families separate at k=2") {
+    val docs = ((0L until 10L).map(i =>
+      (i, (0 until 10).map(j => s"alpha${j}x").mkString(" "))) ++
+      (10L until 20L).map(i =>
+        (i, (0 until 10).map(j => s"beta${j}y").mkString(" "))))
+      .toDF("doc_id", "text")
+    val lab = TextAnalysis.textClusters(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "label").as[(Long, Int)].collect().toMap
+    val fam0 = (0L until 10L).map(lab).toSet
+    val fam1 = (10L until 20L).map(lab).toSet
+    assert(fam0.size == 1 && fam1.size == 1 && fam0 != fam1,
+      s"families not separated: $fam0 vs $fam1")
+  }
+
   test("nbClassify: self-classification recovers the training label on clean classes") {
     val train = ((0 until 6).map(i => (i.toLong, "the cat sat on the mat", "en")) ++
       (6 until 12).map(i => (i.toLong, "der hund lief im park schnell", "de")))
