@@ -397,8 +397,46 @@ object RelQueries {
           SELECT o_custkey FROM orders WHERE o_totalprice > 300000))
       ORDER BY tag, o_custkey"""))
 
+  /** Backward as-of join (`ops.AsofJoin.asofBackward`): each click joined
+    * to the user's most recent prior-or-simultaneous purchase. The oracle
+    * is DuckDB's NATIVE `ASOF LEFT JOIN` — the union-tag-window plan is
+    * verified against a first-class implementation of the semantics, not
+    * a reimplementation of our own rewrite. Output uses second-epoch
+    * deltas (both engines floor to seconds identically; ts itself is
+    * microsecond-aligned in the fixture so the `>=` comparisons agree).
+    */
+  val q18Asof = Q(
+    "q18_asof",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purch = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("pvalue"))
+      graft.ops.AsofJoin.asofBackward(clicks, purch, Seq("user_id"), "ts",
+        Seq("pvalue"))
+        .select($"event_id", $"user_id",
+          (unix_timestamp($"ts") - unix_timestamp($"asof_ts"))
+            .as("secs_since"),
+          round($"asof_pvalue", 4).as("asof_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      r AS (
+        SELECT user_id, ts, MAX(value) AS pvalue FROM events
+        WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.event_id, l.user_id,
+             CAST(date_diff('second', r.ts, l.ts) AS BIGINT) AS secs_since,
+             ROUND(r.pvalue, 4) AS asof_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
-    q15Sessionize, q16Rollup, q17SetOps)
+    q15Sessionize, q16Rollup, q17SetOps, q18Asof)
 }

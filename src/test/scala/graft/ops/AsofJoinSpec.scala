@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Backward as-of join: directed semantics cases plus a randomized
+  * differential against a brute-force per-row argmax.
+  */
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("asofBackward: most-recent-prior match, >= tie, pre-first-row nulls") {
+    val left = Seq(
+      (1L, 10L, ts(5)),   // before any right row -> nulls
+      (2L, 10L, ts(20)),  // matches right @10
+      (3L, 10L, ts(30)),  // EQUAL ts: right @30 visible (>= semantics)
+      (4L, 10L, ts(95)),  // matches latest right @30, skipping none
+      (5L, 99L, ts(50))   // key with no right rows at all -> nulls
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (10L, ts(10), 1.0), (10L, ts(30), 2.0)
+    ).toDF("k", "ts", "v")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"event_id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(1.0), 3L -> Some(2.0),
+      4L -> Some(2.0), 5L -> None))
+  }
+
+  test("asofBackward: matched right ts is emitted; left columns survive") {
+    val left = Seq((7L, 1L, ts(100), "payload")).toDF("id", "k", "ts", "extra")
+    val right = Seq((1L, ts(40), 9.0)).toDF("k", "ts", "v")
+    val r = AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"extra", $"asof_ts", $"asof_v").head()
+    assert(r.getLong(0) == 7L && r.getString(1) == "payload")
+    assert(r.getTimestamp(2) == ts(40) && r.getDouble(3) == 9.0)
+  }
+
+  test("asofBackward == brute-force argmax on randomized data") {
+    val rnd = new scala.util.Random(11)
+    val leftRows = (0 until 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(1000).toLong)))
+    // unique (k, ts) right rows, as the contract requires
+    val rightRows = rnd.shuffle((1 to 5).flatMap(k =>
+      rnd.shuffle((0 until 1000).toList).take(40).map(t =>
+        (k.toLong, ts(t.toLong), rnd.nextDouble()))))
+    val out = AsofJoin.asofBackward(
+      leftRows.toDF("id", "k", "ts"), rightRows.toDF("k", "ts", "v"),
+      Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.after(t)).sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    assert(out == expected)
+    assert(expected.values.exists(_.isEmpty) &&
+      expected.values.exists(_.nonEmpty), "vacuous fixture")
+  }
+}
