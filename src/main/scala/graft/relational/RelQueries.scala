@@ -435,8 +435,44 @@ object RelQueries {
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id"""))
 
+  /** Banded range join (`ops.RangeJoin.intervalJoin`): clicks within ±1 h
+    * of a same-user purchase. The naive inequality join is a
+    * broadcast-nested-loop in Spark; the banded rewrite runs it as a hash
+    * equi-join on (user, band) + exact residual filter. The oracle is the
+    * PLAIN inequality join — the rewrite must be invisible.
+    */
+  val q19Range = Q(
+    "q19_range",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val iv = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"),
+          ($"ts" - expr("INTERVAL 3600 SECONDS")).as("start_ts"),
+          ($"ts" + expr("INTERVAL 3600 SECONDS")).as("end_ts"), $"value")
+      graft.ops.RangeJoin.intervalJoin(clicks, iv, Seq("user_id"), "ts",
+        "start_ts", "end_ts", bandWidth = 3600L)
+        .select($"event_id", $"user_id", $"iv_p_id",
+          round($"iv_value", 4).as("p_value"))
+        .orderBy($"event_id", $"iv_p_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      r AS (
+        SELECT user_id, event_id AS p_id, ts, value FROM events
+        WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id, r.p_id AS iv_p_id,
+             ROUND(r.value, 4) AS p_value
+      FROM l JOIN r ON l.user_id = r.user_id
+        AND r.ts - INTERVAL 3600 SECOND <= l.ts
+        AND l.ts <= r.ts + INTERVAL 3600 SECOND
+      ORDER BY l.event_id, iv_p_id"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
-    q15Sessionize, q16Rollup, q17SetOps, q18Asof)
+    q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range)
 }
