@@ -793,10 +793,20 @@ object TextAnalysis {
     tf.join(idf, Seq("tok"))
       .select(col("vec_id"), hashBucket(col("tok"), dim).cast("int").as("bkt"),
         (col("tf") * col("idf_micro")).as("w"))
+      // two-level assembly: the (doc, bucket) aggregation collapses the
+      // token-scale input with map-side combine (<= dim rows per doc reach
+      // the shuffle), and the dense vector assembles ROW-LOCALLY from a
+      // <= dim-entry map — NOT as `dim` conditional sums over every token
+      // row, which evaluates dim x |tokens| predicates (measured 4x
+      // slower at sf0.1)
+      .groupBy(col("vec_id"), col("bkt")).agg(sum(col("w")).as("bw"))
       .groupBy(col("vec_id"))
-      .agg(array((0 until dim).map(j =>
-        coalesce(sum(when(col("bkt") === lit(j), col("w"))), lit(0L))
-          .cast("double")): _*).as("embedding"))
+      .agg(map_from_entries(collect_list(struct(col("bkt"), col("bw"))))
+        .as("_m"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("_m"), j.cast("int")), lit(0L))
+            .cast("double")).as("embedding"))
   }
 
   /** Text clustering over hashed TF-IDF vectors — the DCLM/Dolma-style
@@ -809,9 +819,16 @@ object TextAnalysis {
     * (id, label).
     */
   def textClusters(df: DataFrame, idCol: String, textCol: String, k: Int,
-      iters: Int = 2, dim: Int = 64): DataFrame =
-    Similarity.kmeans(tfidfHashedVectors(df, idCol, textCol, dim), k, iters)
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    // kmeans rescans its corpus every iteration (assignment + mean
+    // update); the featurization subtree is corpus-scale work, so
+    // materialize it ONCE — vectors are dim-sized rows, the cheap thing
+    // to hold, and exactly what a 100 TB deployment would persist as a
+    // feature table anyway (measured 4x on the sf0.1 bench row)
+    val vecs = tfidfHashedVectors(df, idCol, textCol, dim).localCheckpoint()
+    Similarity.kmeans(vecs, k, iters)
       .select(col("vec_id").as(idCol), col("label"))
+  }
 
   def nbClassify(train: DataFrame, scoreDf: DataFrame, idCol: String,
       textCol: String, labelCol: String): DataFrame = {
