@@ -756,6 +756,39 @@ object TextAnalysis {
     * then one (id, class) aggregation and a per-id window over n_classes
     * rows. Docs with no tokens produce no output rows.
     */
+  /** Corpus-frequent word n-grams (boilerplate/template detection — the
+    * "this article is licensed under" problem) with EXACT counts, screened
+    * by a Count-Min sketch: the CMS estimate is ONE-SIDED (never below the
+    * true count), so `estimate >= minCount` keeps every truly-heavy gram —
+    * no false negatives — and the exact recount of the survivors kills the
+    * collision-inflated false positives. Output is bit-identical to the
+    * plain groupBy-HAVING, which is what the oracle verifies.
+    *
+    * Scale shape: the sketch is depth×width counters (~1 MB at the
+    * defaults), built in one treeAggregate pass and broadcast once; the
+    * screen is a row-local hash, so the counting shuffle carries only
+    * CANDIDATE gram rows (true heavies + collision survivors) instead of
+    * corpus-vocabulary partials — the win when the gram space (|vocab|^n)
+    * dwarfs the heavy set. Tighten `eps` to shrink the candidate spill,
+    * at width ∝ 1/eps sketch memory.
+    */
+  def heavyGrams(df: DataFrame, textCol: String, n: Int, minCount: Long,
+      eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
+    val positions = when(size(col("_w")) >= n,
+      sequence(lit(0), size(col("_w")) - n)).otherwise(array())
+    val gram = concat_ws(" ",
+      (0 until n).map(j => element_at(col("_w"), col("_i") + j + 1)): _*)
+    val grams = df.select(split(trim(col(textCol)), "\\s+").as("_w"))
+      .withColumn("_i", explode(positions))
+      .select(gram.as("gram"))
+    val cms = grams.stat.countMinSketch(col("gram"), eps, confidence, 42)
+    val cmsB = grams.sparkSession.sparkContext.broadcast(cms)
+    val est = udf((s: String) => cmsB.value.estimateCount(s))
+    grams.filter(est(col("gram")) >= minCount)
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Hashed TF-IDF document vectors — the feature-hashing featurizer
     * (Weinberger et al. 2009) that turns raw text into fixed-`dim`
     * vectors without a vocabulary dictionary: tokens hash straight to

@@ -861,6 +861,31 @@ object TextQueries {
       SELECT doc_id, pred, score_micro FROM r WHERE rn = 1
       ORDER BY doc_id"""))
 
+  /** Sketch-screened frequent n-grams: CMS has one-sided error, so the
+    * screen keeps every truly-heavy gram and the exact recount removes
+    * collisions — the oracle is the PLAIN groupBy-HAVING, proving the
+    * sketch invisible (the [[Curate.decontaminateBloom]] structure).
+    */
+  val textHeavyGrams = Q(
+    "text_heavy_grams",
+    (s, d) => {
+      TextAnalysis.heavyGrams(T.documents(s, d), "text", n = 3, minCount = 5)
+        .select(col("gram"), col("cnt"))
+        .orderBy(col("gram"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      shx AS (
+        SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM tok WHERE len(w) >= 3),
+      g AS (
+        SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+               w[CAST(i AS INT) + 2] AS gram
+        FROM shx)
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
+      GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY gram"""))
+
   /** Cluster-based curation: k-means over hashed TF-IDF vectors. The
     * oracle replays the ENTIRE cascade — tokenize, integer micro-idf,
     * md5 feature hashing, dense-vector assembly, then the shared
@@ -916,5 +941,5 @@ object TextQueries {
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
     textLmPpl, textLmPplBigram, textRepetition, textVocabGrowth,
     textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
-    textDsirIndexed, textNbClassify, textCluster)
+    textDsirIndexed, textNbClassify, textCluster, textHeavyGrams)
 }

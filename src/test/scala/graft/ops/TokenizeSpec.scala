@@ -358,6 +358,31 @@ class TokenizeSpec extends AnyFunSuite {
     assert(out(7L) == "de")
   }
 
+  test("heavyGrams == exact groupBy-having; sloppy sketch stays exact") {
+    val docs = (0L until 60L).map { i =>
+      // planted boilerplate every third doc; the rest is low-frequency
+      val body = if (i % 3 == 0) "all rights reserved by us"
+      else (0 until 5).map(j => s"u${i}x$j").mkString(" ")
+      (i, s"doc $i starts $body")
+    }.toDF("doc_id", "text")
+    def grams(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
+    val exact = docs.select(explode(expr(
+      "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3), " +
+        "j -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), j + 1, 3)))"))
+      .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 4).collect()
+      .map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
+    val sk = grams(TextAnalysis.heavyGrams(docs, "text", 3, 4))
+    assert(sk == exact)
+    assert(sk.contains("all rights reserved") && sk("all rights reserved") == 20L)
+    // a sketch too small to separate anything still cannot change the
+    // output: collisions only ADD candidates, and the recount drops them
+    val sloppy = grams(TextAnalysis.heavyGrams(docs, "text", 3, 4, eps = 0.5))
+    assert(sloppy == exact)
+  }
+
   private def md5Bucket(tok: String, dim: Int): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
