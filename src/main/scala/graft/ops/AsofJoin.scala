@@ -59,4 +59,41 @@ object AsofJoin {
         col("_m").getField(c).as(s"$outPrefix$c"))
     merged.select(outCols: _*)
   }
+
+  /** Forward as-of join: for every left row, the EARLIEST right row with
+    * `right.ts >= left.ts` in the same key group — "next state at or
+    * after event time" (next scheduled maintenance after an alert, next
+    * quote after an order). The mirror of [[asofBackward]]: same
+    * union-tag-window plan, with the running window looking FORWARD
+    * (`first(... ignoreNulls)` over currentRow..unboundedFollowing) and
+    * the side tag flipped so a simultaneous right row sorts AFTER the
+    * left row and is therefore inside its forward frame — `<=`-mirrored
+    * `>=` semantics. Same single-shuffle cost shape and the same
+    * unique-(keys, ts) right-side contract.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String],
+      outPrefix: String = "asof_"): DataFrame = {
+    val lrow = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rv = struct((tsCol +: payloadCols).map(col): _*)
+    val lrowType = left.select(lrow).schema.head.dataType
+    val rvType = right.select(rv).schema.head.dataType
+    val l2 = left.select(
+      keys.map(col) ++ Seq(col(tsCol).as("_ts"), lit(0).as("_side"),
+        lrow.as("_lrow"), lit(null).cast(rvType).as("_rv")): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(tsCol).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(lrowType).as("_lrow"), rv.as("_rv")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val merged = l2.unionByName(r2)
+      .withColumn("_m", first(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+    val outCols = left.columns.toIndexedSeq.map(c =>
+      col("_lrow").getField(c).as(c)) ++
+      (tsCol +: payloadCols).map(c =>
+        col("_m").getField(c).as(s"$outPrefix$c"))
+    merged.select(outCols: _*)
+  }
 }

@@ -471,8 +471,45 @@ object RelQueries {
         AND l.ts <= r.ts + INTERVAL 3600 SECOND
       ORDER BY l.event_id, iv_p_id"""))
 
+  /** Forward as-of join: each click joined to the user's NEXT purchase at
+    * or after click time. DuckDB's ASOF JOIN is backward-only, so the
+    * oracle runs it on NEGATED epoch time — forward-on-t is exactly
+    * backward-on-(-t), which makes the native implementation verify this
+    * direction too.
+    */
+  val q20AsofFwd = Q(
+    "q20_asof_fwd",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purch = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("pvalue"))
+      graft.ops.AsofJoin.asofForward(clicks, purch, Seq("user_id"), "ts",
+        Seq("pvalue"))
+        .select($"event_id", $"user_id",
+          (unix_timestamp($"asof_ts") - unix_timestamp($"ts"))
+            .as("secs_until"),
+          round($"asof_pvalue", 4).as("asof_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_id, user_id, -epoch_us(ts) AS nts, ts
+        FROM events WHERE event_type = 'click'),
+      r AS (
+        SELECT user_id, -epoch_us(ts) AS nts, ts, MAX(value) AS pvalue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3)
+      SELECT l.event_id, l.user_id,
+             CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS secs_until,
+             ROUND(r.pvalue, 4) AS asof_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.nts >= r.nts
+      ORDER BY l.event_id"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
-    q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range)
+    q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd)
 }

@@ -40,6 +40,47 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(r.getTimestamp(2) == ts(40) && r.getDouble(3) == 9.0)
   }
 
+  test("asofForward: earliest-at-or-after match, >= tie, post-last-row nulls") {
+    val left = Seq(
+      (1L, 10L, ts(5)),   // matches right @10 (earliest at/after)
+      (2L, 10L, ts(10)),  // EQUAL ts: right @10 visible
+      (3L, 10L, ts(11)),  // matches right @30
+      (4L, 10L, ts(31)),  // past the last right row -> nulls
+      (5L, 99L, ts(50))   // key with no right rows -> nulls
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (10L, ts(10), 1.0), (10L, ts(30), 2.0)
+    ).toDF("k", "ts", "v")
+    val out = AsofJoin.asofForward(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"event_id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(2.0),
+      4L -> None, 5L -> None))
+  }
+
+  test("asofForward == brute-force argmin on randomized data") {
+    val rnd = new scala.util.Random(31)
+    val leftRows = (0 until 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(1000).toLong)))
+    val rightRows = rnd.shuffle((1 to 5).flatMap(k =>
+      rnd.shuffle((0 until 1000).toList).take(40).map(t =>
+        (k.toLong, ts(t.toLong), rnd.nextDouble()))))
+    val out = AsofJoin.asofForward(
+      leftRows.toDF("id", "k", "ts"), rightRows.toDF("k", "ts", "v"),
+      Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.before(t)).sortBy(_._2.getTime).headOption.map(_._3)
+    }.toMap
+    assert(out == expected)
+    assert(expected.values.exists(_.isEmpty) &&
+      expected.values.exists(_.nonEmpty), "vacuous fixture")
+  }
+
   test("asofBackward == brute-force argmax on randomized data") {
     val rnd = new scala.util.Random(11)
     val leftRows = (0 until 300).map(i =>
