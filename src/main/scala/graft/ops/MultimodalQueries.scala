@@ -145,5 +145,31 @@ object MultimodalQueries {
       GROUP BY c.doc_id, zc.zero_crossings
       ORDER BY id"""))
 
-  def all: Seq[Q] = Seq(mmFeatures, mmResize, mmFrameSample, mmAudio)
+  /** WebDataset tar shard round trip: pack the documents table into
+    * `shard-NNNNN.tar` files (`graft.sources.WebDataset.writeTarShards`,
+    * one sequential tar per task, fixed mtimes), read them back with the
+    * tar-walking `binaryFile` source, and decode the payloads. The oracle
+    * is the documents table itself — the container layer must be
+    * byte-lossless end to end. (The build-inside-the-query pattern of
+    * text_dsir_indexed / emb_ann_index_search.)
+    */
+  val mmWdsRoundtrip = Q(
+    "mm_wds_roundtrip",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("wds").toString
+      val rows = T.documents(s, d).select(
+        (col("doc_id") % 8).cast("int").as("shard"),
+        col("doc_id").cast("string").as("key"),
+        lit("txt").as("ext"),
+        col("text").cast("binary").as("payload"))
+      graft.sources.WebDataset.writeTarShards(rows, dir)
+      graft.sources.WebDataset.readTarShards(s, s"$dir/*.tar")
+        .select(col("key").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, text FROM documents ORDER BY doc_id"))
+
+  def all: Seq[Q] = Seq(mmFeatures, mmResize, mmFrameSample, mmAudio,
+    mmWdsRoundtrip)
 }
