@@ -733,6 +733,118 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Driver-side twin of [[hashBucket]] — the same md5-prefix bucket for a
+    * known string, computed without a Spark job (used to turn query terms
+    * into partition-pruning literals).
+    */
+  private[ops] def hashBucketOf(s: String, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (BigInt(d.substring(0, 15), 16) % buckets).toInt
+  }
+
+  /** Build a persisted BM25 inverted index — the search-engine shape of
+    * [[bm25]]: tokenize the corpus ONCE, store the postings (token → (doc,
+    * tf)) partitioned by a token hash bucket, plus doc lengths and
+    * additive corpus stats. A query then reads ONLY the partitions its
+    * terms hash into (directory pruning from driver-computed literals) —
+    * per-query cost scales with the query terms' posting lists, never the
+    * corpus.
+    *
+    * Layout: `postings/tb=<b>` (tok, id, tf), `doclens` (id, dl), `stats`
+    * (n_docs, sum_dl — DELTA rows, folded by sum on read, so appends
+    * never rewrite), `meta` (pinned bucket count). Document frequency is
+    * NOT stored: a search reads its terms' full posting lists anyway, so
+    * df falls out of a count over what was already fetched — one less
+    * table to keep consistent under appends.
+    */
+  def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 256): Unit = {
+    val base = path.stripSuffix("/")
+    val (postings, doclens, stats) = bm25Delta(df, idCol, textCol, nBuckets)
+    postings.write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$base/postings")
+    doclens.write.mode("overwrite").parquet(s"$base/doclens")
+    stats.write.mode("overwrite").parquet(s"$base/stats")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/meta")
+    StreamCommitMarker.clear(spark, base)
+  }
+
+  /** Fold a new document batch into a [[buildBm25Index]] index: postings
+    * and doc lengths append under the pinned bucket layout, and the
+    * corpus stats land as one more delta row — O(batch), nothing
+    * rewritten. Doc ids must be new (the disjoint-batch contract every
+    * persisted index here shares).
+    */
+  def appendToBm25Index(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val nBuckets = df.sparkSession.read.parquet(s"$base/meta")
+      .head().getAs[Int]("n_buckets")
+    val (postings, doclens, stats) = bm25Delta(df, idCol, textCol, nBuckets)
+    postings.write.mode("append").partitionBy("tb").parquet(s"$base/postings")
+    doclens.write.mode("append").parquet(s"$base/doclens")
+    stats.write.mode("append").parquet(s"$base/stats")
+  }
+
+  private def bm25Delta(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): (DataFrame, DataFrame, DataFrame) = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val postings = tok.groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", hashBucket(col("tok"), nBuckets).cast("int"))
+    val doclens = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = doclens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    (postings, doclens, stats)
+  }
+
+  /** Query a [[buildBm25Index]] index: identical scoring (and output) to
+    * the in-memory [[bm25]] over the indexed corpus, but reading only the
+    * query terms' posting partitions — the terms' buckets are computed
+    * driver-side ([[hashBucketOf]]) and pushed as partition-pruning
+    * literals, then the doc-length join touches only candidate ids.
+    * Corpus stats fold from the delta rows (≤ one per append).
+    */
+  def searchBm25Indexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val base = path.stripSuffix("/")
+    val nBuckets = spark.read.parquet(s"$base/meta")
+      .head().getAs[Int]("n_buckets")
+    val termsL = queryTerms.map(_.toLowerCase)
+    val tbs = termsL.map(hashBucketOf(_, nBuckets)).distinct
+    val tf = spark.read.parquet(s"$base/postings")
+      .filter(col("tb").isin(tbs: _*) && col("tok").isin(termsL: _*))
+      .select(col("id"), col("tok"), col("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val docLen = spark.read.parquet(s"$base/doclens")
+    val stats = spark.read.parquet(s"$base/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
+    tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(docLen, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Multinomial Naive Bayes text classifier — the classic trainable
     * quality/domain filter baseline a curation pipeline reaches for
     * before a fastText model (CCNet/DCLM-style label filtering). Trains

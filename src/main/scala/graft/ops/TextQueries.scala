@@ -415,6 +415,50 @@ object TextQueries {
       SELECT id AS doc_id, ROUND(score, 4) AS score, n_matched
       FROM sc ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** Persisted-inverted-index BM25: build on 90% of the corpus, append
+    * the rest, search the STORED artifact (partition-pruned posting
+    * fetch). The oracle scores the full corpus directly — the index
+    * round trip, the append fold, and the delta-row stats must be
+    * invisible. Different terms from text_bm25 so the rows differ.
+    */
+  val textBm25Indexed = Q(
+    "text_bm25_indexed",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+      TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", dir)
+      TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", dir)
+      TextAnalysis.searchBm25Indexed(s, dir, Seq("scan", "merge", "batch"),
+        k1 = 1.2, b = 0.75, topK = 20)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"),
+          col("n_matched"))
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents),
+      t AS (SELECT id, tok FROM tok WHERE length(tok) > 0),
+      dl AS (SELECT id, COUNT(*) AS dl FROM t GROUP BY 1),
+      stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      tf AS (SELECT id, tok, COUNT(*) AS tf FROM t
+             WHERE tok IN ('scan', 'merge', 'batch') GROUP BY 1, 2),
+      dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.id,
+               SUM(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                 AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM tf JOIN dfq USING (tok) JOIN dl USING (id), stats s
+        GROUP BY 1)
+      SELECT id AS doc_id, ROUND(score, 4) AS score, n_matched
+      FROM sc ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** Winnowing rolling-hash fingerprints (MOSS): the oracle recomputes each
     * gram's polynomial hash directly (precomputed powers of 257 mod 2^31-1,
     * so sums stay in int64) and replays the per-window (hash, pos) argmin.
@@ -941,5 +985,6 @@ object TextQueries {
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
     textLmPpl, textLmPplBigram, textRepetition, textVocabGrowth,
     textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
-    textDsirIndexed, textNbClassify, textCluster, textHeavyGrams)
+    textDsirIndexed, textNbClassify, textCluster, textHeavyGrams,
+    textBm25Indexed)
 }

@@ -475,6 +475,31 @@ object DedupStream {
     }
   }
 
+  /** Streaming ingest into a persisted BM25 inverted index: each
+    * micro-batch runs `ops.TextAnalysis.appendToBm25Index` — postings and
+    * doc lengths append under the pinned bucket layout, corpus stats land
+    * as one delta row; O(batch) per trigger. Same exactly-once replay
+    * contract as the other index sinks (persisted batchId high-watermark,
+    * single writer per index path). A live crawl keeps the index
+    * searchable while it grows.
+    */
+  def bm25AppendSink(docs: DataFrame, idCol: String,
+      textCol: String, indexPath: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processBm25Batch(batch, batchId, idCol, textCol, indexPath)
+    }
+
+  /** One micro-batch of [[bm25AppendSink]], exposed for replay testing. */
+  def processBm25Batch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    if (batchId > committedBatchId(spark, indexPath)) {
+      graft.ops.TextAnalysis.appendToBm25Index(batch, idCol, textCol,
+        indexPath)
+      commitBatchId(spark, indexPath, batchId)
+    }
+  }
+
   /** Streaming ingest into a persisted IVF-PQ index — [[annAppendSink]]'s
     * twin over `ops.Similarity.appendToPqIndex`: frozen stored centroids
     * route each batch vector, the STORED codebooks encode it, and only

@@ -64,4 +64,51 @@ class Bm25PropertySpec extends AnyFunSuite {
       assert(want.nonEmpty)
     }
   }
+
+  test("indexed BM25 == in-memory bm25; appends fold; partitions prune; replay appends nothing") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 120L).map { i =>
+      (i, (0 until 6 + rnd.nextInt(20))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val terms = Seq("w3", "w17", "w31")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("id", "score", "n_matched")
+      .as[(Long, Double, Long)].collect().toSeq
+    val mem = rows(TextAnalysis.bm25(docs.toDF("doc_id", "text"),
+      "doc_id", "text", terms, topK = 200))
+
+    val dir = java.nio.file.Files.createTempDirectory("bm25prop").toString
+    TextAnalysis.buildBm25Index(docs.take(80).toDF("doc_id", "text"),
+      "doc_id", "text", dir, nBuckets = 16)
+    TextAnalysis.appendToBm25Index(docs.drop(80).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val idx = TextAnalysis.searchBm25Indexed(spark, dir, terms, topK = 200)
+    assert(rows(idx) == mem && mem.nonEmpty)
+
+    // the posting scan must carry a tb partition filter (directory prune)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"),
+      "posting scan lost its bucket partition filter")
+
+    // exactly-once streaming ingest: a redelivered batch folds nothing
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25sink").toString
+    TextAnalysis.buildBm25Index(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      dir2, nBuckets = 16)
+    graft.streaming.DedupStream.processBm25Batch(
+      docs.take(80).toDF("doc_id", "text"), 0L, "doc_id", "text", dir2)
+    graft.streaming.DedupStream.processBm25Batch(
+      docs.drop(80).toDF("doc_id", "text"), 1L, "doc_id", "text", dir2)
+    val once = rows(TextAnalysis.searchBm25Indexed(spark, dir2, terms,
+      topK = 200))
+    assert(once == mem)
+    graft.streaming.DedupStream.processBm25Batch(
+      docs.drop(80).toDF("doc_id", "text"), 1L, "doc_id", "text", dir2)
+    assert(rows(TextAnalysis.searchBm25Indexed(spark, dir2, terms,
+      topK = 200)) == mem, "replayed batch changed the index")
+  }
 }
