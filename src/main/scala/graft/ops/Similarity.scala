@@ -91,6 +91,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * merge heterogeneous retrieval lists (dense ANN + sparse BM25 being
+    * the modern hybrid-search pair): each list contributes
+    * 1 / (rrfK + rank) per doc, summed across lists. Rank-based, so the
+    * incomparable raw scores never mix, and with integer ranks the fused
+    * score is a deterministic function of the input orderings.
+    *
+    * Scale shape: one unionByName of the (already small) top-k lists and
+    * one hash aggregation on id — the inputs are k-sized per query, so
+    * fusion cost is negligible next to the retrievals it merges. Ties
+    * break on id.
+    */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, rankCol: String,
+      rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+    ranked.map(df => df.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(rrfK.toDouble) + col(rankCol))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Cluster centroids as elementwise means per `labelCol` — the IVF coarse
     * quantizer (here the corpus ships with cluster labels; at scale these
     * come from a k-means pass).

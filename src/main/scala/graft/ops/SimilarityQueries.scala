@@ -729,8 +729,82 @@ object SimilarityQueries {
     },
     embPqIndexRerank.oracle)
 
+  /** Hybrid dense+sparse retrieval via reciprocal-rank fusion: BM25 over
+    * the documents table and exact cosine over the parallel embeddings
+    * table, ranks fused with 1/(60+rank). The oracle replays BOTH
+    * retrieval cascades (the text_bm25 CTE chain and the brute-force
+    * cosine chain) and the fusion arithmetic — rank-based, so the fused
+    * scores are exact functions of two integer orderings.
+    */
+  val embHybridRrf = Q(
+    "emb_hybrid_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = graft.ops.TextAnalysis.bm25(T.documents(s, d), "doc_id",
+        "text", Seq("vector", "hash"), k1 = 1.2, b = 0.75, topK = 30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id"))))
+        .select(col("id"), col("rank"))
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val dense = Similarity.cosineTopK(emb, emb.filter(col("vec_id") === 0), 30)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq(sparse, dense), "id", "rank", rrfK = 60,
+        topK = 15)
+        .select(col("id").as("doc_id"), round(col("rrf_score"), 6).as("rrf"),
+          col("n_lists"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents),
+      t AS (SELECT id, tok FROM tok WHERE length(tok) > 0),
+      dl AS (SELECT id, COUNT(*) AS dl FROM t GROUP BY 1),
+      stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      tf AS (SELECT id, tok, COUNT(*) AS tf FROM t
+             WHERE tok IN ('vector', 'hash') GROUP BY 1, 2),
+      dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.id,
+               SUM(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                 AS score
+        FROM tf JOIN dfq USING (tok) JOIN dl USING (id), stats s
+        GROUP BY 1),
+      sparse AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT)
+                 AS rank
+        FROM (SELECT * FROM sc ORDER BY score DESC, id LIMIT 30)),
+      q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id = 0),
+      pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv,
+               e.embedding::DOUBLE[] AS cv
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      $duckCos,
+      dense AS (
+        SELECT neighbor_id AS id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, neighbor_id) AS INT)
+                 AS rank
+        FROM comp QUALIFY rank <= 30),
+      contrib AS (
+        SELECT id, 1.0 / (60.0 + rank) AS c FROM sparse
+        UNION ALL
+        SELECT id, 1.0 / (60.0 + rank) AS c FROM dense),
+      fused AS (
+        SELECT id, SUM(c) AS rrf_score, CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM contrib GROUP BY 1
+        ORDER BY rrf_score DESC, id LIMIT 15)
+      SELECT id AS doc_id, ROUND(rrf_score, 6) AS rrf, n_lists
+      FROM fused ORDER BY rrf DESC, doc_id"""))
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
-      embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe)
+      embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe,
+      embHybridRrf)
 }
