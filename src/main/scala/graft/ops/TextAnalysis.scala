@@ -762,7 +762,10 @@ object TextAnalysis {
       path: String, nBuckets: Int = 256): Unit = {
     val base = path.stripSuffix("/")
     val (postings, doclens, stats) = bm25Delta(df, idCol, textCol, nBuckets)
-    postings.write.mode("overwrite").partitionBy("tb")
+    // route rows to their bucket BEFORE the partitioned write: without
+    // this every task writes a file into every bucket directory it
+    // touches (tasks x buckets small files); with it, one file per bucket
+    postings.repartition(col("tb")).write.mode("overwrite").partitionBy("tb")
       .parquet(s"$base/postings")
     doclens.write.mode("overwrite").parquet(s"$base/doclens")
     stats.write.mode("overwrite").parquet(s"$base/stats")
@@ -785,7 +788,8 @@ object TextAnalysis {
     val nBuckets = df.sparkSession.read.parquet(s"$base/meta")
       .head().getAs[Int]("n_buckets")
     val (postings, doclens, stats) = bm25Delta(df, idCol, textCol, nBuckets)
-    postings.write.mode("append").partitionBy("tb").parquet(s"$base/postings")
+    postings.repartition(col("tb")).write.mode("append").partitionBy("tb")
+      .parquet(s"$base/postings")
     doclens.write.mode("append").parquet(s"$base/doclens")
     stats.write.mode("append").parquet(s"$base/stats")
   }

@@ -427,7 +427,7 @@ object TextQueries {
       val docs = T.documents(s, d)
       val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
       TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", dir)
+        "doc_id", "text", dir, nBuckets = 64)
       TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", dir)
       TextAnalysis.searchBm25Indexed(s, dir, Seq("scan", "merge", "batch"),
