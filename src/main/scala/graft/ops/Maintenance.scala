@@ -40,14 +40,24 @@ object Maintenance {
     val w = routed.write.mode("overwrite")
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(tmp)
+    swapDir(spark, base, tmp)
+  }
+
+  /** Rename-based directory swap: stage `target` aside, move `tmp` into
+    * its place, then delete the staged copy. Readers see the old or the
+    * new directory, never a mix; a crash between the renames leaves the
+    * old data under `<target>__old`.
+    */
+  private[ops] def swapDir(spark: SparkSession, target: String,
+      tmp: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(base)
+    val p = new org.apache.hadoop.fs.Path(target)
     val t = new org.apache.hadoop.fs.Path(tmp)
-    val old = new org.apache.hadoop.fs.Path(s"${base}__old")
+    val old = new org.apache.hadoop.fs.Path(s"${target}__old")
     val fs = p.getFileSystem(conf)
     if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(p, old), s"could not stage $base aside")
-    require(fs.rename(t, p), s"could not move compacted layout into $base")
+    require(fs.rename(p, old), s"could not stage $target aside")
+    require(fs.rename(t, p), s"could not move new layout into $target")
     fs.delete(old, true)
   }
 

@@ -245,7 +245,7 @@ object Similarity {
     // single-row collect_list + posexplode rather than an unpartitioned
     // row_number window: k rows make the window harmless, but WindowExec
     // still logs a move-everything-to-one-partition warning on every run
-    var cents = corpus
+    val cents = corpus
       .withColumn("hk", md5(col("vec_id").cast("string")))
       .orderBy(col("hk"), col("vec_id")).limit(k)
       .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
@@ -256,6 +256,18 @@ object Similarity {
       .localCheckpoint()
     val c = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("vn"))
+    lloyd(c, cents, iters).select(col("vec_id"), col("label"))
+  }
+
+  /** The Lloyd iteration body shared by [[kmeans]] (md5-seeded) and
+    * [[rebalanceAnnIndex]] (warm-started from stored centroids): `iters`
+    * rounds of broadcast cosine-argmax assignment + elementwise-mean
+    * update over `c` = (vec_id, embedding, vn). Returns the final
+    * (vec_id, embedding, label) assignment.
+    */
+  private def lloyd(c: DataFrame, cents0: DataFrame,
+      iters: Int): DataFrame = {
+    var cents = cents0
     var i = 0
     var assigned: DataFrame = null
     while (i < iters) {
@@ -279,7 +291,7 @@ object Similarity {
         .localCheckpoint()
       i += 1
     }
-    assigned.select(col("vec_id"), col("label"))
+    assigned
   }
 
   /** Persist an IVF index: k-means labels + corpus PARTITIONED BY label
@@ -297,6 +309,41 @@ object Similarity {
     // rebuild invalidates any streaming replay marker (see the scaladoc
     // on StreamCommitMarker — stale markers silently drop fresh batches)
     StreamCommitMarker.clear(spark, dbPath)
+  }
+
+  /** Re-cluster a persisted IVF index IN PLACE, warm-starting Lloyd from
+    * the STORED centroids: the maintenance pass for quantizer drift.
+    * [[appendToAnnIndex]] keeps centroids frozen (the right per-batch
+    * cost), so after enough appends from a shifted distribution the
+    * partition populations skew and probe recall sags; a full
+    * [[buildAnnIndex]] re-seeds from scratch (md5 order) and re-pays the
+    * seeding search, while this warm start converges in 1–2 iterations
+    * because the stored centroids are already near a local optimum.
+    *
+    * Rewrites vectors (bucket-routed: one file per label — a compaction
+    * for free) and centroids via the rename-swap used by
+    * `Maintenance.compactParquetDir`, then clears the streaming replay
+    * marker (relabeling is a rebuild event: a fresh stream's batch 0 must
+    * not be mistaken for a replay). Single-writer: run in a quiet window.
+    */
+  def rebalanceAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      dbPath: String, iters: Int = 2): Unit = {
+    val base = dbPath.stripSuffix("/")
+    val c = spark.read.parquet(s"$base/vectors")
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("vn"))
+      .localCheckpoint()
+    val cents0 = spark.read.parquet(s"$base/centroids").localCheckpoint()
+    val relabeled = lloyd(c, cents0, iters)
+    val vt = s"$base/vectors__rebal_tmp"
+    val ct = s"$base/centroids__rebal_tmp"
+    relabeled.repartition(col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(vt)
+    centroids(spark.read.parquet(vt), "label")
+      .write.mode("overwrite").parquet(ct)
+    Maintenance.swapDir(spark, s"$base/vectors", vt)
+    Maintenance.swapDir(spark, s"$base/centroids", ct)
+    StreamCommitMarker.clear(spark, base)
   }
 
   /** The top-`n` nearest centroids per query row by cosine (broadcast —

@@ -73,4 +73,50 @@ class MaintenanceSpec extends AnyFunSuite {
     }
     assert(ann() == before && before.nonEmpty)
   }
+
+  test("rebalanceAnnIndex: drifted appends re-cluster cleanly, content preserved, marker cleared") {
+    val rnd = new scala.util.Random(19)
+    def around(c: Array[Double], n: Int, idBase: Long) =
+      (0 until n).map(j =>
+        (idBase + j, c.map(_ + rnd.nextGaussian() * 0.1)))
+    // build on two tight families; centroids freeze there
+    val fam0 = around(Array(10.0, 0.0, 0.0), 20, 0L)
+    val fam1 = around(Array(0.0, 10.0, 0.0), 20, 100L)
+    val db = java.nio.file.Files.createTempDirectory("rebal").toString
+    Similarity.buildAnnIndex((fam0 ++ fam1).toDF("vec_id", "embedding"), db,
+      nClusters = 2, iters = 4)
+    // a THIRD family arrives only via frozen-centroid appends: all its
+    // vectors pile into whichever stored centroid is nearest
+    val fam2 = around(Array(0.0, 0.0, 10.0), 30, 200L)
+    Similarity.appendToAnnIndex(fam2.toDF("vec_id", "embedding"), db)
+    graft.streaming.DedupStream.processAnnBatch(
+      around(Array(0.0, 0.0, 10.0), 10, 300L).toDF("vec_id", "embedding"),
+      0L, db)
+    val idsBefore = spark.read.parquet(s"$db/vectors")
+      .select("vec_id").as[Long].collect().toSet
+
+    Similarity.rebalanceAnnIndex(spark, db, iters = 3)
+
+    val after = spark.read.parquet(s"$db/vectors")
+      .select("vec_id", "label").as[(Long, Int)].collect()
+    // content preserved exactly; still the pinned cluster count
+    assert(after.map(_._1).toSet == idsBefore)
+    assert(after.map(_._2).distinct.length == 2)
+    // every family is label-pure after the warm-started re-cluster: the
+    // big drifted family now owns a centroid instead of squatting
+    def labelsOf(p: Long => Boolean) =
+      after.filter(t => p(t._1)).map(_._2).toSet
+    val l2 = labelsOf(id => id >= 200L)
+    assert(l2.size == 1, s"drifted family split across $l2")
+    assert(labelsOf(id => id < 200L).intersect(l2).isEmpty
+      || labelsOf(id => id < 100L).size == 1,
+      "drifted family still shares a cluster with a build-time family")
+    // probes still work against the new layout; marker cleared
+    val q = Seq((9000L, Array(0.0, 0.0, 10.0))).toDF("vec_id", "embedding")
+    val nn = Similarity.searchAnnIndexed(spark, db, q, 5, 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(nn.nonEmpty && nn.forall(_ >= 200L),
+      s"probe into the drifted family returned ${nn.toSeq}")
+    assert(graft.streaming.DedupStream.committedBatchId(spark, db) == -1L)
+  }
 }
