@@ -96,4 +96,30 @@ object AsofJoin {
         col("_m").getField(c).as(s"$outPrefix$c"))
     merged.select(outCols: _*)
   }
+
+  /** Nearest as-of join: the single right row closest in time to each
+    * left row, in either direction ("the reading nearest the event").
+    * Composed from [[asofBackward]] and [[asofForward]] — two window
+    * passes over the same key shuffle shape — picking the smaller
+    * absolute time delta per row; exact ties prefer the BACKWARD
+    * (at-or-before) match, the convention that never leaks the future
+    * when both sides are equidistant. Null-safe: rows with a match in
+    * only one direction take it; rows with none keep nulls.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String],
+      outPrefix: String = "asof_"): DataFrame = {
+    val bwd = asofBackward(left, right, keys, tsCol, payloadCols, "_bwd_")
+    val fwd = asofForward(bwd, right, keys, tsCol, payloadCols, "_fwd_")
+    // exact integer microsecond deltas — no float rounding near ties
+    val dbwd = unix_micros(col(tsCol)) - unix_micros(col(s"_bwd_$tsCol"))
+    val dfwd = unix_micros(col(s"_fwd_$tsCol")) - unix_micros(col(tsCol))
+    val useBwd = col(s"_bwd_$tsCol").isNotNull &&
+      (col(s"_fwd_$tsCol").isNull || dbwd <= dfwd)
+    val outCols = left.columns.toIndexedSeq.map(col) ++
+      (tsCol +: payloadCols).map(c =>
+        when(useBwd, col(s"_bwd_$c")).otherwise(col(s"_fwd_$c"))
+          .as(s"$outPrefix$c"))
+    fwd.select(outCols: _*)
+  }
 }

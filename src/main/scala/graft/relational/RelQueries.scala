@@ -508,8 +508,61 @@ object RelQueries {
         ON l.user_id = r.user_id AND l.nts >= r.nts
       ORDER BY l.event_id"""))
 
+  /** Nearest as-of join: each click matched to the temporally CLOSEST
+    * same-user purchase in either direction (exact microsecond deltas;
+    * ties prefer the backward match). The oracle composes DuckDB's two
+    * native ASOF directions with the same CASE arbitration.
+    */
+  val q21AsofNearest = Q(
+    "q21_asof_nearest",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purch = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("pvalue"))
+      graft.ops.AsofJoin.asofNearest(clicks, purch, Seq("user_id"), "ts",
+        Seq("pvalue"))
+        .select($"event_id", $"user_id",
+          (unix_timestamp($"asof_ts") - unix_timestamp($"ts"))
+            .as("secs_offset"),
+          round($"asof_pvalue", 4).as("asof_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_id, user_id, ts, epoch_us(ts) AS us, -epoch_us(ts) AS nus
+        FROM events WHERE event_type = 'click'),
+      r AS (
+        SELECT user_id, ts, epoch_us(ts) AS us, -epoch_us(ts) AS nus,
+               MAX(value) AS pvalue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3, 4),
+      bwd AS (
+        SELECT l.event_id, r.ts AS bts, r.us AS bus, r.pvalue AS bval
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.us >= r.us),
+      fwd AS (
+        SELECT l.event_id, r.ts AS fts, r.us AS fus, r.pvalue AS fval
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.nus >= r.nus),
+      pick AS (
+        SELECT l.event_id, l.user_id, l.ts, l.us,
+               CASE WHEN b.bts IS NOT NULL AND
+                         (f.fts IS NULL OR l.us - b.bus <= f.fus - l.us)
+                    THEN b.bts ELSE f.fts END AS ats,
+               CASE WHEN b.bts IS NOT NULL AND
+                         (f.fts IS NULL OR l.us - b.bus <= f.fus - l.us)
+                    THEN b.bval ELSE f.fval END AS aval
+        FROM l JOIN bwd b USING (event_id) JOIN fwd f USING (event_id))
+      SELECT event_id, user_id,
+             CAST(date_diff('second', ts, ats) AS BIGINT) AS secs_offset,
+             ROUND(aval, 4) AS asof_value
+      FROM pick ORDER BY event_id"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
-    q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd)
+    q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
+    q21AsofNearest)
 }

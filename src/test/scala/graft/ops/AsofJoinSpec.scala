@@ -81,6 +81,51 @@ class AsofJoinSpec extends AnyFunSuite {
       expected.values.exists(_.nonEmpty), "vacuous fixture")
   }
 
+  test("asofNearest: closer side wins, exact tie prefers backward, one-sided rows covered") {
+    val left = Seq(
+      (1L, 10L, ts(12)),  // bwd @10 (d=2) beats fwd @30 (d=18)
+      (2L, 10L, ts(28)),  // fwd @30 (d=2) beats bwd @10 (d=18)
+      (3L, 10L, ts(20)),  // EXACT tie (d=10 both) -> backward @10
+      (4L, 10L, ts(5)),   // nothing behind -> forward @10
+      (5L, 10L, ts(99)),  // nothing ahead -> backward @30
+      (6L, 77L, ts(50))   // no right rows at all -> nulls
+    ).toDF("event_id", "k", "ts")
+    val right = Seq((10L, ts(10), 1.0), (10L, ts(30), 2.0))
+      .toDF("k", "ts", "v")
+    val out = AsofJoin.asofNearest(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"event_id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(1.0),
+      4L -> Some(1.0), 5L -> Some(2.0), 6L -> None))
+  }
+
+  test("asofNearest == brute-force nearest on randomized data") {
+    val rnd = new scala.util.Random(47)
+    val leftRows = (0 until 250).map(i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toLong, ts(rnd.nextInt(800).toLong)))
+    val rightRows = rnd.shuffle((1 to 4).flatMap(k =>
+      rnd.shuffle((0 until 800).toList).take(30).map(t =>
+        (k.toLong, ts(t.toLong), rnd.nextDouble()))))
+    val out = AsofJoin.asofNearest(
+      leftRows.toDF("id", "k", "ts"), rightRows.toDF("k", "ts", "v"),
+      Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (id, k, t) =>
+      val cands = byKey.getOrElse(k, Seq.empty)
+      id -> (if (cands.isEmpty) None else {
+        // min |dt|; ties prefer backward (r.ts <= t), then... unique ts
+        // per key in this fixture, so (|dt|, forward?) is a total order
+        Some(cands.minBy(c => (math.abs(c._2.getTime - t.getTime),
+          if (c._2.getTime <= t.getTime) 0 else 1))._3)
+      })
+    }.toMap
+    assert(out == expected)
+    assert(expected.values.exists(_.nonEmpty), "vacuous fixture")
+  }
+
   test("asofBackward == brute-force argmax on randomized data") {
     val rnd = new scala.util.Random(11)
     val leftRows = (0 until 300).map(i =>
