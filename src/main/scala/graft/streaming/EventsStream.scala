@@ -130,6 +130,31 @@ object EventsStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static as-of enrichment — the streaming face of
+    * `ops.AsofJoin.asofBackward` against a STATIC reference table (price
+    * at event time, latest profile snapshot before a click). Sound as a
+    * per-micro-batch batch join because a backward as-of against a fixed
+    * right side is ROW-LOCAL: each left row's match depends only on that
+    * row and the static table, never on other stream rows or batch
+    * boundaries — so stream output == batch output on the same rows
+    * (spec-pinned). The static side is tokenized once per trigger
+    * (cache `right` for long-running queries); per-trigger cost is the
+    * batch-sized union-tag-window plan.
+    *
+    * For a CHANGING right side, snapshot semantics apply per trigger —
+    * the standard stream-static-join contract.
+    */
+  def asofEnrichSink(stream: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String], outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.AsofJoin.asofBackward(batch, right, keys, tsCol,
+          payloadCols)
+          .write.mode("overwrite")
+          .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
+    }
+
   /** Gap-based sessionization with custom state — the streaming twin of
     * q15_sessionize: a session closes once a later event arrives more than
     * `gapSeconds` after it, OR once the event-time watermark passes its

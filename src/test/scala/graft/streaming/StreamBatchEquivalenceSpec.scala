@@ -705,6 +705,40 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(pinned == 8, s"recreated table pinned nBuckets=$pinned, want 8")
   }
 
+  test("as-of enrichment sink: streamed union == batch asofBackward") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rnd = new scala.util.Random(3)
+    val leftRows = (0 until 120).map(i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toLong, ts(rnd.nextInt(500).toLong)))
+    val right = (1 to 4).flatMap(k =>
+      rnd.shuffle((0 until 500).toList).take(25).map(t =>
+        (k.toLong, ts(t.toLong), rnd.nextDouble()))).toDF("k", "ts", "v")
+    val batchTruth = graft.ops.AsofJoin.asofBackward(
+      leftRows.toDF("id", "k", "ts"), right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    val out = java.nio.file.Files.createTempDirectory("asofsink").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventsStream.asofEnrichSink(
+      mem.toDS().toDF("id", "k", "ts"), right, Seq("k"), "ts", Seq("v"),
+      out).start()
+    try {
+      val (h1, h2) = leftRows.splitAt(60)
+      mem.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .select($"id", $"asof_v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(streamed == batchTruth)
+      assert(batchTruth.values.exists(_.nonEmpty))
+    } finally q.stop()
+  }
+
   test("curate sink: streamed union == batch curate; replay appends nothing") {
     val spark = TestSpark.spark
     import spark.implicits._
