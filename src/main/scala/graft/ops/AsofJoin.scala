@@ -4,98 +4,95 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward (point-in-time) as-of join — the time-series join Spark's
-  * built-in operators lack: for every left row, the single most recent
-  * right row in the same key group with `right.ts <= left.ts`. The
-  * standard primitive for "state as of event time" — price at trade
-  * time, latest profile before a click, last metric before an alert.
+/** Point-in-time (as-of) joins — the time-series joins Spark's built-in
+  * operators lack: match each left row to the single closest right row in
+  * its key group (most recent at-or-before, earliest at-or-after, or
+  * nearest in either direction).
   *
-  * Deliberately NOT a range join: the naive `l JOIN r ON key AND r.ts <=
+  * Deliberately NOT range joins: the naive `l JOIN r ON key AND r.ts <=
   * l.ts` explodes to the full per-key cross product before an argmax
   * prunes it — quadratic in group size, and the usual banding rewrite
   * trades that for tuning a band width. Instead this is the
   * union-tag-window plan: tag each input with a side marker, union them
-  * into one timeline, and take a running `last(right-payload, ignoreNulls)`
+  * into one timeline, and take a running `last`/`first`(ignoreNulls)
   * window per key. ONE hash shuffle of |L|+|R| rows on the key + a
   * per-partition sort — the same cost shape as any windowed aggregation,
   * zero fan-out, no knobs. Key skew lands in the window sort, exactly
   * where a windowed aggregation over the same keys would put it.
   *
-  * Tie semantics: at equal timestamps the right row sorts BEFORE the left
-  * row (side tag is the secondary sort key), so a simultaneous right row
-  * IS visible — the `>=` convention of DuckDB's ASOF JOIN and kdb's aj.
-  * Left rows before the first right row keep nulls (left-join semantics).
-  * Right rows must be unique per (keys, ts) for "the" match to be
-  * well-defined — pre-aggregate (max_by) if they are not.
+  * Shared contract: at equal timestamps the right row is VISIBLE to the
+  * left row (the `>=`/`<=` convention of DuckDB's ASOF JOIN and kdb's
+  * aj), enforced by the side tag's position in the sort. Left rows with
+  * no match keep nulls (left-join semantics). Right rows must be unique
+  * per (keys, ts) for "the" match to be well-defined — pre-aggregate
+  * (max_by) if they are not.
   */
 object AsofJoin {
 
-  /** @param payloadCols right-side columns carried to matched left rows,
+  /** The direction-parameterized core: both directions differ ONLY in
+    * which side sorts first at equal timestamps, which way the running
+    * window frame faces, and first-vs-last — one definition keeps the
+    * load-bearing tie semantics from drifting between them.
+    */
+  private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String], outPrefix: String,
+      forward: Boolean): DataFrame = {
+    val lrow = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rv = struct((tsCol +: payloadCols).map(col): _*)
+    val lrowType = left.select(lrow).schema.head.dataType
+    val rvType = right.select(rv).schema.head.dataType
+    // the right row must fall INSIDE the left row's frame at equal ts:
+    // backward frames end at the current row, so the right sorts before
+    // the left; forward frames start at it, so the right sorts after
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
+    val l2 = left.select(
+      keys.map(col) ++ Seq(col(tsCol).as("_ts"), lit(lSide).as("_side"),
+        lrow.as("_lrow"), lit(null).cast(rvType).as("_rv")): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(tsCol).as("_ts"), lit(rSide).as("_side"),
+        lit(null).cast(lrowType).as("_lrow"), rv.as("_rv")): _*)
+    val wBase = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+    val m =
+      if (forward)
+        first(col("_rv"), ignoreNulls = true).over(
+          wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("_rv"), ignoreNulls = true).over(
+          wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val merged = l2.unionByName(r2)
+      .withColumn("_m", m)
+      .filter(col("_side") === lSide)
+    val outCols = left.columns.toIndexedSeq.map(c =>
+      col("_lrow").getField(c).as(c)) ++
+      (tsCol +: payloadCols).map(c =>
+        col("_m").getField(c).as(s"$outPrefix$c"))
+    merged.select(outCols: _*)
+  }
+
+  /** Backward as-of join: for every left row, the most recent right row
+    * with `right.ts <= left.ts` — "state as of event time" (price at
+    * trade time, latest profile before a click).
+    *
+    * @param payloadCols right-side columns carried to matched left rows,
     *                    emitted as `<outPrefix><name>`; the matched right
     *                    timestamp is always emitted as `<outPrefix><tsCol>`.
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
-      outPrefix: String = "asof_"): DataFrame = {
-    val lrow = struct(left.columns.map(col).toIndexedSeq: _*)
-    val rv = struct((tsCol +: payloadCols).map(col): _*)
-    val lrowType = left.select(lrow).schema.head.dataType
-    val rvType = right.select(rv).schema.head.dataType
-    val l2 = left.select(
-      keys.map(col) ++ Seq(col(tsCol).as("_ts"), lit(1).as("_side"),
-        lrow.as("_lrow"), lit(null).cast(rvType).as("_rv")): _*)
-    val r2 = right.select(
-      keys.map(col) ++ Seq(col(tsCol).as("_ts"), lit(0).as("_side"),
-        lit(null).cast(lrowType).as("_lrow"), rv.as("_rv")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = l2.unionByName(r2)
-      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-    val outCols = left.columns.toIndexedSeq.map(c =>
-      col("_lrow").getField(c).as(c)) ++
-      (tsCol +: payloadCols).map(c =>
-        col("_m").getField(c).as(s"$outPrefix$c"))
-    merged.select(outCols: _*)
-  }
+      outPrefix: String = "asof_"): DataFrame =
+    asofCore(left, right, keys, tsCol, payloadCols, outPrefix,
+      forward = false)
 
   /** Forward as-of join: for every left row, the EARLIEST right row with
-    * `right.ts >= left.ts` in the same key group — "next state at or
-    * after event time" (next scheduled maintenance after an alert, next
-    * quote after an order). The mirror of [[asofBackward]]: same
-    * union-tag-window plan, with the running window looking FORWARD
-    * (`first(... ignoreNulls)` over currentRow..unboundedFollowing) and
-    * the side tag flipped so a simultaneous right row sorts AFTER the
-    * left row and is therefore inside its forward frame — `<=`-mirrored
-    * `>=` semantics. Same single-shuffle cost shape and the same
-    * unique-(keys, ts) right-side contract.
+    * `right.ts >= left.ts` — "next state at or after event time" (next
+    * scheduled maintenance after an alert, next quote after an order).
     */
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
-      outPrefix: String = "asof_"): DataFrame = {
-    val lrow = struct(left.columns.map(col).toIndexedSeq: _*)
-    val rv = struct((tsCol +: payloadCols).map(col): _*)
-    val lrowType = left.select(lrow).schema.head.dataType
-    val rvType = right.select(rv).schema.head.dataType
-    val l2 = left.select(
-      keys.map(col) ++ Seq(col(tsCol).as("_ts"), lit(0).as("_side"),
-        lrow.as("_lrow"), lit(null).cast(rvType).as("_rv")): _*)
-    val r2 = right.select(
-      keys.map(col) ++ Seq(col(tsCol).as("_ts"), lit(1).as("_side"),
-        lit(null).cast(lrowType).as("_lrow"), rv.as("_rv")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val merged = l2.unionByName(r2)
-      .withColumn("_m", first(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 0)
-    val outCols = left.columns.toIndexedSeq.map(c =>
-      col("_lrow").getField(c).as(c)) ++
-      (tsCol +: payloadCols).map(c =>
-        col("_m").getField(c).as(s"$outPrefix$c"))
-    merged.select(outCols: _*)
-  }
+      outPrefix: String = "asof_"): DataFrame =
+    asofCore(left, right, keys, tsCol, payloadCols, outPrefix,
+      forward = true)
 
   /** Nearest as-of join: the single right row closest in time to each
     * left row, in either direction ("the reading nearest the event").

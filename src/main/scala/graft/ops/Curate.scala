@@ -185,9 +185,13 @@ object Curate {
       evalPred: Column, shingleSize: Int = 3, minShared: Int = 3,
       fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
-    // eval side explodes ONLY the eval slice (predicate reaches the scan)
+    // eval side explodes ONLY the eval slice (predicate reaches the scan).
+    // localCheckpoint, not cache: eagerly materialized for the three
+    // consumers (count, sketch build, verify join) and released by the
+    // ContextCleaner once unreferenced — a long-lived service never
+    // accumulates pinned eval-gram blocks across calls
     val evalGrams = Dedup.shingles(corpus.filter(evalPred), idCol, textCol,
-      shingleSize).select(col("shingle")).distinct().cache()
+      shingleSize).select(col("shingle")).distinct().localCheckpoint()
     val nGrams = math.max(evalGrams.count(), 1L)
     val bloom = evalGrams.stat.bloomFilter("shingle", nGrams, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)

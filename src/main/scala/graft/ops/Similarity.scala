@@ -267,6 +267,7 @@ object Similarity {
     */
   private def lloyd(c: DataFrame, cents0: DataFrame,
       iters: Int): DataFrame = {
+    require(iters > 0, s"lloyd needs at least one iteration, got $iters")
     var cents = cents0
     var i = 0
     var assigned: DataFrame = null

@@ -716,6 +716,18 @@ object TextAnalysis {
     val qTok = tok.filter(col("tok").isin(queryTerms.map(_.toLowerCase): _*))
     val tf = qTok.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    bm25Score(tf, dfreq, docLen, stats, k1, b, topK)
+  }
+
+  /** The BM25 scoring tail shared by [[bm25]] and [[searchBm25Indexed]] —
+    * ONE definition of the Lucene-idf + saturation formula, so the
+    * persisted index's scoring can never drift from the in-memory
+    * operator's (the index oracle asserts bit-equality between them).
+    * Inputs: tf(id, tok, tf), dfreq(tok, df), docLen(id, dl),
+    * stats(n_docs, avgdl).
+    */
+  private def bm25Score(tf: DataFrame, dfreq: DataFrame, docLen: DataFrame,
+      stats: DataFrame, k1: Double, b: Double, topK: Int): DataFrame =
     tf
       .join(broadcast(dfreq), Seq("tok"))
       .join(docLen, Seq("id"))
@@ -731,7 +743,6 @@ object TextAnalysis {
         count(lit(1)).as("n_matched"))
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
-  }
 
   /** Driver-side twin of [[hashBucket]] — the same md5-prefix bucket for a
     * known string, computed without a Spark job (used to turn query terms
@@ -832,46 +843,9 @@ object TextAnalysis {
     val stats = spark.read.parquet(s"$base/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
-    tf
-      .join(broadcast(dfreq), Seq("tok"))
-      .join(docLen, Seq("id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
-          / (col("df") + lit(0.5))))
-      .withColumn("term_score",
-        col("idf") * (col("tf") * (k1 + 1))
-          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col("id"))
-      .agg(sum(col("term_score")).as("score"),
-        count(lit(1)).as("n_matched"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(topK)
+    bm25Score(tf, dfreq, docLen, stats, k1, b, topK)
   }
 
-  /** Multinomial Naive Bayes text classifier — the classic trainable
-    * quality/domain filter baseline a curation pipeline reaches for
-    * before a fastText model (CCNet/DCLM-style label filtering). Trains
-    * on a labeled corpus (pure distributed counting — one shuffle) and
-    * scores any corpus against the trained model. Laplace add-one
-    * smoothing; unseen tokens price at 1/(classTotal + V).
-    *
-    * Hash-stability design: every log term (class prior, per-(class,
-    * token) likelihood) is rounded to integer MICRO-nats
-    * (round(ln(p)*1e6) as long) BEFORE the per-document sum, so the
-    * aggregation is exact integer arithmetic — associative under any
-    * partitioning / execution order and reproducible bit-for-bit in any
-    * engine. Argmax ties break on the smallest class value.
-    *
-    * Scale shape: training is two hash aggregations with map-side
-    * combine ((class, token) counts, class totals); V and doc priors are
-    * 1-row / n-class broadcasts. Scoring expands each token row by
-    * n_classes (the classifier's intrinsic cost — bounded by the class
-    * count, not the corpus), joins hash-distributed on (token, class)
-    * against the count table (no broadcast: vocab×classes can be large),
-    * then one (id, class) aggregation and a per-id window over n_classes
-    * rows. Docs with no tokens produce no output rows.
-    */
   /** Corpus-frequent word n-grams (boilerplate/template detection — the
     * "this article is licensed under" problem) with EXACT counts, screened
     * by a Count-Min sketch: the CMS estimate is ONE-SIDED (never below the
@@ -979,6 +953,29 @@ object TextAnalysis {
       .select(col("vec_id").as(idCol), col("label"))
   }
 
+  /** Multinomial Naive Bayes text classifier — the classic trainable
+    * quality/domain filter baseline a curation pipeline reaches for
+    * before a fastText model (CCNet/DCLM-style label filtering). Trains
+    * on a labeled corpus (pure distributed counting — one shuffle) and
+    * scores any corpus against the trained model. Laplace add-one
+    * smoothing; unseen tokens price at 1/(classTotal + V).
+    *
+    * Hash-stability design: every log term (class prior, per-(class,
+    * token) likelihood) is rounded to integer MICRO-nats
+    * (round(ln(p)*1e6) as long) BEFORE the per-document sum, so the
+    * aggregation is exact integer arithmetic — associative under any
+    * partitioning / execution order and reproducible bit-for-bit in any
+    * engine. Argmax ties break on the smallest class value.
+    *
+    * Scale shape: training is two hash aggregations with map-side
+    * combine ((class, token) counts, class totals); V and doc priors are
+    * 1-row / n-class broadcasts. Scoring expands each token row by
+    * n_classes (the classifier's intrinsic cost — bounded by the class
+    * count, not the corpus), joins hash-distributed on (token, class)
+    * against the count table (no broadcast: vocab×classes can be large),
+    * then one (id, class) aggregation and a per-id window over n_classes
+    * rows. Docs with no tokens produce no output rows.
+    */
   def nbClassify(train: DataFrame, scoreDf: DataFrame, idCol: String,
       textCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -68,12 +68,25 @@ object WebDataset {
     */
   def writeTarShards(df: DataFrame, outDir: String): Unit = {
     val out = outDir.stripSuffix("/")
+    // ship the session's Hadoop configuration to the tasks as entries: a
+    // bare `new Configuration()` on the executor loses every
+    // spark.hadoop.* override (object-store credentials, endpoints,
+    // defaultFS), which breaks exactly the remote filesystems a sharded
+    // export targets
+    val confEntries = {
+      val c = df.sparkSession.sparkContext.hadoopConfiguration
+      val it = c.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     df.select(col("shard").cast("int"), col("key").cast("string"),
         col("ext").cast("string"), col("payload").cast("binary"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("key"), col("ext"))
       .foreachPartition { it: Iterator[Row] =>
         val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         var current = Int.MinValue
         var tos: TarArchiveOutputStream = null
         def closeCurrent(): Unit = if (tos != null) {
