@@ -108,15 +108,15 @@ object AsofJoin {
       outPrefix: String = "asof_"): DataFrame = {
     val bwd = asofBackward(left, right, keys, tsCol, payloadCols, "_bwd_")
     val fwd = asofForward(bwd, right, keys, tsCol, payloadCols, "_fwd_")
-    // exact integer microsecond deltas — no float rounding near ties.
-    // unix_micros only accepts TIMESTAMP, not TIMESTAMP_NTZ (what a plain
-    // timestamp[us] parquet column reads as); the cast is a no-op for
-    // TIMESTAMP and shifts both sides of each delta identically for NTZ,
-    // so the comparison is timezone-invariant either way
-    def micros(c: org.apache.spark.sql.Column) =
-      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-    val dbwd = micros(col(tsCol)) - micros(col(s"_bwd_$tsCol"))
-    val dfwd = micros(col(s"_fwd_$tsCol")) - micros(col(tsCol))
+    // exact microsecond deltas with NO timezone conversion: subtracting two
+    // timestamp columns yields a DayTimeIntervalType, microsecond-exact and
+    // well-defined for both TIMESTAMP and TIMESTAMP_NTZ (what a plain
+    // timestamp[us] parquet column reads as). An earlier cast-to-TIMESTAMP
+    // rewrite mapped NTZ wall clocks through the session timezone, which is
+    // non-monotonic across a DST spring-forward — the two ends of a delta
+    // could take different UTC offsets, skewing the nearest choice
+    val dbwd = col(tsCol) - col(s"_bwd_$tsCol")
+    val dfwd = col(s"_fwd_$tsCol") - col(tsCol)
     val useBwd = col(s"_bwd_$tsCol").isNotNull &&
       (col(s"_fwd_$tsCol").isNull || dbwd <= dfwd)
     val outCols = left.columns.toIndexedSeq.map(col) ++

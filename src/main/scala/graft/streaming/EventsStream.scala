@@ -17,12 +17,28 @@ object EventsStream {
   final case class SessionUpdate(user_id: Long, n_events: Long,
       start: java.sql.Timestamp, end: java.sql.Timestamp, closed: Boolean)
 
+  /** Normalize an event-time column to TIMESTAMP for `withWatermark`, which
+    * rejects TIMESTAMP_NTZ outright (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) —
+    * and a plain `timestamp[us]` parquet column reads back as NTZ. The cast
+    * interprets the wall clock in the session timezone; every graft session
+    * (Verify/Bench/TestSpark) pins UTC, where it is the identity on micros.
+    * Applied at EVERY streaming watermark ingest so a parquet round-trip
+    * can never change whether a query analyzes.
+    */
+  private[streaming] def tsAsEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Tumbling event-time windows with a watermark — the streaming twin of
     * q12_events_window. Late rows beyond 1 hour are dropped by the
     * watermark; state is bounded per (window, type).
     */
   def windowedCounts(events: DataFrame): DataFrame =
-    events
+    tsAsEventTime(events, "ts")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -104,7 +120,7 @@ object EventsStream {
     val evalDistinct = evalGrams
       .select(col("shingle").cast("string").as("shingle"))
       .distinct().persist()
-    docs
+    tsAsEventTime(docs, tsCol)
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("_ts"),
         split(col(textCol), "\\s+").as("_w"))
       .withColumn("_pos", positions)
@@ -125,7 +141,7 @@ object EventsStream {
     */
   def dedupStream(docs: DataFrame, tsCol: String, contentCol: String,
       watermark: String = "1 hour"): DataFrame =
-    docs
+    tsAsEventTime(docs, tsCol)
       .withColumn("content_hash", org.apache.spark.sql.functions.md5(col(contentCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")

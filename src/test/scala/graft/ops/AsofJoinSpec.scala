@@ -149,4 +149,49 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(expected.values.exists(_.isEmpty) &&
       expected.values.exists(_.nonEmpty), "vacuous fixture")
   }
+
+  // Regression: the driver testdata shifted to plain timestamp[us] parquet,
+  // which Spark reads as TIMESTAMP_NTZ — asofNearest's delta comparison
+  // must accept NTZ (round-10 failure: unix_micros rejected it outright).
+  test("asofNearest works on TIMESTAMP_NTZ columns") {
+    import java.time.LocalDateTime
+    def ldt(s: String) = LocalDateTime.parse(s)
+    val left = Seq((1L, 10L, ldt("2024-01-01T10:00:00")),
+      (2L, 10L, ldt("2024-01-01T10:40:00"))).toDF("id", "k", "ts")
+    val right = Seq((10L, ldt("2024-01-01T09:50:00"), 1.0),
+      (10L, ldt("2024-01-01T10:25:00"), 2.0)).toDF("k", "ts", "v")
+    assert(left.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val out = AsofJoin.asofNearest(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // row 1: 10 min back vs 25 min fwd -> bwd; row 2: 15 min back -> bwd
+    assert(out == Map(1L -> 1.0, 2L -> 2.0))
+  }
+
+  // NTZ is pure wall clock: deltas must be wall-clock differences, never
+  // mapped through the session timezone. Across a DST spring-forward the
+  // tz mapping is non-monotonic (the old cast-to-TIMESTAMP rewrite took
+  // different UTC offsets for the two ends of a delta and flipped the
+  // nearest choice). America/New_York 2026-03-08: 02:00->03:00 skip.
+  test("asofNearest on NTZ is timezone-invariant across a DST gap") {
+    import java.time.LocalDateTime
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val left = Seq((1L, 1L, LocalDateTime.parse("2026-03-08T03:00:00")))
+        .toDF("id", "k", "ts")
+      val right = Seq(
+        (1L, LocalDateTime.parse("2026-03-08T01:30:00"), "bwd"),
+        (1L, LocalDateTime.parse("2026-03-08T04:00:00"), "fwd"))
+        .toDF("k", "ts", "v")
+      // wall clock: 90 min back vs 60 min fwd -> fwd. Mapped through
+      // America/New_York instants it would be 30 min back vs 60 min fwd
+      // and wrongly pick bwd.
+      val out = AsofJoin.asofNearest(left, right, Seq("k"), "ts", Seq("v"))
+        .select($"asof_v").head().getString(0)
+      assert(out == "fwd")
+    } finally spark.conf.set(tzKey, saved)
+  }
 }

@@ -86,4 +86,52 @@ class EventsStreamSpec extends AnyFunSuite {
       assert(!after.exists(r => r.getAs[Long]("user_id") == 8L))
     } finally q.stop()
   }
+
+  // Regression: a plain timestamp[us] parquet column reads back as
+  // TIMESTAMP_NTZ, which withWatermark rejects at streaming analysis time
+  // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Every streaming ingest must
+  // normalize the event-time column so a parquet round-trip can never
+  // change whether a query analyzes — this pins the round-10/11 NTZ
+  // environment shift that broke StreamBatchEquivalenceSpec.
+  test("NTZ event-time columns stream through watermarked ops unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ntzstream").toString
+    Seq(
+      (1L, "2024-01-01T10:05:00", 1L, "click", 1.0),
+      (2L, "2024-01-01T10:45:00", 1L, "click", 2.0),
+      (3L, "2024-01-01T13:00:00", 2L, "view", 3.0))
+      .toDF("event_id", "s", "user_id", "event_type", "value")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    assert(schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventsStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("ntzwin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the 13:00 event pushed the watermark past the 10:00 window
+      val rows = spark.table("ntzwin").collect()
+      val clicks10 = rows.find(r =>
+        r.getAs[String]("event_type") == "click" &&
+          r.getAs[java.sql.Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
+      assert(clicks10.isDefined && clicks10.get.getAs[Long]("n") == 2)
+    } finally q.stop()
+
+    // dedupStream over the same NTZ ingest must also analyze and run
+    val q2 = EventsStream.dedupStream(
+      spark.readStream.schema(schema).parquet(dir)
+        .select(col("ts"), col("event_type").as("text")), "ts", "text")
+      .writeStream.format("memory").queryName("ntzdedup")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val kinds = spark.table("ntzdedup").select("text").as[String]
+        .collect().sorted
+      assert(kinds.toSeq == Seq("click", "view"))
+    } finally q2.stop()
+  }
 }
