@@ -501,8 +501,35 @@ object DedupQueries {
       SELECT id AS doc_id, span_start, span_end, n_windows
       FROM spans ORDER BY doc_id, span_start"""))
 
+  /** Maintenance gate: the flagship dedup-index search re-run after
+    * `compactDedupIndex` rewrites the signature table. Compaction promises
+    * content-identity (file boundaries only), so the result must
+    * hash-equal the `dedup_index_search` oracle — a compaction that drops
+    * or duplicates a signature row mismatches. bench=false: cost is
+    * already measured by the build-inclusive twin; this row exists for
+    * the driver hash compare.
+    */
+  val dedupIndexCompactedSearch = Q(
+    "dedup_index_compacted_search",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dedup_compact").toString
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", dir, shingleSize = 2, numHashes = 8)
+      Maintenance.compactDedupIndex(s, dir)
+      Dedup.searchDedupIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", dir, rowsPerBand = 2, threshold = 0.5)
+        .select(col("a"), col("b"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+    dedupIndexSearch.oracle,
+    bench = false)
+
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupMinhashEst,
     dedupIndexSearch, dedupComponents, dedupComponentsIncr, dedupApplyBest,
     dedupSimhash, dedupNgramJaccard, dedupContainment, dedupSimhashPairs,
-    dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne)
+    dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne,
+    dedupIndexCompactedSearch)
 }

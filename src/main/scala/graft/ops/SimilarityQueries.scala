@@ -802,9 +802,126 @@ object SimilarityQueries {
       SELECT id AS doc_id, ROUND(rrf_score, 6) AS rrf, n_lists
       FROM fused ORDER BY rrf DESC, doc_id"""))
 
+  /** Maintenance gate: the flagship ANN search re-run on a COMPACTED
+    * artifact. `compactAnnIndex` promises content-identity (only file
+    * boundaries change), so the row set must hash-equal the
+    * `emb_ann_index_search` oracle — a compaction that drops, duplicates,
+    * or relabels a single vector mismatches. bench=false: cost is already
+    * measured by the build-inclusive twin; this row exists for the driver
+    * hash compare.
+    */
+  val embAnnCompactedSearch = Q(
+    "emb_ann_compacted_search",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_compact").toString
+      Similarity.buildAnnIndex(emb, dir, nClusters = 10, iters = 2)
+      Maintenance.compactAnnIndex(s, dir)
+      Similarity.searchAnnIndexed(s, dir,
+        emb.filter(col("vec_id") % 50 === 0), k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    embAnnIndexSearch.oracle,
+    bench = false)
+
+  /** Maintenance gate: build(2 Lloyd rounds) + rebalance(1 warm-start
+    * round) + search. The stored centroids after build are the
+    * mean-over-final-assignment, so one warm-start Lloyd round is EXACTLY
+    * Lloyd round 3 of the same unrolled chain — the oracle extends
+    * `duckKmeansChain` by one assignment (a3) and searches against the
+    * a3 labels and their means, verifying the relabel, the partition
+    * rewrite, and the new centroid table in one hash. bench=false (the
+    * driver hash compare is the point).
+    */
+  val embAnnRebalancedSearch = Q(
+    "emb_ann_rebalanced_search",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_rebal").toString
+      Similarity.buildAnnIndex(emb, dir, nClusters = 10, iters = 2)
+      Similarity.rebalanceAnnIndex(s, dir, iters = 1)
+      Similarity.searchAnnIndexed(s, dir,
+        emb.filter(col("vec_id") % 50 === 0), k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckKmeans2,
+      bx AS (
+        SELECT a.label, e.v, unnest(generate_series(1, 64)) AS i
+        FROM a2 a JOIN e ON e.vec_id = a.vec_id),
+      bm AS (
+        SELECT label, i, AVG(v[CAST(i AS INT)]) AS mean
+        FROM bx GROUP BY 1, 2),
+      bc AS (
+        SELECT label, list(mean ORDER BY i) AS centroid FROM bm GROUP BY 1),
+      p3 AS (
+        SELECT e.vec_id, e.v, c.label, c.centroid,
+               unnest(generate_series(1, 64)) AS i
+        FROM e, bc c),
+      s3 AS (
+        SELECT vec_id, label,
+               SUM(v[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+                 / (SQRT(SUM(v[CAST(i AS INT)] * v[CAST(i AS INT)]))
+                    * SQRT(SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]))) AS ccos
+        FROM p3 GROUP BY 1, 2),
+      a3 AS (
+        SELECT vec_id, label FROM (
+          SELECT vec_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY ccos DESC, label) AS rn
+          FROM s3) WHERE rn = 1),
+      lab AS (
+        SELECT e.vec_id, e.v, a.label FROM a3 a JOIN e ON e.vec_id = a.vec_id),
+      centm AS (
+        SELECT label, i, AVG(v[CAST(i AS INT)]) AS mean
+        FROM (SELECT label, v, unnest(generate_series(1, 64)) AS i FROM lab)
+        GROUP BY 1, 2),
+      centv AS (
+        SELECT label, list(mean ORDER BY i) AS centroid FROM centm GROUP BY 1),
+      q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+      pcomp AS (
+        SELECT query_id, label,
+               SUM(qv[CAST(i AS INT)] * centroid[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(centroid[CAST(i AS INT)] * centroid[CAST(i AS INT)]))) AS ccos
+        FROM (SELECT q.query_id, q.qv, c.label, c.centroid,
+                     unnest(generate_series(1, 64)) AS i
+              FROM q, centv c)
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT query_id, label FROM (
+          SELECT query_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ccos DESC, label) AS pr
+          FROM pcomp) WHERE pr <= 2),
+      pairs AS (
+        SELECT p.query_id, l.vec_id AS neighbor_id, q.qv, l.v AS cv
+        FROM probes p
+        JOIN lab l ON l.label = p.label
+        JOIN q ON q.query_id = p.query_id
+        WHERE l.vec_id <> p.query_id),
+      $duckCos,
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)
+      SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+    bench = false)
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
       embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe,
-      embHybridRrf)
+      embHybridRrf, embAnnCompactedSearch, embAnnRebalancedSearch)
 }

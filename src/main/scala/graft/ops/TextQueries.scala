@@ -980,11 +980,67 @@ object TextQueries {
       SELECT vec_id AS doc_id, CAST(label AS INT) AS label
       FROM a2 ORDER BY doc_id"""))
 
+  /** Per-JVM prebuilt index fixtures, keyed by sfDir — the text-side twin
+    * of `SimilarityQueries.ensureAnnFixture`. The `*_probe` queries below
+    * time (and verify) the per-query SEARCH path alone — partition-pruned
+    * posting fetch, stored-stats scoring — which is what runs per query in
+    * production; `text_bm25_indexed` / `text_dsir_indexed` keep timing the
+    * whole build→persist→search cascade. Build params match those queries
+    * EXACTLY (same 90/10 split, same append fold), so their oracles verify
+    * the probe rows too. Builds run once per JVM, outside any timed window
+    * (Bench warms the fixtures before pass 1).
+    */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureBm25Fixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    fixtureCache.computeIfAbsent(s"bm25:$d", { _ =>
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bm25_fixture").toString
+      TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", dir, nBuckets = 64)
+      TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", dir)
+      dir
+    })
+
+  def ensureDsirFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    fixtureCache.computeIfAbsent(s"dsir:$d", { _ =>
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dsir_fixture").toString
+      TextAnalysis.buildDsirIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", col("lang") === "en", dir, nBuckets = 256)
+      dir
+    })
+
+  val textBm25Probe = Q(
+    "text_bm25_probe",
+    (s, d) =>
+      TextAnalysis.searchBm25Indexed(s, ensureBm25Fixture(s, d),
+        Seq("scan", "merge", "batch"), k1 = 1.2, b = 0.75, topK = 20)
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"),
+          col("n_matched"))
+        .orderBy(col("score").desc, col("doc_id")),
+    textBm25Indexed.oracle)
+
+  val textDsirProbe = Q(
+    "text_dsir_probe",
+    (s, d) =>
+      TextAnalysis.scoreDsirIndexed(s, ensureDsirFixture(s, d),
+        T.documents(s, d).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id")),
+    textDsirIndexed.oracle)
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
     textLmPpl, textLmPplBigram, textRepetition, textVocabGrowth,
     textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
     textDsirIndexed, textNbClassify, textCluster, textHeavyGrams,
-    textBm25Indexed)
+    textBm25Indexed, textBm25Probe, textDsirProbe)
 }
