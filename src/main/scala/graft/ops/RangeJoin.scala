@@ -29,21 +29,45 @@ object RangeJoin {
     * `intervals` row of the same `keys` whose `[startCol, endCol]` contains
     * it (inclusive ends). Interval columns are emitted prefixed with
     * `outPrefix` (every interval column except the keys).
+    *
+    * Fan-out guard: an interval spanning more than `maxFanout` bands does
+    * NOT explode — one degenerate year-long interval at bandWidth=300
+    * would otherwise emit ~105k copies and skew its shuffle partition.
+    * Over-long intervals instead take a broadcast residual join: they are
+    * rare by the bandWidth-≈-typical-length contract, and each one matches
+    * so many points that per-point band copies were never the right plan
+    * for it anyway. The split is plan-level (no driver action); reversed
+    * intervals (end < start) also land on the broadcast side, where the
+    * residual predicate discards them without exploding a descending
+    * band sequence. The broadcast side must stay driver-small — if MOST
+    * intervals exceed maxFanout, bandWidth is mis-chosen (see above) and
+    * the fix is a wider band, not a bigger cap.
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
       keys: Seq[String], tsCol: String, startCol: String, endCol: String,
-      bandWidth: Long = 300L, outPrefix: String = "iv_"): DataFrame = {
+      bandWidth: Long = 300L, outPrefix: String = "iv_",
+      maxFanout: Int = 4096): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(maxFanout > 0, s"maxFanout must be positive, got $maxFanout")
     def band(c: Column): Column = floor(unix_timestamp(c) / bandWidth)
     val ivCols = intervals.columns.toIndexedSeq.filterNot(keys.contains)
-    val iv = intervals.select(
-      keys.map(col) ++ ivCols.map(c => col(c).as(s"$outPrefix$c")) :+
-        explode(sequence(band(col(startCol)),
-          band(col(endCol)))).as("_band"): _*)
-    points.withColumn("_band", band(col(tsCol)))
-      .join(iv, keys :+ "_band")
-      .filter(col(s"$outPrefix$startCol") <= col(tsCol) &&
+    val prefixed = intervals.select(
+      keys.map(col) ++ ivCols.map(c => col(c).as(s"$outPrefix$c")): _*)
+    val nBands = band(col(s"$outPrefix$endCol")) -
+      band(col(s"$outPrefix$startCol")) + 1
+    val residual = (p: DataFrame) =>
+      p.filter(col(s"$outPrefix$startCol") <= col(tsCol) &&
         col(tsCol) <= col(s"$outPrefix$endCol"))
+    val iv = prefixed.filter(nBands.between(1, maxFanout))
+      .withColumn("_band",
+        explode(sequence(band(col(s"$outPrefix$startCol")),
+          band(col(s"$outPrefix$endCol")))))
+    val banded = residual(
+      points.withColumn("_band", band(col(tsCol)))
+        .join(iv, keys :+ "_band"))
       .drop("_band")
+    val longIv = prefixed.filter(!nBands.between(1, maxFanout))
+    val wide = residual(points.join(broadcast(longIv), keys))
+    banded.unionByName(wide)
   }
 }
