@@ -800,4 +800,100 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nHashBuckets"))
   }
+
+  test("streamed BM25 appends == batch appendToBm25Index; replay appends nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = Seq(
+      (0L, "spark scan merge shuffle join"),
+      (1L, "batch merge merge compaction"),
+      (2L, "storage layout and file boundaries"),
+      (3L, "scan the table then scan it again"))
+    val batch1 = Seq((10L, "merge scan probe"), (11L, "unrelated words here"))
+    val batch2 = Seq((20L, "scan scan scan merge"), (21L, "batch probe"))
+
+    // twin indexes: one fed by explicit batch appends, one by the sink body
+    val bDir = java.nio.file.Files.createTempDirectory("bm25sinkb").toString
+    val sDir = java.nio.file.Files.createTempDirectory("bm25sinks").toString
+    Seq(bDir, sDir).foreach { p =>
+      graft.ops.TextAnalysis.buildBm25Index(base.toDF("doc_id", "text"),
+        "doc_id", "text", p, nBuckets = 8)
+    }
+    graft.ops.TextAnalysis.appendToBm25Index(batch1.toDF("doc_id", "text"),
+      "doc_id", "text", bDir)
+    graft.ops.TextAnalysis.appendToBm25Index(batch2.toDF("doc_id", "text"),
+      "doc_id", "text", bDir)
+    DedupStream.processBm25Batch(batch1.toDF("doc_id", "text"), 0L,
+      "doc_id", "text", sDir)
+    DedupStream.processBm25Batch(batch2.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", sDir)
+
+    def search(p: String) = graft.ops.TextAnalysis.searchBm25Indexed(spark,
+      p, Seq("scan", "merge", "batch"), topK = 20)
+      .select(col("id"), round(col("score"), 6).as("score"),
+        col("n_matched"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val fromSink = search(sDir)
+    assert(fromSink == search(bDir))
+    // appended docs actually score (the delta stats folded in)
+    assert(fromSink.exists(_._1 == 20L) && fromSink.exists(_._1 == 10L))
+
+    // replay of the last batch: postings, doclens, and stats must not grow
+    def counts(p: String) = Seq("postings", "doclens", "stats")
+      .map(t => spark.read.parquet(s"$p/$t").count())
+    val before = counts(sDir)
+    DedupStream.processBm25Batch(batch2.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", sDir)
+    assert(counts(sDir) == before)
+    assert(DedupStream.committedBatchId(spark, sDir) == 1L)
+  }
+
+  test("streamed DSIR appends == batch appendToDsirIndex; replay appends nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = Seq(
+      (0L, "en", "the quick brown fox jumps over the lazy dog"),
+      (1L, "en", "a stitch in time saves nine every time"),
+      (2L, "de", "der schnelle braune fuchs springt"),
+      (3L, "de", "ein stich in der zeit spart neun"))
+    val batch1 = Seq((10L, "en", "the fox jumps again and again"),
+      (11L, "de", "der fuchs springt wieder"))
+    val batch2 = Seq((20L, "en", "time saves the lazy dog"),
+      (21L, "de", "zeit spart der hund"))
+    val probe = Seq((100L, "the quick fox saves time"),
+      (101L, "der schnelle hund springt"),
+      (102L, "words the index never saw anywhere"))
+
+    val bDir = java.nio.file.Files.createTempDirectory("dsirsinkb").toString
+    val sDir = java.nio.file.Files.createTempDirectory("dsirsinks").toString
+    Seq(bDir, sDir).foreach { p =>
+      graft.ops.TextAnalysis.buildDsirIndex(
+        base.toDF("doc_id", "lang", "text"), "doc_id", "text",
+        col("lang") === "en", p, nBuckets = 32)
+    }
+    graft.ops.TextAnalysis.appendToDsirIndex(
+      batch1.toDF("doc_id", "lang", "text"), "doc_id", "text",
+      col("lang") === "en", bDir)
+    graft.ops.TextAnalysis.appendToDsirIndex(
+      batch2.toDF("doc_id", "lang", "text"), "doc_id", "text",
+      col("lang") === "en", bDir)
+    DedupStream.processDsirBatch(batch1.toDF("doc_id", "lang", "text"), 0L,
+      "doc_id", "text", col("lang") === "en", sDir)
+    DedupStream.processDsirBatch(batch2.toDF("doc_id", "lang", "text"), 1L,
+      "doc_id", "text", col("lang") === "en", sDir)
+
+    def score(p: String) = graft.ops.TextAnalysis.scoreDsirIndexed(spark,
+      p, probe.toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("doc_id"), col("log_w"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val fromSink = score(sDir)
+    assert(fromSink == score(bDir) && fromSink.size == probe.size)
+
+    // replay of the last batch: the bucket delta table must not grow
+    val nRows = spark.read.parquet(s"$sDir/buckets").count()
+    DedupStream.processDsirBatch(batch2.toDF("doc_id", "lang", "text"), 1L,
+      "doc_id", "text", col("lang") === "en", sDir)
+    assert(spark.read.parquet(s"$sDir/buckets").count() == nRows)
+    assert(DedupStream.committedBatchId(spark, sDir) == 1L)
+  }
 }
