@@ -36,8 +36,19 @@ object AsofJoin {
     */
   private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String], outPrefix: String,
-      forward: Boolean): DataFrame = {
-    val lrow = struct(left.columns.map(col).toIndexedSeq: _*)
+      forward: Boolean, leftCols: Seq[String]): DataFrame = {
+    val carried =
+      if (leftCols.isEmpty) left.columns.toIndexedSeq
+      else {
+        // keys + ts always ride (they ARE the join); dedupe preserves the
+        // caller's requested order for the output projection
+        val want = (keys :+ tsCol) ++ leftCols
+        val missing = want.filterNot(left.columns.contains)
+        require(missing.isEmpty,
+          s"leftCols not in left: ${missing.mkString(", ")}")
+        want.distinct.toIndexedSeq
+      }
+    val lrow = struct(carried.map(col): _*)
     val rv = struct((tsCol +: payloadCols).map(col): _*)
     val lrowType = left.select(lrow).schema.head.dataType
     val rvType = right.select(rv).schema.head.dataType
@@ -63,7 +74,7 @@ object AsofJoin {
     val merged = l2.unionByName(r2)
       .withColumn("_m", m)
       .filter(col("_side") === lSide)
-    val outCols = left.columns.toIndexedSeq.map(c =>
+    val outCols = carried.map(c =>
       col("_lrow").getField(c).as(c)) ++
       (tsCol +: payloadCols).map(c =>
         col("_m").getField(c).as(s"$outPrefix$c"))
@@ -77,12 +88,23 @@ object AsofJoin {
     * @param payloadCols right-side columns carried to matched left rows,
     *                    emitted as `<outPrefix><name>`; the matched right
     *                    timestamp is always emitted as `<outPrefix><tsCol>`.
+    * @param leftCols    OPTIONAL narrow-payload contract for wide left
+    *                    tables: carry (and emit) only these left columns,
+    *                    plus keys and `tsCol` which always ride. The
+    *                    union-tag-window plan shuffles the carried left
+    *                    row through the key shuffle and its window sort —
+    *                    at 100 TB a multi-KB document row in `_lrow` is
+    *                    the dominant shuffle payload (measured: see
+    *                    `tools/AsofScale`), so project early and join any
+    *                    remaining columns back by id afterwards if truly
+    *                    needed. Empty (default) = carry everything.
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
-      outPrefix: String = "asof_"): DataFrame =
+      outPrefix: String = "asof_",
+      leftCols: Seq[String] = Seq.empty): DataFrame =
     asofCore(left, right, keys, tsCol, payloadCols, outPrefix,
-      forward = false)
+      forward = false, leftCols)
 
   /** Forward as-of join: for every left row, the EARLIEST right row with
     * `right.ts >= left.ts` — "next state at or after event time" (next
@@ -90,9 +112,10 @@ object AsofJoin {
     */
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
-      outPrefix: String = "asof_"): DataFrame =
+      outPrefix: String = "asof_",
+      leftCols: Seq[String] = Seq.empty): DataFrame =
     asofCore(left, right, keys, tsCol, payloadCols, outPrefix,
-      forward = true)
+      forward = true, leftCols)
 
   /** Nearest as-of join: the single right row closest in time to each
     * left row, in either direction ("the reading nearest the event").
@@ -105,9 +128,17 @@ object AsofJoin {
     */
   def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
-      outPrefix: String = "asof_"): DataFrame = {
-    val bwd = asofBackward(left, right, keys, tsCol, payloadCols, "_bwd_")
-    val fwd = asofForward(bwd, right, keys, tsCol, payloadCols, "_fwd_")
+      outPrefix: String = "asof_",
+      leftCols: Seq[String] = Seq.empty): DataFrame = {
+    val bwd = asofBackward(left, right, keys, tsCol, payloadCols, "_bwd_",
+      leftCols)
+    // the forward pass's left is the backward output: its carry set must
+    // include the _bwd_ columns the final pick reads
+    val fwdLeftCols =
+      if (leftCols.isEmpty) Seq.empty[String]
+      else bwd.columns.toSeq
+    val fwd = asofForward(bwd, right, keys, tsCol, payloadCols, "_fwd_",
+      fwdLeftCols)
     // exact microsecond deltas with NO timezone conversion: subtracting two
     // timestamp columns yields a DayTimeIntervalType, microsecond-exact and
     // well-defined for both TIMESTAMP and TIMESTAMP_NTZ (what a plain
@@ -119,7 +150,10 @@ object AsofJoin {
     val dfwd = col(s"_fwd_$tsCol") - col(tsCol)
     val useBwd = col(s"_bwd_$tsCol").isNotNull &&
       (col(s"_fwd_$tsCol").isNull || dbwd <= dfwd)
-    val outCols = left.columns.toIndexedSeq.map(col) ++
+    val emitted =
+      if (leftCols.isEmpty) left.columns.toIndexedSeq
+      else ((keys :+ tsCol) ++ leftCols).distinct.toIndexedSeq
+    val outCols = emitted.map(col) ++
       (tsCol +: payloadCols).map(c =>
         when(useBwd, col(s"_bwd_$c")).otherwise(col(s"_fwd_$c"))
           .as(s"$outPrefix$c"))

@@ -150,6 +150,42 @@ class AsofJoinSpec extends AnyFunSuite {
       expected.values.exists(_.nonEmpty), "vacuous fixture")
   }
 
+  test("leftCols narrow-payload contract == full carry, projected") {
+    val rnd = new scala.util.Random(41)
+    val left = (0 until 200).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(1000).toLong),
+        "wide-" * 20 + i)).toDF("id", "k", "ts", "payload")
+    val right = rnd.shuffle((1 to 5).flatMap(k =>
+      rnd.shuffle((0 until 1000).toList).take(30).map(t =>
+        (k.toLong, ts(t.toLong), rnd.nextDouble()))))
+      .toDF("k", "ts", "v")
+    for (dir <- Seq("bwd", "fwd", "nearest")) {
+      def run(lc: Seq[String]) = (dir match {
+        case "bwd" => AsofJoin.asofBackward(left, right, Seq("k"), "ts",
+          Seq("v"), leftCols = lc)
+        case "fwd" => AsofJoin.asofForward(left, right, Seq("k"), "ts",
+          Seq("v"), leftCols = lc)
+        case _ => AsofJoin.asofNearest(left, right, Seq("k"), "ts",
+          Seq("v"), leftCols = lc)
+      })
+      val narrow = run(Seq("id"))
+      // the wide payload column is genuinely absent from the narrow plan
+      assert(!narrow.columns.contains("payload"))
+      val got = narrow.select($"id", $"asof_v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val want = run(Seq.empty).select($"id", $"asof_v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got == want, dir)
+      assert(want.values.exists(_.nonEmpty), "vacuous fixture")
+    }
+    // unknown columns fail loudly, not silently drop
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("v"),
+        leftCols = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   // Regression: the driver testdata shifted to plain timestamp[us] parquet,
   // which Spark reads as TIMESTAMP_NTZ — asofNearest's delta comparison
   // must accept NTZ (round-10 failure: unix_micros rejected it outright).
