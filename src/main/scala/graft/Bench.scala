@@ -52,6 +52,14 @@ object Bench {
       // expression above is evaluated before finally runs)
       finally spark.catalog.clearCache()
     }
+    // host load sampled around the run: every loaded-window round so far
+    // (r8/r10/r11) had to be adjudicated by hand because the artifact
+    // carried no load evidence — stamp 1-min loadavg at start/end so a
+    // poisoned sample is self-identifying
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     val benched = Registry.all.filter(_.bench)
     val pass1 = benched.map(q => q.name -> timeOnce(q)).toMap
     val pass2 = benched.map(q => q.name -> timeOnce(q)).toMap
@@ -109,7 +117,8 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
         slowEntries.mkString("{", ",", "}")
-      },"sf":"$sfDir","detail":"bench_out.json"}"""
+      },"sf":"$sfDir","load_start":${fmt2(loadStart)},"load_end":${
+        fmt2(loadAvg)},"detail":"bench_out.json"}"""
     println(compact)
   }
 }
