@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,7 +36,8 @@ object AsofJoin {
     */
   private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String], outPrefix: String,
-      forward: Boolean, leftCols: Seq[String]): DataFrame = {
+      forward: Boolean, leftCols: Seq[String],
+      tolerance: Option[Column]): DataFrame = {
     val carried =
       if (leftCols.isEmpty) left.columns.toIndexedSeq
       else {
@@ -71,8 +72,21 @@ object AsofJoin {
       else
         last(col("_rv"), ignoreNulls = true).over(
           wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // tolerance gate (pandas merge_asof `tolerance`): a match farther than
+    // `tolerance` from the left timestamp is nulled out — the left row
+    // SURVIVES with no match, it is not dropped. Delta by direct timestamp
+    // subtraction (DayTimeIntervalType): exact, and NTZ-safe like the
+    // nearest-pick arithmetic below.
+    val mGated = tolerance match {
+      case Some(tol) =>
+        val d =
+          if (forward) m.getField(tsCol) - col("_ts")
+          else col("_ts") - m.getField(tsCol)
+        when(d <= tol, m)
+      case None => m
+    }
     val merged = l2.unionByName(r2)
-      .withColumn("_m", m)
+      .withColumn("_m", mGated)
       .filter(col("_side") === lSide)
     val outCols = carried.map(c =>
       col("_lrow").getField(c).as(c)) ++
@@ -102,9 +116,10 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
       outPrefix: String = "asof_",
-      leftCols: Seq[String] = Seq.empty): DataFrame =
+      leftCols: Seq[String] = Seq.empty,
+      tolerance: Option[Column] = None): DataFrame =
     asofCore(left, right, keys, tsCol, payloadCols, outPrefix,
-      forward = false, leftCols)
+      forward = false, leftCols, tolerance)
 
   /** Forward as-of join: for every left row, the EARLIEST right row with
     * `right.ts >= left.ts` — "next state at or after event time" (next
@@ -113,9 +128,10 @@ object AsofJoin {
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
       outPrefix: String = "asof_",
-      leftCols: Seq[String] = Seq.empty): DataFrame =
+      leftCols: Seq[String] = Seq.empty,
+      tolerance: Option[Column] = None): DataFrame =
     asofCore(left, right, keys, tsCol, payloadCols, outPrefix,
-      forward = true, leftCols)
+      forward = true, leftCols, tolerance)
 
   /** Nearest as-of join: the single right row closest in time to each
     * left row, in either direction ("the reading nearest the event").
@@ -129,16 +145,20 @@ object AsofJoin {
   def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
       outPrefix: String = "asof_",
-      leftCols: Seq[String] = Seq.empty): DataFrame = {
+      leftCols: Seq[String] = Seq.empty,
+      tolerance: Option[Column] = None): DataFrame = {
+    // gate each direction independently, then pick nearest among the
+    // survivors — identical to gating after the pick, since the gate is
+    // monotone in the delta the pick minimizes
     val bwd = asofBackward(left, right, keys, tsCol, payloadCols, "_bwd_",
-      leftCols)
+      leftCols, tolerance)
     // the forward pass's left is the backward output: its carry set must
     // include the _bwd_ columns the final pick reads
     val fwdLeftCols =
       if (leftCols.isEmpty) Seq.empty[String]
       else bwd.columns.toSeq
     val fwd = asofForward(bwd, right, keys, tsCol, payloadCols, "_fwd_",
-      fwdLeftCols)
+      fwdLeftCols, tolerance)
     // exact microsecond deltas with NO timezone conversion: subtracting two
     // timestamp columns yields a DayTimeIntervalType, microsecond-exact and
     // well-defined for both TIMESTAMP and TIMESTAMP_NTZ (what a plain

@@ -560,9 +560,49 @@ object RelQueries {
              ROUND(aval, 4) AS asof_value
       FROM pick ORDER BY event_id"""))
 
+  /** Tolerance-bounded backward as-of (pandas merge_asof `tolerance`):
+    * like q18, but a match more than 30 minutes before the click is
+    * nulled out — the click row survives unmatched instead of carrying a
+    * stale snapshot. The oracle post-gates DuckDB's native ASOF match
+    * with the same interval comparison.
+    */
+  val q22AsofTolerance = Q(
+    "q22_asof_tolerance",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purch = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("pvalue"))
+      graft.ops.AsofJoin.asofBackward(clicks, purch, Seq("user_id"), "ts",
+        Seq("pvalue"), tolerance = Some(expr("INTERVAL 30 MINUTES")))
+        .select($"event_id", $"user_id",
+          (unix_timestamp($"ts") - unix_timestamp($"asof_ts"))
+            .as("secs_since"),
+          round($"asof_pvalue", 4).as("asof_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      r AS (
+        SELECT user_id, ts, MAX(value) AS pvalue FROM events
+        WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.event_id, l.user_id,
+             CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL 30 MINUTE
+                  THEN CAST(date_diff('second', r.ts, l.ts) AS BIGINT)
+             END AS secs_since,
+             CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL 30 MINUTE
+                  THEN ROUND(r.pvalue, 4)
+             END AS asof_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
-    q21AsofNearest)
+    q21AsofNearest, q22AsofTolerance)
 }

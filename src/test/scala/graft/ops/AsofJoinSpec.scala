@@ -150,6 +150,52 @@ class AsofJoinSpec extends AnyFunSuite {
       expected.values.exists(_.nonEmpty), "vacuous fixture")
   }
 
+  test("tolerance gate: stale matches null out, left rows survive") {
+    val left = Seq(
+      (1L, 10L, ts(100)),  // match @90: 10s back, inside 30s tolerance
+      (2L, 10L, ts(200)),  // match @90: 110s back, GATED -> nulls
+      (3L, 10L, ts(90))    // exact-ts match: delta 0, inside
+    ).toDF("event_id", "k", "ts")
+    val right = Seq((10L, ts(90), 7.0)).toDF("k", "ts", "v")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("v"),
+      tolerance = Some(expr("INTERVAL 30 SECONDS")))
+      .select($"event_id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(1L -> Some(7.0), 2L -> None, 3L -> Some(7.0)))
+  }
+
+  test("tolerance nearest == brute-force with the same bound, randomized") {
+    val rnd = new scala.util.Random(53)
+    val leftRows = (0 until 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(1000).toLong)))
+    val rightRows = rnd.shuffle((1 to 5).flatMap(k =>
+      rnd.shuffle((0 until 1000).toList).take(25).map(t =>
+        (k.toLong, ts(t.toLong), rnd.nextDouble()))))
+    val tolSec = 15L
+    val out = AsofJoin.asofNearest(
+      leftRows.toDF("id", "k", "ts"), rightRows.toDF("k", "ts", "v"),
+      Seq("k"), "ts", Seq("v"),
+      tolerance = Some(expr(s"INTERVAL $tolSec SECONDS")))
+      .select($"id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (id, k, t) =>
+      val cands = byKey.getOrElse(k, Seq.empty)
+        .filter(r => math.abs(r._2.getTime - t.getTime) <= tolSec * 1000L)
+      id -> (if (cands.isEmpty) None
+      else {
+        // nearest; exact tie prefers the backward (at-or-before) match
+        val best = cands.minBy(r => (math.abs(r._2.getTime - t.getTime),
+          if (r._2.getTime <= t.getTime) 0 else 1))
+        Some(best._3)
+      })
+    }.toMap
+    assert(out == expected)
+    assert(expected.values.exists(_.isEmpty) &&
+      expected.values.exists(_.nonEmpty), "vacuous fixture")
+  }
+
   test("leftCols narrow-payload contract == full carry, projected") {
     val rnd = new scala.util.Random(41)
     val left = (0 until 200).map(i =>
