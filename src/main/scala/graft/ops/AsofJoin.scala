@@ -37,7 +37,7 @@ object AsofJoin {
   private def asofCore(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String], outPrefix: String,
       forward: Boolean, leftCols: Seq[String],
-      tolerance: Option[Column]): DataFrame = {
+      tolerance: Option[Column], allowExact: Boolean): DataFrame = {
     val carried =
       if (leftCols.isEmpty) left.columns.toIndexedSeq
       else {
@@ -53,10 +53,14 @@ object AsofJoin {
     val rv = struct((tsCol +: payloadCols).map(col): _*)
     val lrowType = left.select(lrow).schema.head.dataType
     val rvType = right.select(rv).schema.head.dataType
-    // the right row must fall INSIDE the left row's frame at equal ts:
-    // backward frames end at the current row, so the right sorts before
-    // the left; forward frames start at it, so the right sorts after
-    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
+    // equal-timestamp visibility is purely a SORT decision: the right row
+    // must fall inside the left row's frame at equal ts exactly when exact
+    // matches are allowed. Backward frames end at the current row (right
+    // sorts before the left to be visible); forward frames start at it
+    // (right sorts after). allowExact=false flips the side order, pushing
+    // equal-ts right rows just OUTSIDE the frame — strict </> semantics
+    // with zero plan change (pandas merge_asof allow_exact_matches=False)
+    val (lSide, rSide) = if (forward == allowExact) (0, 1) else (1, 0)
     val l2 = left.select(
       keys.map(col) ++ Seq(col(tsCol).as("_ts"), lit(lSide).as("_side"),
         lrow.as("_lrow"), lit(null).cast(rvType).as("_rv")): _*)
@@ -117,9 +121,10 @@ object AsofJoin {
       tsCol: String, payloadCols: Seq[String],
       outPrefix: String = "asof_",
       leftCols: Seq[String] = Seq.empty,
-      tolerance: Option[Column] = None): DataFrame =
+      tolerance: Option[Column] = None,
+      allowExactMatches: Boolean = true): DataFrame =
     asofCore(left, right, keys, tsCol, payloadCols, outPrefix,
-      forward = false, leftCols, tolerance)
+      forward = false, leftCols, tolerance, allowExactMatches)
 
   /** Forward as-of join: for every left row, the EARLIEST right row with
     * `right.ts >= left.ts` — "next state at or after event time" (next
@@ -129,9 +134,10 @@ object AsofJoin {
       tsCol: String, payloadCols: Seq[String],
       outPrefix: String = "asof_",
       leftCols: Seq[String] = Seq.empty,
-      tolerance: Option[Column] = None): DataFrame =
+      tolerance: Option[Column] = None,
+      allowExactMatches: Boolean = true): DataFrame =
     asofCore(left, right, keys, tsCol, payloadCols, outPrefix,
-      forward = true, leftCols, tolerance)
+      forward = true, leftCols, tolerance, allowExactMatches)
 
   /** Nearest as-of join: the single right row closest in time to each
     * left row, in either direction ("the reading nearest the event").
@@ -146,19 +152,20 @@ object AsofJoin {
       tsCol: String, payloadCols: Seq[String],
       outPrefix: String = "asof_",
       leftCols: Seq[String] = Seq.empty,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     // gate each direction independently, then pick nearest among the
     // survivors — identical to gating after the pick, since the gate is
     // monotone in the delta the pick minimizes
     val bwd = asofBackward(left, right, keys, tsCol, payloadCols, "_bwd_",
-      leftCols, tolerance)
+      leftCols, tolerance, allowExactMatches)
     // the forward pass's left is the backward output: its carry set must
     // include the _bwd_ columns the final pick reads
     val fwdLeftCols =
       if (leftCols.isEmpty) Seq.empty[String]
       else bwd.columns.toSeq
     val fwd = asofForward(bwd, right, keys, tsCol, payloadCols, "_fwd_",
-      fwdLeftCols, tolerance)
+      fwdLeftCols, tolerance, allowExactMatches)
     // exact microsecond deltas with NO timezone conversion: subtracting two
     // timestamp columns yields a DayTimeIntervalType, microsecond-exact and
     // well-defined for both TIMESTAMP and TIMESTAMP_NTZ (what a plain

@@ -600,9 +600,50 @@ object RelQueries {
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id"""))
 
+  /** Strict backward as-of (pandas merge_asof allow_exact_matches=False):
+    * both sides truncate ts to the minute (the raw fixture has zero exact
+    * click/purchase collisions, so strictness over raw ts would be
+    * vacuous — truncation manufactures equal-minute pairs the gate must
+    * skip), then each click matches the most recent purchase minute
+    * STRICTLY before its own. The oracle uses DuckDB's native ASOF with a
+    * `>` comparison.
+    */
+  val q23AsofStrict = Q(
+    "q23_asof_strict",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id",
+          date_trunc("minute", $"ts").as("ts"))
+      val purch = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", date_trunc("minute", $"ts").as("ts"))
+        .agg(max($"value").as("pvalue"))
+      graft.ops.AsofJoin.asofBackward(clicks, purch, Seq("user_id"), "ts",
+        Seq("pvalue"), allowExactMatches = false)
+        .select($"event_id", $"user_id",
+          (unix_timestamp($"ts") - unix_timestamp($"asof_ts"))
+            .as("secs_since"),
+          round($"asof_pvalue", 4).as("asof_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_id, user_id, date_trunc('minute', ts) AS ts
+        FROM events WHERE event_type = 'click'),
+      r AS (
+        SELECT user_id, date_trunc('minute', ts) AS ts, MAX(value) AS pvalue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.event_id, l.user_id,
+             CAST(date_diff('second', r.ts, l.ts) AS BIGINT) AS secs_since,
+             ROUND(r.pvalue, 4) AS asof_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts > r.ts
+      ORDER BY l.event_id"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
-    q21AsofNearest, q22AsofTolerance)
+    q21AsofNearest, q22AsofTolerance, q23AsofStrict)
 }

@@ -196,6 +196,54 @@ class AsofJoinSpec extends AnyFunSuite {
       expected.values.exists(_.nonEmpty), "vacuous fixture")
   }
 
+  test("allowExactMatches=false: equal-ts rows invisible in both directions") {
+    val left = Seq((1L, 10L, ts(30)), (2L, 10L, ts(31)))
+      .toDF("event_id", "k", "ts")
+    val right = Seq((10L, ts(10), 1.0), (10L, ts(30), 2.0), (10L, ts(40), 3.0))
+      .toDF("k", "ts", "v")
+    val bwd = AsofJoin.asofBackward(left, right, Seq("k"), "ts", Seq("v"),
+      allowExactMatches = false)
+      .select($"event_id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // row 1 @30: the @30 right row is invisible (strict <) -> falls to @10
+    assert(bwd == Map(1L -> Some(1.0), 2L -> Some(2.0)))
+    val fwd = AsofJoin.asofForward(left, right, Seq("k"), "ts", Seq("v"),
+      allowExactMatches = false)
+      .select($"event_id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // row 1 @30: strict > skips @30 -> @40
+    assert(fwd == Map(1L -> Some(3.0), 2L -> Some(3.0)))
+  }
+
+  test("strict backward == brute-force strict argmax on randomized ties") {
+    val rnd = new scala.util.Random(61)
+    // coarse ts grid so exact collisions are COMMON, not accidental
+    val leftRows = (0 until 300).map(i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toLong, ts(rnd.nextInt(40).toLong * 10)))
+    val rightRows = rnd.shuffle((1 to 4).flatMap(k =>
+      rnd.shuffle((0 until 40).toList).take(15).map(t =>
+        (k.toLong, ts(t.toLong * 10), rnd.nextDouble()))))
+    val out = AsofJoin.asofBackward(
+      leftRows.toDF("id", "k", "ts"), rightRows.toDF("k", "ts", "v"),
+      Seq("k"), "ts", Seq("v"), allowExactMatches = false)
+      .select($"id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Seq.empty)
+        .filter(_._2.before(t)).sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    assert(out == expected)
+    // fixture must contain at least one case where strictness CHANGED the
+    // match (an exact-ts right row was skipped)
+    val lax = leftRows.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.after(t)).sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    assert(expected != lax, "vacuous fixture: no exact-ts collisions hit")
+  }
+
   test("leftCols narrow-payload contract == full carry, projected") {
     val rnd = new scala.util.Random(41)
     val left = (0 until 200).map(i =>
