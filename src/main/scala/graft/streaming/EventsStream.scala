@@ -161,12 +161,16 @@ object EventsStream {
     * the standard stream-static-join contract.
     */
   def asofEnrichSink(stream: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, payloadCols: Seq[String], outPath: String)
+      tsCol: String, payloadCols: Seq[String], outPath: String,
+      leftCols: Seq[String] = Seq.empty,
+      tolerance: Option[org.apache.spark.sql.Column] = None,
+      allowExactMatches: Boolean = true)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         graft.ops.AsofJoin.asofBackward(batch, right, keys, tsCol,
-          payloadCols)
+          payloadCols, leftCols = leftCols, tolerance = tolerance,
+          allowExactMatches = allowExactMatches)
           .write.mode("overwrite")
           .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
     }
