@@ -46,9 +46,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader only accepts as INT64 via the nanosAsLong legacy flag (set in
-    * Verify/Bench sessions); normalize back to a proper timestamp here.
+  /** The driver's events.parquet ts column has changed encoding across
+    * rounds: TIMESTAMP(NANOS) through round 9 (readable only as INT64 via
+    * the nanosAsLong legacy flag, which Verify/Bench still set — harmless
+    * now), plain timestamp[us] since round 10 (reads as TIMESTAMP_NTZ).
+    * Normalize the long encoding here; NTZ passes through — batch
+    * operators and the DuckDB oracle agree on naive wall-clock semantics,
+    * and the STREAMING ingest paths (which require TIMESTAMP for
+    * watermarks) normalize NTZ themselves (EventsStream.tsAsEventTime).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
