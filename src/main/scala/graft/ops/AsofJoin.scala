@@ -139,6 +139,57 @@ object AsofJoin {
     asofCore(left, right, keys, tsCol, payloadCols, outPrefix,
       forward = true, leftCols, tolerance, allowExactMatches)
 
+  /** Banded bounded-staleness backward as-of — the SCALE path for
+    * tolerance-bounded joins: semantically identical to
+    * `asofBackward(..., tolerance = Some(T seconds))` (spec-pinned
+    * differential), but planned as [[RangeJoin.intervalJoin]] + per-left
+    * argmax instead of the union-tag-window pass.
+    *
+    * Why it exists: the window plan sorts EVERY key group globally — a hot
+    * key (the null-user problem) lands its whole timeline in one window
+    * partition. With a staleness bound T, a right row is only visible for
+    * T seconds, so the join can band time at width ~T: the right side
+    * explodes to ceil(T/band)+1 ≈ 2 copies, the join becomes a hash
+    * equi-join on (keys, band) — AQE-skew-splittable like any other — and
+    * per-left candidates are bounded by the key's row density within 2T,
+    * never by its total history. The argmax (most recent visible right
+    * row) rides a groupBy on the left id.
+    *
+    * Use the window plan for unbounded as-of; use this when a tolerance
+    * exists AND key skew is a real risk. `leftIdCol` must uniquely
+    * identify left rows (the argmax groups by it). Seconds granularity
+    * for the banding; the visibility predicate itself stays
+    * microsecond-exact (intervalJoin's residual compares raw
+    * timestamps).
+    */
+  def asofBackwardBanded(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String, payloadCols: Seq[String],
+      toleranceSec: Long, leftIdCol: String,
+      outPrefix: String = "asof_"): DataFrame = {
+    require(toleranceSec >= 0, s"toleranceSec must be >= 0, got $toleranceSec")
+    require(left.columns.contains(leftIdCol), s"leftIdCol $leftIdCol not in left")
+    val ivp = "_iv_"
+    // a right row at rts is visible to left ts in [rts, rts + T]
+    val rightIv = right.select(
+      keys.map(col) ++ Seq(col(tsCol).as("_astart"),
+        (col(tsCol) + expr(s"INTERVAL $toleranceSec SECONDS")).as("_aend")) ++
+        payloadCols.map(col): _*)
+    val cand = RangeJoin.intervalJoin(left, rightIv, keys, tsCol,
+      "_astart", "_aend", bandWidth = math.max(toleranceSec, 1L),
+      outPrefix = ivp)
+    // most recent visible right row per left row; right rows are unique
+    // per (keys, ts) by the shared contract, so the argmax needs no tie
+    val best = cand.groupBy(col(leftIdCol))
+      .agg(max_by(
+        struct((col(s"${ivp}_astart").as(tsCol) +:
+          payloadCols.map(c => col(s"$ivp$c").as(c))): _*),
+        col(s"${ivp}_astart")).as("_m"))
+      .select(col(leftIdCol) +:
+        (tsCol +: payloadCols).map(c =>
+          col("_m").getField(c).as(s"$outPrefix$c")): _*)
+    left.join(best, Seq(leftIdCol), "left")
+  }
+
   /** Nearest as-of join: the single right row closest in time to each
     * left row, in either direction ("the reading nearest the event").
     * Composed from [[asofBackward]] and [[asofForward]] — two window

@@ -641,9 +641,33 @@ object RelQueries {
         ON l.user_id = r.user_id AND l.ts > r.ts
       ORDER BY l.event_id"""))
 
+  /** The banded bounded-staleness as-of (scale path for hot keys) over the
+    * SAME fixture and oracle as q22: interval-join + argmax must produce
+    * bit-identical rows to the window plan and to DuckDB's post-gated
+    * native ASOF.
+    */
+  val q24AsofBanded = Q(
+    "q24_asof_banded",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purch = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("pvalue"))
+      graft.ops.AsofJoin.asofBackwardBanded(clicks, purch, Seq("user_id"),
+        "ts", Seq("pvalue"), toleranceSec = 1800L, leftIdCol = "event_id")
+        .select($"event_id", $"user_id",
+          (unix_timestamp($"ts") - unix_timestamp($"asof_ts"))
+            .as("secs_since"),
+          round($"asof_pvalue", 4).as("asof_value"))
+        .orderBy($"event_id")
+    },
+    q22AsofTolerance.oracle)
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
-    q21AsofNearest, q22AsofTolerance, q23AsofStrict)
+    q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded)
 }

@@ -244,6 +244,36 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(expected != lax, "vacuous fixture: no exact-ts collisions hit")
   }
 
+  test("banded bounded-staleness == window-plan tolerance, randomized + skew") {
+    val rnd = new scala.util.Random(71)
+    // skewed: key 1 holds ~2/3 of all rows (the hot-key case the banded
+    // plan exists for), including exact-ts collisions with right rows
+    val leftRows = (0 until 400).map { i =>
+      val k = if (i % 3 != 0) 1L else (rnd.nextInt(4) + 2).toLong
+      (i.toLong, k, ts(rnd.nextInt(600).toLong))
+    }
+    val rightRows = rnd.shuffle((1 to 5).flatMap(k =>
+      rnd.shuffle((0 until 600).toList).take(30).map(t =>
+        (k.toLong, ts(t.toLong), rnd.nextDouble()))))
+    val left = leftRows.toDF("id", "k", "ts")
+    val right = rightRows.toDF("k", "ts", "v")
+    for (tolSec <- Seq(0L, 7L, 50L)) {
+      val banded = AsofJoin.asofBackwardBanded(left, right, Seq("k"), "ts",
+        Seq("v"), toleranceSec = tolSec, leftIdCol = "id")
+        .select($"id", $"asof_ts", $"asof_v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_ =>
+          (r.getTimestamp(1), r.getDouble(2)))).toMap
+      val window = AsofJoin.asofBackward(left, right, Seq("k"), "ts",
+        Seq("v"), tolerance = Some(expr(s"INTERVAL $tolSec SECONDS")))
+        .select($"id", $"asof_ts", $"asof_v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_ =>
+          (r.getTimestamp(1), r.getDouble(2)))).toMap
+      assert(banded == window, s"toleranceSec=$tolSec")
+      assert(window.values.exists(_.isEmpty) &&
+        window.values.exists(_.nonEmpty), s"vacuous fixture tol=$tolSec")
+    }
+  }
+
   test("leftCols narrow-payload contract == full carry, projected") {
     val rnd = new scala.util.Random(41)
     val left = (0 until 200).map(i =>
