@@ -139,51 +139,93 @@ object AsofJoin {
     asofCore(left, right, keys, tsCol, payloadCols, outPrefix,
       forward = true, leftCols, tolerance, allowExactMatches)
 
-  /** Banded bounded-staleness backward as-of — the SCALE path for
-    * tolerance-bounded joins: semantically identical to
-    * `asofBackward(..., tolerance = Some(T seconds))` (spec-pinned
-    * differential), but planned as [[RangeJoin.intervalJoin]] + per-left
-    * argmax instead of the union-tag-window pass.
+  /** Banded bounded-staleness as-of — the SCALE path for
+    * tolerance-bounded joins: semantically identical to the window-plan
+    * variants with `tolerance = Some(T seconds)` (spec-pinned
+    * differentials), but planned as [[RangeJoin.intervalJoin]] + per-left
+    * argmax/argmin instead of the union-tag-window pass.
     *
     * Why it exists: the window plan sorts EVERY key group globally — a hot
     * key (the null-user problem) lands its whole timeline in one window
     * partition. With a staleness bound T, a right row is only visible for
-    * T seconds, so the join can band time at width ~T: the right side
-    * explodes to ceil(T/band)+1 ≈ 2 copies, the join becomes a hash
-    * equi-join on (keys, band) — AQE-skew-splittable like any other — and
-    * per-left candidates are bounded by the key's row density within 2T,
-    * never by its total history. The argmax (most recent visible right
-    * row) rides a groupBy on the left id.
+    * T seconds around its timestamp, so the join can band time at width
+    * ~T: the right side explodes to a constant ~2-3 copies, the join
+    * becomes a hash equi-join on (keys, band) — AQE-skew-splittable like
+    * any other — and per-left candidates are bounded by the key's row
+    * density within the visibility window, never by its total history.
+    * The pick (most recent / earliest / nearest visible right row) rides
+    * a groupBy on the left id.
     *
-    * Use the window plan for unbounded as-of; use this when a tolerance
+    * Use the window plan for unbounded as-of; use these when a tolerance
     * exists AND key skew is a real risk. `leftIdCol` must uniquely
-    * identify left rows (the argmax groups by it). Seconds granularity
-    * for the banding; the visibility predicate itself stays
-    * microsecond-exact (intervalJoin's residual compares raw
-    * timestamps).
+    * identify left rows (the pick groups by it). Seconds granularity for
+    * the banding; the visibility predicate itself stays microsecond-exact
+    * (intervalJoin's residual compares raw timestamps), and the nearest
+    * pick compares exact interval deltas with the same backward tie
+    * preference as [[asofNearest]].
     */
   def asofBackwardBanded(left: DataFrame, right: DataFrame,
       keys: Seq[String], tsCol: String, payloadCols: Seq[String],
       toleranceSec: Long, leftIdCol: String,
-      outPrefix: String = "asof_"): DataFrame = {
+      outPrefix: String = "asof_"): DataFrame =
+    bandedCore(left, right, keys, tsCol, payloadCols, toleranceSec,
+      leftIdCol, outPrefix, mode = "bwd")
+
+  /** Forward twin of [[asofBackwardBanded]]: earliest right row with
+    * `left.ts <= right.ts <= left.ts + T`.
+    */
+  def asofForwardBanded(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String, payloadCols: Seq[String],
+      toleranceSec: Long, leftIdCol: String,
+      outPrefix: String = "asof_"): DataFrame =
+    bandedCore(left, right, keys, tsCol, payloadCols, toleranceSec,
+      leftIdCol, outPrefix, mode = "fwd")
+
+  /** Nearest twin of [[asofBackwardBanded]]: the right row minimizing
+    * |right.ts - left.ts| within tolerance, exact ties preferring the
+    * backward (at-or-before) match — [[asofNearest]]'s contract.
+    */
+  def asofNearestBanded(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String, payloadCols: Seq[String],
+      toleranceSec: Long, leftIdCol: String,
+      outPrefix: String = "asof_"): DataFrame =
+    bandedCore(left, right, keys, tsCol, payloadCols, toleranceSec,
+      leftIdCol, outPrefix, mode = "near")
+
+  private def bandedCore(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String, payloadCols: Seq[String],
+      toleranceSec: Long, leftIdCol: String, outPrefix: String,
+      mode: String): DataFrame = {
     require(toleranceSec >= 0, s"toleranceSec must be >= 0, got $toleranceSec")
     require(left.columns.contains(leftIdCol), s"leftIdCol $leftIdCol not in left")
     val ivp = "_iv_"
-    // a right row at rts is visible to left ts in [rts, rts + T]
+    val tol = expr(s"INTERVAL $toleranceSec SECONDS")
+    // visibility interval of a right row at rts, as seen by left ts
+    val (lo, hi) = mode match {
+      case "bwd"  => (col(tsCol), col(tsCol) + tol) // rts <= ts <= rts+T
+      case "fwd"  => (col(tsCol) - tol, col(tsCol)) // rts-T <= ts <= rts
+      case _      => (col(tsCol) - tol, col(tsCol) + tol)
+    }
     val rightIv = right.select(
-      keys.map(col) ++ Seq(col(tsCol).as("_astart"),
-        (col(tsCol) + expr(s"INTERVAL $toleranceSec SECONDS")).as("_aend")) ++
-        payloadCols.map(col): _*)
+      keys.map(col) ++ Seq(col(tsCol).as("_rts"), lo.as("_astart"),
+        hi.as("_aend")) ++ payloadCols.map(col): _*)
     val cand = RangeJoin.intervalJoin(left, rightIv, keys, tsCol,
       "_astart", "_aend", bandWidth = math.max(toleranceSec, 1L),
       outPrefix = ivp)
-    // most recent visible right row per left row; right rows are unique
-    // per (keys, ts) by the shared contract, so the argmax needs no tie
-    val best = cand.groupBy(col(leftIdCol))
-      .agg(max_by(
-        struct((col(s"${ivp}_astart").as(tsCol) +:
-          payloadCols.map(c => col(s"$ivp$c").as(c))): _*),
-        col(s"${ivp}_astart")).as("_m"))
+    val rts = col(s"${ivp}_rts")
+    val value = struct((rts.as(tsCol) +:
+      payloadCols.map(c => col(s"$ivp$c").as(c))): _*)
+    // right rows are unique per (keys, ts) by the shared contract, so no
+    // further tie terms are needed beyond nearest's backward preference
+    val pick = mode match {
+      case "bwd" => max_by(value, rts)
+      case "fwd" => min_by(value, rts)
+      case _ =>
+        val absD = greatest(col(tsCol) - rts, rts - col(tsCol))
+        val side = when(rts <= col(tsCol), lit(0)).otherwise(lit(1))
+        min_by(value, struct(absD, side))
+    }
+    val best = cand.groupBy(col(leftIdCol)).agg(pick.as("_m"))
       .select(col(leftIdCol) +:
         (tsCol +: payloadCols).map(c =>
           col("_m").getField(c).as(s"$outPrefix$c")): _*)

@@ -271,6 +271,22 @@ class AsofJoinSpec extends AnyFunSuite {
       assert(banded == window, s"toleranceSec=$tolSec")
       assert(window.values.exists(_.isEmpty) &&
         window.values.exists(_.nonEmpty), s"vacuous fixture tol=$tolSec")
+
+      // forward and nearest twins against their window-plan equivalents
+      def proj(df: org.apache.spark.sql.DataFrame) = df
+        .select($"id", $"asof_ts", $"asof_v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_ =>
+          (r.getTimestamp(1), r.getDouble(2)))).toMap
+      assert(proj(AsofJoin.asofForwardBanded(left, right, Seq("k"), "ts",
+        Seq("v"), tolSec, "id")) ==
+        proj(AsofJoin.asofForward(left, right, Seq("k"), "ts", Seq("v"),
+          tolerance = Some(expr(s"INTERVAL $tolSec SECONDS")))),
+        s"fwd tol=$tolSec")
+      assert(proj(AsofJoin.asofNearestBanded(left, right, Seq("k"), "ts",
+        Seq("v"), tolSec, "id")) ==
+        proj(AsofJoin.asofNearest(left, right, Seq("k"), "ts", Seq("v"),
+          tolerance = Some(expr(s"INTERVAL $tolSec SECONDS")))),
+        s"nearest tol=$tolSec")
     }
   }
 
