@@ -175,6 +175,41 @@ object EventsStream {
           .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
     }
 
+  /** Stream-stream interval join — the streaming twin of q19's banded
+    * range join: pair left and right stream rows of the same `keys` whose
+    * timestamps fall within `withinSeconds` of each other (inclusive,
+    * either direction). Both sides are watermarked, and the time-range
+    * condition is what lets Spark BOUND the join state: a buffered row
+    * can be dropped once the other side's watermark passes its
+    * ts + within (the standard stream-stream join state contract —
+    * without the range condition state grows forever). Inner join, so it
+    * runs in append mode; results for a pair emit once both rows have
+    * arrived.
+    *
+    * Output: the left columns as-is plus the right side's non-key columns
+    * prefixed `r_`. Equivalence with the batch inequality join over the
+    * same rows is spec-pinned.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String, withinSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    require(withinSeconds >= 0, s"withinSeconds must be >= 0, got $withinSeconds")
+    val l = tsAsEventTime(left, tsCol).withWatermark(tsCol, watermark)
+      .alias("l")
+    val r = tsAsEventTime(right, tsCol).withWatermark(tsCol, watermark)
+      .alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val tol = expr(s"INTERVAL $withinSeconds SECONDS")
+    val range = col(s"r.$tsCol") >= col(s"l.$tsCol") - tol &&
+      col(s"r.$tsCol") <= col(s"l.$tsCol") + tol
+    val rightOut = right.columns.toIndexedSeq.filterNot(keys.contains)
+      .map(c => col(s"r.$c").as(s"r_$c"))
+    l.join(r, keyCond && range)
+      .select(left.columns.toIndexedSeq.map(c => col(s"l.$c")) ++
+        rightOut: _*)
+  }
+
   /** Gap-based sessionization with custom state — the streaming twin of
     * q15_sessionize: a session closes once a later event arrives more than
     * `gapSeconds` after it, OR once the event-time watermark passes its

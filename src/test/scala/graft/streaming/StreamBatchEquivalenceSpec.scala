@@ -801,6 +801,43 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nHashBuckets"))
   }
 
+  test("stream-stream interval join of sf0.001 events == batch inequality join") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts"),
+        col("value"))
+
+    val batch = clicks.alias("l").join(purch.alias("r"),
+      col("l.user_id") === col("r.user_id") &&
+        abs(unix_timestamp(col("r.ts")) - unix_timestamp(col("l.ts"))) <= 120)
+      .select(col("l.event_id"), col("r.pid"))
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "vacuous fixture")
+
+    // stage both sides as parquet (the NTZ round-trip included) and join
+    // the two file-source streams with the time-range condition
+    val lDir = java.nio.file.Files.createTempDirectory("ssjl").toString
+    val rDir = java.nio.file.Files.createTempDirectory("ssjr").toString
+    clicks.write.mode("overwrite").parquet(lDir)
+    purch.write.mode("overwrite").parquet(rDir)
+    val q = EventsStream.streamIntervalJoin(
+      spark.readStream.schema(clicks.schema).parquet(lDir),
+      spark.readStream.schema(purch.schema).parquet(rDir),
+      Seq("user_id"), "ts", withinSeconds = 120)
+      .select(col("event_id"), col("r_pid"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj").as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streamed BM25 appends == batch appendToBm25Index; replay appends nothing") {
     val spark = TestSpark.spark
     import spark.implicits._
