@@ -527,9 +527,45 @@ object DedupQueries {
     dedupIndexSearch.oracle,
     bench = false)
 
+  /** PageRank centrality over the LSH near-dup graph — ranks each
+    * document inside its duplicate neighborhood (the canonical-copy
+    * signal a curation pass uses to pick survivors by connectivity
+    * instead of length). Fixed 3-round power iteration so the oracle can
+    * replay it as a chained-CTE recurrence; mirrored edges make the graph
+    * symmetric, so rank mass is conserved without dangling handling.
+    */
+  val graphPagerank = Q(
+    "graph_pagerank",
+    (s, d) => {
+      val pairs = Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      Graph.pageRank(pairs, iterations = 3, damping = 0.85)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val iters = (1 to 3).map { k =>
+        s"""c$k AS (
+        SELECT e.b AS node, SUM(p.r / p.dg) AS inflow
+        FROM edges e JOIN r${k - 1} p ON p.node = e.a GROUP BY 1),
+      r$k AS (
+        SELECT d.node, d.dg, 0.15 / n.c + 0.85 * c$k.inflow AS r
+        FROM deg d JOIN c$k ON c$k.node = d.node CROSS JOIN n)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $duckPairs,
+      edges AS (
+        SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+      deg AS (SELECT a AS node, COUNT(*) AS dg FROM edges GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM deg),
+      r0 AS (SELECT node, dg, 1.0 / n.c AS r FROM deg CROSS JOIN n),
+      $iters
+      SELECT node AS doc_id, ROUND(r, 6) AS rank FROM r3 ORDER BY doc_id"""
+    })
+
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupMinhashEst,
     dedupIndexSearch, dedupComponents, dedupComponentsIncr, dedupApplyBest,
     dedupSimhash, dedupNgramJaccard, dedupContainment, dedupSimhashPairs,
     dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne,
-    dedupIndexCompactedSearch)
+    dedupIndexCompactedSearch, graphPagerank)
 }

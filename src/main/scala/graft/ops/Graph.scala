@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pair tables — the centrality companion to
+  * [[Dedup.components]]. A training-data pipeline uses these to rank
+  * documents inside the near-duplicate graph (a high-PageRank node is the
+  * "canonical" copy a cluster converges on; a low-rank leaf is a one-off
+  * variant), the same way the reference ranks alignment targets by hit
+  * connectivity before the expensive cascade
+  * (`/root/reference/src/sra/comparekmertables.cpp:46-67` — the
+  * match-count gate is degree centrality over the k-mer hit graph).
+  *
+  * 100 TB posture: one round of power iteration is one hash join of the
+  * rank table onto the edge list (shuffle on the source key) plus one
+  * `groupBy(dst).sum` — both map-side-combined, state O(|V| + |E|), no
+  * driver materialization. `localCheckpoint` per round truncates lineage
+  * exactly like the [[Dedup.components]] fixpoint loop. A FIXED iteration
+  * count (not convergence detection) keeps the result deterministic and
+  * oracle-expressible.
+  */
+object Graph {
+
+  /** PageRank over an undirected pair set by fixed-round power iteration.
+    *
+    * `pairs` carries one row per undirected edge in columns (a, b); the
+    * node set is every pair endpoint (isolated nodes are not ranked —
+    * rank mass is defined over the graph the pairs induce). Each round:
+    *
+    * {{{ rank'(v) = (1 - damping)/N + damping * Σ_{u ~ v} rank(u)/deg(u) }}}
+    *
+    * Mirroring the edges makes the graph symmetric, so every ranked node
+    * has out-degree >= 1 and no dangling-mass redistribution is needed:
+    * total rank stays 1 every round (spec-pinned).
+    *
+    * Output: (node, rank) — rank a double summing to 1 over the node set.
+    */
+  def pageRank(pairs: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(damping >= 0 && damping <= 1,
+      s"damping must be in [0, 1], got $damping")
+    val p = pairs.select(col("a"), col("b")).cache()
+    // mirror + distinct: tolerates callers handing both orientations or
+    // repeated pairs; localCheckpoint materializes so p can be released
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    p.unpersist()
+    val deg = edges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // N is one bounded scalar read (house convention: scalar aggregates
+    // may surface to the driver; row data never does)
+    val n = deg.count()
+    if (n == 0) return edges.select(col("a").as("node"),
+      lit(0.0).as("rank")).limit(0)
+    var ranks = deg.select(col("node"), col("deg"),
+      lit(1.0 / n).as("rank")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.select(col("node").as("a"),
+          (col("rank") / col("deg")).as("c")), Seq("a"))
+        .groupBy(col("b").as("node"))
+        .agg(sum(col("c")).as("inflow"))
+      // inner join: symmetric edges guarantee every node receives inflow
+      ranks = ranks.select(col("node"), col("deg"))
+        .join(contrib, Seq("node"))
+        .select(col("node"), col("deg"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("inflow"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /** Degree centrality of an undirected pair set: (node, degree) with
+    * mirrored-edge counting — the zero-iteration companion used to pick
+    * cluster exemplars cheaply when the full power iteration isn't worth
+    * a multi-round job.
+    */
+  def degrees(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("a"), col("b")).cache()
+    val out = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+      .localCheckpoint()
+    p.unpersist()
+    out
+  }
+}

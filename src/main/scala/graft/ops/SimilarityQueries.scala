@@ -919,9 +919,44 @@ object SimilarityQueries {
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
     bench = false)
 
+  /** Population covariance of the embedding corpus as an upper-triangular
+    * (i, j, cov) table — the one-pass moment statistics behind
+    * [[LinAlg.pca]]/whitening. The Spark side reduces through a single
+    * O(d²)-state treeAggregate (no shuffle of row data); the oracle
+    * replays the same `Σxy/n − (Σx/n)(Σy/n)` expression over an indexed
+    * unnest so the float paths agree to the 6-decimal rounding.
+    */
+  val embCovariance = Q(
+    "emb_covariance",
+    (s, d) => {
+      LinAlg.covariance(T.embeddings(s, d), "embedding")
+        // + 0.0 normalizes IEEE -0.0 to +0.0 (the oracle does the same —
+        // pandas formats them differently and the driver hash would split)
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT vec_id, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xv,
+               CAST(i AS INT) AS i
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, 64)) AS i
+              FROM embeddings)),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM embeddings),
+      p AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(a.xv * b.xv) AS sxy, SUM(a.xv) AS sx, SUM(b.xv) AS sy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2)
+      SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+             ROUND(sxy / n.c - (sx / n.c) * (sy / n.c), 6) + 0.0 AS cov
+      FROM p CROSS JOIN n ORDER BY i, j"""))
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
       embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe,
-      embHybridRrf, embAnnCompactedSearch, embAnnRebalancedSearch)
+      embHybridRrf, embAnnCompactedSearch, embAnnRebalancedSearch,
+      embCovariance)
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference power iteration on a driver-side adjacency map. */
+  private def refPageRank(pairs: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val n = adj.size
+    var r = adj.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      r = adj.map { case (v, _) =>
+        // .iterator: mapping over a Set would collapse EQUAL contributions
+        v -> ((1 - d) / n + d * adj.filter(_._2.contains(v)).keys.iterator
+          .map(u => r(u) / adj(u).size).sum)
+      }
+    }
+    r
+  }
+
+  test("pageRank matches driver-side power iteration on a path + triangle") {
+    // path 1-2-3 (rank concentrates on the middle), disjoint triangle 10-11-12
+    // (symmetric: all equal), plus a duplicate/reversed pair to exercise
+    // the mirror+distinct normalization
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (2L, 1L), (1L, 2L))
+    val got = Graph.pageRank(pairs.toDF("a", "b"), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(pairs, 4, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+    // total rank mass conserved (symmetric graph, no dangling leakage)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // middle of the path outranks its leaves; triangle nodes are equal
+    assert(got(2L) > got(1L) && got(2L) > got(3L))
+    assert(math.abs(got(10L) - got(11L)) < 1e-12)
+    assert(math.abs(got(11L) - got(12L)) < 1e-12)
+  }
+
+  test("pageRank: zero iterations returns the uniform vector") {
+    val got = Graph.pageRank(Seq((1L, 2L), (3L, 4L)).toDF("a", "b"),
+      iterations = 0).collect().map(r => r.getDouble(1))
+    assert(got.length == 4 && got.forall(v => math.abs(v - 0.25) < 1e-15))
+  }
+
+  test("pageRank: empty pair set yields an empty ranking") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.pageRank(empty).collect().isEmpty)
+  }
+
+  test("degrees counts mirrored-distinct neighbors") {
+    val got = Graph.degrees(
+      Seq((1L, 2L), (2L, 3L), (2L, 1L), (1L, 2L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+}
