@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -135,5 +135,61 @@ object TrainExport {
       .withColumn("split",
         when(frac < evalFrac, lit("eval")).otherwise(lit("train")))
       .drop("component")
+  }
+
+  /** Uniform [0,1) fraction derived from md5(seedTag + id) — the shared
+    * deterministic-randomness primitive (60-bit prefix, +0.5 so u is
+    * never exactly 0 and ln(u) stays finite).
+    */
+  private def hashU(idCol: String, seedTag: Column): Column =
+    (conv(substring(md5(concat(seedTag, col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(math.pow(2, 60))
+
+  /** Deterministic weighted sampling WITHOUT replacement — exactly `k`
+    * rows, selection probability proportional to `weightCol` (Efraimidis–
+    * Spirakis exponential keys: rank by `ln(u)/w` with u a uniform hash
+    * of (seed, id); the k largest keys are a weighted sample without
+    * replacement). The quality-weighted cousin of [[sampleToMixture]]'s
+    * proportion sampling: "give me the best-k docs, biased by score but
+    * not a hard top-k" — a hard top-k overfits the scorer, weighted
+    * sampling keeps tail diversity while still favoring quality.
+    *
+    * Determinism: u depends only on (seed, id) — reproducible across
+    * runs, engines (the md5 trick), and partitionings. Zero/negative
+    * weights are excluded (they have probability 0).
+    *
+    * Scale: `orderBy(key).limit(k)` compiles to TakeOrderedAndProject —
+    * a per-partition top-k heap + driver merge of k·partitions rows,
+    * never a global sort. Keep k ≤ ~100k at corpus scale; for larger
+    * draws, sample per group with [[weightedSamplePerGroup]] and union.
+    * Output: input columns + `samp_key` (the selection key, for audit).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("_w", weight.cast("double"))
+      .filter(col("_w") > 0)
+      .withColumn("samp_key", log(hashU(idCol, lit(s"$seed:"))) / col("_w"))
+      .orderBy(col("samp_key").desc, col(idCol))
+      .limit(k)
+      .drop("_w")
+  }
+
+  /** Group-wise [[weightedSample]]: `k` rows per `groupCol` value via a
+    * rank window partitioned by group — state bounded per group, scales
+    * with the group count (the shape for "k docs per domain/language").
+    */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, weight: Column,
+      k: Int, seed: String, groupCol: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("samp_key").desc, col(idCol))
+    df.withColumn("_w", weight.cast("double"))
+      .filter(col("_w") > 0)
+      .withColumn("samp_key", log(hashU(idCol, lit(s"$seed:"))) / col("_w"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_w", "_rk")
   }
 }

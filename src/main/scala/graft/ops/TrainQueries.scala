@@ -219,7 +219,31 @@ object TrainQueries {
                   THEN 'eval' ELSE 'train' END AS split
       FROM lab ORDER BY doc_id"""))
 
+  /** Exact-k weighted sampling without replacement (Efraimidis–Spirakis
+    * exponential keys), weight = n_chars: the quality-biased draw between
+    * a hard top-k and a uniform sample. The oracle replays the identical
+    * `ln((md5int + 0.5)/2^60)/w` key — selection is discrete, so the
+    * float paths can only disagree if two keys collide to ~1 ulp.
+    */
+  val trainWeightedSample = Q(
+    "train_weighted_sample",
+    (s, d) => {
+      TrainExport.weightedSample(T.documents(s, d), "doc_id",
+        col("n_chars"), k = 100, seed = "42")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               ln((CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) + 0.5)
+                  / 1152921504606846976.0) / n_chars AS k
+        FROM documents WHERE n_chars > 0),
+      top AS (SELECT doc_id, n_chars FROM s ORDER BY k DESC, doc_id LIMIT 100)
+      SELECT doc_id, n_chars FROM top ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
     textDecontaminate, textDecontaminateBloom, textDecontaminateWho,
-    trainSplitCluster)
+    trainSplitCluster, trainWeightedSample)
 }

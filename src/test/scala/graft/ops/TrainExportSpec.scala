@@ -200,4 +200,76 @@ class TrainExportSpec extends AnyFunSuite {
       r.getAs[Long]("id") -> r.getAs[Long]("n_shared")).toMap
     assert(byId == Map(1L -> 3L))
   }
+
+  /** Driver-side replay of the A-ES key: ln((md5int60 + 0.5)/2^60)/w. */
+  private def aesKey(seed: String, id: Long, w: Double): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val v = java.lang.Long.parseLong(digest.take(15), 16)
+    math.log((v + 0.5) / math.pow(2, 60)) / w
+  }
+
+  test("weightedSample: matches the driver-side A-ES selection exactly") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, (i % 13 + 1).toDouble))
+      .toDF("doc_id", "w")
+    val got = TrainExport.weightedSample(df, "doc_id", col("w"), 25, "7")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = (0L until 200L)
+      .map(i => i -> aesKey("7", i, (i % 13 + 1).toDouble))
+      .sortBy { case (id, k) => (-k, id) }.take(25).map(_._1).toSet
+    assert(got == want)
+    assert(got.size == 25)
+  }
+
+  test("weightedSample: overwhelming weight is always drawn; w<=0 never") {
+    import spark.implicits._
+    val df = ((0L until 50L).map(i => (i, 1.0)) ++
+      Seq((99L, 1e12), (100L, 0.0), (101L, -3.0))).toDF("doc_id", "w")
+    for (seed <- Seq("a", "b", "c")) {
+      val ids = TrainExport.weightedSample(df, "doc_id", col("w"), 10, seed)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(99L), s"seed $seed missed the 1e12-weight row")
+      assert(!ids.contains(100L) && !ids.contains(101L))
+      assert(ids.size == 10)
+    }
+  }
+
+  test("weightedSamplePerGroup: k per group, each matching the global rule") {
+    import spark.implicits._
+    val df = (0L until 120L).map(i => (i, (i % 5 + 1).toDouble,
+      s"g${i % 3}")).toDF("doc_id", "w", "grp")
+    val got = TrainExport.weightedSamplePerGroup(
+      df, "doc_id", col("w"), 7, "s", "grp")
+      .select("grp", "doc_id").collect()
+      .groupBy(_.getString(0)).map { case (g, rs) =>
+        g -> rs.map(_.getLong(1)).toSet
+      }
+    assert(got.keySet == Set("g0", "g1", "g2"))
+    for ((g, ids) <- got) {
+      val want = (0L until 120L).filter(i => s"g${i % 3}" == g)
+        .map(i => i -> aesKey("s", i, (i % 5 + 1).toDouble))
+        .sortBy { case (id, k) => (-k, id) }.take(7).map(_._1).toSet
+      assert(ids == want, s"group $g")
+    }
+  }
+
+  test("weightedSample: heavier items are drawn more often across seeds") {
+    import spark.implicits._
+    // 50 light (w=1) + 50 heavy (w=9) docs, draw 20 over 10 seeds: heavy
+    // expectation ~18/draw vs light ~2 — a wide margin, so assert > 3x
+    val df = (0L until 100L).map(i =>
+      (i, if (i >= 50) 9.0 else 1.0)).toDF("doc_id", "w")
+    var heavy = 0
+    var light = 0
+    for (seed <- (0 until 10).map(_.toString)) {
+      val ids = TrainExport.weightedSample(df, "doc_id", col("w"), 20, seed)
+        .select("doc_id").collect().map(_.getLong(0))
+      heavy += ids.count(_ >= 50L)
+      light += ids.count(_ < 50L)
+    }
+    assert(heavy + light == 200)
+    assert(heavy > 3 * light, s"heavy=$heavy light=$light")
+  }
 }
