@@ -665,9 +665,66 @@ object RelQueries {
     },
     q22AsofTolerance.oracle)
 
+  /** PIVOT (absent in the reference; long-to-wide reshaping per SURVEY
+    * §2.9's "inherited built-ins" surface): per linestatus, one column per
+    * return flag. The value list is EXPLICIT — the open-ended form runs a
+    * distinct-values job first and bakes scan-order-dependent columns into
+    * the schema, both wrong at corpus scale. The oracle is the standard
+    * conditional-aggregation desugaring.
+    */
+  val q25Pivot = Q(
+    "q25_pivot",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum($"l_quantity"), 2))
+        .select($"l_linestatus".as("ls"), $"A".as("a_qty"),
+          $"N".as("n_qty"), $"R".as("r_qty"))
+        .orderBy($"ls")
+    },
+    Some("""
+      SELECT l_linestatus AS ls,
+             ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS a_qty,
+             ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS n_qty,
+             ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS r_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** UNPIVOT/melt (wide-to-long reshaping): three measure columns stack
+    * into (metric, val) rows — row-local, no shuffle beyond the downstream
+    * aggregation — then aggregate per (returnflag, metric). The oracle
+    * replays the stack as a metric-name cross join.
+    */
+  val q26Unpivot = Q(
+    "q26_unpivot",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity".cast("double").as("l_quantity"),
+          $"l_discount".cast("double").as("l_discount"),
+          $"l_tax".cast("double").as("l_tax"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"l_quantity", $"l_discount", $"l_tax"), "metric", "val")
+        .groupBy($"l_returnflag", $"metric")
+        .agg(round(sum($"val"), 2).as("total"))
+        .select($"l_returnflag".as("rf"), $"metric", $"total")
+        .orderBy($"rf", $"metric")
+    },
+    Some("""
+      SELECT l_returnflag AS rf, m.metric,
+             ROUND(SUM(CASE m.metric
+                       WHEN 'l_quantity' THEN l_quantity
+                       WHEN 'l_discount' THEN l_discount
+                       ELSE l_tax END), 2) AS total
+      FROM lineitem
+      CROSS JOIN (VALUES ('l_quantity'), ('l_discount'), ('l_tax')) m(metric)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
-    q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded)
+    q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded,
+    q25Pivot, q26Unpivot)
 }
