@@ -543,29 +543,64 @@ object DedupQueries {
         .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("doc_id"))
     },
-    Some {
-      val iters = (1 to 3).map { k =>
-        s"""c$k AS (
-        SELECT e.b AS node, SUM(p.r / p.dg) AS inflow
-        FROM edges e JOIN r${k - 1} p ON p.node = e.a GROUP BY 1),
-      r$k AS (
-        SELECT d.node, d.dg, 0.15 / n.c + 0.85 * c$k.inflow AS r
-        FROM deg d JOIN c$k ON c$k.node = d.node CROSS JOIN n)"""
-      }.mkString(",\n      ")
-      s"""
+    Some(s"""
       WITH $duckPairs,
       edges AS (
         SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
-      deg AS (SELECT a AS node, COUNT(*) AS dg FROM edges GROUP BY 1),
-      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM deg),
-      r0 AS (SELECT node, dg, 1.0 / n.c AS r FROM deg CROSS JOIN n),
-      $iters
-      SELECT node AS doc_id, ROUND(r, 6) AS rank FROM r3 ORDER BY doc_id"""
-    })
+      ${Graph.duckPageRankSql(3)}
+      SELECT node AS doc_id, ROUND(r, 6) AS rank FROM r3 ORDER BY doc_id"""))
+
+  /** Centrality-based survivor selection: one doc per transitive near-dup
+    * cluster, chosen by highest PageRank inside the duplicate graph (the
+    * best-connected copy — the cluster's "canonical" variant — instead of
+    * [[dedupApplyBest]]'s longest copy). Ranks are rounded to 6 decimals
+    * BEFORE the argmax so clique components (exactly-equal ranks by
+    * symmetry) tie-break on doc_id identically in both engines rather
+    * than on last-ulp float noise.
+    */
+  val dedupApplyCentral = Q(
+    "dedup_apply_central",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+        .cache()
+      val pr = Graph.pageRank(pairs, iterations = 3, damping = 0.85)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("_pr"))
+      val ranked = docs.join(pr, Seq("doc_id"), "left")
+        .withColumn("_pr", coalesce(col("_pr"), lit(0.0)))
+      Dedup.applyNearDupsBest(ranked, "doc_id", pairs, col("_pr"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $duckPairs,
+      edges AS (
+        SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+      ${Graph.duckPageRankSql(3)},
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (
+        SELECT n2.a AS node, LEAST(n2.a, MIN(r.b)) AS component
+        FROM (SELECT DISTINCT a FROM edges) n2
+        JOIN reach r ON r.a = n2.a GROUP BY n2.a),
+      pr AS (SELECT node, ROUND(r, 6) AS pr FROM r3),
+      winners AS (
+        SELECT node FROM (
+          SELECT c.node,
+                 ROW_NUMBER() OVER (PARTITION BY c.component
+                   ORDER BY COALESCE(p.pr, 0) DESC, c.node) AS rn
+          FROM comp c LEFT JOIN pr p ON p.node = c.node)
+        WHERE rn = 1)
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT node FROM comp)
+         OR d.doc_id IN (SELECT node FROM winners)
+      ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupMinhashEst,
     dedupIndexSearch, dedupComponents, dedupComponentsIncr, dedupApplyBest,
     dedupSimhash, dedupNgramJaccard, dedupContainment, dedupSimhashPairs,
     dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne,
-    dedupIndexCompactedSearch, graphPagerank)
+    dedupIndexCompactedSearch, graphPagerank, dedupApplyCentral)
 }

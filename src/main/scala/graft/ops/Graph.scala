@@ -74,6 +74,28 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** DuckDB CTE chain replaying [[pageRank]] for oracle SQL: assumes a
+    * prior CTE `edges(a, b)` holding the MIRRORED edge set; appends
+    * deg/n/r0 and c1/r1 … up to `r$iterations` (columns node, dg, r).
+    * Callers splice it after their edges CTE and SELECT from the final
+    * rK. The damping literals are emitted as `(1 - d)` / `d` so both
+    * engines compute the same IEEE doubles.
+    */
+  def duckPageRankSql(iterations: Int, damping: Double = 0.85): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""c$k AS (
+        SELECT e.b AS node, SUM(p.r / p.dg) AS inflow
+        FROM edges e JOIN r${k - 1} p ON p.node = e.a GROUP BY 1),
+      r$k AS (
+        SELECT d.node, d.dg, (1 - $damping) / n.c + $damping * c$k.inflow AS r
+        FROM deg d JOIN c$k ON c$k.node = d.node CROSS JOIN n)"""
+    }.mkString(",\n      ")
+    s"""deg AS (SELECT a AS node, COUNT(*) AS dg FROM edges GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM deg),
+      r0 AS (SELECT node, dg, 1.0 / n.c AS r FROM deg CROSS JOIN n),
+      $iters"""
+  }
+
   /** Degree centrality of an undirected pair set: (node, degree) with
     * mirrored-edge counting — the zero-iteration companion used to pick
     * cluster exemplars cheaply when the full power iteration isn't worth

@@ -1014,4 +1014,23 @@ object TextAnalysis {
       .filter(col("rn") === 1)
       .select(col("id"), col("cls").as("pred"), col("score_micro"))
   }
+
+  /** Distinct adjacent-token co-occurrence edges over the lowercased
+    * corpus — the graph behind TextRank keyword extraction
+    * ([[Graph.pageRank]] over these edges ranks tokens by how centrally
+    * they sit in the corpus's co-occurrence structure; Mihalcea & Tarau
+    * 2004, window = 2). Self-loops dropped; edges are undirected (the
+    * caller's pageRank mirrors them). One explode + distinct — the
+    * distinct bounds the graph by vocabulary², in practice by observed
+    * bigrams, independent of corpus row count.
+    */
+  def cooccurrenceEdges(df: DataFrame, textCol: String): DataFrame =
+    df.select(split(lower(col(textCol)), "\\s+").as("_w"))
+      .filter(size(col("_w")) >= 2)
+      .select(explode(expr(
+        "transform(slice(_w, 1, size(_w) - 1), " +
+          "(x, i) -> struct(x AS a, element_at(_w, i + 2) AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
 }

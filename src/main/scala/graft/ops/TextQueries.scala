@@ -1036,11 +1036,43 @@ object TextQueries {
         .orderBy(col("doc_id")),
     textDsirIndexed.oracle)
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, window 2):
+    * PageRank over the corpus-level adjacent-token co-occurrence graph —
+    * high-rank tokens sit centrally in the corpus's phrase structure
+    * (the graph-centrality alternative to [[textIdf]]'s frequency
+    * weighting). All tokens emit with their rank (no top-k cut: a cutoff
+    * at a float boundary would make the hash compare depend on last-ulp
+    * sum order); the oracle replays the edge build and the same 3-round
+    * recurrence.
+    */
+  val textTextrank = Q(
+    "text_textrank",
+    (s, d) => {
+      val edges = TextAnalysis.cooccurrenceEdges(T.documents(s, d), "text")
+      Graph.pageRank(edges, iterations = 3, damping = 0.85)
+        .select(col("node").as("token"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("token"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents),
+      px AS (
+        SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM tok WHERE len(w) >= 2),
+      pairsq AS (
+        SELECT DISTINCT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b
+        FROM px WHERE w[CAST(i AS INT)] <> w[CAST(i AS INT) + 1]),
+      edges AS (
+        SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+      ${Graph.duckPageRankSql(3)}
+      SELECT node AS token, ROUND(r, 6) AS rank FROM r3 ORDER BY token"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
     textLmPpl, textLmPplBigram, textRepetition, textVocabGrowth,
     textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
     textDsirIndexed, textNbClassify, textCluster, textHeavyGrams,
-    textBm25Indexed, textBm25Probe, textDsirProbe)
+    textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank)
 }

@@ -55,6 +55,19 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.pageRank(empty).collect().isEmpty)
   }
 
+  test("cooccurrenceEdges: adjacent lowercased pairs, no self-loops, distinct") {
+    val df = Seq(
+      "The cat sat",
+      "the CAT ran",
+      "solo",
+      "loop loop word").toDF("text")
+    val got = TextAnalysis.cooccurrenceEdges(df, "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // "the cat" appears twice -> once; "loop loop" self-loop dropped
+    assert(got == Set(("the", "cat"), ("cat", "sat"), ("cat", "ran"),
+      ("loop", "word")))
+  }
+
   test("degrees counts mirrored-distinct neighbors") {
     val got = Graph.degrees(
       Seq((1L, 2L), (2L, 3L), (2L, 1L), (1L, 2L)).toDF("a", "b"))
