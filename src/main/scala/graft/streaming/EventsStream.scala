@@ -189,11 +189,22 @@ object EventsStream {
     * Output: the left columns as-is plus the right side's non-key columns
     * prefixed `r_`. Equivalence with the batch inequality join over the
     * same rows is spec-pinned.
+    *
+    * `joinType` "inner" (default) or "left_outer": the outer form emits an
+    * unmatched left row with null `r_` columns — but only once the RIGHT
+    * watermark passes that row's `ts + within` (the state-eviction point:
+    * before it, a matching right row could still arrive). Outer results
+    * therefore trail the watermark; a drained-but-unterminated stream
+    * holds back null results for its trailing rows until later input (or
+    * a sentinel) advances the watermark — the standard stream-stream
+    * outer-join contract, exercised in the spec.
     */
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
       keys: Seq[String], tsCol: String, withinSeconds: Long,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
     require(withinSeconds >= 0, s"withinSeconds must be >= 0, got $withinSeconds")
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = tsAsEventTime(left, tsCol).withWatermark(tsCol, watermark)
       .alias("l")
     val r = tsAsEventTime(right, tsCol).withWatermark(tsCol, watermark)
@@ -205,7 +216,7 @@ object EventsStream {
       col(s"r.$tsCol") <= col(s"l.$tsCol") + tol
     val rightOut = right.columns.toIndexedSeq.filterNot(keys.contains)
       .map(c => col(s"r.$c").as(s"r_$c"))
-    l.join(r, keyCond && range)
+    l.join(r, keyCond && range, joinType)
       .select(left.columns.toIndexedSeq.map(c => col(s"l.$c")) ++
         rightOut: _*)
   }

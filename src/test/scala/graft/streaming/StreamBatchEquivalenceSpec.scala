@@ -838,6 +838,65 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream interval join == batch left join once the watermark flushes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts"))
+
+    val batch = clicks.alias("l").join(purch.alias("r"),
+      col("l.user_id") === col("r.user_id") &&
+        abs(unix_timestamp(col("r.ts")) - unix_timestamp(col("l.ts"))) <= 120,
+      "left_outer")
+      .select(col("l.event_id"),
+        coalesce(col("r.pid"), lit(-1L)).as("pid"))
+      .as[(Long, Long)].collect().toSet
+    assert(batch.exists(_._2 == -1L), "vacuous fixture: no unmatched lefts")
+
+    val lDir = java.nio.file.Files.createTempDirectory("ssol").toString
+    val rDir = java.nio.file.Files.createTempDirectory("ssor").toString
+    clicks.write.mode("overwrite").parquet(lDir)
+    purch.write.mode("overwrite").parquet(rDir)
+    val q = EventsStream.streamIntervalJoin(
+      spark.readStream.schema(clicks.schema).parquet(lDir),
+      spark.readStream.schema(purch.schema).parquet(rDir),
+      Seq("user_id"), "ts", withinSeconds = 120, watermark = "10 minutes",
+      joinType = "left_outer")
+      .select(col("event_id"), coalesce(col("r_pid"), lit(-1L)).as("pid"))
+      .writeStream.format("memory").queryName("ssoj").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // null results for trailing lefts flush only after the watermark
+      // passes their ts + within: push sentinel rows (a key no row joins)
+      // far past max(ts) on BOTH sides until the output stabilizes at the
+      // batch answer — each write forces another micro-batch, and the
+      // first advances the watermark past every real row
+      // derived from max(ts) via column ops so the sentinel's ts TYPE
+      // matches whatever the parquet round-trip produced (NTZ or not)
+      val maxTsRow = events.agg(max(col("ts")).as("ts"))
+      // the sentinels themselves are unmatched lefts (key -1): exclude
+      def streamed() = spark.table("ssoj").as[(Long, Long)].collect().toSet
+        .filterNot(_._1 <= -1000L)
+      var attempt = 0
+      while (streamed() != batch && attempt < 5) {
+        val far = col("ts") + expr(s"INTERVAL ${attempt + 2} HOURS")
+        maxTsRow.select(lit(-1000L - attempt).as("event_id"),
+          lit(-1L).as("user_id"), far.as("ts"))
+          .write.mode("append").parquet(lDir)
+        maxTsRow.select(lit(-2000L - attempt).as("pid"),
+          lit(-1L).as("user_id"), far.as("ts"))
+          .write.mode("append").parquet(rDir)
+        q.processAllAvailable()
+        attempt += 1
+      }
+      assert(streamed() == batch)
+    } finally q.stop()
+  }
+
   test("streamed BM25 appends == batch appendToBm25Index; replay appends nothing") {
     val spark = TestSpark.spark
     import spark.implicits._
