@@ -550,6 +550,35 @@ object DedupQueries {
       ${Graph.duckPageRankSql(3)}
       SELECT node AS doc_id, ROUND(r, 6) AS rank FROM r3 ORDER BY doc_id"""))
 
+  /** Personalized PageRank from a seed set over the near-dup graph —
+    * random-walk-with-restart proximity: "docs related to these seeds
+    * through the duplicate structure" (the graph face of contamination
+    * neighborhood expansion). Docs in components with no seed read
+    * exactly 0; mass concentrates around the seeds.
+    */
+  val graphPpr = Q(
+    "graph_ppr",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      val seeds = docs.select(col("doc_id").as("node"))
+        .filter(col("node") % 10 === 0)
+      Graph.personalizedPageRank(pairs, seeds, iterations = 3,
+        damping = 0.85)
+        .select(col("node").as("doc_id"),
+          (round(col("rank"), 6) + lit(0.0)).as("rank"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $duckPairs,
+      edges AS (
+        SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+      src AS (SELECT doc_id AS node FROM documents WHERE doc_id % 10 = 0),
+      ${Graph.duckPersonalizedPageRankSql(3)}
+      SELECT node AS doc_id, ROUND(r, 6) + 0.0 AS rank
+      FROM r3 ORDER BY doc_id"""))
+
   /** Centrality-based survivor selection: one doc per transitive near-dup
     * cluster, chosen by highest PageRank inside the duplicate graph (the
     * best-connected copy — the cluster's "canonical" variant — instead of
@@ -602,5 +631,5 @@ object DedupQueries {
     dedupIndexSearch, dedupComponents, dedupComponentsIncr, dedupApplyBest,
     dedupSimhash, dedupNgramJaccard, dedupContainment, dedupSimhashPairs,
     dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne,
-    dedupIndexCompactedSearch, graphPagerank, dedupApplyCentral)
+    dedupIndexCompactedSearch, graphPagerank, dedupApplyCentral, graphPpr)
 }

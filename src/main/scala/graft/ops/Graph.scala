@@ -74,6 +74,87 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Personalized PageRank: teleport mass goes to a SOURCE set instead of
+    * uniformly — rank becomes graph proximity to the sources ("documents
+    * related to this seed set through the duplicate/co-occurrence
+    * structure", the random-walk-with-restart retrieval primitive). Same
+    * fixed-round shape as [[pageRank]]:
+    *
+    * {{{ rank'(v) = (1-d)·tele(v) + d · Σ_{u ~ v} rank(u)/deg(u) }}}
+    *
+    * with `tele = 1/|S ∩ V|` on source nodes, 0 elsewhere, and
+    * `rank₀ = tele`. Mass is conserved at 1 over the node set; nodes in
+    * components containing no source stay at exactly 0.
+    *
+    * `sources` is a single-column (node) DataFrame; sources outside the
+    * pair-induced node set are ignored (they have no edges to walk).
+    */
+  def personalizedPageRank(pairs: DataFrame, sources: DataFrame,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(damping >= 0 && damping <= 1,
+      s"damping must be in [0, 1], got $damping")
+    val p = pairs.select(col("a"), col("b")).cache()
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    p.unpersist()
+    val deg = edges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val src = sources.select(col("node")).distinct()
+      .join(deg.select(col("node")), Seq("node"), "left_semi")
+    val nS = src.count()
+    require(nS > 0, "personalizedPageRank: no source node touches the graph")
+    var ranks = deg
+      .join(src.withColumn("_s", lit(1)), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        when(col("_s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0))
+          .as("tele"))
+      .withColumn("rank", col("tele"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.select(col("node").as("a"),
+          (col("rank") / col("deg")).as("c")), Seq("a"))
+        .groupBy(col("b").as("node"))
+        .agg(sum(col("c")).as("inflow"))
+      ranks = ranks.select(col("node"), col("deg"), col("tele"))
+        .join(contrib, Seq("node"))
+        .select(col("node"), col("deg"), col("tele"),
+          (lit(1.0 - damping) * col("tele") +
+            lit(damping) * col("inflow")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /** DuckDB CTE chain replaying [[personalizedPageRank]]: assumes prior
+    * CTEs `edges(a, b)` (mirrored) and `src(node)` (the raw source set —
+    * intersection with the node set happens here). Final CTE is
+    * `r$iterations` (node, dg, tele, r).
+    */
+  def duckPersonalizedPageRankSql(iterations: Int,
+      damping: Double = 0.85): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""c$k AS (
+        SELECT e.b AS node, SUM(p.r / p.dg) AS inflow
+        FROM edges e JOIN r${k - 1} p ON p.node = e.a GROUP BY 1),
+      r$k AS (
+        SELECT p.node, p.dg, p.tele,
+               (1 - $damping) * p.tele + $damping * c$k.inflow AS r
+        FROM r${k - 1} p JOIN c$k ON c$k.node = p.node)"""
+    }.mkString(",\n      ")
+    s"""deg AS (SELECT a AS node, COUNT(*) AS dg FROM edges GROUP BY 1),
+      srcv AS (SELECT DISTINCT s.node FROM src s JOIN deg d ON d.node = s.node),
+      ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM srcv),
+      r0 AS (
+        SELECT d.node, d.dg,
+               CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 / ns.c END AS tele,
+               CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 / ns.c END AS r
+        FROM deg d LEFT JOIN srcv s ON s.node = d.node CROSS JOIN ns),
+      $iters"""
+  }
+
   /** DuckDB CTE chain replaying [[pageRank]] for oracle SQL: assumes a
     * prior CTE `edges(a, b)` holding the MIRRORED edge set; appends
     * deg/n/r0 and c1/r1 … up to `r$iterations` (columns node, dg, r).

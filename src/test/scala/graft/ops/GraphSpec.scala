@@ -55,6 +55,50 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.pageRank(empty).collect().isEmpty)
   }
 
+  /** Driver-side PPR reference mirroring personalizedPageRank. */
+  private def refPpr(pairs: Seq[(Long, Long)], sources: Set[Long],
+      iters: Int, d: Double): Map[Long, Double] = {
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val s = sources.intersect(adj.keySet)
+    val tele = adj.keys.map(v => v -> (if (s(v)) 1.0 / s.size else 0.0)).toMap
+    var r = tele
+    for (_ <- 1 to iters) {
+      r = adj.map { case (v, _) =>
+        v -> ((1 - d) * tele(v) + d * adj.filter(_._2.contains(v))
+          .keys.iterator.map(u => r(u) / adj(u).size).sum)
+      }
+    }
+    r
+  }
+
+  test("personalizedPageRank: matches reference; seedless component reads 0") {
+    // path 1-2-3 with seed 1; disjoint pair 10-11 with no seed; seed 99
+    // is outside the graph and must be ignored
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = Graph.personalizedPageRank(pairs.toDF("a", "b"), seeds,
+      iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPpr(pairs, Set(1L, 99L), 4, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+    // mass conserved at 1; the seed holds the most mass (note: NOT
+    // monotone along the path — degree-1 node 3 returns mass slowly, so
+    // it can outrank node 2); the seedless component is exactly zero
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(1L) > got(2L) && got(1L) > got(3L))
+    assert(got(10L) == 0.0 && got(11L) == 0.0)
+  }
+
+  test("personalizedPageRank: rejects a source set disjoint from the graph") {
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(Seq((1L, 2L)).toDF("a", "b"),
+        Seq(50L).toDF("node"))
+    }
+    assert(e.getMessage.contains("no source node"))
+  }
+
   test("cooccurrenceEdges: adjacent lowercased pairs, no self-loops, distinct") {
     val df = Seq(
       "The cat sat",
