@@ -579,6 +579,49 @@ object DedupQueries {
       SELECT node AS doc_id, ROUND(r, 6) + 0.0 AS rank
       FROM r3 ORDER BY doc_id"""))
 
+  /** Triangle counts + local clustering coefficient over the near-dup
+    * graph — the cluster-quality diagnostic: clique-y neighborhoods are
+    * true duplicate families, triangle-free hubs are LSH collision
+    * artifacts. Spark enumerates degree-oriented (O(m^1.5)); the oracle
+    * enumerates naively — triangle identity is orientation-free, so the
+    * results must hash-match.
+    */
+  val graphTriangles = Q(
+    "graph_triangles",
+    (s, d) => {
+      val pairs = Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      Graph.triangles(pairs)
+        .select(col("node").as("doc_id"), col("n_tri"),
+          (round(col("coeff"), 6) + lit(0.0)).as("coeff"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $duckPairs,
+      und AS (
+        SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        FROM pairsq WHERE a <> b),
+      tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      deg AS (
+        SELECT node, COUNT(*) AS dg FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY 1),
+      cnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+          SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        GROUP BY 1)
+      SELECT d.node AS doc_id, COALESCE(c.n_tri, 0) AS n_tri,
+             ROUND(CASE WHEN d.dg >= 2
+                        THEN 2.0 * COALESCE(c.n_tri, 0) / (d.dg * (d.dg - 1))
+                        ELSE 0.0 END, 6) + 0.0 AS coeff
+      FROM deg d LEFT JOIN cnt c ON c.node = d.node
+      ORDER BY doc_id"""))
+
   /** Centrality-based survivor selection: one doc per transitive near-dup
     * cluster, chosen by highest PageRank inside the duplicate graph (the
     * best-connected copy — the cluster's "canonical" variant — instead of
@@ -631,5 +674,6 @@ object DedupQueries {
     dedupIndexSearch, dedupComponents, dedupComponentsIncr, dedupApplyBest,
     dedupSimhash, dedupNgramJaccard, dedupContainment, dedupSimhashPairs,
     dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne,
-    dedupIndexCompactedSearch, graphPagerank, dedupApplyCentral, graphPpr)
+    dedupIndexCompactedSearch, graphPagerank, dedupApplyCentral, graphPpr,
+    graphTriangles)
 }

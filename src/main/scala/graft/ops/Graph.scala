@@ -177,6 +177,70 @@ object Graph {
       $iters"""
   }
 
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected pair set — the density diagnostic of a near-dup graph
+    * (clique-y clusters are true duplicate families; triangle-free hubs
+    * are LSH collision artifacts worth re-verifying).
+    *
+    * Enumeration is DEGREE-ORIENTED (each undirected edge points from its
+    * lower-(deg, node) endpoint; wedges open only at the low end, ordered
+    * by endpoint rank): every triangle is found exactly once and the
+    * wedge join is bounded by O(m^1.5) instead of Σdeg² — a hub of
+    * degree D contributes no wedge pairs unless it is the LOW end, which
+    * degree ordering prevents. That is the difference between a skewed
+    * near-dup graph finishing and a hub node exploding the join at
+    * corpus scale; the oracle uses the naive a<b enumeration (same
+    * result, triangle identity is orientation-free).
+    *
+    * Output: (node, n_tri, coeff) for every pair endpoint;
+    * `coeff = 2·n_tri / (deg·(deg−1))`, 0 for degree-1 nodes.
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    // orient by (deg, node) rank; carry the high endpoint's rank for the
+    // wedge ordering below (field names fixed so both when-branches type
+    // identically)
+    val ru = struct(col("du").as("d"), col("u").as("n"))
+    val rv = struct(col("dv").as("d"), col("v").as("n"))
+    val oriented = withDeg.select(
+      when(ru < rv,
+        struct(col("u").as("s"), col("v").as("t"), rv.as("rt")))
+        .otherwise(
+          struct(col("v").as("s"), col("u").as("t"), ru.as("rt"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.rt").as("rt"))
+      .localCheckpoint()
+    val w1 = oriented.select(col("s"), col("t").as("t1"), col("rt").as("r1"))
+    val w2 = oriented.select(col("s"), col("t").as("t2"), col("rt").as("r2"))
+    val wedges = w1.join(w2, Seq("s"))
+      .filter(col("r1") < col("r2"))
+      .select(col("s"), col("t1"), col("t2"))
+    val tri = wedges.join(
+      oriented.select(col("s").as("t1"), col("t").as("t2")),
+      Seq("t1", "t2"), "left_semi")
+    val cnt = tri.select(explode(array(col("s"), col("t1"), col("t2")))
+      .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(cnt, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("n_tri"), lit(0L))
+            / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
   /** Degree centrality of an undirected pair set: (node, degree) with
     * mirrored-edge counting — the zero-iteration companion used to pick
     * cluster exemplars cheaply when the full power iteration isn't worth

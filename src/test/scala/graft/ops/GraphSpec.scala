@@ -112,6 +112,46 @@ class GraphSpec extends AnyFunSuite {
       ("loop", "word")))
   }
 
+  test("triangles: counts and coefficients on known shapes") {
+    // triangle 1-2-3; square 10-11-12-13 (no triangles); pendant 4 on
+    // node 1; duplicate + reversed edges exercise normalization
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), (2L, 1L))
+    val got = Graph.triangles(pairs.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet ==
+      Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L))
+    assert(got(2L) == ((1L, 1.0)) && got(3L) == ((1L, 1.0)))
+    // node 1 has deg 3 (2, 3, 4): one triangle of 3 possible pairs
+    assert(got(1L)._1 == 1L && math.abs(got(1L)._2 - 1.0 / 3) < 1e-12)
+    assert(got(4L) == ((0L, 0.0)))
+    for (n <- Seq(10L, 11L, 12L, 13L)) assert(got(n) == ((0L, 0.0)))
+  }
+
+  test("triangles: matches brute force on a pseudo-random graph") {
+    val rng = new scala.util.Random(11)
+    val pairs = (0 until 120).map(_ =>
+      (rng.nextInt(20).toLong, rng.nextInt(20).toLong))
+      .filter(p => p._1 != p._2)
+    val und = pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val undSet = und.toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map { n =>
+      val nb = und.collect {
+        case (a, b) if a == n => b
+        case (a, b) if b == n => a
+      }.distinct
+      val t = nb.combinations(2).count { case Seq(x, y) =>
+        undSet((math.min(x, y), math.max(x, y)))
+      }
+      n -> t.toLong
+    }.toMap
+    val got = Graph.triangles(pairs.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("degrees counts mirrored-distinct neighbors") {
     val got = Graph.degrees(
       Seq((1L, 2L), (2L, 3L), (2L, 1L), (1L, 2L)).toDF("a", "b"))
