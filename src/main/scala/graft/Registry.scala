@@ -29,7 +29,8 @@ object Registry {
       graft.ops.TrainQueries.all ++
       graft.ops.SimilarityQueries.all ++
       graft.bio.BioQueries.all ++
-      graft.ops.MultimodalQueries.all
+      graft.ops.MultimodalQueries.all ++
+      graft.sources.SourceQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Interchange-format source/sink rows: JSONL and CSV round trips of the
+  * documents table, hash-gated against the parquet original — the
+  * container layer must be lossless through quoting/escaping (the same
+  * contract mm_wds_roundtrip pins for tar shards).
+  *
+  * Scale notes baked into the queries: the read side always passes an
+  * EXPLICIT schema — schema inference is a full extra pass over the data
+  * (and for CSV can mistype columns); at 100 TB that is a second corpus
+  * scan bought for nothing. CSV `multiLine` additionally disables input
+  * SPLITTING (embedded newlines make split points ambiguous), so read
+  * parallelism = file count — keep exported CSV files small and many, or
+  * strip newlines at export and read with multiLine off. Parquet stays
+  * the native format; these paths exist for interop ingest/export.
+  */
+object SourceQueries {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType),
+    StructField("text", StringType)))
+
+  private val oracle =
+    "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text " +
+      "FROM documents ORDER BY doc_id"
+
+  val srcJsonlRoundtrip = Q(
+    "src_jsonl_roundtrip",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+      T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"), col("text"))
+        .write.mode("overwrite").json(dir)
+      s.read.schema(docSchema).json(dir).orderBy(col("doc_id"))
+    },
+    Some(oracle))
+
+  val srcCsvRoundtrip = Q(
+    "src_csv_roundtrip",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("csv").toString
+      // RFC-4180 quoting (escape = quote char) + multiLine read: text
+      // containing commas, quotes, or newlines must survive byte-exact
+      T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"), col("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(dir)
+      s.read.schema(docSchema)
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(dir)
+        .orderBy(col("doc_id"))
+    },
+    Some(oracle))
+
+  def all: Seq[Q] = Seq(srcJsonlRoundtrip, srcCsvRoundtrip)
+}
