@@ -579,6 +579,43 @@ object DedupQueries {
       SELECT node AS doc_id, ROUND(r, 6) + 0.0 AS rank
       FROM r3 ORDER BY doc_id"""))
 
+  /** Jaccard-weighted PageRank over the near-dup graph: transition
+    * probability rides the duplicate-tie STRENGTH, so rank mass flows to
+    * the most strongly duplicated copies, not just the best-connected.
+    */
+  val graphPagerankWeighted = Q(
+    "graph_pagerank_weighted",
+    (s, d) => {
+      val pairs = Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+        .select(col("a"), col("b"), col("jaccard").as("w"))
+      Graph.pageRankWeighted(pairs, "w", iterations = 3, damping = 0.85)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val iters = (1 to 3).map { k =>
+        s"""c$k AS (
+        SELECT e.b AS node, SUM(p.r / p.ws * e.w) AS inflow
+        FROM edges e JOIN r${k - 1} p ON p.node = e.a GROUP BY 1),
+      r$k AS (
+        SELECT d.node, d.ws, (1 - 0.85) / n.c + 0.85 * c$k.inflow AS r
+        FROM wsum d JOIN c$k ON c$k.node = d.node CROSS JOIN n)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $duckPairs,
+      edges AS (
+        SELECT a, b, SUM(w) AS w FROM (
+          SELECT a, b, jac AS w FROM pairsq
+          UNION ALL SELECT b AS a, a AS b, jac AS w FROM pairsq)
+        GROUP BY 1, 2),
+      wsum AS (SELECT a AS node, SUM(w) AS ws FROM edges GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM wsum),
+      r0 AS (SELECT node, ws, 1.0 / n.c AS r FROM wsum CROSS JOIN n),
+      $iters
+      SELECT node AS doc_id, ROUND(r, 6) AS rank FROM r3 ORDER BY doc_id"""
+    })
+
   /** Triangle counts + local clustering coefficient over the near-dup
     * graph — the cluster-quality diagnostic: clique-y neighborhoods are
     * true duplicate families, triangle-free hubs are LSH collision
@@ -675,5 +712,5 @@ object DedupQueries {
     dedupSimhash, dedupNgramJaccard, dedupContainment, dedupSimhashPairs,
     dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne,
     dedupIndexCompactedSearch, graphPagerank, dedupApplyCentral, graphPpr,
-    graphTriangles)
+    graphTriangles, graphPagerankWeighted)
 }

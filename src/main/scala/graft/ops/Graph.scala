@@ -74,6 +74,54 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Edge-weighted PageRank: random-walk transition probability is
+    * proportional to edge weight instead of uniform over neighbors —
+    * over a near-dup graph weighted by Jaccard, rank mass flows toward
+    * the STRONGEST duplicate ties rather than merely the best-connected
+    * node. `pairs` is (a, b, w) with w > 0 (one row per undirected edge;
+    * duplicate a–b rows sum their weights):
+    *
+    * {{{ rank'(v) = (1-d)/N + d · Σ_{u ~ v} w(u,v)/W(u) · rank(u) }}}
+    *
+    * with `W(u) = Σ_x w(u,x)`. Mass is conserved (each node redistributes
+    * its whole rank across its weighted out-edges). Same per-round
+    * join+agg shape and lineage truncation as [[pageRank]].
+    */
+  def pageRankWeighted(pairs: DataFrame, weightCol: String = "w",
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val p = pairs.select(col("a"), col("b"),
+      col(weightCol).cast("double").as("w"))
+      .filter(col("w") > 0)
+      .cache()
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b"),
+      col("w")))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    p.unpersist()
+    val wsum = edges.groupBy(col("a").as("node"))
+      .agg(sum(col("w")).as("ws"))
+    val n = wsum.count()
+    if (n == 0) return edges.select(col("a").as("node"),
+      lit(0.0).as("rank")).limit(0)
+    var ranks = wsum.select(col("node"), col("ws"),
+      lit(1.0 / n).as("rank")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(ranks.select(col("node").as("a"),
+          (col("rank") / col("ws")).as("rw")), Seq("a"))
+        .groupBy(col("b").as("node"))
+        .agg(sum(col("rw") * col("w")).as("inflow"))
+      ranks = ranks.select(col("node"), col("ws"))
+        .join(contrib, Seq("node"))
+        .select(col("node"), col("ws"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("inflow"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Personalized PageRank: teleport mass goes to a SOURCE set instead of
     * uniformly — rank becomes graph proximity to the sources ("documents
     * related to this seed set through the duplicate/co-occurrence

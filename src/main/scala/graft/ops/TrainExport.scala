@@ -137,6 +137,40 @@ object TrainExport {
       .drop("component")
   }
 
+  /** Curriculum ordering: assign each row a difficulty PHASE by exact
+    * score quantile (phase 0 = easiest quartile … phases−1 = hardest),
+    * then a deterministic shuffled position within (phase, shard) — the
+    * export shape for curriculum training, where the trainer consumes
+    * phases in order but each phase is internally shuffled.
+    *
+    * Scale: the cut points are ONE exact-percentile aggregation
+    * collapsing to `phases−1` driver scalars (swap in
+    * `percentile_approx` beyond memory-comfortable corpus sizes — the
+    * exact variant exists here for oracle parity); phase assignment is a
+    * per-row comparison against broadcast cuts; the position window is
+    * partitioned by (phase, shard), so state is bounded by
+    * corpus/(phases·nShards) per task and parallelism scales with the
+    * shard count. Rows exactly ON a cut land in the lower phase.
+    * Output: input columns + (sort_key, shard, phase, pos).
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, score: Column,
+      phases: Int, nShards: Int): DataFrame = {
+    require(phases >= 2, s"phases must be >= 2, got $phases")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val fracs = (1 until phases).map(_.toDouble / phases)
+    val cuts = df.select(score.cast("double").as("_s"))
+      .agg(expr(s"percentile(_s, array(${fracs.mkString(", ")}))"))
+      .head().getSeq[Double](0)
+    val phase = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(score.cast("double") > lit(c), lit(1)).otherwise(lit(0))
+    }
+    val w = Window.partitionBy(col("phase"), col("shard"))
+      .orderBy(col("sort_key"), col(idCol))
+    assignShards(df, idCol, nShards)
+      .withColumn("phase", phase.cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Uniform [0,1) fraction derived from md5(seedTag + id) — the shared
     * deterministic-randomness primitive (60-bit prefix, +0.5 so u is
     * never exactly 0 and ln(u) stays finite).

@@ -243,7 +243,40 @@ object TrainQueries {
       top AS (SELECT doc_id, n_chars FROM s ORDER BY k DESC, doc_id LIMIT 100)
       SELECT doc_id, n_chars FROM top ORDER BY doc_id"""))
 
+  /** Curriculum export: quartile phase by n_chars + deterministic
+    * in-phase shuffled position. The oracle replays the exact-percentile
+    * cuts (quantile_cont ≡ Spark percentile, the text_length_profile
+    * parity) and the (phase, shard) position window.
+    */
+  val trainCurriculum = Q(
+    "train_curriculum",
+    (s, d) => {
+      TrainExport.curriculumOrder(T.documents(s, d), "doc_id",
+        col("n_chars"), phases = 4, nShards = 4)
+        .select(col("doc_id"), col("phase"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH cuts AS (
+        SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS c1,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.5)  AS c2,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS c3
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               CAST(CASE WHEN CAST(n_chars AS DOUBLE) > c3 THEN 3
+                         WHEN CAST(n_chars AS DOUBLE) > c2 THEN 2
+                         WHEN CAST(n_chars AS DOUBLE) > c1 THEN 1
+                         ELSE 0 END AS INT) AS phase,
+               CAST(${duckShard(4)} AS INT) AS shard,
+               md5(CAST(doc_id AS VARCHAR)) AS sk
+        FROM documents CROSS JOIN cuts)
+      SELECT doc_id, phase, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY phase, shard
+                                     ORDER BY sk, doc_id) AS BIGINT) AS pos
+      FROM s ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
     textDecontaminate, textDecontaminateBloom, textDecontaminateWho,
-    trainSplitCluster, trainWeightedSample)
+    trainSplitCluster, trainWeightedSample, trainCurriculum)
 }

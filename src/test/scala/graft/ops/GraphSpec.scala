@@ -112,6 +112,35 @@ class GraphSpec extends AnyFunSuite {
       ("loop", "word")))
   }
 
+  test("pageRankWeighted: matches reference; strong ties attract mass") {
+    // star 1-{2,3}: edge 1-2 has weight 9, 1-3 weight 1 → node 2 must
+    // outrank node 3 although degrees are equal; duplicate edge rows sum
+    val pairs = Seq((1L, 2L, 5.0), (1L, 2L, 4.0), (1L, 3L, 1.0))
+    val adjW = Map(
+      1L -> Seq((2L, 9.0), (3L, 1.0)),
+      2L -> Seq((1L, 9.0)),
+      3L -> Seq((1L, 1.0)))
+    val n = adjW.size
+    val d = 0.85
+    var r = adjW.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 4) {
+      r = adjW.map { case (v, _) =>
+        val inflow = adjW.iterator.flatMap { case (u, es) =>
+          es.collect { case (t, w) if t == v =>
+            r(u) / es.map(_._2).sum * w }
+        }.sum
+        v -> ((1 - d) / n + d * inflow)
+      }
+    }
+    val got = Graph.pageRankWeighted(pairs.toDF("a", "b", "w"),
+      iterations = 4).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(got.keySet == r.keySet)
+    for ((k, v) <- r) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(2L) > got(3L))
+  }
+
   test("triangles: counts and coefficients on known shapes") {
     // triangle 1-2-3; square 10-11-12-13 (no triangles); pendant 4 on
     // node 1; duplicate + reversed edges exercise normalization

@@ -255,6 +255,38 @@ class TrainExportSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumOrder: phases partition by score quantile, pos contiguous") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, (i * 37 % 101).toDouble))
+      .toDF("doc_id", "score")
+    val out = TrainExport.curriculumOrder(df, "doc_id", col("score"),
+      phases = 4, nShards = 3)
+      .select("doc_id", "score", "phase", "shard", "pos").collect()
+    assert(out.length == 200)
+    // every score in phase p is <= every score in phase p+1 (quantile
+    // partition), and phase sizes are near-balanced
+    val byPhase = out.groupBy(_.getAs[Int]("phase"))
+    assert(byPhase.keySet == Set(0, 1, 2, 3))
+    val maxOf = byPhase.map { case (p, rs) =>
+      p -> rs.map(_.getAs[Double]("score")).max }
+    val minOf = byPhase.map { case (p, rs) =>
+      p -> rs.map(_.getAs[Double]("score")).min }
+    for (p <- 0 to 2) assert(maxOf(p) <= minOf(p + 1))
+    for (p <- 0 to 3) assert(byPhase(p).length >= 30)
+    // pos is 1..k contiguous within each (phase, shard)
+    out.groupBy(r => (r.getAs[Int]("phase"), r.getAs[Int]("shard")))
+      .foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Long]("pos")).sorted
+          .sameElements(1L to rs.length))
+      }
+    // deterministic across runs
+    val again = TrainExport.curriculumOrder(df, "doc_id", col("score"),
+      phases = 4, nShards = 3)
+      .select("doc_id", "phase", "shard", "pos").collect().map(_.toSeq).toSet
+    assert(again ==
+      out.map(r => Seq(r.get(0), r.get(2), r.get(3), r.get(4))).toSet)
+  }
+
   test("weightedSample: heavier items are drawn more often across seeds") {
     import spark.implicits._
     // 50 light (w=1) + 50 heavy (w=9) docs, draw 20 over 10 seeds: heavy
