@@ -1033,4 +1033,94 @@ object TextAnalysis {
       .select(col("p.a"), col("p.b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+
+  /** Gopher-style document quality gates (Rae et al. 2021 §A1.1) — the
+    * rule battery every large-scale pretraining corpus is filtered
+    * through: word-count bounds, mean-word-length bounds, a symbol-to-word
+    * cap (hash marks + ellipses), a minimum fraction of words containing
+    * an alphabetic character, and a required-stopword floor. Emits one
+    * boolean per rule plus the conjunction, alongside the raw features —
+    * keeping the per-rule verdicts lets a curation report attribute WHY a
+    * document fell (the standard ablation table), not just that it did.
+    *
+    * Every feature is a row-local codegen'd column expression over one
+    * tokenization — a single narrow projection, no shuffle, no UDF: the
+    * filter runs at parquet-scan speed and Catalyst pushes the `pass`
+    * predicate down when only survivors are selected downstream.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = split(col(textCol), "\\s+")
+    val lower_ = split(lower(col(textCol)), "\\s+")
+    val nWords = size(words).cast("long")
+    // mean over actual token lengths (not chars/words, which double-counts
+    // runs of whitespace): one fold over the already-split array
+    val meanLen = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / nWords
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val hashMarks = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val ellipses = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
+    val stopHits = stops.map(s =>
+      when(array_contains(lower_, s), 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(
+        col(idCol).as("id"),
+        nWords.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round((hashMarks + ellipses).cast("double") / nWords, 4)
+          .as("symbol_ratio"),
+        round(alphaWords.cast("double") / nWords, 4).as("alpha_frac"),
+        stopHits.cast("int").as("stop_hits"))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("ok_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("ok_stops", col("stop_hits") >= minStopHits)
+      .withColumn("pass",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stops"))
+  }
+
+  /** Exact phrase search via positional postings — the capability BM25's
+    * bag-of-words index cannot express: find documents containing the
+    * token sequence `phrase` at consecutive whitespace positions, with
+    * the match count per document.
+    *
+    * Shape: tokenize once into (id, pos, tok) postings, keep ONLY the
+    * phrase's terms (the isin filter prunes before any shuffle — at scale
+    * against a persisted positional index this is a partition-pruned read
+    * of the phrase terms' posting lists, never a corpus scan), then
+    * intersect the positions: an occurrence at p needs term k at p + k
+    * for every k, which is a chain of equi-joins on (id, pos + k) —
+    * each join keyed and shuffled on (id, adjusted pos), monotonically
+    * shrinking the candidate set (term-frequency-ascending join order
+    * would shrink fastest; position lists are small enough that plan
+    * simplicity wins here).
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val terms = phrase.map(_.toLowerCase)
+    val tok = df.select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms: _*))
+    val first = tok.filter(col("tok") === terms.head)
+      .select(col("id"), col("pos").as("p0"))
+    val matches = terms.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, k)) =>
+        val next = tok.filter(col("tok") === t)
+          .select(col("id"), (col("pos") - k).as("p0"))
+        acc.join(next, Seq("id", "p0"))
+    }
+    matches.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }

@@ -1068,11 +1068,71 @@ object TextQueries {
       ${Graph.duckPageRankSql(3)}
       SELECT node AS token, ROUND(r, 6) AS rank FROM r3 ORDER BY token"""))
 
+  /** Gopher rule battery (Rae et al. 2021): per-rule verdicts + features,
+    * the standard pretraining quality gate with attribution.
+    */
+  val textGopherRules = Q(
+    "text_gopher_rules",
+    (s, d) =>
+      TextAnalysis.gopherRules(T.documents(s, d), "doc_id", "text")
+        .orderBy(col("id")),
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               regexp_split_to_array(text, '\s+') AS w,
+               regexp_split_to_array(lower(text), '\s+') AS wl,
+               length(text) - length(replace(text, '#', '')) AS hashes,
+               (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses
+        FROM documents),
+      g AS (
+        SELECT doc_id AS id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               ROUND(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 4) AS mean_word_len,
+               ROUND((hashes + ellipses) * 1.0 / len(w), 4) AS symbol_ratio,
+               ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(w), 4) AS alpha_frac,
+               CAST(list_contains(wl, 'the')::INT + list_contains(wl, 'be')::INT
+                 + list_contains(wl, 'to')::INT + list_contains(wl, 'of')::INT
+                 + list_contains(wl, 'and')::INT + list_contains(wl, 'that')::INT
+                 + list_contains(wl, 'have')::INT + list_contains(wl, 'with')::INT
+                 AS INT) AS stop_hits
+        FROM f)
+      SELECT id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+             n_words >= 50 AND n_words <= 100000 AS ok_words,
+             mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+             symbol_ratio <= 0.1 AS ok_symbols,
+             alpha_frac >= 0.8 AS ok_alpha,
+             stop_hits >= 2 AS ok_stops,
+             ok_words AND ok_mean_len AND ok_symbols AND ok_alpha AND ok_stops AS pass
+      FROM g ORDER BY id"""))
+
+  /** Positional phrase search — consecutive-token match counts, the
+    * postings-intersection query a bag-of-words index cannot answer.
+    */
+  val textPhraseSearch = Q(
+    "text_phrase_search",
+    (s, d) =>
+      TextAnalysis.phraseSearch(T.documents(s, d), "doc_id", "text",
+          Seq("table", "hash"))
+        .orderBy(col("id")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, w, pos FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+                 generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
+          FROM documents)
+        WHERE w IN ('table', 'hash'))
+      SELECT a.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        AND a.w = 'table' AND b.w = 'hash'
+      GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
     textLmPpl, textLmPplBigram, textRepetition, textVocabGrowth,
     textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
     textDsirIndexed, textNbClassify, textCluster, textHeavyGrams,
-    textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank)
+    textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank,
+    textGopherRules, textPhraseSearch)
 }
