@@ -733,6 +733,82 @@ object Similarity {
     * member embeddings would be megabytes per group), so this is a plain
     * self-join — scan-bound, twice.
     */
+  /** Per-dimension SQ8 calibration: one row, `lo`/`hi` arrays of the
+    * corpus-wide min/max per dimension — the training artifact of the
+    * scalar-quantizer family (FAISS `ScalarQuantizer` QT_8bit). One
+    * posexplode aggregation; at 100 TB this is a single map-side-combined
+    * pass producing 2·dims doubles.
+    */
+  def sq8Calibration(corpus: DataFrame): DataFrame =
+    corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("hi"))))
+        .as("pm"))
+      .select(transform(col("pm"), x => x.getField("lo")).as("lo"),
+        transform(col("pm"), x => x.getField("hi")).as("hi"))
+
+  /** SQ8 encode: uint8 code per dimension (affine min/max grid, round
+    * half-up), plus the DECODED vector and its norm so the scan never
+    * touches the raw embedding — the decoded array is what an asymmetric
+    * scalar-quantizer scan dots queries against (queries stay full
+    * precision). A flat dim (hi == lo) encodes 0 and decodes to `lo`.
+    * Output: (vec_id, codes array<smallint-as-long>, dec, dn).
+    *
+    * At rest the codes column is the index: 1 byte/dim vs 8 — an 8×
+    * smaller scan footprint; `dec`/`dn` are derivable and can be
+    * recomputed at read when storage wins matter more than decode CPU.
+    */
+  def sq8Encode(corpus: DataFrame, calib: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(calib))
+      .withColumn("codes", expr(
+        "transform(embedding, (x, i) -> CASE WHEN hi[i] = lo[i] THEN 0L " +
+          "ELSE CAST(FLOOR((x - lo[i]) / (hi[i] - lo[i]) * 255.0 + 0.5) AS BIGINT) END)"))
+      .withColumn("dec", expr(
+        "transform(codes, (c, i) -> lo[i] + c * (hi[i] - lo[i]) / 255.0)"))
+      .select(col("vec_id"), col("codes"), col("dec"),
+        norm(col("dec")).as("dn"))
+
+  /** SQ8 approximate top-k with exact rerank — the scalar-quantization
+    * member of the ANN family ([[cosineTopK]] exact / [[ivfTopK]] coarse /
+    * [[pqSearch]] product codes): calibrate, encode once, scan the DECODED
+    * corpus against broadcast full-precision queries (asymmetric distance),
+    * keep `rerank` candidates per query, then exact-cosine rerank to
+    * `k`. Same output shape as [[cosineTopK]]; recall gaps come only from
+    * quantization error outside the rerank window.
+    *
+    * Scale shape: identical to the flat scan — one pass over the encoded
+    * corpus per query batch, queries broadcast; the win is the 8× smaller
+    * at-rest scan when `dec` is recomputed from codes at read. The rerank
+    * join re-reads only |Q|·rerank raw embeddings.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
+    val enc = sq8Encode(corpus, sq8Calibration(corpus))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val cand = enc.select(col("vec_id").as("neighbor_id"), col("dec"), col("dn"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos", dot(col("qv"), col("dec")) / (col("qn") * col("dn")))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   def semDedup(corpus: DataFrame, k: Int, iters: Int,
       threshold: Double): DataFrame = {
     // cache(): the label table feeds both join sides, and uncached each

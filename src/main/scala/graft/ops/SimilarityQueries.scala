@@ -953,10 +953,69 @@ object SimilarityQueries {
              ROUND(sxy / n.c - (sx / n.c) * (sy / n.c), 6) + 0.0 AS cov
       FROM p CROSS JOIN n ORDER BY i, j"""))
 
+  /** SQ8 scalar-quantization ANN: min/max-calibrated uint8 codes, decoded
+    * asymmetric scan for candidates, exact-cosine rerank — the
+    * scalar-quantizer member of the ANN family next to IVF/PQ/SRP.
+    */
+  val embSq8TopK = Q(
+    "emb_sq8_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          k = 5, rerank = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH dims AS (
+        SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
+          SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings)),
+      cal AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY i),
+      dec AS (
+        SELECT d.vec_id, d.i,
+               c.lo + (CASE WHEN c.hi = c.lo THEN 0
+                       ELSE FLOOR((d.x - c.lo) / (c.hi - c.lo) * 255.0 + 0.5) END)
+                 * (c.hi - c.lo) / 255.0 AS dx
+        FROM dims d JOIN cal c ON c.i = d.i),
+      dn AS (SELECT vec_id, SQRT(SUM(dx * dx)) AS dn FROM dec GROUP BY 1),
+      qset AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0),
+      qn AS (SELECT d.vec_id AS query_id, SQRT(SUM(d.x * d.x)) AS qn
+             FROM dims d JOIN qset ON qset.query_id = d.vec_id GROUP BY 1),
+      adot AS (
+        SELECT qd.vec_id AS query_id, dec.vec_id AS neighbor_id,
+               SUM(qd.x * dec.dx) AS adp
+        FROM dims qd JOIN qset ON qset.query_id = qd.vec_id
+        JOIN dec ON dec.i = qd.i AND dec.vec_id <> qd.vec_id
+        GROUP BY 1, 2),
+      approx AS (
+        SELECT a.query_id, a.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id
+                 ORDER BY a.adp / (qn.qn * dn.dn) DESC, a.neighbor_id) AS arank
+        FROM adot a JOIN qn USING (query_id)
+        JOIN dn ON dn.vec_id = a.neighbor_id),
+      pairs AS (
+        SELECT c.query_id, c.neighbor_id,
+               qa.embedding::DOUBLE[] AS qv, qb.embedding::DOUBLE[] AS cv
+        FROM approx c
+        JOIN embeddings qa ON qa.vec_id = c.query_id
+        JOIN embeddings qb ON qb.vec_id = c.neighbor_id
+        WHERE c.arank <= 20),
+      $duckCos,
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)
+      SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
       embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe,
       embHybridRrf, embAnnCompactedSearch, embAnnRebalancedSearch,
-      embCovariance)
+      embCovariance, embSq8TopK)
 }

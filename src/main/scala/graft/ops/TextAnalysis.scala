@@ -1112,6 +1112,15 @@ object TextAnalysis {
     val tok = df.select(col(idCol).as("id"),
         posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
       .filter(col("tok").isin(terms: _*))
+    phraseIntersect(tok, terms)
+  }
+
+  /** The position-list intersection shared by [[phraseSearch]] and
+    * [[searchPhraseIndexed]] — ONE definition, so the persisted index's
+    * phrase semantics can never drift from the in-memory operator's.
+    * Input `tok`: (id, pos, tok) rows covering at least the phrase terms.
+    */
+  private def phraseIntersect(tok: DataFrame, terms: Seq[String]): DataFrame = {
     val first = tok.filter(col("tok") === terms.head)
       .select(col("id"), col("pos").as("p0"))
     val matches = terms.zipWithIndex.drop(1).foldLeft(first) {
@@ -1122,5 +1131,48 @@ object TextAnalysis {
     }
     matches.groupBy(col("id"))
       .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Build a persisted POSITIONAL inverted index — [[buildBm25Index]]'s
+    * layout (token-hash-bucketed postings + pinned meta) with positions
+    * kept per occurrence: `postings/tb=<b>` (tok, id, pos). Bigger at
+    * rest than the tf-only index (one row per occurrence, not per (doc,
+    * term)) — the price of answering phrase and proximity queries at all.
+    * Appends follow the disjoint-batch contract: new doc ids land under
+    * the same pinned buckets, O(batch).
+    */
+  def buildPositionalIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 256): Unit = {
+    val base = path.stripSuffix("/")
+    val postings = df.select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("tb", hashBucket(col("tok"), nBuckets).cast("int"))
+    postings.repartition(col("tb")).write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$base/postings")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/meta")
+  }
+
+  /** Phrase query against a [[buildPositionalIndex]] index: identical
+    * output to [[phraseSearch]] over the indexed corpus, but reading ONLY
+    * the phrase terms' posting buckets (driver-computed pruning literals,
+    * as [[searchBm25Indexed]]) — per-query cost scales with the terms'
+    * posting lists, never the corpus.
+    */
+  def searchPhraseIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "searchPhraseIndexed needs a non-empty phrase")
+    val base = path.stripSuffix("/")
+    val nBuckets = spark.read.parquet(s"$base/meta")
+      .head().getAs[Int]("n_buckets")
+    val terms = phrase.map(_.toLowerCase)
+    val tbs = terms.map(hashBucketOf(_, nBuckets)).distinct
+    val tok = spark.read.parquet(s"$base/postings")
+      .filter(col("tb").isin(tbs: _*) && col("tok").isin(terms: _*))
+      .select(col("id"), col("pos"), col("tok"))
+    phraseIntersect(tok, terms)
   }
 }

@@ -1027,6 +1027,43 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id")),
     textBm25Indexed.oracle)
 
+  def ensurePhraseFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    fixtureCache.computeIfAbsent(s"phrase:$d", { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_phrase_fixture").toString
+      TextAnalysis.buildPositionalIndex(T.documents(s, d), "doc_id", "text",
+        dir, nBuckets = 64)
+      dir
+    })
+
+  /** ONE phrase oracle shared by the in-memory scan row and the indexed
+    * probe row — the two paths must agree bit-for-bit by construction.
+    */
+  private val phraseOracle = Some("""
+      WITH tok AS (
+        SELECT doc_id, w, pos FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+                 generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
+          FROM documents)
+        WHERE w IN ('table', 'hash'))
+      SELECT a.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        AND a.w = 'table' AND b.w = 'hash'
+      GROUP BY 1 ORDER BY 1""")
+
+  /** Phrase probe: the partition-pruned positional-index search path,
+    * hash-matched against the in-memory phrase scan's oracle.
+    */
+  val textPhraseProbe = Q(
+    "text_phrase_probe",
+    (s, d) =>
+      TextAnalysis.searchPhraseIndexed(s, ensurePhraseFixture(s, d),
+          Seq("table", "hash"))
+        .orderBy(col("id")),
+    phraseOracle)
+
   val textDsirProbe = Q(
     "text_dsir_probe",
     (s, d) =>
@@ -1114,18 +1151,7 @@ object TextQueries {
       TextAnalysis.phraseSearch(T.documents(s, d), "doc_id", "text",
           Seq("table", "hash"))
         .orderBy(col("id")),
-    Some("""
-      WITH tok AS (
-        SELECT doc_id, w, pos FROM (
-          SELECT doc_id,
-                 unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
-                 generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS pos
-          FROM documents)
-        WHERE w IN ('table', 'hash'))
-      SELECT a.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_matches
-      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        AND a.w = 'table' AND b.w = 'hash'
-      GROUP BY 1 ORDER BY 1"""))
+    phraseOracle)
 
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
@@ -1134,5 +1160,5 @@ object TextQueries {
     textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
     textDsirIndexed, textNbClassify, textCluster, textHeavyGrams,
     textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank,
-    textGopherRules, textPhraseSearch)
+    textGopherRules, textPhraseSearch, textPhraseProbe)
 }

@@ -721,10 +721,38 @@ object RelQueries {
       CROSS JOIN (VALUES ('l_quantity'), ('l_discount'), ('l_tax')) m(metric)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** CUBE — all 2^n grouping-set combinations in one shuffle (q16 covers
+    * the hierarchical ROLLUP prefix subset); grouping_id() disambiguates
+    * a real NULL key from a subtotal row, which COALESCE alone cannot.
+    */
+  val q27Cube = Q(
+    "q27_cube",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          grouping_id().cast("int").as("gid"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"sum_qty", $"cnt", $"gid")
+        .orderBy($"gid", $"rf", $"ls")
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT)  AS cnt,
+             CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, rf, ls"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
     q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded,
-    q25Pivot, q26Unpivot)
+    q25Pivot, q26Unpivot, q27Cube)
 }

@@ -62,5 +62,22 @@ object SourceQueries {
     },
     Some(oracle))
 
-  def all: Seq[Q] = Seq(srcJsonlRoundtrip, srcCsvRoundtrip)
+  val srcOrcRoundtrip = Q(
+    "src_orc_roundtrip",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("orc").toString
+      // ORC is the third columnar container Spark ships natively; the round
+      // trip pins type fidelity (no string re-parse — unlike CSV/JSONL the
+      // schema rides in the file footer, so the explicit read schema below
+      // is belt-and-braces, not a requirement). Zlib is ORC's default
+      // codec; snappy/zstd are drop-in options at scale.
+      T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"), col("text"))
+        .write.mode("overwrite").orc(dir)
+      s.read.schema(docSchema).orc(dir).orderBy(col("doc_id"))
+    },
+    Some(oracle))
+
+  def all: Seq[Q] = Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip)
 }

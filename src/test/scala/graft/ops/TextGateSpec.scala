@@ -56,6 +56,26 @@ class TextGateSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2L, 3L -> 1L, 5L -> 1L))
   }
 
+  test("searchPhraseIndexed == phraseSearch on the same corpus") {
+    val docs = Seq(
+      (1L, "x table hash y table hash"),
+      (2L, "table y hash"),
+      (3L, "TABLE HASH mixed case"),
+      (4L, "no match here at all")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("phraseidx").toString
+    TextAnalysis.buildPositionalIndex(docs, "doc_id", "text", dir, nBuckets = 8)
+    val mem = TextAnalysis.phraseSearch(docs, "doc_id", "text",
+      Seq("table", "hash")).orderBy("id").collect().toSeq
+    val idx = TextAnalysis.searchPhraseIndexed(spark, dir,
+      Seq("table", "hash")).orderBy("id").collect().toSeq
+    assert(mem == idx)
+    // pruning: the plan reads only the phrase terms' tb partitions
+    val plan = TextAnalysis.searchPhraseIndexed(spark, dir,
+      Seq("table", "hash")).queryExecution.executedPlan.toString
+    assert(plan.contains("tb"))
+  }
+
   test("phraseSearch three-term phrase intersects all position lists") {
     val docs = Seq(
       (1L, "a b c a b c a b"),
