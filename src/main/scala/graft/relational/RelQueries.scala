@@ -749,10 +749,77 @@ object RelQueries {
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY gid, rf, ls"""))
 
+  /** Sliding (hopping) event-time windows — q12's tumbling twin with
+    * overlap: 1-hour windows every 30 minutes, so each event lands in
+    * exactly duration/slide = 2 grid-aligned windows. Spark expands the
+    * window set row-locally (no self-join); the oracle replays the same
+    * epoch-grid arithmetic in exact integer microseconds.
+    */
+  val q28SlidingWindow = Q(
+    "q28_sliding_window",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("ws"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"ws", $"event_type")
+    },
+    Some("""
+      SELECT STRFTIME(make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                                     - s.o), '%Y-%m-%d %H:%M') AS ws,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2)     AS sum_value
+      FROM events
+      CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))) s(o)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Native session_window — q15 counted sessions per user via
+    * gaps-and-islands; this emits the SESSIONS themselves through Spark's
+    * built-in session_window (dynamic, data-driven windows merged by the
+    * aggregation itself). Boundary semantics differ from q15's lag
+    * formulation: an event at exactly prev + gap starts a NEW session
+    * (window end is exclusive), so the oracle's island condition is
+    * >= gap in exact integer microseconds — second-truncating date_diff
+    * would misclassify sub-second stragglers (every event ts here
+    * carries microseconds).
+    */
+  val q29SessionWindow = Q(
+    "q29_session_window",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          date_format($"sw.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id,
+             STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sid ORDER BY 1, 2"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
     q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded,
-    q25Pivot, q26Unpivot, q27Cube)
+    q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow)
 }
