@@ -35,12 +35,19 @@ object EventsStream {
 
   /** Tumbling event-time windows with a watermark — the streaming twin of
     * q12_events_window. Late rows beyond 1 hour are dropped by the
-    * watermark; state is bounded per (window, type).
+    * watermark; state is bounded per (window, type). Pass `slide` for the
+    * hopping variant (q28's twin): each event then feeds duration/slide
+    * overlapping windows — state grows by that factor, still
+    * watermark-bounded.
     */
-  def windowedCounts(events: DataFrame): DataFrame =
+  def windowedCounts(events: DataFrame, slide: Option[String] = None)
+      : DataFrame =
     tsAsEventTime(events, "ts")
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(
+        slide.fold(window(col("ts"), "1 hour"))(sl =>
+          window(col("ts"), "1 hour", sl)),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))

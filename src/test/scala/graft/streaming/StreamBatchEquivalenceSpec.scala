@@ -35,6 +35,34 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding-window stream == batch hopping aggregation (q28 twin)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+
+    val batch = EventsStream.windowedCounts(events, Some("30 minutes"))
+      .select($"window_start", $"event_type", $"n", $"sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    // every event must appear in exactly duration/slide = 2 windows
+    val nEvents = events.count()
+    val total = batch.toSeq.map(_._3).sum
+    assert(total == 2 * nEvents)
+
+    val dir = java.nio.file.Files.createTempDirectory("evslide").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = EventsStream.windowedCounts(stream, Some("30 minutes"))
+      .writeStream.format("memory").queryName("slideq").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slideq")
+        .select($"window_start", $"event_type", $"n", $"sum_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionize over sf0.001 events == batch q15 sessions once the watermark passes") {
     val spark = TestSpark.spark
     import spark.implicits._
