@@ -1023,4 +1023,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  /** Edit-distance fuzzy pairs under standard record-linkage blocking —
+    * the CHARACTER-level member of the near-dup family (shingle Jaccard
+    * and SimHash see token sets; this sees typo-scale prefix edits).
+    * Candidates form only inside a block of equal `blockCols` + equal
+    * first token, further gated to adjacent `lenBucket`-char length
+    * bands (a true near-dup pair can't differ in length by more than its
+    * edit budget, so banding is safe for maxDist < lenBucket); the
+    * O(prefixLen²) Levenshtein DP then runs per CANDIDATE, never per
+    * corpus pair, and only on `prefixLen`-char prefixes — bounded cost
+    * per candidate regardless of document length.
+    *
+    * Scale shape: one equi-join shuffle on the block key; block sizes
+    * are vocabulary-bounded (lang × first token), AQE splits stragglers.
+    * Output: (a, b, ed) with a < b, ed <= maxDist.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String] = Seq.empty, prefixLen: Int = 60,
+      maxDist: Int = 15, lenBucket: Int = 50): DataFrame = {
+    val base = df.select(
+      (Seq(col(idCol).cast("long").as("id"),
+        substring(col(textCol), 1, prefixLen).as("pfx"),
+        substring_index(col(textCol), " ", 1).as("_w1"),
+        (length(col(textCol)).cast("long") / lenBucket).cast("long").as("_lb"))
+        ++ blockCols.map(col)): _*)
+    val keys = "_w1" +: blockCols
+    val a = base.select(Seq(col("id").as("a"), col("pfx").as("pa"),
+      col("_lb").as("la")) ++ keys.map(col): _*)
+    val b = base.select(Seq(col("id").as("b"), col("pfx").as("pb"),
+      col("_lb").as("lb")) ++ keys.map(col): _*)
+    a.join(b, keys)
+      .filter(col("a") < col("b") && abs(col("la") - col("lb")) <= 1)
+      .withColumn("ed", levenshtein(col("pa"), col("pb")))
+      .filter(col("ed") <= maxDist)
+      .select(col("a"), col("b"), col("ed"))
+  }
 }

@@ -707,10 +707,35 @@ object DedupQueries {
          OR d.doc_id IN (SELECT node FROM winners)
       ORDER BY doc_id"""))
 
+  /** Character-level fuzzy pairs: Levenshtein over 60-char prefixes under
+    * (lang, first-token, length-band) blocking — the typo-scale member of
+    * the near-dup family.
+    */
+  val dedupEditDist = Q(
+    "dedup_editdist",
+    (s, d) =>
+      Dedup.editDistancePairs(T.documents(s, d), "doc_id", "text",
+          blockCols = Seq("lang"), prefixLen = 60, maxDist = 15,
+          lenBucket = 50)
+        .orderBy(col("a"), col("b")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, substr(text, 1, 60) AS pfx,
+               split_part(text, ' ', 1) AS w1,
+               length(text) // 50 AS lb
+        FROM documents)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(levenshtein(a.pfx, b.pfx) AS INT) AS ed
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.w1 = b.w1
+       AND abs(a.lb - b.lb) <= 1 AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= 15
+      ORDER BY a, b"""))
+
   def all: Seq[Q] = Seq(dedupExact, dedupMinhashLsh, dedupMinhashEst,
     dedupIndexSearch, dedupComponents, dedupComponentsIncr, dedupApplyBest,
     dedupSimhash, dedupNgramJaccard, dedupContainment, dedupSimhashPairs,
     dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne,
     dedupIndexCompactedSearch, graphPagerank, dedupApplyCentral, graphPpr,
-    graphTriangles, graphPagerankWeighted)
+    graphTriangles, graphPagerankWeighted, dedupEditDist)
 }
