@@ -707,6 +707,47 @@ object DedupQueries {
          OR d.doc_id IN (SELECT node FROM winners)
       ORDER BY doc_id"""))
 
+  /** k-core of the near-dup graph (3 peel rounds, k=2): the dense
+    * duplication backbone — nodes that survive iterated low-degree
+    * removal sit in tightly cross-linked duplicate clusters (tree-like
+    * periphery peels away). The oracle unrolls the SAME 3 synchronous
+    * peel rounds, so correctness never depends on convergence.
+    */
+  val graphKcore = Q(
+    "graph_kcore",
+    (s, d) => {
+      val pairs = Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      Graph.kCore(pairs, k = 2, rounds = 3)
+        .select(col("node").as("doc_id"), col("deg"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $duckPairs,
+      e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+             FROM pairsq WHERE a <> b),
+      d1 AS (SELECT node, COUNT(*) AS deg FROM
+               (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+             GROUP BY 1),
+      k1 AS (SELECT node FROM d1 WHERE deg >= 2),
+      e1 AS (SELECT e0.u, e0.v FROM e0
+             JOIN k1 x ON x.node = e0.u JOIN k1 y ON y.node = e0.v),
+      d2 AS (SELECT node, COUNT(*) AS deg FROM
+               (SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1)
+             GROUP BY 1),
+      k2 AS (SELECT node FROM d2 WHERE deg >= 2),
+      e2 AS (SELECT e1.u, e1.v FROM e1
+             JOIN k2 x ON x.node = e1.u JOIN k2 y ON y.node = e1.v),
+      d3 AS (SELECT node, COUNT(*) AS deg FROM
+               (SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2)
+             GROUP BY 1),
+      k3 AS (SELECT node FROM d3 WHERE deg >= 2),
+      e3 AS (SELECT e2.u, e2.v FROM e2
+             JOIN k3 x ON x.node = e2.u JOIN k3 y ON y.node = e2.v)
+      SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Character-level fuzzy pairs: Levenshtein over 60-char prefixes under
     * (lang, first-token, length-band) blocking — the typo-scale member of
     * the near-dup family.
@@ -737,5 +778,5 @@ object DedupQueries {
     dedupSimhash, dedupNgramJaccard, dedupContainment, dedupSimhashPairs,
     dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne,
     dedupIndexCompactedSearch, graphPagerank, dedupApplyCentral, graphPpr,
-    graphTriangles, graphPagerankWeighted, dedupEditDist)
+    graphTriangles, graphPagerankWeighted, dedupEditDist, graphKcore)
 }

@@ -289,6 +289,52 @@ object Graph {
           .otherwise(lit(0.0)).as("coeff"))
   }
 
+  /** k-core peeling (Seidman 1983): `rounds` synchronous rounds of
+    * "drop every node with degree < k, then its edges", over the
+    * canonical undirected edge set. A round is one degree aggregation +
+    * two left-semi joins; each round strictly shrinks the edge set, so
+    * `rounds` ≥ the peel depth yields the exact k-core, and a SMALLER
+    * `rounds` yields the same partial peel on any engine that unrolls
+    * the identical recurrence (what the oracle does — determinism never
+    * depends on convergence). Early-exits when a round removes nothing
+    * (the remaining rounds are no-ops, output unchanged). Returns the
+    * surviving nodes with their degree in the peeled graph.
+    *
+    * Scale shape: the [[Dedup.components]] loop contract — per-round
+    * localCheckpoint truncates lineage, shuffles are keyed on node/edge
+    * endpoints, and state is the live edge set (monotonically shrinking).
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k, $rounds")
+    def degreesOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var edges = pairs.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var live = edges.count()
+    var i = 0
+    var converged = false
+    while (i < rounds && !converged) {
+      val keep = degreesOf(edges).filter(col("deg") >= k)
+        .select(col("node")).localCheckpoint()
+      val next = edges
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val nextLive = next.count()
+      converged = nextLive == live
+      edges = next
+      live = nextLive
+      i += 1
+    }
+    degreesOf(edges).select(col("node"), col("deg").cast("long").as("deg"))
+  }
+
   /** Degree centrality of an undirected pair set: (node, degree) with
     * mirrored-edge counting — the zero-iteration companion used to pick
     * cluster exemplars cheaply when the full power iteration isn't worth

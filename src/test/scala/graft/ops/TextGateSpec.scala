@@ -76,6 +76,28 @@ class TextGateSpec extends AnyFunSuite {
     assert(plan.contains("tb"))
   }
 
+  test("phraseSearch matches a driver-side sliding-window count on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d")
+    for (round <- 0 until 3) {
+      val docs = (0 until 40).map { i =>
+        (i.toLong, Array.fill(5 + rnd.nextInt(30))(
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val phrase = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+      val expected = docs.flatMap { case (id, text) =>
+        val w = text.split(" ")
+        val n = w.sliding(phrase.length).count(_.sameElements(phrase))
+        if (n > 0) Some(id -> n.toLong) else None
+      }.toMap
+      val got = TextAnalysis.phraseSearch(docs.toDF("doc_id", "text"),
+          "doc_id", "text", phrase)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_matches"))
+        .toMap
+      assert(got == expected, s"round $round phrase=${phrase.mkString(" ")}")
+    }
+  }
+
   test("phraseSearch three-term phrase intersects all position lists") {
     val docs = Seq(
       (1L, "a b c a b c a b"),
