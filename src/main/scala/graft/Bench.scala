@@ -32,6 +32,7 @@ object Bench {
       graft.ops.TextQueries.ensureBm25Fixture(spark, sfDir)
       graft.ops.TextQueries.ensureDsirFixture(spark, sfDir)
       graft.ops.TextQueries.ensurePhraseFixture(spark, sfDir)
+      graft.sources.Bucketed.ensureBucketedTables(spark, sfDir)
     } catch { case _: Throwable => }
     // Noise control: this host shows sustained multi-minute external-load
     // windows that poison back-to-back trials of the SAME query (round 3:

@@ -79,5 +79,21 @@ object SourceQueries {
     },
     Some(oracle))
 
-  def all: Seq[Q] = Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip)
+  /** Co-located bucketed fact⨝fact join (see [[Bucketed]]): hash-matched
+    * against the plain parquet join's oracle; the shuffle-free plan is
+    * spec-asserted. Bucketed tables build once per JVM (Bench warms them
+    * untimed), so the row times the bucket-read join path itself.
+    */
+  val srcBucketedJoin = Q(
+    "src_bucketed_join",
+    (s, d) => Bucketed.bucketedJoinAgg(s, d),
+    Some("""
+      SELECT o_orderpriority,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  def all: Seq[Q] =
+    Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin)
 }
