@@ -809,6 +809,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Per-query recall@k of an approximate top-k list against the exact
+    * one — the standard ANN quality gauge run before trusting an index
+    * family at scale. Inputs are any two (query_id, neighbor_id, ...)
+    * lists already cut to k; output (query_id, hits, recall) covers
+    * EVERY query in the exact list (zero-overlap queries emit 0, not
+    * drop). Two small joins over k-sized lists — cost is the retrievals',
+    * never this.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
+  }
+
   def semDedup(corpus: DataFrame, k: Int, iters: Int,
       threshold: Double): DataFrame = {
     // cache(): the label table feeds both join sides, and uncached each

@@ -953,23 +953,10 @@ object SimilarityQueries {
              ROUND(sxy / n.c - (sx / n.c) * (sy / n.c), 6) + 0.0 AS cov
       FROM p CROSS JOIN n ORDER BY i, j"""))
 
-  /** SQ8 scalar-quantization ANN: min/max-calibrated uint8 codes, decoded
-    * asymmetric scan for candidates, exact-cosine rerank — the
-    * scalar-quantizer member of the ANN family next to IVF/PQ/SRP.
+  /** The SQ8 oracle CTE chain through `ranked` (exact-reranked
+    * candidates) — shared by the top-k row and the recall row.
     */
-  val embSq8TopK = Q(
-    "emb_sq8_topk",
-    (s, d) => {
-      val emb = T.embeddings(s, d)
-        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
-      Similarity.sq8TopK(emb, emb.filter(col("vec_id") % 50 === 0),
-          k = 5, rerank = 20)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("cos"), 3).as("cos"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""
-      WITH dims AS (
+  private val sq8Ctes = s"""dims AS (
         SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
           SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)),
@@ -1008,14 +995,81 @@ object SimilarityQueries {
         SELECT query_id, neighbor_id, cos,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-        FROM comp)
+        FROM comp)"""
+
+  /** SQ8 scalar-quantization ANN: min/max-calibrated uint8 codes, decoded
+    * asymmetric scan for candidates, exact-cosine rerank — the
+    * scalar-quantizer member of the ANN family next to IVF/PQ/SRP.
+    */
+  val embSq8TopK = Q(
+    "emb_sq8_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          k = 5, rerank = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $sq8Ctes
       SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Recall@5 of the SQ8 path against the exact scan, per query — the
+    * ANN quality gauge as a first-class hash-gated row (both retrieval
+    * chains replayed in the oracle, intersected there too).
+    */
+  val embSq8Recall = Q(
+    "emb_sq8_recall",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.cosineTopK(emb, queries, 5)
+      val approx = Similarity.sq8TopK(emb, queries, k = 5, rerank = 20)
+      Similarity.recallAtK(approx, exact, 5)
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH $sq8Ctes,
+      epairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               q.qv, e.embedding::DOUBLE[] AS cv
+        FROM embeddings e,
+             (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 50 = 0) q
+        WHERE e.vec_id <> q.query_id),
+      ecomp AS (
+        SELECT query_id, neighbor_id,
+               SUM(qv[CAST(i AS INT)] * cv[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(cv[CAST(i AS INT)] * cv[CAST(i AS INT)]))) AS cos
+        FROM (SELECT *, unnest(generate_series(1, 64)) AS i FROM epairs)
+        GROUP BY 1, 2),
+      etop AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rk
+          FROM ecomp) WHERE rk <= 5),
+      atop AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+      h AS (
+        SELECT a.query_id, COUNT(*) AS hits
+        FROM atop a JOIN etop e USING (query_id, neighbor_id)
+        GROUP BY 1)
+      SELECT q.query_id,
+             CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             ROUND(COALESCE(h.hits, 0) / 5.0, 4) AS recall
+      FROM (SELECT DISTINCT query_id FROM etop) q
+      LEFT JOIN h USING (query_id)
+      ORDER BY query_id"""))
 
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
       embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe,
       embHybridRrf, embAnnCompactedSearch, embAnnRebalancedSearch,
-      embCovariance, embSq8TopK)
+      embCovariance, embSq8TopK, embSq8Recall)
 }

@@ -1156,6 +1156,25 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$base/meta")
   }
 
+  /** Fold a new document batch into a [[buildPositionalIndex]] index:
+    * occurrence rows append under the pinned bucket layout — O(batch),
+    * nothing rewritten, the disjoint-batch contract every persisted
+    * index here shares (doc ids must be new).
+    */
+  def appendToPositionalIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val spark = df.sparkSession
+    val nBuckets = spark.read.parquet(s"$base/meta")
+      .head().getAs[Int]("n_buckets")
+    val postings = df.select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("tb", hashBucket(col("tok"), nBuckets).cast("int"))
+    postings.repartition(col("tb")).write.mode("append").partitionBy("tb")
+      .parquet(s"$base/postings")
+  }
+
   /** Phrase query against a [[buildPositionalIndex]] index: identical
     * output to [[phraseSearch]] over the indexed corpus, but reading ONLY
     * the phrase terms' posting buckets (driver-computed pruning literals,

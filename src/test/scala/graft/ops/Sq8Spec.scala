@@ -60,6 +60,15 @@ class Sq8Spec extends AnyFunSuite {
     assert(sq == exact)
   }
 
+  test("recallAtK counts overlap per query and emits zero-overlap queries") {
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val exact = Seq((1L, 10L), (1L, 12L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(1L -> (1L, 0.5), 2L -> (0L, 0.0), 3L -> (0L, 0.0)))
+  }
+
   test("narrow rerank window still returns k ranked rows per query") {
     val c = corpus(80, 8)
     val q = c.filter(col("vec_id") === 0)

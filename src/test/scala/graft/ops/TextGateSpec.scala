@@ -76,6 +76,19 @@ class TextGateSpec extends AnyFunSuite {
     assert(plan.contains("tb"))
   }
 
+  test("appendToPositionalIndex folds a batch; search == full rebuild") {
+    val first = Seq((1L, "table hash x"), (2L, "y table hash"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "table hash table hash")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("phraseappend").toString
+    TextAnalysis.buildPositionalIndex(first, "doc_id", "text", dir, nBuckets = 8)
+    TextAnalysis.appendToPositionalIndex(batch, "doc_id", "text", dir)
+    val got = TextAnalysis.searchPhraseIndexed(spark, dir, Seq("table", "hash"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_matches"))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("phraseSearch matches a driver-side sliding-window count on random corpora") {
     val rnd = new scala.util.Random(42)
     val vocab = Array("a", "b", "c", "d")
