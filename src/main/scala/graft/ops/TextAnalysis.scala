@@ -953,6 +953,41 @@ object TextAnalysis {
       .select(col("vec_id").as(idCol), col("label"))
   }
 
+  /** c-TF-IDF cluster labeling (Grootendorst 2022): top-`topN` terms per
+    * [[textClusters]] cluster by class-based TF-IDF — within-cluster term
+    * frequency × log(1 + A / corpus-wide tf), A the mean token count per
+    * cluster. The standard way to NAME unsupervised document clusters;
+    * ties break on the token. Output: (label, rank, tok, score).
+    *
+    * Scale shape: one (label, tok) aggregation over the token table
+    * (map-side combined), a broadcast of the vocabulary-sized corpus-tf
+    * table's join — comparable to one extra tokenize pass on top of the
+    * clustering it labels.
+    */
+  def clusterTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int, iters: Int = 2, dim: Int = 64, topN: Int = 3): DataFrame = {
+    val labels = textClusters(df, idCol, textCol, k, iters, dim)
+      .localCheckpoint()
+    val toks = df.select(col(idCol), explode(split(trim(col(textCol)),
+        "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .join(labels, Seq(idCol))
+    val ctf = toks.groupBy(col("label"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val allTf = toks.groupBy(col("tok")).agg(count(lit(1)).as("atf"))
+    val avgA = toks.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(avg(col("n")).as("a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("score").desc, col("tok"))
+    ctf.join(allTf, Seq("tok"))
+      .crossJoin(broadcast(avgA))
+      .withColumn("score", col("tf") * log(lit(1.0) + col("a") / col("atf")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topN)
+      .select(col("label"), col("rank"), col("tok"), col("score"))
+  }
+
   /** Multinomial Naive Bayes text classifier — the classic trainable
     * quality/domain filter baseline a curation pipeline reaches for
     * before a fastText model (CCNet/DCLM-style label filtering). Trains

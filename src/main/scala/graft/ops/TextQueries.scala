@@ -930,23 +930,12 @@ object TextQueries {
       SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
       GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY gram"""))
 
-  /** Cluster-based curation: k-means over hashed TF-IDF vectors. The
-    * oracle replays the ENTIRE cascade — tokenize, integer micro-idf,
-    * md5 feature hashing, dense-vector assembly, then the shared
-    * unrolled 2-iteration Lloyd chain (seeding, cosine argmax, mean
-    * update, reassignment) — so the featurizer and the clustering are
-    * both hash-verified, not just the label histogram.
+  /** The text-clustering oracle CTE chain through `a2` (doc labels) —
+    * tokenize, integer micro-idf, md5 feature hashing, dense-vector
+    * assembly, the shared unrolled 2-iteration Lloyd chain. Shared by
+    * the cluster row and the c-TF-IDF labeling row.
     */
-  val textCluster = Q(
-    "text_cluster",
-    (s, d) => {
-      TextAnalysis.textClusters(T.documents(s, d), "doc_id", "text",
-        k = 10, iters = 2, dim = 64)
-        .select(col("doc_id"), col("label").cast("int").as("label"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
-      WITH tok AS (
+  private val textClusterCtes = s"""tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
         FROM documents),
       t2 AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
@@ -976,9 +965,66 @@ object TextQueries {
       e AS (
         SELECT doc_id AS vec_id, list(val ORDER BY bkt) AS v
         FROM bw GROUP BY 1),
-      ${SimilarityQueries.duckKmeansChain("")}
+      ${SimilarityQueries.duckKmeansChain("")}"""
+
+  /** Cluster-based curation: k-means over hashed TF-IDF vectors. The
+    * oracle replays the ENTIRE cascade — tokenize, integer micro-idf,
+    * md5 feature hashing, dense-vector assembly, then the shared
+    * unrolled 2-iteration Lloyd chain (seeding, cosine argmax, mean
+    * update, reassignment) — so the featurizer and the clustering are
+    * both hash-verified, not just the label histogram.
+    */
+  val textCluster = Q(
+    "text_cluster",
+    (s, d) => {
+      TextAnalysis.textClusters(T.documents(s, d), "doc_id", "text",
+        k = 10, iters = 2, dim = 64)
+        .select(col("doc_id"), col("label").cast("int").as("label"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $textClusterCtes
       SELECT vec_id AS doc_id, CAST(label AS INT) AS label
       FROM a2 ORDER BY doc_id"""))
+
+  /** c-TF-IDF cluster labeling (Grootendorst 2022, BERTopic §2.3): the
+    * top terms per text cluster by class-based TF-IDF — term frequency
+    * within the cluster × log(1 + A / corpus tf), A = mean tokens per
+    * cluster. THE standard way to name unsupervised document clusters;
+    * the oracle replays clustering AND labeling.
+    */
+  val textClusterLabels = Q(
+    "text_cluster_labels",
+    (s, d) => {
+      TextAnalysis.clusterTopTerms(T.documents(s, d), "doc_id", "text",
+        k = 10, iters = 2, dim = 64, topN = 3)
+        .select(col("label").cast("int").as("label"), col("rank"),
+          col("tok"), round(col("score"), 6).as("score"))
+        .orderBy(col("label"), col("rank"))
+    },
+    Some(s"""
+      WITH $textClusterCtes,
+      lab AS (SELECT vec_id AS doc_id, label FROM a2),
+      ctf AS (
+        SELECT l.label, t.tok, COUNT(*) AS tf
+        FROM t2 t JOIN lab l USING (doc_id) GROUP BY 1, 2),
+      alltf AS (SELECT tok, COUNT(*) AS atf FROM t2 GROUP BY 1),
+      avga AS (
+        SELECT AVG(n) AS a FROM (
+          SELECT label, COUNT(*) AS n
+          FROM t2 JOIN lab USING (doc_id) GROUP BY 1)),
+      scored AS (
+        SELECT c.label, c.tok,
+               c.tf * LN(1.0 + avga.a / alltf.atf) AS score
+        FROM ctf c JOIN alltf USING (tok) CROSS JOIN avga),
+      rk AS (
+        SELECT label, tok, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY label
+                 ORDER BY score DESC, tok) AS INT) AS rank
+        FROM scored)
+      SELECT CAST(label AS INT) AS label, rank, tok,
+             ROUND(score, 6) AS score
+      FROM rk WHERE rank <= 3 ORDER BY label, rank"""))
 
   /** Per-JVM prebuilt index fixtures, keyed by sfDir — the text-side twin
     * of `SimilarityQueries.ensureAnnFixture`. The `*_probe` queries below
@@ -1160,5 +1206,5 @@ object TextQueries {
     textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
     textDsirIndexed, textNbClassify, textCluster, textHeavyGrams,
     textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank,
-    textGopherRules, textPhraseSearch, textPhraseProbe)
+    textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels)
 }
