@@ -141,6 +141,23 @@ object EventsStream {
       .select(col("id"), col("n_shared"))
   }
 
+  /** Native session_window streaming aggregation — q29's streaming twin,
+    * and the BUILT-IN counterpart of [[sessionize]]'s custom
+    * flatMapGroupsWithState: Spark merges overlapping per-event windows
+    * into dynamic sessions inside the aggregation itself, the watermark
+    * both bounds state and FINALIZES sessions (append mode emits a
+    * session only once the watermark passes its end — same µs-exact
+    * ≥-gap boundary as the batch query, spec-pinned equivalent).
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    tsAsEventTime(events, "ts")
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+
   /** Streaming exact dedup — the streaming face of `ops.Dedup.exact`:
     * drop later copies of the same content hash, with a watermark bounding
     * the dedup state (`dropDuplicatesWithinWatermark`: state for a hash is

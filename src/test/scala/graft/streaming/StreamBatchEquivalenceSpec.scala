@@ -63,6 +63,31 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window stream == batch session windows (q29 twin)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+
+    val batch = EventsStream.sessionWindowCounts(events)
+      .select($"user_id", $"session_start", $"n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("evsess").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = EventsStream.sessionWindowCounts(stream)
+      .writeStream.format("memory").queryName("sesswq").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sesswq")
+        .select($"user_id", $"session_start", $"n_events")
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionize over sf0.001 events == batch q15 sessions once the watermark passes") {
     val spark = TestSpark.spark
     import spark.implicits._
