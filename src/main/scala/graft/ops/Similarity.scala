@@ -791,18 +791,27 @@ object Similarity {
       col("embedding").as("qv"), norm(col("embedding")).as("qn"))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("neighbor_id"))
+    // the approx scan PROJECTS AWAY the query vectors before ranking:
+    // the rank's per-partition sort + WindowGroupLimit otherwise drag a
+    // 512-byte qv through every |Q|x|C| row (x100 corpus AND queries:
+    // min-of-3 166 s before, 78 s after — 2.1x; the remainder is the
+    // inherent O(|Q|*|C|) ADC dot-product scan, which the IVF/PQ index
+    // paths avoid by pruning partitions). The rerank re-joins qv from
+    // the broadcast query table on the |Q|*rerank survivors instead.
     val cand = enc.select(col("vec_id").as("neighbor_id"), col("dec"), col("dn"))
       .crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("acos", dot(col("qv"), col("dec")) / (col("qn") * col("dn")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("dec")) / (col("qn") * col("dn"))).as("acos"))
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+      .select(col("query_id"), col("neighbor_id"))
     val cv = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"), norm(col("embedding")).as("cn"))
     val we = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.join(cv, Seq("neighbor_id"))
+    cand.join(broadcast(q), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(we))
       .filter(col("rank") <= k)
