@@ -748,6 +748,29 @@ object DedupQueries {
       FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Duplicate families by deterministic label propagation — the
+    * bounded-rounds alternative to the transitive-closure components:
+    * R rounds of neighbor-majority voting instead of a diameter-deep
+    * fixpoint. Communities ARE allowed to differ from connected
+    * components (that is the point); the oracle unrolls the identical
+    * recurrence.
+    */
+  val graphLabelProp = Q(
+    "graph_labelprop",
+    (s, d) => {
+      val pairs = Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      Graph.labelPropagation(pairs, rounds = 3)
+        .select(col("node").as("doc_id"), col("label").as("community"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $duckPairs,
+      edges AS (
+        SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+      ${Graph.duckLabelPropSql(3)}
+      SELECT node AS doc_id, lbl AS community FROM l3 ORDER BY doc_id"""))
+
   /** Character-level fuzzy pairs: Levenshtein over 60-char prefixes under
     * (lang, first-token, length-band) blocking — the typo-scale member of
     * the near-dup family.
@@ -778,5 +801,6 @@ object DedupQueries {
     dedupSimhash, dedupNgramJaccard, dedupContainment, dedupSimhashPairs,
     dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne,
     dedupIndexCompactedSearch, graphPagerank, dedupApplyCentral, graphPpr,
-    graphTriangles, graphPagerankWeighted, dedupEditDist, graphKcore)
+    graphTriangles, graphPagerankWeighted, dedupEditDist, graphKcore,
+    graphLabelProp)
 }

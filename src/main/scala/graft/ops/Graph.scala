@@ -335,6 +335,77 @@ object Graph {
     degreesOf(edges).select(col("node"), col("deg").cast("long").as("deg"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007): every node starts as its own label; each round every node
+    * adopts the label most frequent among its NEIGHBORS (pure neighbor
+    * vote — the node's own current label does not participate), ties
+    * broken by the smallest label. The deterministic variant: synchronous
+    * updates + a total tie-break order, so the result is a pure function
+    * of the edge set and `rounds` — the known oscillation of synchronous
+    * LPA on bipartite structures is handled the same way [[kCore]]
+    * handles partial peels: a FIXED round count that the oracle unrolls
+    * identically, never a convergence test.
+    *
+    * Over a near-dup graph this yields duplicate families without the
+    * transitive-closure fixpoint of [[Dedup.components]] — label prop
+    * rounds are bounded work (R rounds, not graph diameter), the standard
+    * trade at corpus scale where CC chains can be long but communities
+    * are shallow.
+    *
+    * Scale shape: per round ONE hash join of the label table onto the
+    * mirrored edges (shuffle keyed on the source endpoint) + one
+    * (node, label) count aggregation + one per-node argmax — all
+    * map-side-combined, state O(|V|); `localCheckpoint` truncates lineage
+    * per round like every fixpoint loop in this repo.
+    *
+    * Output: (node, label) for every pair endpoint.
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val p = pairs.select(col("a"), col("b")).cache()
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    p.unpersist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.select(col("node").as("a"), col("lbl")), Seq("a"))
+        .groupBy(col("b").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax count, min label on ties: min_by over (-count, label) —
+      // one hash aggregation, no per-node sort window
+      labels = votes.groupBy(col("node"))
+        .agg(min_by(col("lbl"),
+          struct((-col("c")).as("nc"), col("lbl").as("l"))).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+
+  /** DuckDB CTE chain replaying [[labelPropagation]]: assumes a prior CTE
+    * `edges(a, b)` holding the MIRRORED edge set; appends l0 and
+    * n1/l1 … up to `l$rounds` (columns node, lbl). The argmax is spelled
+    * as a max-count window + MIN(lbl) — same result as Spark's min_by
+    * tie-break, engine-portable.
+    */
+  def duckLabelPropSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""n$k AS (
+        SELECT e.b AS node, p.lbl, COUNT(*) AS c
+        FROM edges e JOIN l${k - 1} p ON p.node = e.a GROUP BY 1, 2),
+      l$k AS (
+        SELECT node, MIN(lbl) AS lbl FROM (
+          SELECT node, lbl, c, MAX(c) OVER (PARTITION BY node) AS mc
+          FROM n$k)
+        WHERE c = mc GROUP BY 1)"""
+    }.mkString(",\n      ")
+    s"""l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+      $iters"""
+  }
+
   /** Degree centrality of an undirected pair set: (node, degree) with
     * mirrored-edge counting — the zero-iteration companion used to pick
     * cluster exemplars cheaply when the full power iteration isn't worth

@@ -82,6 +82,45 @@ object TrainExport {
     df.filter(inTargets).filter(frac < keepFrac)
   }
 
+  /** Temperature-based mixture sampling (the multilingual-training
+    * standard: Conneau & Lample 2019 §3.1; also mT5's α-sampling): target
+    * share of group s is `q_s ∝ n_s^alpha`, flattening the natural size
+    * distribution toward uniform as alpha → 0 and leaving it untouched at
+    * alpha = 1. Downsample-only without replacement, so the achievable
+    * output is `M = min_s n_s/q_s` — at that M the SMALLEST group is kept
+    * in full and every larger group thins toward its temperature share.
+    * Keep decisions use the same md5-hash-threshold rule as
+    * [[sampleToMixture]]: deterministic across runs, engines, and
+    * partitionings; no rand().
+    *
+    * alpha = 1 is the identity (every keep rate is exactly 1.0 — spec
+    * pinned), which makes the knob safe to leave in a pipeline config.
+    *
+    * Scale: one count aggregation collapsing to |groups| driver scalars
+    * (house convention: scalar aggregates may surface to the driver),
+    * then a scan-speed projection filter — the corpus itself never
+    * shuffles.
+    */
+  def sampleTemperature(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "sampleTemperature: empty input")
+    // sorted fold: float addition is order-sensitive; a fixed order keeps
+    // z bit-identical run-over-run (the oracle sums the same few doubles)
+    val z = counts.toSeq.sortBy(_._1)
+      .map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val m = counts.values.map(n => z * math.pow(n.toDouble, 1.0 - alpha)).min
+    val keepFrac = counts.foldLeft(lit(0.0)) { case (acc, (g, n)) =>
+      val q = math.pow(n.toDouble, alpha) / z
+      when(col(groupCol) === g, lit(math.min(1.0, q * m / n))).otherwise(acc)
+    }
+    val frac = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2, 60))
+    df.filter(frac < keepFrac)
+  }
+
   /** Greedy sequential context packing (GPT-style document packing): walk
     * each shard in shuffled order, accumulate whitespace-token counts, and
     * cut a new context every `tokenBudget` tokens —

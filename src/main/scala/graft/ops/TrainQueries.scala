@@ -93,6 +93,38 @@ object TrainQueries {
                  AS BIGINT) * 1.0 / 1152921504606846976.0 < kf
       ORDER BY doc_id"""))
 
+  /** Temperature (α = 0.5) mixture over source: flattens the natural
+    * source distribution halfway to uniform, keeping the smallest source
+    * in full. The oracle mirrors the EXACT float operation shapes
+    * (pow(n, 0.5), the sorted-order z fold via list_sum, q·m/n) so every
+    * keep fraction is bit-identical and the md5-threshold row set
+    * matches.
+    */
+  val trainTemperatureMix = Q(
+    "train_temperature_mix",
+    (s, d) => {
+      TrainExport.sampleTemperature(T.documents(s, d), "doc_id", "source",
+        alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1),
+      z AS (SELECT list_sum(list(pow(n, 0.5) ORDER BY source)) AS z
+            FROM cnt),
+      mm AS (SELECT MIN(z.z * pow(n, 0.5)) AS m FROM cnt, z),
+      keep AS (
+        SELECT source,
+               LEAST(1.0, pow(n, 0.5) / z.z * (SELECT m FROM mm) / n) AS kf
+        FROM cnt, z)
+      SELECT doc_id, source
+      FROM documents JOIN keep USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) * 1.0 / 1152921504606846976.0 < kf
+      ORDER BY doc_id"""))
+
   val textDecontaminate = Q(
     "text_decontaminate",
     (s, d) => {
@@ -278,5 +310,6 @@ object TrainQueries {
 
   def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
     textDecontaminate, textDecontaminateBloom, textDecontaminateWho,
-    trainSplitCluster, trainWeightedSample, trainCurriculum)
+    trainSplitCluster, trainWeightedSample, trainCurriculum,
+    trainTemperatureMix)
 }

@@ -87,6 +87,28 @@ class TrainExportSpec extends AnyFunSuite {
     assert(kept.toSet == again.toSet)
   }
 
+  test("sampleTemperature: alpha=1 is the identity, smallest group binds") {
+    import spark.implicits._
+    // 3200 a / 200 b: q ∝ sqrt(n) at alpha=0.5 -> shares 4:1 instead of
+    // the natural 16:1; M = z·sqrt(200), so b keeps everything and a
+    // thins to 4× b's count in expectation (800 of 3200)
+    val rows = ((0 until 3200).map(i => (i.toLong, "a")) ++
+      (3200 until 3400).map(i => (i.toLong, "b"))).toDF("doc_id", "grp")
+    val all = TrainExport.sampleTemperature(rows, "doc_id", "grp", 1.0)
+      .count()
+    assert(all == 3400, "alpha=1 must keep every row")
+    val kept = TrainExport.sampleTemperature(rows, "doc_id", "grp", 0.5)
+      .select("doc_id", "grp").as[(Long, String)].collect()
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGrp("b") == 200, "smallest group is kept in full")
+    // expected 800 of 3200; allow 4+ sigma binomial slack (~±100)
+    assert(byGrp("a") > 650 && byGrp("a") < 950, s"got ${byGrp("a")}")
+    // deterministic: identical row set on a re-run
+    val again = TrainExport.sampleTemperature(rows, "doc_id", "grp", 0.5)
+      .select("doc_id", "grp").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+  }
+
   test("splitByComponent: whole near-dup components land on one side") {
     import spark.implicits._
     // chain 1-2-3 is one component; 10-11 another; the rest singletons
