@@ -816,10 +816,103 @@ object RelQueries {
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM s GROUP BY user_id, sid ORDER BY 1, 2"""))
 
+  /** Event-time RANGE window frame: per-user rolling last-hour count and
+    * value sum at EVERY event — the window-frame face of a sliding
+    * aggregate (no bucketing: each row gets its own trailing interval).
+    * Spark's rangeBetween is numeric-only, so the frame rides
+    * `unix_micros(ts)` with a [-3600·10⁶, 0] frame — microsecond-exact
+    * and identical to DuckDB's native `RANGE INTERVAL 1 HOUR PRECEDING`
+    * (both ends inclusive, peers-by-value semantics in both engines).
+    * Scale shape: one hash shuffle on user_id + per-partition sort —
+    * the same cost as any per-key window; the frame itself is a running
+    * two-pointer over the sorted run, no fan-out.
+    */
+  val q30RangeFrame = Q(
+    "q30_range_frame",
+    (s, d) => {
+      import s.implicits._
+      // unix_micros needs TIMESTAMP; the cast is a no-op there and maps
+      // NTZ wall-clock through the session zone — exact under the
+      // harness's pinned UTC (no DST), the documented session convention
+      // (same caveat ADVICE records for AsofJoin's NTZ handling)
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts".cast("timestamp")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      T.events(s, d)
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", round(sum($"value").over(w), 2))
+        .select($"event_id", $"user_id", $"n_1h", $"sum_1h")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+             ROUND(SUM(value) OVER w, 2) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** Sequential conversion funnel (view → click → purchase): per user the
+    * earliest view, the first click strictly after it, the first purchase
+    * strictly after that click — the greedy-earliest chain every product
+    * funnel tool computes ("time to convert" semantics, order enforced,
+    * not mere per-type minima). Three user-keyed min-aggregations chained
+    * by joins; after the first agg every intermediate is one row per
+    * user, so the chain's cost is the event scan + one user_id shuffle
+    * per stage. Timestamps emit as microsecond strings for a stable
+    * cross-engine compare.
+    */
+  val q31Funnel = Q(
+    "q31_funnel",
+    (s, d) => {
+      import s.implicits._
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val ev = T.events(s, d)
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("vt"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, Seq("user_id")).filter($"ts" > $"vt")
+        .groupBy($"user_id").agg(min($"ts").as("ct"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, Seq("user_id")).filter($"ts" > $"ct")
+        .groupBy($"user_id").agg(min($"ts").as("pt"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select($"user_id",
+          date_format($"vt", fmt).as("view_ts"),
+          date_format($"ct", fmt).as("click_ts"),
+          date_format($"pt", fmt).as("purchase_ts"),
+          (lit(1) + when($"ct".isNotNull, 1).otherwise(0)
+            + when($"pt".isNotNull, 1).otherwise(0)).cast("int").as("stage"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, MIN(ts) AS vt FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, MIN(e.ts) AS ct
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY 1),
+      p AS (
+        SELECT e.user_id, MIN(e.ts) AS pt
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY 1)
+      SELECT v.user_id,
+             STRFTIME(vt, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+             STRFTIME(ct, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+             STRFTIME(pt, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+             CAST(1 + CASE WHEN ct IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN pt IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+      FROM v LEFT JOIN c ON c.user_id = v.user_id
+             LEFT JOIN p ON p.user_id = v.user_id
+      ORDER BY 1"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
     q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded,
-    q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow)
+    q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow,
+    q30RangeFrame, q31Funnel)
 }
