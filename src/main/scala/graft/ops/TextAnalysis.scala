@@ -219,6 +219,85 @@ object TextAnalysis {
       .select(col("id"), col("n_tokens"), exp(col("nll")).as("ppl"))
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; the
+    * Chen & Goodman 1999 interpolated form with a fixed absolute
+    * discount) — the smoothing KenLM actually ships, completing the LM
+    * ladder unigram → Jelinek-Mercer ([[lmPerplexityInterp]]) → KN:
+    *
+    * {{{
+    *   p(w|v)    = max(c(vw) − D, 0)/c(v) + D·N1+(v·)/c(v) · p_cont(w)
+    *   p_cont(w) = N1+(·w) / |distinct bigram types|
+    * }}}
+    *
+    * where `N1+(v·)` counts distinct continuations of v and `N1+(·w)`
+    * distinct left-contexts of w — the "how many contexts has this word
+    * appeared in" novelty measure that makes KN price "Francisco" low
+    * despite its frequency. The first token scores under the
+    * continuation distribution (the lower-order KN model), not raw
+    * unigram frequency. The continuation distribution itself takes
+    * add-one smoothing over the vocabulary —
+    * `p_cont(w) = (N1+(·w) + 1)/(nt + |V|)` — so a word that never
+    * occurs as a continuation (doc-initial-only words in self-scoring)
+    * is priced, never zero/dropped. Corpus-as-LM self-scoring like its
+    * siblings, so every observed bigram has c ≥ 1 and the discount is
+    * the only higher-order mass-reshaper; swap the count tables for a
+    * reference corpus to get the trained-filter shape.
+    *
+    * Scale shape: identical to [[lmPerplexityInterp]] — row-local
+    * bigrams, ONE corpus count per gram order, and the scoring join
+    * hash-distributed on the gram key. The three continuation tables
+    * derive from the bigram-TYPE table (distinct grams — far smaller
+    * than the occurrence stream) and broadcast alongside the unigrams.
+    */
+  def lmPerplexityKn(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount in (0,1), got $discount")
+    val a0 = filter(split(trim(col(textCol)), "\\s+"), x => length(x) > 0)
+    val base = df.select(col(idCol).as("id"), a0.as("a"))
+      .filter(size(col("a")) > 0)
+    val uni = base.select(explode(col("a")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("uf"))
+    val nbi = greatest(size(col("a")) - 1, lit(0))
+    val bi = base.select(col("id"),
+      explode(zip_with(
+        slice(col("a"), lit(1), nbi), slice(col("a"), lit(2), nbi),
+        (l, r) => struct(l.as("prev"), r.as("cur")))).as("p"))
+      .select(col("id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bc = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bf"))
+    // bc is one row per TYPE, so the continuation counts are plain
+    // count(*) aggregations over it — no countDistinct shuffle
+    val fol = bc.groupBy(col("prev")).agg(count(lit(1)).as("fol"))
+    val pre = bc.groupBy(col("cur")).agg(count(lit(1)).as("pre"))
+    // nt = distinct bigram types, nv = vocabulary size: the two 1-row
+    // smoothing denominators, broadcast like lmPerplexityInterp's total
+    val types = bc.agg(count(lit(1)).as("nt"))
+    val vocab = uni.agg(count(lit(1)).as("nv"))
+    val d = lit(discount)
+    val pcont = (coalesce(col("pre"), lit(0L)) + lit(1L)) /
+      (col("nt") + col("nv"))
+    val biScored = bi
+      .join(bc, Seq("prev", "cur"))
+      .join(broadcast(uni.select(col("tok").as("prev"), col("uf").as("pf"))),
+        Seq("prev"))
+      .join(broadcast(fol), Seq("prev"))
+      .join(broadcast(pre), Seq("cur"), "left")
+      .crossJoin(broadcast(types))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        (-log(greatest(col("bf") - d, lit(0.0)) / col("pf")
+          + d * col("fol") / col("pf") * pcont)).as("nll"))
+    val first = base.select(col("id"), element_at(col("a"), 1).as("cur"))
+      .join(broadcast(pre), Seq("cur"), "left")
+      .crossJoin(broadcast(types))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), (-log(pcont)).as("nll"))
+    first.unionByName(biScored)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("nll")).as("nll"))
+      .select(col("id"), col("n_tokens"), exp(col("nll")).as("ppl"))
+  }
+
   /** Gopher-style repetition stats (Rae et al. 2021 quality rules, token
     * flavor): per doc —
     *  - `dup_2gram_frac`: fraction of 2-gram occurrences beyond each

@@ -677,6 +677,61 @@ object TextQueries {
       SELECT id AS doc_id, n_tokens, ROUND(EXP(nll), 2) AS ppl
       FROM sc ORDER BY doc_id"""))
 
+  /** Kneser-Ney bigram perplexity — the smoothing KenLM ships. The
+    * oracle replays the full KN chain: bigram types, per-context
+    * continuation counts N1+(v·)/N1+(·w), the add-one-smoothed
+    * continuation distribution, and the discounted interpolation, with
+    * float operation shapes mirrored term by term.
+    */
+  val textLmPplKn = Q(
+    "text_lm_ppl_kn",
+    (s, d) => {
+      TextAnalysis.lmPerplexityKn(T.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("ppl"), 2).as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH arrs AS (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> length(x) > 0) AS a
+        FROM documents),
+      base AS (SELECT * FROM arrs WHERE len(a) > 0),
+      uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS uf
+              FROM (SELECT unnest(a) AS tok FROM base) GROUP BY 1),
+      bi AS (SELECT id, a[i] AS prev, a[i + 1] AS cur
+             FROM (SELECT id, a, unnest(range(1, len(a))) AS i FROM base)),
+      bc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bf
+             FROM bi GROUP BY 1, 2),
+      fol AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS fol
+              FROM bc GROUP BY 1),
+      pre AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS pre
+              FROM bc GROUP BY 1),
+      ntv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bc),
+      nvv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM uni),
+      bs AS (
+        SELECT id,
+               -LN(GREATEST(bf - 0.75, 0.0) / pf
+                   + 0.75 * fol / pf
+                     * ((COALESCE(pre, 0) + 1) / (nt + nv))) AS nll
+        FROM bi
+        JOIN bc USING (prev, cur)
+        JOIN (SELECT tok AS prev, uf AS pf FROM uni) USING (prev)
+        JOIN fol USING (prev)
+        LEFT JOIN pre USING (cur)
+        CROSS JOIN ntv CROSS JOIN nvv),
+      fs AS (
+        SELECT id, -LN((COALESCE(pre, 0) + 1) / (nt + nv)) AS nll
+        FROM (SELECT id, a[1] AS cur FROM base)
+        LEFT JOIN pre USING (cur)
+        CROSS JOIN ntv CROSS JOIN nvv),
+      u AS (SELECT * FROM fs UNION ALL SELECT * FROM bs),
+      sc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    AVG(nll) AS nll FROM u GROUP BY 1)
+      SELECT id AS doc_id, n_tokens, ROUND(EXP(nll), 2) AS ppl
+      FROM sc ORDER BY doc_id"""))
+
   /** First BPE statistics pass: char-pair frequencies (with end-of-word
     * marker) over the unique-word table — "what would the first merges be".
     * The oracle mirrors the word-count-weighted pair expansion.
@@ -1206,5 +1261,6 @@ object TextQueries {
     textBpePairs, textPmiPhrases, textCollapseRuns, textDsir,
     textDsirIndexed, textNbClassify, textCluster, textHeavyGrams,
     textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank,
-    textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels)
+    textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels,
+    textLmPplKn)
 }

@@ -187,6 +187,29 @@ class TokenizeSpec extends AnyFunSuite {
     assert(r(2L).isFinite && r(2L) > r(0L))
   }
 
+  test("Kneser-Ney bigram: hand-computed discounted perplexity") {
+    // corpus: "a b" x2, "a c", "d" -> uni a=3 b=2 c=1 d=1 (nv=4);
+    // bigram types (a,b) bf=2, (a,c) bf=1 (nt=2); fol(a)=2;
+    // pre(b)=pre(c)=1, pre(a)=pre(d)=0 -> pcont=(pre+1)/6
+    val df = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lmPerplexityKn(df, "doc_id", "text", discount = 0.75)
+      .select("id", "n_tokens", "ppl").as[(Long, Long, Double)]
+      .collect().map(x => x._1 -> (x._2, x._3)).toMap
+    val pFirstA = 1.0 / 6 // pcont(a)
+    val pAB = (2 - 0.75) / 3 + 0.75 * 2 / 3 * (2.0 / 6)
+    val pAC = (1 - 0.75) / 3 + 0.75 * 2 / 3 * (2.0 / 6)
+    val ppl0 = math.exp((-math.log(pFirstA) - math.log(pAB)) / 2)
+    val ppl2 = math.exp((-math.log(pFirstA) - math.log(pAC)) / 2)
+    assert(r(0L)._1 == 2L && math.abs(r(0L)._2 - ppl0) < 1e-9)
+    assert(math.abs(r(2L)._2 - ppl2) < 1e-9)
+    // rarer continuation prices higher under the discount too
+    assert(r(2L)._2 > r(0L)._2)
+    // doc-initial-only word: the add-one continuation floor keeps it
+    // finite — pcont(d) = 1/6, so ppl = 6 exactly
+    assert(r(3L)._1 == 1L && math.abs(r(3L)._2 - 6.0) < 1e-9)
+  }
+
   test("dsir: target-like documents outweigh off-target ones") {
     // target = lang 'en'; doc 10 is English-vocab but UNLABELED (lang 'xx'),
     // doc 11 is German-vocab. DSIR should weight 10 above 11 even though
