@@ -838,6 +838,86 @@ object Similarity {
         round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
   }
 
+  /** Deterministic ±1 JL projection row `p` (Achlioptas 2003 showed the
+    * dense-Gaussian matrix can be replaced by iid ±1 entries with the same
+    * distortion bound): weight i is +1 when the first hex digit of
+    * md5("rp:p:i") is < '8', else -1 — md5-seeded like the SRP/minhash
+    * families so an oracle reproduces the matrix in SQL. The seed space is
+    * prefixed "rp:" so it can never collide with [[srpWeights]]'s buckets.
+    * Evaluated once at plan time (the weights are literals).
+    */
+  private def rpWeights(p: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { i =>
+      val hex = md.digest(s"rp:$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }.toArray
+  }
+
+  /** Project `emb` (length `dims`) to a `dProj`-dim array: component p is
+    * the codegen'd dot against JL row p. The 1/√dProj JL scale is omitted
+    * on purpose — it multiplies every component identically, so cosine in
+    * the projected space is unchanged and the oracle has one fewer float
+    * op to mirror.
+    */
+  def rpProject(emb: Column, dProj: Int, dims: Int): Column =
+    array((0 until dProj).map(p => dot(emb, lit(rpWeights(p, dims)))): _*)
+
+  /** Random-projection approximate top-k with exact rerank — the
+    * dimensionality-reduction member of the ANN family ([[sq8TopK]]
+    * shrinks each dimension to a byte; this shrinks the NUMBER of
+    * dimensions, dims → dProj, a dims/dProj× smaller scan). The corpus
+    * and queries project through the same fixed ±1 JL matrix; the
+    * approximate scan ranks by cosine in the projected space (JL
+    * preserves angles to within the usual (1±ε) distortion), keeps
+    * `rerank` candidates per query, then exact-cosine reranks to `k` over
+    * the raw vectors. Same output shape and scale posture as [[sq8TopK]]:
+    * one pass over the (much narrower) projected corpus per broadcast
+    * query batch, narrow (query_id, neighbor_id) candidate rows through
+    * the rank, raw embeddings touched only for |Q|·rerank survivors.
+    * At 100 TB the projected table is the stored artifact: dProj=16 on
+    * dim-64 floats is a 4× scan cut with zero decode CPU (compare SQ8's
+    * 8× with a per-row decode) — and the two compose (project, THEN
+    * quantize) when both wins matter.
+    */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dProj: Int, rerank: Int, dims: Int = 64): DataFrame = {
+    require(dProj >= 1 && dProj <= dims,
+      s"dProj must be in [1, $dims], got $dProj")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val pc = corpus.select(col("vec_id").as("neighbor_id"),
+      rpProject(col("embedding"), dProj, dims).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"),
+      rpProject(col("embedding"), dProj, dims).as("qp"))
+      .withColumn("qpn", norm(col("qp")))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    // project away the query payload before ranking — the sq8TopK lesson:
+    // the rank sort must carry (query_id, neighbor_id, pcos) rows only
+    val cand = pc
+      .crossJoin(broadcast(q.select(col("query_id"), col("qp"), col("qpn"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qp"), col("pv")) / (col("qpn") * col("pn"))).as("pcos"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   def semDedup(corpus: DataFrame, k: Int, iters: Int,
       threshold: Double): DataFrame = {
     // cache(): the label table feeds both join sides, and uncached each

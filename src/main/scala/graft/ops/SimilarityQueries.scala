@@ -1066,10 +1066,67 @@ object SimilarityQueries {
       LEFT JOIN h USING (query_id)
       ORDER BY query_id"""))
 
+  /** JL random-projection ANN (dims 64 → 16) with exact rerank: the
+    * oracle replays the md5-seeded ±1 projection matrix, the
+    * projected-space cosine ranking, the rerank-window cut, and the exact
+    * rerank — the full cascade, same result set.
+    */
+  val embRpTopK = Q(
+    "emb_rp_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.rpTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          k = 5, dProj = 16, rerank = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      proj AS (
+        SELECT vec_id, p,
+               SUM(v[CAST(i AS INT)] *
+                   CASE WHEN substr(md5('rp:' || p || ':' || (i - 1)), 1, 1) < '8'
+                        THEN 1.0 ELSE -1.0 END) AS pv
+        FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i FROM e),
+             (SELECT unnest(generate_series(0, 15)) AS p)
+        GROUP BY 1, 2),
+      pn AS (SELECT vec_id, SQRT(SUM(pv * pv)) AS n FROM proj GROUP BY 1),
+      ip AS (
+        SELECT pq.vec_id AS query_id, pc.vec_id AS neighbor_id,
+               SUM(pq.pv * pc.pv) AS ip
+        FROM proj pq JOIN proj pc USING (p)
+        WHERE pq.vec_id % 50 = 0 AND pc.vec_id <> pq.vec_id
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT a.query_id, a.neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.query_id
+                   ORDER BY a.ip / (nq.n * nc.n) DESC, a.neighbor_id) AS arank
+          FROM ip a
+          JOIN pn nq ON nq.vec_id = a.query_id
+          JOIN pn nc ON nc.vec_id = a.neighbor_id)
+        WHERE arank <= 20),
+      pairs AS (
+        SELECT c.query_id, c.neighbor_id, eq.v AS qv, ec.v AS cv
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.query_id
+        JOIN e ec ON ec.vec_id = c.neighbor_id),
+      $duckCos,
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)
+      SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
       embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe,
       embHybridRrf, embAnnCompactedSearch, embAnnRebalancedSearch,
-      embCovariance, embSq8TopK, embSq8Recall)
+      embCovariance, embSq8TopK, embSq8Recall, embRpTopK)
 }

@@ -141,6 +141,43 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
 
+  /** Fixed-size overlapping token chunking — the RAG/embedding-prep
+    * segmenter: each document splits into windows of `chunkSize` whitespace
+    * tokens starting every `stride` tokens (stride < chunkSize ⇒ adjacent
+    * chunks overlap by chunkSize − stride tokens, the usual
+    * context-preservation trick). A chunk starts at every offset
+    * 0, stride, 2·stride, … strictly below the token count, so the final
+    * chunk may be short but no token is ever dropped and an empty doc
+    * yields no chunks. Entirely ROW-LOCAL — sequence + transform +
+    * explode, zero shuffle, scan speed; the per-doc fan-out is
+    * ceil(n_tokens/stride), bounded by the doc's own length (never a
+    * corpus-scale blowup — the 100 TB cost is the output's size, which is
+    * the caller's chunking choice).
+    *
+    * Output: (id, chunk_id, chunk, n_tokens) with chunk_id 0-based in
+    * document order and n_tokens the chunk's own token count.
+    */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("_w"))
+      .withColumn("_w", filter(col("_w"), t => length(t) > 0))
+      .filter(size(col("_w")) > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          ceil(size(col("_w")).cast("double") / stride).cast("int") - 1)))
+      .select(col("id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("_w"), col("chunk_id") * stride + 1, lit(chunkSize)))
+          .as("chunk"),
+        least(lit(chunkSize),
+          size(col("_w")) - col("chunk_id") * stride).cast("long")
+          .as("n_tokens"))
+  }
+
   /** Unigram-LM perplexity scoring (the CCNet-style quality proxy, with
     * the corpus itself as the LM): per-doc average negative log of each
     * token's corpus MLE probability, exponentiated. Low perplexity =

@@ -1254,6 +1254,33 @@ object TextQueries {
         .orderBy(col("id")),
     phraseOracle)
 
+  /** RAG-style overlapping chunking (16-token windows every 8): the
+    * oracle replays the tokenize → start-offset fan-out → slice cascade;
+    * chunk text itself is compared, so slicing must agree to the token.
+    */
+  val textChunkOverlap = Q(
+    "text_chunk_overlap",
+    (s, d) => TextAnalysis.chunkOverlap(
+        T.documents(s, d), "doc_id", "text", chunkSize = 16, stride = 8)
+      .orderBy(col("id"), col("chunk_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> len(x) > 0) AS w
+        FROM documents),
+      t2 AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+      c AS (
+        SELECT doc_id, w, n,
+               CAST(unnest(generate_series(0,
+                 CAST(CEIL(n * 1.0 / 8) AS INT) - 1)) AS INT) AS chunk_id
+        FROM t2)
+      SELECT doc_id AS id, chunk_id,
+             array_to_string(w[chunk_id * 8 + 1 : chunk_id * 8 + 16], ' ')
+               AS chunk,
+             CAST(LEAST(16, n - chunk_id * 8) AS BIGINT) AS n_tokens
+      FROM c ORDER BY id, chunk_id"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
@@ -1262,5 +1289,5 @@ object TextQueries {
     textDsirIndexed, textNbClassify, textCluster, textHeavyGrams,
     textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank,
     textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels,
-    textLmPplKn)
+    textLmPplKn, textChunkOverlap)
 }

@@ -908,11 +908,59 @@ object RelQueries {
              LEFT JOIN p ON p.user_id = v.user_id
       ORDER BY 1"""))
 
+  /** SCD type-2 history derivation from a change log — the warehouse
+    * maintenance pattern behind every slowly-changing dimension: collapse
+    * each user's event stream to its `event_type` CHANGE points, then
+    * stamp each state with its validity interval ([valid_from, valid_to),
+    * open-ended for the current state) and version number. Two window
+    * passes over ONE user_id shuffle + per-partition sort (the lag
+    * change-detect and the lead/row_number stamping share the same
+    * partitioning, so Catalyst plans a single Exchange); no joins, no
+    * fan-out — at 100 TB the cost is exactly the event table's key
+    * shuffle, and the output is bounded by the true change count.
+    */
+  val q32Scd2 = Q(
+    "q32_scd2",
+    (s, d) => {
+      import s.implicits._
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T.events(s, d)
+        .withColumn("_prev", lag($"event_type", 1).over(w))
+        .filter($"_prev".isNull || $"_prev" =!= $"event_type")
+        .withColumn("_to", lead($"ts", 1).over(w))
+        .withColumn("version", row_number().over(w))
+        .select($"user_id", $"event_type".as("state"),
+          date_format($"ts", fmt).as("valid_from"),
+          date_format($"_to", fmt).as("valid_to"),
+          $"version", $"_to".isNull.as("is_current"))
+        .orderBy($"user_id", $"version")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events),
+      ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+      v AS (
+        SELECT user_id, event_type, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS vt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS INT) AS version
+        FROM ch)
+      SELECT user_id, event_type AS state,
+             STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             STRFTIME(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             version, vt IS NULL AS is_current
+      FROM v ORDER BY user_id, version"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
     q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded,
     q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow,
-    q30RangeFrame, q31Funnel)
+    q30RangeFrame, q31Funnel, q32Scd2)
 }
