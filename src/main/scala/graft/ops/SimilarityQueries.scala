@@ -1123,10 +1123,73 @@ object SimilarityQueries {
       SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Top-principal-component projection (LinAlg.pca at 3 power
+    * iterations, k=1): the oracle replays the WHOLE eigen path in SQL —
+    * mean, full covariance, three matvec+normalize power rounds, the
+    * largest-|loading|-positive sign fix, and the centered projection.
+    * Three iterations (not the production default 100) keep the oracle
+    * CTE chain short; determinism is identical either way (fixed start,
+    * no RNG), and power iteration is contractive so the engines' float
+    * paths converge toward the same axis rather than drifting apart.
+    */
+  val embPcaProject = Q(
+    "emb_pca_project",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val model = LinAlg.pca(emb, "embedding", k = 1, powerIters = 3)
+      LinAlg.projectPca(emb, "embedding", model, "proj")
+        .select(col("vec_id"),
+          (round(element_at(col("proj"), 1), 4) + lit(0.0)).as("pc1"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT vec_id, CAST(i AS INT) AS i,
+               CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xv
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, 64)) AS i
+              FROM embeddings)),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM embeddings),
+      m AS (SELECT i, SUM(xv) / n.c AS mv
+            FROM x CROSS JOIN n GROUP BY i, n.c),
+      cov AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(a.xv * b.xv) / n.c - ma.mv * mb.mv AS cv
+        FROM x a JOIN x b ON a.vec_id = b.vec_id
+        CROSS JOIN n
+        JOIN m ma ON ma.i = a.i
+        JOIN m mb ON mb.i = b.i
+        GROUP BY a.i, b.i, n.c, ma.mv, mb.mv),
+      v0 AS (SELECT DISTINCT i, 1.0 / SQRT(64.0) AS vv FROM x),
+      w1 AS (SELECT cov.i, SUM(cov.cv * v0.vv) AS wv
+             FROM cov JOIN v0 ON v0.i = cov.j GROUP BY cov.i),
+      s1 AS (SELECT SQRT(SUM(wv * wv)) AS nn FROM w1),
+      v1 AS (SELECT i, wv / s1.nn AS vv FROM w1 CROSS JOIN s1),
+      w2 AS (SELECT cov.i, SUM(cov.cv * v1.vv) AS wv
+             FROM cov JOIN v1 ON v1.i = cov.j GROUP BY cov.i),
+      s2 AS (SELECT SQRT(SUM(wv * wv)) AS nn FROM w2),
+      v2 AS (SELECT i, wv / s2.nn AS vv FROM w2 CROSS JOIN s2),
+      w3 AS (SELECT cov.i, SUM(cov.cv * v2.vv) AS wv
+             FROM cov JOIN v2 ON v2.i = cov.j GROUP BY cov.i),
+      s3 AS (SELECT SQRT(SUM(wv * wv)) AS nn FROM w3),
+      v3 AS (SELECT i, wv / s3.nn AS vv FROM w3 CROSS JOIN s3),
+      sgn AS (SELECT vv FROM v3 ORDER BY ABS(vv) DESC, i LIMIT 1),
+      comp AS (
+        SELECT v3.i,
+               CASE WHEN sgn.vv < 0 THEN -v3.vv ELSE v3.vv END AS cv
+        FROM v3 CROSS JOIN sgn),
+      proj AS (
+        SELECT x.vec_id, SUM((x.xv - m.mv) * comp.cv) AS p
+        FROM x JOIN m ON m.i = x.i JOIN comp ON comp.i = x.i
+        GROUP BY x.vec_id)
+      SELECT vec_id, ROUND(p, 4) + 0.0 AS pc1
+      FROM proj ORDER BY vec_id"""))
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
       embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe,
       embHybridRrf, embAnnCompactedSearch, embAnnRebalancedSearch,
-      embCovariance, embSq8TopK, embSq8Recall, embRpTopK)
+      embCovariance, embSq8TopK, embSq8Recall, embRpTopK, embPcaProject)
 }

@@ -94,6 +94,39 @@ object SourceQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Z-order clustered layout + box query (see [[ZOrder]]): events are
+    * rewritten Morton-ordered on (user_id, event-time), then a
+    * two-dimensional box predicate runs against the CLUSTERED layout while
+    * the oracle runs the same predicate on the original table — the
+    * layout must be content-invisible. The locality win (few files hold
+    * the box) is spec-asserted in ZOrderSpec; this row gates that the
+    * maintenance rewrite never changes query results.
+    */
+  val srcZorderBox = Q(
+    "src_zorder_box",
+    (s, d) => {
+      import org.apache.spark.sql.functions.unix_micros
+      val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+      val ev = graft.Tables.events(s, d)
+      ZOrder.writeZOrdered(ev, dir, col("user_id"),
+        unix_micros(col("ts").cast("timestamp")), bits = 12, nFiles = 32)
+      s.read.parquet(dir)
+        .filter(col("user_id").between(100, 199) &&
+          col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+             ROUND(value, 3) AS value
+      FROM events
+      WHERE user_id BETWEEN 100 AND 199 AND event_type = 'click'
+      ORDER BY event_id"""))
+
   def all: Seq[Q] =
-    Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin)
+    Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
+      srcZorderBox)
 }

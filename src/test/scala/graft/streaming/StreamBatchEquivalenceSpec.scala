@@ -1045,4 +1045,34 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$sDir/buckets").count() == nRows)
     assert(DedupStream.committedBatchId(spark, sDir) == 1L)
   }
+
+  test("streamed chunking == batch chunkOverlap (stateless, append mode)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // chunkOverlap is row-local (sequence + slice explode, no aggregation,
+    // no watermark), so it runs unchanged on a streaming frame in append
+    // mode and batch boundaries cannot affect output — the RAG segmenter
+    // drops into an ingest pipeline as-is
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until (i % 7).toInt * 5).map(t => s"d${i}w$t").mkString(" ")))
+    val batch = graft.ops.TextAnalysis.chunkOverlap(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 6, 3)
+      .as[(Long, Int, String, Long)].collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.ops.TextAnalysis.chunkOverlap(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", 6, 3)
+      .writeStream.format("memory").queryName("chunkeq")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(11): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(11): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunkeq")
+        .as[(Long, Int, String, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
 }
