@@ -985,8 +985,19 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       queryPred: Column, maxHamming: Int, bits: Int = 64,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sig = simhash64(df, idCol, textCol)
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    hammingPairs(simhash64(df, idCol, textCol), queryPred, maxHamming,
+      bits, maxBucket)
+
+  /** The signature-agnostic body of [[simhashPairs]]: all (a < b) pairs
+    * within `maxHamming` over ANY (id, simhash) table — SimHash text
+    * signatures, perceptual image hashes ([[Multimodal.aHash64]]),
+    * whatever packs similarity into bit agreement. Same
+    * (maxHamming+1)-band pigeonhole cascade, exact candidate recall up
+    * to the hot-bucket cap, same at-least-one-query gate.
+    */
+  def hammingPairs(sig: DataFrame, queryPred: Column, maxHamming: Int,
+      bits: Int = 64, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val nBands = maxHamming + 1
     // band i covers bits [i*bits/nBands, (i+1)*bits/nBands) — widths differ
     // by at most 1; all `bits` bits are covered exactly once. shiftright is

@@ -330,6 +330,51 @@ object Multimodal {
       }
   }
 
+  /** 64-bit average-hash (aHash) perceptual signature per media row: the
+    * decoded plane shrinks to 8×8 by the same nearest-neighbor
+    * [[resizePlane]] the resize op uses, and bit p is set when resized
+    * pixel p exceeds the 64-pixel mean — the classic perceptual-dedup
+    * signature (near-identical images agree on almost every bit; crops/
+    * re-encodes flip a few). Row-local, one pass; the hash is what gets
+    * STORED at scale (8 bytes per image, not the image).
+    */
+  def aHash64(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val p = decode(r)
+      val small = resizePlane(p.bytes, p.width, p.height, 8, 8)
+      var sum = 0L
+      var i = 0
+      while (i < 64) { sum += (small(i) & 0xff); i += 1 }
+      // /64.0 is exact (power-of-two denominator) — the oracle's AVG
+      // computes the identical double, so the > threshold can never
+      // straddle an engine rounding difference
+      val mean = sum / 64.0
+      var h = 0L
+      i = 0
+      while (i < 64) {
+        if ((small(i) & 0xff) > mean) h |= (1L << i)
+        i += 1
+      }
+      (r.id, h)
+    }.toDF("id", "phash")
+  }
+
+  /** Perceptual near-dup pairs over the media table: [[aHash64]]
+    * signatures through [[Dedup.hammingPairs]]'s pigeonhole-band cascade
+    * — image dedup with the same scale posture as text SimHash dedup
+    * (banded equi-join candidates, never all-pairs; hot buckets capped).
+    * Output (a, b, hamming), a < b, at least one side matching
+    * `queryPred` (over the id).
+    */
+  def aHashPairs(media: Dataset[MediaRow],
+      queryPred: org.apache.spark.sql.Column, maxHamming: Int,
+      maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): DataFrame =
+    graft.ops.Dedup.hammingPairs(
+      aHash64(media).withColumnRenamed("phash", "simhash"),
+      queryPred, maxHamming, bits = 64, maxBucket = maxBucket)
+
   /** Build a media table from the documents corpus (text bytes as payload —
     * the stand-in for real image/audio blobs in this environment).
     */

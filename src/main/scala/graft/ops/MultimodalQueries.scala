@@ -170,6 +170,50 @@ object MultimodalQueries {
     },
     Some("SELECT doc_id, text FROM documents ORDER BY doc_id"))
 
+  /** Perceptual (aHash) image near-dup pairs: the oracle replays the
+    * nearest-neighbor 8×8 resize (the mm_resize formula), the 64-pixel
+    * mean threshold, the bit-63-safe hash packing, and a brute-force
+    * Hamming join — the banded cascade's candidate recall is exact
+    * (pigeonhole), so the outputs must agree pair-for-pair.
+    */
+  val mmPhashPairs = Q(
+    "mm_phash_pairs",
+    (s, d) => {
+      val media = Multimodal.mediaFromDocuments(s, T.documents(s, d))
+      Multimodal.aHashPairs(media, col("id") % 20 === 0, maxHamming = 8)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+               (length(text) // 16) + 1 AS h,
+               unnest(generate_series(0, 63)) AS p
+        FROM documents),
+      px AS (
+        SELECT doc_id, p,
+               CASE WHEN idx < len
+                    THEN unicode(substr(text, CAST(idx AS INT) + 1, 1))
+                    ELSE 0 END AS pix
+        FROM (SELECT doc_id, len, text, p,
+                     ((p // 8) * h // 8) * 16 + ((p % 8) * 16 // 8) AS idx
+              FROM g)),
+      m AS (SELECT doc_id, SUM(pix) / 64.0 AS mean FROM px GROUP BY 1),
+      sig AS (
+        SELECT px.doc_id AS id,
+               CAST(SUM(CASE WHEN pix <= mean THEN 0
+                             WHEN p = 63
+                             THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                             ELSE (CAST(1 AS BIGINT) << CAST(p AS INT)) END)
+                    AS BIGINT) AS ph
+        FROM px JOIN m USING (doc_id) GROUP BY 1)
+      SELECT q.id AS a, c.id AS b,
+             CAST(bit_count(xor(q.ph, c.ph)) AS INT) AS hamming
+      FROM sig q JOIN sig c ON q.id < c.id
+      WHERE (q.id % 20 = 0 OR c.id % 20 = 0)
+        AND bit_count(xor(q.ph, c.ph)) <= 8
+      ORDER BY a, b"""))
+
   def all: Seq[Q] = Seq(mmFeatures, mmResize, mmFrameSample, mmAudio,
-    mmWdsRoundtrip)
+    mmWdsRoundtrip, mmPhashPairs)
 }

@@ -919,24 +919,16 @@ object RelQueries {
     * fan-out — at 100 TB the cost is exactly the event table's key
     * shuffle, and the output is bounded by the true change count.
     */
-  val q32Scd2 = Q(
-    "q32_scd2",
-    (s, d) => {
-      import s.implicits._
-      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      T.events(s, d)
-        .withColumn("_prev", lag($"event_type", 1).over(w))
-        .filter($"_prev".isNull || $"_prev" =!= $"event_type")
-        .withColumn("_to", lead($"ts", 1).over(w))
-        .withColumn("version", row_number().over(w))
-        .select($"user_id", $"event_type".as("state"),
-          date_format($"ts", fmt).as("valid_from"),
-          date_format($"_to", fmt).as("valid_to"),
-          $"version", $"_to".isNull.as("is_current"))
-        .orderBy($"user_id", $"version")
-    },
-    Some("""
+  private val scd2Fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private def scd2Formatted(hist: org.apache.spark.sql.DataFrame) =
+    hist.select(col("user_id"), col("state"),
+      date_format(col("valid_from"), scd2Fmt).as("valid_from"),
+      date_format(col("valid_to"), scd2Fmt).as("valid_to"),
+      col("version"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+
+  private val scd2OracleSql = """
       WITH o AS (
         SELECT user_id, ts, event_id, event_type,
                LAG(event_type) OVER (PARTITION BY user_id
@@ -954,7 +946,36 @@ object RelQueries {
              STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
              STRFTIME(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
              version, vt IS NULL AS is_current
-      FROM v ORDER BY user_id, version"""))
+      FROM v ORDER BY user_id, version"""
+
+  val q32Scd2 = Q(
+    "q32_scd2",
+    (s, d) => scd2Formatted(Scd2.build(T.events(s, d))),
+    Some(scd2OracleSql))
+
+  /** Incremental SCD2 maintenance: build the persisted history on the
+    * first 90% of the time range, fold the trailing 10% in via
+    * [[Scd2.merge]] (touched-users-only, O(batch)), and hash-match the
+    * SAME full-recompute oracle as q32 — the merge must be
+    * indistinguishable from a rebuild, the house contract every
+    * incremental index row proves (dedup_index_search, text_bm25_indexed,
+    * ModesSpec appends).
+    */
+  val q33Scd2Incr = Q(
+    "q33_scd2_incr",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .withColumn("_us", unix_micros($"ts".cast("timestamp")))
+      // 90%-of-timespan cutoff from two bounded driver scalars
+      val r = ev.agg(min($"_us"), max($"_us")).head()
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 9 / 10
+      val dir = java.nio.file.Files.createTempDirectory("scd2i").toString
+      Scd2.init(ev.filter($"_us" < cut).drop("_us"), dir)
+      Scd2.merge(s, dir, ev.filter($"_us" >= cut).drop("_us"))
+      scd2Formatted(s.read.parquet(s"$dir/history"))
+    },
+    Some(scd2OracleSql))
 
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
@@ -962,5 +983,5 @@ object RelQueries {
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
     q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded,
     q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow,
-    q30RangeFrame, q31Funnel, q32Scd2)
+    q30RangeFrame, q31Funnel, q32Scd2, q33Scd2Incr)
 }

@@ -41,6 +41,80 @@ class Scd2Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  private def evDf(rows: Seq[(Long, String, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "s", "user_id", "event_type")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+  }
+
+  private def histSet(path: String) =
+    spark.read.parquet(s"$path/history")
+      .select(col("user_id"), col("state"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("version"), col("is_current"))
+      .collect().map(_.toString).toSet
+
+  test("merge == full rebuild: change, no-change, new-user, seed-only") {
+    val early = evDf(Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "a"),
+      (2L, "2024-01-01 01:00:00", 7L, "b"),
+      (3L, "2024-01-01 00:00:00", 8L, "x"),
+      (4L, "2024-01-01 00:00:00", 9L, "p")))
+    val late = evDf(Seq(
+      (5L, "2024-01-02 00:00:00", 7L, "b"),   // no-change: still b
+      (6L, "2024-01-02 01:00:00", 7L, "a"),   // change: new version
+      (7L, "2024-01-02 00:00:00", 8L, "y"),   // change
+      (8L, "2024-01-02 00:00:00", 10L, "n"))) // brand-new user
+    // user 9 untouched by the batch: rows must pass through verbatim
+    val inc = java.nio.file.Files.createTempDirectory("scd2m").toString
+    Scd2.init(early, inc)
+    Scd2.merge(spark, inc, late)
+    val full = java.nio.file.Files.createTempDirectory("scd2f").toString
+    Scd2.init(early.unionByName(late), full)
+    assert(histSet(inc) == histSet(full))
+    // and the watermark advanced for batch users only
+    val last = spark.read.parquet(s"$inc/last")
+      .select(col("user_id"), col("last_ts").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(last(7L).startsWith("2024-01-02 01"))
+    assert(last(9L).startsWith("2024-01-01 00"))
+    assert(last(10L).startsWith("2024-01-02 00"))
+  }
+
+  test("stale events at or before the user watermark are dropped, not folded") {
+    val early = evDf(Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "a"),
+      (2L, "2024-01-01 02:00:00", 7L, "b")))
+    val stale = evDf(Seq(
+      (3L, "2024-01-01 01:00:00", 7L, "c"),   // between collapsed history
+      (4L, "2024-01-01 02:00:00", 7L, "c")))  // exactly at the watermark
+    val dir = java.nio.file.Files.createTempDirectory("scd2s").toString
+    Scd2.init(early, dir)
+    val before = histSet(dir)
+    Scd2.merge(spark, dir, stale)
+    assert(histSet(dir) == before,
+      "stale events changed collapsed history")
+  }
+
+  test("randomized: 3 sequential merges == one full rebuild") {
+    val rnd = new scala.util.Random(19)
+    val all = (0 until 400).map { i =>
+      (i.toLong, f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00",
+        rnd.nextInt(12).toLong, Seq("a", "b", "c")(rnd.nextInt(3)))
+    }
+    // time-ordered batches (the append-only contract)
+    val Seq(b1, b2, b3) = Seq(all.slice(0, 200), all.slice(200, 300),
+      all.slice(300, 400)).map(evDf)
+    val inc = java.nio.file.Files.createTempDirectory("scd2r").toString
+    Scd2.init(b1, inc)
+    Scd2.merge(spark, inc, b2)
+    Scd2.merge(spark, inc, b3)
+    val full = java.nio.file.Files.createTempDirectory("scd2rf").toString
+    Scd2.init(evDf(all), full)
+    assert(histSet(inc) == histSet(full))
+  }
+
   test("hand-built change log collapses repeats and stamps intervals") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 7L, "a", 0.0, "{}"),
