@@ -977,11 +977,78 @@ object RelQueries {
     },
     Some(scd2OracleSql))
 
+  /** Column profiler — the schema-drift / data-quality telemetry every
+    * warehouse runs before trusting a new drop: per-column non-null and
+    * exact-distinct counts plus numeric min/max, ONE row per profiled
+    * column. One aggregation job (Spark plans the multi-distinct via its
+    * Expand operator — one shuffle carrying k tagged copies, k = profiled
+    * columns, the standard exact-multi-distinct trade); the single result
+    * row unpivots row-locally. String columns report null min/max —
+    * cross-engine string collation never enters the hash compare.
+    */
+  val q34Profile = Q(
+    "q34_profile",
+    (s, d) => {
+      import s.implicits._
+      val num = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val str = Seq("l_returnflag", "l_linestatus")
+      val aggs = (num ++ str).flatMap { c =>
+        Seq(count(col(c)).as(s"${c}__n"),
+          countDistinct(col(c)).as(s"${c}__d"))
+      } ++ num.flatMap { c =>
+        Seq(round(min(col(c)), 4).as(s"${c}__mn"),
+          round(max(col(c)), 4).as(s"${c}__mx"))
+      }
+      val one = T.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = (num ++ str).map { c =>
+        struct(lit(c).as("col_name"), col(s"${c}__n").as("n_nonnull"),
+          col(s"${c}__d").as("n_distinct"),
+          (if (num.contains(c)) col(s"${c}__mn")
+           else lit(null).cast("double")).as("min_num"),
+          (if (num.contains(c)) col(s"${c}__mx")
+           else lit(null).cast("double")).as("max_num"))
+      }
+      one.select(explode(array(rows: _*)).as("p"))
+        .select($"p.col_name", $"p.n_nonnull", $"p.n_distinct",
+          $"p.min_num", $"p.max_num")
+        .orderBy($"col_name")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'l_quantity' AS col_name,
+               CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+               ROUND(MIN(l_quantity), 4) AS min_num,
+               ROUND(MAX(l_quantity), 4) AS max_num FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(COUNT(l_extendedprice) AS BIGINT),
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+               ROUND(MIN(l_extendedprice), 4),
+               ROUND(MAX(l_extendedprice), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+               CAST(COUNT(l_discount) AS BIGINT),
+               CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+               ROUND(MIN(l_discount), 4),
+               ROUND(MAX(l_discount), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag',
+               CAST(COUNT(l_returnflag) AS BIGINT),
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus',
+               CAST(COUNT(l_linestatus) AS BIGINT),
+               CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem)
+      ORDER BY col_name"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
     q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded,
     q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow,
-    q30RangeFrame, q31Funnel, q32Scd2, q33Scd2Incr)
+    q30RangeFrame, q31Funnel, q32Scd2, q33Scd2Incr, q34Profile)
 }

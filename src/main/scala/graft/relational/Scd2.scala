@@ -52,6 +52,16 @@ object Scd2 {
       .write.mode("overwrite").parquet(s"$path/last")
   }
 
+  /** [[merge]] when the history exists, [[init]] otherwise — the form a
+    * streaming sink's first micro-batch needs.
+    */
+  def mergeOrInit(spark: SparkSession, path: String,
+      batch: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/history")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) merge(spark, path, batch) else init(batch, path)
+  }
+
   /** Fold `batch` (new events, per-user later than the stored watermark)
     * into the persisted history. Equivalence contract: after merge, the
     * history equals [[build]] over the concatenated log (spec- and

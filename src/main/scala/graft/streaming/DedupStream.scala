@@ -449,6 +449,31 @@ object DedupStream {
     }
   }
 
+  /** Streaming SCD2 dimension maintenance: each micro-batch of events
+    * folds into the persisted history via `relational.Scd2.mergeOrInit` —
+    * touched-users-only O(batch) windows per trigger, the event-log-to-
+    * dimension-table pipeline as a live stream. Exactly-once under
+    * foreachBatch replay TWICE over: the shared batchId high-watermark
+    * skips redelivered batches outright, and Scd2's own per-user ts
+    * watermark makes even an unguarded replay a no-op (every replayed
+    * event sits at or below its user's last_ts and is dropped) — the
+    * belt-and-braces a table that REWRITES history wants.
+    */
+  def scd2Sink(events: DataFrame, path: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processScd2Batch(batch, batchId, path)
+    }
+
+  /** One micro-batch of [[scd2Sink]], exposed for replay testing. */
+  def processScd2Batch(batch: DataFrame, batchId: Long,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    if (batchId > committedBatchId(spark, path)) {
+      graft.relational.Scd2.mergeOrInit(spark, path, batch)
+      commitBatchId(spark, path, batchId)
+    }
+  }
+
   /** Streaming ingest into a persisted DSIR distribution index: each
     * micro-batch folds its hashed-feature bucket counts into
     * `<path>/buckets` via `ops.TextAnalysis.appendToDsirIndex` — O(batch)
