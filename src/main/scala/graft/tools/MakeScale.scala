@@ -64,6 +64,25 @@ object MakeScale {
     }.reduce(_ unionByName _)
     embK.repartition(32).write.mode("overwrite")
       .parquet(s"$dst/embeddings.parquet")
+    // events replicate on the USER axis (user_id + replica stride,
+    // event_id re-keyed, ts untouched): every per-user construct —
+    // windows, sessions, funnels, SCD2 histories, as-of matches — is
+    // EXACTLY the source corpus's within each replica and disjoint
+    // across replicas, so event-family outputs scale linearly with no
+    // cross-replica interference and no artificial time densification
+    // (per-hour window groups keep k× the rows, the shuffle's real
+    // scale axis). Closes the standing "events rows have no ×10 leg"
+    // gap (BASELINE §e).
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evK = (0 until k).map { i =>
+      ev.select(
+        (F.col("event_id") + F.lit(i * stride)).as("event_id"),
+        F.col("ts"),
+        (F.col("user_id") + F.lit(i * stride)).as("user_id"),
+        F.col("event_type"), F.col("value"), F.col("props"))
+    }.reduce(_ unionByName _)
+    evK.repartition(32).write.mode("overwrite")
+      .parquet(s"$dst/events.parquet")
     println(s"[makescale] wrote ${k}x $src -> $dst")
     spark.stop()
   }
