@@ -1044,11 +1044,43 @@ object RelQueries {
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem)
       ORDER BY col_name"""))
 
+  /** Salted skew join under the driver gate: the fact⨝fact join runs
+    * through `SkewJoin.saltedHotKeys` (hot orderkeys salted across 8
+    * buckets, the cold tail joined plainly) and must aggregate to the
+    * SAME revenue rows as the plain join — the salt changes row routing,
+    * never multiplicity, so the rand() inside is content-invisible (the
+    * oracle is the unsalted join). The manual fallback for heavy-hitter
+    * keys where AQE's skew splitting can't reach (e.g. a shingle/k-mer
+    * key with a double-digit share of all rows).
+    */
+  val q35SkewJoin = Q(
+    "q35_skew_join",
+    (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val o = T.orders(s, d)
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      graft.ops.SkewJoin.saltedHotKeys(li, o, "l_orderkey", buckets = 8,
+          hotThreshold = 4)
+        .groupBy($"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
     q15Sessionize, q16Rollup, q17SetOps, q18Asof, q19Range, q20AsofFwd,
     q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded,
     q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow,
-    q30RangeFrame, q31Funnel, q32Scd2, q33Scd2Incr, q34Profile)
+    q30RangeFrame, q31Funnel, q32Scd2, q33Scd2Incr, q34Profile,
+    q35SkewJoin)
 }

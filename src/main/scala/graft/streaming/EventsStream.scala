@@ -245,6 +245,51 @@ object EventsStream {
         rightOut: _*)
   }
 
+  final case class FunnelUpdate(user_id: Long, view_ts: Option[java.sql.Timestamp],
+      click_ts: Option[java.sql.Timestamp],
+      purchase_ts: Option[java.sql.Timestamp], stage: Int)
+
+  /** Streaming conversion funnel — q31's twin as a per-user state
+    * machine: track the greedy-earliest view→click→purchase chain in
+    * `mapGroupsWithState` (one (vt, ct, pt) triple per user, advanced
+    * monotonically; a stage timestamp is set once, by the earliest
+    * qualifying event, and never moves — exactly the batch query's
+    * min-aggregation semantics under a ts-ordered feed). Each trigger
+    * emits every updated user's CURRENT funnel row (update mode);
+    * downstream keeps the latest row per user. State is one fixed-size
+    * triple per user — bounded by the user population, not the event
+    * volume, which is what makes a billion-event funnel streamable.
+    *
+    * Feed contract: per-user ts-nondecreasing arrival (the sessionize
+    * default) — a click can only chain after a view that already
+    * arrived, which is also true of the batch recurrence it mirrors.
+    */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val Unset = Long.MaxValue
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), FunnelUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+          var (vt, ct, pt) = state.getOption.getOrElse((Unset, Unset, Unset))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if vt == Unset => vt = t
+              case "click" if vt != Unset && ct == Unset && t > vt => ct = t
+              case "purchase" if ct != Unset && pt == Unset && t > ct =>
+                pt = t
+              case _ =>
+            }
+          }
+          state.update((vt, ct, pt))
+          def opt(v: Long) =
+            if (v == Unset) None else Some(new java.sql.Timestamp(v))
+          val stage = Seq(vt, ct, pt).count(_ != Unset)
+          FunnelUpdate(uid, opt(vt), opt(ct), opt(pt), stage)
+      }
+  }
+
   /** Gap-based sessionization with custom state — the streaming twin of
     * q15_sessionize: a session closes once a later event arrives more than
     * `gapSeconds` after it, OR once the event-time watermark passes its

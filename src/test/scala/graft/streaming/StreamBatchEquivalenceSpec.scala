@@ -1080,6 +1080,54 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(hist(dir) == hist(full))
   }
 
+  test("streamed funnel state == batch q31 greedy-earliest chain") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // real sf0.001 events, split into two ts-ordered micro-batches at the
+    // median event time (the funnel's feed contract)
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventsStream.Event]
+    val q = EventsStream.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funneleq")
+      .outputMode("update").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // latest update per user, users with at least a view
+      val streamed = spark.table("funneleq")
+        .withColumn("_r", monotonically_increasing_id())
+        .groupBy($"user_id")
+        .agg(max_by(struct($"view_ts", $"click_ts", $"purchase_ts",
+          $"stage"), $"_r").as("s"))
+        .select($"user_id", $"s.view_ts", $"s.click_ts",
+          $"s.purchase_ts", $"s.stage")
+        .filter($"stage" >= 1)
+        .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+          Option[java.sql.Timestamp], Int)]
+        .collect().map(r => (r._1, r._2.map(_.getTime),
+          r._3.map(_.getTime), r._4.map(_.getTime), r._5)).toSet
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      def parse(s: String) = Option(s).map { v =>
+        java.sql.Timestamp.valueOf(v).getTime
+      }
+      val batch = graft.relational.RelQueries.q31Funnel
+        .run(spark, "/root/testdata/sf0.001")
+        .as[(Long, String, String, String, Int)]
+        .collect().map(r => (r._1, parse(r._2), parse(r._3), parse(r._4),
+          r._5)).toSet
+      assert(streamed == batch && batch.exists(_._5 == 3))
+    } finally q.stop()
+  }
+
   test("streamed chunking == batch chunkOverlap (stateless, append mode)") {
     val spark = TestSpark.spark
     import spark.implicits._
