@@ -1281,6 +1281,76 @@ object TextQueries {
              CAST(LEAST(16, n - chunk_id * 8) AS BIGINT) AS n_tokens
       FROM c ORDER BY id, chunk_id"""))
 
+  /** RAG retrieval composition: overlapping chunks ([[TextAnalysis
+    * .chunkOverlap]]) become the retrieval units, BM25 ranks THEM — the
+    * actual retrieval-augmented-generation pattern (passage-level
+    * retrieval, not document-level). The oracle replays chunking AND the
+    * full BM25 chain over the chunk table; the composite chunk key
+    * (doc_id·10⁴ + chunk_id) is derived row-locally both ways.
+    */
+  val textRagRetrieve = Q(
+    "text_rag_retrieve",
+    (s, d) => {
+      val chunks = TextAnalysis.chunkOverlap(
+          T.documents(s, d), "doc_id", "text", chunkSize = 16, stride = 8)
+        .select((col("id") * 10000 + col("chunk_id")).as("chunk_key"),
+          col("chunk"))
+      // top-k cut on the ROUNDED score: chunk-level BM25 produces dense
+      // tie groups (identical tf/dl patterns), so a raw-double cut sits
+      // on engine float-path noise; rounding first makes the boundary
+      // engine-stable and the id tie-break total (oracle cuts the same)
+      TextAnalysis.bm25(chunks, "chunk_key", "chunk",
+          Seq("hash", "join", "vector"), k1 = 1.2, b = 0.75,
+          topK = Int.MaxValue)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("id")).limit(20)
+        .select(expr("id div 10000").as("doc_id"),
+          (col("id") % 10000).cast("int").as("chunk_id"),
+          col("score"), col("n_matched"))
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+    },
+    Some("""
+      WITH t0 AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> len(x) > 0) AS w
+        FROM documents),
+      t1 AS (SELECT doc_id, w, len(w) AS n FROM t0 WHERE len(w) > 0),
+      cg AS (
+        SELECT doc_id, w,
+               CAST(unnest(generate_series(0,
+                 CAST(CEIL(n * 1.0 / 8) AS INT) - 1)) AS INT) AS chunk_id
+        FROM t1),
+      ch AS (
+        SELECT doc_id * 10000 + chunk_id AS id,
+               array_to_string(w[chunk_id * 8 + 1 : chunk_id * 8 + 16], ' ')
+                 AS chunk
+        FROM cg),
+      tok AS (
+        SELECT id, unnest(regexp_split_to_array(lower(chunk), '\s+')) AS tok
+        FROM ch),
+      t AS (SELECT id, tok FROM tok WHERE length(tok) > 0),
+      dl AS (SELECT id, COUNT(*) AS dl FROM t GROUP BY 1),
+      stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      tf AS (SELECT id, tok, COUNT(*) AS tf FROM t
+             WHERE tok IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+      dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.id,
+               SUM(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                 AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM tf JOIN dfq USING (tok) JOIN dl USING (id), stats s
+        GROUP BY 1),
+      cut AS (
+        SELECT id, ROUND(score, 4) AS score, n_matched FROM sc
+        ORDER BY ROUND(score, 4) DESC, id LIMIT 20)
+      SELECT id // 10000 AS doc_id, CAST(id % 10000 AS INT) AS chunk_id,
+             score, n_matched
+      FROM cut ORDER BY score DESC, doc_id, chunk_id"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
@@ -1289,5 +1359,5 @@ object TextQueries {
     textDsirIndexed, textNbClassify, textCluster, textHeavyGrams,
     textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank,
     textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels,
-    textLmPplKn, textChunkOverlap)
+    textLmPplKn, textChunkOverlap, textRagRetrieve)
 }
