@@ -48,6 +48,9 @@ object Maintenance {
     * new directory, never a mix; a crash between the renames leaves the
     * old data under `<target>__old`.
     */
+  private[graft] def swapParquetDir(spark: SparkSession, target: String,
+      tmp: String): Unit = swapDir(spark, target, tmp)
+
   private[ops] def swapDir(spark: SparkSession, target: String,
       tmp: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -68,7 +68,42 @@ object ZOrder {
     * derivable — storing it would change the schema the oracle compares).
     */
   def writeZOrdered(df: DataFrame, path: String, exprA: Column,
-      exprB: Column, bits: Int = 16, nFiles: Int = 32): Unit = {
+      exprB: Column, bits: Int = 16, nFiles: Int = 32): Unit =
+    zOrderedWriter(df, exprA, exprB, bits, nFiles)
+      .mode("overwrite").parquet(path)
+
+  /** Append a batch to an existing z-ordered table WITHOUT touching its
+    * files — O(batch), the streaming-ingest write shape. The batch is
+    * z-sorted within its own file(s) against ITS OWN min/max (z-values
+    * are derived, never stored, so differing bucket bounds per append
+    * cannot affect content — only each file set's internal locality).
+    * Box queries stay exactly correct; locality degrades as appends
+    * accumulate, and [[compactZOrdered]] restores it.
+    */
+  def appendZOrdered(df: DataFrame, path: String, exprA: Column,
+      exprB: Column, bits: Int = 16, nFiles: Int = 4): Unit =
+    zOrderedWriter(df, exprA, exprB, bits, nFiles)
+      .mode("append").parquet(path)
+
+  /** Re-cluster the whole table (original + appends) into one fresh
+    * Morton layout — the LSM-style maintenance counterpart of
+    * [[appendZOrdered]], with the same rename-swap visibility contract as
+    * every compactor in `ops.Maintenance` (readers see old or new layout,
+    * never a mix; old data survives under `<path>__old` until the swap
+    * lands). Content-identical; single-writer window.
+    */
+  def compactZOrdered(spark: org.apache.spark.sql.SparkSession,
+      path: String, exprA: Column, exprB: Column, bits: Int = 16,
+      nFiles: Int = 32): Unit = {
+    val base = path.stripSuffix("/")
+    val tmp = s"${base}__zorder_tmp"
+    writeZOrdered(spark.read.parquet(base), tmp, exprA, exprB, bits,
+      nFiles)
+    graft.ops.Maintenance.swapParquetDir(spark, base, tmp)
+  }
+
+  private def zOrderedWriter(df: DataFrame, exprA: Column, exprB: Column,
+      bits: Int, nFiles: Int) = {
     val r = df.agg(min(exprA), max(exprA), min(exprB), max(exprB)).head()
     require(!r.isNullAt(0) && !r.isNullAt(2),
       "writeZOrdered: empty input or null axis values")
@@ -79,6 +114,6 @@ object ZOrder {
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write.mode("overwrite").parquet(path)
+      .write
   }
 }

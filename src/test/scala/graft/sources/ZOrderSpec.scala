@@ -50,6 +50,38 @@ class ZOrderSpec extends AnyFunSuite {
     assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
   }
 
+  test("append + compact: content identical, file count restored") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val tsExpr = unix_micros(col("ts").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("zac").toString + "/t"
+    val (base, tail) = {
+      val rows = ev.orderBy("event_id").collect()
+      (rows.take(9000), rows.drop(9000))
+    }
+    val baseDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(base.toIndexedSeq), ev.schema)
+    val tailDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(tail.toIndexedSeq), ev.schema)
+    ZOrder.writeZOrdered(baseDf, dir, col("user_id"), tsExpr,
+      bits = 12, nFiles = 8)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = nFiles
+    ZOrder.appendZOrdered(tailDf, dir, col("user_id"), tsExpr,
+      bits = 12, nFiles = 2)
+    assert(nFiles > before, "append added no files")
+    // content identity after append
+    val back = spark.read.parquet(dir)
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+    // compaction restores a small file count, content untouched
+    ZOrder.compactZOrdered(spark, dir, col("user_id"), tsExpr,
+      bits = 12, nFiles = 8)
+    assert(nFiles == 8, s"compaction left $nFiles files")
+    val after = spark.read.parquet(dir)
+    assert(after.exceptAll(ev).isEmpty && ev.exceptAll(after).isEmpty)
+  }
+
   test("box query touches few files under z-order, all files linearly") {
     // sf0.01: 10k events, 150 users — big enough that 16 files hold
     // distinguishable z ranges (sf0.001's 15 users cannot)
