@@ -72,22 +72,37 @@ object Scd2 {
     val hist = spark.read.parquet(s"$path/history")
     val last = spark.read.parquet(s"$path/last")
     val users = batch.select(col("user_id")).distinct()
+    // seed each touched user's fold with their stored current state: the
+    // change-collapse then sees exactly the suffix the full rebuild would
+    val cur = hist.filter(col("is_current"))
+      .join(users, Seq("user_id"), "left_semi")
+    // effective per-user watermark = max(last_ts, current valid_from):
+    // last_ts alone is not crash-safe — a failure between the history
+    // write and the last write leaves history AHEAD of the watermark,
+    // and a watermark-only gate would fold the already-collapsed batch
+    // back in as duplicate versions. Gating on the current row's own
+    // valid_from too makes merge IDEMPOTENT under that torn state (the
+    // replayed events at or before the current version are dropped; any
+    // later no-change events refold against an equal seed state and emit
+    // nothing) — normally valid_from <= last_ts and the extra gate is a
+    // no-op.
     val gated = batch.join(last, Seq("user_id"), "left")
-    val stale = gated.filter(col("last_ts").isNotNull &&
-      col("ts") <= col("last_ts")).count()
+      .join(cur.select(col("user_id"), col("valid_from").as("_cvf")),
+        Seq("user_id"), "left")
+      .withColumn("_wm", greatest(
+        coalesce(col("last_ts"), col("_cvf")),
+        coalesce(col("_cvf"), col("last_ts"))))
+    val stale = gated.filter(col("_wm").isNotNull &&
+      col("ts") <= col("_wm")).count()
     if (stale > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"scd2 merge: dropped $stale stale event(s) at or before their " +
           "user's high-watermark — out-of-order arrivals cannot be " +
           "folded into collapsed history")
-    val fresh = gated.filter(col("last_ts").isNull ||
-        col("ts") > col("last_ts"))
+    val fresh = gated.filter(col("_wm").isNull ||
+        col("ts") > col("_wm"))
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
-    // seed each touched user's fold with their stored current state: the
-    // change-collapse then sees exactly the suffix the full rebuild would
-    val cur = hist.filter(col("is_current"))
-      .join(users, Seq("user_id"), "left_semi")
     val seed = cur.select(col("user_id"), col("valid_from").as("ts"),
       lit(Long.MinValue).as("event_id"), col("state").as("event_type"),
       lit(0).as("_new"))

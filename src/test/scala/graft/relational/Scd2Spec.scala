@@ -97,6 +97,31 @@ class Scd2Spec extends AnyFunSuite {
       "stale events changed collapsed history")
   }
 
+  test("torn-write replay: merge is idempotent when last lags history") {
+    // crash model: merge wrote history but died before advancing `last`.
+    // A replayed merge of the same batch must leave history unchanged —
+    // the effective watermark includes the current row's valid_from, so
+    // the already-collapsed events cannot fold back in as duplicates.
+    val early = evDf(Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "a")))
+    val batch = evDf(Seq(
+      (2L, "2024-01-02 00:00:00", 7L, "b"),
+      (3L, "2024-01-02 01:00:00", 7L, "b")))  // trailing no-change event
+    val dir = java.nio.file.Files.createTempDirectory("scd2t").toString
+    Scd2.init(early, dir)
+    val lastBefore = spark.read.parquet(s"$dir/last").collect().toSeq
+    Scd2.merge(spark, dir, batch)
+    val after = histSet(dir)
+    // simulate the torn state: roll `last` back to its pre-merge value
+    val lastDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(lastBefore),
+      spark.read.parquet(s"$dir/last").schema).localCheckpoint()
+    lastDf.write.mode("overwrite").parquet(s"$dir/last")
+    Scd2.merge(spark, dir, batch)
+    assert(histSet(dir) == after,
+      "replay against a lagging watermark corrupted history")
+  }
+
   test("randomized: 3 sequential merges == one full rebuild") {
     val rnd = new scala.util.Random(19)
     val all = (0 until 400).map { i =>
