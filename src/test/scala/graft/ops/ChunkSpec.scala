@@ -61,6 +61,25 @@ class ChunkSpec extends AnyFunSuite {
     assert(chunks("a b", 16, 8) == Seq((0, "a b", 2L)))
   }
 
+  test("randomized differential vs an independent naive chunker") {
+    val rnd = new scala.util.Random(41)
+    def naive(tokens: Seq[String], size: Int, stride: Int) =
+      Iterator.from(0).map(_ * stride).takeWhile(_ < tokens.length)
+        .zipWithIndex.map { case (start, ci) =>
+          val w = tokens.slice(start, start + size)
+          (ci, w.mkString(" "), w.length.toLong)
+        }.toSeq
+    for (trial <- 1 to 8) {
+      val n = rnd.nextInt(60) + 1
+      val toks = (0 until n).map(i => s"t$i")
+      val size = rnd.nextInt(12) + 1
+      val stride = rnd.nextInt(size) + 1
+      val got = chunks(toks.mkString(" "), size, stride)
+      assert(got == naive(toks, size, stride),
+        s"trial $trial: n=$n size=$size stride=$stride")
+    }
+  }
+
   test("invalid size/stride rejected") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
