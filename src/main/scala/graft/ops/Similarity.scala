@@ -885,10 +885,24 @@ object Similarity {
       dProj: Int, rerank: Int, dims: Int = 64): DataFrame = {
     require(dProj >= 1 && dProj <= dims,
       s"dProj must be in [1, $dims], got $dProj")
-    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val pc = corpus.select(col("vec_id").as("neighbor_id"),
       rpProject(col("embedding"), dProj, dims).as("pv"))
       .withColumn("pn", norm(col("pv")))
+    rpCascade(pc,
+      corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), norm(col("embedding")).as("cn")),
+      queries, k, dProj, rerank, dims)
+  }
+
+  /** The RP search cascade over an already-projected corpus — shared by
+    * [[rpTopK]] (projects in-flight) and [[searchRpIndexed]] (reads the
+    * STORED projection), so the two can never drift. `pc` is
+    * (neighbor_id, pv, pn); `cv` is (neighbor_id, cv, cn) raw vectors for
+    * the exact rerank.
+    */
+  private def rpCascade(pc: DataFrame, cv: DataFrame, queries: DataFrame,
+      k: Int, dProj: Int, rerank: Int, dims: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), norm(col("embedding")).as("qn"),
       rpProject(col("embedding"), dProj, dims).as("qp"))
@@ -905,8 +919,6 @@ object Similarity {
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
       .select(col("query_id"), col("neighbor_id"))
-    val cv = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
     val we = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
@@ -916,6 +928,60 @@ object Similarity {
       .withColumn("rank", row_number().over(we))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Persist the RP index: the PROJECTED table (`proj` — the dims/dProj×
+    * smaller scan artifact the rpTopK scaladoc promises) plus the raw
+    * vectors (`vectors`, the rerank side) and a param-pinning meta row.
+    * Same single-writer frozen-artifact contract as the ANN/PQ builders.
+    */
+  def buildRpIndex(corpus: DataFrame, dbPath: String, dProj: Int,
+      dims: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(dProj >= 1 && dProj <= dims,
+      s"dProj must be in [1, $dims], got $dProj")
+    corpus.select(col("vec_id"),
+        rpProject(col("embedding"), dProj, dims).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+      .write.mode("overwrite").parquet(s"$dbPath/proj")
+    corpus.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dbPath/vectors")
+    Seq((dProj, dims)).toDF("d_proj", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dbPath/meta")
+  }
+
+  /** O(batch) append: project the batch through the PINNED matrix params
+    * and land both tables without touching existing files.
+    */
+  def appendToRpIndex(corpus: DataFrame, dbPath: String): Unit = {
+    val spark = corpus.sparkSession
+    val m = spark.read.parquet(s"$dbPath/meta").head()
+    val (dProj, dims) = (m.getAs[Int]("d_proj"), m.getAs[Int]("dims"))
+    corpus.select(col("vec_id"),
+        rpProject(col("embedding"), dProj, dims).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+      .write.mode("append").parquet(s"$dbPath/proj")
+    corpus.select(col("vec_id"), col("embedding"))
+      .write.mode("append").parquet(s"$dbPath/vectors")
+  }
+
+  /** Search the stored RP index: the approximate scan reads ONLY the
+    * narrow projected table; raw vectors are touched for the |Q|·rerank
+    * rerank survivors. Scoring is [[rpCascade]] — identical to the
+    * in-memory operator by construction (spec- and oracle-pinned).
+    */
+  def searchRpIndexed(spark: org.apache.spark.sql.SparkSession,
+      dbPath: String, queries: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
+    val m = spark.read.parquet(s"$dbPath/meta").head()
+    val (dProj, dims) = (m.getAs[Int]("d_proj"), m.getAs[Int]("dims"))
+    val pc = spark.read.parquet(s"$dbPath/proj")
+      .select(col("vec_id").as("neighbor_id"), col("pv"), col("pn"))
+    val cv = spark.read.parquet(s"$dbPath/vectors")
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    rpCascade(pc, cv, queries, k, dProj, rerank, dims)
   }
 
   def semDedup(corpus: DataFrame, k: Int, iters: Int,

@@ -1186,10 +1186,33 @@ object SimilarityQueries {
       SELECT vec_id, ROUND(p, 4) + 0.0 AS pc1
       FROM proj ORDER BY vec_id"""))
 
+  /** Persisted RP index: build on 90% of the corpus, append the rest,
+    * search the STORED projected table — and hash-match the SAME oracle
+    * as emb_rp_topk, so the artifact round trip and the append are
+    * invisible (the house build/append/search contract).
+    */
+  val embRpIndexSearch = Q(
+    "emb_rpindex_search",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("rpidx").toString
+      Similarity.buildRpIndex(emb.filter(col("vec_id") % 10 =!= 0), dir,
+        dProj = 16)
+      Similarity.appendToRpIndex(emb.filter(col("vec_id") % 10 === 0), dir)
+      Similarity.searchRpIndexed(s, dir,
+          emb.filter(col("vec_id") % 50 === 0), k = 5, rerank = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    embRpTopK.oracle)
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
       embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe,
       embHybridRrf, embAnnCompactedSearch, embAnnRebalancedSearch,
-      embCovariance, embSq8TopK, embSq8Recall, embRpTopK, embPcaProject)
+      embCovariance, embSq8TopK, embSq8Recall, embRpTopK, embPcaProject,
+      embRpIndexSearch)
 }

@@ -73,6 +73,22 @@ class RpTopKSpec extends AnyFunSuite {
     rp.foreach { case (qid, nid) => assert(qid % 2 == nid % 2) }
   }
 
+  test("persisted index: build + append == in-memory rpTopK exactly") {
+    val c = corpus(90, 16, seed = 31)
+    val q = c.filter(col("vec_id") % 30 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("rpidxspec").toString
+    Similarity.buildRpIndex(c.filter(col("vec_id") < 60), dir,
+      dProj = 8, dims = 16)
+    Similarity.appendToRpIndex(c.filter(col("vec_id") >= 60), dir)
+    val stored = Similarity.searchRpIndexed(spark, dir, q, k = 5,
+        rerank = 15)
+      .collect().map(_.toString).sorted.toSeq
+    val mem = Similarity.rpTopK(c, q, k = 5, dProj = 8, rerank = 15,
+        dims = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == mem && mem.nonEmpty)
+  }
+
   test("rpTopK rejects rerank < k and out-of-range dProj") {
     val c = corpus(10, 8)
     intercept[IllegalArgumentException] {
