@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,22 +11,62 @@ import org.apache.spark.sql.functions._
   * face, completing the same build/append/search contract every index in
   * this repo follows (dedup index, ANN, PQ, BM25, DSIR).
   *
-  * Persisted layout under `path`: `history` (user_id, state, valid_from,
-  * valid_to, version, is_current — native timestamps) and `last`
-  * (user_id, last_ts), the per-user high-watermark that makes the
-  * append-only contract CHECKABLE: a batch event at or before its user's
-  * last processed ts cannot be ordered against history that was already
-  * collapsed, so it is dropped with a driver WARN + observed count (the
-  * watermark convention of the streaming sinks, per-user instead of
-  * per-batch).
+  * Persisted layout under `path`:
+  *   - `history/ubucket=<b>` — (user_id, state, valid_from, valid_to,
+  *     version, is_current), hive-partitioned by user-hash bucket
+  *   - `last/ubucket=<b>` — (user_id, last_ts, last_eid), the per-user
+  *     high-watermark as a (ts, event_id) TUPLE: a batch event strictly
+  *     ordered at or before its user's last processed (ts, event_id)
+  *     cannot be re-ordered against history that was already collapsed,
+  *     so it is dropped with a driver WARN — but a NEW event that merely
+  *     shares the boundary timestamp (fresh event_id) is safely orderable
+  *     by the same (ts, event_id) key the fold sorts on, and folds in
+  *     exactly as a full rebuild would
+  *   - `scd2_meta` — the pinned bucket count (nBuckets is part of the
+  *     on-disk LAYOUT: a different value on a later merge would route
+  *     users to other partitions and strand stale rows in directories a
+  *     partial rewrite never touches — mismatches fail loudly)
   *
-  * Scale shape: merge touches ONLY batch users — current rows arrive via
-  * one left-semi join on the (small) batch-user set, the fold windows over
-  * seed+batch rows (O(batch)), and the rewrite unions untouched history
-  * through an anti-join. No full-log reprocessing anywhere; the full
-  * rebuild exists once, at [[build]] time.
+  * Scale shape — merge is O(batch) in BOTH compute and I/O:
+  *   - compute: current rows arrive via one left-semi join on the (small)
+  *     batch-user set, the fold windows over seed+batch rows;
+  *   - read: history/last scans are PRUNED to the ≤ nBuckets partition
+  *     directories holding batch users (directory-level `isin` filter);
+  *   - write: dynamic partition overwrite rewrites ONLY those buckets —
+  *     untouched buckets' files are never opened, rewritten, or deleted
+  *     (the `clusterMaintSink` labels-table pattern). Bucketing by USER
+  *     hash makes the partial rewrite sound: a user's bucket never
+  *     changes, so a merge can never migrate a row out of a partition
+  *     and leave a stale copy behind.
+  * A crash mid-merge therefore has a blast radius of the touched buckets
+  * only, never the whole table; [[init]] over an existing table stages to
+  * a temp sibling and rename-swaps (`Maintenance.swapParquetDir`) so a
+  * rebuild can't destroy readable history either. No full-log
+  * reprocessing anywhere; the full rebuild exists once, at [[build]] time.
   */
 object Scd2 {
+
+  /** Bucket count is part of the layout; see `scd2_meta` above. */
+  val DefaultBuckets = 64
+
+  private def bucketOf(c: Column, n: Int): Column =
+    pmod(xxhash64(c), lit(n.toLong))
+
+  /** Read-or-create the pinned bucket count (the `pinnedBuckets`
+    * convention of the streaming label/hash tables).
+    */
+  private def pinnedBuckets(spark: SparkSession, path: String,
+      nBuckets: Int): Int = {
+    import spark.implicits._
+    val meta = s"${path.stripSuffix("/")}/scd2_meta"
+    try spark.read.parquet(meta).head().getAs[Int]("n_buckets")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        Seq(nBuckets).toDF("n_buckets").coalesce(1)
+          .write.mode("overwrite").parquet(meta)
+        nBuckets
+    }
+  }
 
   /** Full-history build: collapse each user's event stream to change
     * points, stamp validity intervals and versions. Both window passes
@@ -45,62 +85,127 @@ object Scd2 {
         col("version"), col("valid_to").isNull.as("is_current"))
   }
 
-  /** Write a fresh history + watermark table from a full change log. */
-  def init(events: DataFrame, path: String): Unit = {
-    build(events).write.mode("overwrite").parquet(s"$path/history")
-    events.groupBy(col("user_id")).agg(max(col("ts")).as("last_ts"))
-      .write.mode("overwrite").parquet(s"$path/last")
+  /** Write a fresh history + watermark table from a full change log.
+    * Rebuilding over an EXISTING table stages each output to a temp
+    * sibling and rename-swaps, so readers see old-or-new, never a
+    * half-written table.
+    */
+  def init(events: DataFrame, path: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/scd2_meta")
+    writeBucketed(build(events)
+      .withColumn("ubucket", bucketOf(col("user_id"), nBuckets)),
+      s"$path/history")
+    writeBucketed(events.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("_w"))
+      .select(col("user_id"), col("_w.ts").as("last_ts"),
+        col("_w.event_id").as("last_eid"),
+        bucketOf(col("user_id"), nBuckets).as("ubucket")),
+      s"$path/last")
+  }
+
+  /** Overwrite-or-swap: direct write when `target` doesn't exist yet,
+    * temp-sibling + rename-swap when it does (a rebuild must not destroy
+    * the readable table on a crash mid-write).
+    */
+  private def writeBucketed(df: DataFrame, target: String): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      df.write.partitionBy("ubucket").parquet(target)
+    } else {
+      val tmp = s"${target}__rebuild_tmp"
+      df.write.mode("overwrite").partitionBy("ubucket").parquet(tmp)
+      graft.ops.Maintenance.swapParquetDir(spark, target, tmp)
+    }
   }
 
   /** [[merge]] when the history exists, [[init]] otherwise — the form a
     * streaming sink's first micro-batch needs.
     */
-  def mergeOrInit(spark: SparkSession, path: String,
-      batch: DataFrame): Unit = {
+  def mergeOrInit(spark: SparkSession, path: String, batch: DataFrame,
+      nBuckets: Int = DefaultBuckets): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/history")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) merge(spark, path, batch) else init(batch, path)
+    if (fs.exists(p)) merge(spark, path, batch, nBuckets)
+    else init(batch, path, nBuckets)
   }
 
   /** Fold `batch` (new events, per-user later than the stored watermark)
     * into the persisted history. Equivalence contract: after merge, the
     * history equals [[build]] over the concatenated log (spec- and
-    * oracle-pinned); stale rows (ts <= the user's last_ts) are dropped
-    * with a WARN, never silently reordered into collapsed history.
+    * oracle-pinned) for every event the (ts, event_id) watermark admits;
+    * stale rows are dropped with a WARN, never silently reordered into
+    * collapsed history.
     */
-  def merge(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+  def merge(spark: SparkSession, path: String, batch: DataFrame,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    val stored = pinnedBuckets(spark, path, nBuckets)
+    require(stored == nBuckets,
+      s"scd2 table at $path was built with nBuckets=$stored, got " +
+        s"$nBuckets — partial rewrites would strand stale rows; pass " +
+        "the original value or rebuild the table")
+    // directory-level pruning: collect the ≤ nBuckets partition values the
+    // batch touches (bounded driver read), then every history/last scan
+    // below opens ONLY those bucket directories
+    val touched = batch
+      .select(bucketOf(col("user_id"), nBuckets).as("ubucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     val hist = spark.read.parquet(s"$path/history")
+      .filter(col("ubucket").isin(touched: _*))
     val last = spark.read.parquet(s"$path/last")
+      .filter(col("ubucket").isin(touched: _*))
     val users = batch.select(col("user_id")).distinct()
     // seed each touched user's fold with their stored current state: the
     // change-collapse then sees exactly the suffix the full rebuild would
     val cur = hist.filter(col("is_current"))
       .join(users, Seq("user_id"), "left_semi")
-    // effective per-user watermark = max(last_ts, current valid_from):
-    // last_ts alone is not crash-safe — a failure between the history
-    // write and the last write leaves history AHEAD of the watermark,
-    // and a watermark-only gate would fold the already-collapsed batch
-    // back in as duplicate versions. Gating on the current row's own
-    // valid_from too makes merge IDEMPOTENT under that torn state (the
-    // replayed events at or before the current version are dropped; any
-    // later no-change events refold against an equal seed state and emit
-    // nothing) — normally valid_from <= last_ts and the extra gate is a
-    // no-op.
-    val gated = batch.join(last, Seq("user_id"), "left")
+    // Effective per-user watermark, as an orderable (ts, event_id) struct.
+    // Normally it is the stored `last` tuple. The current row's own
+    // valid_from backstops the CRASH-TORN state — a failure between the
+    // history write and the last write leaves history AHEAD of the
+    // watermark, and a last-only gate would fold the already-collapsed
+    // batch back in as duplicate versions. Torn is detectable (stored
+    // tuple missing or strictly behind the current row's valid_from); in
+    // that state the gate closes conservatively at (valid_from, +inf) —
+    // events at the current version's own timestamp were already folded
+    // once, and without their event_ids on record, re-admitting any of
+    // them could mis-order a same-timestamp state flip. Replayed merges
+    // are therefore idempotent; in the NORMAL state the tuple gate admits
+    // fresh events that merely share the boundary timestamp.
+    val gated0 = batch.join(
+        last.select(col("user_id"), col("last_ts"), col("last_eid")),
+        Seq("user_id"), "left")
       .join(cur.select(col("user_id"), col("valid_from").as("_cvf")),
         Seq("user_id"), "left")
-      .withColumn("_wm", greatest(
-        coalesce(col("last_ts"), col("_cvf")),
-        coalesce(col("_cvf"), col("last_ts"))))
-    val stale = gated.filter(col("_wm").isNotNull &&
-      col("ts") <= col("_wm")).count()
+    val lastW = when(col("last_ts").isNotNull,
+      struct(col("last_ts").as("wts"), col("last_eid").as("wid")))
+    val curLow = when(col("_cvf").isNotNull,
+      struct(col("_cvf").as("wts"), lit(Long.MinValue).as("wid")))
+    val curHigh = when(col("_cvf").isNotNull,
+      struct(col("_cvf").as("wts"), lit(Long.MaxValue).as("wid")))
+    val torn = col("_cvf").isNotNull &&
+      (col("last_ts").isNull || lastW < curLow)
+    // one materialization of the three-join gate (O(batch) rows): the
+    // stale count and the fresh selection below both read the snapshot
+    // instead of re-running the joins per action
+    val gated = gated0
+      .withColumn("_wm", when(torn, curHigh).otherwise(lastW))
+      .withColumn("_stale", col("_wm").isNotNull &&
+        struct(col("ts").as("wts"), col("event_id").as("wid")) <=
+          col("_wm"))
+      .localCheckpoint()
+    val stale = gated.filter(col("_stale")).count()
     if (stale > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"scd2 merge: dropped $stale stale event(s) at or before their " +
-          "user's high-watermark — out-of-order arrivals cannot be " +
-          "folded into collapsed history")
-    val fresh = gated.filter(col("_wm").isNull ||
-        col("ts") > col("_wm"))
+          "user's (ts, event_id) high-watermark — out-of-order arrivals " +
+          "cannot be folded into collapsed history")
+    val fresh = gated.filter(!col("_stale"))
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
     val seed = cur.select(col("user_id"), col("valid_from").as("ts"),
@@ -122,23 +227,49 @@ object Scd2 {
         when(col("_base").isNotNull, col("_base") + col("_k") - 1)
           .otherwise(col("_k")).cast("int").as("version"),
         col("valid_to").isNull.as("is_current"))
-    // rewrite: untouched users + touched users' CLOSED rows pass through;
-    // the fold re-emits each touched user's current row (possibly now
-    // closed) and any new versions
+    // partial rewrite of the touched buckets only: within them, untouched
+    // users and touched users' CLOSED rows ride along; the fold re-emits
+    // each touched user's current row (possibly now closed) and any new
+    // versions. Buckets outside `touched` are never read or written.
     val untouched = hist.join(users, Seq("user_id"), "left_anti")
+      .drop("ubucket")
     val closedKept = hist.filter(!col("is_current"))
-      .join(users, Seq("user_id"), "left_semi")
+      .join(users, Seq("user_id"), "left_semi").drop("ubucket")
     val merged = untouched.unionByName(closedKept).unionByName(folded)
     val lastNew = fresh.groupBy(col("user_id"))
-      .agg(max(col("ts")).as("_new_ts"))
-    val lastMerged = last.join(lastNew, Seq("user_id"), "full")
+      .agg(max(struct(col("ts"), col("event_id"))).as("_w"))
+      .select(col("user_id"), col("_w.ts").as("_new_ts"),
+        col("_w.event_id").as("_new_eid"))
+    val lastKeep = last.join(users, Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("last_ts"), col("last_eid"))
+    val lastUpd = last.join(users, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("last_ts"), col("last_eid"))
+      .join(lastNew, Seq("user_id"), "full")
       .select(col("user_id"),
-        greatest(coalesce(col("last_ts"), col("_new_ts")),
-          coalesce(col("_new_ts"), col("last_ts"))).as("last_ts"))
-    // snapshot-before-write: both outputs read their own table
-    val mergedOut = merged.localCheckpoint()
-    val lastOut = lastMerged.localCheckpoint()
-    mergedOut.write.mode("overwrite").parquet(s"$path/history")
-    lastOut.write.mode("overwrite").parquet(s"$path/last")
+        when(col("last_ts").isNull ||
+            (col("_new_ts").isNotNull &&
+              struct(col("last_ts").as("wts"), col("last_eid").as("wid")) <
+                struct(col("_new_ts").as("wts"),
+                  col("_new_eid").as("wid"))),
+          struct(col("_new_ts").as("last_ts"),
+            col("_new_eid").as("last_eid")))
+          .otherwise(struct(col("last_ts"), col("last_eid"))).as("_w"))
+      .select(col("user_id"), col("_w.last_ts").as("last_ts"),
+        col("_w.last_eid").as("last_eid"))
+    val lastMerged = lastKeep.unionByName(lastUpd)
+    // snapshot-before-write: both outputs read the directories they are
+    // about to overwrite
+    val mergedOut = merged
+      .withColumn("ubucket", bucketOf(col("user_id"), nBuckets))
+      .localCheckpoint()
+    val lastOut = lastMerged
+      .withColumn("ubucket", bucketOf(col("user_id"), nBuckets))
+      .localCheckpoint()
+    mergedOut.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ubucket").parquet(s"$path/history")
+    lastOut.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ubucket").parquet(s"$path/last")
   }
 }

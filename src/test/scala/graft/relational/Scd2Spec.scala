@@ -82,19 +82,38 @@ class Scd2Spec extends AnyFunSuite {
     assert(last(10L).startsWith("2024-01-02 00"))
   }
 
-  test("stale events at or before the user watermark are dropped, not folded") {
+  test("stale events at or before the (ts, event_id) watermark are dropped") {
     val early = evDf(Seq(
       (1L, "2024-01-01 00:00:00", 7L, "a"),
       (2L, "2024-01-01 02:00:00", 7L, "b")))
     val stale = evDf(Seq(
       (3L, "2024-01-01 01:00:00", 7L, "c"),   // between collapsed history
-      (4L, "2024-01-01 02:00:00", 7L, "c")))  // exactly at the watermark
+      (2L, "2024-01-01 02:00:00", 7L, "c")))  // exact (ts, eid) replay
     val dir = java.nio.file.Files.createTempDirectory("scd2s").toString
     Scd2.init(early, dir)
     val before = histSet(dir)
     Scd2.merge(spark, dir, stale)
     assert(histSet(dir) == before,
       "stale events changed collapsed history")
+  }
+
+  test("boundary-timestamp event with a fresh event_id folds like a rebuild") {
+    // the watermark is a (ts, event_id) TUPLE: an event at exactly the
+    // last processed ts but with a NEW event_id is safely orderable by
+    // the fold's own (ts, event_id) sort key — merge must include it
+    // exactly as a full rebuild over the concatenated log would
+    val early = evDf(Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "a"),
+      (2L, "2024-01-01 02:00:00", 7L, "b")))
+    val boundary = evDf(Seq(
+      (4L, "2024-01-01 02:00:00", 7L, "c")))  // same ts as watermark, new id
+    val inc = java.nio.file.Files.createTempDirectory("scd2b").toString
+    Scd2.init(early, inc)
+    Scd2.merge(spark, inc, boundary)
+    val full = java.nio.file.Files.createTempDirectory("scd2bf").toString
+    Scd2.init(early.unionByName(boundary), full)
+    assert(histSet(inc) == histSet(full),
+      "boundary-ts event with a fresh event_id diverged from the rebuild")
   }
 
   test("torn-write replay: merge is idempotent when last lags history") {
@@ -113,13 +132,82 @@ class Scd2Spec extends AnyFunSuite {
     Scd2.merge(spark, dir, batch)
     val after = histSet(dir)
     // simulate the torn state: roll `last` back to its pre-merge value
+    // (keeping the table's bucketed layout)
     val lastDf = spark.createDataFrame(
       spark.sparkContext.parallelize(lastBefore),
       spark.read.parquet(s"$dir/last").schema).localCheckpoint()
-    lastDf.write.mode("overwrite").parquet(s"$dir/last")
+    lastDf.write.mode("overwrite").partitionBy("ubucket")
+      .parquet(s"$dir/last")
     Scd2.merge(spark, dir, batch)
     assert(histSet(dir) == after,
       "replay against a lagging watermark corrupted history")
+  }
+
+  test("torn replay of a same-timestamp state flip stays idempotent") {
+    // two distinct-state events share one timestamp; the second wins the
+    // (ts, event_id) order. In the crash-torn state (last lags history)
+    // the merge cannot know which same-ts event_ids were already folded,
+    // so the gate closes at (valid_from, +inf) — the replayed flip must
+    // NOT re-fold as a spurious extra version
+    val early = evDf(Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "a")))
+    val batch = evDf(Seq(
+      (2L, "2024-01-02 00:00:00", 7L, "b"),
+      (4L, "2024-01-02 00:00:00", 7L, "c")))  // same ts, later id: b -> c
+    val dir = java.nio.file.Files.createTempDirectory("scd2tf").toString
+    Scd2.init(early, dir)
+    val lastBefore = spark.read.parquet(s"$dir/last").collect().toSeq
+    Scd2.merge(spark, dir, batch)
+    val after = histSet(dir)
+    assert(after.exists(_.contains("c")))     // the flip landed
+    val lastDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(lastBefore),
+      spark.read.parquet(s"$dir/last").schema).localCheckpoint()
+    lastDf.write.mode("overwrite").partitionBy("ubucket")
+      .parquet(s"$dir/last")
+    Scd2.merge(spark, dir, batch)
+    assert(histSet(dir) == after,
+      "torn replay of a same-ts state flip grew history")
+  }
+
+  test("merge rewrites only touched buckets; bucket-count mismatch fails loudly") {
+    // many users spread across buckets; a single-user batch must leave
+    // the files of every other bucket byte-untouched on disk (the
+    // clusterMaintSink partial-rewrite contract, here for SCD2)
+    val early = evDf((0 until 64).map { u =>
+      (u.toLong, f"2024-01-01 00:${u % 60}%02d:00", u.toLong, "a")
+    })
+    val batch = evDf(Seq((100L, "2024-01-02 00:00:00", 3L, "b")))
+    val dir = java.nio.file.Files.createTempDirectory("scd2pb").toString
+    Scd2.init(early, dir)
+    def fileState(sub: String) = {
+      val root = new java.io.File(s"$dir/$sub")
+      root.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("ubucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified())).toMap
+    }
+    val histBefore = fileState("history")
+    val lastBefore = fileState("last")
+    assert(histBefore.size > 4, "expected a multi-bucket layout")
+    Scd2.merge(spark, dir, batch)
+    // content: merge == rebuild, as ever
+    val full = java.nio.file.Files.createTempDirectory("scd2pbf").toString
+    Scd2.init(early.unionByName(batch), full)
+    assert(histSet(dir) == histSet(full))
+    // layout: only the batch user's bucket was rewritten
+    val histAfter = fileState("history")
+    def untouched(b: Map[String, Long], a: Map[String, Long]) =
+      b.keySet.intersect(a.keySet).count(p => b(p) == a(p))
+    assert(untouched(histBefore, histAfter) >= histBefore.size - 2,
+      "merge rewrote buckets its batch never touched")
+    assert(untouched(lastBefore, fileState("last")) >= lastBefore.size - 2,
+      "merge rewrote watermark buckets its batch never touched")
+    // nBuckets is part of the layout: mismatches must fail before writing
+    val e = intercept[IllegalArgumentException] {
+      Scd2.merge(spark, dir, batch, nBuckets = 16)
+    }
+    assert(e.getMessage.contains("nBuckets"))
   }
 
   test("randomized: 3 sequential merges == one full rebuild") {
