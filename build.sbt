@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout lines of `sbt "runMain
+// graft.Bench"`; sbt's "[success] Total time ..." banner otherwise prints
+// after the program's final JSON line and breaks that parse (BENCH parsed:
+// null, rounds 9-12). Exit codes still signal failure; ScalaTest still
+// prints its own "All tests passed." summary.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
