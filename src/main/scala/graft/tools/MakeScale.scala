@@ -21,7 +21,12 @@ import org.apache.spark.sql.{SparkSession, functions => F}
   * Compare k=10 against a k=1 run of the SAME construction so numerator
   * and denominator share their character.
   * Ids offset by a stride that is a multiple of every %-modulus the
-  * registry queries use (10, 20), preserving query/probe subset ratios.
+  * registry queries use (10, 20, 50, 100), preserving query/probe subset
+  * ratios. The stride is DERIVED: at least 1,000,000 (the historical
+  * value, so x1-vs-x10 legs stay comparable), raised to clear the
+  * source's max id rounded up to a modulus multiple — feeding a larger
+  * sf dir, or an already-scaled dir, back in can therefore never
+  * overlap replica key ranges and silently fabricate duplicate ids.
   * Embeddings get a per-replica alternating-sign perturbation so replica
   * directions differ (no artificial cosine-duplicate explosion either).
   *
@@ -37,7 +42,24 @@ object MakeScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val stride = 1000000L
+    // one global stride across all tables: max source id, rounded up to a
+    // multiple of every registry %-modulus (lcm(10,20,50,100) = 100),
+    // floored at the historical 1,000,000
+    val maxId = Seq(
+      s"$src/documents.parquet" -> "doc_id",
+      s"$src/embeddings.parquet" -> "vec_id",
+      s"$src/events.parquet" -> "event_id",
+      s"$src/events.parquet" -> "user_id",
+      s"$src/orders.parquet" -> "o_orderkey",
+      s"$src/lineitem.parquet" -> "l_orderkey",
+    ).flatMap { case (p, c) =>
+      try {
+        val r = spark.read.parquet(p).agg(F.max(F.col(c)).cast("long")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      } catch { case _: Throwable => None }
+    }.max
+    val stride = math.max(1000000L, (maxId / 100L + 1L) * 100L)
+    println(s"[makescale] stride=$stride (max source id $maxId)")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
     val docsK = (0 until k).map { i =>
@@ -83,7 +105,32 @@ object MakeScale {
     }.reduce(_ unionByName _)
     evK.repartition(32).write.mode("overwrite")
       .parquet(s"$dst/events.parquet")
-    println(s"[makescale] wrote ${k}x $src -> $dst")
+    // orders/lineitem replicate on the ORDERKEY axis — and DELIBERATELY
+    // amplify skew: within every replica, the lineitem rows of 50% of
+    // orderkeys (key % 100 < 50) are re-routed onto ONE global hot key
+    // (the source's min orderkey, which replica 0 keeps un-offset, so the
+    // hot key always has exactly one orders row). The hot key's share is
+    // scale-invariant (~50% of ALL lineitem rows at any k), which is the
+    // workload the gated skew join exists for — a plain shuffle join must
+    // sort that key's rows in one task while saltedHotKeys spreads them.
+    // Everything else re-keys by +i*stride: per-replica join fan-out is
+    // exactly the source's, disjoint across replicas.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val hotKey = ord.agg(F.min(F.col("o_orderkey"))).head().getLong(0)
+    val ordK = (0 until k).map { i =>
+      ord.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * stride))
+    }.reduce(_ unionByName _)
+    ordK.repartition(32).write.mode("overwrite")
+      .parquet(s"$dst/orders.parquet")
+    val liK = (0 until k).map { i =>
+      li.withColumn("l_orderkey",
+        F.when(F.col("l_orderkey") % 100 < 50, F.lit(hotKey))
+          .otherwise(F.col("l_orderkey") + F.lit(i * stride)))
+    }.reduce(_ unionByName _)
+    liK.repartition(32).write.mode("overwrite")
+      .parquet(s"$dst/lineitem.parquet")
+    println(s"[makescale] wrote ${k}x $src -> $dst (hot orderkey $hotKey)")
     spark.stop()
   }
 }
