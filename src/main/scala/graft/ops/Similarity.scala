@@ -984,6 +984,56 @@ object Similarity {
     rpCascade(pc, cv, queries, k, dProj, rerank, dims)
   }
 
+  /** Composed compression: RP-project (dims → dProj), THEN SQ8-quantize
+    * the PROJECTED table — the composition the [[rpTopK]] scaladoc
+    * promises ("the two compose when both wins matter"). At rest the
+    * index is dProj uint8 codes per vector: on dim-64 floats at dProj=16
+    * that is a 32× smaller scan artifact (4× fewer dims × 8× narrower
+    * cells) against [[cosineTopK]]'s raw corpus. The approximate scan is
+    * asymmetric twice over — full-precision queries project through the
+    * same JL matrix and dot against the DECODED projected corpus — then
+    * the exact-cosine rerank over raw vectors repairs both quantization
+    * and projection error inside the rerank window. Cascade and output
+    * shape are [[rpCascade]]'s: the only change is that the stored `pv`
+    * is the SQ8-decoded projection instead of the exact one.
+    */
+  def rpSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dProj: Int, rerank: Int, dims: Int = 64): DataFrame = {
+    require(dProj >= 1 && dProj <= dims,
+      s"dProj must be in [1, $dims], got $dProj")
+    val proj = corpus.select(col("vec_id"),
+      rpProject(col("embedding"), dProj, dims).as("embedding"))
+    val enc = sq8Encode(proj, sq8Calibration(proj))
+    val pc = enc.select(col("vec_id").as("neighbor_id"),
+      col("dec").as("pv"), col("dn").as("pn"))
+    rpCascade(pc,
+      corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), norm(col("embedding")).as("cn")),
+      queries, k, dProj, rerank, dims)
+  }
+
+  /** Exact inner-product top-k — the brute-force baseline in the metric
+    * the PQ family's ADC scores approximate (sum of codebook dot
+    * products ≈ raw inner product), so [[recallAtK]] can gauge PQ
+    * against ITS OWN target metric rather than cosine. Same plan shape
+    * as [[cosineTopK]]: broadcast queries, codegen'd dot, per-query
+    * window cut.
+    */
+  def ipTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   def semDedup(corpus: DataFrame, k: Int, iters: Int,
       threshold: Double): DataFrame = {
     // cache(): the label table feeds both join sides, and uncached each

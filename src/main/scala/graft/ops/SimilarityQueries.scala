@@ -50,19 +50,11 @@ object SimilarityQueries {
       SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  val embIvfTopK = Q(
-    "emb_ivf_topk",
-    (s, d) => {
-      val emb = T.embeddings(s, d)
-        .select(col("vec_id"), col("label"), doubled(col("embedding")).as("embedding"))
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), "label",
-        k = 3, nprobe = 2)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("cos"), 3).as("cos"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some("""
-      WITH expl AS (
+  /** The IVF oracle CTE chain through `ranked` (probed-cluster exact
+    * cosines, globally ranked) — shared by the top-k row and its recall
+    * gauge.
+    */
+  private val ivfCtes = """expl AS (
         SELECT label, vec_id, embedding::DOUBLE[] AS v,
                unnest(generate_series(1, 64)) AS i
         FROM embeddings),
@@ -106,7 +98,21 @@ object SimilarityQueries {
         SELECT query_id, neighbor_id, cos,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-        FROM comp)
+        FROM comp)"""
+
+  val embIvfTopK = Q(
+    "emb_ivf_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"), doubled(col("embedding")).as("embedding"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), "label",
+        k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $ivfCtes
       SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
 
@@ -1071,19 +1077,11 @@ object SimilarityQueries {
     * projected-space cosine ranking, the rerank-window cut, and the exact
     * rerank — the full cascade, same result set.
     */
-  val embRpTopK = Q(
-    "emb_rp_topk",
-    (s, d) => {
-      val emb = T.embeddings(s, d)
-        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
-      Similarity.rpTopK(emb, emb.filter(col("vec_id") % 50 === 0),
-          k = 5, dProj = 16, rerank = 20)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("cos"), 3).as("cos"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""
-      WITH e AS (
+  /** The RP oracle CTE chain through `ranked` — md5-seeded ±1 matrix,
+    * projected-space ranking, rerank cut, exact rerank — shared by the
+    * top-k row, the persisted-index row, and the recall gauge.
+    */
+  private val rpCtes = s"""e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       proj AS (
         SELECT vec_id, p,
@@ -1119,7 +1117,21 @@ object SimilarityQueries {
         SELECT query_id, neighbor_id, cos,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-        FROM comp)
+        FROM comp)"""
+
+  val embRpTopK = Q(
+    "emb_rp_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.rpTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          k = 5, dProj = 16, rerank = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $rpCtes
       SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
@@ -1208,11 +1220,239 @@ object SimilarityQueries {
     },
     embRpTopK.oracle)
 
+  /** Exact cosine top-`k` + recall tail over an approximate `ranked`
+    * CTE already in scope — the shared suffix of every cosine-family
+    * recall gauge (queries = vec_id % 50, the family's query set).
+    */
+  private def cosRecallTail(k: Int): String = s"""
+      epairs AS (
+        SELECT q.query_id, e2.vec_id AS neighbor_id,
+               q.qv, e2.embedding::DOUBLE[] AS cv
+        FROM embeddings e2,
+             (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 50 = 0) q
+        WHERE e2.vec_id <> q.query_id),
+      ecomp AS (
+        SELECT query_id, neighbor_id,
+               SUM(qv[CAST(i AS INT)] * cv[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(cv[CAST(i AS INT)] * cv[CAST(i AS INT)]))) AS cos
+        FROM (SELECT *, unnest(generate_series(1, 64)) AS i FROM epairs)
+        GROUP BY 1, 2),
+      etop AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rk
+          FROM ecomp) WHERE rk <= $k),
+      atop AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $k),
+      h AS (
+        SELECT a.query_id, COUNT(*) AS hits
+        FROM atop a JOIN etop e3 USING (query_id, neighbor_id)
+        GROUP BY 1)
+      SELECT q2.query_id,
+             CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             ROUND(COALESCE(h.hits, 0) / $k.0, 4) AS recall
+      FROM (SELECT DISTINCT query_id FROM etop) q2
+      LEFT JOIN h USING (query_id)
+      ORDER BY query_id"""
+
+  /** The RP∘SQ8 composed-compression oracle chain through `ranked`:
+    * md5-seeded projection, per-projected-dim min/max calibration,
+    * uint8 encode/decode, asymmetric scan (full-precision projected
+    * queries against the decoded projection), rerank cut, exact rerank.
+    */
+  private val rpSq8Ctes = s"""e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      proj AS (
+        SELECT vec_id, p,
+               SUM(v[CAST(i AS INT)] *
+                   CASE WHEN substr(md5('rp:' || p || ':' || (i - 1)), 1, 1) < '8'
+                        THEN 1.0 ELSE -1.0 END) AS pv
+        FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS i FROM e),
+             (SELECT unnest(generate_series(0, 15)) AS p)
+        GROUP BY 1, 2),
+      cal AS (SELECT p, MIN(pv) AS lo, MAX(pv) AS hi FROM proj GROUP BY p),
+      pdec AS (
+        SELECT pr.vec_id, pr.p,
+               c.lo + (CASE WHEN c.hi = c.lo THEN 0
+                       ELSE FLOOR((pr.pv - c.lo) / (c.hi - c.lo) * 255.0 + 0.5) END)
+                 * (c.hi - c.lo) / 255.0 AS dx
+        FROM proj pr JOIN cal c ON c.p = pr.p),
+      pdn AS (SELECT vec_id, SQRT(SUM(dx * dx)) AS n FROM pdec GROUP BY 1),
+      qpn AS (SELECT vec_id, SQRT(SUM(pv * pv)) AS n FROM proj
+              WHERE vec_id % 50 = 0 GROUP BY 1),
+      aip AS (
+        SELECT pq.vec_id AS query_id, pc.vec_id AS neighbor_id,
+               SUM(pq.pv * pc.dx) AS ip
+        FROM proj pq JOIN pdec pc USING (p)
+        WHERE pq.vec_id % 50 = 0 AND pc.vec_id <> pq.vec_id
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT a.query_id, a.neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.query_id
+                   ORDER BY a.ip / (nq.n * nc.n) DESC, a.neighbor_id) AS arank
+          FROM aip a
+          JOIN qpn nq ON nq.vec_id = a.query_id
+          JOIN pdn nc ON nc.vec_id = a.neighbor_id)
+        WHERE arank <= 20),
+      pairs AS (
+        SELECT c.query_id, c.neighbor_id, eq.v AS qv, ec.v AS cv
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.query_id
+        JOIN e ec ON ec.vec_id = c.neighbor_id),
+      $duckCos,
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)"""
+
+  /** Composed compression — project (RP, 64→16) THEN quantize (SQ8) —
+    * the composition the rpTopK scaladoc promises: a 32× smaller at-rest
+    * scan artifact (4× fewer dims × 8× narrower cells), exact-cosine
+    * rerank repairing both error sources inside the rerank window. The
+    * oracle replays the WHOLE composed cascade.
+    */
+  val embRpSq8TopK = Q(
+    "emb_rp_sq8_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.rpSq8TopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          k = 5, dProj = 16, rerank = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $rpSq8Ctes
+      SELECT query_id, neighbor_id, ROUND(cos, 3) AS cos, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Recall@5 of the composed RP∘SQ8 cascade against the exact scan —
+    * the quality gauge for the composition (verdict item #6).
+    */
+  val embRpSq8Recall = Q(
+    "emb_rp_sq8_recall",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val approx = Similarity.rpSq8TopK(emb, queries, k = 5, dProj = 16,
+        rerank = 20)
+      Similarity.recallAtK(approx, Similarity.cosineTopK(emb, queries, 5), 5)
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH $rpSq8Ctes,${cosRecallTail(5)}"""),
+    bench = false)
+
+  /** Recall@5 of the plain RP cascade against the exact scan (verdict
+    * item #7: every ANN family member carries its own recall gauge, so
+    * a quantizer/projection regression is visible in the driver gate).
+    */
+  val embRpRecall = Q(
+    "emb_rp_recall",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val approx = Similarity.rpTopK(emb, queries, k = 5, dProj = 16,
+        rerank = 20)
+      Similarity.recallAtK(approx, Similarity.cosineTopK(emb, queries, 5), 5)
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH $rpCtes,${cosRecallTail(5)}"""),
+    bench = false)
+
+  /** Recall@3 of the IVF probe path (nprobe=2 of 10 clusters) against
+    * the exact scan — recall loss here is the pruning trade made
+    * explicit, at the registry's own parameters.
+    */
+  val embIvfRecall = Q(
+    "emb_ivf_recall",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          doubled(col("embedding")).as("embedding"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val approx = Similarity.ivfTopK(emb, queries, "label", k = 3,
+        nprobe = 2)
+      Similarity.recallAtK(approx, Similarity.cosineTopK(emb, queries, 3), 3)
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH $ivfCtes,${cosRecallTail(3)}"""),
+    bench = false)
+
+  /** Recall@10 of the PQ ADC scan against the exact INNER-PRODUCT top-10
+    * — PQ's ADC score approximates the raw inner product (sum of
+    * per-subspace codebook dots), so its gauge compares against that
+    * metric, not cosine.
+    */
+  val embPqRecall = Q(
+    "emb_pq_recall",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val books = Similarity.pqTrain(emb, dim = 64, nSub = 8, k = 8,
+        iters = 2).cache()
+      val codes = Similarity.pqEncode(emb, books, 64, 8)
+      val approx = Similarity.pqSearch(codes, books, queries,
+        dim = 64, nSub = 8, k = 8, topK = 10)
+      Similarity.recallAtK(approx, Similarity.ipTopK(emb, queries, 10), 10)
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH $duckPqCode,
+      sc AS (
+        SELECT q.query_id, co.vec_id AS neighbor_id, SUM(q.dp) AS score
+        FROM code co
+        JOIN qdp q ON q.sub = co.sub AND q.label = co.label
+        WHERE co.vec_id <> q.query_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM sc),
+      eq4 AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id % 50 = 0),
+      eip AS (
+        SELECT eq4.query_id, e.vec_id AS neighbor_id,
+               SUM(eq4.qv[CAST(i AS INT)] * e.v[CAST(i AS INT)]) AS score
+        FROM e, eq4, (SELECT unnest(generate_series(1, 64)) AS i)
+        WHERE e.vec_id <> eq4.query_id
+        GROUP BY 1, 2),
+      etop AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS rk
+          FROM eip) WHERE rk <= 10),
+      atop AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10),
+      h AS (
+        SELECT a.query_id, COUNT(*) AS hits
+        FROM atop a JOIN etop e3 USING (query_id, neighbor_id)
+        GROUP BY 1)
+      SELECT q2.query_id,
+             CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             ROUND(COALESCE(h.hits, 0) / 10.0, 4) AS recall
+      FROM (SELECT DISTINCT query_id FROM etop) q2
+      LEFT JOIN h USING (query_id)
+      ORDER BY query_id"""),
+    bench = false)
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
       embPqIndexRerank, embAnnProbe, embPqProbe, embPqRerankProbe,
       embHybridRrf, embAnnCompactedSearch, embAnnRebalancedSearch,
       embCovariance, embSq8TopK, embSq8Recall, embRpTopK, embPcaProject,
-      embRpIndexSearch)
+      embRpIndexSearch, embRpSq8TopK, embRpSq8Recall, embRpRecall,
+      embIvfRecall, embPqRecall)
 }
