@@ -971,8 +971,12 @@ object RelQueries {
       val r = ev.agg(min($"_us"), max($"_us")).head()
       val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 9 / 10
       val dir = java.nio.file.Files.createTempDirectory("scd2i").toString
-      Scd2.init(ev.filter($"_us" < cut).drop("_us"), dir)
-      Scd2.merge(s, dir, ev.filter($"_us" >= cut).drop("_us"))
+      // nBuckets is a layout parameter sized to the table (64-dir commit
+      // overhead dominates this row's cost on a local FS at ~100k rows;
+      // a real deployment sizes buckets to history volume)
+      Scd2.init(ev.filter($"_us" < cut).drop("_us"), dir, nBuckets = 16)
+      Scd2.merge(s, dir, ev.filter($"_us" >= cut).drop("_us"),
+        nBuckets = 16)
       scd2Formatted(s.read.parquet(s"$dir/history"))
     },
     Some(scd2OracleSql))

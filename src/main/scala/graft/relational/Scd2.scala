@@ -52,20 +52,31 @@ object Scd2 {
   private def bucketOf(c: Column, n: Int): Column =
     pmod(xxhash64(c), lit(n.toLong))
 
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Read-or-create the pinned bucket count (the `pinnedBuckets`
-    * convention of the streaming label/hash tables).
+    * convention of the streaming label/hash tables, including its
+    * JVM cache — steady streaming stops paying a 1-row parquet read per
+    * trigger — validated against the meta file's existence so a
+    * deleted-and-recreated table re-pins from the current run's value).
     */
   private def pinnedBuckets(spark: SparkSession, path: String,
       nBuckets: Int): Int = {
     import spark.implicits._
     val meta = s"${path.stripSuffix("/")}/scd2_meta"
-    try spark.read.parquet(meta).head().getAs[Int]("n_buckets")
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        Seq(nBuckets).toDF("n_buckets").coalesce(1)
-          .write.mode("overwrite").parquet(meta)
-        nBuckets
-    }
+    val metaFsPath = new org.apache.hadoop.fs.Path(meta)
+    val fs = metaFsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaFsPath)) bucketCache.remove(meta)
+    bucketCache.computeIfAbsent(meta, { _ =>
+      try spark.read.parquet(meta).head().getAs[Int]("n_buckets")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Seq(nBuckets).toDF("n_buckets").coalesce(1)
+            .write.mode("overwrite").parquet(meta)
+          nBuckets
+      }
+    })
   }
 
   /** Full-history build: collapse each user's event stream to change
@@ -96,6 +107,8 @@ object Scd2 {
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/scd2_meta")
+    // a re-init may change the layout: the JVM pin must follow it
+    bucketCache.put(s"${path.stripSuffix("/")}/scd2_meta", nBuckets)
     writeBucketed(build(events)
       .withColumn("ubucket", bucketOf(col("user_id"), nBuckets)),
       s"$path/history")
@@ -109,17 +122,22 @@ object Scd2 {
 
   /** Overwrite-or-swap: direct write when `target` doesn't exist yet,
     * temp-sibling + rename-swap when it does (a rebuild must not destroy
-    * the readable table on a crash mid-write).
+    * the readable table on a crash mid-write). Rows hash-route by bucket
+    * first so each partition directory lands as ONE file — without the
+    * repartition every shuffle partition writes into every bucket dir
+    * (up to partitions × buckets files per write; measured 2× the whole
+    * q33 row's cost in small-file overhead).
     */
   private def writeBucketed(df: DataFrame, target: String): Unit = {
     val spark = df.sparkSession
+    val routed = df.repartition(col("ubucket"))
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      df.write.partitionBy("ubucket").parquet(target)
+      routed.write.partitionBy("ubucket").parquet(target)
     } else {
       val tmp = s"${target}__rebuild_tmp"
-      df.write.mode("overwrite").partitionBy("ubucket").parquet(tmp)
+      routed.write.mode("overwrite").partitionBy("ubucket").parquet(tmp)
       graft.ops.Maintenance.swapParquetDir(spark, target, tmp)
     }
   }
@@ -159,29 +177,35 @@ object Scd2 {
       .filter(col("ubucket").isin(touched: _*))
     val last = spark.read.parquet(s"$path/last")
       .filter(col("ubucket").isin(touched: _*))
+    // The batch-user set is SMALL by the merge contract (merge is the
+    // O(batch) incremental face; a corpus-sized "batch" belongs in
+    // [[build]]), so every per-user side table below — the user set, the
+    // watermark table, the seed rows — rides BROADCAST joins: neither
+    // the batch nor the history is ever shuffled for gating or
+    // pass-through, and the fold's one user_id Exchange over seed+batch
+    // rows is the merge's only corpus-axis shuffle.
     val users = batch.select(col("user_id")).distinct()
     // seed each touched user's fold with their stored current state: the
     // change-collapse then sees exactly the suffix the full rebuild would
     val cur = hist.filter(col("is_current"))
-      .join(users, Seq("user_id"), "left_semi")
-    // Effective per-user watermark, as an orderable (ts, event_id) struct.
-    // Normally it is the stored `last` tuple. The current row's own
-    // valid_from backstops the CRASH-TORN state — a failure between the
-    // history write and the last write leaves history AHEAD of the
-    // watermark, and a last-only gate would fold the already-collapsed
-    // batch back in as duplicate versions. Torn is detectable (stored
-    // tuple missing or strictly behind the current row's valid_from); in
-    // that state the gate closes conservatively at (valid_from, +inf) —
-    // events at the current version's own timestamp were already folded
-    // once, and without their event_ids on record, re-admitting any of
-    // them could mis-order a same-timestamp state flip. Replayed merges
-    // are therefore idempotent; in the NORMAL state the tuple gate admits
-    // fresh events that merely share the boundary timestamp.
-    val gated0 = batch.join(
-        last.select(col("user_id"), col("last_ts"), col("last_eid")),
-        Seq("user_id"), "left")
-      .join(cur.select(col("user_id"), col("valid_from").as("_cvf")),
-        Seq("user_id"), "left")
+      .join(broadcast(users), Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("valid_from"), col("version"),
+        col("state"))
+    // Effective per-user watermark, as an orderable (ts, event_id)
+    // struct, assembled on the SMALL per-user tables (one row per
+    // touched user). Normally it is the stored `last` tuple. The current
+    // row's own valid_from backstops the CRASH-TORN state — a failure
+    // between the history write and the last write leaves history AHEAD
+    // of the watermark, and a last-only gate would fold the already-
+    // collapsed batch back in as duplicate versions. Torn is detectable
+    // (stored tuple missing or strictly behind the current row's
+    // valid_from); in that state the gate closes conservatively at
+    // (valid_from, +inf) — events at the current version's own timestamp
+    // were already folded once, and without their event_ids on record,
+    // re-admitting any of them could mis-order a same-timestamp state
+    // flip. Replayed merges are therefore idempotent; in the NORMAL
+    // state the tuple gate admits fresh events that merely share the
+    // boundary timestamp.
     val lastW = when(col("last_ts").isNotNull,
       struct(col("last_ts").as("wts"), col("last_eid").as("wid")))
     val curLow = when(col("_cvf").isNotNull,
@@ -190,11 +214,17 @@ object Scd2 {
       struct(col("_cvf").as("wts"), lit(Long.MaxValue).as("wid")))
     val torn = col("_cvf").isNotNull &&
       (col("last_ts").isNull || lastW < curLow)
-    // one materialization of the three-join gate (O(batch) rows): the
-    // stale count and the fresh selection below both read the snapshot
-    // instead of re-running the joins per action
-    val gated = gated0
-      .withColumn("_wm", when(torn, curHigh).otherwise(lastW))
+    val wm = last
+      .join(broadcast(users), Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("last_ts"), col("last_eid"))
+      .join(cur.select(col("user_id"), col("valid_from").as("_cvf")),
+        Seq("user_id"), "full")
+      .select(col("user_id"),
+        when(torn, curHigh).otherwise(lastW).as("_wm"))
+    // ONE broadcast join gates the whole batch; the checkpoint
+    // materializes it once so the stale count and the fresh selection
+    // don't re-run the gate per action
+    val gated = batch.join(broadcast(wm), Seq("user_id"), "left")
       .withColumn("_stale", col("_wm").isNotNull &&
         struct(col("ts").as("wts"), col("event_id").as("wid")) <=
           col("_wm"))
@@ -208,41 +238,48 @@ object Scd2 {
     val fresh = gated.filter(!col("_stale"))
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
+    // the seed row carries its stored version along (_base) — the fold
+    // recovers it per user with a partition-window max instead of a join
     val seed = cur.select(col("user_id"), col("valid_from").as("ts"),
       lit(Long.MinValue).as("event_id"), col("state").as("event_type"),
-      lit(0).as("_new"))
+      col("version").as("_base"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val folded = seed.unionByName(fresh.withColumn("_new", lit(1)))
+    val wu = Window.partitionBy(col("user_id"))
+    val folded = seed
+      .unionByName(fresh.withColumn("_base", lit(null).cast("int")))
+      .withColumn("_b", max(col("_base")).over(wu))
       .withColumn("_prev", lag(col("event_type"), 1).over(w))
       .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
       .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .withColumn("_k", row_number().over(w))
-      .join(cur.select(col("user_id"), col("version").as("_base")),
-        Seq("user_id"), "left")
       .select(col("user_id"), col("event_type").as("state"),
         col("ts").as("valid_from"), col("valid_to"),
         // seed row keeps its stored version; appended rows extend it.
         // brand-new users have no base: versions start at 1 (= _k)
-        when(col("_base").isNotNull, col("_base") + col("_k") - 1)
+        when(col("_b").isNotNull, col("_b") + col("_k") - 1)
           .otherwise(col("_k")).cast("int").as("version"),
         col("valid_to").isNull.as("is_current"))
     // partial rewrite of the touched buckets only: within them, untouched
-    // users and touched users' CLOSED rows ride along; the fold re-emits
-    // each touched user's current row (possibly now closed) and any new
-    // versions. Buckets outside `touched` are never read or written.
-    val untouched = hist.join(users, Seq("user_id"), "left_anti")
-      .drop("ubucket")
-    val closedKept = hist.filter(!col("is_current"))
-      .join(users, Seq("user_id"), "left_semi").drop("ubucket")
-    val merged = untouched.unionByName(closedKept).unionByName(folded)
+    // users and touched users' CLOSED rows pass through in ONE broadcast-
+    // marked scan; the fold re-emits each touched user's current row
+    // (possibly now closed) and any new versions. Buckets outside
+    // `touched` are never read or written.
+    val passThrough = hist
+      .join(broadcast(users.withColumn("_u", lit(1))), Seq("user_id"),
+        "left")
+      .filter(col("_u").isNull || !col("is_current"))
+      .drop("_u", "ubucket")
+    val merged = passThrough.unionByName(folded)
     val lastNew = fresh.groupBy(col("user_id"))
       .agg(max(struct(col("ts"), col("event_id"))).as("_w"))
       .select(col("user_id"), col("_w.ts").as("_new_ts"),
         col("_w.event_id").as("_new_eid"))
-    val lastKeep = last.join(users, Seq("user_id"), "left_anti")
+    val lastKeep = last
+      .join(broadcast(users), Seq("user_id"), "left_anti")
       .select(col("user_id"), col("last_ts"), col("last_eid"))
-    val lastUpd = last.join(users, Seq("user_id"), "left_semi")
+    val lastUpd = last
+      .join(broadcast(users), Seq("user_id"), "left_semi")
       .select(col("user_id"), col("last_ts"), col("last_eid"))
       .join(lastNew, Seq("user_id"), "full")
       .select(col("user_id"),
@@ -258,12 +295,15 @@ object Scd2 {
         col("_w.last_eid").as("last_eid"))
     val lastMerged = lastKeep.unionByName(lastUpd)
     // snapshot-before-write: both outputs read the directories they are
-    // about to overwrite
+    // about to overwrite. Bucket-routed first (the writeBucketed rule):
+    // each touched partition directory lands as one file per merge.
     val mergedOut = merged
       .withColumn("ubucket", bucketOf(col("user_id"), nBuckets))
+      .repartition(col("ubucket"))
       .localCheckpoint()
     val lastOut = lastMerged
       .withColumn("ubucket", bucketOf(col("user_id"), nBuckets))
+      .repartition(col("ubucket"))
       .localCheckpoint()
     mergedOut.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
