@@ -210,6 +210,39 @@ class Scd2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("nBuckets"))
   }
 
+  test("merge writes self-compact: one file per touched bucket, always") {
+    // dynamic partition overwrite REPLACES a touched bucket's files and
+    // the bucket-routed write lands exactly one file there — repeated
+    // merges can never accumulate per-bucket files, so SCD2 needs no
+    // LSM-style compaction pass (unlike the append-only indexes)
+    def ev(rows: Seq[(Long, String, Long, String)]) = evDf(rows)
+    val dir = java.nio.file.Files.createTempDirectory("scd2sc").toString
+    Scd2.init(ev((0 until 40).map { i =>
+      (i.toLong, f"2024-01-01 00:$i%02d:00", (i % 8).toLong, "a")
+    }), dir, nBuckets = 4)
+    (1 to 3).foreach { m =>
+      Scd2.merge(spark, dir, ev((0 until 8).map { i =>
+        ((100 * m + i).toLong, f"2024-01-0${m + 1} 00:0$i:00",
+          (i % 8).toLong, if (m % 2 == 0) "a" else "b")
+      }), nBuckets = 4)
+    }
+    def files(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ubucket="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(files("history").nonEmpty &&
+      files("history").forall(_ == 1), s"history: ${files("history")}")
+    assert(files("last").forall(_ == 1), s"last: ${files("last")}")
+    // and the content still equals the full rebuild over everything
+    val full = java.nio.file.Files.createTempDirectory("scd2scf").toString
+    Scd2.init(ev((0 until 40).map { i =>
+      (i.toLong, f"2024-01-01 00:$i%02d:00", (i % 8).toLong, "a")
+    } ++ (1 to 3).flatMap { m => (0 until 8).map { i =>
+      ((100 * m + i).toLong, f"2024-01-0${m + 1} 00:0$i:00",
+        (i % 8).toLong, if (m % 2 == 0) "a" else "b")
+    }}), full)
+    assert(histSet(dir) == histSet(full))
+  }
+
   test("randomized: 3 sequential merges == one full rebuild") {
     val rnd = new scala.util.Random(19)
     val all = (0 until 400).map { i =>
