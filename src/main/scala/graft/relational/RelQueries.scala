@@ -981,6 +981,167 @@ object RelQueries {
     },
     Some(scd2OracleSql))
 
+  /** Point-in-time SCD2 snapshot — the state every user had at the
+    * 80%-of-timespan mark (the dimension read a backfill/audit runs):
+    * interval containment selects at most one version per user, so the
+    * read is a scan-speed filter over history, no shuffle. The oracle
+    * replays the history derivation AND the epoch-microsecond cut
+    * arithmetic (integer division in both engines).
+    */
+  val q37Scd2Snapshot = Q(
+    "q37_scd2_snapshot",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val us = ev.select(unix_micros($"ts".cast("timestamp")).as("_us"))
+        .agg(min($"_us"), max($"_us")).head()
+      val cut = us.getLong(0) + (us.getLong(1) - us.getLong(0)) * 8 / 10
+      Scd2.snapshotAt(Scd2.build(ev), timestamp_micros(lit(cut)))
+        .select($"user_id", $"state",
+          date_format($"valid_from", scd2Fmt).as("valid_from"),
+          $"version")
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events),
+      ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+      v AS (
+        SELECT user_id, event_type, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS vt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS INT) AS version
+        FROM ch),
+      cutv AS (
+        SELECT MIN(epoch_us(ts)) +
+               (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 8 // 10 AS cutus
+        FROM events)
+      SELECT user_id, event_type AS state,
+             STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from, version
+      FROM v CROSS JOIN cutv
+      WHERE epoch_us(ts) <= cutus
+        AND (vt IS NULL OR cutus < epoch_us(vt))
+      ORDER BY user_id"""))
+
+  /** Temporal dimension lookup — every purchase event enriched with its
+    * user's state AT the purchase's own timestamp (the canonical SCD2
+    * consumption join): equi-join on user_id with the validity interval
+    * as the join residual. Zero-width versions (same-ts state flips)
+    * match nothing by construction in both engines.
+    */
+  val q38Scd2Lookup = Q(
+    "q38_scd2_lookup",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val purch = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      Scd2.lookupAsOf(purch, Scd2.build(ev), "ts")
+        .select($"event_id", $"user_id", $"dim_state", $"dim_version")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events),
+      ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+      v AS (
+        SELECT user_id, event_type, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS vt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS INT) AS version
+        FROM ch),
+      p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, v.event_type AS dim_state,
+             v.version AS dim_version
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id AND p.ts >= v.ts
+       AND (v.vt IS NULL OR p.ts < v.vt)
+      ORDER BY p.event_id"""))
+
+  /** SCD2 change feed — the CDC delta between the dimension BEFORE and
+    * AFTER folding the last 20% of the log (what a downstream consumer
+    * subscribes to instead of re-reading history): new versions opened
+    * (`insert`) and previously-open intervals capped by a successor
+    * (`close`). The diff keys on (user_id, version) — immutable once
+    * minted — so the oracle is a full outer join of two independently
+    * rebuilt histories.
+    */
+  val q39Scd2Changes = Q(
+    "q39_scd2_changes",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .withColumn("_us", unix_micros($"ts".cast("timestamp")))
+      val r = ev.agg(min($"_us"), max($"_us")).head()
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 8 / 10
+      val before = Scd2.build(ev.filter($"_us" < cut).drop("_us"))
+      val after = Scd2.build(ev.drop("_us"))
+      Scd2.changesBetween(before, after)
+        .select($"user_id", $"version", $"change_type", $"state",
+          date_format($"valid_from", scd2Fmt).as("valid_from"),
+          date_format($"valid_to", scd2Fmt).as("valid_to"))
+        .orderBy($"user_id", $"version")
+    },
+    Some("""
+      WITH cutv AS (
+        SELECT MIN(epoch_us(ts)) +
+               (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 8 // 10 AS cutus
+        FROM events),
+      bo AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events, cutv WHERE epoch_us(ts) < cutus),
+      bch AS (SELECT * FROM bo WHERE prev IS NULL OR prev <> event_type),
+      bv AS (
+        SELECT user_id, event_type AS state, ts AS vf,
+               LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS vt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS INT) AS version
+        FROM bch),
+      ao AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events),
+      ach AS (SELECT * FROM ao WHERE prev IS NULL OR prev <> event_type),
+      av AS (
+        SELECT user_id, event_type AS state, ts AS vf,
+               LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS vt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS INT) AS version
+        FROM ach)
+      SELECT COALESCE(av.user_id, bv.user_id) AS user_id,
+             COALESCE(av.version, bv.version) AS version,
+             CASE WHEN bv.user_id IS NULL THEN 'insert'
+                  WHEN av.user_id IS NULL THEN 'delete'
+                  WHEN bv.state = av.state AND bv.vf = av.vf THEN 'close'
+                  ELSE 'update' END AS change_type,
+             COALESCE(av.state, bv.state) AS state,
+             STRFTIME(COALESCE(av.vf, bv.vf),
+               '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             STRFTIME(CASE WHEN av.user_id IS NOT NULL THEN av.vt
+                           ELSE bv.vt END,
+               '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+      FROM bv FULL JOIN av
+        ON bv.user_id = av.user_id AND bv.version = av.version
+      WHERE bv.user_id IS NULL OR av.user_id IS NULL
+         OR NOT (bv.state = av.state AND bv.vf = av.vf
+                 AND bv.vt IS NOT DISTINCT FROM av.vt)
+      ORDER BY user_id, version"""))
+
   /** Column profiler — the schema-drift / data-quality telemetry every
     * warehouse runs before trusting a new drop: per-column non-null and
     * exact-distinct counts plus numeric min/max, ONE row per profiled
@@ -1086,5 +1247,5 @@ object RelQueries {
     q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded,
     q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow,
     q30RangeFrame, q31Funnel, q32Scd2, q33Scd2Incr, q34Profile,
-    q35SkewJoin)
+    q35SkewJoin, q37Scd2Snapshot, q38Scd2Lookup, q39Scd2Changes)
 }

@@ -96,6 +96,78 @@ object Scd2 {
         col("version"), col("valid_to").isNull.as("is_current"))
   }
 
+  /** Point-in-time snapshot — the state every user had AT `at` (the
+    * dimension read a backfill or an audit runs against history). An
+    * interval [valid_from, valid_to) contains `at` for at most one
+    * version per user, so this is a filter, not a window: scan-speed
+    * over the (bucketed) history, no shuffle.
+    */
+  def snapshotAt(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+        (col("valid_to").isNull || at < col("valid_to")))
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("version"))
+
+  /** Temporal dimension lookup: enrich each fact row with its user's
+    * state AT the fact's own timestamp (the canonical SCD2 consumption
+    * join). Equi-join on user_id with the validity predicate as the
+    * join residual — per-user history is short, so the interval check
+    * is a cheap post-filter on the equi-match, never a range-join
+    * blow-up; facts before a user's first recorded state keep a null
+    * state (left join).
+    */
+  def lookupAsOf(facts: DataFrame, history: DataFrame,
+      tsCol: String): DataFrame = {
+    val h = history.select(col("user_id"),
+      col("state").as("dim_state"), col("valid_from"),
+      col("valid_to"), col("version").as("dim_version"))
+    facts.join(h,
+        facts("user_id") === h("user_id") &&
+          facts(tsCol) >= h("valid_from") &&
+          (h("valid_to").isNull || facts(tsCol) < h("valid_to")),
+        "left")
+      .drop(h("user_id")).drop("valid_from").drop("valid_to")
+  }
+
+  /** CDC diff of two history snapshots — the change feed a downstream
+    * consumer (cache invalidation, a dependent mart, an audit log)
+    * subscribes to instead of re-reading the dimension. Keyed on
+    * (user_id, version) — immutable once minted by the build/merge
+    * contract — so the delta classifies cleanly:
+    *   - `insert`: version exists only in `after` (a new state opened);
+    *   - `close`:  version in both, only `valid_to` changed (the SCD2
+    *     transition: an open interval was capped by a successor);
+    *   - `update`: version in both, anything else changed (never
+    *     produced by [[merge]] — surfaces manual edits/corruption);
+    *   - `delete`: version exists only in `before` (ditto).
+    * One shuffle on (user_id, version); against the persisted layout the
+    * join co-partitions on the shared user-hash buckets, and a consumer
+    * tracking a merge can pre-prune both sides to the touched buckets,
+    * making the diff O(touched) like the merge itself.
+    */
+  def changesBetween(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.select(col("user_id"), col("version"),
+      col("state").as("b_state"), col("valid_from").as("b_vf"),
+      col("valid_to").as("b_vt"), lit(true).as("_in_b"))
+    val a = after.select(col("user_id"), col("version"),
+      col("state").as("a_state"), col("valid_from").as("a_vf"),
+      col("valid_to").as("a_vt"), lit(true).as("_in_a"))
+    val closeOnly = col("b_state") <=> col("a_state") &&
+      col("b_vf") <=> col("a_vf")
+    b.join(a, Seq("user_id", "version"), "full")
+      .filter(col("_in_b").isNull || col("_in_a").isNull ||
+        !(closeOnly && col("b_vt") <=> col("a_vt")))
+      .select(col("user_id"), col("version"),
+        when(col("_in_b").isNull, lit("insert"))
+          .when(col("_in_a").isNull, lit("delete"))
+          .when(closeOnly, lit("close"))
+          .otherwise(lit("update")).as("change_type"),
+        coalesce(col("a_state"), col("b_state")).as("state"),
+        coalesce(col("a_vf"), col("b_vf")).as("valid_from"),
+        when(col("_in_a").isNotNull, col("a_vt"))
+          .otherwise(col("b_vt")).as("valid_to"))
+  }
+
   /** Write a fresh history + watermark table from a full change log.
     * Rebuilding over an EXISTING table stages each output to a temp
     * sibling and rename-swaps, so readers see old-or-new, never a

@@ -261,6 +261,54 @@ class Scd2Spec extends AnyFunSuite {
     assert(histSet(inc) == histSet(full))
   }
 
+  test("changesBetween: merge delta is exactly the closes + inserts") {
+    val early = evDf(Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "a"),
+      (2L, "2024-01-01 00:00:00", 8L, "x"),
+      (3L, "2024-01-01 00:00:00", 9L, "p")))
+    val late = evDf(Seq(
+      (4L, "2024-01-02 00:00:00", 7L, "b"),   // close v1, insert v2
+      (5L, "2024-01-02 00:00:00", 8L, "x"),   // no-change event: no delta
+      (6L, "2024-01-02 00:00:00", 10L, "n"))) // brand-new user: insert v1
+    val before = Scd2.build(early)
+    val after = Scd2.build(early.unionByName(late))
+    val out = Scd2.changesBetween(before, after)
+      .select(col("user_id"), col("version"), col("change_type"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set(
+      (7L, 1, "close"), (7L, 2, "insert"), (10L, 1, "insert")))
+    // user 8 (no state change) and user 9 (untouched) emit nothing
+    // ... and the PERSISTED merge produces the identical delta: diff of
+    // the on-disk table before/after merge == diff of the two rebuilds
+    val dir = java.nio.file.Files.createTempDirectory("scd2cd").toString
+    Scd2.init(early, dir)
+    val histBefore = spark.read.parquet(s"$dir/history").drop("ubucket")
+      .localCheckpoint()
+    Scd2.merge(spark, dir, late)
+    val persisted = Scd2.changesBetween(histBefore,
+      spark.read.parquet(s"$dir/history").drop("ubucket"))
+      .select(col("user_id"), col("version"), col("change_type"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(persisted == out)
+  }
+
+  test("changesBetween: manual edits surface as update/delete") {
+    val base = Scd2.build(evDf(Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "a"),
+      (2L, "2024-01-02 00:00:00", 7L, "b"),
+      (3L, "2024-01-01 00:00:00", 8L, "x"))))
+    // doctor the AFTER side: user 7's v1 state rewritten (update), user
+    // 8's v1 gone entirely (delete)
+    val doctored = base.filter(col("user_id") =!= 8L)
+      .withColumn("state",
+        when(col("user_id") === 7L && col("version") === 1, lit("z"))
+          .otherwise(col("state")))
+    val out = Scd2.changesBetween(base, doctored)
+      .select(col("user_id"), col("version"), col("change_type"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(out == Set((7L, 1, "update"), (8L, 1, "delete")))
+  }
+
   test("hand-built change log collapses repeats and stamps intervals") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 7L, "a", 0.0, "{}"),
