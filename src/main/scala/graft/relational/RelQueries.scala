@@ -1076,23 +1076,7 @@ object RelQueries {
     * minted — so the oracle is a full outer join of two independently
     * rebuilt histories.
     */
-  val q39Scd2Changes = Q(
-    "q39_scd2_changes",
-    (s, d) => {
-      import s.implicits._
-      val ev = T.events(s, d)
-        .withColumn("_us", unix_micros($"ts".cast("timestamp")))
-      val r = ev.agg(min($"_us"), max($"_us")).head()
-      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 8 / 10
-      val before = Scd2.build(ev.filter($"_us" < cut).drop("_us"))
-      val after = Scd2.build(ev.drop("_us"))
-      Scd2.changesBetween(before, after)
-        .select($"user_id", $"version", $"change_type", $"state",
-          date_format($"valid_from", scd2Fmt).as("valid_from"),
-          date_format($"valid_to", scd2Fmt).as("valid_to"))
-        .orderBy($"user_id", $"version")
-    },
-    Some("""
+  private val scd2ChangesOracleSql = """
       WITH cutv AS (
         SELECT MIN(epoch_us(ts)) +
                (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 8 // 10 AS cutus
@@ -1140,7 +1124,52 @@ object RelQueries {
       WHERE bv.user_id IS NULL OR av.user_id IS NULL
          OR NOT (bv.state = av.state AND bv.vf = av.vf
                  AND bv.vt IS NOT DISTINCT FROM av.vt)
-      ORDER BY user_id, version"""))
+      ORDER BY user_id, version"""
+
+  val q39Scd2Changes = Q(
+    "q39_scd2_changes",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .withColumn("_us", unix_micros($"ts".cast("timestamp")))
+      val r = ev.agg(min($"_us"), max($"_us")).head()
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 8 / 10
+      val before = Scd2.build(ev.filter($"_us" < cut).drop("_us"))
+      val after = Scd2.build(ev.drop("_us"))
+      Scd2.changesBetween(before, after)
+        .select($"user_id", $"version", $"change_type", $"state",
+          date_format($"valid_from", scd2Fmt).as("valid_from"),
+          date_format($"valid_to", scd2Fmt).as("valid_to"))
+        .orderBy($"user_id", $"version")
+    },
+    Some(scd2ChangesOracleSql))
+
+  /** The same CDC delta, derived from the WRITE path instead of a table
+    * diff: init the persisted dimension from the first 80% of the log,
+    * merge the rest with the outbox on, and return what landed in the
+    * feed. The fold-derived outbox must equal [[Scd2.changesBetween]] of
+    * the two rebuilds — so this row reuses q39's oracle verbatim, and
+    * DuckDB directly validates the merge's own change classification.
+    */
+  val q40Scd2Outbox = Q(
+    "q40_scd2_outbox",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .withColumn("_us", unix_micros($"ts".cast("timestamp")))
+      val r = ev.agg(min($"_us"), max($"_us")).head()
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 8 / 10
+      val dir = java.nio.file.Files.createTempDirectory("scd2ob").toString
+      Scd2.init(ev.filter($"_us" < cut).drop("_us"), dir, nBuckets = 16)
+      Scd2.merge(s, dir, ev.filter($"_us" >= cut).drop("_us"),
+        nBuckets = 16, changesTo = Some(s"$dir/changes/batch=0"))
+      s.read.parquet(s"$dir/changes/batch=0")
+        .select($"user_id", $"version", $"change_type", $"state",
+          date_format($"valid_from", scd2Fmt).as("valid_from"),
+          date_format($"valid_to", scd2Fmt).as("valid_to"))
+        .orderBy($"user_id", $"version")
+    },
+    Some(scd2ChangesOracleSql))
 
   /** Column profiler — the schema-drift / data-quality telemetry every
     * warehouse runs before trusting a new drop: per-column non-null and
@@ -1247,5 +1276,6 @@ object RelQueries {
     q21AsofNearest, q22AsofTolerance, q23AsofStrict, q24AsofBanded,
     q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow,
     q30RangeFrame, q31Funnel, q32Scd2, q33Scd2Incr, q34Profile,
-    q35SkewJoin, q37Scd2Snapshot, q38Scd2Lookup, q39Scd2Changes)
+    q35SkewJoin, q37Scd2Snapshot, q38Scd2Lookup, q39Scd2Changes,
+    q40Scd2Outbox)
 }

@@ -168,20 +168,47 @@ object Scd2 {
           .otherwise(col("b_vt")).as("valid_to"))
   }
 
+  /** Idempotent outbox write for the CDC feed: each batch's delta lands
+    * in its own directory, written BEFORE the history overwrite so a
+    * crash between the two replays into regenerating the identical
+    * delta — and a replay AFTER the history landed (when the stale gate
+    * makes the recomputed delta empty) must NOT destroy the feed, so a
+    * directory whose job already committed (`_SUCCESS`) is left alone.
+    */
+  private def writeChanges(delta: DataFrame, dir: String): Unit = {
+    val spark = delta.sparkSession
+    val done = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      delta.write.mode("overwrite").parquet(dir)
+  }
+
   /** Write a fresh history + watermark table from a full change log.
     * Rebuilding over an EXISTING table stages each output to a temp
     * sibling and rename-swaps, so readers see old-or-new, never a
-    * half-written table.
+    * half-written table. With `changesTo`, the whole built history is
+    * also emitted as `insert` rows — the feed's bootstrap batch,
+    * identical to `changesBetween(empty, built)`.
     */
   def init(events: DataFrame, path: String,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Int = DefaultBuckets,
+      changesTo: Option[String] = None): Unit = {
     val spark = events.sparkSession
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/scd2_meta")
     // a re-init may change the layout: the JVM pin must follow it
     bucketCache.put(s"${path.stripSuffix("/")}/scd2_meta", nBuckets)
-    writeBucketed(build(events)
+    // one window-fold compute feeds both the feed write and the table
+    // write when the outbox is on
+    val hist = if (changesTo.isDefined) build(events).localCheckpoint()
+      else build(events)
+    changesTo.foreach { dir =>
+      writeChanges(hist.select(col("user_id"), col("version"),
+        lit("insert").as("change_type"), col("state"),
+        col("valid_from"), col("valid_to")), dir)
+    }
+    writeBucketed(hist
       .withColumn("ubucket", bucketOf(col("user_id"), nBuckets)),
       s"$path/history")
     writeBucketed(events.groupBy(col("user_id"))
@@ -218,11 +245,12 @@ object Scd2 {
     * streaming sink's first micro-batch needs.
     */
   def mergeOrInit(spark: SparkSession, path: String, batch: DataFrame,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Int = DefaultBuckets,
+      changesTo: Option[String] = None): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/history")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) merge(spark, path, batch, nBuckets)
-    else init(batch, path, nBuckets)
+    if (fs.exists(p)) merge(spark, path, batch, nBuckets, changesTo)
+    else init(batch, path, nBuckets, changesTo)
   }
 
   /** Fold `batch` (new events, per-user later than the stored watermark)
@@ -231,9 +259,16 @@ object Scd2 {
     * oracle-pinned) for every event the (ts, event_id) watermark admits;
     * stale rows are dropped with a WARN, never silently reordered into
     * collapsed history.
+    *
+    * With `changesTo`, the merge also emits its CDC delta there — equal
+    * to [[changesBetween]] of the pre/post history (spec-pinned) but
+    * derived from the fold itself: the seed version is a `close` iff the
+    * fold capped it, everything above the seed base is an `insert`. No
+    * extra bucket reads; the outbox write is O(batch) like the merge.
     */
   def merge(spark: SparkSession, path: String, batch: DataFrame,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Int = DefaultBuckets,
+      changesTo: Option[String] = None): Unit = {
     val stored = pinnedBuckets(spark, path, nBuckets)
     require(stored == nBuckets,
       s"scd2 table at $path was built with nBuckets=$stored, got " +
@@ -332,6 +367,24 @@ object Scd2 {
         when(col("_b").isNotNull, col("_b") + col("_k") - 1)
           .otherwise(col("_k")).cast("int").as("version"),
         col("valid_to").isNull.as("is_current"))
+    // CDC outbox, before the table writes (see writeChanges for the
+    // crash/replay ordering contract): a folded row above its user's
+    // seed base (or of a brand-new user) is an insert; the seed-version
+    // row is a close iff the fold capped its interval; a re-emitted
+    // still-current seed row is no change at all
+    changesTo.foreach { dir =>
+      val delta = folded
+        .join(broadcast(cur.select(col("user_id"),
+          col("version").as("_bv"))), Seq("user_id"), "left")
+        .withColumn("change_type",
+          when(col("_bv").isNull || col("version") > col("_bv"),
+            lit("insert"))
+            .when(col("valid_to").isNotNull, lit("close")))
+        .filter(col("change_type").isNotNull)
+        .select(col("user_id"), col("version"), col("change_type"),
+          col("state"), col("valid_from"), col("valid_to"))
+      writeChanges(delta, dir)
+    }
     // partial rewrite of the touched buckets only: within them, untouched
     // users and touched users' CLOSED rows pass through in ONE broadcast-
     // marked scan; the fold re-emits each touched user's current row

@@ -459,17 +459,27 @@ object DedupStream {
     * event sits at or below its user's last_ts and is dropped) — the
     * belt-and-braces a table that REWRITES history wants.
     */
-  def scd2Sink(events: DataFrame, path: String): DataStreamWriter[Row] =
+  def scd2Sink(events: DataFrame, path: String,
+      changesDir: Option[String] = None): DataStreamWriter[Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      processScd2Batch(batch, batchId, path)
+      processScd2Batch(batch, batchId, path, changesDir)
     }
 
-  /** One micro-batch of [[scd2Sink]], exposed for replay testing. */
+  /** One micro-batch of [[scd2Sink]], exposed for replay testing. With
+    * `changesDir`, each trigger also lands its CDC delta at
+    * `changesDir/batch=<id>` — the outbox a downstream consumer tails
+    * instead of re-reading the dimension. Idempotent per batch dir
+    * (Scd2.writeChanges's `_SUCCESS` guard) on top of the shared batchId
+    * high-watermark, so neither foreachBatch redelivery nor a crash
+    * between the delta and history writes can tear or duplicate the feed.
+    */
   def processScd2Batch(batch: DataFrame, batchId: Long,
-      path: String): Unit = {
+      path: String, changesDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     if (batchId > committedBatchId(spark, path)) {
-      graft.relational.Scd2.mergeOrInit(spark, path, batch)
+      graft.relational.Scd2.mergeOrInit(spark, path, batch,
+        changesTo = changesDir.map(d =>
+          s"${d.stripSuffix("/")}/batch=$batchId"))
       commitBatchId(spark, path, batchId)
     }
   }

@@ -292,6 +292,63 @@ class Scd2Spec extends AnyFunSuite {
     assert(persisted == out)
   }
 
+  test("merge outbox == changesBetween(pre, post); feed replays into history") {
+    val rnd = new scala.util.Random(31)
+    val all = (0 until 300).map { i =>
+      (i.toLong, f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00",
+        rnd.nextInt(10).toLong, Seq("a", "b", "c")(rnd.nextInt(3)))
+    }
+    val batches = Seq(all.slice(0, 150), all.slice(150, 220),
+      all.slice(220, 300)).map(evDf)
+    val dir = java.nio.file.Files.createTempDirectory("scd2ob").toString
+    val feed = java.nio.file.Files.createTempDirectory("scd2obf").toString
+    def hist() = spark.read.parquet(s"$dir/history").drop("ubucket")
+      .localCheckpoint()
+    Scd2.init(batches(0), dir, changesTo = Some(s"$feed/batch=0"))
+    val deltaCols = Seq("user_id", "version", "change_type", "state",
+      "valid_from", "valid_to").map(col)
+    def deltaSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(deltaCols: _*).collect().map(_.toString).toSet
+    // bootstrap batch: the whole built history as inserts
+    assert(deltaSet(spark.read.parquet(s"$feed/batch=0")) ==
+      deltaSet(hist().withColumn("change_type", lit("insert"))))
+    // each merge's outbox equals the generic diff of its pre/post tables
+    (1 to 2).foreach { i =>
+      val pre = hist()
+      Scd2.merge(spark, dir, batches(i),
+        changesTo = Some(s"$feed/batch=$i"))
+      assert(deltaSet(spark.read.parquet(s"$feed/batch=$i")) ==
+        deltaSet(Scd2.changesBetween(pre, hist())),
+        s"batch $i outbox != changesBetween")
+    }
+    // the feed alone reconstructs the final history: last write per
+    // (user_id, version) across batches, in batch order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("version"))
+      .orderBy(col("_b").desc)
+    val rebuilt = (0 to 2).map(i =>
+        spark.read.parquet(s"$feed/batch=$i").withColumn("_b", lit(i)))
+      .reduce(_ unionByName _)
+      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("state"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("version"), col("is_current"))
+        .collect().map(_.toString).toSet
+    assert(asSet(rebuilt) == histSet(dir),
+      "replaying the change feed did not reconstruct the history")
+    // replay of a committed batch must not clobber its feed dir: the
+    // stale gate makes the recomputed delta empty, but the _SUCCESS
+    // guard leaves the landed one alone
+    Scd2.merge(spark, dir, batches(2),
+      changesTo = Some(s"$feed/batch=2"))
+    assert(spark.read.parquet(s"$feed/batch=2").count() > 0,
+      "replay overwrote a committed outbox batch with an empty delta")
+  }
+
   test("changesBetween: manual edits surface as update/delete") {
     val base = Scd2.build(evDf(Seq(
       (1L, "2024-01-01 00:00:00", 7L, "a"),

@@ -1080,6 +1080,40 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(hist(dir) == hist(full))
   }
 
+  test("scd2 sink outbox: per-trigger CDC deltas tail into the final history") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ev(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("event_id", "s", "user_id", "event_type")
+        .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val b1 = Seq((1L, "2024-01-01 00:00:00", 7L, "a"),
+      (2L, "2024-01-01 01:00:00", 7L, "b"),
+      (3L, "2024-01-01 00:00:00", 8L, "x"))
+    val b2 = Seq((4L, "2024-01-02 00:00:00", 7L, "a"),
+      (5L, "2024-01-02 00:00:00", 9L, "p"))
+    val dir = java.nio.file.Files.createTempDirectory("scd2co").toString
+    val feed = java.nio.file.Files.createTempDirectory("scd2cof").toString
+    DedupStream.processScd2Batch(ev(b1), 0L, dir, Some(feed))
+    DedupStream.processScd2Batch(ev(b2), 1L, dir, Some(feed))
+    // batch 0 bootstraps (3 inserts: 7/v1, 7/v2, 8/v1); batch 1 closes
+    // 7's open interval and inserts 7/v3 + 9/v1
+    val d0 = spark.read.parquet(s"$feed/batch=0")
+      .select($"user_id", $"version", $"change_type")
+      .as[(Long, Int, String)].collect().toSet
+    assert(d0 == Set((7L, 1, "insert"), (7L, 2, "insert"),
+      (8L, 1, "insert")))
+    val d1 = spark.read.parquet(s"$feed/batch=1")
+      .select($"user_id", $"version", $"change_type")
+      .as[(Long, Int, String)].collect().toSet
+    assert(d1 == Set((7L, 2, "close"), (7L, 3, "insert"),
+      (9L, 1, "insert")))
+    // redelivery: the batchId high-watermark skips the merge AND the
+    // landed outbox dir survives untouched
+    val before = spark.read.parquet(s"$feed/batch=1").collect().toSet
+    DedupStream.processScd2Batch(ev(b2), 1L, dir, Some(feed))
+    assert(spark.read.parquet(s"$feed/batch=1").collect().toSet == before)
+  }
+
   test("streamed funnel state == batch q31 greedy-earliest chain") {
     val spark = TestSpark.spark
     import spark.implicits._
