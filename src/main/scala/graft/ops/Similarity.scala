@@ -930,6 +930,45 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** The RP candidate POOL at the widest window of interest, carrying
+    * BOTH scores — the approximate rank (`arank`, projected-space
+    * cosine order) and the exact cosine (`cos`) — so a recall/cost
+    * sweep can evaluate every narrower rerank window from ONE cascade:
+    * filter `arank <= w`, re-rank by `cos`, cut at k. The pool at
+    * window w reranked this way is exactly [[rpTopK]](rerank = w) by
+    * construction (same candidate set, same (cos, neighbor_id) order);
+    * the driver oracle pins that equivalence independently.
+    */
+  def rpCandidates(corpus: DataFrame, queries: DataFrame, dProj: Int,
+      window: Int, dims: Int = 64): DataFrame = {
+    require(dProj >= 1 && dProj <= dims,
+      s"dProj must be in [1, $dims], got $dProj")
+    val pc = corpus.select(col("vec_id").as("neighbor_id"),
+      rpProject(col("embedding"), dProj, dims).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"),
+      rpProject(col("embedding"), dProj, dims).as("qp"))
+      .withColumn("qpn", norm(col("qp")))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val cand = pc
+      .crossJoin(broadcast(q.select(col("query_id"), col("qp"), col("qpn"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qp"), col("pv")) / (col("qpn") * col("pn"))).as("pcos"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= window)
+      .select(col("query_id"), col("neighbor_id"), col("arank"))
+    cand.join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), norm(col("embedding")).as("cn")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("arank"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+  }
+
   /** Persist the RP index: the PROJECTED table (`proj` — the dims/dProj×
     * smaller scan artifact the rpTopK scaladoc promises) plus the raw
     * vectors (`vectors`, the rerank side) and a param-pinning meta row.

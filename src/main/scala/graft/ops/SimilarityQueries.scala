@@ -1077,11 +1077,12 @@ object SimilarityQueries {
     * projected-space cosine ranking, the rerank-window cut, and the exact
     * rerank — the full cascade, same result set.
     */
-  /** The RP oracle CTE chain through `ranked` — md5-seeded ±1 matrix,
-    * projected-space ranking, rerank cut, exact rerank — shared by the
-    * top-k row, the persisted-index row, and the recall gauge.
+  /** The RP oracle chain's PREFIX through `scored` — md5-seeded ±1
+    * matrix, projected-space ranking with the UNCUT approximate rank —
+    * so callers can apply their own rerank-window cut ([[rpCtes]] cuts
+    * at the registry's 20; the recall sweep cuts at several widths).
     */
-  private val rpCtes = s"""e AS (
+  private val rpProjCtes = s"""e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       proj AS (
         SELECT vec_id, p,
@@ -1098,15 +1099,21 @@ object SimilarityQueries {
         FROM proj pq JOIN proj pc USING (p)
         WHERE pq.vec_id % 50 = 0 AND pc.vec_id <> pq.vec_id
         GROUP BY 1, 2),
+      scored AS (
+        SELECT a.query_id, a.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id
+                 ORDER BY a.ip / (nq.n * nc.n) DESC, a.neighbor_id) AS arank
+        FROM ip a
+        JOIN pn nq ON nq.vec_id = a.query_id
+        JOIN pn nc ON nc.vec_id = a.neighbor_id)"""
+
+  /** The RP oracle CTE chain through `ranked` — md5-seeded ±1 matrix,
+    * projected-space ranking, rerank cut, exact rerank — shared by the
+    * top-k row, the persisted-index row, and the recall gauge.
+    */
+  private val rpCtes = s"""$rpProjCtes,
       cand AS (
-        SELECT query_id, neighbor_id FROM (
-          SELECT a.query_id, a.neighbor_id,
-                 ROW_NUMBER() OVER (PARTITION BY a.query_id
-                   ORDER BY a.ip / (nq.n * nc.n) DESC, a.neighbor_id) AS arank
-          FROM ip a
-          JOIN pn nq ON nq.vec_id = a.query_id
-          JOIN pn nc ON nc.vec_id = a.neighbor_id)
-        WHERE arank <= 20),
+        SELECT query_id, neighbor_id FROM scored WHERE arank <= 20),
       pairs AS (
         SELECT c.query_id, c.neighbor_id, eq.v AS qv, ec.v AS cv
         FROM cand c
@@ -1368,6 +1375,81 @@ object SimilarityQueries {
       WITH $rpCtes,${cosRecallTail(5)}"""),
     bench = false)
 
+  /** Recall@5 of the RP cascade at three rerank-window widths — the
+    * quality/cost KNOB made measurable: JL noise at dProj=16 is not a
+    * fixed loss but a window trade (wider window = one more narrow-row
+    * rank pass over candidates, recall climbs toward 1.0). One uncut
+    * approximate ranking and one exact ranking feed all three widths —
+    * the sweep costs one extra candidate-rank pass, not three cascades.
+    */
+  val embRpRecallSweep = Q(
+    "emb_rp_recall_sweep",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.cosineTopK(emb, queries, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val nq = queries.count()
+      val pool = Similarity.rpCandidates(emb, queries, dProj = 16,
+        window = 400).localCheckpoint()
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      Seq(20, 100, 400).map { w =>
+        pool.filter(col("arank") <= w)
+          .withColumn("_rk", row_number().over(wr))
+          .filter(col("_rk") <= 5)
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(w).as("rerank"), col("hits"),
+            round(col("hits") / (lit(5.0) * nq), 4).as("recall"))
+      }.reduce(_ unionByName _).orderBy(col("rerank"))
+    },
+    Some(s"""
+      WITH $rpProjCtes,
+      epairs AS (
+        SELECT q.query_id, e2.vec_id AS neighbor_id,
+               q.qv, e2.embedding::DOUBLE[] AS cv
+        FROM embeddings e2,
+             (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 50 = 0) q
+        WHERE e2.vec_id <> q.query_id),
+      ecomp AS (
+        SELECT query_id, neighbor_id,
+               SUM(qv[CAST(i AS INT)] * cv[CAST(i AS INT)])
+                 / (SQRT(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+                    * SQRT(SUM(cv[CAST(i AS INT)] * cv[CAST(i AS INT)]))) AS cos
+        FROM (SELECT *, unnest(generate_series(1, 64)) AS i FROM epairs)
+        GROUP BY 1, 2),
+      etop AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rk
+          FROM ecomp) WHERE rk <= 5),
+      wins AS (SELECT UNNEST([20, 100, 400]) AS rerank),
+      swcand AS (
+        SELECT w.rerank, s.query_id, s.neighbor_id
+        FROM scored s CROSS JOIN wins w WHERE s.arank <= w.rerank),
+      rr AS (
+        SELECT c.rerank, c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.rerank, c.query_id
+                 ORDER BY ec.cos DESC, c.neighbor_id) AS rk
+        FROM swcand c JOIN ecomp ec USING (query_id, neighbor_id)),
+      atop AS (
+        SELECT rerank, query_id, neighbor_id FROM rr WHERE rk <= 5),
+      h AS (
+        SELECT a.rerank, COUNT(*) AS hits
+        FROM atop a JOIN etop e3 USING (query_id, neighbor_id)
+        GROUP BY 1),
+      nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM etop)
+      SELECT w.rerank, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             ROUND(COALESCE(h.hits, 0) / (5.0 * nq.n), 4) AS recall
+      FROM wins w LEFT JOIN h ON h.rerank = w.rerank CROSS JOIN nq
+      ORDER BY w.rerank"""),
+    bench = false)
+
   /** Recall@3 of the IVF probe path (nprobe=2 of 10 clusters) against
     * the exact scan — recall loss here is the pruning trade made
     * explicit, at the registry's own parameters.
@@ -1454,5 +1536,6 @@ object SimilarityQueries {
       embHybridRrf, embAnnCompactedSearch, embAnnRebalancedSearch,
       embCovariance, embSq8TopK, embSq8Recall, embRpTopK, embPcaProject,
       embRpIndexSearch, embRpSq8TopK, embRpSq8Recall, embRpRecall,
+      embRpRecallSweep,
       embIvfRecall, embPqRecall)
 }

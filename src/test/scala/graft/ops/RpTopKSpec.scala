@@ -47,6 +47,31 @@ class RpTopKSpec extends AnyFunSuite {
     assert(rp == exact)
   }
 
+  test("rpCandidates pool reranked at width w == rpTopK(rerank = w)") {
+    // the sweep contract: one wide pool evaluates every narrower window
+    val c = corpus(150, 16, seed = 23)
+    val q = c.filter(col("vec_id") % 30 === 0)
+    val pool = Similarity.rpCandidates(c, q, dProj = 8, window = 60,
+      dims = 16)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    Seq(10, 25, 60).foreach { w =>
+      val fromPool = pool.filter(col("arank") <= w)
+        .withColumn("_rk", row_number().over(wr))
+        .filter(col("_rk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("_rk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val direct = Similarity.rpTopK(c, q, k = 5, dProj = 8, rerank = w,
+          dims = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(fromPool == direct, s"window $w pool-rerank != rpTopK")
+    }
+  }
+
   test("rpTopK top-1 on well-separated blobs is the exact top-1") {
     // two tight families far apart: JL at dProj=8 on 16 dims preserves
     // the inter-family gap (projected cosine stays ~+1 in-family, ~-1
