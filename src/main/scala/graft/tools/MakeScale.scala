@@ -130,6 +130,16 @@ object MakeScale {
     }.reduce(_ unionByName _)
     liK.repartition(32).write.mode("overwrite")
       .parquet(s"$dst/lineitem.parquet")
+    // dimension tables pass through UNCHANGED: orders keep o_custkey
+    // un-offset, so every replica joins the same 1× dims — the realistic
+    // scale shape (facts grow with time, dims don't) and exactly what a
+    // fact⨝dim ×10 leg should measure
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      val p = s"$src/$t.parquet"
+      if (new java.io.File(p).exists())
+        spark.read.parquet(p).write.mode("overwrite")
+          .parquet(s"$dst/$t.parquet")
+    }
     println(s"[makescale] wrote ${k}x $src -> $dst (hot orderkey $hotKey)")
     spark.stop()
   }
