@@ -1238,6 +1238,97 @@ object RelQueries {
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem)
       ORDER BY col_name"""))
 
+  /** Distribution profiler — exact p25/p50/p75 per numeric column, the
+    * spread stats q34's min/max telemetry lacks. ONE aggregation job
+    * computes every column's percentile array (Spark's exact
+    * `percentile` buffers the column's values per agg — fine at gate
+    * scale and required for a cross-engine hash match; at 100 TB swap
+    * in `approx_percentile`, whose t-digest sketch is mergeable
+    * map-side but engine-specific). DuckDB's `quantile_cont` shares the
+    * linear-interpolation definition, and rounding to 4 keeps last-ulp
+    * arithmetic differences out of the compare.
+    */
+  val q41ProfileQuantiles = Q(
+    "q41_profile_quantiles",
+    (s, d) => {
+      import s.implicits._
+      val num = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val ps = Seq(0.25, 0.5, 0.75)
+      val aggs = num.map(c =>
+        percentile(col(c), lit(ps.toArray)).as(s"${c}__q"))
+      val one = T.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = for { c <- num; (p, i) <- ps.zipWithIndex } yield
+        struct(lit(c).as("col_name"), lit(p).as("p"),
+          round(element_at(col(s"${c}__q"), i + 1), 4).as("value"))
+      one.select(explode(array(rows: _*)).as("r"))
+        .select($"r.col_name", $"r.p", $"r.value")
+        .orderBy($"col_name", $"p")
+    },
+    Some("""
+      SELECT col_name, CAST(p AS DOUBLE) AS p, value FROM (
+        SELECT 'l_quantity' AS col_name, 0.25 AS p,
+               ROUND(quantile_cont(l_quantity, 0.25), 4) AS value
+        FROM lineitem
+        UNION ALL SELECT 'l_quantity', 0.5,
+          ROUND(quantile_cont(l_quantity, 0.5), 4) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 0.75,
+          ROUND(quantile_cont(l_quantity, 0.75), 4) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 0.25,
+          ROUND(quantile_cont(l_extendedprice, 0.25), 4) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 0.5,
+          ROUND(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 0.75,
+          ROUND(quantile_cont(l_extendedprice, 0.75), 4) FROM lineitem
+        UNION ALL SELECT 'l_discount', 0.25,
+          ROUND(quantile_cont(l_discount, 0.25), 4) FROM lineitem
+        UNION ALL SELECT 'l_discount', 0.5,
+          ROUND(quantile_cont(l_discount, 0.5), 4) FROM lineitem
+        UNION ALL SELECT 'l_discount', 0.75,
+          ROUND(quantile_cont(l_discount, 0.75), 4) FROM lineitem)
+      ORDER BY col_name, p"""))
+
+  /** Frequent-values profiler — top-3 values per column by count (ties
+    * to the smaller value), the categorical complement of q41. One
+    * Expand fans each row into (col_name, val) tags, ONE count shuffle
+    * aggregates all columns together, and the per-column top-3 window
+    * runs over the already-tiny count table — the q34 one-job pattern
+    * applied to frequency histograms.
+    */
+  val q42ProfileFrequent = Q(
+    "q42_profile_frequent",
+    (s, d) => {
+      import s.implicits._
+      val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber")
+      val stacked = T.lineitem(s, d)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"),
+            col(c).cast("string").as("val"))): _*)).as("s"))
+        .select($"s.col_name", $"s.val")
+      val w = Window.partitionBy($"col_name")
+        .orderBy($"cnt".desc, $"val")
+      stacked.groupBy($"col_name", $"val").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .orderBy($"col_name", $"rank")
+    },
+    Some("""
+      WITH s AS (
+        SELECT 'l_returnflag' AS col_name, l_returnflag AS val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', l_linestatus FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR)
+        FROM lineitem),
+      c AS (SELECT col_name, val, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+      r AS (
+        SELECT col_name, val, cnt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY col_name
+                 ORDER BY cnt DESC, val) AS INT) AS rank
+        FROM c)
+      SELECT col_name, val, CAST(cnt AS BIGINT) AS cnt, rank
+      FROM r WHERE rank <= 3 ORDER BY col_name, rank"""))
+
   /** Salted skew join under the driver gate: the fact⨝fact join runs
     * through `SkewJoin.saltedHotKeys` (hot orderkeys salted across 8
     * buckets, the cold tail joined plainly) and must aggregate to the
@@ -1277,5 +1368,5 @@ object RelQueries {
     q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow,
     q30RangeFrame, q31Funnel, q32Scd2, q33Scd2Incr, q34Profile,
     q35SkewJoin, q37Scd2Snapshot, q38Scd2Lookup, q39Scd2Changes,
-    q40Scd2Outbox)
+    q40Scd2Outbox, q41ProfileQuantiles, q42ProfileFrequent)
 }
