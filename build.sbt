@@ -18,6 +18,11 @@ run / fork := true
 // prints its own "All tests passed." summary.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ... and the forked program's stdout must reach sbt's stdout RAW: the
+// default LoggedOutput strategy prefixes every program line with
+// "[info] ", which un-JSONs the bench line just as thoroughly as the
+// success banner did. StdoutOutput passes the child's stdout through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
