@@ -1287,6 +1287,72 @@ object RelQueries {
           ROUND(quantile_cont(l_discount, 0.75), 4) FROM lineitem)
       ORDER BY col_name, p"""))
 
+  /** The 100 TB twin of q41: `approx_percentile`'s mergeable GK sketch,
+    * map-side combinable where exact percentile cannot be. On COARSE
+    * columns (50/11/7 distinct values) the sketch's rank slack — a
+    * n/accuracy fraction of the rows — is ~100× smaller than any
+    * quantile target's distance to a value boundary, so at the DEFAULT
+    * accuracy the approximate answer is deterministic at every scale
+    * and equals the nearest-rank exact quantile — which is what lets
+    * an approximate operator sit under an exact-hash oracle (DuckDB
+    * `quantile_disc`). The one knife-edge: a target sitting ON a
+    * boundary in expectation (p=0.5 over 50 uniform values) resolves
+    * by the corpus's sampled sign and is stable for fixed data. On
+    * fine-grained columns the sketch's chosen element is
+    * engine-specific; that twin stays oracle-free by nature (q41
+    * covers exactness there).
+    */
+  val q43ProfileQuantilesApprox = Q(
+    "q43_profile_quantiles_approx",
+    (s, d) => {
+      import s.implicits._
+      // columns chosen so no target fraction sits ON a cumulative value
+      // boundary in expectation (l_quantity's even 50-value domain puts
+      // p=0.5 exactly on one — the sketch's and the oracle's choices then
+      // flip on sampling noise; 9/11/7-value domains have no such cell)
+      val num = Seq("l_tax", "l_discount", "l_linenumber")
+      val ps = Seq(0.25, 0.5, 0.75)
+      val aggs = num.map(c => approx_percentile(col(c).cast("double"),
+        lit(ps.toArray), lit(10000)).as(s"${c}__q"))
+      val one = T.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = for { c <- num; (p, i) <- ps.zipWithIndex } yield
+        struct(lit(c).as("col_name"), lit(p).as("p"),
+          round(element_at(col(s"${c}__q"), i + 1), 4).as("value"))
+      one.select(explode(array(rows: _*)).as("r"))
+        .select($"r.col_name", $"r.p", $"r.value")
+        .orderBy($"col_name", $"p")
+    },
+    Some("""
+      SELECT col_name, CAST(p AS DOUBLE) AS p, value FROM (
+        SELECT 'l_tax' AS col_name, 0.25 AS p,
+               ROUND(CAST(quantile_disc(l_tax, 0.25) AS DOUBLE), 4)
+                 AS value FROM lineitem
+        UNION ALL SELECT 'l_tax', 0.5,
+          ROUND(CAST(quantile_disc(l_tax, 0.5) AS DOUBLE), 4)
+          FROM lineitem
+        UNION ALL SELECT 'l_tax', 0.75,
+          ROUND(CAST(quantile_disc(l_tax, 0.75) AS DOUBLE), 4)
+          FROM lineitem
+        UNION ALL SELECT 'l_discount', 0.25,
+          ROUND(CAST(quantile_disc(l_discount, 0.25) AS DOUBLE), 4)
+          FROM lineitem
+        UNION ALL SELECT 'l_discount', 0.5,
+          ROUND(CAST(quantile_disc(l_discount, 0.5) AS DOUBLE), 4)
+          FROM lineitem
+        UNION ALL SELECT 'l_discount', 0.75,
+          ROUND(CAST(quantile_disc(l_discount, 0.75) AS DOUBLE), 4)
+          FROM lineitem
+        UNION ALL SELECT 'l_linenumber', 0.25,
+          ROUND(CAST(quantile_disc(l_linenumber, 0.25) AS DOUBLE), 4)
+          FROM lineitem
+        UNION ALL SELECT 'l_linenumber', 0.5,
+          ROUND(CAST(quantile_disc(l_linenumber, 0.5) AS DOUBLE), 4)
+          FROM lineitem
+        UNION ALL SELECT 'l_linenumber', 0.75,
+          ROUND(CAST(quantile_disc(l_linenumber, 0.75) AS DOUBLE), 4)
+          FROM lineitem)
+      ORDER BY col_name, p"""))
+
   /** Frequent-values profiler — top-3 values per column by count (ties
     * to the smaller value), the categorical complement of q41. One
     * Expand fans each row into (col_name, val) tags, ONE count shuffle
@@ -1368,5 +1434,6 @@ object RelQueries {
     q25Pivot, q26Unpivot, q27Cube, q28SlidingWindow, q29SessionWindow,
     q30RangeFrame, q31Funnel, q32Scd2, q33Scd2Incr, q34Profile,
     q35SkewJoin, q37Scd2Snapshot, q38Scd2Lookup, q39Scd2Changes,
-    q40Scd2Outbox, q41ProfileQuantiles, q42ProfileFrequent)
+    q40Scd2Outbox, q41ProfileQuantiles, q42ProfileFrequent,
+    q43ProfileQuantilesApprox)
 }

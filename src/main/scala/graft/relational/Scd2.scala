@@ -129,6 +129,26 @@ object Scd2 {
       .drop(h("user_id")).drop("valid_from").drop("valid_to")
   }
 
+  /** Directory-pruned history read for a set of fact users — the READ
+    * twin of merge's O(touched-buckets) contract: collect the ≤ nBuckets
+    * partition values the users hash into (bounded driver read) and open
+    * only those directories. The scan a streaming enrichment pays per
+    * trigger is then proportional to the batch's user spread, never the
+    * dimension's size.
+    */
+  def historyFor(spark: SparkSession, path: String,
+      users: DataFrame): DataFrame = {
+    // read-only twin of pinnedBuckets: cache the pinned count, never
+    // create it (a read path must not mint layout for a missing table)
+    val meta = s"${path.stripSuffix("/")}/scd2_meta"
+    val nb: Int = bucketCache.computeIfAbsent(meta,
+      _ => spark.read.parquet(meta).head().getAs[Int]("n_buckets"))
+    val touched = users.select(bucketOf(col("user_id"), nb).as("ubucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(s"$path/history")
+      .filter(col("ubucket").isin(touched: _*)).drop("ubucket")
+  }
+
   /** CDC diff of two history snapshots — the change feed a downstream
     * consumer (cache invalidation, a dependent mart, an audit log)
     * subscribes to instead of re-reading the dimension. Keyed on

@@ -199,6 +199,37 @@ object EventsStream {
           .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
     }
 
+  /** Stream-static SCD2 enrichment — the streaming face of
+    * `relational.Scd2.lookupAsOf` against the PERSISTED bucketed
+    * dimension: each fact micro-batch is enriched with its user's state
+    * at the fact's own event time, and the dimension read is
+    * directory-pruned to the batch's user-hash buckets
+    * (`Scd2.historyFor` — the merge's O(touched) contract applied to
+    * reads, so per-trigger cost scales with the batch's user spread,
+    * not the dimension's size). The lookup is row-local against a fixed
+    * history (each fact's match depends only on that fact and the
+    * dimension), so stream output == batch output on the same rows;
+    * for a dimension that a concurrent `scd2Sink` keeps merging, each
+    * trigger sees the standard stream-static per-trigger snapshot.
+    */
+  def scd2EnrichSink(stream: DataFrame, scd2Path: String, tsCol: String,
+      outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processScd2EnrichBatch(batch, batchId, scd2Path, tsCol, outPath)
+    }
+
+  /** One micro-batch of [[scd2EnrichSink]], exposed for testing. */
+  def processScd2EnrichBatch(batch: DataFrame, batchId: Long,
+      scd2Path: String, tsCol: String, outPath: String): Unit = {
+    val hist = graft.relational.Scd2.historyFor(batch.sparkSession,
+      scd2Path, batch.select(col("user_id")))
+    graft.relational.Scd2.lookupAsOf(batch, hist, tsCol)
+      .write.mode("overwrite")
+      .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
+  }
+
   /** Stream-stream interval join — the streaming twin of q19's banded
     * range join: pair left and right stream rows of the same `keys` whose
     * timestamps fall within `withinSeconds` of each other (inclusive,

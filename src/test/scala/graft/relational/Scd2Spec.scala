@@ -366,6 +366,57 @@ class Scd2Spec extends AnyFunSuite {
     assert(out == Set((7L, 1, "update"), (8L, 1, "delete")))
   }
 
+  test("historyFor: every requested user's rows, only touched buckets read") {
+    // 40 users spread across 8 buckets; ask for 2 users — the read must
+    // return their complete history while opening a strict subset of the
+    // bucket directories (the merge's O(touched) contract, applied to
+    // reads)
+    val ev = evDf((0 until 80).map { i =>
+      (i.toLong, f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00",
+        (i % 40).toLong, Seq("a", "b", "c")(i % 3))
+    })
+    val dir = java.nio.file.Files.createTempDirectory("scd2hf").toString
+    Scd2.init(ev, dir, nBuckets = 8)
+    val want = Seq(3L, 17L)
+    val users = want.toDF("user_id")
+    // keep the scan plan live: input_file_name() below must see the
+    // parquet files, which a localCheckpoint would erase
+    val out = Scd2.historyFor(spark, dir, users)
+    val full = spark.read.parquet(s"$dir/history")
+    def rowSet(df: org.apache.spark.sql.DataFrame, uids: Seq[Long]) =
+      df.filter(col("user_id").isin(uids: _*))
+        .select(col("user_id"), col("state"),
+          col("valid_from").cast("string"),
+          col("valid_to").cast("string"), col("version"),
+          col("is_current"))
+        .collect().map(_.toString).toSet
+    // containment: the requested users' rows are all there, exactly
+    assert(rowSet(out, want) == rowSet(full.drop("ubucket"), want))
+    assert(rowSet(out, want).nonEmpty)
+    // pruning: every file the pruned read touches lives in a bucket one
+    // of the requested users hashes into — and that's a strict subset
+    val touched = users
+      .select(pmod(xxhash64(col("user_id")), lit(8L)).as("b"))
+      .distinct().as[Long].collect().toSet
+    assert(touched.size < 8)
+    val filesRead = out.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(filesRead.nonEmpty)
+    filesRead.foreach { f =>
+      val b = "ubucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
+      assert(b.exists(touched.contains),
+        s"pruned read opened a file outside the touched buckets: $f")
+    }
+    // every returned row belongs to a touched bucket (no spurious dirs),
+    // and rows of co-bucketed OTHER users pass through — historyFor is a
+    // directory-level prune, not a per-user filter (the caller's join
+    // ignores the extras; re-filtering would re-scan what pruning saved)
+    val outBuckets = out
+      .select(pmod(xxhash64(col("user_id")), lit(8L)).as("b"))
+      .distinct().as[Long].collect().toSet
+    assert(outBuckets.subsetOf(touched))
+  }
+
   test("hand-built change log collapses repeats and stamps intervals") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 7L, "a", 0.0, "{}"),

@@ -1114,6 +1114,55 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$feed/batch=1").collect().toSet == before)
   }
 
+  test("scd2 enrich sink: streamed lookup == batch lookupAsOf on full dim") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ev(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("event_id", "s", "user_id", "event_type")
+        .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    // dimension: 12 users, two states each, spread across 8 buckets
+    val dimEv = ev((0 until 24).map { i =>
+      (i.toLong, s"2024-01-0${1 + i / 12} 00:00:00", (i % 12).toLong,
+        if (i < 12) "a" else "b")
+    })
+    val dim = java.nio.file.Files.createTempDirectory("scd2en").toString
+    graft.relational.Scd2.init(dimEv, dim, nBuckets = 8)
+    // facts: before the first state (null match), inside v1, inside the
+    // open v2, and a user the dimension has never seen
+    val facts = Seq(
+      (100L, java.sql.Timestamp.valueOf("2023-12-31 00:00:00"), 3L,
+        "view", 1.0),
+      (101L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3L,
+        "click", 1.0),
+      (102L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 7L,
+        "view", 1.0),
+      (103L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 999L,
+        "view", 1.0))
+      .map(r => EventsStream.Event(r._1, r._2, r._3, r._4, r._5))
+    val out = java.nio.file.Files.createTempDirectory("scd2eno").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventsStream.Event]
+    val q = EventsStream.scd2EnrichSink(mem.toDF(), dim, "ts", out).start()
+    try {
+      mem.addData(facts: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"dim_state", $"dim_version")
+        .as[(Long, Option[String], Option[Int])].collect().toSet
+    val streamed = asSet(spark.read.parquet(s"$out/batch=0"))
+    val fullHist = spark.read.parquet(s"$dim/history").drop("ubucket")
+    val batch = asSet(graft.relational.Scd2.lookupAsOf(
+      facts.toDF(), fullHist, "ts"))
+    assert(streamed == batch)
+    // the fixture exercises all three outcomes
+    assert(streamed.exists(r => r._1 == 100L && r._2.isEmpty))
+    assert(streamed.exists(r => r._1 == 101L && r._2.contains("a")))
+    assert(streamed.exists(r => r._1 == 102L && r._2.contains("b")))
+    assert(streamed.exists(r => r._1 == 103L && r._2.isEmpty))
+  }
+
   test("streamed funnel state == batch q31 greedy-earliest chain") {
     val spark = TestSpark.spark
     import spark.implicits._
