@@ -1426,6 +1426,134 @@ object RelQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  /** q38's temporal enrichment composed with the PRUNED dimension read
+    * (`Scd2.historyFor`): facts of a 10% user slice are enriched against
+    * only the bucket directories that slice hashes into — the read-side
+    * O(touched-buckets) contract under the driver gate. The oracle is
+    * q38's full-history derivation restricted to the same slice: the
+    * prune must be invisible to content (co-bucketed extra users pass
+    * through the read and are ignored by the join).
+    */
+  val q44Scd2LookupPruned = Q(
+    "q44_scd2_lookup_pruned",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("scd2p").toString
+      Scd2.init(ev, dir, nBuckets = 16)
+      val purch = ev.filter($"event_type" === "purchase" &&
+          $"user_id" % 10 === 3)
+        .select($"event_id", $"user_id", $"ts")
+      val hist = Scd2.historyFor(s, dir, purch.select($"user_id"))
+      Scd2.lookupAsOf(purch, hist, "ts")
+        .select($"event_id", $"user_id", $"dim_state", $"dim_version")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events),
+      ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+      v AS (
+        SELECT user_id, event_type, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS vt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS INT) AS version
+        FROM ch),
+      p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase' AND user_id % 10 = 3)
+      SELECT p.event_id, p.user_id, v.event_type AS dim_state,
+             v.version AS dim_version
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id AND p.ts >= v.ts
+       AND (v.vt IS NULL OR p.ts < v.vt)
+      ORDER BY p.event_id"""))
+
+  /** Distinct-cardinality profiler — `approx_count_distinct` (HLL++) per
+    * column in ONE aggregation job, the mergeable twin of exact
+    * COUNT(DISTINCT) the same way q43 twins q41: the sketch map-side
+    * combines (a per-column exact distinct would be one shuffle EACH on
+    * the raw values), so at 100 TB the job stays one pass + a
+    * constant-size merge. Gate-checkable against DuckDB's exact
+    * COUNT(DISTINCT) because at rsd=0.01 (2^14 registers) every profiled
+    * column's cardinality (2-50) sits deep in the linear-counting regime:
+    * the estimate m*ln(m/V) rounds to n exactly unless two values collide
+    * in one register — deterministic for the fixed value DOMAINS, which
+    * are replica-invariant across scales.
+    */
+  val q45ProfileDistinct = Q(
+    "q45_profile_distinct",
+    (s, d) => {
+      import s.implicits._
+      val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber",
+        "l_tax", "l_discount", "l_quantity")
+      val aggs = cols.map(c =>
+        approx_count_distinct(col(c), 0.01).as(s"${c}__n"))
+      val one = T.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map(c => struct(lit(c).as("col_name"),
+        col(s"${c}__n").as("n_distinct")))
+      one.select(explode(array(rows: _*)).as("r"))
+        .select($"r.col_name", $"r.n_distinct")
+        .orderBy($"col_name")
+    },
+    Some("""
+      SELECT col_name, n_distinct FROM (
+        SELECT 'l_returnflag' AS col_name,
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct
+        FROM lineitem
+        UNION ALL SELECT 'l_linestatus',
+          CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_linenumber',
+          CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_tax',
+          CAST(COUNT(DISTINCT l_tax) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_discount',
+          CAST(COUNT(DISTINCT l_discount) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_quantity',
+          CAST(COUNT(DISTINCT l_quantity) AS BIGINT) FROM lineitem)
+      ORDER BY col_name"""))
+
+  /** Persisted-sketch cardinality maintenance — the incremental-index
+    * house pattern applied to STATISTICS: per-shard DataSketches HLL
+    * sketches are written to parquet (one binary row per shard), read
+    * back, and `hll_union_agg`-merged; a new data partition appends ONE
+    * sketch row and the merge re-reads sketches, never the data. The
+    * merged estimate must equal the direct single-pass estimate, and both
+    * equal DuckDB's exact COUNT(DISTINCT), because at lgK=14 a
+    * ≤1k-cardinality column keeps the sketch in exact coupon mode. At
+    * 100 TB cardinalities the union's register state stays lossless but
+    * DataSketches switches estimator (HIP → composite) after a union, so
+    * merged drifts from direct within the error band; the invariant that
+    * survives is SHARD-LAYOUT INVARIANCE — the union's answer depends
+    * only on the value set, never the partitioning (ProfileApproxSpec
+    * pins both regimes).
+    */
+  val q46DistinctSketchMerge = Q(
+    "q46_distinct_sketch_merge",
+    (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("hllsk").toString
+      li.groupBy(($"l_orderkey" % 8).as("shard"))
+        .agg(hll_sketch_agg($"l_suppkey", lit(14)).as("sk"))
+        .write.mode("overwrite").parquet(dir)
+      val merged = s.read.parquet(dir)
+        .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(true)))
+          .as("n_merged"))
+      val direct = li
+        .agg(hll_sketch_estimate(hll_sketch_agg($"l_suppkey", lit(14)))
+          .as("n_direct"))
+      merged.crossJoin(direct).select($"n_direct", $"n_merged")
+    },
+    Some("""
+      SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_direct,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_merged
+      FROM lineitem"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
@@ -1435,5 +1563,6 @@ object RelQueries {
     q30RangeFrame, q31Funnel, q32Scd2, q33Scd2Incr, q34Profile,
     q35SkewJoin, q37Scd2Snapshot, q38Scd2Lookup, q39Scd2Changes,
     q40Scd2Outbox, q41ProfileQuantiles, q42ProfileFrequent,
-    q43ProfileQuantilesApprox)
+    q43ProfileQuantilesApprox, q44Scd2LookupPruned, q45ProfileDistinct,
+    q46DistinctSketchMerge)
 }
