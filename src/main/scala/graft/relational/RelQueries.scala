@@ -1554,6 +1554,158 @@ object RelQueries {
              CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_merged
       FROM lineitem"""))
 
+  /** Time-series resample + forward fill — each user's `value` signal
+    * regularized onto an hourly grid from their first to last event hour,
+    * gaps carrying the last observation forward (the feature-engineering
+    * primitive behind training-data time alignment). Scale shape: ONE
+    * events shuffle down to (user, hour) — the last-in-hour pick rides
+    * map-side max_by on the immutable (ts, event_id) order — and
+    * everything downstream (span agg, grid explode, fill window) stays on
+    * the user axis; the grid explode is row-local fan-out, never a join
+    * against a calendar table. The first grid point is the user's first
+    * event hour, so the fill window never sees a leading null.
+    */
+  val q47ResampleFfill = Q(
+    "q47_resample_ffill",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      // persisted: the (user, hour) table feeds BOTH the span agg and the
+      // fill join — without the cache Catalyst re-scans events twice (no
+      // subplan sharing across DataFrame reuse); the cached footprint is
+      // users×hours, orders of magnitude under the raw events
+      val hourly = ev
+        .groupBy($"user_id", date_trunc("hour", $"ts".cast("timestamp"))
+          .as("h"))
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("v"))
+        .persist()
+      val grid = hourly.groupBy($"user_id")
+        .agg(min($"h").as("h0"), max($"h").as("h1"))
+        .select($"user_id",
+          explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("h"))
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("value", round(last($"v", ignoreNulls = true)
+          .over(Window.partitionBy($"user_id").orderBy($"h")
+            .rowsBetween(Window.unboundedPreceding, 0)), 4))
+        .select($"user_id",
+          date_format($"h", "yyyy-MM-dd HH:mm:ss").as("ts"), $"value")
+        .orderBy($"user_id", $"ts")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT user_id, h, v FROM (
+          SELECT user_id, date_trunc('hour', ts) AS h, value AS v,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      span AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+      grid AS (
+        SELECT user_id,
+               UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM span),
+      j AS (
+        SELECT g.user_id, g.h, hourly.v
+        FROM grid g LEFT JOIN hourly
+          ON g.user_id = hourly.user_id AND g.h = hourly.h)
+      SELECT user_id, STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS ts,
+             ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS UNBOUNDED PRECEDING), 4) AS value
+      FROM j ORDER BY user_id, ts"""))
+
+  /** Correlation-matrix profiler — pairwise Pearson correlation over the
+    * numeric columns in ONE aggregation job: `corr` is algebraic (six
+    * co-moment partials per pair), so all pairs map-side combine into one
+    * constant-size exchange regardless of corpus size — the multivariate
+    * complement of q41/q42/q45's univariate profilers.
+    */
+  val q48ProfileCorr = Q(
+    "q48_profile_corr",
+    (s, d) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1)
+      } yield (a, b)
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 4).as(s"${a}__${b}") }
+      val one = T.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"${a}__${b}").as("corr")) }
+      one.select(explode(array(rows: _*)).as("r"))
+        .select($"r.col_a", $"r.col_b", $"r.corr")
+        .orderBy($"col_a", $"col_b")
+    },
+    Some("""
+      SELECT col_a, col_b, corr FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr
+        FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'l_discount',
+          ROUND(CORR(l_quantity, l_discount), 4) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'l_tax',
+          ROUND(CORR(l_quantity, l_tax), 4) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'l_discount',
+          ROUND(CORR(l_extendedprice, l_discount), 4) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'l_tax',
+          ROUND(CORR(l_extendedprice, l_tax), 4) FROM lineitem
+        UNION ALL SELECT 'l_discount', 'l_tax',
+          ROUND(CORR(l_discount, l_tax), 4) FROM lineitem)
+      ORDER BY col_a, col_b"""))
+
+  /** Equi-width histogram profiler — 10 bins per numeric column between
+    * the column's global min/max, all columns through ONE count shuffle
+    * (the q42 Expand pattern on bin tags). The min/max pre-pass is a
+    * bounded driver read (4 scalars); the bin arithmetic is written with
+    * the IDENTICAL expression shape in both engines
+    * (`LEAST(FLOOR((v - mn) * 10.0 / (mx - mn)), 9)`) so IEEE double
+    * rounding can never put a boundary value in different bins.
+    */
+  val q49ProfileHistogram = Q(
+    "q49_profile_histogram",
+    (s, d) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val li = T.lineitem(s, d)
+      val mmAggs = cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"${c}__mn"),
+        max(col(c).cast("double")).as(s"${c}__mx")))
+      val mm = li.agg(mmAggs.head, mmAggs.tail: _*).head()
+      val tags = cols.map { c =>
+        val mn = mm.getAs[Double](s"${c}__mn")
+        val mx = mm.getAs[Double](s"${c}__mx")
+        struct(lit(c).as("col_name"),
+          least(floor((col(c).cast("double") - lit(mn)) * lit(10.0) /
+            (lit(mx) - lit(mn))), lit(9.0)).cast("int").as("bin"))
+      }
+      li.select(explode(array(tags: _*)).as("t"))
+        .groupBy($"t.col_name".as("col_name"), $"t.bin".as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"col_name", $"bin")
+    },
+    Some("""
+      WITH mm AS (
+        SELECT MIN(CAST(l_quantity AS DOUBLE)) AS q_mn,
+               MAX(CAST(l_quantity AS DOUBLE)) AS q_mx,
+               MIN(CAST(l_extendedprice AS DOUBLE)) AS p_mn,
+               MAX(CAST(l_extendedprice AS DOUBLE)) AS p_mx
+        FROM lineitem),
+      tags AS (
+        SELECT 'l_quantity' AS col_name,
+               CAST(LEAST(FLOOR((CAST(l_quantity AS DOUBLE) - q_mn) * 10.0
+                 / (q_mx - q_mn)), 9.0) AS INT) AS bin
+        FROM lineitem, mm
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(LEAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - p_mn)
+                 * 10.0 / (p_mx - p_mn)), 9.0) AS INT)
+        FROM lineitem, mm)
+      SELECT col_name, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tags GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
@@ -1564,5 +1716,6 @@ object RelQueries {
     q35SkewJoin, q37Scd2Snapshot, q38Scd2Lookup, q39Scd2Changes,
     q40Scd2Outbox, q41ProfileQuantiles, q42ProfileFrequent,
     q43ProfileQuantilesApprox, q44Scd2LookupPruned, q45ProfileDistinct,
-    q46DistinctSketchMerge)
+    q46DistinctSketchMerge, q47ResampleFfill, q48ProfileCorr,
+    q49ProfileHistogram)
 }
