@@ -230,6 +230,71 @@ object EventsStream {
       .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
   }
 
+  /** Streaming maintenance of the hourly last-value table behind
+    * q47_resample_ffill: each micro-batch folds its events into a
+    * persisted (user_id, h, ts, event_id, v) table — the per-hour winner
+    * is the max over the immutable (ts, event_id) order, SAME pick as the
+    * batch resample — partitioned by event DATE with dynamic partition
+    * overwrite, so a trigger rewrites only the dates its events touch
+    * (O(touched-dates), which for a live feed is the current day or two,
+    * never the table's history).
+    *
+    * NO replay watermark, by design: the fold is a SEMILATTICE — union +
+    * max over a total order is commutative, associative, idempotent — so
+    * foreachBatch redelivery, batch re-ordering, and LATE DATA (an
+    * earlier-ts event arriving in a later trigger) all converge to the
+    * same table as a batch rebuild over the full log. A replayed batch
+    * rewrites identical bytes; nothing can tear. (Contrast scd2Sink,
+    * whose collapse-fold is order-sensitive and needs the tuple
+    * watermark.) Downstream, the q47 span/grid/fill chain runs over this
+    * table instead of raw events.
+    */
+  def resampleSink(events: DataFrame, tablePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processResampleBatch(batch, tablePath)
+    }
+
+  /** One micro-batch of [[resampleSink]], exposed for replay testing. */
+  def processResampleBatch(batch: DataFrame, tablePath: String): Unit = {
+    val spark = batch.sparkSession
+    val cols = Seq("user_id", "h", "ts", "event_id", "v", "d")
+    val bh = batch
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("h"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"), col("m.value").as("v"))
+      .withColumn("d", to_date(col("h")))
+    if (bh.isEmpty) return
+    // partition-prune the existing table to the batch's dates (bounded
+    // driver read: distinct DATES in one micro-batch)
+    val touched = bh.select(col("d")).distinct()
+      .collect().map(_.getDate(0)).toSeq
+    val prev =
+      try spark.read.parquet(tablePath)
+        .filter(col("d").isin(touched: _*))
+        .select(cols.map(col): _*)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            bh.select(cols.map(col): _*).schema)
+      }
+    // eager snapshot BEFORE overwriting directories the plan reads from
+    val merged = prev.unionByName(bh.select(cols.map(col): _*))
+      .groupBy(col("user_id"), col("h"), col("d"))
+      .agg(max(struct(col("ts"), col("event_id"), col("v"))).as("m"))
+      .select(col("user_id"), col("h"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"), col("m.v").as("v"), col("d"))
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("d")
+      .parquet(tablePath)
+  }
+
   /** Stream-stream interval join — the streaming twin of q19's banded
     * range join: pair left and right stream rows of the same `keys` whose
     * timestamps fall within `withinSeconds` of each other (inclusive,

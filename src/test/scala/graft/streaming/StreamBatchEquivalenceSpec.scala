@@ -1240,4 +1240,65 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
       assert(streamed == batch && batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("resample sink: semilattice fold == batch hourly; late data + replay converge") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 3 users over 3 days; batch 2 delivers LATE data (an event whose ts
+    // precedes batch 1's winner in the same hour — must lose) and a
+    // same-hour newer event (must win); batch 3 touches only day 3
+    def e(id: Long, s: String, u: Long, v: Double) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(s), u, "view", v)
+    val b1 = Seq(
+      e(10L, "2024-01-01 00:30:00", 1L, 1.0),
+      e(11L, "2024-01-01 05:10:00", 1L, 2.0),
+      e(12L, "2024-01-01 00:20:00", 2L, 7.0),
+      e(13L, "2024-01-02 09:00:00", 2L, 8.0))
+    val b2 = Seq(
+      e(5L, "2024-01-01 00:10:00", 1L, 99.0), // late, older ts: loses to id=10
+      e(14L, "2024-01-01 00:45:00", 2L, 7.5), // same hour, newer ts: wins
+      e(15L, "2024-01-02 23:59:00", 3L, 4.0))
+    val b3 = Seq(
+      e(16L, "2024-01-03 01:00:00", 1L, 3.0))
+    val all = b1 ++ b2 ++ b3
+    val dir = java.nio.file.Files.createTempDirectory("resink").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventsStream.Event]
+    val q = EventsStream.resampleSink(mem.toDF(), dir).start()
+    def tableState() = spark.read.parquet(dir)
+      .select($"user_id", date_format($"h", "yyyy-MM-dd HH:mm:ss").as("h"),
+        $"v")
+      .as[(Long, String, Double)].collect().toSet
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val day1Files = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName == "d=2024-01-01").head
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+      mem.addData(b3: _*); q.processAllAvailable()
+      // batch 3 touches only day 3: day-1 partition files survive untouched
+      val day1After = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName == "d=2024-01-01").head
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+      assert(day1Files == day1After,
+        "a day-3-only batch rewrote day-1 partitions — the prune is not partial")
+    } finally q.stop()
+    // streamed table == the batch fold over the full log (q47's pick)
+    val batchHourly = all.toDF()
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+      .agg(max_by($"value", struct($"ts", $"event_id")).as("v"))
+      .select($"user_id", date_format($"h", "yyyy-MM-dd HH:mm:ss").as("h"),
+        $"v")
+      .as[(Long, String, Double)].collect().toSet
+    assert(tableState() == batchHourly && batchHourly.nonEmpty)
+    // the late event lost, the same-hour newer event won
+    assert(batchHourly.contains((1L, "2024-01-01 00:00:00", 1.0)))
+    assert(batchHourly.contains((2L, "2024-01-01 00:00:00", 7.5)))
+    // replay of batch 2 (semilattice: no watermark needed) changes nothing
+    EventsStream.processResampleBatch(b2.toDF(), dir)
+    assert(tableState() == batchHourly)
+  }
 }
