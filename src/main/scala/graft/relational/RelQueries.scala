@@ -1565,6 +1565,27 @@ object RelQueries {
     * against a calendar table. The first grid point is the user's first
     * event hour, so the fill window never sees a leading null.
     */
+  /** The q47 grid + fill chain over an already-derived (user_id, h, v)
+    * hourly table (shared by q47 on raw events and q50 on the
+    * streaming-maintained table). Expects `hourly` persisted or cheap to
+    * recompute: it is read twice (span agg + fill join).
+    */
+  private def fillFromHourly(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("value", round(last(col("v"), ignoreNulls = true)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"))
+      .orderBy(col("user_id"), col("ts"))
+  }
+
   val q47ResampleFfill = Q(
     "q47_resample_ffill",
     (s, d) => {
@@ -1579,19 +1600,11 @@ object RelQueries {
           .as("h"))
         .agg(max_by($"value", struct($"ts", $"event_id")).as("v"))
         .persist()
-      val grid = hourly.groupBy($"user_id")
-        .agg(min($"h").as("h0"), max($"h").as("h1"))
-        .select($"user_id",
-          explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("h"))
-      grid.join(hourly, Seq("user_id", "h"), "left")
-        .withColumn("value", round(last($"v", ignoreNulls = true)
-          .over(Window.partitionBy($"user_id").orderBy($"h")
-            .rowsBetween(Window.unboundedPreceding, 0)), 4))
-        .select($"user_id",
-          date_format($"h", "yyyy-MM-dd HH:mm:ss").as("ts"), $"value")
-        .orderBy($"user_id", $"ts")
+      fillFromHourly(hourly)
     },
-    Some("""
+    Some(resampleOracleSql))
+
+  private lazy val resampleOracleSql = """
       WITH hourly AS (
         SELECT user_id, h, v FROM (
           SELECT user_id, date_trunc('hour', ts) AS h, value AS v,
@@ -1613,7 +1626,76 @@ object RelQueries {
              ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY h
                ROWS UNBOUNDED PRECEDING), 4) AS value
-      FROM j ORDER BY user_id, ts"""))
+      FROM j ORDER BY user_id, ts"""
+
+  /** The resample fill driven from the STREAMING-MAINTAINED hourly table
+    * instead of raw events: the log is folded in three arbitrary-order
+    * slices through `EventsStream.processResampleBatch` (the semilattice
+    * maintenance `resampleSink` runs per trigger — slice 2 carries events
+    * that precede slice 1's in time, i.e. genuine late data), the
+    * persisted table is read back, and q47's grid+fill chain runs over
+    * it. Oracle = q47's verbatim: maintained-then-filled must be
+    * indistinguishable from a raw recompute — the house incremental-index
+    * contract applied to the time-series table.
+    */
+  val q50ResampleMaintained = Q(
+    "q50_resample_maintained",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("resm").toString
+      // three interleaved slices: event_id % 3 mixes early/late arrivals
+      (0 to 2).foreach { i =>
+        graft.streaming.EventsStream.processResampleBatch(
+          ev.filter($"event_id" % 3 === i), dir)
+      }
+      val hourly = s.read.parquet(dir)
+        .select($"user_id", $"h", $"v").persist()
+      fillFromHourly(hourly)
+    },
+    Some(resampleOracleSql))
+
+  /** GROUPED approx-quantile profiler — q43's mergeable sketch, one per
+    * group (the realistic per-source/per-language corpus profiler at
+    * 100 TB: the partial agg carries |groups| constant-size GK sketches
+    * instead of buffering raw values per group). Determinism argument is
+    * q43's, applied per group — with the margin MEASURED, not assumed:
+    * on l_tax the nearest (group, p) rank-to-boundary distance is 90 rows
+    * at sf0.001 (~4.6% of the group) vs a sketch slack of n/10000, a
+    * ~460× margin at every scale; l_discount was rejected because group
+    * N's p=0.75 target sits 0.5 rows from the 0.07/0.08 boundary — a
+    * genuine knife-edge where sketch and exact legitimately disagree.
+    */
+  val q51GroupQuantilesApprox = Q(
+    "q51_group_quantiles_approx",
+    (s, d) => {
+      import s.implicits._
+      val ps = Seq(0.25, 0.5, 0.75)
+      val g = T.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(approx_percentile($"l_tax".cast("double"),
+          lit(ps.toArray), lit(10000)).as("q"))
+      val rows = ps.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("p"), round(element_at($"q", i + 1), 4).as("value"))
+      }
+      g.select($"l_returnflag", explode(array(rows: _*)).as("r"))
+        .select($"l_returnflag", $"r.p", $"r.value")
+        .orderBy($"l_returnflag", $"p")
+    },
+    Some("""
+      SELECT l_returnflag, CAST(p AS DOUBLE) AS p, value FROM (
+        SELECT l_returnflag, 0.25 AS p,
+               ROUND(CAST(quantile_disc(l_tax, 0.25) AS DOUBLE), 4)
+                 AS value
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 0.5,
+               ROUND(CAST(quantile_disc(l_tax, 0.5) AS DOUBLE), 4)
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 0.75,
+               ROUND(CAST(quantile_disc(l_tax, 0.75) AS DOUBLE), 4)
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag, p"""))
 
   /** Correlation-matrix profiler — pairwise Pearson correlation over the
     * numeric columns in ONE aggregation job: `corr` is algebraic (six
@@ -1717,5 +1799,5 @@ object RelQueries {
     q40Scd2Outbox, q41ProfileQuantiles, q42ProfileFrequent,
     q43ProfileQuantilesApprox, q44Scd2LookupPruned, q45ProfileDistinct,
     q46DistinctSketchMerge, q47ResampleFfill, q48ProfileCorr,
-    q49ProfileHistogram)
+    q49ProfileHistogram, q50ResampleMaintained, q51GroupQuantilesApprox)
 }
