@@ -1788,6 +1788,128 @@ object RelQueries {
       SELECT col_name, bin, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM tags GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Distribution-drift monitor — Population Stability Index between two
+    * corpus slices per numeric column (the data-quality gate a training
+    * pipeline runs between snapshot N and N+1 before retraining):
+    * PSI = Σ_bins (p−q)·ln(p/q) over the q49 equi-width bins, both
+    * slices binned against the FULL corpus min/max so the bins are
+    * comparable. ONE count aggregation computes both slices' histograms
+    * together (conditional sums, no self-join); the per-column totals
+    * ride a window over the tiny (col, bin) table. Slices here are the
+    * deterministic l_orderkey parity split; a deployment passes snapshot
+    * ids.
+    */
+  val q52DriftPsi = Q(
+    "q52_drift_psi",
+    (s, d) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val li = T.lineitem(s, d)
+      val mmAggs = cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"${c}__mn"),
+        max(col(c).cast("double")).as(s"${c}__mx")))
+      val mm = li.agg(mmAggs.head, mmAggs.tail: _*).head()
+      val tags = cols.map { c =>
+        val mn = mm.getAs[Double](s"${c}__mn")
+        val mx = mm.getAs[Double](s"${c}__mx")
+        struct(lit(c).as("col_name"),
+          least(floor((col(c).cast("double") - lit(mn)) * lit(10.0) /
+            (lit(mx) - lit(mn))), lit(9.0)).cast("int").as("bin"))
+      }
+      val hist = li
+        .withColumn("slice", ($"l_orderkey" % 2).cast("int"))
+        .select($"slice", explode(array(tags: _*)).as("t"))
+        .groupBy($"t.col_name".as("col_name"), $"t.bin".as("bin"))
+        .agg(sum(when($"slice" === 0, 1.0).otherwise(0.0)).as("c0"),
+          sum(when($"slice" === 1, 1.0).otherwise(0.0)).as("c1"))
+      val w = Window.partitionBy($"col_name")
+      hist
+        .withColumn("p", $"c0" / sum($"c0").over(w))
+        .withColumn("q", $"c1" / sum($"c1").over(w))
+        .groupBy($"col_name")
+        .agg(round(sum(($"p" - $"q") * log($"p" / $"q")), 4).as("psi"))
+        .orderBy($"col_name")
+    },
+    Some("""
+      WITH mm AS (
+        SELECT MIN(CAST(l_quantity AS DOUBLE)) AS q_mn,
+               MAX(CAST(l_quantity AS DOUBLE)) AS q_mx,
+               MIN(CAST(l_extendedprice AS DOUBLE)) AS p_mn,
+               MAX(CAST(l_extendedprice AS DOUBLE)) AS p_mx
+        FROM lineitem),
+      tags AS (
+        SELECT l_orderkey % 2 AS slice, 'l_quantity' AS col_name,
+               CAST(LEAST(FLOOR((CAST(l_quantity AS DOUBLE) - q_mn) * 10.0
+                 / (q_mx - q_mn)), 9.0) AS INT) AS bin
+        FROM lineitem, mm
+        UNION ALL
+        SELECT l_orderkey % 2, 'l_extendedprice',
+               CAST(LEAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - p_mn)
+                 * 10.0 / (p_mx - p_mn)), 9.0) AS INT)
+        FROM lineitem, mm),
+      hist AS (
+        SELECT col_name, bin,
+               SUM(CASE WHEN slice = 0 THEN 1.0 ELSE 0.0 END) AS c0,
+               SUM(CASE WHEN slice = 1 THEN 1.0 ELSE 0.0 END) AS c1
+        FROM tags GROUP BY 1, 2),
+      fr AS (
+        SELECT col_name,
+               c0 / SUM(c0) OVER (PARTITION BY col_name) AS p,
+               c1 / SUM(c1) OVER (PARTITION BY col_name) AS q
+        FROM hist)
+      SELECT col_name, ROUND(SUM((p - q) * LN(p / q)), 4) AS psi
+      FROM fr GROUP BY col_name ORDER BY col_name"""))
+
+  /** Categorical-association profiler — Cramér's V between two
+    * categorical columns (the categorical complement of q48's Pearson
+    * matrix): χ² over the contingency table, V = sqrt(χ² / (n·(min(r,c)
+    * −1))). ONE count shuffle builds the contingency table; the χ² sum,
+    * marginals, and normalization all ride windows over that tiny frame
+    * — nothing after the first aggregation scales with the corpus.
+    */
+  val q53ProfileCramersV = Q(
+    "q53_profile_cramers_v",
+    (s, d) => {
+      import s.implicits._
+      val ct = T.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).cast("double").as("o"))
+      val all = Window.partitionBy(lit(1))
+      val wr = Window.partitionBy($"l_returnflag")
+      val wc = Window.partitionBy($"l_linestatus")
+      ct
+        .withColumn("n", sum($"o").over(all))
+        .withColumn("e", sum($"o").over(wr) * sum($"o").over(wc) / $"n")
+        .withColumn("r", size(collect_set($"l_returnflag").over(all)))
+        .withColumn("c", size(collect_set($"l_linestatus").over(all)))
+        .agg(
+          first($"n").cast("long").as("n"),
+          round(sum(($"o" - $"e") * ($"o" - $"e") / $"e"), 4).as("chi2"),
+          round(sqrt(sum(($"o" - $"e") * ($"o" - $"e") / $"e") /
+            (first($"n") * (least(first($"r"), first($"c")) - lit(1)))), 4)
+            .as("cramers_v"))
+    },
+    Some("""
+      WITH ct AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM lineitem GROUP BY 1, 2),
+      x AS (
+        SELECT o,
+               SUM(o) OVER () AS n,
+               SUM(o) OVER (PARTITION BY l_returnflag) *
+                 SUM(o) OVER (PARTITION BY l_linestatus) /
+                 SUM(o) OVER () AS e,
+               COUNT(DISTINCT l_returnflag) OVER () AS r,
+               COUNT(DISTINCT l_linestatus) OVER () AS c
+        FROM ct)
+      SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+             ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2,
+             ROUND(SQRT(SUM((o - e) * (o - e) / e) /
+               (ANY_VALUE(n) * (LEAST(ANY_VALUE(r), ANY_VALUE(c)) - 1))), 4)
+               AS cramers_v
+      FROM x"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
@@ -1799,5 +1921,6 @@ object RelQueries {
     q40Scd2Outbox, q41ProfileQuantiles, q42ProfileFrequent,
     q43ProfileQuantilesApprox, q44Scd2LookupPruned, q45ProfileDistinct,
     q46DistinctSketchMerge, q47ResampleFfill, q48ProfileCorr,
-    q49ProfileHistogram, q50ResampleMaintained, q51GroupQuantilesApprox)
+    q49ProfileHistogram, q50ResampleMaintained, q51GroupQuantilesApprox,
+    q52DriftPsi, q53ProfileCramersV)
 }
