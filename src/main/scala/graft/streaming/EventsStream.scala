@@ -295,6 +295,89 @@ object EventsStream {
       .parquet(tablePath)
   }
 
+  /** Persist the drift BASELINE for [[driftSink]]: the reference
+    * histogram of `valueCol` — 10 equi-width bins over the baseline's own
+    * min/max — plus the (mn, mx) bounds as a one-row meta table, so every
+    * later batch is binned against the SAME edges (comparable fractions,
+    * the q52 rule). Laplace-smoothed fractions (+0.5 per bin) keep PSI
+    * finite when a batch misses a bin entirely.
+    */
+  def writeDriftBaseline(df: DataFrame, valueCol: String,
+      path: String): Unit = {
+    val p = path.stripSuffix("/")
+    val mm = df.agg(min(col(valueCol).cast("double")).as("mn"),
+      max(col(valueCol).cast("double")).as("mx")).head()
+    val (mn, mx) = (mm.getAs[Double]("mn"), mm.getAs[Double]("mx"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((mn, mx)).toDF("mn", "mx").coalesce(1)
+      .write.mode("overwrite").parquet(s"$p/meta")
+    histogram(df, valueCol, mn, mx).coalesce(1)
+      .write.mode("overwrite").parquet(s"$p/hist")
+  }
+
+  private def histogram(df: DataFrame, valueCol: String, mn: Double,
+      mx: Double): DataFrame =
+    df.select(least(floor((col(valueCol).cast("double") - lit(mn)) *
+        lit(10.0) / (lit(mx) - lit(mn))), lit(9.0))
+        .cast("int").as("bin"))
+      .withColumn("bin", greatest(col("bin"), lit(0))) // clamp below-range
+      .groupBy(col("bin")).agg(count(lit(1)).cast("double").as("cnt"))
+
+  /** PSI of `df`'s smoothed bin fractions against the persisted baseline
+    * (one number; both histograms already tiny). Exposed for the
+    * stream == batch equivalence spec.
+    */
+  def psiAgainstBaseline(df: DataFrame, valueCol: String,
+      baselinePath: String): Double = {
+    val p = baselinePath.stripSuffix("/")
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(s"$p/meta").head()
+    val (mn, mx) = (meta.getAs[Double]("mn"), meta.getAs[Double]("mx"))
+    val base = spark.read.parquet(s"$p/hist")
+      .withColumnRenamed("cnt", "c_base")
+    val bins = spark.range(0, 10).select(col("id").cast("int").as("bin"))
+    val joined = bins
+      .join(base, Seq("bin"), "left")
+      .join(histogram(df, valueCol, mn, mx)
+        .withColumnRenamed("cnt", "c_new"), Seq("bin"), "left")
+      .na.fill(0.0, Seq("c_base", "c_new"))
+    val tot = joined.agg(sum(col("c_base")).as("tb"),
+      sum(col("c_new")).as("tn")).head()
+    val (tb, tn) = (tot.getAs[Double]("tb"), tot.getAs[Double]("tn"))
+    joined
+      .withColumn("p", (col("c_base") + lit(0.5)) / lit(tb + 5.0))
+      .withColumn("q", (col("c_new") + lit(0.5)) / lit(tn + 5.0))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+      .head().getAs[Double]("psi")
+  }
+
+  /** Streaming drift monitor — q52's streaming face: every micro-batch's
+    * `valueCol` distribution is binned against the PERSISTED baseline
+    * edges and scored with smoothed PSI; one (batch_id, n_rows, psi) row
+    * lands per trigger (the retrain-gate signal a pipeline alerts on).
+    * Per-trigger cost: one count aggregation of the batch into ≤10 bins
+    * + a broadcast-size join against the 10-row baseline — nothing
+    * scales with history. Overwrite-per-batch-dir keeps redelivery
+    * idempotent (same rows → same PSI → identical bytes).
+    */
+  def driftSink(events: DataFrame, valueCol: String, baselinePath: String,
+      outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val n = batch.count()
+        if (n > 0) {
+          val psi = psiAgainstBaseline(batch, valueCol, baselinePath)
+          Seq((batchId, n, math.rint(psi * 1e6) / 1e6))
+            .toDF("batch_id", "n_rows", "psi").coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
+        }
+    }
+
   /** Stream-stream interval join — the streaming twin of q19's banded
     * range join: pair left and right stream rows of the same `keys` whose
     * timestamps fall within `withinSeconds` of each other (inclusive,

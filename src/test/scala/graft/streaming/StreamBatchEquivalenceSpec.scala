@@ -1301,4 +1301,38 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     EventsStream.processResampleBatch(b2.toDF(), dir)
     assert(tableState() == batchHourly)
   }
+
+  test("drift sink: per-trigger PSI == batch psiAgainstBaseline; shifted batch scores higher") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def e(id: Long, u: Long, v: Double) = EventsStream.Event(
+      id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "view", v)
+    // baseline: uniform over [0, 100)
+    val baseRows = (0 until 200).map(i => e(i.toLong, 1L, i % 100 * 1.0))
+    val base = java.nio.file.Files.createTempDirectory("driftb").toString
+    EventsStream.writeDriftBaseline(baseRows.toDF(), "value", base)
+    // batch 0: drawn from the same distribution; batch 1: shifted mass
+    // (all values in the top bin) — must score clearly higher
+    val b0 = (0 until 100).map(i => e(1000L + i, 2L, i % 100 * 1.0))
+    val b1 = (0 until 100).map(i => e(2000L + i, 3L, 95.0))
+    val out = java.nio.file.Files.createTempDirectory("drifto").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventsStream.Event]
+    val q = EventsStream.driftSink(mem.toDF(), "value", base, out).start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def psiOf(batchId: Long): Double = spark.read
+      .parquet(s"$out/batch=$batchId").head().getAs[Double]("psi")
+    // streamed == the batch computation on the identical rows
+    val direct0 = EventsStream.psiAgainstBaseline(b0.toDF(), "value", base)
+    val direct1 = EventsStream.psiAgainstBaseline(b1.toDF(), "value", base)
+    assert(psiOf(0L) == math.rint(direct0 * 1e6) / 1e6)
+    assert(psiOf(1L) == math.rint(direct1 * 1e6) / 1e6)
+    // same-distribution batch is near zero; shifted batch alarms
+    assert(psiOf(0L) < 0.1, s"in-distribution PSI ${psiOf(0L)} not small")
+    assert(psiOf(1L) > 1.0, s"shifted-mass PSI ${psiOf(1L)} not large")
+  }
 }
