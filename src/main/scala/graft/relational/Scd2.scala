@@ -52,31 +52,39 @@ object Scd2 {
   private def bucketOf(c: Column, n: Int): Column =
     pmod(xxhash64(c), lit(n.toLong))
 
-  private val bucketCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-
-  /** Read-or-create the pinned bucket count (the `pinnedBuckets`
-    * convention of the streaming label/hash tables, including its
-    * JVM cache — steady streaming stops paying a 1-row parquet read per
-    * trigger — validated against the meta file's existence so a
-    * deleted-and-recreated table re-pins from the current run's value).
+  /** Sentinel for "use the table's pinned bucket count" (the default on
+    * every read/merge face: only [[init]] decides a layout).
     */
-  private def pinnedBuckets(spark: SparkSession, path: String,
-      nBuckets: Int): Int = {
-    import spark.implicits._
+  val UseStored: Int = -1
+
+  // meta path -> (meta dir mtime, n_buckets): the mtime guards the cache
+  // against a REPLACED meta (a re-init from another JVM), not just a
+  // deleted one — a stale pin would silently mis-prune every later read
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+
+  /** Read the pinned bucket count. Steady streaming pays a driver-side
+    * stat per trigger, not a parquet read (the mtime-validated JVM
+    * cache); a missing meta next to an EXISTING table fails loudly —
+    * minting a count for a table whose layout is already on disk is
+    * exactly the stale-row corruption the pin exists to prevent.
+    */
+  private def pinnedBuckets(spark: SparkSession, path: String): Int = {
     val meta = s"${path.stripSuffix("/")}/scd2_meta"
     val metaFsPath = new org.apache.hadoop.fs.Path(meta)
     val fs = metaFsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaFsPath)) bucketCache.remove(meta)
-    bucketCache.computeIfAbsent(meta, { _ =>
-      try spark.read.parquet(meta).head().getAs[Int]("n_buckets")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          Seq(nBuckets).toDF("n_buckets").coalesce(1)
-            .write.mode("overwrite").parquet(meta)
-          nBuckets
-      }
-    })
+    if (!fs.exists(metaFsPath)) {
+      bucketCache.remove(meta)
+      throw new IllegalStateException(
+        s"scd2 table at $path has no scd2_meta pin — refusing to guess " +
+          "the bucket layout (a wrong guess strands stale rows); " +
+          "rebuild via Scd2.init or restore the meta table")
+    }
+    val mtime = fs.getFileStatus(metaFsPath).getModificationTime
+    bucketCache.compute(meta, { (_, cached) =>
+      if (cached != null && cached._1 == mtime) cached
+      else (mtime, spark.read.parquet(meta).head().getAs[Int]("n_buckets"))
+    })._2
   }
 
   /** Full-history build: collapse each user's event stream to change
@@ -138,11 +146,10 @@ object Scd2 {
     */
   def historyFor(spark: SparkSession, path: String,
       users: DataFrame): DataFrame = {
-    // read-only twin of pinnedBuckets: cache the pinned count, never
-    // create it (a read path must not mint layout for a missing table)
-    val meta = s"${path.stripSuffix("/")}/scd2_meta"
-    val nb: Int = bucketCache.computeIfAbsent(meta,
-      _ => spark.read.parquet(meta).head().getAs[Int]("n_buckets"))
+    // shared mtime-validated pin reader: a read path never mints layout,
+    // and a re-initialized table (even from another JVM) invalidates the
+    // cache via the meta mtime instead of silently mis-pruning
+    val nb: Int = pinnedBuckets(spark, path)
     val touched = users.select(bucketOf(col("user_id"), nb).as("ubucket"))
       .distinct().collect().map(_.getLong(0)).toSeq
     spark.read.parquet(s"$path/history")
@@ -214,11 +221,7 @@ object Scd2 {
       nBuckets: Int = DefaultBuckets,
       changesTo: Option[String] = None): Unit = {
     val spark = events.sparkSession
-    import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/scd2_meta")
-    // a re-init may change the layout: the JVM pin must follow it
-    bucketCache.put(s"${path.stripSuffix("/")}/scd2_meta", nBuckets)
+    require(nBuckets > 0, s"init needs a concrete bucket count, got $nBuckets")
     // one window-fold compute feeds both the feed write and the table
     // write when the outbox is on
     val hist = if (changesTo.isDefined) build(events).localCheckpoint()
@@ -237,6 +240,27 @@ object Scd2 {
         col("_w.event_id").as("last_eid"),
         bucketOf(col("user_id"), nBuckets).as("ubucket")),
       s"$path/last")
+    // the meta pin lands LAST, itself rename-swapped: a crash anywhere
+    // above leaves the OLD pin with either the old layout (clean) or the
+    // new one — and a stale pin fails the next merge's require loudly
+    // instead of silently mis-bucketing (the pre-fix ordering overwrote
+    // the pin FIRST, so a crash left a new pin describing an old layout).
+    // The residual window is the gap between the history/last renames and
+    // this one — single-writer contract, documented.
+    import spark.implicits._
+    val meta = s"${path.stripSuffix("/")}/scd2_meta"
+    val metaFsPath = new org.apache.hadoop.fs.Path(meta)
+    val fs = metaFsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDf = Seq(nBuckets).toDF("n_buckets").coalesce(1)
+    if (!fs.exists(metaFsPath)) metaDf.write.parquet(meta)
+    else {
+      val tmp = s"${meta}__rebuild_tmp"
+      metaDf.write.mode("overwrite").parquet(tmp)
+      graft.ops.Maintenance.swapParquetDir(spark, meta, tmp)
+    }
+    // a re-init may change the layout: the JVM pin must follow it
+    bucketCache.put(meta,
+      (fs.getFileStatus(metaFsPath).getModificationTime, nBuckets))
   }
 
   /** Overwrite-or-swap: direct write when `target` doesn't exist yet,
@@ -265,12 +289,13 @@ object Scd2 {
     * streaming sink's first micro-batch needs.
     */
   def mergeOrInit(spark: SparkSession, path: String, batch: DataFrame,
-      nBuckets: Int = DefaultBuckets,
+      nBuckets: Int = UseStored,
       changesTo: Option[String] = None): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/history")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) merge(spark, path, batch, nBuckets, changesTo)
-    else init(batch, path, nBuckets, changesTo)
+    else init(batch, path,
+      if (nBuckets == UseStored) DefaultBuckets else nBuckets, changesTo)
   }
 
   /** Fold `batch` (new events, per-user later than the stored watermark)
@@ -287,18 +312,21 @@ object Scd2 {
     * extra bucket reads; the outbox write is O(batch) like the merge.
     */
   def merge(spark: SparkSession, path: String, batch: DataFrame,
-      nBuckets: Int = DefaultBuckets,
+      nBuckets: Int = UseStored,
       changesTo: Option[String] = None): Unit = {
-    val stored = pinnedBuckets(spark, path, nBuckets)
-    require(stored == nBuckets,
+    // the table's pinned layout is authoritative; an explicitly passed
+    // count is a cross-check, not a choice (a caller can't re-bucket by
+    // argument — that's what init is for)
+    val stored = pinnedBuckets(spark, path)
+    require(nBuckets == UseStored || stored == nBuckets,
       s"scd2 table at $path was built with nBuckets=$stored, got " +
         s"$nBuckets — partial rewrites would strand stale rows; pass " +
-        "the original value or rebuild the table")
-    // directory-level pruning: collect the ≤ nBuckets partition values the
+        "UseStored (default) or the original value, or rebuild the table")
+    // directory-level pruning: collect the ≤ stored partition values the
     // batch touches (bounded driver read), then every history/last scan
     // below opens ONLY those bucket directories
     val touched = batch
-      .select(bucketOf(col("user_id"), nBuckets).as("ubucket"))
+      .select(bucketOf(col("user_id"), stored).as("ubucket"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val hist = spark.read.parquet(s"$path/history")
       .filter(col("ubucket").isin(touched: _*))
@@ -443,11 +471,11 @@ object Scd2 {
     // about to overwrite. Bucket-routed first (the writeBucketed rule):
     // each touched partition directory lands as one file per merge.
     val mergedOut = merged
-      .withColumn("ubucket", bucketOf(col("user_id"), nBuckets))
+      .withColumn("ubucket", bucketOf(col("user_id"), stored))
       .repartition(col("ubucket"))
       .localCheckpoint()
     val lastOut = lastMerged
-      .withColumn("ubucket", bucketOf(col("user_id"), nBuckets))
+      .withColumn("ubucket", bucketOf(col("user_id"), stored))
       .repartition(col("ubucket"))
       .localCheckpoint()
     mergedOut.write.mode("overwrite")

@@ -267,11 +267,17 @@ object EventsStream {
       .select(col("user_id"), col("h"), col("m.ts").as("ts"),
         col("m.event_id").as("event_id"), col("m.value").as("v"))
       .withColumn("d", to_date(col("h")))
-    if (bh.isEmpty) return
+      // eager snapshot: the (user, hour) aggregation is reused by the
+      // touched-dates read AND the merge below — without it the batch
+      // would be re-scanned and re-aggregated per consumer (3x the
+      // trigger's source cost, found in review)
+      .localCheckpoint()
     // partition-prune the existing table to the batch's dates (bounded
-    // driver read: distinct DATES in one micro-batch)
+    // driver read: distinct DATES in one micro-batch); empty batch =>
+    // no dates => nothing to fold
     val touched = bh.select(col("d")).distinct()
       .collect().map(_.getDate(0)).toSeq
+    if (touched.isEmpty) return
     val prev =
       try spark.read.parquet(tablePath)
         .filter(col("d").isin(touched: _*))
@@ -307,7 +313,12 @@ object EventsStream {
     val p = path.stripSuffix("/")
     val mm = df.agg(min(col(valueCol).cast("double")).as("mn"),
       max(col(valueCol).cast("double")).as("mx")).head()
+    require(!mm.isNullAt(0),
+      s"drift baseline: no non-null $valueCol rows to bin")
     val (mn, mx) = (mm.getAs[Double]("mn"), mm.getAs[Double]("mx"))
+    require(mx > mn,
+      s"drift baseline: $valueCol is constant ($mn) — equi-width bins " +
+        "are undefined; PSI over a constant needs no histogram")
     val spark = df.sparkSession
     import spark.implicits._
     Seq((mn, mx)).toDF("mn", "mx").coalesce(1)
@@ -334,22 +345,33 @@ object EventsStream {
     val spark = df.sparkSession
     val meta = spark.read.parquet(s"$p/meta").head()
     val (mn, mx) = (meta.getAs[Double]("mn"), meta.getAs[Double]("mx"))
-    val base = spark.read.parquet(s"$p/hist")
+    psiFromHist(spark, histogram(df, valueCol, mn, mx), p)._1
+  }
+
+  /** Smoothed PSI of an already-binned histogram against the persisted
+    * baseline; returns (psi, binned row count) so a caller needs ONE
+    * batch aggregation for both the score and the n_rows gauge.
+    */
+  private def psiFromHist(spark: org.apache.spark.sql.SparkSession,
+      hist: DataFrame, basePath: String): (Double, Long) = {
+    val base = spark.read.parquet(s"$basePath/hist")
       .withColumnRenamed("cnt", "c_base")
     val bins = spark.range(0, 10).select(col("id").cast("int").as("bin"))
     val joined = bins
       .join(base, Seq("bin"), "left")
-      .join(histogram(df, valueCol, mn, mx)
-        .withColumnRenamed("cnt", "c_new"), Seq("bin"), "left")
+      .join(hist.withColumnRenamed("cnt", "c_new"), Seq("bin"), "left")
       .na.fill(0.0, Seq("c_base", "c_new"))
+      .localCheckpoint() // 10 rows; one evaluation feeds totals + psi
     val tot = joined.agg(sum(col("c_base")).as("tb"),
       sum(col("c_new")).as("tn")).head()
-    val (tb, tn) = (tot.getAs[Double]("tb"), tot.getAs[Double]("tn"))
-    joined
+    val (tb, tn): (Double, Double) =
+      (tot.getAs[Double]("tb"), tot.getAs[Double]("tn"))
+    val psi = joined
       .withColumn("p", (col("c_base") + lit(0.5)) / lit(tb + 5.0))
       .withColumn("q", (col("c_new") + lit(0.5)) / lit(tn + 5.0))
       .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
       .head().getAs[Double]("psi")
+    (psi, tn.toLong)
   }
 
   /** Streaming drift monitor — q52's streaming face: every micro-batch's
@@ -368,14 +390,18 @@ object EventsStream {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val n = batch.count()
-        if (n > 0) {
-          val psi = psiAgainstBaseline(batch, valueCol, baselinePath)
+        val p = baselinePath.stripSuffix("/")
+        val meta = spark.read.parquet(s"$p/meta").head()
+        val (mn, mx) = (meta.getAs[Double]("mn"), meta.getAs[Double]("mx"))
+        // ONE scan of the micro-batch: the 10-bin histogram feeds both
+        // the n_rows gauge and the PSI (review: count()+psi was 2 scans)
+        val (psi, n) = psiFromHist(spark,
+          histogram(batch, valueCol, mn, mx), p)
+        if (n > 0)
           Seq((batchId, n, math.rint(psi * 1e6) / 1e6))
             .toDF("batch_id", "n_rows", "psi").coalesce(1)
             .write.mode("overwrite")
             .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
-        }
     }
 
   /** Stream-stream interval join — the streaming twin of q19's banded

@@ -60,6 +60,16 @@ object MakeScale {
     }.max
     val stride = math.max(1000000L, (maxId / 100L + 1L) * 100L)
     println(s"[makescale] stride=$stride (max source id $maxId)")
+    // persist the stride next to the output: downstream tools (PhashScale)
+    // must group replicas by id/stride, and a manually-synced env var
+    // silently corrupts their measurement whenever the derived stride
+    // exceeds the historical default (review finding)
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(stride)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stride",
+          org.apache.spark.sql.types.LongType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/scale_meta")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
     val docsK = (0 until k).map { i =>

@@ -35,11 +35,16 @@ object PhashScale {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "target/scale/sf1")
-    val stride = sys.env.getOrElse("SPARK_GRAFT_STRIDE", "1000000").toLong
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     val spark = DevSession.local()
     import spark.implicits._
     dirs.foreach { d =>
+      // per-dir stride: the scaled dir's own persisted value wins; env var
+      // or the historical default only for dirs MakeScale didn't stamp
+      val stride =
+        try spark.read.parquet(s"$d/scale_meta").head().getAs[Long]("stride")
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          sys.env.getOrElse("SPARK_GRAFT_STRIDE", "1000000").toLong }
       val docs = spark.read.parquet(s"$d/documents.parquet")
       val media = graft.ops.Multimodal.mediaFromDocuments(spark, docs)
         .map { r =>
