@@ -1910,6 +1910,134 @@ object RelQueries {
                AS cramers_v
       FROM x"""))
 
+  /** Cohort-retention matrix — users bucketed by first-seen week (the
+    * cohort), counted per week-offset they were active in (the
+    * engagement decay read every usage pipeline reports). Scale shape:
+    * the only corpus-size work is the DISTINCT down to (user, week) —
+    * map-side partial distinct, one shuffle; the cohort derives from
+    * that table with a user-axis window (second, users×weeks-sized
+    * shuffle), and the final (cohort, offset) aggregation is tiny. No
+    * join against the raw events anywhere.
+    */
+  val q54RetentionCohorts = Q(
+    "q54_retention_cohorts",
+    (s, d) => {
+      import s.implicits._
+      val act = T.events(s, d)
+        .select($"user_id",
+          date_trunc("week", $"ts".cast("timestamp")).as("wk"))
+        .distinct()
+      act
+        .withColumn("cohort",
+          min($"wk").over(Window.partitionBy($"user_id")))
+        .groupBy(date_format($"cohort", "yyyy-MM-dd").as("cohort_week"),
+          (datediff($"wk", $"cohort") / 7).cast("int").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""
+      WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      c AS (
+        SELECT user_id, wk,
+               MIN(wk) OVER (PARTITION BY user_id) AS cohort
+        FROM act)
+      SELECT STRFTIME(cohort, '%Y-%m-%d') AS cohort_week,
+             CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Persisted heavy-hitters maintenance — q46's incremental-statistics
+    * pattern applied to FREQUENCY: per-shard Misra–Gries summaries
+    * (capacity 4096, `ops.FreqSketch`) land as one map row each, the
+    * top-k re-reads and union-merges summaries, never data; a new shard
+    * appends one row. Exact under the oracle because every driver SF
+    * keeps distinct suppkeys (≤ 1k) inside the capacity — no decrement
+    * ever fires, so summaries are exact count maps at any shard layout
+    * (the frequency analog of q46's HLL coupon mode; the lossy-regime
+    * error bound and layout-invariance limits are FreqSketchSpec's).
+    */
+  val q55FreqSketchMerge = Q(
+    "q55_freq_sketch_merge",
+    (s, d) => {
+      import s.implicits._
+      val m = 4096
+      val li = T.lineitem(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("mgsk").toString
+      li.groupBy(($"l_orderkey" % 8).as("shard"))
+        .agg(graft.ops.FreqSketch.misraGries(
+          $"l_suppkey".cast("string"), m).as("sk"))
+        .write.mode("overwrite").parquet(dir)
+      val merged = s.read.parquet(dir)
+        .agg(graft.ops.FreqSketch.misraGriesMerge($"sk", m).as("merged"))
+      graft.ops.FreqSketch.topK(merged, "merged", 10)
+    },
+    Some("""
+      SELECT CAST(l_suppkey AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS est
+      FROM lineitem GROUP BY 1
+      ORDER BY est DESC, key LIMIT 10"""))
+
+  /** Robust outlier detection — per-segment median/MAD z-scores
+    * (Iglewicz–Hoaglin: 0.6745·(x−med)/MAD, flag |z| > 3.5), the
+    * data-quality gate that survives the heavy tails that break
+    * mean/stddev z-scores. Three passes over events (median, MAD — which
+    * needs the median first — and the flag scan), each a 5-group
+    * aggregation with the per-group stats riding back on BROADCAST
+    * joins; the exact `percentile` buffers per group, so the 100 TB swap
+    * is q51's grouped `approx_percentile` with a measured margin — the
+    * pass structure is unchanged.
+    */
+  val q56AnomalyMad = Q(
+    "q56_anomaly_mad",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      // med/mad are rounded to 6dp before the z arithmetic: the exact
+      // interpolated medians are midpoints of 2dp values (multiples of
+      // 0.005 — 6dp rounding is the identity on them up to fp noise),
+      // and the engine/oracle interpolation differs in last ulps, which
+      // the division would otherwise amplify past the output rounding
+      // (one sf0.1 row flipped at the 4th decimal before this pin)
+      val med = ev.groupBy($"event_type")
+        .agg(round(percentile($"value", lit(0.5)), 6).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+      val mad = dev.groupBy($"event_type")
+        .agg(round(percentile(abs($"value" - $"med"), lit(0.5)), 6)
+          .as("mad"))
+      // +1e-9 nudge before BOTH the threshold and the 4dp round: with
+      // 2dp inputs the true z is a small-denominator rational that CAN
+      // land exactly on a .00005 rounding boundary (sf0.1 event 1222:
+      // z = 92993315/24140000 = 3.85225 exactly), where engine-side fp
+      // noise (~1e-12) decides the direction per engine; the nudge is
+      // ~1000x that noise, so both engines leave the boundary on the
+      // same side
+      dev.join(broadcast(mad), Seq("event_type"))
+        .withColumn("rz",
+          lit(0.6745) * ($"value" - $"med") / $"mad" + lit(1e-9))
+        .filter(abs($"rz") > 3.5)
+        .select($"event_id", $"event_type", $"value",
+          round($"rz", 4).as("robust_z"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY 1),
+      dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type,
+               ROUND(quantile_cont(ABS(value - med), 0.5), 6) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.event_id, d.event_type, d.value,
+             ROUND(0.6745 * (d.value - d.med) / m.mad + 1e-9, 4)
+               AS robust_z
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE ABS(0.6745 * (d.value - d.med) / m.mad + 1e-9) > 3.5
+      ORDER BY d.event_id"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
@@ -1922,5 +2050,6 @@ object RelQueries {
     q43ProfileQuantilesApprox, q44Scd2LookupPruned, q45ProfileDistinct,
     q46DistinctSketchMerge, q47ResampleFfill, q48ProfileCorr,
     q49ProfileHistogram, q50ResampleMaintained, q51GroupQuantilesApprox,
-    q52DriftPsi, q53ProfileCramersV)
+    q52DriftPsi, q53ProfileCramersV, q54RetentionCohorts,
+    q55FreqSketchMerge, q56AnomalyMad)
 }

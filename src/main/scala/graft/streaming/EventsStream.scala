@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -403,6 +403,49 @@ object EventsStream {
             .write.mode("overwrite")
             .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
     }
+
+  /** Streaming heavy-hitters maintenance — the per-trigger face of the
+    * q55 persisted Misra–Gries layout: each micro-batch collapses to ONE
+    * capacity-`m` summary row (bounded state: m entries per trigger,
+    * regardless of the batch's key domain) appended under its own
+    * `batch=<id>` directory; the current top-k is read by union-merging
+    * the summary rows — re-reading sketches, never data (the q46
+    * incremental-statistics contract applied to frequency). Redelivery
+    * is idempotent: a replayed batch aggregates to the identical summary
+    * and overwrites its own directory byte-for-byte. Compaction is free:
+    * any subset of summary rows may be merged into one row at any time
+    * (mergeable-summaries associativity), shrinking the read fan-in
+    * without touching data.
+    */
+  def heavyHittersSink(events: DataFrame, keyCol: String, m: Int,
+      tablePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processHeavyHittersBatch(batch, batchId, keyCol, m, tablePath)
+    }
+
+  /** One micro-batch of [[heavyHittersSink]], exposed for replay tests. */
+  def processHeavyHittersBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, m: Int, tablePath: String): Unit = {
+    val summary = batch
+      .agg(graft.ops.FreqSketch.misraGries(
+        col(keyCol).cast("string"), m).as("sk"))
+      .coalesce(1)
+    summary.write.mode("overwrite")
+      .parquet(s"${tablePath.stripSuffix("/")}/batch=$batchId")
+  }
+
+  /** Read back the maintained summaries and return the current top-k
+    * (count desc, key asc — the q55 deterministic cut).
+    */
+  def heavyHittersTopK(spark: SparkSession, tablePath: String, m: Int,
+      k: Int): DataFrame =
+    graft.ops.FreqSketch.topK(
+      spark.read.parquet(tablePath)
+        .agg(graft.ops.FreqSketch.misraGriesMerge(col("sk"), m)
+          .as("merged")),
+      "merged", k)
 
   /** Stream-stream interval join — the streaming twin of q19's banded
     * range join: pair left and right stream rows of the same `keys` whose
