@@ -2038,6 +2038,79 @@ object RelQueries {
       WHERE ABS(0.6745 * (d.value - d.med) / m.mad + 1e-9) > 3.5
       ORDER BY d.event_id"""))
 
+  /** Declarative data-quality battery (`ops.DataQuality`) — Deequ-style
+    * checks compiled to minimal jobs: the seven row-local rules ride ONE
+    * conditional-sum aggregation (algebraic partials, corpus-size-FLAT);
+    * the Unique rule is one key-axis count; each foreign key anti-joins
+    * the fact's DISTINCT key domain against the dim's key column (never
+    * fact rows). Two rules genuinely fail on this corpus — the discount
+    * range (44.8% out of [0, 0.05]) and the (l_orderkey, l_linenumber)
+    * key (the synthetic generator mints duplicate line numbers) — so the
+    * gate exercises both verdicts. Budgets sit far from attainable
+    * violation fractions (k/n rationals), so `passed` is
+    * fp-noise-immune.
+    */
+  val q57DqChecks = Q(
+    "q57_dq_checks",
+    (s, d) => {
+      import graft.ops.DataQuality._
+      val li = T.lineitem(s, d)
+      validate(li, Seq(
+        NotNull("l_orderkey"),
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1.0, 50.0),
+        InRange("l_discount", 0.0, 0.05),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        InSet("l_linestatus", Seq("O"), maxViolFrac = 0.75),
+        MatchesRegex("l_returnflag", "^[ANR]$"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("l_orderkey", T.orders(s, d), "o_orderkey", "orders"),
+        ForeignKey("l_suppkey", T.supplier(s, d), "s_suppkey", "supplier")))
+    },
+    Some("""
+      WITH rl AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ok_null,
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_sd_null,
+               CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+               CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+               CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_rf,
+               CAST(SUM(CASE WHEN l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O') THEN 1 ELSE 0 END) AS BIGINT) AS v_ls,
+               CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+        FROM lineitem),
+      uq AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS v
+        FROM (SELECT COUNT(*) AS cnt FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)),
+      fk_o AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n,
+               CAST(COALESCE(SUM(k.cnt), 0) AS BIGINT) AS v
+        FROM (SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem
+              WHERE l_orderkey IS NOT NULL GROUP BY 1) k
+        WHERE k.k NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)),
+      fk_s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n,
+               CAST(COALESCE(SUM(k.cnt), 0) AS BIGINT) AS v
+        FROM (SELECT l_suppkey AS k, COUNT(*) AS cnt FROM lineitem
+              WHERE l_suppkey IS NOT NULL GROUP BY 1) k
+        WHERE k.k NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)),
+      m AS (
+        SELECT 'not_null' AS rule, 'l_orderkey' AS target, n, v_ok_null AS v, 0.0 AS budget FROM rl
+        UNION ALL SELECT 'not_null', 'l_shipdate', n, v_sd_null, 0.0 FROM rl
+        UNION ALL SELECT 'in_range', 'l_quantity', n, v_qty, 0.0 FROM rl
+        UNION ALL SELECT 'in_range', 'l_discount', n, v_disc, 0.0 FROM rl
+        UNION ALL SELECT 'in_set', 'l_returnflag', n, v_rf, 0.0 FROM rl
+        UNION ALL SELECT 'in_set', 'l_linestatus', n, v_ls, 0.75 FROM rl
+        UNION ALL SELECT 'matches', 'l_returnflag', n, v_re, 0.0 FROM rl
+        UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', n, v, 0.0 FROM uq
+        UNION ALL SELECT 'foreign_key', 'l_orderkey->orders.o_orderkey', n, v, 0.0 FROM fk_o
+        UNION ALL SELECT 'foreign_key', 'l_suppkey->supplier.s_suppkey', n, v, 0.0 FROM fk_s)
+      SELECT rule, target, n AS n_rows, v AS n_violations,
+             ROUND(1.0 - CAST(v AS DOUBLE) / n, 6) AS frac_ok,
+             (CAST(v AS DOUBLE) / n <= budget) AS passed
+      FROM m ORDER BY rule, target"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
@@ -2051,5 +2124,5 @@ object RelQueries {
     q46DistinctSketchMerge, q47ResampleFfill, q48ProfileCorr,
     q49ProfileHistogram, q50ResampleMaintained, q51GroupQuantilesApprox,
     q52DriftPsi, q53ProfileCramersV, q54RetentionCohorts,
-    q55FreqSketchMerge, q56AnomalyMad)
+    q55FreqSketchMerge, q56AnomalyMad, q57DqChecks)
 }

@@ -404,6 +404,32 @@ object EventsStream {
             .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
     }
 
+  /** Streaming data-quality gate — q57's streaming face: every
+    * micro-batch runs the declarative rule battery (`ops.DataQuality`)
+    * and lands one report row per rule under its own `batch=<id>`
+    * directory — the per-trigger conformance feed a pipeline alerts on
+    * (and the audit trail of WHEN a contract broke). Per-trigger cost is
+    * the battery's own minimal-job shape: all row-local rules in ONE
+    * conditional-sum aggregation of the batch; Unique/ForeignKey rules
+    * (if any) add their key-domain jobs — against a STATIC dimension for
+    * FK, so the stream side never holds growing state. Redelivery is
+    * idempotent: same rows → same metrics → identical bytes under
+    * overwrite-per-batch-dir.
+    */
+  def dqSink(events: DataFrame, rules: Seq[graft.ops.DataQuality.Rule],
+      outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        // one materialization: the battery's aggregations all read this
+        val b = batch.localCheckpoint()
+        if (b.head(1).nonEmpty)
+          graft.ops.DataQuality.validate(b, rules)
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
+    }
+
   /** Streaming heavy-hitters maintenance — the per-trigger face of the
     * q55 persisted Misra–Gries layout: each micro-batch collapses to ONE
     * capacity-`m` summary row (bounded state: m entries per trigger,

@@ -1335,4 +1335,46 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(psiOf(0L) < 0.1, s"in-distribution PSI ${psiOf(0L)} not small")
     assert(psiOf(1L) > 1.0, s"shifted-mass PSI ${psiOf(1L)} not large")
   }
+
+  test("dq sink: per-trigger report == batch validate; verdict flips when a batch breaks the contract") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ops.DataQuality._
+    def e(id: Long, ty: String, v: Double) = EventsStream.Event(
+      id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, ty, v)
+    val rules = Seq(
+      InRange("value", 0.0, 100.0),
+      InSet("event_type", Seq("view", "click")))
+    // batch 0 conforms; batch 1 carries a bad type and an out-of-range value
+    val b0 = Seq(e(1, "view", 5.0), e(2, "click", 99.0))
+    val b1 = Seq(e(3, "view", 5.0), e(4, "scroll", 12.0), e(5, "view", 250.0))
+    val out = java.nio.file.Files.createTempDirectory("dqo").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventsStream.Event]
+    val q = EventsStream.dqSink(mem.toDF(), rules, out).start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rep(batchId: Long) = spark.read.parquet(s"$out/batch=$batchId")
+      .select("rule", "target", "n_rows", "n_violations", "frac_ok",
+        "passed")
+      .as[(String, String, Long, Long, Double, Boolean)].collect().toSet
+    // streamed == the batch battery on the identical rows
+    def direct(rows: Seq[EventsStream.Event]) =
+      validate(rows.toDF(), rules)
+        .as[(String, String, Long, Long, Double, Boolean)].collect().toSet
+    assert(rep(0L) == direct(b0) && rep(1L) == direct(b1))
+    assert(rep(0L).forall(_._6), "conforming batch must pass every rule")
+    val failed1 = rep(1L).filter(!_._6).map(r => (r._1, r._2))
+    assert(failed1 == Set(("in_range", "value"), ("in_set", "event_type")))
+    // redelivery of batch 1's rows is byte-idempotent (same report)
+    val before = rep(1L)
+    EventsStream.dqSink(mem.toDF(), rules, out) // writer unused; replay via batch path
+    graft.ops.DataQuality.validate(b1.toDF(), rules)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(1L))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=1")
+    assert(rep(1L) == before)
+  }
 }
