@@ -174,4 +174,103 @@ object Bpe {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt")
       .orderBy(col("merge_rank"))
   }
+
+  /** DuckDB CTE chain replaying `train`'s state: `v0` is the char-split
+    * unique-word table; each round r derives pair counts `pc{r}`, the
+    * argmax pair `b{r}` (cnt desc, lhs, rhs — binary string order, same
+    * both engines on UTF-8), and the merged vocab `v{r}`.
+    *
+    * The merge application uses the RELATIONAL form of greedy
+    * left-to-right non-overlapping matching: mark candidate positions
+    * (sym=lhs ∧ next=rhs), then within each maximal run of CONSECUTIVE
+    * candidate indices keep the even offsets. Runs longer than 1 exist
+    * only when lhs=rhs (a candidate at i and i+1 forces s[i+1]=lhs=rhs),
+    * and greedy consumes exactly the even offsets of such a run — so this
+    * equals `applyMerge`'s left fold on every input (BpeTrainSpec pins it
+    * property-style).
+    */
+  private def duckRound(r: Int): String = {
+    val prev = s"v${r - 1}"
+    s"""s$r AS (
+        SELECT word, wf, i, syms[i] AS sym
+        FROM (SELECT word, wf, syms,
+                     unnest(generate_series(1, len(syms))) AS i FROM $prev)),
+      pc$r AS (
+        SELECT lhs, rhs, CAST(SUM(wf) AS BIGINT) AS cnt FROM (
+          SELECT wf, sym AS lhs,
+                 LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS rhs
+          FROM s$r)
+        WHERE rhs IS NOT NULL GROUP BY 1, 2),
+      b$r AS (SELECT lhs, rhs, cnt FROM pc$r
+              ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      c$r AS (
+        SELECT s.word, s.wf, s.i, s.sym, b.lhs AS blhs, b.rhs AS brhs,
+               COALESCE(s.sym = b.lhs AND
+                 LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.i) = b.rhs,
+                 FALSE) AS cand
+        FROM s$r s CROSS JOIN b$r b),
+      k$r AS (
+        SELECT word, wf, i, sym, brhs,
+               cand AND ((i - MIN(i) OVER (PARTITION BY word, grp)) % 2 = 0)
+                 AS keep
+        FROM (SELECT *,
+                CASE WHEN cand THEN i - ROW_NUMBER()
+                  OVER (PARTITION BY word, cand ORDER BY i) END AS grp
+              FROM c$r)),
+      v$r AS (
+        SELECT word, wf, list(tok ORDER BY i) AS syms FROM (
+          SELECT word, wf, i,
+                 CASE WHEN keep THEN sym || brhs ELSE sym END AS tok,
+                 LAG(keep, 1, FALSE) OVER (PARTITION BY word ORDER BY i)
+                   AS drop_me
+          FROM k$r)
+        WHERE NOT drop_me GROUP BY word, wf)"""
+  }
+
+  private def duckV0: String =
+    """v0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wf,
+               list_transform(generate_series(1, length(word)),
+                 i -> substring(word, i, 1)) || ['</w>'] AS syms
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+                AS word FROM documents)
+        WHERE length(word) > 0 GROUP BY 1"""
+
+  /** Full `train(nMerges)` oracle: the ordered merge table. */
+  def duckTrainSql(nMerges: Int): String = {
+    require(nMerges >= 1)
+    val rounds = (1 to nMerges).map(duckRound).mkString(",\n      ")
+    val out = (1 to nMerges)
+      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, cnt FROM b$r")
+      .mkString("\n      UNION ALL ")
+    s"""WITH $duckV0),
+      $rounds
+      SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, cnt FROM (
+      $out) ORDER BY merge_rank"""
+  }
+
+  /** `applyBpe` oracle: after nMerges rounds the final vocab v{n} IS every
+    * corpus word's segmentation (train and apply share greedy-in-rank-order
+    * semantics), so per-document subword counts are one word join away.
+    * Docs whose text splits to no words keep n_subwords = 0 via the left
+    * join.
+    */
+  def duckSegmentSql(nMerges: Int): String = {
+    require(nMerges >= 1)
+    val rounds = (1 to nMerges).map(duckRound).mkString(",\n      ")
+    s"""WITH $duckV0),
+      $rounds,
+      tok AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+          FROM documents)
+        WHERE length(word) > 0),
+      per_doc AS (
+        SELECT t.doc_id, CAST(SUM(len(v.syms)) AS BIGINT) AS n
+        FROM tok t JOIN v$nMerges v USING (word) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(p.n, 0) AS n_subwords
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id"""
+  }
 }

@@ -1351,6 +1351,42 @@ object TextQueries {
              score, n_matched
       FROM cut ORDER BY score DESC, doc_id, chunk_id"""))
 
+  /** Full BPE TRAINING loop under an oracle (completes the tokenizer
+    * family: text_bpe_pairs was the statistics pass only): 5 merge rounds
+    * over the unique-word table, each round one vocab-sized aggregation +
+    * a 1-row argmax collect. The oracle replays the loop as an unrolled
+    * CTE chain whose merge application is the relational form of greedy
+    * left-to-right matching (candidate runs + even-offset keep — equal to
+    * the engine's left fold; `Bpe.duckRound`). Corpus-scale work is the
+    * word count only; every round runs on vocab-sized state — the 100 TB
+    * shape of subword-nmt/SentencePiece training re-expressed
+    * relationally.
+    */
+  val textBpeTrain = Q(
+    "text_bpe_train",
+    (s, d) => Bpe.train(T.documents(s, d), "text", nMerges = 5),
+    Some(Bpe.duckTrainSql(5)))
+
+  /** The trained tokenizer APPLIED back to the corpus: per-document
+    * subword counts under the same unrolled oracle — the oracle segments
+    * via the final vocab table (train's end state IS every corpus word's
+    * segmentation; the engine's memoized `segmentWord` replays the merges
+    * per word, so equality here pins the train/apply consistency
+    * invariant end-to-end at corpus scale).
+    */
+  val textBpeSegment = Q(
+    "text_bpe_segment",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val merges = Bpe.train(docs, "text", nMerges = 5)
+        .collect() // 5 rows — the tokenizer artifact, driver-bounded
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.applyBpe(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_subwords"))
+        .orderBy(col("doc_id"))
+    },
+    Some(Bpe.duckSegmentSql(5)))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
@@ -1359,5 +1395,6 @@ object TextQueries {
     textDsirIndexed, textNbClassify, textCluster, textHeavyGrams,
     textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank,
     textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels,
-    textLmPplKn, textChunkOverlap, textRagRetrieve)
+    textLmPplKn, textChunkOverlap, textRagRetrieve, textBpeTrain,
+    textBpeSegment)
 }
