@@ -771,6 +771,35 @@ object DedupQueries {
       ${Graph.duckLabelPropSql(3)}
       SELECT node AS doc_id, lbl AS community FROM l3 ORDER BY doc_id"""))
 
+  /** Multi-source BFS distances (hop count to the nearest seed within 3
+    * hops) — "how far is every document from a trusted/flagged set" over
+    * the near-dup graph, the propagation primitive under contamination
+    * spread and trust-radius reads. Sources are the deterministic
+    * doc_id % 7 == 0 slice of the graph's nodes. The engine expands
+    * frontier-style (per-round join is wave-sized); the oracle unrolls
+    * the equivalent relax-min recurrence (GraphSpec pins the
+    * equivalence).
+    */
+  val graphBfs = Q(
+    "graph_bfs",
+    (s, d) => {
+      val pairs = Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.2)
+      val nodes = pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node"))).distinct()
+      Graph.bfsDistances(pairs, nodes.filter(col("node") % 7 === 0),
+          rounds = 3)
+        .select(col("node").as("doc_id"), col("dist"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $duckPairs,
+      edges AS (
+        SELECT a, b FROM pairsq UNION SELECT b AS a, a AS b FROM pairsq),
+      src AS (SELECT DISTINCT a AS node FROM edges WHERE a % 7 = 0),
+      ${Graph.duckBfsSql(3)}
+      SELECT node AS doc_id, dist FROM d3 ORDER BY doc_id"""))
+
   /** Character-level fuzzy pairs: Levenshtein over 60-char prefixes under
     * (lang, first-token, length-band) blocking — the typo-scale member of
     * the near-dup family.
@@ -802,5 +831,5 @@ object DedupQueries {
     dedupSubstringSpans, dedupSubstringStrip, dedupSubstringKeepOne,
     dedupIndexCompactedSearch, graphPagerank, dedupApplyCentral, graphPpr,
     graphTriangles, graphPagerankWeighted, dedupEditDist, graphKcore,
-    graphLabelProp)
+    graphLabelProp, graphBfs)
 }

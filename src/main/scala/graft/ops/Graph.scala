@@ -406,6 +406,67 @@ object Graph {
       $iters"""
   }
 
+  /** Multi-source BFS distances over the undirected pair graph: hop count
+    * to the nearest source, bounded at `rounds` hops (nodes unreached
+    * within the bound are absent — the fixed-round contract every
+    * iterative op in this family uses, so the oracle unrolls identical
+    * rounds and determinism never depends on convergence).
+    *
+    * Implemented FRONTIER-STYLE: round r expands only the nodes first
+    * reached at round r-1, anti-joins already-settled nodes, and appends
+    * the new layer with dist = r. For unit edge weights this equals the
+    * relax-to-fixpoint min-distance recurrence at the same bound (the
+    * oracle spells THAT form — min over settled ∪ neighbors+1 — and
+    * GraphSpec pins the equivalence against an in-driver BFS), but the
+    * frontier plan's per-round join is |frontier|-sized, not
+    * |settled|-sized: at 100 TB the expansion cost tracks the wave, and
+    * state (the settled table) grows monotonically with lineage truncated
+    * per round.
+    */
+  def bfsDistances(pairs: DataFrame, sources: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val p = pairs.select(col("a"), col("b")).cache()
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    p.unpersist()
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var frontier = dist.select(col("node"))
+    for (r <- 1 to rounds) {
+      val next = edges
+        .join(frontier.select(col("node").as("a")), Seq("a"))
+        .select(col("b").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint()
+      dist = dist.union(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    dist
+  }
+
+  /** DuckDB CTE chain replaying [[bfsDistances]]: assumes prior CTEs
+    * `edges(a, b)` (MIRRORED) and `src(node)`; appends d0 … d`rounds`
+    * (columns node, dist) in the relax-min form — equivalent to the
+    * engine's frontier expansion for unit weights at the same bound.
+    */
+  def duckBfsSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""d$k AS (
+        SELECT node, MIN(dist) AS dist FROM (
+          SELECT node, dist FROM d${k - 1}
+          UNION ALL
+          SELECT e.b AS node, p.dist + 1 AS dist
+          FROM edges e JOIN d${k - 1} p ON p.node = e.a)
+        GROUP BY 1)"""
+    }.mkString(",\n      ")
+    s"""d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM src),
+      $iters"""
+  }
+
   /** Degree centrality of an undirected pair set: (node, degree) with
     * mirrored-edge counting — the zero-iteration companion used to pick
     * cluster exemplars cheaply when the full power iteration isn't worth

@@ -187,4 +187,49 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("bfsDistances: frontier expansion == driver BFS == relax-min, bounded") {
+    // path 1-2-3-4-5, triangle 6-7-8, isolated edge 9-10; sources {1, 6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L), (9L, 10L))
+    val src = Seq(1L, 6L)
+    def driverBfs(rounds: Int): Map[Long, Long] = {
+      val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).toSet }
+      var dist = src.map(_ -> 0L).toMap
+      var frontier = src.toSet
+      for (r <- 1 to rounds) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .diff(dist.keySet)
+        dist = dist ++ next.map(_ -> r.toLong)
+        frontier = next
+      }
+      dist
+    }
+    // relax-min reference (the oracle's form)
+    def relaxMin(rounds: Int): Map[Long, Long] = {
+      val edges = (pairs ++ pairs.map(_.swap)).distinct
+      var dist = src.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relax = edges.flatMap { case (a, b) =>
+          dist.get(a).map(d => b -> (d + 1)) }
+        dist = (dist.toSeq ++ relax).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      dist
+    }
+    for (rounds <- 0 to 4) {
+      val got = Graph.bfsDistances(pairs.toDF("a", "b"),
+          src.map(Tuple1(_)).toDF("node"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == driverBfs(rounds), s"frontier != BFS at rounds=$rounds")
+      assert(got == relaxMin(rounds), s"frontier != relax at rounds=$rounds")
+    }
+    // bound is honored: node 5 is 4 hops out, absent at rounds=3
+    val d3 = Graph.bfsDistances(pairs.toDF("a", "b"),
+        src.map(Tuple1(_)).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!d3.contains(5L) && d3(4L) == 3L && d3(8L) == 1L)
+    assert(!d3.contains(9L) && !d3.contains(10L)) // unreachable component
+  }
 }
