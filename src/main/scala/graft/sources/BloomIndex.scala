@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-skipping Bloom index for point lookups on a long key — the
+  * Delta-Lake-style bloom sidecar re-expressed RELATIONALLY (public prior
+  * art: Bloom 1970; Delta/Iceberg file-level filter stats). Z-order
+  * (`ZOrder`) buys range locality; this buys equality locality: a point
+  * lookup opens only the files whose per-file bloom admits the key.
+  *
+  * Everything is plain SQL expressions — no UDF, no custom Aggregator:
+  *   - build: each key row explodes into k (word, bit-mask) contributions
+  *     (`pmod(xxhash64(key, seed), m)` bit positions — codegen'd), and the
+  *     per-FILE bloom is `groupBy(file, word).agg(bit_or(mask))`: one
+  *     map-side-combined aggregation whose state is the (files × words)
+  *     domain, never the row count. The sidecar lands next to the table as
+  *     `<table>_bloom` plus a layout pin (m, k, nFiles) — the Scd2 meta
+  *     convention, so probes can never hash against a stale geometry.
+  *   - probe: the key set explodes into the SAME contributions, bit-OR
+  *     collapsed per (key, word); a file is a candidate when every probe
+  *     word's mask is contained in the file's bits (`(bits & mask) = mask`
+  *     for all words — counted against the key's own distinct-word count,
+  *     so hash-collision-folded words can't under-count). The join runs
+  *     sidecar × (k·|keys|) rows; only matched FILE NAMES are collected
+  *     (bounded by the file count, the classic index-read contract).
+  *   - read: only candidate files are opened, with the exact IN filter
+  *     re-applied — false positives cost I/O, never correctness.
+  *
+  * Table layout: `build` hash-partitions rows by the key into `nFiles`
+  * files, so all rows of one key land in ONE file and a hit reads one
+  * file (+ fp). At 100 TB the sidecar is (files × m/64) longs — a TABLE,
+  * scanned distributed; the driver sees only matched file names.
+  */
+object BloomIndex {
+
+  private def metaPath(table: String) = table.stripSuffix("/") + "_bloom_meta"
+  private def sidecarPath(table: String) = table.stripSuffix("/") + "_bloom"
+
+  /** k (word, mask) contribution structs for key column `k` (must be named
+    * `k` in scope — the exprs reference it by name).
+    */
+  private def contribs(mBits: Int, k: Int) =
+    array((0 until k).map { s =>
+      struct(
+        expr(s"CAST(pmod(xxhash64(k, $s), $mBits) DIV 64 AS INT)").as("w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(pmod(xxhash64(k, $s), $mBits) % 64 AS INT))").as("m"))
+    }: _*)
+
+  /** Rewrite `df` key-hash-partitioned into `nFiles` files at `tablePath`
+    * and build the per-file bloom sidecar.
+    */
+  def build(df: DataFrame, keyCol: String, tablePath: String,
+      nFiles: Int = 16, mBits: Int = 65536, k: Int = 4): Unit = {
+    require(mBits % 64 == 0 && mBits > 0 && k >= 1 && nFiles >= 1,
+      s"bad geometry: mBits=$mBits k=$k nFiles=$nFiles")
+    val spark = df.sparkSession
+    df.repartition(nFiles, col(keyCol))
+      .write.mode("overwrite").parquet(tablePath)
+    val back = spark.read.parquet(tablePath)
+      .select(col(keyCol).as("k"), input_file_name().as("f"))
+    back
+      .select(col("f"), explode(contribs(mBits, k)).as("c"))
+      .groupBy(col("f"), col("c.w").as("w"))
+      .agg(bit_or(col("c.m")).as("bits"))
+      .write.mode("overwrite").parquet(sidecarPath(tablePath))
+    import spark.implicits._
+    Seq((mBits, k, nFiles)).toDF("m_bits", "k", "n_files").coalesce(1)
+      .write.mode("overwrite").parquet(metaPath(tablePath))
+  }
+
+  /** Files that may contain any of `keys` (exact w.r.t. the sidecar:
+    * every true container is returned; false positives possible).
+    */
+  def candidateFiles(spark: SparkSession, tablePath: String,
+      keys: Seq[Long]): Seq[String] = {
+    import spark.implicits._
+    val meta = spark.read.parquet(metaPath(tablePath)).head()
+    val (mBits, k) = (meta.getAs[Int]("m_bits"), meta.getAs[Int]("k"))
+    val probe = keys.toDF("k")
+      .select(col("k"), explode(contribs(mBits, k)).as("c"))
+      .groupBy(col("k"), col("c.w").as("w"))
+      .agg(bit_or(col("c.m")).as("pm"))
+    val need = probe.groupBy(col("k")).agg(count(lit(1)).as("need"))
+    probe
+      .join(spark.read.parquet(sidecarPath(tablePath)), Seq("w"))
+      .filter((col("bits").bitwiseAND(col("pm"))) === col("pm"))
+      .groupBy(col("k"), col("f")).agg(count(lit(1)).as("hit"))
+      .join(need, Seq("k"))
+      .filter(col("hit") === col("need"))
+      .select(col("f")).distinct()
+      .as[String].collect().toSeq.sorted
+  }
+
+  /** Point lookup through the index: open only candidate files, re-apply
+    * the exact IN filter. Content-identical to the full-scan filter by
+    * construction (bloom admits every true container; the residual filter
+    * kills false positives).
+    */
+  def lookup(spark: SparkSession, tablePath: String, keyCol: String,
+      keys: Seq[Long]): DataFrame = {
+    val files = candidateFiles(spark, tablePath, keys)
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).limit(0)
+    else
+      spark.read.parquet(files: _*)
+        .filter(col(keyCol).isin(keys: _*))
+  }
+}

@@ -126,7 +126,33 @@ object SourceQueries {
       WHERE user_id BETWEEN 100 AND 199 AND event_type = 'click'
       ORDER BY event_id"""))
 
+  /** Bloom file-skipping point lookup (see [[BloomIndex]]): events are
+    * rewritten key-hash-partitioned with a per-file bloom sidecar, then a
+    * point IN lookup runs THROUGH the index (only candidate files opened)
+    * while the oracle runs the same predicate over the original table —
+    * the index must be content-invisible. The skip win itself (1 file
+    * opened out of 16) is spec-asserted in BloomIndexSpec.
+    */
+  val srcBloomLookup = Q(
+    "src_bloom_lookup",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("bloom").toString + "/t"
+      BloomIndex.build(graft.Tables.events(s, d), "user_id", dir, nFiles = 16)
+      BloomIndex.lookup(s, dir, "user_id", Seq(7L, 123L, 456L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+             ROUND(value, 3) AS value
+      FROM events
+      WHERE user_id IN (7, 123, 456)
+      ORDER BY event_id"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
-      srcZorderBox)
+      srcZorderBox, srcBloomLookup)
 }

@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom file-skipping index: the lookup must be content-identical to the
+  * full-scan filter (no false negatives, residual filter kills false
+  * positives), and the index must actually SKIP — a point key opens far
+  * fewer files than the table holds.
+  */
+class BloomIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("bloom").toString + "/t"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    BloomIndex.build(ev, "user_id", d, nFiles = 16)
+    d
+  }
+
+  test("lookup is content-identical to the full-scan IN filter") {
+    val keys = Seq(5L, 105L, 777L)
+    val got = BloomIndex.lookup(spark, dir, "user_id", keys)
+    val want = spark.read.parquet(dir)
+      .filter(col("user_id").isin(keys: _*))
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("a point key opens only its own file (+ rare fp), not the table") {
+    val total = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val cand = BloomIndex.candidateFiles(spark, dir, Seq(42L))
+    // key-hash layout puts all rows of one key in ONE file; at m=65536,
+    // k=4 over ~1k distinct keys/file the fp rate is ~0 — allow a little
+    assert(cand.nonEmpty && cand.size <= 3 && total >= 16)
+  }
+
+  test("absent key: lookup is empty, never wrong") {
+    val got = BloomIndex.lookup(spark, dir, "user_id", Seq(-12345L))
+    assert(got.count() == 0)
+  }
+
+  test("probe words fold under collision: containment counted per distinct word") {
+    // tiny geometry forces k=4 seeds into few words; correctness must hold
+    val d = java.nio.file.Files.createTempDirectory("bloomtiny").toString + "/t"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    BloomIndex.build(ev, "user_id", d, nFiles = 4, mBits = 128, k = 4)
+    val keys = Seq(1L, 2L, 3L)
+    val got = BloomIndex.lookup(spark, d, "user_id", keys)
+    val want = spark.read.parquet(d).filter(col("user_id").isin(keys: _*))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
