@@ -152,7 +152,35 @@ object SourceQueries {
       WHERE user_id IN (7, 123, 456)
       ORDER BY event_id"""))
 
+  /** Hive-style date-partitioned slice (see [[Partitioned]]): events are
+    * rewritten `dt=`-partitioned, then a one-day query runs against the
+    * partitioned layout while the oracle filters the original table — the
+    * layout must be content-invisible. The planning-time prune itself
+    * (only the named day's directory opened) is spec-asserted in
+    * PartitionedSpec2.
+    */
+  val srcPartitionPrune = Q(
+    "src_partition_prune",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("dtpart").toString + "/t"
+      Partitioned.writeDatePartitioned(graft.Tables.events(s, d), dir,
+        saltCol = "event_id", filesPerDay = 2)
+      Partitioned.readDay(s, dir, "2024-01-15")
+        .filter(col("event_type") =!= "view")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+             ROUND(value, 3) AS value
+      FROM events
+      WHERE CAST(ts AS DATE) = DATE '2024-01-15' AND event_type <> 'view'
+      ORDER BY event_id"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
-      srcZorderBox, srcBloomLookup)
+      srcZorderBox, srcBloomLookup, srcPartitionPrune)
 }
