@@ -1387,6 +1387,82 @@ object TextQueries {
     },
     Some(Bpe.duckSegmentSql(5)))
 
+  // ---- logistic-regression classifier (Classifier.scala) ----
+  // Shared feature set: intercept + ln-length + punct ratio + ascii-word
+  // density; label = (lang = 'en'). 5 full-batch GD rounds at step 1.0 —
+  // the oracle unrolls the identical recurrence (pagerank convention).
+  private def lrFeats = Seq(
+    log(col("n_chars") + 1),
+    size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+      .cast("double") / col("n_chars"),
+    size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+      * lit(10.0) / col("n_chars"))
+
+  private def lrLabel = when(col("lang") === "en", 1.0).otherwise(0.0)
+
+  private val lrOracleCtes = {
+    val z = (k: Int) => s"w$k.w0*x0 + w$k.w1*x1 + w$k.w2*x2 + w$k.w3*x3"
+    val rounds = (1 to 5).map { r =>
+      val gs = (0 to 3).map(i =>
+        s"AVG((1/(1+EXP(-(${z(r - 1)})))-y)*x$i) AS g$i").mkString(", ")
+      val ws = (0 to 3).map(i =>
+        s"w${r - 1}.w$i - 1.0*g$r.g$i AS w$i").mkString(", ")
+      s"g$r AS (SELECT $gs FROM f, w${r - 1}),\n" +
+        s"w$r AS (SELECT $ws FROM w${r - 1}, g$r)"
+    }.mkString(",\n")
+    """WITH f AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             LN(n_chars + 1) AS x1,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+               / n_chars AS x2,
+             len(regexp_extract_all(text, '[A-Za-z]+')) * 10.0
+               / n_chars AS x3
+      FROM documents),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+    """ + rounds
+  }
+
+  val textLrTrain = Q(
+    "text_lr_train",
+    (s, d) => {
+      import s.implicits._
+      Classifier.logitTrain(T.documents(s, d), lrLabel, lrFeats,
+        rounds = 5, step = 1.0)
+        .map { case (r, w) => (r, w(0), w(1), w(2), w(3)) }
+        .toDF("round", "w0", "w1", "w2", "w3")
+        .select(col("round"),
+          round(col("w0"), 6).as("w0"), round(col("w1"), 6).as("w1"),
+          round(col("w2"), 6).as("w2"), round(col("w3"), 6).as("w3"))
+        .orderBy(col("round"))
+    },
+    Some(lrOracleCtes + "\n" + (1 to 5).map(r =>
+      s"SELECT $r AS round, ROUND(w0,6) AS w0, ROUND(w1,6) AS w1, " +
+        s"ROUND(w2,6) AS w2, ROUND(w3,6) AS w3 FROM w$r")
+      .mkString("", " UNION ALL ", " ORDER BY round")))
+
+  val textLrScore = Q(
+    "text_lr_score",
+    (s, d) => {
+      val w = Classifier.logitTrain(T.documents(s, d), lrLabel, lrFeats,
+        rounds = 5, step = 1.0).last._2
+      T.documents(s, d)
+        .select(col("doc_id"),
+          round(Classifier.logitScore(lrFeats, w), 6).as("p_en"),
+          (Classifier.logitScore(lrFeats, w) >= 0.5).as("pred_en"))
+        .orderBy(col("doc_id"))
+    },
+    Some(lrOracleCtes + """
+      SELECT doc_id,
+             ROUND(1/(1+EXP(-(w5.w0*1.0 + w5.w1*LN(n_chars+1)
+               + w5.w2*(CAST(len(regexp_extract_all(text,'[.,;:!?]')) AS DOUBLE)/n_chars)
+               + w5.w3*(len(regexp_extract_all(text,'[A-Za-z]+'))*10.0/n_chars)))), 6) AS p_en,
+             1/(1+EXP(-(w5.w0*1.0 + w5.w1*LN(n_chars+1)
+               + w5.w2*(CAST(len(regexp_extract_all(text,'[.,;:!?]')) AS DOUBLE)/n_chars)
+               + w5.w3*(len(regexp_extract_all(text,'[A-Za-z]+'))*10.0/n_chars)))) >= 0.5 AS pred_en
+      FROM documents, w5
+      ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
@@ -1396,5 +1472,5 @@ object TextQueries {
     textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank,
     textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels,
     textLmPplKn, textChunkOverlap, textRagRetrieve, textBpeTrain,
-    textBpeSegment)
+    textBpeSegment, textLrTrain, textLrScore)
 }
