@@ -91,6 +91,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick k results maximizing
+    * `lambda * cos(q, d) - (1 - lambda) * max_{s in picked} cos(d, s)` —
+    * the standard diversity cut for RAG retrieval (near-duplicate
+    * passages crowd out coverage at plain top-k).
+    *
+    * Scale shape: relevance candidates come from [[cosineTopK]] (the
+    * distributed part); the greedy pass then runs PER QUERY over its own
+    * <= candN candidates inside one flatMapGroups — candN^2 local dot
+    * products, no driver loop, no cross-query shuffle beyond the group
+    * exchange. The greedy objective is compared ROUNDED (1e-9) with id
+    * tie-break, so selection is stable across engines (the
+    * text_rag_retrieve convention).
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      lambda: Double = 0.7, candN: Int = 12): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val withVec = cosineTopK(corpus, queries, candN)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("nv"))
+      .as[(Long, Long, Double, Seq[Double])]
+    withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(c => (-c._3, c._2))
+      val nrm = cs.map { c =>
+        var s = 0.0; c._4.foreach(x => s += x * x); math.sqrt(s)
+      }
+      def sim(i: Int, j: Int): Double = {
+        val (a, b) = (cs(i)._4, cs(j)._4)
+        var s = 0.0
+        var t = 0
+        while (t < a.length) { s += a(t) * b(t); t += 1 }
+        s / (nrm(i) * nrm(j))
+      }
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Long, Double)]
+      while (picked.length < math.min(k, cs.length)) {
+        val best = cs.indices.filterNot(picked.contains).map { i =>
+          val ms = if (picked.isEmpty) 0.0 else picked.map(sim(i, _)).max
+          val obj = lambda * cs(i)._3 - (1 - lambda) * ms
+          (math.rint(obj * 1e9) / 1e9, -cs(i)._2, i, obj)
+        }.max
+        picked += best._3
+        out += ((qid, picked.length, cs(best._3)._2, best._4))
+      }
+      out
+    }.toDF("query_id", "pick", "neighbor_id", "mmr")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
     * merge heterogeneous retrieval lists (dense ANN + sparse BM25 being
     * the modern hybrid-search pair): each list contributes

@@ -1529,6 +1529,108 @@ object SimilarityQueries {
       ORDER BY query_id"""),
     bench = false)
 
+  /** MMR diverse retrieval (see [[Similarity.mmrTopK]]): top-12 cosine
+    * candidates per query, then a 4-step greedy diversity cut at
+    * lambda = 0.7. The oracle unrolls the greedy recurrence step by step
+    * (the pagerank convention), with the identical rounded-objective +
+    * id tie-break, so both engines pick the same sequence.
+    */
+  val embMmrTopK = Q(
+    "emb_mmr_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        k = 4, lambda = 0.7, candN = 12)
+        .select(col("query_id"), col("pick"), col("neighbor_id"),
+          round(col("mmr"), 4).as("mmr"))
+        .orderBy(col("query_id"), col("pick"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0),
+      pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding::DOUBLE[] AS cv
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      $duckCos,
+      cand AS (
+        SELECT query_id, neighbor_id, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn FROM comp)
+        WHERE rn <= 12),
+      cvecs AS (
+        SELECT c.query_id, c.neighbor_id, e.embedding::DOUBLE[] AS v
+        FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id),
+      cp AS (
+        SELECT query_id, ai, bi,
+               SUM(av[CAST(i AS INT)] * bv[CAST(i AS INT)])
+                 / (SQRT(SUM(av[CAST(i AS INT)] * av[CAST(i AS INT)]))
+                    * SQRT(SUM(bv[CAST(i AS INT)] * bv[CAST(i AS INT)]))) AS s
+        FROM (SELECT a.query_id, a.neighbor_id AS ai, b.neighbor_id AS bi,
+                     a.v AS av, b.v AS bv,
+                     unnest(generate_series(1, 64)) AS i
+              FROM cvecs a JOIN cvecs b
+                ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id)
+        GROUP BY 1, 2, 3),
+      s1 AS (
+        SELECT query_id, neighbor_id, 0.7*cos AS obj FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(0.7*cos, 9) DESC, neighbor_id) AS rn
+          FROM cand) WHERE rn = 1),
+      m2 AS (
+        SELECT c.query_id, c.neighbor_id, c.cos, MAX(p.s) AS ms
+        FROM cand c
+        JOIN s1 ON c.query_id = s1.query_id AND c.neighbor_id <> s1.neighbor_id
+        JOIN cp p ON p.query_id = c.query_id AND p.ai = c.neighbor_id
+               AND p.bi = s1.neighbor_id
+        GROUP BY 1, 2, 3),
+      s2 AS (
+        SELECT query_id, neighbor_id, 0.7*cos - 0.3*ms AS obj FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(0.7*cos - 0.3*ms, 9) DESC, neighbor_id) AS rn
+          FROM m2) WHERE rn = 1),
+      sel2 AS (SELECT query_id, neighbor_id FROM s1
+               UNION ALL SELECT query_id, neighbor_id FROM s2),
+      m3 AS (
+        SELECT c.query_id, c.neighbor_id, c.cos, MAX(p.s) AS ms
+        FROM cand c
+        JOIN cp p ON p.query_id = c.query_id AND p.ai = c.neighbor_id
+        JOIN sel2 s ON s.query_id = p.query_id AND s.neighbor_id = p.bi
+        WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                          WHERE x.query_id = c.query_id
+                            AND x.neighbor_id = c.neighbor_id)
+        GROUP BY 1, 2, 3),
+      s3 AS (
+        SELECT query_id, neighbor_id, 0.7*cos - 0.3*ms AS obj FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(0.7*cos - 0.3*ms, 9) DESC, neighbor_id) AS rn
+          FROM m3) WHERE rn = 1),
+      sel3 AS (SELECT * FROM sel2
+               UNION ALL SELECT query_id, neighbor_id FROM s3),
+      m4 AS (
+        SELECT c.query_id, c.neighbor_id, c.cos, MAX(p.s) AS ms
+        FROM cand c
+        JOIN cp p ON p.query_id = c.query_id AND p.ai = c.neighbor_id
+        JOIN sel3 s ON s.query_id = p.query_id AND s.neighbor_id = p.bi
+        WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                          WHERE x.query_id = c.query_id
+                            AND x.neighbor_id = c.neighbor_id)
+        GROUP BY 1, 2, 3),
+      s4 AS (
+        SELECT query_id, neighbor_id, 0.7*cos - 0.3*ms AS obj FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(0.7*cos - 0.3*ms, 9) DESC, neighbor_id) AS rn
+          FROM m4) WHERE rn = 1)
+      SELECT query_id, 1 AS pick, neighbor_id, ROUND(obj, 4) AS mmr FROM s1
+      UNION ALL
+      SELECT query_id, 2, neighbor_id, ROUND(obj, 4) FROM s2
+      UNION ALL
+      SELECT query_id, 3, neighbor_id, ROUND(obj, 4) FROM s3
+      UNION ALL
+      SELECT query_id, 4, neighbor_id, ROUND(obj, 4) FROM s4
+      ORDER BY query_id, pick"""))
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
@@ -1537,5 +1639,5 @@ object SimilarityQueries {
       embCovariance, embSq8TopK, embSq8Recall, embRpTopK, embPcaProject,
       embRpIndexSearch, embRpSq8TopK, embRpSq8Recall, embRpRecall,
       embRpRecallSweep,
-      embIvfRecall, embPqRecall)
+      embIvfRecall, embPqRecall, embMmrTopK)
 }
