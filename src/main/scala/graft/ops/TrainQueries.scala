@@ -308,8 +308,51 @@ object TrainQueries {
                                      ORDER BY sk, doc_id) AS BIGINT) AS pos
       FROM s ORDER BY doc_id"""))
 
+  /** Dataset card: the per-language + corpus-total summary a release ships
+    * with (doc counts, exact-dup counts, source diversity, token totals,
+    * mean length) in ONE pass — a digest-partition window for the dup
+    * flag (the dedup_exact shuffle: narrow sha-256 keys, never raw-text
+    * keys at the exchange) feeding a single Expand-based ROLLUP
+    * aggregation; output is |langs| + 1 rows regardless of corpus size.
+    */
+  val trainDatasetCard = Q(
+    "train_dataset_card",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = T.documents(s, d)
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(sha2(col("text"), 256))))
+        .withColumn("ws_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      f.rollup(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("ws_tokens")).as("total_tokens"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("n_dup_docs"), col("n_sources"),
+          col("total_tokens"), col("avg_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT lang, source, n_chars,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS ws_tokens,
+               COUNT(*) OVER (PARTITION BY sha256(text)) AS n_same
+        FROM documents)
+      SELECT COALESCE(lang, 'ALL') AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+             ROUND(AVG(n_chars), 2) AS avg_chars
+      FROM f GROUP BY ROLLUP(lang) ORDER BY lang"""))
+
   def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
     textDecontaminate, textDecontaminateBloom, textDecontaminateWho,
     trainSplitCluster, trainWeightedSample, trainCurriculum,
-    trainTemperatureMix)
+    trainTemperatureMix, trainDatasetCard)
 }
