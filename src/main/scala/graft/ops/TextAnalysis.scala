@@ -527,6 +527,50 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(totalDocs.toDouble) / col("df")))
 
+  /** Sparse TF-IDF cosine "related documents": top-k neighbors per doc in
+    * term space (the lexical complement of the embedding ANN family —
+    * classic related-articles / more-like-this retrieval).
+    *
+    * The scale guard is `dfCap`: the pair join fans out df² PER TERM, so
+    * one stopword at df = 10⁷ is a 10¹⁴-row join. Terms with df > dfCap
+    * are dropped BEFORE the join — exactly the terms whose idf ≈ 0, so
+    * they carry no ranking signal anyway (the LSH band-cap posture,
+    * applied to sparse retrieval). Everything else is bucketed joins and
+    * one (doc, doc) aggregation; ranking uses the rounded-cosine +
+    * id tie-break so the cut is engine-stable.
+    */
+  def tfidfRelated(df: DataFrame, idCol: String, textCol: String,
+      totalDocs: Long, k: Int, dfCap: Long): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = idfTable(df, idCol, textCol, totalDocs)
+      .filter(col("df") <= dfCap)
+    val w = tf.join(idf, Seq("token"))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * col("idf")).as("w"))
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("n"))
+    val dots = w.select(col("doc_id").as("a"), col("token"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("b"), col("token"), col("w").as("wb")),
+        Seq("token"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    val cosed = dots
+      .join(nrm.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(nrm.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(round(col("cos"), 9).desc, col("b"))
+    cosed.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("a").as("doc_id"), col("b").as("related_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Per-group corpus length profile: doc count + exact interpolated
     * token-count percentiles — the telemetry table a curation run reports
     * per source/language before and after each filter stage. One hash

@@ -164,6 +164,47 @@ object TextQueries {
              ROUND(LN((SELECT COUNT(*) FROM documents) * 1.0 / df), 4) AS idf
       FROM agg ORDER BY token"""))
 
+  /** TF-IDF related docs (see [[TextAnalysis.tfidfRelated]]): top-3
+    * lexical neighbors per doc over the df-capped term space (df <= 50 —
+    * the hot-term guard that keeps the term self-join linear).
+    */
+  val textTfidfRelated = Q(
+    "text_tfidf_related",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      TextAnalysis.tfidfRelated(docs, "doc_id", "text", docs.count(),
+        k = 3, dfCap = 50)
+        .select(col("doc_id"), col("related_id"),
+          round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+          FROM documents)
+        WHERE length(token) > 0 GROUP BY 1, 2),
+      dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+      w AS (
+        SELECT t.doc_id, t.token,
+               t.tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / dft.df) AS w
+        FROM tok t JOIN dft ON t.token = dft.token WHERE dft.df <= 50),
+      nrm AS (SELECT doc_id, SQRT(SUM(w*w)) AS n FROM w GROUP BY 1),
+      dots AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, SUM(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.token = b.token AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2),
+      cosed AS (
+        SELECT d.a, d.b, d.dot / (na.n * nb.n) AS cos
+        FROM dots d JOIN nrm na ON na.doc_id = d.a
+                    JOIN nrm nb ON nb.doc_id = d.b),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a
+                  ORDER BY ROUND(cos, 9) DESC, b) AS INT) AS rank
+        FROM cosed)
+      SELECT a AS doc_id, b AS related_id, ROUND(cos, 4) AS cos, rank
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   /** Shared DuckDB CTE chain replaying the full curation cascade at
     * minTokens=30, stopword 0.02, threshold 0.8: quality gate (`kept1`),
     * exact dedup (`kept2`), LSH candidates + exact-Jaccard losers
@@ -1472,5 +1513,5 @@ object TextQueries {
     textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank,
     textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels,
     textLmPplKn, textChunkOverlap, textRagRetrieve, textBpeTrain,
-    textBpeSegment, textLrTrain, textLrScore)
+    textBpeSegment, textLrTrain, textLrScore, textTfidfRelated)
 }

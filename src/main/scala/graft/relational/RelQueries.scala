@@ -2111,6 +2111,31 @@ object RelQueries {
              (CAST(v AS DOUBLE) / n <= budget) AS passed
       FROM m ORDER BY rule, target"""))
 
+  /** k-anonymity audit — the privacy gate a dataset release runs over its
+    * quasi-identifier columns (Sweeney 2002): any QI combination shared by
+    * fewer than k rows re-identifies its members. QI here = (lang, source,
+    * coarse length bucket) on documents; output = the risky groups at
+    * k = 5. One hash aggregation over the bounded QI domain, then a
+    * domain-sized filter — corpus-size-FLAT output, and at 100 TB the
+    * aggregation is map-side combined on a 3-column key.
+    */
+  val q58KAnonymity = Q(
+    "q58_k_anonymity",
+    (s, d) => {
+      T.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars DIV 200").as("len_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") < 5)
+        .orderBy(col("lang"), col("source"), col("len_bucket"))
+    },
+    Some("""
+      SELECT lang, source, n_chars // 200 AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents
+      GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+      ORDER BY lang, source, len_bucket"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
@@ -2124,5 +2149,5 @@ object RelQueries {
     q46DistinctSketchMerge, q47ResampleFfill, q48ProfileCorr,
     q49ProfileHistogram, q50ResampleMaintained, q51GroupQuantilesApprox,
     q52DriftPsi, q53ProfileCramersV, q54RetentionCohorts,
-    q55FreqSketchMerge, q56AnomalyMad, q57DqChecks)
+    q55FreqSketchMerge, q56AnomalyMad, q57DqChecks, q58KAnonymity)
 }

@@ -180,7 +180,35 @@ object SourceQueries {
       WHERE CAST(ts AS DATE) = DATE '2024-01-15' AND event_type <> 'view'
       ORDER BY event_id"""))
 
+  /** Snapshot time travel (see [[Versioned]]): two appends, then BOTH
+    * snapshots are read back — v1 must still see only the first commit
+    * after v2 lands. The oracle recomputes each snapshot's aggregate from
+    * the original table; compaction/expiry invariants are spec-asserted
+    * in VersionedSpec.
+    */
+  val srcTimeTravel = Q(
+    "src_timetravel",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("ttv").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 2 === 0), dir)
+      Versioned.append(ev.filter(col("event_id") % 2 === 1), dir)
+      val snap = (v: Int) => Versioned.read(s, dir, Some(v))
+        .agg(lit(v).as("version"), count(lit(1)).as("n_rows"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("version"), col("n_rows"), col("sum_value"))
+      snap(1).unionAll(snap(2)).orderBy(col("version"))
+    },
+    Some("""
+      SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 2)
+      FROM events
+      ORDER BY version"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
-      srcZorderBox, srcBloomLookup, srcPartitionPrune)
+      srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel)
 }

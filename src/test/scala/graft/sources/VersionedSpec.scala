@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Versioned table: snapshot isolation across appends, content-invisible
+  * compaction, time travel to pre-compaction snapshots, and expiry that
+  * deletes only unreferenced files.
+  */
+class VersionedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("appends create isolated snapshots; old versions stay frozen") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val (a, b) = (ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    assert(Versioned.append(a, dir) == 1)
+    assert(Versioned.append(b, dir) == 2)
+    val v1 = Versioned.read(spark, dir, Some(1))
+    assert(v1.count() == a.count())
+    assert(v1.exceptAll(a).isEmpty && a.exceptAll(v1).isEmpty)
+    val v2 = Versioned.read(spark, dir)
+    assert(v2.count() == ev.count())
+    assert(v2.exceptAll(ev).isEmpty && ev.exceptAll(v2).isEmpty)
+  }
+
+  test("compact is content-invisible and pre-compaction snapshots survive") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), dir)
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), dir)
+    assert(Versioned.compact(spark, dir, numFiles = 2) == 3)
+    val v3 = Versioned.read(spark, dir, Some(3))
+    assert(v3.inputFiles.length == 2)
+    assert(v3.exceptAll(ev).isEmpty && ev.exceptAll(v3).isEmpty)
+    // time travel to v1 still reads the ORIGINAL files
+    val v1 = Versioned.read(spark, dir, Some(1))
+    assert(v1.count() == ev.filter(col("event_id") % 2 === 0).count())
+  }
+
+  test("expire keeps referenced files, deletes orphans, kills old manifests") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), dir)
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), dir)
+    Versioned.compact(spark, dir, numFiles = 2)
+    val v4 = Versioned.append(ev.limit(0), dir) // empty commit on top
+    assert(v4 == 4)
+    Versioned.expire(spark, dir, keepLast = 2)
+    // v1/v2 gone; v3/v4 read fine and still equal the full content
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(1)))
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(2)))
+    val v3 = Versioned.read(spark, dir, Some(3))
+    assert(v3.exceptAll(ev).isEmpty && ev.exceptAll(v3).isEmpty)
+    assert(Versioned.read(spark, dir, Some(4)).count() == ev.count())
+    // the pre-compaction commit dirs were orphaned by compact -> deleted
+    def parquets(c: Int) = {
+      val f = new java.io.File(s"$dir/data/c=$c")
+      if (!f.isDirectory) Array.empty[java.io.File]
+      else f.listFiles().filter(_.getName.endsWith(".parquet"))
+    }
+    assert(parquets(1).isEmpty && parquets(2).isEmpty)
+    assert(parquets(3).nonEmpty)
+  }
+
+  test("a torn manifest tmp dir is invisible to readers") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    Versioned.append(ev, dir)
+    new java.io.File(s"$dir/_manifests/_tmp_v2").mkdirs()
+    assert(Versioned.currentVersion(dir) == 1)
+    assert(Versioned.read(spark, dir).count() == ev.count())
+  }
+}
