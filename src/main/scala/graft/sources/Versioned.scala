@@ -67,6 +67,34 @@ object Versioned {
     v
   }
 
+  private def txnDir(table: String, batchId: Long) =
+    s"$table/_txns/b=$batchId"
+
+  /** Exactly-once micro-batch append (the streaming face — see
+    * `EventsStream.versionedSink`): a batch commits at most once, ever.
+    * Dedup is two-layered: a `_txns/b=<id>` marker written AFTER the
+    * manifest rename (survives compaction, which rewrites file paths),
+    * and a current-manifest containment check on the batch's own data
+    * directory (closes the crash window between rename and marker —
+    * nothing can compact in between because the writer died). A torn
+    * prior attempt (data written, no manifest) is cleared and rewritten.
+    * Returns the new version, or None if the batch was already in.
+    */
+  def appendBatch(df: DataFrame, table: String, batchId: Long): Option[Int] = {
+    val spark = df.sparkSession
+    val v = currentVersion(table)
+    val prev = if (v == 0) Seq.empty[String] else snapshotFiles(spark, table, v)
+    if (new java.io.File(txnDir(table, batchId)).exists() ||
+        prev.exists(_.contains(s"/b=$batchId/"))) return None
+    val dataDir = s"$table/data/b=$batchId"
+    deleteRecursively(new java.io.File(dataDir))
+    df.write.mode("errorifexists").parquet(dataDir)
+    val added = spark.read.parquet(dataDir).inputFiles.toSeq
+    commitManifest(spark, table, v + 1, prev ++ added)
+    new java.io.File(txnDir(table, batchId)).mkdirs()
+    Some(v + 1)
+  }
+
   /** Read snapshot `version` (default: latest). */
   def read(spark: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {

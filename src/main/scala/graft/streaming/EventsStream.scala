@@ -256,6 +256,23 @@ object EventsStream {
         processResampleBatch(batch, tablePath)
     }
 
+  /** Streaming snapshot-versioned ingest — each micro-batch commits as
+    * one `Versioned` snapshot (the manifest rename IS the atomic commit),
+    * so readers always see a consistent prefix of the stream and can
+    * time-travel to any trigger boundary. Exactly-once via
+    * `Versioned.appendBatch`'s txn-marker + manifest-containment dedup:
+    * redelivery is a no-op even across an interleaved compaction.
+    * Per-trigger cost: the batch's own files + an O(files) manifest
+    * rewrite — never data-sized.
+    */
+  def versionedSink(events: DataFrame, tablePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.sources.Versioned.appendBatch(batch, tablePath, batchId)
+        ()
+    }
+
   /** One micro-batch of [[resampleSink]], exposed for replay testing. */
   def processResampleBatch(batch: DataFrame, tablePath: String): Unit = {
     val spark = batch.sparkSession

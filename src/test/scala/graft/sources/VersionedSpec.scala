@@ -64,6 +64,46 @@ class VersionedSpec extends AnyFunSuite {
     assert(parquets(3).nonEmpty)
   }
 
+  test("appendBatch is exactly-once: replay no-ops, even after compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val (a, b) = (ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    assert(Versioned.appendBatch(a, dir, batchId = 0L).contains(1))
+    assert(Versioned.appendBatch(b, dir, batchId = 1L).contains(2))
+    // plain redelivery
+    assert(Versioned.appendBatch(a, dir, batchId = 0L).isEmpty)
+    // redelivery across a compaction (file paths all rewritten)
+    Versioned.compact(spark, dir, numFiles = 1)
+    assert(Versioned.appendBatch(b, dir, batchId = 1L).isEmpty)
+    val cur = Versioned.read(spark, dir)
+    assert(cur.count() == ev.count())
+    assert(cur.exceptAll(ev).isEmpty && ev.exceptAll(cur).isEmpty)
+  }
+
+  test("a torn un-committed batch write is cleared and rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val a = ev.filter(col("event_id") % 2 === 0)
+    // simulate: data landed, manifest rename never happened
+    a.limit(5).write.parquet(s"$dir/data/b=7")
+    assert(Versioned.currentVersion(dir) == 0)
+    assert(Versioned.appendBatch(a, dir, batchId = 7L).contains(1))
+    val v1 = Versioned.read(spark, dir)
+    assert(v1.count() == a.count())
+  }
+
+  test("versionedSink: streamed commits == batch content, replay-stable") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val src = java.nio.file.Files.createTempDirectory("verstream").toString
+    ev.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(ev.schema).parquet(src)
+    val q = graft.streaming.EventsStream.versionedSink(stream, dir).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = Versioned.read(spark, dir)
+    assert(got.count() == ev.count())
+    assert(got.exceptAll(ev).isEmpty && ev.exceptAll(got).isEmpty)
+    assert(Versioned.currentVersion(dir) >= 1)
+  }
+
   test("a torn manifest tmp dir is invisible to readers") {
     val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
     Versioned.append(ev, dir)
