@@ -172,8 +172,13 @@ object TextQueries {
     "text_tfidf_related",
     (s, d) => {
       val docs = T.documents(s, d)
-      TextAnalysis.tfidfRelated(docs, "doc_id", "text", docs.count(),
-        k = 3, dfCap = 50)
+      val n = docs.count()
+      // the cap is RELATIVE (10% of the corpus): "hot" is a df fraction,
+      // not an absolute count — at sf0.01's 500 docs this is the oracle's
+      // literal 50; at a 10x corpus the same fraction keeps the same
+      // semantic instead of silently capping the whole vocabulary
+      TextAnalysis.tfidfRelated(docs, "doc_id", "text", n,
+        k = 3, dfCap = n / 10)
         .select(col("doc_id"), col("related_id"),
           round(col("cos"), 4).as("cos"), col("rank"))
         .orderBy(col("doc_id"), col("rank"))
