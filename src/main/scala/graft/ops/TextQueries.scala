@@ -173,12 +173,13 @@ object TextQueries {
     (s, d) => {
       val docs = T.documents(s, d)
       val n = docs.count()
-      // the cap is RELATIVE (10% of the corpus): "hot" is a df fraction,
-      // not an absolute count — at sf0.01's 500 docs this is the oracle's
-      // literal 50; at a 10x corpus the same fraction keeps the same
-      // semantic instead of silently capping the whole vocabulary
+      // two-part cap: the RELATIVE term (10% of the corpus — at sf0.01's
+      // 500 docs this is the oracle's literal 50) defines "hot = no idf
+      // signal" on small corpora, while the ABSOLUTE 500 is the fan-out
+      // guard — the pair join emits df² rows PER TERM, and only an
+      // absolute bound keeps that quadratic term capped as N grows
       TextAnalysis.tfidfRelated(docs, "doc_id", "text", n,
-        k = 3, dfCap = n / 10)
+        k = 3, dfCap = math.min(n / 10, 500L))
         .select(col("doc_id"), col("related_id"),
           round(col("cos"), 4).as("cos"), col("rank"))
         .orderBy(col("doc_id"), col("rank"))
