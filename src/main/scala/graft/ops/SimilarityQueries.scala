@@ -1631,6 +1631,56 @@ object SimilarityQueries {
       SELECT query_id, 4, neighbor_id, ROUND(obj, 4) FROM s4
       ORDER BY query_id, pick"""))
 
+  /** Hard-negative mining for contrastive training (the in-batch-negatives
+    * upgrade every embedding-model pipeline ships): per anchor, the top-3
+    * most-similar vectors with a DIFFERENT label — maximally confusing
+    * negatives. Same distributed shape as [[Similarity.cosineTopK]]
+    * (pre-computed norms, broadcast anchors, per-anchor window) with the
+    * label inequality pushed into the pair filter BEFORE the ranking, so
+    * the window never ranks what the contract excludes.
+    */
+  val embHardNegatives = Q(
+    "emb_hard_negatives",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"),
+          col("label"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("qv"),
+          Similarity.norm(col("embedding")).as("qn"), col("label").as("ql"))
+      val c = emb.select(col("vec_id").as("neg_id"),
+        col("embedding").as("cv"), Similarity.norm(col("embedding")).as("cn"),
+        col("label").as("cl"))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos").desc, col("neg_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("cl") =!= col("ql"))
+        .withColumn("cos",
+          Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("anchor_id"), col("neg_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("anchor_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+        FROM embeddings WHERE vec_id % 50 = 0),
+      pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv,
+               e.embedding::DOUBLE[] AS cv
+        FROM embeddings e, q WHERE e.label <> q.ql),
+      $duckCos,
+      ranked AS (
+        SELECT query_id AS anchor_id, neighbor_id AS neg_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)
+      SELECT anchor_id, neg_id, ROUND(cos, 3) AS cos, rank
+      FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank"""))
+
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
       embPqTopK, embIvfPqTopK, embAnnIndexSearch, embPqIndexSearch,
@@ -1639,5 +1689,5 @@ object SimilarityQueries {
       embCovariance, embSq8TopK, embSq8Recall, embRpTopK, embPcaProject,
       embRpIndexSearch, embRpSq8TopK, embRpSq8Recall, embRpRecall,
       embRpRecallSweep,
-      embIvfRecall, embPqRecall, embMmrTopK)
+      embIvfRecall, embPqRecall, embMmrTopK, embHardNegatives)
 }
