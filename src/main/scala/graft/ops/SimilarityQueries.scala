@@ -1151,19 +1151,11 @@ object SimilarityQueries {
     * no RNG), and power iteration is contractive so the engines' float
     * paths converge toward the same axis rather than drifting apart.
     */
-  val embPcaProject = Q(
-    "emb_pca_project",
-    (s, d) => {
-      val emb = T.embeddings(s, d)
-        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
-      val model = LinAlg.pca(emb, "embedding", k = 1, powerIters = 3)
-      LinAlg.projectPca(emb, "embedding", model, "proj")
-        .select(col("vec_id"),
-          (round(element_at(col("proj"), 1), 4) + lit(0.0)).as("pc1"))
-        .orderBy(col("vec_id"))
-    },
-    Some("""
-      WITH x AS (
+  /** The power-iteration PCA CTE chain through `proj` (3 iterations,
+    * sign-fixed top component, centered projection) — shared by the
+    * plain-projection row and the whitening row.
+    */
+  private val pcaCtes = """x AS (
         SELECT vec_id, CAST(i AS INT) AS i,
                CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xv
         FROM (SELECT vec_id, embedding,
@@ -1201,9 +1193,50 @@ object SimilarityQueries {
       proj AS (
         SELECT x.vec_id, SUM((x.xv - m.mv) * comp.cv) AS p
         FROM x JOIN m ON m.i = x.i JOIN comp ON comp.i = x.i
-        GROUP BY x.vec_id)
+        GROUP BY x.vec_id)"""
+
+  val embPcaProject = Q(
+    "emb_pca_project",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val model = LinAlg.pca(emb, "embedding", k = 1, powerIters = 3)
+      LinAlg.projectPca(emb, "embedding", model, "proj")
+        .select(col("vec_id"),
+          (round(element_at(col("proj"), 1), 4) + lit(0.0)).as("pc1"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $pcaCtes
       SELECT vec_id, ROUND(p, 4) + 0.0 AS pc1
       FROM proj ORDER BY vec_id"""))
+
+  /** PCA whitening (`projectPca(whiten = true)`): the top component's
+    * projection scaled to unit variance by 1/sqrt(eigenvalue) — the
+    * embedding-normalization step in front of cosine retrieval /
+    * SemDeDup pipelines. The oracle extends the shared power-iteration
+    * chain with the Rayleigh quotient (lambda = c'Cc over the same cov
+    * table), so both engines derive the scale from the same arithmetic.
+    */
+  val embPcaWhiten = Q(
+    "emb_pca_whiten",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val model = LinAlg.pca(emb, "embedding", k = 1, powerIters = 3)
+      LinAlg.projectPca(emb, "embedding", model, "proj", whiten = true)
+        .select(col("vec_id"),
+          (round(element_at(col("proj"), 1), 4) + lit(0.0)).as("w1"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $pcaCtes,
+      eig AS (
+        SELECT SUM(ca.cv * cov.cv * cb.cv) AS ev
+        FROM cov JOIN comp ca ON ca.i = cov.i
+                 JOIN comp cb ON cb.i = cov.j)
+      SELECT vec_id, ROUND(p / SQRT(eig.ev), 4) + 0.0 AS w1
+      FROM proj CROSS JOIN eig ORDER BY vec_id"""))
 
   /** Persisted RP index: build on 90% of the corpus, append the rest,
     * search the STORED projected table — and hash-match the SAME oracle
@@ -1689,5 +1722,5 @@ object SimilarityQueries {
       embCovariance, embSq8TopK, embSq8Recall, embRpTopK, embPcaProject,
       embRpIndexSearch, embRpSq8TopK, embRpSq8Recall, embRpRecall,
       embRpRecallSweep,
-      embIvfRecall, embPqRecall, embMmrTopK, embHardNegatives)
+      embIvfRecall, embPqRecall, embMmrTopK, embHardNegatives, embPcaWhiten)
 }
