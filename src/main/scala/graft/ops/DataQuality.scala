@@ -155,13 +155,20 @@ object DataQuality {
       case _ => ()
     }
 
+    // Zero-row inputs must yield a VERDICT, not NULLs: sums over no rows
+    // are NULL (and Unique's n_rows too), and NULL/0 would leave `passed`
+    // neither true nor false — a gate doing filter(!passed).isEmpty would
+    // then release an unvalidated snapshot. An empty table has no
+    // violating row, so every rule passes vacuously with frac_ok = 1.
+    val n = coalesce(col("n_rows"), lit(0L))
+    val v = coalesce(col("n_violations"), lit(0L))
     frames.reduce(_ unionAll _)
-      .select(col("rule"), col("target"), col("n_rows"),
-        col("n_violations"),
-        round(lit(1.0) - col("n_violations").cast("double") / col("n_rows"),
-          6).as("frac_ok"),
-        (col("n_violations").cast("double") / col("n_rows") <=
-          col("budget")).as("passed"))
+      .select(col("rule"), col("target"), n.as("n_rows"),
+        v.as("n_violations"),
+        when(n === 0, 1.0).otherwise(
+          round(lit(1.0) - v.cast("double") / n, 6)).as("frac_ok"),
+        when(n === 0, true).otherwise(
+          v.cast("double") / n <= col("budget")).as("passed"))
       .orderBy(col("rule"), col("target"))
   }
 }

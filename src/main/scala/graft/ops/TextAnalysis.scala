@@ -541,16 +541,25 @@ object TextAnalysis {
     */
   def tfidfRelated(df: DataFrame, idCol: String, textCol: String,
       totalDocs: Long, k: Int, dfCap: Long): DataFrame = {
+    // the tf postings are the materialization point: df/idf derive from
+    // tf (one row per distinct (doc, token) — its row count IS the
+    // document frequency), and the weighted postings feed three
+    // consumers (norms + both join sides), so without the checkpoints
+    // Catalyst would re-run tokenization up to four times (no subplan
+    // sharing across DataFrame reuse — the q47 lesson)
     val tf = df.select(col(idCol).as("doc_id"),
       explode(split(lower(col(textCol)), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val idf = idfTable(df, idCol, textCol, totalDocs)
+      .localCheckpoint()
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
+      .withColumn("idf", log(lit(totalDocs.toDouble) / col("df")))
     val w = tf.join(idf, Seq("token"))
       .select(col("doc_id"), col("token"),
         (col("tf") * col("idf")).as("w"))
+      .localCheckpoint()
     val nrm = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("n"))
     val dots = w.select(col("doc_id").as("a"), col("token"), col("w").as("wa"))

@@ -194,7 +194,8 @@ object TextQueries {
       w AS (
         SELECT t.doc_id, t.token,
                t.tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / dft.df) AS w
-        FROM tok t JOIN dft ON t.token = dft.token WHERE dft.df <= 50),
+        FROM tok t JOIN dft ON t.token = dft.token
+        WHERE dft.df <= LEAST((SELECT COUNT(*) // 10 FROM documents), 500)),
       nrm AS (SELECT doc_id, SQRT(SUM(w*w)) AS n FROM w GROUP BY 1),
       dots AS (
         SELECT a.doc_id AS a, b.doc_id AS b, SUM(a.w * b.w) AS dot

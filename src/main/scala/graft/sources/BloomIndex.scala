@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *     (`pmod(xxhash64(key, seed), m)` bit positions — codegen'd), and the
   *     per-FILE bloom is `groupBy(file, word).agg(bit_or(mask))`: one
   *     map-side-combined aggregation whose state is the (files × words)
-  *     domain, never the row count. The sidecar lands next to the table as
-  *     `<table>_bloom` plus a layout pin (m, k, nFiles) — the Scd2 meta
-  *     convention, so probes can never hash against a stale geometry.
+  *     domain, never the row count. The geometry (m, k, nFiles) rides as
+  *     CONSTANT COLUMNS of the sidecar itself and the sidecar lands via
+  *     rename-swap — geometry and bits commit in ONE atomic move, so a
+  *     probe can never hash against a stale geometry (the failure mode a
+  *     separate meta file written before/after the bits would reopen).
   *   - probe: the key set explodes into the SAME contributions, bit-OR
   *     collapsed per (key, word); a file is a candidate when every probe
   *     word's mask is contained in the file's bits (`(bits & mask) = mask`
@@ -31,10 +33,12 @@ import org.apache.spark.sql.functions._
   * files, so all rows of one key land in ONE file and a hit reads one
   * file (+ fp). At 100 TB the sidecar is (files × m/64) longs — a TABLE,
   * scanned distributed; the driver sees only matched file names.
+  * Single-writer (like the other persisted indexes): a probe racing a
+  * full REBUILD can error on vanished data files, but never silently
+  * drop rows.
   */
 object BloomIndex {
 
-  private def metaPath(table: String) = table.stripSuffix("/") + "_bloom_meta"
   private def sidecarPath(table: String) = table.stripSuffix("/") + "_bloom"
 
   /** k (word, mask) contribution structs for key column `k` (must be named
@@ -60,14 +64,23 @@ object BloomIndex {
       .write.mode("overwrite").parquet(tablePath)
     val back = spark.read.parquet(tablePath)
       .select(col(keyCol).as("k"), input_file_name().as("f"))
+    val tmp = sidecarPath(tablePath) + "__new"
     back
       .select(col("f"), explode(contribs(mBits, k)).as("c"))
       .groupBy(col("f"), col("c.w").as("w"))
       .agg(bit_or(col("c.m")).as("bits"))
-      .write.mode("overwrite").parquet(sidecarPath(tablePath))
-    import spark.implicits._
-    Seq((mBits, k, nFiles)).toDF("m_bits", "k", "n_files").coalesce(1)
-      .write.mode("overwrite").parquet(metaPath(tablePath))
+      .withColumn("m_bits", lit(mBits))
+      .withColumn("k_hashes", lit(k))
+      .withColumn("n_files", lit(nFiles))
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(sidecarPath(tablePath))
+    if (fs.exists(target))
+      graft.ops.Maintenance.swapParquetDir(spark, sidecarPath(tablePath), tmp)
+    else
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), target),
+        s"sidecar commit failed at $target")
   }
 
   /** Files that may contain any of `keys` (exact w.r.t. the sidecar:
@@ -76,15 +89,16 @@ object BloomIndex {
   def candidateFiles(spark: SparkSession, tablePath: String,
       keys: Seq[Long]): Seq[String] = {
     import spark.implicits._
-    val meta = spark.read.parquet(metaPath(tablePath)).head()
-    val (mBits, k) = (meta.getAs[Int]("m_bits"), meta.getAs[Int]("k"))
+    val sidecar = spark.read.parquet(sidecarPath(tablePath))
+    val geo = sidecar.select(col("m_bits"), col("k_hashes")).head()
+    val (mBits, k) = (geo.getInt(0), geo.getInt(1))
     val probe = keys.toDF("k")
       .select(col("k"), explode(contribs(mBits, k)).as("c"))
       .groupBy(col("k"), col("c.w").as("w"))
       .agg(bit_or(col("c.m")).as("pm"))
     val need = probe.groupBy(col("k")).agg(count(lit(1)).as("need"))
     probe
-      .join(spark.read.parquet(sidecarPath(tablePath)), Seq("w"))
+      .join(sidecar, Seq("w"))
       .filter((col("bits").bitwiseAND(col("pm"))) === col("pm"))
       .groupBy(col("k"), col("f")).agg(count(lit(1)).as("hit"))
       .join(need, Seq("k"))

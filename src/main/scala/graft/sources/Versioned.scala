@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Snapshot-versioned parquet table with time travel — the Iceberg/Delta
   * core re-expressed minimally (public prior art: Iceberg's
@@ -12,12 +11,24 @@ import org.apache.spark.sql.functions._
   * manifest", and compaction is just a new manifest over rewritten files
   * (old snapshots stay readable until expired).
   *
-  * Scale shape: the manifest is O(files), never O(rows) — the only
-  * driver-side state is the file list (the classic index-read contract);
-  * data reads are ordinary distributed parquet scans of the listed
-  * files. Commit atomicity is a single directory rename of the manifest
-  * (write to `_tmp_v<N>`, rename to `v=<N>`); a crash before the rename
-  * leaves the table at the previous snapshot.
+  * Scale shape: the manifest is O(files + committed batch ids), never
+  * O(rows) — the only driver-side state is that list (the classic
+  * index-read contract); data reads are ordinary distributed parquet
+  * scans of the listed files. Commit atomicity is a single directory
+  * rename of the manifest (write to `_tmp_v<N>`, rename to `v=<N>`); a
+  * crash before the rename leaves the table at the previous snapshot,
+  * and the torn data directory is cleared by the next writer (every
+  * write path clears its target before writing — a half-written commit
+  * can never brick subsequent commits).
+  *
+  * Exactly-once streaming ingest rides the same atomicity: committed
+  * batch ids are ROWS IN THE MANIFEST (kind = "t"), so the dedup fact
+  * commits in the same rename as the data it describes and is carried
+  * forward by every later snapshot — including compaction, which
+  * rewrites all file paths but preserves the txn set. (The earlier
+  * design — a marker directory written after the rename — left a crash
+  * window where a compaction before redelivery erased the evidence;
+  * manifest-native txns have no such window.)
   *
   * Concurrent WRITERS are out of scope (single-writer, like a Delta
   * table without a lock service); concurrent READERS are always safe.
@@ -40,58 +51,63 @@ object Versioned {
     listVersions(table).lastOption.getOrElse(0)
 
   private def commitManifest(spark: SparkSession, table: String, v: Int,
-      files: Seq[String]): Unit = {
+      files: Seq[String], txns: Seq[Long]): Unit = {
     import spark.implicits._
     val tmp = s"${manifestRoot(table)}/_tmp_v$v"
-    files.toDF("file").coalesce(1).write.mode("overwrite").parquet(tmp)
+    (files.map(("f", _)) ++ txns.map(t => ("t", t.toString)))
+      .toDF("kind", "value")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
     val ok = new java.io.File(tmp).renameTo(new java.io.File(manifestDir(table, v)))
     require(ok, s"manifest commit v$v failed (concurrent writer?)")
   }
 
-  private def snapshotFiles(spark: SparkSession, table: String,
-      v: Int): Seq[String] = {
+  /** (data files sorted, committed batch ids) of snapshot `v`. */
+  private def manifest(spark: SparkSession, table: String,
+      v: Int): (Seq[String], Seq[Long]) = {
     import spark.implicits._
-    spark.read.parquet(manifestDir(table, v)).as[String].collect().toSeq.sorted
+    val rows = spark.read.parquet(manifestDir(table, v))
+      .as[(String, String)].collect()
+    (rows.collect { case ("f", f) => f }.toSeq.sorted,
+      rows.collect { case ("t", t) => t.toLong }.toSeq.sorted)
+  }
+
+  private def snapshotFiles(spark: SparkSession, table: String,
+      v: Int): Seq[String] = manifest(spark, table, v)._1
+
+  private def writeData(df: DataFrame, dataDir: String): Seq[String] = {
+    // clear a torn prior attempt (data landed, manifest rename didn't) so
+    // a crash can never permanently reject the version's data directory
+    deleteRecursively(new java.io.File(dataDir))
+    df.write.mode("errorifexists").parquet(dataDir)
+    df.sparkSession.read.parquet(dataDir).inputFiles.toSeq
   }
 
   /** Append `df` as a new snapshot; returns the new version number. */
   def append(df: DataFrame, table: String): Int = {
     val spark = df.sparkSession
     val v = currentVersion(table) + 1
-    val dataDir = s"$table/data/c=$v"
-    df.write.mode("errorifexists").parquet(dataDir)
-    val added = spark.read.parquet(dataDir).inputFiles.toSeq
-    val prev = if (v == 1) Seq.empty
-      else snapshotFiles(spark, table, v - 1)
-    commitManifest(spark, table, v, prev ++ added)
+    val (prev, txns) = if (v == 1) (Seq.empty[String], Seq.empty[Long])
+      else manifest(spark, table, v - 1)
+    val added = writeData(df, s"$table/data/c=$v")
+    commitManifest(spark, table, v, prev ++ added, txns)
     v
   }
 
-  private def txnDir(table: String, batchId: Long) =
-    s"$table/_txns/b=$batchId"
-
   /** Exactly-once micro-batch append (the streaming face — see
     * `EventsStream.versionedSink`): a batch commits at most once, ever.
-    * Dedup is two-layered: a `_txns/b=<id>` marker written AFTER the
-    * manifest rename (survives compaction, which rewrites file paths),
-    * and a current-manifest containment check on the batch's own data
-    * directory (closes the crash window between rename and marker —
-    * nothing can compact in between because the writer died). A torn
-    * prior attempt (data written, no manifest) is cleared and rewritten.
-    * Returns the new version, or None if the batch was already in.
+    * The committed-batch set rides IN the manifest, so the check and the
+    * data share one atomic rename and survive compaction's path rewrite;
+    * a torn prior attempt (data written, no manifest) is cleared and
+    * rewritten. Returns the new version, or None if already committed.
     */
   def appendBatch(df: DataFrame, table: String, batchId: Long): Option[Int] = {
     val spark = df.sparkSession
     val v = currentVersion(table)
-    val prev = if (v == 0) Seq.empty[String] else snapshotFiles(spark, table, v)
-    if (new java.io.File(txnDir(table, batchId)).exists() ||
-        prev.exists(_.contains(s"/b=$batchId/"))) return None
-    val dataDir = s"$table/data/b=$batchId"
-    deleteRecursively(new java.io.File(dataDir))
-    df.write.mode("errorifexists").parquet(dataDir)
-    val added = spark.read.parquet(dataDir).inputFiles.toSeq
-    commitManifest(spark, table, v + 1, prev ++ added)
-    new java.io.File(txnDir(table, batchId)).mkdirs()
+    val (prev, txns) = if (v == 0) (Seq.empty[String], Seq.empty[Long])
+      else manifest(spark, table, v)
+    if (txns.contains(batchId)) return None
+    val added = writeData(df, s"$table/data/b=$batchId")
+    commitManifest(spark, table, v + 1, prev ++ added, txns :+ batchId)
     Some(v + 1)
   }
 
@@ -104,15 +120,16 @@ object Versioned {
   }
 
   /** Rewrite the CURRENT snapshot into `numFiles` files as a new snapshot
-    * — content-invisible; old snapshots keep reading the old files.
+    * — content-invisible (committed batch ids carried forward); old
+    * snapshots keep reading the old files.
     */
   def compact(spark: SparkSession, table: String, numFiles: Int): Int = {
-    val v = currentVersion(table) + 1
-    val cur = read(spark, table)
-    val dataDir = s"$table/data/c=$v"
-    cur.repartition(numFiles).write.mode("errorifexists").parquet(dataDir)
-    commitManifest(spark, table, v,
-      spark.read.parquet(dataDir).inputFiles.toSeq)
+    val cur = currentVersion(table)
+    val txns = if (cur == 0) Seq.empty[Long] else manifest(spark, table, cur)._2
+    val v = cur + 1
+    val added = writeData(read(spark, table).repartition(numFiles),
+      s"$table/data/c=$v")
+    commitManifest(spark, table, v, added, txns)
     v
   }
 

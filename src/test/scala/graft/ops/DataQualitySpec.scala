@@ -83,6 +83,19 @@ class DataQualitySpec extends AnyFunSuite {
     assert(scans <= 1, s"expected one input scan, plan:\n$plan")
   }
 
+  test("an empty table yields vacuous passes, never NULL verdicts") {
+    val rep = validate(df.limit(0), Seq(
+      NotNull("tag"), InRange("v", 0.0, 25.0), Unique(Seq("id")),
+      ForeignKey("fk", ref, "rid", "ref"))).collect()
+    assert(rep.length == 4)
+    rep.foreach { r =>
+      assert(!r.isNullAt(2) && r.getLong(2) == 0L)
+      assert(!r.isNullAt(3) && r.getLong(3) == 0L)
+      assert(!r.isNullAt(4) && r.getDouble(4) == 1.0)
+      assert(!r.isNullAt(5) && r.getBoolean(5))
+    }
+  }
+
   test("fraction and ordering are deterministic") {
     val rows = validate(df, Seq(NotNull("tag"), Unique(Seq("id"))))
       .collect()

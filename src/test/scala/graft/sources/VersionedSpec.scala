@@ -104,6 +104,20 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.currentVersion(dir) >= 1)
   }
 
+  test("a torn append attempt cannot brick subsequent appends") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val (a, b) = (ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    Versioned.append(a, dir)
+    // simulate: v2's data landed, manifest rename never happened
+    b.limit(3).write.parquet(s"$dir/data/c=2")
+    assert(Versioned.currentVersion(dir) == 1)
+    assert(Versioned.append(b, dir) == 2)
+    val v2 = Versioned.read(spark, dir)
+    assert(v2.count() == ev.count())
+    assert(v2.exceptAll(ev).isEmpty && ev.exceptAll(v2).isEmpty)
+  }
+
   test("a torn manifest tmp dir is invisible to readers") {
     val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
     Versioned.append(ev, dir)

@@ -1371,7 +1371,6 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     assert(failed1 == Set(("in_range", "value"), ("in_set", "event_type")))
     // redelivery of batch 1's rows is byte-idempotent (same report)
     val before = rep(1L)
-    EventsStream.dqSink(mem.toDF(), rules, out) // writer unused; replay via batch path
     graft.ops.DataQuality.validate(b1.toDF(), rules)
       .withColumn("batch_id", org.apache.spark.sql.functions.lit(1L))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=1")
