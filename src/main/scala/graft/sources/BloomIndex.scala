@@ -83,8 +83,41 @@ object BloomIndex {
         s"sidecar commit failed at $target")
   }
 
-  /** Files that may contain any of `keys` (exact w.r.t. the sidecar:
-    * every true container is returned; false positives possible).
+  /** Append a batch: new key-hash-partitioned files inside the table plus
+    * their sidecar rows (geometry read from the pinned sidecar columns —
+    * an append can never fork the (m, k) generation). The one-key-one-file
+    * read contract relaxes to one file PER COMMIT; probes stay exact
+    * because blooms are per-file. Crash window (data landed, sidecar rows
+    * not yet appended) is closed on the READ side: [[candidateFiles]]
+    * treats any table file the sidecar does not cover as an unconditional
+    * candidate — a torn append degrades to extra I/O, never to a missed
+    * row (the index's standing contract).
+    */
+  def append(df: DataFrame, keyCol: String, tablePath: String,
+      nFiles: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val geo = spark.read.parquet(sidecarPath(tablePath))
+      .select(col("m_bits"), col("k_hashes"), col("n_files")).head()
+    val (mBits, k) = (geo.getInt(0), geo.getInt(1))
+    val before = spark.read.parquet(tablePath).inputFiles.toSet
+    df.repartition(nFiles, col(keyCol))
+      .write.mode("append").parquet(tablePath)
+    val newFiles = spark.read.parquet(tablePath).inputFiles.toSet -- before
+    spark.read.parquet(newFiles.toSeq: _*)
+      .select(col(keyCol).as("k"), input_file_name().as("f"))
+      .select(col("f"), explode(contribs(mBits, k)).as("c"))
+      .groupBy(col("f"), col("c.w").as("w"))
+      .agg(bit_or(col("c.m")).as("bits"))
+      .withColumn("m_bits", lit(mBits))
+      .withColumn("k_hashes", lit(k))
+      .withColumn("n_files", lit(geo.getInt(2)))
+      .write.mode("append").parquet(sidecarPath(tablePath))
+  }
+
+  /** Files that may contain any of `keys` (exact w.r.t. the table:
+    * every true container is returned; false positives possible). Files
+    * the sidecar does not cover — a torn append's crash window — are
+    * unconditional candidates, so coverage gaps cost I/O, not rows.
     */
   def candidateFiles(spark: SparkSession, tablePath: String,
       keys: Seq[Long]): Seq[String] = {
@@ -97,14 +130,18 @@ object BloomIndex {
       .groupBy(col("k"), col("c.w").as("w"))
       .agg(bit_or(col("c.m")).as("pm"))
     val need = probe.groupBy(col("k")).agg(count(lit(1)).as("need"))
-    probe
+    val matched = probe
       .join(sidecar, Seq("w"))
       .filter((col("bits").bitwiseAND(col("pm"))) === col("pm"))
       .groupBy(col("k"), col("f")).agg(count(lit(1)).as("hit"))
       .join(need, Seq("k"))
       .filter(col("hit") === col("need"))
       .select(col("f")).distinct()
-      .as[String].collect().toSeq.sorted
+      .as[String].collect().toSeq
+    val covered = sidecar.select(col("f")).distinct().as[String].collect().toSet
+    val uncovered = spark.read.parquet(tablePath).inputFiles
+      .filterNot(covered).toSeq
+    (matched ++ uncovered).distinct.sorted
   }
 
   /** Point lookup through the index: open only candidate files, re-apply

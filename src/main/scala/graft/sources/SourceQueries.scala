@@ -208,7 +208,31 @@ object SourceQueries {
       FROM events
       ORDER BY version"""))
 
+  /** Bloom index build + APPEND + lookup under the same oracle as
+    * src_bloom_lookup: the index is built on 80% of events, the rest
+    * appended ([[BloomIndex.append]] — new files + their sidecar rows at
+    * the pinned geometry), and the point lookup must still equal the
+    * full-table filter — the house build/append/search contract.
+    */
+  val srcBloomAppendedLookup = Q(
+    "src_bloom_appended_lookup",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("bloomapp").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      BloomIndex.build(ev.filter(col("event_id") % 5 =!= 0), "user_id", dir,
+        nFiles = 16)
+      BloomIndex.append(ev.filter(col("event_id") % 5 === 0), "user_id", dir,
+        nFiles = 4)
+      BloomIndex.lookup(s, dir, "user_id", Seq(7L, 123L, 456L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    srcBloomLookup.oracle)
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
-      srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel)
+      srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
+      srcBloomAppendedLookup)
 }

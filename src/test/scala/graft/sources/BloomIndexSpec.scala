@@ -42,6 +42,40 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(got.count() == 0)
   }
 
+  test("append: lookup over base+appended == full-scan filter; probes stay pruned") {
+    val d = java.nio.file.Files.createTempDirectory("bloomapp").toString + "/t"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    BloomIndex.build(ev.filter(col("event_id") % 5 =!= 0), "user_id", d,
+      nFiles = 16)
+    BloomIndex.append(ev.filter(col("event_id") % 5 === 0), "user_id", d,
+      nFiles = 4)
+    val keys = Seq(5L, 105L, 777L)
+    val got = BloomIndex.lookup(spark, d, "user_id", keys)
+    val want = spark.read.parquet(d).filter(col("user_id").isin(keys: _*))
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // a point key now opens at most one file per commit (+ rare fp)
+    val cand = BloomIndex.candidateFiles(spark, d, Seq(42L))
+    assert(cand.nonEmpty && cand.size <= 4, s"${cand.size} candidates")
+  }
+
+  test("a torn append (data landed, sidecar rows missing) costs I/O, never rows") {
+    val d = java.nio.file.Files.createTempDirectory("bloomtorn").toString + "/t"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    BloomIndex.build(ev.filter(col("event_id") % 5 =!= 0), "user_id", d,
+      nFiles = 16)
+    // simulate the crash window: batch data appended, no sidecar rows
+    ev.filter(col("event_id") % 5 === 0)
+      .repartition(4, col("user_id")).write.mode("append").parquet(d)
+    val keys = Seq(5L, 105L)
+    val got = BloomIndex.lookup(spark, d, "user_id", keys)
+    val want = spark.read.parquet(d).filter(col("user_id").isin(keys: _*))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the uncovered files ARE candidates for any key (the fallback)
+    val cand = BloomIndex.candidateFiles(spark, d, Seq(-999L))
+    assert(cand.size == 4, s"expected the 4 uncovered files, got ${cand.size}")
+  }
+
   test("probe words fold under collision: containment counted per distinct word") {
     // tiny geometry forces k=4 seeds into few words; correctness must hold
     val d = java.nio.file.Files.createTempDirectory("bloomtiny").toString + "/t"
