@@ -302,6 +302,60 @@ object TextQueries {
     * counts — so the per-stage shrink itself is verified, not only the
     * final kept set.
     */
+  /** The release composition: the dataset card computed over the CURATED
+    * keepers (quality gate → exact dedup → LSH near-dup) — what actually
+    * ships with a corpus release. The card's n_dup_docs column doubles as
+    * an end-to-end assertion: on a post-exact-dedup set it must be 0 in
+    * every language row, and the oracle proves it from first principles
+    * by replaying the whole cascade before the ROLLUP.
+    */
+  val textCuratedCard = Q(
+    "text_curated_card",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cfg = Curate.Config(minTokens = 30, minStopwordRatio = 0.02,
+        nearDupThreshold = 0.8)
+      val keptIds = Curate.curate(T.documents(s, d), "doc_id", "text", cfg)
+        .select("doc_id")
+      val f = T.documents(s, d).join(keptIds, Seq("doc_id"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(sha2(col("text"), 256))))
+        .withColumn("ws_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      f.rollup(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("ws_tokens")).as("total_tokens"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("n_dup_docs"), col("n_sources"),
+          col("total_tokens"), col("avg_chars"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH $duckCurateChain,
+      keptf AS (
+        SELECT d.lang, d.source, d.n_chars, d.text
+        FROM documents d
+        JOIN kept2 k ON k.doc_id = d.doc_id
+        LEFT JOIN losers l ON l.b = d.doc_id
+        WHERE l.b IS NULL),
+      f AS (
+        SELECT lang, source, n_chars,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS ws_tokens,
+               COUNT(*) OVER (PARTITION BY sha256(text)) AS n_same
+        FROM keptf)
+      SELECT COALESCE(lang, 'ALL') AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+             ROUND(AVG(n_chars), 2) AS avg_chars
+      FROM f GROUP BY ROLLUP(lang) ORDER BY lang"""))
+
   val textCurateReport = Q(
     "text_curate_report",
     (s, d) => {
@@ -1520,5 +1574,6 @@ object TextQueries {
     textBm25Indexed, textBm25Probe, textDsirProbe, textTextrank,
     textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels,
     textLmPplKn, textChunkOverlap, textRagRetrieve, textBpeTrain,
-    textBpeSegment, textLrTrain, textLrScore, textTfidfRelated)
+    textBpeSegment, textLrTrain, textLrScore, textTfidfRelated,
+    textCuratedCard)
 }
