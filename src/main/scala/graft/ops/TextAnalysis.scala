@@ -527,6 +527,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(totalDocs.toDouble) / col("df")))
 
+  /** Feature-hashing vectorizer — the hashing trick (Weinberger et al.
+    * 2009; sklearn HashingVectorizer / Vowpal Wabbit): token t
+    * contributes sign(t) * tf to bucket h(t) % d, giving every document
+    * a FIXED-dimension vector with no vocabulary table at all — the
+    * zero-state text featurizer that feeds the cosine/ANN family (and
+    * the LR classifier) when no trained embedding exists.
+    *
+    * Hash and sign are md5-derived (the RP-matrix convention) so the
+    * oracle reproduces them: bucket = first-4-hex-digits value mod d
+    * (Spark: codegen'd `conv(hex, 16, 10)`; DuckDB: strpos digit
+    * arithmetic — different functions, identical math), sign = hex
+    * digit 5 < '8'. The signed sum makes collisions unbiased (E[dot]
+    * preserved — the trick's whole point).
+    *
+    * Scale shape: tokenize → one (doc, token) count agg → one (doc,
+    * bucket) sum agg; everything map-side combinable, output d rows per
+    * doc max. No vocabulary state, no broadcast, nothing to train.
+    */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+      d: Int): DataFrame = {
+    require(d >= 2 && d <= 65536, s"d=$d")
+    val tf = df.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("h", md5(col("token")))
+      .withColumn("bucket",
+        pmod(conv(substring(col("h"), 1, 4), 16, 10).cast("long"), lit(d)))
+      .withColumn("sign",
+        when(substring(col("h"), 5, 1) < "8", 1.0).otherwise(-1.0))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign") * col("tf")).as("w"))
+  }
+
+  /** [[hashEmbed]] assembled into a dense `Array[Double]` column of
+    * length `d` (missing buckets zero-filled) — the shape the
+    * Similarity/ANN family consumes. Pure native functions
+    * (map_from_entries + sequence/transform), no UDF.
+    */
+  def hashEmbedVectors(df: DataFrame, idCol: String, textCol: String,
+      d: Int): DataFrame =
+    hashEmbed(df, idCol, textCol, d)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w"))))
+        .as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(d - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("embedding"))
+
   /** Sparse TF-IDF cosine "related documents": top-k neighbors per doc in
     * term space (the lexical complement of the embedding ANN family —
     * classic related-articles / more-like-this retrieval).

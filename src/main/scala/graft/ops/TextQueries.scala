@@ -212,6 +212,38 @@ object TextQueries {
       SELECT a AS doc_id, b AS related_id, ROUND(cos, 4) AS cos, rank
       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** Feature-hashing vectorizer (see [[TextAnalysis.hashEmbed]]): the
+    * sparse (doc, bucket, w) table at d = 12. The oracle reproduces the
+    * md5 bucket/sign derivation with strpos digit arithmetic — engine
+    * functions differ, the math is identical.
+    */
+  val textHashEmbed = Q(
+    "text_hash_embed",
+    (s, d) => {
+      TextAnalysis.hashEmbed(T.documents(s, d), "doc_id", "text", d = 12)
+        .select(col("doc_id"), col("bucket"),
+          col("w").cast("long").as("w"))
+        .orderBy(col("doc_id"), col("bucket"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+          FROM documents)
+        WHERE length(token) > 0 GROUP BY 1, 2),
+      hx AS (SELECT doc_id, tf, md5(token) AS h FROM tf),
+      hv AS (
+        SELECT doc_id, tf, h,
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS hv
+        FROM hx)
+      SELECT doc_id, hv % 12 AS bucket,
+             CAST(SUM(CASE WHEN substr(h, 5, 1) < '8' THEN tf ELSE -tf END)
+                  AS BIGINT) AS w
+      FROM hv GROUP BY 1, 2 ORDER BY doc_id, bucket"""))
+
   /** Shared DuckDB CTE chain replaying the full curation cascade at
     * minTokens=30, stopword 0.02, threshold 0.8: quality gate (`kept1`),
     * exact dedup (`kept2`), LSH candidates + exact-Jaccard losers
@@ -1575,5 +1607,5 @@ object TextQueries {
     textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels,
     textLmPplKn, textChunkOverlap, textRagRetrieve, textBpeTrain,
     textBpeSegment, textLrTrain, textLrScore, textTfidfRelated,
-    textCuratedCard)
+    textCuratedCard, textHashEmbed)
 }
