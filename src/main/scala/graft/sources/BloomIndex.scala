@@ -62,8 +62,12 @@ object BloomIndex {
     val spark = df.sparkSession
     df.repartition(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(tablePath)
+    // Cast to long on the BUILD side: xxhash64 is input-type-sensitive,
+    // so an INT key column hashed at its native type would never match a
+    // probe's LongType keys — a silent false negative. Casting both sides
+    // to long keeps build and probe hashing the same bytes.
     val back = spark.read.parquet(tablePath)
-      .select(col(keyCol).as("k"), input_file_name().as("f"))
+      .select(col(keyCol).cast("long").as("k"), input_file_name().as("f"))
     val tmp = sidecarPath(tablePath) + "__new"
     back
       .select(col("f"), explode(contribs(mBits, k)).as("c"))
@@ -103,8 +107,9 @@ object BloomIndex {
     df.repartition(nFiles, col(keyCol))
       .write.mode("append").parquet(tablePath)
     val newFiles = spark.read.parquet(tablePath).inputFiles.toSet -- before
+    if (newFiles.isEmpty) return // empty batch: nothing to index, no-op
     spark.read.parquet(newFiles.toSeq: _*)
-      .select(col(keyCol).as("k"), input_file_name().as("f"))
+      .select(col(keyCol).cast("long").as("k"), input_file_name().as("f"))
       .select(col("f"), explode(contribs(mBits, k)).as("c"))
       .groupBy(col("f"), col("c.w").as("w"))
       .agg(bit_or(col("c.m")).as("bits"))

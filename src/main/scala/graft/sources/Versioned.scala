@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Snapshot-versioned parquet table with time travel — the Iceberg/Delta
@@ -21,6 +23,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * write path clears its target before writing — a half-written commit
   * can never brick subsequent commits).
   *
+  * All manifest/commit/expire filesystem traffic goes through the Hadoop
+  * `FileSystem` API resolved from the table path (the same idiom as
+  * [[BloomIndex]] and `Maintenance.swapDir`), so the table runs wherever
+  * Spark's Hadoop layer does. SUBSTRATE CONTRACT: rename-as-commit needs
+  * a store with atomic directory rename under a single writer — local
+  * FS and HDFS qualify; plain object stores (S3 without a rename layer)
+  * would need a monotonic log-append commit instead and are out of
+  * scope here.
+  *
   * Exactly-once streaming ingest rides the same atomicity: committed
   * batch ids are ROWS IN THE MANIFEST (kind = "t"), so the dedup fact
   * commits in the same rename as the data it describes and is carried
@@ -38,17 +49,26 @@ object Versioned {
   private def manifestRoot(table: String) = s"$table/_manifests"
   private def manifestDir(table: String, v: Int) = s"${manifestRoot(table)}/v=$v"
 
-  private def listVersions(table: String): Seq[Int] = {
-    val root = new java.io.File(manifestRoot(table))
-    if (!root.isDirectory) Seq.empty
-    else root.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toInt).sorted
+  private def fsFor(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
+
+  private def listVersions(table: String, conf: Configuration): Seq[Int] = {
+    val root = new Path(manifestRoot(table))
+    val fs = fsFor(manifestRoot(table), conf)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toInt).sorted
   }
 
-  /** Current snapshot number, or 0 if the table is empty. */
+  /** Current snapshot number, or 0 if the table is empty. Resolves the
+    * filesystem from the active session's Hadoop conf.
+    */
   def currentVersion(table: String): Int =
-    listVersions(table).lastOption.getOrElse(0)
+    currentVersion(table, SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def currentVersion(table: String, conf: Configuration): Int =
+    listVersions(table, conf).lastOption.getOrElse(0)
 
   private def commitManifest(spark: SparkSession, table: String, v: Int,
       files: Seq[String], txns: Seq[Long]): Unit = {
@@ -57,7 +77,8 @@ object Versioned {
     (files.map(("f", _)) ++ txns.map(t => ("t", t.toString)))
       .toDF("kind", "value")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val ok = new java.io.File(tmp).renameTo(new java.io.File(manifestDir(table, v)))
+    val fs = fsFor(table, spark.sparkContext.hadoopConfiguration)
+    val ok = fs.rename(new Path(tmp), new Path(manifestDir(table, v)))
     require(ok, s"manifest commit v$v failed (concurrent writer?)")
   }
 
@@ -77,7 +98,10 @@ object Versioned {
   private def writeData(df: DataFrame, dataDir: String): Seq[String] = {
     // clear a torn prior attempt (data landed, manifest rename didn't) so
     // a crash can never permanently reject the version's data directory
-    deleteRecursively(new java.io.File(dataDir))
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = fsFor(dataDir, conf)
+    val p = new Path(dataDir)
+    if (fs.exists(p)) fs.delete(p, true)
     df.write.mode("errorifexists").parquet(dataDir)
     df.sparkSession.read.parquet(dataDir).inputFiles.toSeq
   }
@@ -85,7 +109,7 @@ object Versioned {
   /** Append `df` as a new snapshot; returns the new version number. */
   def append(df: DataFrame, table: String): Int = {
     val spark = df.sparkSession
-    val v = currentVersion(table) + 1
+    val v = currentVersion(table, spark.sparkContext.hadoopConfiguration) + 1
     val (prev, txns) = if (v == 1) (Seq.empty[String], Seq.empty[Long])
       else manifest(spark, table, v - 1)
     val added = writeData(df, s"$table/data/c=$v")
@@ -102,7 +126,7 @@ object Versioned {
     */
   def appendBatch(df: DataFrame, table: String, batchId: Long): Option[Int] = {
     val spark = df.sparkSession
-    val v = currentVersion(table)
+    val v = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     val (prev, txns) = if (v == 0) (Seq.empty[String], Seq.empty[Long])
       else manifest(spark, table, v)
     if (txns.contains(batchId)) return None
@@ -111,21 +135,29 @@ object Versioned {
     Some(v + 1)
   }
 
-  /** Read snapshot `version` (default: latest). */
+  /** Read snapshot `version` (default: latest). A snapshot whose manifest
+    * lists zero data files reads as an EMPTY frame (no schema — the
+    * manifest stores paths, not schemas), not an error.
+    */
   def read(spark: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
-    val v = version.getOrElse(currentVersion(table))
-    require(listVersions(table).contains(v), s"no snapshot v=$v at $table")
-    spark.read.parquet(snapshotFiles(spark, table, v): _*)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = version.getOrElse(currentVersion(table, conf))
+    require(listVersions(table, conf).contains(v), s"no snapshot v=$v at $table")
+    val files = snapshotFiles(spark, table, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
   }
 
   /** Rewrite the CURRENT snapshot into `numFiles` files as a new snapshot
     * — content-invisible (committed batch ids carried forward); old
-    * snapshots keep reading the old files.
+    * snapshots keep reading the old files. No-op (returns 0) on an empty
+    * table.
     */
   def compact(spark: SparkSession, table: String, numFiles: Int): Int = {
-    val cur = currentVersion(table)
-    val txns = if (cur == 0) Seq.empty[Long] else manifest(spark, table, cur)._2
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    if (cur == 0) return 0
+    val txns = manifest(spark, table, cur)._2
     val v = cur + 1
     val added = writeData(read(spark, table).repartition(numFiles),
       s"$table/data/c=$v")
@@ -138,20 +170,16 @@ object Versioned {
     */
   def expire(spark: SparkSession, table: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"keepLast=$keepLast")
-    val vs = listVersions(table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vs = listVersions(table, conf)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
     if (drop.isEmpty) return
     val live = keep.flatMap(snapshotFiles(spark, table, _)).toSet
+    val fs = fsFor(table, conf)
     drop.foreach { v =>
       val dead = snapshotFiles(spark, table, v).filterNot(live)
-      dead.foreach(f =>
-        new java.io.File(new java.net.URI(f).getPath).delete())
-      deleteRecursively(new java.io.File(manifestDir(table, v)))
+      dead.foreach(f => fs.delete(new Path(f), false))
+      fs.delete(new Path(manifestDir(table, v)), true)
     }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
   }
 }

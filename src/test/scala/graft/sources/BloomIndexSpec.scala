@@ -86,4 +86,33 @@ class BloomIndexSpec extends AnyFunSuite {
     val want = spark.read.parquet(d).filter(col("user_id").isin(keys: _*))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("an INT key column hashes like the LongType probe (no false negatives)") {
+    // xxhash64 is input-type-sensitive; build/append cast the key to long
+    // so a non-BIGINT key column still matches Seq[Long] probes
+    val d = java.nio.file.Files.createTempDirectory("bloomint").toString + "/t"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("user_id", col("user_id").cast("int"))
+    BloomIndex.build(ev.filter(col("event_id") % 2 === 0), "user_id", d,
+      nFiles = 8)
+    BloomIndex.append(ev.filter(col("event_id") % 2 === 1), "user_id", d)
+    val keys = Seq(1L, 2L, 3L)
+    val got = BloomIndex.lookup(spark, d, "user_id", keys)
+    val want = spark.read.parquet(d).filter(col("user_id").isin(keys: _*))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("append of an empty batch is a no-op, not an AnalysisException") {
+    val d = java.nio.file.Files.createTempDirectory("bloomempty").toString + "/t"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    BloomIndex.build(ev, "user_id", d, nFiles = 4)
+    val before = spark.read.parquet(d + "_bloom").count()
+    BloomIndex.append(ev.limit(0), "user_id", d)
+    assert(spark.read.parquet(d + "_bloom").count() == before)
+    val keys = Seq(1L, 2L)
+    val got = BloomIndex.lookup(spark, d, "user_id", keys)
+    val want = spark.read.parquet(d).filter(col("user_id").isin(keys: _*))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }

@@ -125,4 +125,38 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.currentVersion(dir) == 1)
     assert(Versioned.read(spark, dir).count() == ev.count())
   }
+
+  test("a leftover _tmp_v* manifest dir cannot brick the next commit") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val (a, b) = (ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    Versioned.append(a, dir)
+    // simulate: v2's manifest was STAGED (tmp written) but never renamed
+    a.limit(1).selectExpr("'f' AS kind", "'bogus' AS value")
+      .coalesce(1).write.parquet(s"$dir/_manifests/_tmp_v2")
+    assert(Versioned.currentVersion(dir) == 1)
+    // next commit overwrites the stale tmp and lands cleanly
+    assert(Versioned.append(b, dir) == 2)
+    val v2 = Versioned.read(spark, dir)
+    assert(v2.exceptAll(ev).isEmpty && ev.exceptAll(v2).isEmpty)
+  }
+
+  test("explicit file: URI exercises the Hadoop FileSystem resolution") {
+    val dir = "file://" +
+      java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    assert(Versioned.append(ev, dir) == 1)
+    assert(Versioned.currentVersion(dir) == 1)
+    val got = Versioned.read(spark, dir)
+    assert(got.exceptAll(ev).isEmpty && ev.exceptAll(got).isEmpty)
+    assert(Versioned.compact(spark, dir, numFiles = 1) == 2)
+    Versioned.expire(spark, dir, keepLast = 1)
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(1)))
+    assert(Versioned.read(spark, dir).count() == ev.count())
+  }
+
+  test("compact on an empty table is a no-op, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    assert(Versioned.compact(spark, dir, numFiles = 2) == 0)
+    assert(Versioned.currentVersion(dir) == 0)
+  }
 }
