@@ -49,7 +49,7 @@ object Classifier {
     val base = df.select(label.cast("double").as("y") +: xCols: _*)
       .localCheckpoint()
     var w: Seq[Double] = Seq.fill(d)(0.0)
-    (1 to rounds).map { r =>
+    val trace = (1 to rounds).map { r =>
       val p = logitScore((1 until d).map(i => col(s"x$i")), w)
       val g = base.agg(
         avg((p - col("y")) * col("x0")).as("g0"),
@@ -58,5 +58,9 @@ object Classifier {
       w = w.zipWithIndex.map { case (wi, i) => wi - step * g.getDouble(i) }
       (r, w)
     }
+    // the trace is plain Scala data at this point — release the feature
+    // blocks instead of leaking one set per training call
+    base.unpersist()
+    trace
   }
 }

@@ -45,6 +45,21 @@ object Curate {
       cfg: Config = Config()): DataFrame =
     cascade(df, idCol, textCol, cfg)._3
 
+  /** DQ-gated curation: a [[DataQuality]] battery of row-local rules runs
+    * IN FRONT of the cascade — rows violating any rule route to a
+    * quarantine channel (with their `dq_fail` tags), and only clean rows
+    * enter the quality/dedup stages. This is the reference's hard input
+    * aborts (`src/sra/convert2sradb.cpp:113-116`) generalized: at 100 TB
+    * one malformed shard must divert, not kill the run. Returns
+    * (curated keepers, quarantined rows).
+    */
+  def curateWithDq(df: DataFrame, idCol: String, textCol: String,
+      rules: Seq[DataQuality.Rule],
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val (clean, quarantined) = DataQuality.route(df, rules)
+    (curate(clean, idCol, textCol, cfg), quarantined)
+  }
+
   /** Per-stage survivor counts of the [[curate]] cascade — the funnel
     * telemetry a production curation run reports ("how much did each
     * filter remove?"). One row per stage: 0_input, 1_quality,

@@ -101,6 +101,39 @@ object DataQuality {
     case _ => throw new IllegalArgumentException(s"not row-local: $r")
   }
 
+  /** Per-row violation tag column over the ROW-LOCAL rules of `rules`
+    * (Unique/ForeignKey are table-level facts — they don't name a single
+    * guilty row, so they can't route rows; validate() reports them). The
+    * tag is the comma-joined sorted `rule:target` list of violated rules
+    * ('' = clean) — a deterministic, engine-portable string, so a
+    * quarantine channel can be hash-gated cross-engine.
+    */
+  def violationTags(rules: Seq[Rule]): Column = {
+    val rowLocal = rules.filter {
+      case _: Unique | _: ForeignKey => false
+      case _                         => true
+    }
+    require(rowLocal.nonEmpty, "no row-local rules to tag with")
+    array_join(array_sort(array_compact(array(rowLocal.map { r =>
+      when(violation(r), lit(s"${ruleName(r)}:${target(r)}"))
+        .otherwise(lit(null))
+    }: _*))), ",")
+  }
+
+  /** Route `df` into (clean, quarantined) on the row-local rules — the
+    * reference's hard input aborts (`convert2sradb.cpp:113-116`)
+    * generalized to a quarantine channel: bad rows are diverted WITH
+    * their violation tags (`dq_fail` column on the quarantine side), not
+    * crashed on, so one malformed shard can't kill a 100 TB ingest. Both
+    * frames share the scan; the predicate is a row-local projection
+    * (codegen'd, no shuffle).
+    */
+  def route(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val tagged = df.withColumn("dq_fail", violationTags(rules))
+    (tagged.filter(col("dq_fail") === "").drop("dq_fail"),
+      tagged.filter(col("dq_fail") =!= ""))
+  }
+
   /** Report schema: (rule, target, n_rows, n_violations, frac_ok, passed),
     * one row per rule, totally ordered. frac_ok is rounded to 6dp for the
     * cross-engine hash; `passed` compares the UNROUNDED exact fraction

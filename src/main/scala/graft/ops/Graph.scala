@@ -435,6 +435,11 @@ object Graph {
       .withColumn("dist", lit(0L))
       .localCheckpoint()
     var frontier = dist.select(col("node"))
+    // superseded checkpoints are unpersisted once their successor has
+    // materialized (localCheckpoint is eager) — the Bpe.train convention;
+    // without this, every bench leg / service call leaks one block set
+    // per round into the block manager
+    var prevNext: Option[DataFrame] = None
     for (r <- 1 to rounds) {
       val next = edges
         .join(frontier.select(col("node").as("a")), Seq("a"))
@@ -442,9 +447,15 @@ object Graph {
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(r.toLong))
         .localCheckpoint()
-      dist = dist.union(next).localCheckpoint()
+      val grown = dist.union(next).localCheckpoint()
+      dist.unpersist()
+      prevNext.foreach(_.unpersist())
+      prevNext = Some(next)
+      dist = grown
       frontier = next.select(col("node"))
     }
+    prevNext.foreach(_.unpersist())
+    edges.unpersist()
     dist
   }
 

@@ -106,10 +106,23 @@ object Similarity {
     * text_rag_retrieve convention).
     */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      lambda: Double = 0.7, candN: Int = 12): DataFrame = {
+      lambda: Double = 0.7, candN: Int = 12): DataFrame =
+    mmrRerank(cosineTopK(corpus, queries, candN), corpus, k, lambda)
+
+  /** Greedy MMR over an EXPLICIT candidate list `(query_id, neighbor_id,
+    * cos)` — the candidate-generation stage is the caller's: brute-force
+    * [[cosineTopK]] (exact — what [[mmrTopK]] does) or a persisted ANN
+    * index ([[searchPqIndexedRerank]] — the scale path: the quadratic
+    * anchors × corpus pair term becomes a partition-pruned ADC scan, and
+    * the greedy still runs over <= candN rows per query). Same greedy,
+    * same rounding/tie-break, so the two variants differ only by the cut.
+    */
+  def mmrRerank(cands: DataFrame, corpus: DataFrame, k: Int,
+      lambda: Double = 0.7): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val withVec = cosineTopK(corpus, queries, candN)
+    val withVec = cands
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("nv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("nv"))
@@ -586,6 +599,41 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Hard-negative mining THROUGH a persisted IVF-PQ index — the scale
+    * path for the brute-force miner (`emb_hard_negatives`): per anchor,
+    * ADC candidates come from the index (top `candK`, partition-pruned
+    * codes scan), then the label-inequality filter and EXACT cosine
+    * ranking run over the candidate cut only. The anchors × corpus
+    * quadratic pair term becomes anchors × candK; negatives are "top
+    * different-label within the cut" — the standard ANN-mined negatives
+    * every contrastive pipeline ships (exactness traded for the pruned
+    * scan, like [[searchPqIndexedRerank]]). `corpus` and `anchors` must
+    * carry (vec_id, embedding, `labelCol`).
+    */
+  def hardNegativesIndexed(spark: org.apache.spark.sql.SparkSession,
+      dbPath: String, corpus: DataFrame, anchors: DataFrame, dim: Int,
+      nSub: Int, pqK: Int, negK: Int, candK: Int, nprobe: Int,
+      labelCol: String = "label"): DataFrame = {
+    val cands = searchPqIndexed(spark, dbPath, anchors, dim, nSub, pqK,
+      candK, nprobe)
+      .select(col("query_id").as("anchor_id"), col("neighbor_id").as("neg_id"))
+    val q = anchors.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"),
+      col(labelCol).as("ql"))
+    val c = corpus.select(col("vec_id").as("neg_id"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"),
+      col(labelCol).as("cl"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("neg_id"))
+    cands.join(broadcast(q), Seq("anchor_id"))
+      .join(c, Seq("neg_id"))
+      .filter(col("cl") =!= col("ql"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= negK)
+      .select(col("anchor_id"), col("neg_id"), col("cos"), col("rank"))
   }
 
   /** Product-quantization codebooks (Jegou et al. 2011): the embedding

@@ -1568,6 +1568,84 @@ object SimilarityQueries {
     * (the pagerank convention), with the identical rounded-objective +
     * id tie-break, so both engines pick the same sequence.
     */
+  /** Shared greedy-MMR oracle tail: expects `cand(query_id, neighbor_id,
+    * cos)` (the candidate cut) in scope; unrolls the 4-step lambda=0.7
+    * greedy with the rounded objective + id tie-break and SELECTs the
+    * picks. Shared by the brute-force and the indexed MMR rows, which
+    * differ only in how `cand` is produced.
+    */
+  private val duckMmrGreedy = """cvecs AS (
+        SELECT c.query_id, c.neighbor_id, e.embedding::DOUBLE[] AS v
+        FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id),
+      cp AS (
+        SELECT query_id, ai, bi,
+               SUM(av[CAST(i AS INT)] * bv[CAST(i AS INT)])
+                 / (SQRT(SUM(av[CAST(i AS INT)] * av[CAST(i AS INT)]))
+                    * SQRT(SUM(bv[CAST(i AS INT)] * bv[CAST(i AS INT)]))) AS s
+        FROM (SELECT a.query_id, a.neighbor_id AS ai, b.neighbor_id AS bi,
+                     a.v AS av, b.v AS bv,
+                     unnest(generate_series(1, 64)) AS i
+              FROM cvecs a JOIN cvecs b
+                ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id)
+        GROUP BY 1, 2, 3),
+      s1 AS (
+        SELECT query_id, neighbor_id, 0.7*cos AS obj FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(0.7*cos, 9) DESC, neighbor_id) AS rn
+          FROM cand) WHERE rn = 1),
+      gm2 AS (
+        SELECT c.query_id, c.neighbor_id, c.cos, MAX(p.s) AS ms
+        FROM cand c
+        JOIN s1 ON c.query_id = s1.query_id AND c.neighbor_id <> s1.neighbor_id
+        JOIN cp p ON p.query_id = c.query_id AND p.ai = c.neighbor_id
+               AND p.bi = s1.neighbor_id
+        GROUP BY 1, 2, 3),
+      s2 AS (
+        SELECT query_id, neighbor_id, 0.7*cos - 0.3*ms AS obj FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(0.7*cos - 0.3*ms, 9) DESC, neighbor_id) AS rn
+          FROM gm2) WHERE rn = 1),
+      sel2 AS (SELECT query_id, neighbor_id FROM s1
+               UNION ALL SELECT query_id, neighbor_id FROM s2),
+      gm3 AS (
+        SELECT c.query_id, c.neighbor_id, c.cos, MAX(p.s) AS ms
+        FROM cand c
+        JOIN cp p ON p.query_id = c.query_id AND p.ai = c.neighbor_id
+        JOIN sel2 s ON s.query_id = p.query_id AND s.neighbor_id = p.bi
+        WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                          WHERE x.query_id = c.query_id
+                            AND x.neighbor_id = c.neighbor_id)
+        GROUP BY 1, 2, 3),
+      s3 AS (
+        SELECT query_id, neighbor_id, 0.7*cos - 0.3*ms AS obj FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(0.7*cos - 0.3*ms, 9) DESC, neighbor_id) AS rn
+          FROM gm3) WHERE rn = 1),
+      sel3 AS (SELECT * FROM sel2
+               UNION ALL SELECT query_id, neighbor_id FROM s3),
+      gm4 AS (
+        SELECT c.query_id, c.neighbor_id, c.cos, MAX(p.s) AS ms
+        FROM cand c
+        JOIN cp p ON p.query_id = c.query_id AND p.ai = c.neighbor_id
+        JOIN sel3 s ON s.query_id = p.query_id AND s.neighbor_id = p.bi
+        WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                          WHERE x.query_id = c.query_id
+                            AND x.neighbor_id = c.neighbor_id)
+        GROUP BY 1, 2, 3),
+      s4 AS (
+        SELECT query_id, neighbor_id, 0.7*cos - 0.3*ms AS obj FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(0.7*cos - 0.3*ms, 9) DESC, neighbor_id) AS rn
+          FROM gm4) WHERE rn = 1)
+      SELECT query_id, 1 AS pick, neighbor_id, ROUND(obj, 4) AS mmr FROM s1
+      UNION ALL
+      SELECT query_id, 2, neighbor_id, ROUND(obj, 4) FROM s2
+      UNION ALL
+      SELECT query_id, 3, neighbor_id, ROUND(obj, 4) FROM s3
+      UNION ALL
+      SELECT query_id, 4, neighbor_id, ROUND(obj, 4) FROM s4
+      ORDER BY query_id, pick"""
+
   val embMmrTopK = Q(
     "emb_mmr_topk",
     (s, d) => {
@@ -1578,6 +1656,185 @@ object SimilarityQueries {
         .select(col("query_id"), col("pick"), col("neighbor_id"),
           round(col("mmr"), 4).as("mmr"))
         .orderBy(col("query_id"), col("pick"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0),
+      pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding::DOUBLE[] AS cv
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      $duckCos,
+      cand AS (
+        SELECT query_id, neighbor_id, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn FROM comp)
+        WHERE rn <= 12),
+      $duckMmrGreedy"""))
+
+  /** Hard-negative mining for contrastive training (the in-batch-negatives
+    * upgrade every embedding-model pipeline ships): per anchor, the top-3
+    * most-similar vectors with a DIFFERENT label — maximally confusing
+    * negatives. Same distributed shape as [[Similarity.cosineTopK]]
+    * (pre-computed norms, broadcast anchors, per-anchor window) with the
+    * label inequality pushed into the pair filter BEFORE the ranking, so
+    * the window never ranks what the contract excludes.
+    */
+  val embHardNegatives = Q(
+    "emb_hard_negatives",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"),
+          col("label"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("qv"),
+          Similarity.norm(col("embedding")).as("qn"), col("label").as("ql"))
+      val c = emb.select(col("vec_id").as("neg_id"),
+        col("embedding").as("cv"), Similarity.norm(col("embedding")).as("cn"),
+        col("label").as("cl"))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos").desc, col("neg_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("cl") =!= col("ql"))
+        .withColumn("cos",
+          Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("anchor_id"), col("neg_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("anchor_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+        FROM embeddings WHERE vec_id % 50 = 0),
+      pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv,
+               e.embedding::DOUBLE[] AS cv
+        FROM embeddings e, q WHERE e.label <> q.ql),
+      $duckCos,
+      ranked AS (
+        SELECT query_id AS anchor_id, neighbor_id AS neg_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)
+      SELECT anchor_id, neg_id, ROUND(cos, 3) AS cos, rank
+      FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank"""))
+
+  /** [[Similarity.hardNegativesIndexed]] — hard negatives THROUGH the
+    * persisted IVF-PQ index: ADC top-30 candidates per anchor
+    * (partition-pruned codes scan), label-inequality + exact-cosine top-3
+    * over the cut. The oracle extends the persisted-index chain with the
+    * label filter and exact re-rank, so the candidate cut AND the mining
+    * semantics are both verified ("exact over the candidate cut", the
+    * emb_pqindex_rerank convention). This is the scale path for
+    * emb_hard_negatives: the anchors × corpus pair term becomes
+    * anchors × 30.
+    */
+  val embHardNegativesIndexed = Q(
+    "emb_hard_negatives_indexed",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"),
+          col("label"))
+      Similarity.hardNegativesIndexed(s, ensurePqFixture(s, d), emb,
+        emb.filter(col("vec_id") % 50 === 0),
+        dim = 64, nSub = 8, pqK = 8, negK = 3, candK = 30, nprobe = 2)
+        .select(col("anchor_id"), col("neg_id"),
+          round(col("cos"), 3).as("cos"), col("rank"))
+        .orderBy(col("anchor_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $duckPqIndexChain,
+      cands AS (
+        SELECT query_id, neighbor_id FROM kranked WHERE rank <= 30),
+      pairs AS (
+        SELECT c.query_id, c.neighbor_id, qe2.v AS qv, ce.v AS cv
+        FROM cands c
+        JOIN e qe2 ON qe2.vec_id = c.query_id
+        JOIN e ce ON ce.vec_id = c.neighbor_id
+        JOIN embeddings ql ON ql.vec_id = c.query_id
+        JOIN embeddings cl ON cl.vec_id = c.neighbor_id
+        WHERE cl.label <> ql.label),
+      $duckCos,
+      hranked AS (
+        SELECT query_id AS anchor_id, neighbor_id AS neg_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM comp)
+      SELECT anchor_id, neg_id, ROUND(cos, 3) AS cos, rank
+      FROM hranked WHERE rank <= 3 ORDER BY anchor_id, rank"""))
+
+  /** [[Similarity.mmrRerank]] over an INDEXED candidate cut: exact-cosine
+    * top-12 over the persisted IVF-PQ index's ADC top-30
+    * ([[Similarity.searchPqIndexedRerank]]), then the same 4-step greedy
+    * as emb_mmr_topk. The oracle composes the persisted-index chain, the
+    * exact re-rank cut, and the shared greedy unroll — so the scale-path
+    * MMR (no anchors × corpus pair term) is verified end to end.
+    */
+  val embMmrIndexed = Q(
+    "emb_mmr_indexed",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val cands = Similarity.searchPqIndexedRerank(s, ensurePqFixture(s, d),
+        emb, emb.filter(col("vec_id") % 50 === 0),
+        dim = 64, nSub = 8, pqK = 8, topK = 12, rerankK = 30, nprobe = 2)
+      Similarity.mmrRerank(cands, emb, k = 4, lambda = 0.7)
+        .select(col("query_id"), col("pick"), col("neighbor_id"),
+          round(col("mmr"), 4).as("mmr"))
+        .orderBy(col("query_id"), col("pick"))
+    },
+    Some(s"""
+      WITH $duckPqIndexChain,
+      rcands AS (
+        SELECT query_id, neighbor_id FROM kranked WHERE rank <= 30),
+      pairs AS (
+        SELECT c.query_id, c.neighbor_id, qe2.v AS qv, ce.v AS cv
+        FROM rcands c
+        JOIN e qe2 ON qe2.vec_id = c.query_id
+        JOIN e ce ON ce.vec_id = c.neighbor_id),
+      $duckCos,
+      cand AS (
+        SELECT query_id, neighbor_id, cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn FROM comp)
+        WHERE rn <= 12),
+      $duckMmrGreedy"""))
+
+  /** Diversity gauge for the MMR family (bench=false, the recall-gauge
+    * convention): per query, the mean pairwise cosine among the 4 MMR
+    * picks vs among the plain top-4 — the quantity MMR exists to lower.
+    * A regression in the greedy (wrong lambda, broken tie-break, stale
+    * candidates) shows up as mmr_red drifting up to topk_red. The oracle
+    * replays both pick sets and averages the same candidate-pair sims.
+    */
+  val embMmrGauge = Q(
+    "emb_mmr_diversity_gauge",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), doubled(col("embedding")).as("embedding"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      def redundancy(picks: org.apache.spark.sql.DataFrame, out: String) = {
+        val v = emb.select(col("vec_id"), col("embedding").as("v"))
+        val a = picks.join(v, picks("neighbor_id") === v("vec_id"))
+          .select(col("query_id"), col("neighbor_id").as("ai"), col("v").as("av"))
+        val b = picks.join(v, picks("neighbor_id") === v("vec_id"))
+          .select(col("query_id").as("qb"), col("neighbor_id").as("bi"),
+            col("v").as("bv"))
+        a.join(b, col("query_id") === col("qb") && col("ai") < col("bi"))
+          .withColumn("s", Similarity.cosine(col("av"), col("bv")))
+          .groupBy(col("query_id"))
+          .agg(round(avg(col("s")), 4).as(out))
+      }
+      val mmr = Similarity.mmrTopK(emb, queries, k = 4, lambda = 0.7,
+        candN = 12).select(col("query_id"), col("neighbor_id"))
+      val top4 = Similarity.cosineTopK(emb, queries, 4)
+        .select(col("query_id"), col("neighbor_id"))
+      redundancy(mmr, "mmr_red")
+        .join(redundancy(top4, "topk_red"), Seq("query_id"))
+        .orderBy(col("query_id"))
     },
     Some(s"""
       WITH q AS (
@@ -1654,65 +1911,127 @@ object SimilarityQueries {
         SELECT query_id, neighbor_id, 0.7*cos - 0.3*ms AS obj FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY ROUND(0.7*cos - 0.3*ms, 9) DESC, neighbor_id) AS rn
-          FROM m4) WHERE rn = 1)
-      SELECT query_id, 1 AS pick, neighbor_id, ROUND(obj, 4) AS mmr FROM s1
-      UNION ALL
-      SELECT query_id, 2, neighbor_id, ROUND(obj, 4) FROM s2
-      UNION ALL
-      SELECT query_id, 3, neighbor_id, ROUND(obj, 4) FROM s3
-      UNION ALL
-      SELECT query_id, 4, neighbor_id, ROUND(obj, 4) FROM s4
-      ORDER BY query_id, pick"""))
+          FROM m4) WHERE rn = 1),
+      mmrsel AS (
+        SELECT query_id, neighbor_id FROM s1
+        UNION ALL SELECT query_id, neighbor_id FROM s2
+        UNION ALL SELECT query_id, neighbor_id FROM s3
+        UNION ALL SELECT query_id, neighbor_id FROM s4),
+      topsel AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rn FROM cand)
+        WHERE rn <= 4),
+      mred AS (
+        SELECT p.query_id, ROUND(AVG(p.s), 4) AS mmr_red
+        FROM cp p
+        JOIN mmrsel a ON a.query_id = p.query_id AND a.neighbor_id = p.ai
+        JOIN mmrsel b ON b.query_id = p.query_id AND b.neighbor_id = p.bi
+        WHERE p.ai < p.bi GROUP BY 1),
+      tred AS (
+        SELECT p.query_id, ROUND(AVG(p.s), 4) AS topk_red
+        FROM cp p
+        JOIN topsel a ON a.query_id = p.query_id AND a.neighbor_id = p.ai
+        JOIN topsel b ON b.query_id = p.query_id AND b.neighbor_id = p.bi
+        WHERE p.ai < p.bi GROUP BY 1)
+      SELECT m.query_id, m.mmr_red, t.topk_red
+      FROM mred m JOIN tred t USING (query_id)
+      ORDER BY query_id"""),
+    bench = false)
 
-  /** Hard-negative mining for contrastive training (the in-batch-negatives
-    * upgrade every embedding-model pipeline ships): per anchor, the top-3
-    * most-similar vectors with a DIFFERENT label — maximally confusing
-    * negatives. Same distributed shape as [[Similarity.cosineTopK]]
-    * (pre-computed norms, broadcast anchors, per-anchor window) with the
-    * label inequality pushed into the pair filter BEFORE the ranking, so
-    * the window never ranks what the contract excludes.
+  /** Quality gauge for the indexed hard-negative miner (bench=false): per
+    * anchor, how many of the EXACT brute-force top-3 different-label
+    * negatives the indexed miner recovered — recall@3 of the mining path,
+    * exactly the emb_*_recall convention. A quantizer or probe regression
+    * in the index shows up here as recall decay without any code read.
     */
-  val embHardNegatives = Q(
-    "emb_hard_negatives",
+  val embHardnegRecall = Q(
+    "emb_hardneg_recall",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val emb = T.embeddings(s, d)
         .select(col("vec_id"), doubled(col("embedding")).as("embedding"),
           col("label"))
-      val q = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("anchor_id"), col("embedding").as("qv"),
-          Similarity.norm(col("embedding")).as("qn"), col("label").as("ql"))
-      val c = emb.select(col("vec_id").as("neg_id"),
-        col("embedding").as("cv"), Similarity.norm(col("embedding")).as("cn"),
-        col("label").as("cl"))
+      val anchors = emb.filter(col("vec_id") % 50 === 0)
+      val approx = Similarity.hardNegativesIndexed(s, ensurePqFixture(s, d),
+        emb, anchors, dim = 64, nSub = 8, pqK = 8, negK = 3, candK = 30,
+        nprobe = 2).select(col("anchor_id"), col("neg_id"))
+      // exact miner: brute-force different-label top-3 (the
+      // emb_hard_negatives query's definition)
+      val q = emb.select(col("vec_id").as("anchor_id"),
+        col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"),
+        col("label").as("ql"))
+        .filter(col("anchor_id") % 50 === 0)
+      val c = emb.select(col("vec_id").as("neg_id"), col("embedding").as("cv"),
+        Similarity.norm(col("embedding")).as("cn"), col("label").as("cl"))
       val w = Window.partitionBy(col("anchor_id"))
         .orderBy(col("cos").desc, col("neg_id"))
-      c.crossJoin(broadcast(q))
+      val exact = c.crossJoin(broadcast(q))
         .filter(col("cl") =!= col("ql"))
         .withColumn("cos",
           Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
-        .select(col("anchor_id"), col("neg_id"),
-          round(col("cos"), 3).as("cos"), col("rank"))
-        .orderBy(col("anchor_id"), col("rank"))
+        .select(col("anchor_id"), col("neg_id"))
+      val hits = approx.join(exact, Seq("anchor_id", "neg_id"))
+        .groupBy(col("anchor_id")).agg(count(lit(1)).as("hits"))
+      exact.select(col("anchor_id")).distinct()
+        .join(hits, Seq("anchor_id"), "left")
+        .select(col("anchor_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 3.0, 4).as("recall"))
+        .orderBy(col("anchor_id"))
     },
     Some(s"""
-      WITH q AS (
-        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
-        FROM embeddings WHERE vec_id % 50 = 0),
+      WITH $duckPqIndexChain,
+      cands AS (
+        SELECT query_id, neighbor_id FROM kranked WHERE rank <= 30),
       pairs AS (
-        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv,
-               e.embedding::DOUBLE[] AS cv
-        FROM embeddings e, q WHERE e.label <> q.ql),
+        SELECT c.query_id, c.neighbor_id, qe2.v AS qv, ce.v AS cv
+        FROM cands c
+        JOIN e qe2 ON qe2.vec_id = c.query_id
+        JOIN e ce ON ce.vec_id = c.neighbor_id
+        JOIN embeddings ql ON ql.vec_id = c.query_id
+        JOIN embeddings cl ON cl.vec_id = c.neighbor_id
+        WHERE cl.label <> ql.label),
       $duckCos,
-      ranked AS (
-        SELECT query_id AS anchor_id, neighbor_id AS neg_id, cos,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-        FROM comp)
-      SELECT anchor_id, neg_id, ROUND(cos, 3) AS cos, rank
-      FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank"""))
+      atop AS (
+        SELECT query_id AS anchor_id, neighbor_id AS neg_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rk FROM comp)
+        WHERE rk <= 3),
+      xpairs AS (
+        SELECT q2.vec_id AS anchor_id, e2.vec_id AS neg_id,
+               q2.v AS qv, e2.v AS cv
+        FROM e q2
+        JOIN embeddings ql2 ON ql2.vec_id = q2.vec_id
+        JOIN e e2 ON e2.vec_id <> q2.vec_id
+        JOIN embeddings cl2 ON cl2.vec_id = e2.vec_id
+        WHERE q2.vec_id % 50 = 0 AND cl2.label <> ql2.label),
+      xcomp AS (
+        SELECT anchor_id, neg_id,
+               SUM(qv[CAST(i AS INT)] * cv[CAST(i AS INT)]) AS score
+        FROM (SELECT *, unnest(generate_series(1, 64)) AS i FROM xpairs)
+        GROUP BY 1, 2),
+      etop AS (
+        SELECT anchor_id, neg_id FROM (
+          SELECT anchor_id, neg_id,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY score DESC, neg_id) AS rk FROM xcomp)
+        WHERE rk <= 3),
+      h AS (
+        SELECT a.anchor_id, COUNT(*) AS hits
+        FROM atop a JOIN etop e3 USING (anchor_id, neg_id)
+        GROUP BY 1)
+      SELECT q4.anchor_id,
+             CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             ROUND(COALESCE(h.hits, 0) / 3.0, 4) AS recall
+      FROM (SELECT DISTINCT anchor_id FROM etop) q4
+      LEFT JOIN h USING (anchor_id)
+      ORDER BY anchor_id"""),
+    bench = false)
 
   def all: Seq[Q] =
     Seq(embCosineTopK, embIvfTopK, embNearDup, embKmeans, embSemDedup,
@@ -1722,5 +2041,6 @@ object SimilarityQueries {
       embCovariance, embSq8TopK, embSq8Recall, embRpTopK, embPcaProject,
       embRpIndexSearch, embRpSq8TopK, embRpSq8Recall, embRpRecall,
       embRpRecallSweep,
-      embIvfRecall, embPqRecall, embMmrTopK, embHardNegatives, embPcaWhiten)
+      embIvfRecall, embPqRecall, embMmrTopK, embHardNegatives, embPcaWhiten,
+      embHardNegativesIndexed, embMmrIndexed, embMmrGauge, embHardnegRecall)
 }

@@ -610,6 +610,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"),
         (col("tf") * col("idf")).as("w"))
       .localCheckpoint()
+    // w (eager) has consumed tf's two reads — release tf now rather than
+    // leak a block set per call; w itself is consumed lazily by the
+    // returned frame, so its blocks are the ContextCleaner's to reclaim
+    tf.unpersist()
     val nrm = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("n"))
     val dots = w.select(col("doc_id").as("a"), col("token"), col("w").as("wa"))

@@ -249,7 +249,7 @@ object TextQueries {
     * exact dedup (`kept2`), LSH candidates + exact-Jaccard losers
     * (`losers`). Callers prefix `WITH ` and select from kept1/kept2/losers.
     */
-  private val duckCurateChain = """tok0 AS (
+  private[ops] val duckCurateChain = """tok0 AS (
         SELECT doc_id, text,
                regexp_split_to_array(text, '\s+') AS w,
                regexp_split_to_array(lower(text), '\s+') AS wl
@@ -1597,6 +1597,59 @@ object TextQueries {
       FROM documents, w5
       ORDER BY doc_id"""))
 
+  /** [[Curate.curateWithDq]] — the DQ battery wired IN FRONT of the
+    * curation cascade: rows violating any row-local rule (null text,
+    * out-of-range length, unexpected language) route to a quarantine
+    * channel with their `dq_fail` tags; clean rows flow through the full
+    * quality/exact-dedup/near-dup cascade. BOTH channels are hash-gated:
+    * the oracle replays the tagging, gates the corpus, and re-runs the
+    * whole cascade over the gated rows — so a routing bug on either side
+    * (a bad row curated, or a good row quarantined) breaks the hash.
+    */
+  val textCurateDq = Q(
+    "text_curate_dq",
+    (s, d) => {
+      val rules = Seq(
+        DataQuality.NotNull("text"),
+        DataQuality.InRange("n_chars", 100, 1000000),
+        DataQuality.InSet("lang", Seq("en", "de", "es", "fr")))
+      val cfg = Curate.Config(minTokens = 30, minStopwordRatio = 0.02,
+        nearDupThreshold = 0.8)
+      val (kept, quarantined) =
+        Curate.curateWithDq(T.documents(s, d), "doc_id", "text", rules, cfg)
+      kept.select(lit("kept").as("channel"), col("doc_id"),
+          lit("").as("dq_fail"))
+        .unionByName(quarantined.select(lit("quarantined").as("channel"),
+          col("doc_id"), col("dq_fail")))
+        .orderBy(col("channel"), col("doc_id"))
+    },
+    Some(s"""
+      WITH tagged AS (
+        -- COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join
+        -- of an empty array is '' — the clean tag must compare equal
+        SELECT doc_id,
+               COALESCE(array_to_string(list_sort(list_filter([
+                 CASE WHEN text IS NULL THEN 'not_null:text' END,
+                 CASE WHEN n_chars IS NOT NULL
+                       AND (n_chars < 100 OR n_chars > 1000000)
+                      THEN 'in_range:n_chars' END,
+                 CASE WHEN lang IS NOT NULL
+                       AND lang NOT IN ('en', 'de', 'es', 'fr')
+                      THEN 'in_set:lang' END], x -> x IS NOT NULL)), ','),
+                 '') AS dq_fail
+        FROM documents),
+      gated AS (
+        SELECT d.* FROM documents d
+        JOIN tagged t ON t.doc_id = d.doc_id
+        WHERE t.dq_fail = ''),
+      ${duckCurateChain.replace("FROM documents", "FROM gated")}
+      SELECT 'kept' AS channel, k.doc_id, '' AS dq_fail
+      FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
+      WHERE l.b IS NULL
+      UNION ALL
+      SELECT 'quarantined', doc_id, dq_fail FROM tagged WHERE dq_fail <> ''
+      ORDER BY channel, doc_id"""))
+
   def all: Seq[Q] = Seq(textQuality, textLangId, textTokenCount,
     textFingerprint, textScrub, textSampleStratified, textIdf, textCurate,
     textCurateReport, textCurateEst, textBm25, textLengthProfile, textWinnow,
@@ -1607,5 +1660,5 @@ object TextQueries {
     textGopherRules, textPhraseSearch, textPhraseProbe, textClusterLabels,
     textLmPplKn, textChunkOverlap, textRagRetrieve, textBpeTrain,
     textBpeSegment, textLrTrain, textLrScore, textTfidfRelated,
-    textCuratedCard, textHashEmbed)
+    textCuratedCard, textHashEmbed, textCurateDq)
 }

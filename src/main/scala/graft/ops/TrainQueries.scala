@@ -351,8 +351,70 @@ object TrainQueries {
              ROUND(AVG(n_chars), 2) AS avg_chars
       FROM f GROUP BY ROLLUP(lang) ORDER BY lang"""))
 
+  /** The release composition the governance band was missing: each
+    * curated corpus release publishes as a [[graft.sources.Versioned]]
+    * SNAPSHOT via the exactly-once batch commit — release 1 (even ids)
+    * then release 2 (odd ids), then release 1 is REDELIVERED and must
+    * no-op (the query requires it, so the hash gate covers replay
+    * safety). Time travel then reads BOTH release states: v1 = the first
+    * release alone, v2 = the accumulated corpus. The oracle replays the
+    * full curation cascade per release slice (scoped CTE chains) and
+    * reconstructs each snapshot's aggregates from first principles.
+    */
+  val trainReleaseSnapshot = Q(
+    "train_release_snapshot",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_rel").toString + "/t"
+      val docs = T.documents(s, d)
+      val cfg = Curate.Config(minTokens = 30, minStopwordRatio = 0.02,
+        nearDupThreshold = 0.8)
+      def release(rem: Int) =
+        Curate.curate(docs.filter(col("doc_id") % 2 === rem), "doc_id",
+          "text", cfg)
+          .select(col("doc_id"),
+            size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      require(graft.sources.Versioned
+        .appendBatch(release(0), dir, batchId = 0L).contains(1))
+      require(graft.sources.Versioned
+        .appendBatch(release(1), dir, batchId = 1L).contains(2))
+      // redelivery of release 0: exactly-once MUST make this a no-op —
+      // a broken txn chain fails the require, not just the hash
+      require(graft.sources.Versioned
+        .appendBatch(release(0), dir, batchId = 0L).isEmpty)
+      def snap(v: Int) = graft.sources.Versioned.read(s, dir, Some(v))
+        .agg(lit(v).as("version"), count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("version"), col("n_docs"), col("sum_tokens"))
+      snap(1).unionAll(snap(2)).orderBy(col("version"))
+    },
+    Some {
+      def slice(rem: Int) =
+        "SELECT doc_id, n_tokens FROM (WITH " +
+          TextQueries.duckCurateChain.replace("FROM documents",
+            s"FROM (SELECT * FROM documents WHERE doc_id % 2 = $rem)") +
+          """
+        SELECT k.doc_id, k.n_tokens
+        FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
+        WHERE l.b IS NULL)"""
+      s"""
+      WITH ke AS (${slice(0)}),
+      ko AS (${slice(1)})
+      SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM ke
+      UNION ALL
+      SELECT 2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ke)
+               + CAST(COUNT(*) AS BIGINT),
+             (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM ke)
+               + CAST(SUM(n_tokens) AS BIGINT)
+      FROM ko
+      ORDER BY version"""
+    })
+
   def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
     textDecontaminate, textDecontaminateBloom, textDecontaminateWho,
     trainSplitCluster, trainWeightedSample, trainCurriculum,
-    trainTemperatureMix, trainDatasetCard)
+    trainTemperatureMix, trainDatasetCard, trainReleaseSnapshot)
 }

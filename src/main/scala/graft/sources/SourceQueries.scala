@@ -231,8 +231,146 @@ object SourceQueries {
     },
     srcBloomLookup.oracle)
 
+  /** Zone-map range read (see [[ZoneMap]]): events are rewritten
+    * range-clustered with a per-file min/max sidecar, then a BETWEEN
+    * probe runs THROUGH the index (only files whose [min, max] intersects
+    * the probe interval are opened) while the oracle runs the same
+    * predicate over the original table — the index must be
+    * content-invisible. The skip win itself (few files opened out of 16)
+    * is spec-asserted in ZoneMapSpec.
+    */
+  val srcZonemapRange = Q(
+    "src_zonemap_range",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("zmap").toString + "/t"
+      ZoneMap.build(graft.Tables.events(s, d), Seq("user_id", "value"), dir,
+        nFiles = 16)
+      ZoneMap.readRange(s, dir, "user_id", 100, 199)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    srcZorderBox.oracle)
+
+  /** Zone-map build + APPEND + range read under the same oracle: the
+    * index is built on 80% of events, the rest appended
+    * ([[ZoneMap.append]] — new clustered files + their stats rows at the
+    * pinned column set), and the range probe must still equal the
+    * full-table filter — the house build/append/search contract.
+    */
+  val srcZonemapAppendedRange = Q(
+    "src_zonemap_appended_range",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("zmapapp").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      ZoneMap.build(ev.filter(col("event_id") % 5 =!= 0),
+        Seq("user_id", "value"), dir, nFiles = 16)
+      ZoneMap.append(ev.filter(col("event_id") % 5 === 0), dir, nFiles = 4)
+      ZoneMap.readRange(s, dir, "user_id", 100, 199)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    srcZorderBox.oracle)
+
+  /** The STREAMED zone-map table under the same oracle: events fold in as
+    * three micro-batches through `ZoneMap.appendBatch` (the
+    * `zonemapSink` path), INCLUDING a redelivery of batch 0 mid-sequence
+    * — the deterministic-replace idempotence means the replay must change
+    * nothing — then the range probe runs through the incrementally-built
+    * index and must equal the full-table filter.
+    */
+  val srcZonemapStreamedRange = Q(
+    "src_zonemap_streamed_range",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("zmapstr").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      val cols = Seq("user_id", "value")
+      ZoneMap.appendBatch(ev.filter(col("event_id") % 3 === 0), dir, 0L, cols)
+      ZoneMap.appendBatch(ev.filter(col("event_id") % 3 === 1), dir, 1L, cols)
+      // redelivery of batch 0 (same rows, same id): must converge, not dup
+      ZoneMap.appendBatch(ev.filter(col("event_id") % 3 === 0), dir, 0L, cols)
+      ZoneMap.appendBatch(ev.filter(col("event_id") % 3 === 2), dir, 2L, cols)
+      ZoneMap.readRange(s, dir, "user_id", 100, 199)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    srcZorderBox.oracle)
+
+  /** Copy-on-write MERGE + DELETE on the [[Versioned]] table — the
+    * Delta/Iceberg row-mutation pair, file-pruned (only files containing
+    * a matched key/row rewrite; the rest carry forward by manifest
+    * reference — VersionedSpec asserts the carried paths are identical).
+    * The query drives replace + insert + predicate delete and reads THREE
+    * snapshot states back through time travel; the oracle reconstructs
+    * each state from the original table with plain SQL (CASE for the
+    * patch, UNION ALL for the inserts, NOT(...) for the delete).
+    */
+  val srcVersionedUpsert = Q(
+    "src_versioned_upsert",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vup").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      // key-clustered commits so the upsert's key batch touches FEW files
+      Versioned.append(ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(4, col("event_id")), dir)
+      Versioned.append(ev.filter(col("event_id") % 2 === 1)
+        .repartitionByRange(4, col("event_id")), dir)
+      val patches = ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("event_type", lit("patched"))
+      val inserts = ev.filter(col("event_id") % 1000 === 7)
+        .withColumn("event_id", col("event_id") + 10000000)
+      Versioned.upsert(patches.unionByName(inserts), dir, "event_id")
+      Versioned.delete(s, dir,
+        col("event_type") === "view" && col("user_id") < 50)
+      def state(name: String, v: Int) =
+        Versioned.read(s, dir, Some(v))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      state("a_pre", 2).unionAll(state("b_upserted", 3))
+        .unionAll(state("c_deleted", 4))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH patched AS (
+        SELECT CASE WHEN event_id % 100 = 0 THEN 'patched'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 100 = 0 THEN value + 1000
+                    ELSE value END AS value,
+               user_id
+        FROM events
+        UNION ALL
+        SELECT event_type, value, user_id FROM events
+        WHERE event_id % 1000 = 7),
+      deleted AS (
+        SELECT * FROM patched
+        WHERE NOT (event_type = 'view' AND user_id < 50))
+      SELECT 'a_pre' AS state, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'b_upserted', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM patched GROUP BY 2
+      UNION ALL
+      SELECT 'c_deleted', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM deleted GROUP BY 2
+      ORDER BY state, event_type"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
       srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
-      srcBloomAppendedLookup)
+      srcBloomAppendedLookup, srcZonemapRange, srcZonemapAppendedRange,
+      srcZonemapStreamedRange, srcVersionedUpsert)
 }

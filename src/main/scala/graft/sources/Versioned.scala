@@ -149,6 +149,73 @@ object Versioned {
     else spark.read.parquet(files: _*)
   }
 
+  /** Copy-on-write UPSERT (the Delta/Iceberg `MERGE INTO` shape): rows of
+    * `updates` REPLACE current rows sharing their `keyCol` value; unseen
+    * keys insert. Only the data files that CONTAIN a matched key are
+    * rewritten — every other file carries forward into the new manifest
+    * by reference, byte-untouched (file-level pruning, the manifest
+    * analogue of zone-map skipping; pair it with key-clustered appends so
+    * a key batch touches few files). Old snapshots still read the old
+    * files: an upsert is just a new manifest like any other commit.
+    *
+    * Scale shape: one snapshot scan joined against the (broadcast)
+    * update keys finds the touched files — a bounded driver list; the
+    * rewrite reads ONLY those files. `updates` is assumed batch-sized
+    * (the CDC/merge contract); a corpus-sized update is a rebuild, not a
+    * merge. Returns the new version.
+    */
+  def upsert(updates: DataFrame, table: String, keyCol: String): Int = {
+    import org.apache.spark.sql.functions._
+    val spark = updates.sparkSession
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    if (cur == 0) return append(updates, table)
+    val (files, txns) = manifest(spark, table, cur)
+    val keys = updates.select(col(keyCol)).distinct()
+    val touched = spark.read.parquet(files: _*)
+      .select(col(keyCol), input_file_name().as("__f"))
+      .join(broadcast(keys), Seq(keyCol))
+      .select(col("__f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val carried = files.filterNot(touched)
+    val v = cur + 1
+    val survivors =
+      if (touched.isEmpty) updates
+      else spark.read.parquet(touched.toSeq: _*)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    val added = writeData(survivors, s"$table/data/u=$v")
+    commitManifest(spark, table, v, carried ++ added, txns)
+    v
+  }
+
+  /** Copy-on-write DELETE: drop rows matching `pred`; only files holding
+    * a matching row are rewritten, the rest carry forward by reference
+    * (same machinery as [[upsert]]). Returns the new version — a no-op
+    * commit is skipped (returns the current version) when nothing
+    * matches.
+    */
+  def delete(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    require(cur > 0, s"no snapshot to delete from at $table")
+    val (files, txns) = manifest(spark, table, cur)
+    val touched = spark.read.parquet(files: _*)
+      .filter(pred)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return cur
+    val carried = files.filterNot(touched)
+    val v = cur + 1
+    // NULL-pred rows are NOT matches: keep them (coalesce, so the
+    // survivor filter is the exact complement of the touch filter)
+    val survivors = spark.read.parquet(touched.toSeq: _*)
+      .filter(!coalesce(pred, lit(false)))
+    val added = writeData(survivors, s"$table/data/u=$v")
+    commitManifest(spark, table, v, carried ++ added, txns)
+    v
+  }
+
   /** Rewrite the CURRENT snapshot into `numFiles` files as a new snapshot
     * — content-invisible (committed batch ids carried forward); old
     * snapshots keep reading the old files. No-op (returns 0) on an empty

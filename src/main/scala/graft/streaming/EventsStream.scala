@@ -273,6 +273,29 @@ object EventsStream {
         ()
     }
 
+  /** Streaming ingest into a [[graft.sources.ZoneMap]]-indexed table:
+    * each micro-batch lands as range-clustered files + their min/max
+    * sidecar rows (`ZoneMap.appendBatch` — O(batch) per trigger), so the
+    * table stays RANGE-SKIPPABLE while it grows and a reader's BETWEEN
+    * probe keeps opening only intersecting files mid-stream. Exactly-once
+    * on data WITHOUT a marker: the batch's part files carry a
+    * deterministic `b<id>_` prefix and redelivery clears-and-rewrites
+    * them (same batch id ⇒ same rows in Structured Streaming), so replays
+    * converge instead of duplicating; replaced files' stale sidecar rows
+    * are neutralized by the probe's live-file intersection. Crash with
+    * data landed but stats missing degrades to the uncovered-file
+    * fallback — extra I/O, never a missed row. Single-writer per table
+    * (the house persisted-index contract).
+    */
+  def zonemapSink(events: DataFrame, tablePath: String,
+      statCols: Seq[String], nFiles: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.sources.ZoneMap.appendBatch(batch, tablePath, batchId,
+          statCols, nFiles)
+    }
+
   /** One micro-batch of [[resampleSink]], exposed for replay testing. */
   def processResampleBatch(batch: DataFrame, tablePath: String): Unit = {
     val spark = batch.sparkSession
@@ -438,13 +461,17 @@ object EventsStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        // one materialization: the battery's aggregations all read this
+        // one materialization: the battery's aggregations all read this;
+        // released per trigger — a long-running stream must not
+        // accumulate one block set per batch
         val b = batch.localCheckpoint()
-        if (b.head(1).nonEmpty)
-          graft.ops.DataQuality.validate(b, rules)
-            .withColumn("batch_id", lit(batchId))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
+        try {
+          if (b.head(1).nonEmpty)
+            graft.ops.DataQuality.validate(b, rules)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"${outPath.stripSuffix("/")}/batch=$batchId")
+        } finally b.unpersist()
     }
 
   /** Streaming heavy-hitters maintenance — the per-trigger face of the

@@ -154,6 +154,68 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, dir).count() == ev.count())
   }
 
+  test("upsert rewrites only key-touched files; the rest carry forward") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val ev = this.ev.select("event_id", "user_id", "event_type", "value")
+    Versioned.append(ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(4, col("event_id")), dir)
+    Versioned.append(ev.filter(col("event_id") % 2 === 1)
+      .repartitionByRange(4, col("event_id")), dir)
+    val beforeFiles = Versioned.read(spark, dir).inputFiles.toSet
+    // patch a NARROW key band: clustered commits mean few touched files
+    val patches = ev.filter(col("event_id").between(100, 200))
+      .withColumn("value", lit(-1.0))
+    val v3 = Versioned.upsert(patches, dir, "event_id")
+    val afterFiles = Versioned.read(spark, dir, Some(v3)).inputFiles.toSet
+    val carried = beforeFiles.intersect(afterFiles)
+    assert(carried.nonEmpty, "expected untouched files to carry forward")
+    assert(carried.size >= 6,
+      s"narrow band should touch ~1 file per commit; carried ${carried.size} of 8")
+    // content: patched keys read -1, others unchanged, count preserved
+    val cur = Versioned.read(spark, dir)
+    assert(cur.count() == ev.count())
+    assert(cur.filter(col("event_id").between(100, 200) &&
+      col("value") =!= -1.0).isEmpty)
+    val want = ev.filter(!col("event_id").between(100, 200))
+    val gotRest = cur.filter(!col("event_id").between(100, 200))
+    assert(gotRest.exceptAll(want).isEmpty && want.exceptAll(gotRest).isEmpty)
+    // pre-upsert snapshot is frozen
+    assert(Versioned.read(spark, dir, Some(2))
+      .filter(col("value") === -1.0).isEmpty)
+  }
+
+  test("upsert inserts unseen keys; upsert on empty table == append") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val ev = this.ev.select("event_id", "user_id", "event_type", "value")
+    assert(Versioned.upsert(ev.limit(10), dir, "event_id") == 1)
+    val fresh = ev.withColumn("event_id", col("event_id") + 10000000).limit(5)
+    Versioned.upsert(fresh, dir, "event_id")
+    val cur = Versioned.read(spark, dir)
+    assert(cur.count() == 15)
+    assert(cur.filter(col("event_id") >= 10000000).count() == 5)
+  }
+
+  test("delete rewrites only matching files; no-match delete is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val ev = this.ev.select("event_id", "user_id", "event_type", "value")
+    Versioned.append(ev.repartitionByRange(8, col("event_id")), dir)
+    val v = Versioned.delete(spark, dir, col("event_id") < 0)
+    assert(v == 1, "no-match delete must not mint a snapshot")
+    val before = Versioned.read(spark, dir).inputFiles.toSet
+    val v2 = Versioned.delete(spark, dir, col("event_id") <= 50)
+    assert(v2 == 2)
+    val after = Versioned.read(spark, dir).inputFiles.toSet
+    assert(before.intersect(after).size >= 6,
+      "bounded-key delete should rewrite ~1 of 8 clustered files")
+    val cur = Versioned.read(spark, dir)
+    assert(cur.filter(col("event_id") <= 50).isEmpty)
+    assert(cur.count() == ev.filter(col("event_id") > 50).count())
+    // time travel still sees the deleted rows
+    assert(Versioned.read(spark, dir, Some(1))
+      .filter(col("event_id") <= 50).count() ==
+      ev.filter(col("event_id") <= 50).count())
+  }
+
   test("compact on an empty table is a no-op, not an error") {
     val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
     assert(Versioned.compact(spark, dir, numFiles = 2) == 0)

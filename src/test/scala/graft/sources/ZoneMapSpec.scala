@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Zone-map sidecar: range reads are content-identical to the full-scan
+  * filter, a narrow range probe opens FEW files (the clustering + stats
+  * actually prune), appends keep probes exact, a torn append costs I/O
+  * never rows, and null stats / second-column probes never prune wrongly.
+  */
+class ZoneMapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+
+  private def newTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("readRange is content-identical to the full-scan BETWEEN filter") {
+    val d = newTable("zmap")
+    ZoneMap.build(ev, Seq("user_id", "value"), d, nFiles = 16)
+    val got = ZoneMap.readRange(spark, d, "user_id", 100, 199)
+    val want = spark.read.parquet(d).filter(col("user_id").between(100, 199))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("a narrow range probe opens few files, not the table") {
+    val d = newTable("zmapskip")
+    ZoneMap.build(ev, Seq("user_id", "value"), d, nFiles = 16)
+    val total = spark.read.parquet(d).inputFiles.length
+    assert(total == 16)
+    // user_id spans [0, ~150) at sf0.01; a 20-wide band (~13% of the
+    // domain) should live in a small number of range-clustered files
+    val cand = ZoneMap.candidateFiles(spark, d, "user_id", 100, 119)
+    assert(cand.size <= 4, s"expected <=4 candidate files, got ${cand.size}")
+  }
+
+  test("probe on the SECOND stat column is exact (no clustering, still safe)") {
+    val d = newTable("zmap2nd")
+    ZoneMap.build(ev, Seq("user_id", "value"), d, nFiles = 16)
+    val got = ZoneMap.readRange(spark, d, "value", 10.0, 20.0)
+    val want = spark.read.parquet(d)
+      .filter(col("value").cast("double").between(10.0, 20.0))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("append: range read over base+appended == full-scan; probes stay pruned") {
+    val d = newTable("zmapapp")
+    ZoneMap.build(ev.filter(col("event_id") % 5 =!= 0),
+      Seq("user_id", "value"), d, nFiles = 16)
+    ZoneMap.append(ev.filter(col("event_id") % 5 === 0), d, nFiles = 4)
+    val got = ZoneMap.readRange(spark, d, "user_id", 100, 199)
+    val want = spark.read.parquet(d).filter(col("user_id").between(100, 199))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // 16 base + 4 appended files; a narrow band hits few of each commit
+    val cand = ZoneMap.candidateFiles(spark, d, "user_id", 100, 119)
+    assert(cand.size <= 6, s"expected <=6 candidate files, got ${cand.size}")
+    assert(cand.size < spark.read.parquet(d).inputFiles.length)
+  }
+
+  test("append of an empty batch is a no-op") {
+    val d = newTable("zmapempty")
+    ZoneMap.build(ev, Seq("user_id", "value"), d, nFiles = 8)
+    val before = spark.read.parquet(d + "_zonemap").count()
+    ZoneMap.append(ev.limit(0), d)
+    assert(spark.read.parquet(d + "_zonemap").count() == before)
+  }
+
+  test("a torn append (data landed, stats rows missing) costs I/O, never rows") {
+    val d = newTable("zmaptorn")
+    ZoneMap.build(ev.filter(col("event_id") % 5 =!= 0),
+      Seq("user_id", "value"), d, nFiles = 16)
+    // simulate the crash window: batch data appended, no sidecar rows
+    ev.filter(col("event_id") % 5 === 0)
+      .repartitionByRange(4, col("user_id"))
+      .write.mode("append").parquet(d)
+    val got = ZoneMap.readRange(spark, d, "user_id", 100, 199)
+    val want = spark.read.parquet(d).filter(col("user_id").between(100, 199))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the uncovered files ARE candidates even for an out-of-domain range
+    val cand = ZoneMap.candidateFiles(spark, d, "user_id", -2000, -1000)
+    assert(cand.size == 4, s"expected the 4 uncovered files, got ${cand.size}")
+  }
+
+  test("zonemapSink: streamed ingest == batch content, probes exact") {
+    val d = newTable("zmapsink")
+    val src = java.nio.file.Files.createTempDirectory("zmapsrc").toString
+    ev.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(ev.schema).parquet(src)
+    val q = graft.streaming.EventsStream
+      .zonemapSink(stream, d, Seq("user_id", "value")).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(d)
+    assert(got.count() == ev.count())
+    assert(got.exceptAll(ev).isEmpty && ev.exceptAll(got).isEmpty)
+    val ranged = ZoneMap.readRange(spark, d, "user_id", 100, 119)
+    val want = spark.read.parquet(d).filter(col("user_id").between(100, 119))
+    assert(ranged.exceptAll(want).isEmpty && want.exceptAll(ranged).isEmpty)
+  }
+
+  test("appendBatch redelivery converges: same id + same rows change nothing") {
+    val d = newTable("zmapredel")
+    val cols = Seq("user_id", "value")
+    val (b0, b1) = (ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    ZoneMap.appendBatch(b0, d, 0L, cols)
+    ZoneMap.appendBatch(b1, d, 1L, cols)
+    val before = spark.read.parquet(d)
+    assert(before.count() == ev.count())
+    // replay batch 0
+    ZoneMap.appendBatch(b0, d, 0L, cols)
+    val after = spark.read.parquet(d)
+    assert(after.count() == ev.count())
+    assert(after.exceptAll(ev).isEmpty && ev.exceptAll(after).isEmpty)
+    // probes stay exact despite the stale sidecar rows the replay left
+    val got = ZoneMap.readRange(spark, d, "user_id", 100, 119)
+    val want = after.filter(col("user_id").between(100, 119))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and still pruned: batches cluster their own rows, probe hits few
+    val cand = ZoneMap.candidateFiles(spark, d, "user_id", 100, 119)
+    assert(cand.size < spark.read.parquet(d).inputFiles.length)
+  }
+
+  test("first appendBatch pins the stat-column set for later batches") {
+    val d = newTable("zmappin")
+    ZoneMap.appendBatch(ev.filter(col("event_id") % 2 === 0), d, 0L,
+      Seq("user_id"))
+    // later batch asks for a different set — the pinned set must win
+    ZoneMap.appendBatch(ev.filter(col("event_id") % 2 === 1), d, 1L,
+      Seq("value", "event_id"))
+    import spark.implicits._
+    val cols = spark.read.parquet(d + "_zonemap")
+      .select(col("c")).distinct().as[String].collect().toSet
+    assert(cols == Set("user_id"))
+  }
+
+  test("null stats never prune: an all-null column admits every file") {
+    val d = newTable("zmapnull")
+    val withNull = ev.withColumn("maybe", lit(null).cast("double"))
+    ZoneMap.build(withNull, Seq("user_id", "maybe"), d, nFiles = 8)
+    val cand = ZoneMap.candidateFiles(spark, d, "maybe", 0.0, 1.0)
+    assert(cand.size == 8, s"null stats must admit all 8 files, got ${cand.size}")
+  }
+}
