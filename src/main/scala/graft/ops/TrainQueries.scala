@@ -413,8 +413,70 @@ object TrainQueries {
       ORDER BY version"""
     })
 
+  /** Cross-release diff card — the "what changed since the last corpus
+    * release" audit: two FULL re-releases publish as overwrite commits
+    * ([[graft.sources.Versioned.replace]] — release 2 tightens the
+    * quality gate), then time travel reads both states and a full-outer
+    * join classifies every doc added / removed / kept with token deltas.
+    * 'added' under a STRICTER gate is the subtle case the audit exists
+    * for: removing a near-dup's dominating keeper can resurrect its
+    * loser — the oracle replays both cascades and must agree.
+    */
+  val trainReleaseDiff = Q(
+    "train_release_diff",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_reldiff").toString + "/t"
+      val docs = T.documents(s, d)
+      def release(minTok: Int) =
+        Curate.curate(docs, "doc_id", "text",
+          Curate.Config(minTokens = minTok, minStopwordRatio = 0.02,
+            nearDupThreshold = 0.8))
+          .select(col("doc_id"),
+            size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      graft.sources.Versioned.replace(release(30), dir)
+      graft.sources.Versioned.replace(release(40), dir)
+      val r1 = graft.sources.Versioned.read(s, dir, Some(1))
+        .select(col("doc_id"), col("n_tokens").as("t1"))
+      val r2 = graft.sources.Versioned.read(s, dir, Some(2))
+        .select(col("doc_id"), col("n_tokens").as("t2"))
+      r1.join(r2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("t1").isNull, "added")
+            .when(col("t2").isNull, "removed").otherwise("kept"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("t2"), col("t1"))).as("sum_tokens"))
+        .orderBy(col("status"))
+    },
+    Some {
+      def rel(minTok: Int) =
+        "(WITH " + TextQueries.duckCurateChain
+          .replace("n_tokens >= 30", s"n_tokens >= $minTok") +
+          """
+        SELECT k.doc_id, CAST(k.n_tokens AS BIGINT) AS n_tokens
+        FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
+        WHERE l.b IS NULL)"""
+      s"""
+      WITH r1 AS (SELECT * FROM ${rel(30)}),
+      r2 AS (SELECT * FROM ${rel(40)}),
+      j AS (
+        SELECT CASE WHEN r1.doc_id IS NULL THEN 'added'
+                    WHEN r2.doc_id IS NULL THEN 'removed'
+                    ELSE 'kept' END AS status,
+               COALESCE(r2.n_tokens, r1.n_tokens) AS t
+        FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS sum_tokens
+      FROM j GROUP BY 1 ORDER BY status"""
+    },
+    // correctness-gated only: its cost is two full curation cascades,
+    // both already regression-tracked by the benched curate rows
+    bench = false)
+
   def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
     textDecontaminate, textDecontaminateBloom, textDecontaminateWho,
     trainSplitCluster, trainWeightedSample, trainCurriculum,
-    trainTemperatureMix, trainDatasetCard, trainReleaseSnapshot)
+    trainTemperatureMix, trainDatasetCard, trainReleaseSnapshot,
+    trainReleaseDiff)
 }

@@ -368,9 +368,40 @@ object SourceQueries {
       FROM deleted GROUP BY 2
       ORDER BY state, event_type"""))
 
+  /** The classic lakehouse pairing: a Z-ORDER-clustered layout (each
+    * file gets a tight bounding box in BOTH dims) indexed by a
+    * STATS-ONLY zone-map sidecar ([[ZoneMap.buildStatsOnly]] — no data
+    * rewrite), probed with the 2-D [[ZoneMap.readBox]] (per-dimension
+    * min/max intersection). The oracle runs the same conjunctive box on
+    * the original table — layout + index together must be
+    * content-invisible; the 2-D file-prune win is spec-asserted.
+    */
+  val srcZorderZonemapBox = Q(
+    "src_zorder_zonemap_box",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("zzb").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      ZOrder.writeZOrdered(ev, dir, col("user_id"),
+        (col("value") * 1000).cast("long"), bits = 12, nFiles = 32)
+      ZoneMap.buildStatsOnly(s, dir, Seq("user_id", "value"))
+      ZoneMap.readBox(s, dir,
+        Seq(("user_id", 100.0, 199.0), ("value", 10.0, 30.0)))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+             ROUND(value, 3) AS value
+      FROM events
+      WHERE user_id BETWEEN 100 AND 199 AND value BETWEEN 10.0 AND 30.0
+      ORDER BY event_id"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
       srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
       srcBloomAppendedLookup, srcZonemapRange, srcZonemapAppendedRange,
-      srcZonemapStreamedRange, srcVersionedUpsert)
+      srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox)
 }

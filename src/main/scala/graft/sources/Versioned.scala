@@ -149,6 +149,23 @@ object Versioned {
     else spark.read.parquet(files: _*)
   }
 
+  /** Overwrite commit (Iceberg's REPLACE): the new snapshot's content is
+    * EXACTLY `df` — no carry-forward of previous data files (txn ids do
+    * carry, preserving streaming replay facts). Previous snapshots stay
+    * readable until expired; this is the "full re-release" shape a
+    * periodically re-curated corpus publishes, where [[append]] is the
+    * incremental-release shape. Returns the new version.
+    */
+  def replace(df: DataFrame, table: String): Int = {
+    val spark = df.sparkSession
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    val txns = if (cur == 0) Seq.empty[Long] else manifest(spark, table, cur)._2
+    val v = cur + 1
+    val added = writeData(df, s"$table/data/r=$v")
+    commitManifest(spark, table, v, added, txns)
+    v
+  }
+
   /** Copy-on-write UPSERT (the Delta/Iceberg `MERGE INTO` shape): rows of
     * `updates` REPLACE current rows sharing their `keyCol` value; unseen
     * keys insert. Only the data files that CONTAIN a matched key are

@@ -79,6 +79,73 @@ object ZoneMap {
         s"sidecar commit failed at $target")
   }
 
+  /** Build the sidecar over an EXISTING table layout WITHOUT rewriting
+    * the data — the "index what's already there" path: stats reflect
+    * whatever clustering the layout has (hash, range, Z-order, none).
+    * Pair with [[graft.sources.ZOrder]]: a Morton-clustered layout gives
+    * every file a tight bounding box in BOTH dims, so the 2-D
+    * [[readBox]] probe below prunes like the classic
+    * cluster-plus-stats lakehouse pairing. Same rename-commit as
+    * [[build]].
+    */
+  def buildStatsOnly(spark: SparkSession, tablePath: String,
+      statCols: Seq[String]): Unit = {
+    require(statCols.nonEmpty, "need at least one stat column")
+    val files = spark.read.parquet(tablePath).inputFiles.toSeq
+    val tmp = sidecarPath(tablePath) + "__new"
+    statsOf(spark, files, statCols)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(sidecarPath(tablePath))
+    if (fs.exists(target))
+      graft.ops.Maintenance.swapParquetDir(spark, sidecarPath(tablePath), tmp)
+    else
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), target),
+        s"sidecar commit failed at $target")
+  }
+
+  /** Recompute the sidecar over the table's LIVE files at the PINNED
+    * column set — the maintenance pass that purges stale rows (replayed
+    * streaming batches leave rows for replaced part names; they are
+    * read-safe but accumulate bytes). Rename-swapped like every sidecar
+    * commit; probes before/after are identical by construction.
+    */
+  def rebuildStats(spark: SparkSession, tablePath: String): Unit = {
+    import spark.implicits._
+    val pinned = spark.read.parquet(sidecarPath(tablePath))
+      .select(col("c")).distinct().as[String].collect().toSeq.sorted
+    buildStatsOnly(spark, tablePath, pinned)
+  }
+
+  /** Files that may contain a row inside EVERY interval of `box` — the
+    * N-dimensional probe: a file is admitted iff each dimension's stats
+    * are missing/null OR intersect that dimension's interval.
+    * Per-dimension sidecar probes; the candidate sets intersect on the
+    * driver (file lists, bounded). Uncovered files are in every
+    * dimension's set, so the fallback survives the intersection.
+    */
+  def candidateFilesBox(spark: SparkSession, tablePath: String,
+      box: Seq[(String, Double, Double)]): Seq[String] = {
+    require(box.nonEmpty, "empty box")
+    box.map { case (c, lo, hi) => candidateFiles(spark, tablePath, c, lo, hi) }
+      .map(_.toSet).reduce(_ intersect _).toSeq.sorted
+  }
+
+  /** Box read through the index: open only files admitted by every
+    * dimension, re-apply the exact conjunctive range predicate.
+    */
+  def readBox(spark: SparkSession, tablePath: String,
+      box: Seq[(String, Double, Double)]): DataFrame = {
+    val files = candidateFilesBox(spark, tablePath, box)
+    val base =
+      if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
+      else spark.read.parquet(files: _*)
+    box.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(rangePred(base, c, lo, hi))
+    }
+  }
+
   /** Append a batch: new range-clustered files plus their stats rows at
     * the PINNED stat-column set (read from the sidecar — an append can
     * never fork the column set). Per-file ranges of different commits may
@@ -190,17 +257,39 @@ object ZoneMap {
     }
   }
 
+  /** The residual range predicate in the COLUMN'S NATIVE type where the
+    * double bounds are losslessly expressible — a naive
+    * `cast(col AS double) BETWEEN lo AND hi` blocks parquet predicate
+    * pushdown (Catalyst does not unwrap long→double casts), silently
+    * losing row-group skipping inside the candidate files. Integral
+    * columns tighten to [ceil(lo), floor(hi)] (the identical row set for
+    * |values| < 2^53 — the sidecar's own exactness domain); double
+    * columns compare directly; anything else keeps the cast (correct,
+    * scan-filtered above the scan).
+    */
+  private def rangePred(df: DataFrame, c: String, lo: Double,
+      hi: Double): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        col(c) >= math.ceil(lo).toLong && col(c) <= math.floor(hi).toLong
+      case DoubleType => col(c) >= lo && col(c) <= hi
+      case _ => col(c).cast("double").between(lo, hi)
+    }
+  }
+
   /** Range read through the index: open only candidate files, re-apply
-    * the exact BETWEEN filter. Content-identical to the full-scan filter
-    * by construction.
+    * the exact BETWEEN filter (pushed into the scan — see [[rangePred]]).
+    * Content-identical to the full-scan filter by construction.
     */
   def readRange(spark: SparkSession, tablePath: String,
       c: String, lo: Double, hi: Double): DataFrame = {
     val files = candidateFiles(spark, tablePath, c, lo, hi)
     if (files.isEmpty)
       spark.read.parquet(tablePath).limit(0)
-    else
-      spark.read.parquet(files: _*)
-        .filter(col(c).cast("double").between(lo, hi))
+    else {
+      val base = spark.read.parquet(files: _*)
+      base.filter(rangePred(base, c, lo, hi))
+    }
   }
 }

@@ -216,6 +216,36 @@ class VersionedSpec extends AnyFunSuite {
       ev.filter(col("event_id") <= 50).count())
   }
 
+  test("replace commits exactly df, keeps history and txn facts") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val (a, b) = (ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    assert(Versioned.appendBatch(a, dir, batchId = 5L).contains(1))
+    assert(Versioned.replace(b, dir) == 2)
+    // the replace snapshot holds ONLY b; v1 still holds a
+    val v2 = Versioned.read(spark, dir)
+    assert(v2.exceptAll(b).isEmpty && b.exceptAll(v2).isEmpty)
+    assert(Versioned.read(spark, dir, Some(1)).count() == a.count())
+    // txn facts survive the overwrite: batch 5 is still a no-op
+    assert(Versioned.appendBatch(a, dir, batchId = 5L).isEmpty)
+  }
+
+  test("expire after an upsert chain keeps every carried file readable") {
+    val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
+    val ev = this.ev.select("event_id", "user_id", "event_type", "value")
+    Versioned.append(ev.repartitionByRange(8, col("event_id")), dir)
+    val patches = ev.filter(col("event_id").between(0, 40))
+      .withColumn("value", lit(-7.0))
+    val v2 = Versioned.upsert(patches, dir, "event_id")
+    Versioned.expire(spark, dir, keepLast = 1)
+    // v1 gone; v2 (carried untouched files + the rewrite) fully readable
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(1)))
+    val cur = Versioned.read(spark, dir, Some(v2))
+    assert(cur.count() == ev.count())
+    assert(cur.filter(col("event_id").between(0, 40) &&
+      col("value") =!= -7.0).isEmpty)
+  }
+
   test("compact on an empty table is a no-op, not an error") {
     val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
     assert(Versioned.compact(spark, dir, numFiles = 2) == 0)

@@ -136,6 +136,73 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(cols == Set("user_id"))
   }
 
+  test("stats-only build over a Z-ordered layout: 2-D box prunes and is exact") {
+    val d = newTable("zzbox")
+    ZOrder.writeZOrdered(ev, d, col("user_id"),
+      (col("value") * 1000).cast("long"), bits = 12, nFiles = 32)
+    ZoneMap.buildStatsOnly(spark, d, Seq("user_id", "value"))
+    val box = Seq(("user_id", 100.0, 119.0), ("value", 10.0, 30.0))
+    val got = ZoneMap.readBox(spark, d, box)
+    val want = spark.read.parquet(d)
+      .filter(col("user_id").between(100, 119) &&
+        col("value").between(10.0, 30.0))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the 2-D intersection must beat EITHER single dimension alone
+    val both = ZoneMap.candidateFilesBox(spark, d, box).size
+    val dimA = ZoneMap.candidateFiles(spark, d, "user_id", 100.0, 119.0).size
+    val dimB = ZoneMap.candidateFiles(spark, d, "value", 10.0, 30.0).size
+    assert(both <= dimA && both <= dimB)
+    assert(both < 32, s"box must prune some of the 32 files, got $both")
+  }
+
+  test("readBox on an unclustered dim still returns exact content") {
+    val d = newTable("zmapboxflat")
+    ZoneMap.build(ev, Seq("user_id", "value"), d, nFiles = 16)
+    val box = Seq(("user_id", 50.0, 90.0), ("value", 0.0, 15.0))
+    val got = ZoneMap.readBox(spark, d, box)
+    val want = spark.read.parquet(d)
+      .filter(col("user_id").between(50, 90) && col("value").between(0.0, 15.0))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("the residual range filter reaches the parquet scan (PushedFilters)") {
+    // the probe filters on cast(col AS double) for type-genericity;
+    // Catalyst's UnwrapCastInBinaryComparison must strip the cast on the
+    // integral column so the predicate pushes into the scan — a plan
+    // where the scan reads everything and filters above would silently
+    // lose row-group skipping at 100 TB
+    val d = newTable("zmappush")
+    ZoneMap.build(ev, Seq("user_id", "value"), d, nFiles = 8)
+    val plan = ZoneMap.readRange(spark, d, "user_id", 100, 119)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushdown section:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(user_id") ||
+      plan.contains("user_id), 100"),
+      s"user_id bound not pushed:\n${plan.linesIterator.filter(
+        _.contains("PushedFilters")).mkString("\n")}")
+  }
+
+  test("rebuildStats purges stale replay rows; probes identical before/after") {
+    val d = newTable("zmaprebuild")
+    val cols = Seq("user_id", "value")
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    ZoneMap.appendBatch(b0, d, 0L, cols)
+    ZoneMap.appendBatch(ev.filter(col("event_id") % 2 === 1), d, 1L, cols)
+    ZoneMap.appendBatch(b0, d, 0L, cols) // replay leaves stale rows
+    val before = ZoneMap.readRange(spark, d, "user_id", 100, 119)
+    val staleCount = spark.read.parquet(d + "_zonemap").count()
+    ZoneMap.rebuildStats(spark, d)
+    val cleanCount = spark.read.parquet(d + "_zonemap").count()
+    assert(cleanCount < staleCount,
+      s"rebuild should shrink the sidecar ($staleCount -> $cleanCount)")
+    // exactly live-files × 2 columns rows remain
+    assert(cleanCount ==
+      spark.read.parquet(d).inputFiles.length.toLong * cols.length)
+    val after = ZoneMap.readRange(spark, d, "user_id", 100, 119)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+  }
+
   test("null stats never prune: an all-null column admits every file") {
     val d = newTable("zmapnull")
     val withNull = ev.withColumn("maybe", lit(null).cast("double"))
