@@ -129,6 +129,9 @@ object DataQuality {
     * (codegen'd, no shuffle).
     */
   def route(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    require(!df.columns.contains("dq_fail"),
+      "input already carries a dq_fail column — routing would silently " +
+        "overwrite it (drop or rename the old tags first)")
     val tagged = df.withColumn("dq_fail", violationTags(rules))
     (tagged.filter(col("dq_fail") === "").drop("dq_fail"),
       tagged.filter(col("dq_fail") =!= ""))

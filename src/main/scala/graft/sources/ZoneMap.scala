@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Generalized per-file min/max (zone-map) sidecar for RANGE predicates —
@@ -18,42 +19,83 @@ import org.apache.spark.sql.functions._
   *   - build: rows are RANGE-partitioned on the leading stat column
   *     (disjoint per-file ranges — without clustering, every file spans
   *     the whole domain and a zone map prunes nothing), then ONE
-  *     map-side-combined aggregation computes per-(file, column) min/max.
+  *     map-side-combined aggregation computes min/max for ALL stat
+  *     columns in a single scan (2·S algebraic partials per file), and a
+  *     row-local explode lays the state out as (f, c, ci, lo, hi) rows.
   *     Stats are stored as DOUBLE (exact for longs up to 2^53 — the
   *     driver corpus keys — and for all floats; a wider-than-life bound
-  *     would still only cost I/O, never rows). The stat-column set rides
-  *     as ROWS of the sidecar, and the sidecar lands via rename-swap:
-  *     stats and column set commit in ONE atomic move.
+  *     would still only cost I/O, never rows); non-numeric columns cast
+  *     to null stats, which never prune — safe, just not skippable. `ci`
+  *     pins the CALLER'S column order, so appends keep clustering on the
+  *     same leading column the build chose. The sidecar lands via
+  *     rename-swap: stats and column set commit in ONE atomic move.
   *   - probe: a file is a candidate unless `max < lo || min > hi`
   *     (null stats — all-null or uncovered column — never prune). The
-  *     sidecar is O(files × stat cols) — a TABLE, scanned distributed;
-  *     the driver sees only matched file names (the index-read contract).
+  *     sidecar is O(files × stat cols); a probe reads it and the live
+  *     file listing ONCE (driver state bounded by the file count — the
+  *     classic index-read contract).
   *   - read: only candidate files are opened, with the exact range
-  *     predicate re-applied — false positives cost I/O, never
+  *     predicate re-applied IN THE COLUMN'S NATIVE TYPE so it pushes
+  *     into the parquet scan — false positives cost I/O, never
   *     correctness.
   *
-  * Crash window (append's data landed, sidecar rows not yet appended) is
-  * closed on the READ side exactly like [[BloomIndex]]: any table file
-  * the sidecar does not cover is an unconditional candidate — a torn
-  * append degrades to extra I/O, never to a missed row. Single-writer,
-  * like the other persisted indexes.
+  * Crash windows are closed on the READ side exactly like [[BloomIndex]]:
+  * any table file the sidecar does not cover is an unconditional
+  * candidate, and a missing sidecar altogether (torn FIRST streaming
+  * commit) degrades to a full-file-list scan — extra I/O, never a missed
+  * row. Single-writer, like the other persisted indexes.
   */
 object ZoneMap {
 
   private def sidecarPath(table: String) = table.stripSuffix("/") + "_zonemap"
 
-  /** Per-(file, column) min/max rows for `files` restricted to `statCols`. */
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Per-(file, column) min/max rows for `files` over `statCols` — ONE
+    * scan: a single groupBy(f) carrying 2·S algebraic partials, then a
+    * row-local explode into (f, c, ci, lo, hi). `ci` records the caller's
+    * column order (the pinned clustering order).
+    */
   private def statsOf(spark: SparkSession, files: Seq[String],
       statCols: Seq[String]): DataFrame = {
     val base = spark.read.parquet(files: _*)
-      .select(input_file_name().as("f") +:
-        statCols.map(c => col(c).cast("double").as(c)): _*)
-    statCols.map { c =>
-      base.groupBy(col("f"))
-        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
-        .select(col("f"), lit(c).as("c"), col("lo"), col("hi"))
-    }.reduce(_ unionAll _)
+      .select(input_file_name().as("f") +: statCols.zipWithIndex.map {
+        case (c, i) => col(c).cast("double").as(s"v$i")
+      }: _*)
+    val aggs = statCols.indices.flatMap(i =>
+      Seq(min(col(s"v$i")).as(s"lo$i"), max(col(s"v$i")).as(s"hi$i")))
+    base.groupBy(col("f")).agg(aggs.head, aggs.tail: _*)
+      .select(col("f"), explode(array(statCols.zipWithIndex.map {
+        case (c, i) => struct(lit(c).as("c"), lit(i).as("ci"),
+          col(s"lo$i").as("lo"), col(s"hi$i").as("hi"))
+      }: _*)).as("s"))
+      .select(col("f"), col("s.c").as("c"), col("s.ci").as("ci"),
+        col("s.lo").as("lo"), col("s.hi").as("hi"))
   }
+
+  /** Land a freshly computed sidecar frame atomically: write aside, then
+    * rename into place (or rename-swap when replacing) — the one commit
+    * idiom every sidecar write shares.
+    */
+  private def commitSidecar(spark: SparkSession, tablePath: String,
+      stats: DataFrame): Unit = {
+    val tmp = sidecarPath(tablePath) + "__new"
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = fsOf(spark, tablePath)
+    val target = new Path(sidecarPath(tablePath))
+    if (fs.exists(target))
+      graft.ops.Maintenance.swapParquetDir(spark, sidecarPath(tablePath), tmp)
+    else
+      require(fs.rename(new Path(tmp), target),
+        s"sidecar commit failed at $target")
+  }
+
+  /** The pinned stat columns in their ORIGINAL (clustering) order. */
+  private def pinnedCols(spark: SparkSession, tablePath: String): Seq[String] =
+    spark.read.parquet(sidecarPath(tablePath))
+      .select(col("c"), col("ci")).distinct().orderBy(col("ci"))
+      .collect().map(_.getString(0)).toSeq
 
   /** Rewrite `df` range-clustered on `statCols.head` into `nFiles` files
     * at `tablePath` and build the per-file min/max sidecar over all
@@ -62,21 +104,9 @@ object ZoneMap {
   def build(df: DataFrame, statCols: Seq[String], tablePath: String,
       nFiles: Int = 16): Unit = {
     require(statCols.nonEmpty, "need at least one stat column")
-    val spark = df.sparkSession
     df.repartitionByRange(nFiles, col(statCols.head))
       .write.mode("overwrite").parquet(tablePath)
-    val files = spark.read.parquet(tablePath).inputFiles.toSeq
-    val tmp = sidecarPath(tablePath) + "__new"
-    statsOf(spark, files, statCols)
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(sidecarPath(tablePath))
-    if (fs.exists(target))
-      graft.ops.Maintenance.swapParquetDir(spark, sidecarPath(tablePath), tmp)
-    else
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), target),
-        s"sidecar commit failed at $target")
+    buildStatsOnly(df.sparkSession, tablePath, statCols)
   }
 
   /** Build the sidecar over an EXISTING table layout WITHOUT rewriting
@@ -84,25 +114,14 @@ object ZoneMap {
     * whatever clustering the layout has (hash, range, Z-order, none).
     * Pair with [[graft.sources.ZOrder]]: a Morton-clustered layout gives
     * every file a tight bounding box in BOTH dims, so the 2-D
-    * [[readBox]] probe below prunes like the classic
-    * cluster-plus-stats lakehouse pairing. Same rename-commit as
-    * [[build]].
+    * [[readBox]] probe prunes like the classic cluster-plus-stats
+    * lakehouse pairing.
     */
   def buildStatsOnly(spark: SparkSession, tablePath: String,
       statCols: Seq[String]): Unit = {
     require(statCols.nonEmpty, "need at least one stat column")
     val files = spark.read.parquet(tablePath).inputFiles.toSeq
-    val tmp = sidecarPath(tablePath) + "__new"
-    statsOf(spark, files, statCols)
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(sidecarPath(tablePath))
-    if (fs.exists(target))
-      graft.ops.Maintenance.swapParquetDir(spark, sidecarPath(tablePath), tmp)
-    else
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), target),
-        s"sidecar commit failed at $target")
+    commitSidecar(spark, tablePath, statsOf(spark, files, statCols))
   }
 
   /** Recompute the sidecar over the table's LIVE files at the PINNED
@@ -111,52 +130,19 @@ object ZoneMap {
     * read-safe but accumulate bytes). Rename-swapped like every sidecar
     * commit; probes before/after are identical by construction.
     */
-  def rebuildStats(spark: SparkSession, tablePath: String): Unit = {
-    import spark.implicits._
-    val pinned = spark.read.parquet(sidecarPath(tablePath))
-      .select(col("c")).distinct().as[String].collect().toSeq.sorted
-    buildStatsOnly(spark, tablePath, pinned)
-  }
-
-  /** Files that may contain a row inside EVERY interval of `box` — the
-    * N-dimensional probe: a file is admitted iff each dimension's stats
-    * are missing/null OR intersect that dimension's interval.
-    * Per-dimension sidecar probes; the candidate sets intersect on the
-    * driver (file lists, bounded). Uncovered files are in every
-    * dimension's set, so the fallback survives the intersection.
-    */
-  def candidateFilesBox(spark: SparkSession, tablePath: String,
-      box: Seq[(String, Double, Double)]): Seq[String] = {
-    require(box.nonEmpty, "empty box")
-    box.map { case (c, lo, hi) => candidateFiles(spark, tablePath, c, lo, hi) }
-      .map(_.toSet).reduce(_ intersect _).toSeq.sorted
-  }
-
-  /** Box read through the index: open only files admitted by every
-    * dimension, re-apply the exact conjunctive range predicate.
-    */
-  def readBox(spark: SparkSession, tablePath: String,
-      box: Seq[(String, Double, Double)]): DataFrame = {
-    val files = candidateFilesBox(spark, tablePath, box)
-    val base =
-      if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
-      else spark.read.parquet(files: _*)
-    box.foldLeft(base) { case (df, (c, lo, hi)) =>
-      df.filter(rangePred(base, c, lo, hi))
-    }
-  }
+  def rebuildStats(spark: SparkSession, tablePath: String): Unit =
+    buildStatsOnly(spark, tablePath, pinnedCols(spark, tablePath))
 
   /** Append a batch: new range-clustered files plus their stats rows at
-    * the PINNED stat-column set (read from the sidecar — an append can
-    * never fork the column set). Per-file ranges of different commits may
-    * overlap (each commit clusters only its own rows); probes stay exact
-    * because stats are per-file.
+    * the PINNED stat-column set and ORDER (read from the sidecar — an
+    * append can never fork the column set or switch the clustering
+    * column). Per-file ranges of different commits may overlap (each
+    * commit clusters only its own rows); probes stay exact because stats
+    * are per-file.
     */
   def append(df: DataFrame, tablePath: String, nFiles: Int = 4): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val statCols = spark.read.parquet(sidecarPath(tablePath))
-      .select(col("c")).distinct().as[String].collect().toSeq.sorted
+    val statCols = pinnedCols(spark, tablePath)
     val before = spark.read.parquet(tablePath).inputFiles.toSet
     df.repartitionByRange(nFiles, col(statCols.head))
       .write.mode("append").parquet(tablePath)
@@ -166,76 +152,56 @@ object ZoneMap {
       .write.mode("append").parquet(sidecarPath(tablePath))
   }
 
-  /** Files that may contain rows with `c` in [lo, hi] (exact w.r.t. the
-    * table: every true container returned; false positives possible).
-    * Null stats never prune; files the sidecar does not cover — a torn
-    * append's crash window — are unconditional candidates. STALE sidecar
-    * rows (files a redelivered [[appendBatch]] replaced — new part names,
-    * old rows left behind) are dropped by intersecting with the table's
-    * LIVE file set, so they cost sidecar bytes, never a failed read.
-    */
-  def candidateFiles(spark: SparkSession, tablePath: String,
-      c: String, lo: Double, hi: Double): Seq[String] = {
-    import spark.implicits._
-    val live = spark.read.parquet(tablePath).inputFiles.toSet
-    val sidecar = spark.read.parquet(sidecarPath(tablePath))
-    val matched = sidecar.filter(col("c") === c)
-      .filter(!(col("hi") < lit(lo) || col("lo") > lit(hi)) ||
-        col("lo").isNull || col("hi").isNull)
-      .select(col("f")).distinct().as[String].collect().toSet
-      .intersect(live)
-    val coveredByCol = sidecar.filter(col("c") === c)
-      .select(col("f")).distinct().as[String].collect().toSet
-    val uncovered = live.filterNot(coveredByCol).toSeq
-    (matched ++ uncovered).toSeq.distinct.sorted
-  }
-
-  /** Micro-batch append into a DETERMINISTIC per-batch directory — the
-    * streaming face (see `EventsStream.zonemapSink`). A redelivered batch
-    * CLEARS its own directory first and rewrites, so data rows commit
-    * exactly once per batch id; the replaced files' sidecar rows go stale
-    * (new part names) and are neutralized on the read side
-    * ([[candidateFiles]]'s live-set intersection). Crash windows: data
-    * landed / stats missing → uncovered-file fallback (extra I/O, exact
-    * results); stats landed / marker missing → the sink redelivers, which
-    * lands here again — clear + rewrite, still exactly once on data.
-    * Bootstraps the sidecar (pinning `statCols`) when this is the
-    * table's first commit; otherwise the pinned column set wins.
+  /** Micro-batch append into DETERMINISTIC `b<id>_`-prefixed part files —
+    * the streaming face (see `EventsStream.zonemapSink`); the table stays
+    * FLAT (no nested dirs for partition discovery to misread).
+    * Redelivery semantics: a batch whose files are all present AND
+    * sidecar-covered is already committed — the replay returns without
+    * touching the table (no delete window for concurrent readers); only
+    * a TORN attempt (files present but stats missing, or a partial move)
+    * is cleared and rewritten, and a torn batch was never visible as
+    * committed, so transient absence during its repair is the correct
+    * at-least-once surface. Crash with data landed / stats missing →
+    * the uncovered-file fallback keeps probes exact meanwhile. Stale
+    * sidecar rows from a repair are neutralized by the probe's live-set
+    * intersection (and purged by [[rebuildStats]]). Bootstraps the
+    * sidecar (pinning `statCols` and their order) on the table's first
+    * commit. Single-writer per table.
     */
   def appendBatch(df: DataFrame, tablePath: String, batchId: Long,
       statCols: Seq[String], nFiles: Int = 4): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(tablePath)
-    val side = new org.apache.hadoop.fs.Path(sidecarPath(tablePath))
-    val fs = root.getFileSystem(conf)
-    val pinned =
-      if (fs.exists(side))
-        spark.read.parquet(sidecarPath(tablePath))
-          .select(col("c")).distinct().as[String].collect().toSeq.sorted
-      else statCols
+    val root = new Path(tablePath)
+    val side = new Path(sidecarPath(tablePath))
+    val fs = fsOf(spark, tablePath)
+    val sideExists = fs.exists(side)
+    val pinned = if (sideExists) pinnedCols(spark, tablePath) else statCols
     require(pinned.nonEmpty, "need at least one stat column")
-    // redelivery / torn prior attempt: remove this batch's staged dir and
-    // any already-moved `b<id>_` files, then rewrite — data rows commit
-    // exactly once per batch id (the table stays FLAT: batch part files
-    // are renamed in with a deterministic prefix, never nested dirs that
-    // partition discovery would misread as a column)
     val prefix = s"b${batchId}_"
-    val stage = new org.apache.hadoop.fs.Path(
-      s"${tablePath.stripSuffix("/")}__stage_b$batchId")
+    val existing =
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith(prefix)).toSet
+      else { fs.mkdirs(root); Set.empty[String] }
+    if (existing.nonEmpty && sideExists) {
+      // fully-committed fast path: every prefixed file covered by stats
+      import spark.implicits._
+      val coveredNames = spark.read.parquet(sidecarPath(tablePath))
+        .select(col("f")).distinct().as[String].collect()
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      if (existing.subsetOf(coveredNames)) return
+    }
+    // torn attempt (or first delivery): clear this batch's remnants and
+    // rewrite — exactly once on data, per batch id
+    val stage = new Path(s"${tablePath.stripSuffix("/")}__stage_b$batchId")
     if (fs.exists(stage)) fs.delete(stage, true)
-    if (fs.exists(root))
-      fs.listStatus(root).filter(_.getPath.getName.startsWith(prefix))
-        .foreach(s => fs.delete(s.getPath, false))
-    else fs.mkdirs(root)
+    existing.foreach(n => fs.delete(new Path(root, n), false))
     df.repartitionByRange(nFiles, col(pinned.head))
       .write.mode("errorifexists").parquet(stage.toString)
     val moved = fs.listStatus(stage)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { s =>
-        val dst = new org.apache.hadoop.fs.Path(root,
-          prefix + s.getPath.getName)
+        val dst = new Path(root, prefix + s.getPath.getName)
         require(fs.rename(s.getPath, dst), s"could not move ${s.getPath}")
         dst.toString
       }.toSeq
@@ -244,17 +210,68 @@ object ZoneMap {
     // read the moved files back so sidecar `f` values match
     // input_file_name()'s URI form exactly
     val finalFiles = spark.read.parquet(moved: _*).inputFiles.toSeq
-    if (fs.exists(side))
-      statsOf(spark, finalFiles, pinned)
-        .write.mode("append").parquet(sidecarPath(tablePath))
-    else {
-      // first commit: sidecar lands whole via rename (the build idiom)
-      val tmp = sidecarPath(tablePath) + "__new"
-      statsOf(spark, finalFiles, pinned)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), side),
-        s"sidecar commit failed at $side")
-    }
+    val stats = statsOf(spark, finalFiles, pinned)
+    if (fs.exists(side)) stats.write.mode("append").parquet(sidecarPath(tablePath))
+    else commitSidecar(spark, tablePath, stats)
+  }
+
+  /** One probe's index state: the live file set and the collected sidecar
+    * rows (f, c, lo, hi) — both bounded by files × stat cols, read ONCE
+    * and shared across dimensions. A missing sidecar (torn first
+    * streaming commit) yields zero stats rows, which the candidate logic
+    * treats as "nothing covered": every live file is a candidate — the
+    * documented degrade-to-scan, never a crash.
+    */
+  private def loadIndex(spark: SparkSession, tablePath: String)
+      : (Set[String], Seq[(String, String, Option[Double], Option[Double])]) = {
+    val live = spark.read.parquet(tablePath).inputFiles.toSet
+    val stats =
+      if (!fsOf(spark, tablePath).exists(new Path(sidecarPath(tablePath))))
+        Seq.empty
+      else spark.read.parquet(sidecarPath(tablePath))
+        .select(col("f"), col("c"), col("lo"), col("hi"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    (live, stats)
+  }
+
+  /** Candidate set for one dimension over loaded index state: admitted if
+    * stats intersect [lo, hi] or are null; uncovered live files always
+    * admitted; stale rows (non-live files) dropped.
+    */
+  private def candidatesFrom(live: Set[String],
+      stats: Seq[(String, String, Option[Double], Option[Double])],
+      c: String, lo: Double, hi: Double): Set[String] = {
+    val forCol = stats.filter(_._2 == c)
+    val matched = forCol.collect {
+      case (f, _, flo, fhi)
+          if flo.isEmpty || fhi.isEmpty || !(fhi.get < lo || flo.get > hi) => f
+    }.toSet.intersect(live)
+    val covered = forCol.map(_._1).toSet
+    matched ++ live.filterNot(covered)
+  }
+
+  /** Files that may contain rows with `c` in [lo, hi] (exact w.r.t. the
+    * table: every true container returned; false positives possible).
+    */
+  def candidateFiles(spark: SparkSession, tablePath: String,
+      c: String, lo: Double, hi: Double): Seq[String] = {
+    val (live, stats) = loadIndex(spark, tablePath)
+    candidatesFrom(live, stats, c, lo, hi).toSeq.sorted
+  }
+
+  /** Files that may contain a row inside EVERY interval of `box` — the
+    * N-dimensional probe: one listing + one sidecar read, per-dimension
+    * candidate sets intersected on the driver. Uncovered files are in
+    * every dimension's set, so the fallback survives the intersection.
+    */
+  def candidateFilesBox(spark: SparkSession, tablePath: String,
+      box: Seq[(String, Double, Double)]): Seq[String] = {
+    require(box.nonEmpty, "empty box")
+    val (live, stats) = loadIndex(spark, tablePath)
+    box.map { case (c, lo, hi) => candidatesFrom(live, stats, c, lo, hi) }
+      .reduce(_ intersect _).toSeq.sorted
   }
 
   /** The residual range predicate in the COLUMN'S NATIVE type where the
@@ -268,7 +285,7 @@ object ZoneMap {
     * scan-filtered above the scan).
     */
   private def rangePred(df: DataFrame, c: String, lo: Double,
-      hi: Double): org.apache.spark.sql.Column = {
+      hi: Double): Column = {
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
@@ -290,6 +307,20 @@ object ZoneMap {
     else {
       val base = spark.read.parquet(files: _*)
       base.filter(rangePred(base, c, lo, hi))
+    }
+  }
+
+  /** Box read through the index: open only files admitted by every
+    * dimension, re-apply the exact conjunctive range predicate.
+    */
+  def readBox(spark: SparkSession, tablePath: String,
+      box: Seq[(String, Double, Double)]): DataFrame = {
+    val files = candidateFilesBox(spark, tablePath, box)
+    val base =
+      if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
+      else spark.read.parquet(files: _*)
+    box.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(rangePred(base, c, lo, hi))
     }
   }
 }

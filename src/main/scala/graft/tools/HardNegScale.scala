@@ -30,9 +30,17 @@ object HardNegScale {
         transform(col("embedding"), x => x.cast("double")).as("embedding"),
         col("label"))
     val db = graft.ops.SimilarityQueries.ensurePqFixture(spark, dir)
+    // the "fixed" regime is the ORIGINAL (replica-0) id range — read the
+    // stride MakeScale persisted rather than assuming it (the PhashScale
+    // idiom; a hardcoded stride silently measures the wrong anchor set
+    // whenever MakeScale derives a larger one)
+    val stride =
+      try spark.read.parquet(s"$dir/scale_meta").head().getAs[Long]("stride")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        sys.env.getOrElse("SPARK_GRAFT_STRIDE", "1000000").toLong }
     for ((name, pred) <- Seq(
         "scaled" -> (col("vec_id") % 50 === 0),
-        "fixed" -> (col("vec_id") % 50 === 0 && col("vec_id") < 1000000))) {
+        "fixed" -> (col("vec_id") % 50 === 0 && col("vec_id") < stride))) {
       val anchors = emb.filter(pred)
       val ts = (1 to trials).map { _ =>
         val t0 = System.nanoTime()

@@ -183,13 +183,32 @@ class ZoneMapSpec extends AnyFunSuite {
         _.contains("PushedFilters")).mkString("\n")}")
   }
 
-  test("rebuildStats purges stale replay rows; probes identical before/after") {
+  test("committed-batch redelivery is a no-op fast path (file names stable)") {
+    val d = newTable("zmapfast")
+    val cols = Seq("user_id", "value")
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    ZoneMap.appendBatch(b0, d, 0L, cols)
+    ZoneMap.appendBatch(ev.filter(col("event_id") % 2 === 1), d, 1L, cols)
+    val namesBefore = spark.read.parquet(d).inputFiles.toSet
+    ZoneMap.appendBatch(b0, d, 0L, cols) // clean replay
+    val namesAfter = spark.read.parquet(d).inputFiles.toSet
+    assert(namesAfter == namesBefore,
+      "a fully-committed batch replay must not touch the table")
+    val got = spark.read.parquet(d)
+    assert(got.count() == ev.count())
+  }
+
+  test("rebuildStats purges stale repair rows; probes identical before/after") {
     val d = newTable("zmaprebuild")
     val cols = Seq("user_id", "value")
     val b0 = ev.filter(col("event_id") % 2 === 0)
     ZoneMap.appendBatch(b0, d, 0L, cols)
     ZoneMap.appendBatch(ev.filter(col("event_id") % 2 === 1), d, 1L, cols)
-    ZoneMap.appendBatch(b0, d, 0L, cols) // replay leaves stale rows
+    // simulate a TORN batch-0 attempt (an uncovered prefixed remnant):
+    // the redelivery takes the repair path, clears + rewrites b0 with new
+    // part names — the old names' stats rows go stale
+    new java.io.File(s"$d/b0_torn.parquet").createNewFile()
+    ZoneMap.appendBatch(b0, d, 0L, cols)
     val before = ZoneMap.readRange(spark, d, "user_id", 100, 119)
     val staleCount = spark.read.parquet(d + "_zonemap").count()
     ZoneMap.rebuildStats(spark, d)
@@ -201,6 +220,42 @@ class ZoneMapSpec extends AnyFunSuite {
       spark.read.parquet(d).inputFiles.length.toLong * cols.length)
     val after = ZoneMap.readRange(spark, d, "user_id", 100, 119)
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    // and the repaired table's content is still exactly the full log
+    val got = spark.read.parquet(d)
+    assert(got.exceptAll(ev).isEmpty && ev.exceptAll(got).isEmpty)
+  }
+
+  test("a missing sidecar (torn FIRST commit) degrades to scan, not a crash") {
+    val d = newTable("zmapnoside")
+    ZoneMap.appendBatch(ev, d, 0L, Seq("user_id", "value"))
+    // simulate: crash before the first sidecar commit landed
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
+    }
+    rmr(new java.io.File(d + "_zonemap"))
+    val nFiles = spark.read.parquet(d).inputFiles.length
+    val cand = ZoneMap.candidateFiles(spark, d, "user_id", 100, 119)
+    assert(cand.size == nFiles, "every live file must be a candidate")
+    val got = ZoneMap.readRange(spark, d, "user_id", 100, 119)
+    val want = spark.read.parquet(d).filter(col("user_id").between(100, 119))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("appends keep clustering on the BUILD'S leading column, not sorted order") {
+    val d = newTable("zmaplead")
+    // leading column deliberately NOT alphabetically first
+    ZoneMap.build(ev, Seq("value", "user_id"), d, nFiles = 16)
+    ZoneMap.append(ev.limit(2000), d, nFiles = 4)
+    // pinned order must survive: 'value' is ci=0
+    val lead = spark.read.parquet(d + "_zonemap")
+      .filter(col("ci") === 0).select(col("c")).distinct().collect()
+    assert(lead.map(_.getString(0)).toSeq == Seq("value"))
+    // and a narrow value-band probe stays pruned across both commits
+    val cand = ZoneMap.candidateFiles(spark, d, "value", 1.0, 5.0)
+    assert(cand.size < spark.read.parquet(d).inputFiles.length)
+    val got = ZoneMap.readRange(spark, d, "value", 1.0, 5.0)
+    val want = spark.read.parquet(d).filter(col("value").between(1.0, 5.0))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
   test("null stats never prune: an all-null column admits every file") {
