@@ -399,9 +399,32 @@ object SourceQueries {
       WHERE user_id BETWEEN 100 AND 199 AND value BETWEEN 10.0 AND 30.0
       ORDER BY event_id"""))
 
+  /** Lexicographic (string) zone maps: documents range-clustered on the
+    * lang code with per-file string min/max, probed with a BETWEEN over
+    * the dictionary range — the lang-code / date-string / URL-prefix
+    * skipping shape. Same content-invisibility oracle as the numeric
+    * family; the string-side prune win is spec-asserted.
+    */
+  val srcZonemapStringRange = Q(
+    "src_zonemap_string_range",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("zmapstr2").toString + "/t"
+      ZoneMap.build(T.documents(s, d), Seq("lang", "doc_id"), dir, nFiles = 8)
+      ZoneMap.readRangeStr(s, dir, "lang", "de", "es")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+      FROM documents
+      WHERE lang BETWEEN 'de' AND 'es'
+      ORDER BY doc_id"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
       srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
       srcBloomAppendedLookup, srcZonemapRange, srcZonemapAppendedRange,
-      srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox)
+      srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox,
+      srcZonemapStringRange)
 }

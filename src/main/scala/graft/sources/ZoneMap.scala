@@ -59,19 +59,33 @@ object ZoneMap {
     */
   private def statsOf(spark: SparkSession, files: Seq[String],
       statCols: Seq[String]): DataFrame = {
-    val base = spark.read.parquet(files: _*)
+    import org.apache.spark.sql.types.StringType
+    val src = spark.read.parquet(files: _*)
+    val isStr = statCols.map(c => src.schema(c).dataType == StringType)
+    val base = src
       .select(input_file_name().as("f") +: statCols.zipWithIndex.map {
-        case (c, i) => col(c).cast("double").as(s"v$i")
+        case (c, i) =>
+          (if (isStr(i)) col(c) else col(c).cast("double")).as(s"v$i")
       }: _*)
     val aggs = statCols.indices.flatMap(i =>
       Seq(min(col(s"v$i")).as(s"lo$i"), max(col(s"v$i")).as(s"hi$i")))
+    // string columns carry LEXICOGRAPHIC bounds in (slo, shi), numeric
+    // bounds ride (lo, hi); the unused pair is null, which never prunes
     base.groupBy(col("f")).agg(aggs.head, aggs.tail: _*)
       .select(col("f"), explode(array(statCols.zipWithIndex.map {
-        case (c, i) => struct(lit(c).as("c"), lit(i).as("ci"),
-          col(s"lo$i").as("lo"), col(s"hi$i").as("hi"))
+        case (c, i) =>
+          val (lo, hi) =
+            if (isStr(i)) (lit(null).cast("double"), lit(null).cast("double"))
+            else (col(s"lo$i"), col(s"hi$i"))
+          val (slo, shi) =
+            if (isStr(i)) (col(s"lo$i"), col(s"hi$i"))
+            else (lit(null).cast("string"), lit(null).cast("string"))
+          struct(lit(c).as("c"), lit(i).as("ci"), lo.as("lo"), hi.as("hi"),
+            slo.as("slo"), shi.as("shi"))
       }: _*)).as("s"))
       .select(col("f"), col("s.c").as("c"), col("s.ci").as("ci"),
-        col("s.lo").as("lo"), col("s.hi").as("hi"))
+        col("s.lo").as("lo"), col("s.hi").as("hi"),
+        col("s.slo").as("slo"), col("s.shi").as("shi"))
   }
 
   /** Land a freshly computed sidecar frame atomically: write aside, then
@@ -222,35 +236,50 @@ object ZoneMap {
     * treats as "nothing covered": every live file is a candidate — the
     * documented degrade-to-scan, never a crash.
     */
+  private final case class Stat(f: String, c: String,
+      lo: Option[Double], hi: Option[Double],
+      slo: Option[String], shi: Option[String])
+
   private def loadIndex(spark: SparkSession, tablePath: String)
-      : (Set[String], Seq[(String, String, Option[Double], Option[Double])]) = {
+      : (Set[String], Seq[Stat]) = {
     val live = spark.read.parquet(tablePath).inputFiles.toSet
     val stats =
       if (!fsOf(spark, tablePath).exists(new Path(sidecarPath(tablePath))))
         Seq.empty
       else spark.read.parquet(sidecarPath(tablePath))
-        .select(col("f"), col("c"), col("lo"), col("hi"))
-        .collect().toSeq.map(r => (r.getString(0), r.getString(1),
+        .select(col("f"), col("c"), col("lo"), col("hi"),
+          col("slo"), col("shi"))
+        .collect().toSeq.map(r => Stat(r.getString(0), r.getString(1),
           if (r.isNullAt(2)) None else Some(r.getDouble(2)),
-          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getString(4)),
+          if (r.isNullAt(5)) None else Some(r.getString(5))))
     (live, stats)
   }
 
   /** Candidate set for one dimension over loaded index state: admitted if
-    * stats intersect [lo, hi] or are null; uncovered live files always
-    * admitted; stale rows (non-live files) dropped.
+    * the dimension's bounds (numeric or lexicographic, per the probe
+    * kind) intersect the interval or are null; uncovered live files
+    * always admitted; stale rows (non-live files) dropped.
     */
-  private def candidatesFrom(live: Set[String],
-      stats: Seq[(String, String, Option[Double], Option[Double])],
-      c: String, lo: Double, hi: Double): Set[String] = {
-    val forCol = stats.filter(_._2 == c)
+  private def candidatesFrom[T: Ordering](live: Set[String],
+      stats: Seq[Stat], c: String, lo: T, hi: T,
+      bounds: Stat => (Option[T], Option[T])): Set[String] = {
+    val ord = implicitly[Ordering[T]]
+    val forCol = stats.filter(_.c == c)
     val matched = forCol.collect {
-      case (f, _, flo, fhi)
-          if flo.isEmpty || fhi.isEmpty || !(fhi.get < lo || flo.get > hi) => f
+      case s if {
+        val (flo, fhi) = bounds(s)
+        flo.isEmpty || fhi.isEmpty ||
+          !(ord.lt(fhi.get, lo) || ord.gt(flo.get, hi))
+      } => s.f
     }.toSet.intersect(live)
-    val covered = forCol.map(_._1).toSet
+    val covered = forCol.map(_.f).toSet
     matched ++ live.filterNot(covered)
   }
+
+  private def numBounds(s: Stat) = (s.lo, s.hi)
+  private def strBounds(s: Stat) = (s.slo, s.shi)
 
   /** Files that may contain rows with `c` in [lo, hi] (exact w.r.t. the
     * table: every true container returned; false positives possible).
@@ -258,7 +287,17 @@ object ZoneMap {
   def candidateFiles(spark: SparkSession, tablePath: String,
       c: String, lo: Double, hi: Double): Seq[String] = {
     val (live, stats) = loadIndex(spark, tablePath)
-    candidatesFrom(live, stats, c, lo, hi).toSeq.sorted
+    candidatesFrom(live, stats, c, lo, hi, numBounds).toSeq.sorted
+  }
+
+  /** String-column variant: files whose LEXICOGRAPHIC [min, max] may
+    * intersect [lo, hi] — range skipping on lang codes, date strings,
+    * URL prefixes and the like.
+    */
+  def candidateFilesStr(spark: SparkSession, tablePath: String,
+      c: String, lo: String, hi: String): Seq[String] = {
+    val (live, stats) = loadIndex(spark, tablePath)
+    candidatesFrom(live, stats, c, lo, hi, strBounds).toSeq.sorted
   }
 
   /** Files that may contain a row inside EVERY interval of `box` — the
@@ -270,8 +309,9 @@ object ZoneMap {
       box: Seq[(String, Double, Double)]): Seq[String] = {
     require(box.nonEmpty, "empty box")
     val (live, stats) = loadIndex(spark, tablePath)
-    box.map { case (c, lo, hi) => candidatesFrom(live, stats, c, lo, hi) }
-      .reduce(_ intersect _).toSeq.sorted
+    box.map { case (c, lo, hi) =>
+      candidatesFrom(live, stats, c, lo, hi, numBounds)
+    }.reduce(_ intersect _).toSeq.sorted
   }
 
   /** The residual range predicate in the COLUMN'S NATIVE type where the
@@ -308,6 +348,19 @@ object ZoneMap {
       val base = spark.read.parquet(files: _*)
       base.filter(rangePred(base, c, lo, hi))
     }
+  }
+
+  /** String-range read through the index: open only lexicographically
+    * intersecting files, re-apply the exact BETWEEN (native string
+    * comparison — pushes into the scan unchanged).
+    */
+  def readRangeStr(spark: SparkSession, tablePath: String,
+      c: String, lo: String, hi: String): DataFrame = {
+    val files = candidateFilesStr(spark, tablePath, c, lo, hi)
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).limit(0)
+    else
+      spark.read.parquet(files: _*).filter(col(c).between(lo, hi))
   }
 
   /** Box read through the index: open only files admitted by every

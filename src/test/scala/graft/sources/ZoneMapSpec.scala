@@ -258,6 +258,33 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("string zone maps: lexicographic range prunes files and is exact") {
+    val d = newTable("zmapstrcol")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    ZoneMap.build(docs, Seq("lang", "doc_id"), d, nFiles = 8)
+    val got = ZoneMap.readRangeStr(spark, d, "lang", "de", "es")
+    val want = spark.read.parquet(d).filter(col("lang").between("de", "es"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // 5 langs clustered into 8 files: a 3-lang dictionary range must not
+    // open files holding only languages outside it
+    val cand = ZoneMap.candidateFilesStr(spark, d, "lang", "de", "es")
+    assert(cand.size < spark.read.parquet(d).inputFiles.length,
+      s"string band should prune some of the 8 files, got ${cand.size}")
+    // an out-of-dictionary range opens nothing
+    assert(ZoneMap.candidateFilesStr(spark, d, "lang", "ru", "sv").isEmpty)
+    assert(ZoneMap.readRangeStr(spark, d, "lang", "ru", "sv").count() == 0)
+  }
+
+  test("numeric probes on a mixed-type sidecar ignore the string rows") {
+    val d = newTable("zmapmixed")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    ZoneMap.build(docs, Seq("lang", "doc_id"), d, nFiles = 8)
+    val got = ZoneMap.readRange(spark, d, "doc_id", 0, 100)
+    val want = spark.read.parquet(d).filter(col("doc_id").between(0, 100))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("null stats never prune: an all-null column admits every file") {
     val d = newTable("zmapnull")
     val withNull = ev.withColumn("maybe", lit(null).cast("double"))
