@@ -1,0 +1,250 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Zone-map skipping integrated into Catalyst PLANNING — the lakehouse
+  * endgame for the sidecar family (public prior art: Delta/Iceberg expose
+  * their file-stats pruning through a custom file listing consulted by the
+  * scan, not through explicit probe calls).
+  *
+  * [[ZoneMap.readRange]]/[[ZoneMap.readBox]] require the caller to name the
+  * probe interval; [[IndexedTable.table]] instead returns a DataFrame whose
+  * scan consults the sidecar AT PLAN TIME: Spark's `FileSourceStrategy`
+  * hands every pushed data predicate to `FileIndex.listFiles`, and
+  * [[SkippingFileIndex]] translates the conjuncts it understands
+  * (comparisons, equality, IN, string prefix, AND/OR) into per-file
+  * admission against the sidecar's min/max bounds. A plain
+  * `.filter("user_id BETWEEN 100 AND 199 AND lang = 'en'")` — or the same
+  * WHERE via `spark.sql` — prunes files with no index-aware code at the
+  * call site, composing with everything Catalyst already does (the full
+  * predicate still runs over the admitted rows and still pushes into the
+  * parquet row-group scan, so pruning is pure I/O savings, never a
+  * correctness surface).
+  *
+  * Conservatism contract (the [[ZoneMap]] read-side rules, verbatim):
+  * a conjunct the translator does not understand admits every file; null
+  * or missing bounds never prune; live files the sidecar does not cover
+  * are unconditional candidates; a missing sidecar degrades to the full
+  * listing. Strict comparisons prune as their non-strict relaxation
+  * (boundary-touching files cost I/O, never rows). File identity is
+  * matched by basename — the table directory is flat by the sidecar
+  * family's layout contract, so basenames are unique.
+  *
+  * Scale shape: driver state is O(files × stat columns) — the same index
+  * the explicit probes load — read once per plan (and once per
+  * `refresh()`), not per partition. At 1000 executors the win is the same
+  * as Delta's: the pruned listing never reaches the scheduler, so task
+  * count scales with the SELECTED data, not the table.
+  */
+object IndexedTable {
+
+  /** Open a zone-mapped table (built by [[ZoneMap.build]]/`append`/
+    * `appendBatch`) as a DataFrame whose scan prunes files from any
+    * pushed predicate at planning time.
+    */
+  def table(spark: SparkSession, tablePath: String): DataFrame = {
+    val schema = spark.read.parquet(tablePath).schema
+    val index = new SkippingFileIndex(spark, tablePath)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+}
+
+/** The [[org.apache.spark.sql.execution.datasources.FileIndex]] that
+  * consults the [[ZoneMap]] sidecar. See [[IndexedTable]] for the
+  * contract; the translation lives in `admitted`.
+  */
+final class SkippingFileIndex(spark: SparkSession, tablePath: String)
+    extends FileIndex {
+
+  /** (basename -> status, basename live set, sidecar stats). Loaded
+    * lazily at first list and pinned until `refresh()` — one plan sees
+    * one snapshot of table + sidecar.
+    */
+  private final case class State(byName: Map[String, FileStatus],
+      live: Set[String], stats: Seq[ZoneMap.Stat])
+
+  @volatile private var cached: State = _
+
+  private def state: State = {
+    if (cached == null) cached = load()
+    cached
+  }
+
+  private def load(): State = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val (liveUris, stats) = ZoneMap.loadIndex(spark, tablePath)
+    val liveNames = liveUris.map(u => new Path(u).getName)
+    State(files.map(st => st.getPath.getName -> st).toMap,
+      liveNames, stats)
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
+
+  override def refresh(): Unit = { cached = null }
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def sizeInBytes: Long =
+    state.byName.values.map(_.getLen).sum
+
+  override def inputFiles: Array[String] =
+    state.live.toArray.sorted.flatMap(n =>
+      state.byName.get(n).map(_.getPath.toString))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val s = state
+    val names =
+      if (dataFilters.isEmpty) s.live
+      else dataFilters.map(f => admitted(f, s)).reduce(_ intersect _)
+    val statuses = names.toSeq.sorted.flatMap(s.byName.get)
+    Seq(PartitionDirectory(InternalRow.empty,
+      statuses.map(st => FileStatusWithMetadata(st)).toIndexedSeq))
+  }
+
+  // ---- predicate -> admitted-file translation -------------------------
+
+  /** The stat-bearing attribute under an optional numeric widening cast
+    * (Catalyst casts an integral column to compare against a fractional
+    * literal; the cast is monotonic, so double-bound pruning stays
+    * sound).
+    */
+  private def attrOf(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c: Cast =>
+      c.child match {
+        case a: AttributeReference
+            if a.dataType.isInstanceOf[NumericType] &&
+              c.dataType.isInstanceOf[NumericType] => Some(a)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def numVal(v: Any): Option[Double] = v match {
+    case null => None
+    case b: Byte => Some(b.toDouble)
+    case s: Short => Some(s.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case f: Float => Some(f.toDouble)
+    case d: Double => Some(d)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  private def strVal(v: Any): Option[String] = v match {
+    case s: UTF8String => Some(s.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  /** Files admitted by `c in [lo, hi]` (open ends = unbounded): the
+    * [[ZoneMap]] probe rule over pre-loaded state — null/missing bounds
+    * and uncovered live files always admit.
+    */
+  private def rangeCands[T](s: State, c: String, lo: Option[T],
+      hi: Option[T], bounds: ZoneMap.Stat => (Option[T], Option[T]))(
+      implicit ord: Ordering[T]): Set[String] = {
+    val forCol = s.stats.filter(_.c == c)
+    val matched = forCol.filter { st =>
+      val (flo, fhi) = bounds(st)
+      flo.isEmpty || fhi.isEmpty ||
+        !(lo.exists(l => ord.lt(fhi.get, l)) ||
+          hi.exists(h => ord.gt(flo.get, h)))
+    }.map(st => new Path(st.f).getName).toSet.intersect(s.live)
+    val covered = forCol.map(st => new Path(st.f).getName).toSet
+    matched ++ s.live.filterNot(covered)
+  }
+
+  private def interval(s: State, a: AttributeReference, loV: Option[Any],
+      hiV: Option[Any]): Set[String] = a.dataType match {
+    case _: NumericType =>
+      val lo = loV.flatMap(numVal)
+      val hi = hiV.flatMap(numVal)
+      if (loV.isDefined != lo.isDefined || hiV.isDefined != hi.isDefined)
+        s.live // literal shape we don't understand: admit all
+      else rangeCands(s, a.name, lo, hi, st => (st.lo, st.hi))
+    case StringType =>
+      val lo = loV.flatMap(strVal)
+      val hi = hiV.flatMap(strVal)
+      if (loV.isDefined != lo.isDefined || hiV.isDefined != hi.isDefined)
+        s.live
+      else rangeCands(s, a.name, lo, hi, st => (st.slo, st.shi))
+    case _ => s.live
+  }
+
+  private def point(s: State, e: Expression, v: Any): Set[String] =
+    attrOf(e) match {
+      case Some(a) if v != null => interval(s, a, Some(v), Some(v))
+      case Some(_) => Set.empty // `col = NULL` matches no row
+      case None => s.live
+    }
+
+  /** Conservative admitted set for one predicate; anything unrecognized
+    * admits every live file.
+    */
+  private def admitted(e: Expression, s: State): Set[String] = e match {
+    case And(l, r) => admitted(l, s) intersect admitted(r, s)
+    case Or(l, r) => admitted(l, s) union admitted(r, s)
+    case EqualTo(x, Literal(v, _)) => point(s, x, v)
+    case EqualTo(Literal(v, _), x) => point(s, x, v)
+    case EqualNullSafe(x, Literal(v, _)) if v != null => point(s, x, v)
+    case EqualNullSafe(Literal(v, _), x) if v != null => point(s, x, v)
+    case GreaterThan(x, Literal(v, _)) =>
+      attrOf(x).map(interval(s, _, Some(v), None)).getOrElse(s.live)
+    case GreaterThanOrEqual(x, Literal(v, _)) =>
+      attrOf(x).map(interval(s, _, Some(v), None)).getOrElse(s.live)
+    case LessThan(x, Literal(v, _)) =>
+      attrOf(x).map(interval(s, _, None, Some(v))).getOrElse(s.live)
+    case LessThanOrEqual(x, Literal(v, _)) =>
+      attrOf(x).map(interval(s, _, None, Some(v))).getOrElse(s.live)
+    case GreaterThan(Literal(v, _), x) =>
+      attrOf(x).map(interval(s, _, None, Some(v))).getOrElse(s.live)
+    case GreaterThanOrEqual(Literal(v, _), x) =>
+      attrOf(x).map(interval(s, _, None, Some(v))).getOrElse(s.live)
+    case LessThan(Literal(v, _), x) =>
+      attrOf(x).map(interval(s, _, Some(v), None)).getOrElse(s.live)
+    case LessThanOrEqual(Literal(v, _), x) =>
+      attrOf(x).map(interval(s, _, Some(v), None)).getOrElse(s.live)
+    case In(x, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      // col IN () and col IN (NULL) match no definite row; the union of
+      // per-value point sets (empty for those cases) is exactly right
+      vs.map(l => point(s, x, l.asInstanceOf[Literal].value))
+        .foldLeft(Set.empty[String])(_ union _)
+    case InSet(x, vs) =>
+      vs.map(v => point(s, x, v)).foldLeft(Set.empty[String])(_ union _)
+    case StartsWith(x, Literal(p, StringType)) =>
+      (attrOf(x), strVal(p)) match {
+        case (Some(a), Some(prefix)) if prefix.nonEmpty =>
+          // any s with prefix p satisfies p <= s <= p + maxChar-run; the
+          // closed upper bound `p.init :+ (p.last + 1)` over-admits only
+          // the boundary file
+          val hi =
+            if (prefix.last == Char.MaxValue) None
+            else Some(prefix.init + (prefix.last + 1).toChar)
+          interval(s, a, Some(prefix), hi)
+        case _ => s.live
+      }
+    case _ => s.live
+  }
+}

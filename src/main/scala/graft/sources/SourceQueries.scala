@@ -421,10 +421,49 @@ object SourceQueries {
       WHERE lang BETWEEN 'de' AND 'es'
       ORDER BY doc_id"""))
 
+  /** PLANNER-integrated zone-map skipping ([[IndexedTable]]): the same
+    * table + predicate as src_zonemap_range, but the probe is a plain
+    * `.filter` — file pruning happens inside Catalyst planning via the
+    * custom FileIndex, with no index-aware call site. Content-invisible
+    * under the shared oracle; the plan-time skip itself (≤4 of 16 files,
+    * SQL surface, OR/IN shapes, fallbacks) is IndexedTableSpec's.
+    */
+  val srcZonemapPlanned = Q(
+    "src_zonemap_planned",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("zmapplan").toString + "/t"
+      ZoneMap.build(graft.Tables.events(s, d), Seq("user_id", "value"), dir,
+        nFiles = 16)
+      IndexedTable.table(s, dir)
+        .filter(col("user_id").between(100, 199) &&
+          col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    srcZorderBox.oracle)
+
+  /** The SQL surface of the planner-integrated table over STRING stats:
+    * documents clustered on lang, probed by a WHERE through a temp view —
+    * lexicographic pruning with zero index-aware syntax.
+    */
+  val srcZonemapPlannedSql = Q(
+    "src_zonemap_planned_sql",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("zmapplansql").toString + "/t"
+      ZoneMap.build(T.documents(s, d), Seq("lang", "doc_id"), dir, nFiles = 8)
+      IndexedTable.table(s, dir).createOrReplaceTempView("zm_docs")
+      s.sql("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+               FROM zm_docs WHERE lang BETWEEN 'de' AND 'es'
+               ORDER BY doc_id""")
+    },
+    srcZonemapStringRange.oracle)
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
       srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
       srcBloomAppendedLookup, srcZonemapRange, srcZonemapAppendedRange,
       srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox,
-      srcZonemapStringRange)
+      srcZonemapStringRange, srcZonemapPlanned, srcZonemapPlannedSql)
 }

@@ -236,11 +236,11 @@ object ZoneMap {
     * treats as "nothing covered": every live file is a candidate — the
     * documented degrade-to-scan, never a crash.
     */
-  private final case class Stat(f: String, c: String,
+  private[sources] final case class Stat(f: String, c: String,
       lo: Option[Double], hi: Option[Double],
       slo: Option[String], shi: Option[String])
 
-  private def loadIndex(spark: SparkSession, tablePath: String)
+  private[sources] def loadIndex(spark: SparkSession, tablePath: String)
       : (Set[String], Seq[Stat]) = {
     val live = spark.read.parquet(tablePath).inputFiles.toSet
     val stats =

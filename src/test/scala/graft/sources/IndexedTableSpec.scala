@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planner-integrated zone-map skipping ([[IndexedTable]]): a plain
+  * `.filter` / SQL WHERE over the table prunes files through
+  * `FileIndex.listFiles` with no probe calls at the call site; every
+  * translated shape is content-identical to the raw parquet scan; every
+  * untranslatable or uncovered shape degrades to the full listing.
+  */
+class IndexedTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+  private def docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+
+  private def newTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** Files the PLANNER admitted for this query (via the scan's own
+    * FileIndex + its extracted data filters).
+    */
+  private def plannedFiles(df: DataFrame): Int = {
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.size).sum
+  }
+
+  private def assertSameRows(got: DataFrame, want: DataFrame): Unit =
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+  private def builtEvents(prefix: String): String = {
+    val d = newTable(prefix)
+    ZoneMap.build(ev, Seq("user_id", "value"), d, nFiles = 16)
+    d
+  }
+
+  test("BETWEEN + equality conjunction prunes at plan time, content-exact") {
+    val d = builtEvents("idxt")
+    val t = IndexedTable.table(spark, d)
+    val got = t.filter(col("user_id").between(100, 119) &&
+      col("event_type") === "click")
+    val want = spark.read.parquet(d).filter(
+      col("user_id").between(100, 119) && col("event_type") === "click")
+    assert(got.count() > 0)
+    assertSameRows(got, want)
+    val n = plannedFiles(got)
+    assert(n <= 4, s"expected <=4 planned files of 16, got $n")
+  }
+
+  test("the same WHERE through spark.sql prunes identically") {
+    val d = builtEvents("idxtsql")
+    IndexedTable.table(spark, d).createOrReplaceTempView("idxt_events")
+    val got = spark.sql(
+      "SELECT * FROM idxt_events WHERE user_id BETWEEN 100 AND 119")
+    val want = spark.read.parquet(d)
+      .filter(col("user_id").between(100, 119))
+    assertSameRows(got, want)
+    assert(plannedFiles(got) <= 4)
+  }
+
+  test("OR of two bands admits the union of candidate sets") {
+    val d = builtEvents("idxtor")
+    val t = IndexedTable.table(spark, d)
+    val pred = col("user_id").between(0, 9) ||
+      col("user_id").between(140, 149)
+    val got = t.filter(pred)
+    assertSameRows(got, spark.read.parquet(d).filter(pred))
+    val n = plannedFiles(got)
+    assert(n >= 2 && n <= 8, s"union of two narrow bands, got $n files")
+  }
+
+  test("IN-list prunes to the point files") {
+    val d = builtEvents("idxtin")
+    val t = IndexedTable.table(spark, d)
+    val got = t.filter(col("user_id").isin(3L, 145L))
+    assertSameRows(got, spark.read.parquet(d)
+      .filter(col("user_id").isin(3L, 145L)))
+    assert(plannedFiles(got) <= 4)
+  }
+
+  test("out-of-domain range plans ZERO files and returns zero rows") {
+    val d = builtEvents("idxtz")
+    val got = IndexedTable.table(spark, d)
+      .filter(col("user_id") > 1000000L)
+    assert(plannedFiles(got) == 0)
+    assert(got.count() == 0)
+  }
+
+  test("an untranslatable predicate admits every file (no wrong prune)") {
+    val d = builtEvents("idxtu")
+    val t = IndexedTable.table(spark, d)
+    // pmod is outside the translator: must fall back to all 16 files
+    val pred = pmod(col("user_id"), lit(50L)) === 7
+    val got = t.filter(pred)
+    assertSameRows(got, spark.read.parquet(d).filter(pred))
+    assert(plannedFiles(got) == 16)
+  }
+
+  test("files the sidecar does not cover are unconditional candidates") {
+    val d = builtEvents("idxtunc")
+    // land extra rows OUTSIDE the index (raw append, no sidecar update)
+    ev.filter(col("user_id") === 9999999L).limit(0) // keep schema honest
+    ev.withColumn("user_id", col("user_id") + 1000000L).limit(50)
+      .write.mode("append").parquet(d)
+    val t = IndexedTable.table(spark, d)
+    val got = t.filter(col("user_id") > 1000000L)
+    val want = spark.read.parquet(d).filter(col("user_id") > 1000000L)
+    assert(got.count() == 50)
+    assertSameRows(got, want)
+  }
+
+  test("a missing sidecar degrades to the full listing, content-exact") {
+    val d = newTable("idxtnone")
+    ev.repartition(8).write.parquet(d)
+    val t = IndexedTable.table(spark, d)
+    val got = t.filter(col("user_id").between(100, 119))
+    assertSameRows(got,
+      spark.read.parquet(d).filter(col("user_id").between(100, 119)))
+    assert(plannedFiles(got) == 8)
+  }
+
+  test("string equality and prefix prune on lexicographic stats") {
+    val d = newTable("idxtstr")
+    ZoneMap.build(docs, Seq("lang"), d, nFiles = 5)
+    val t = IndexedTable.table(spark, d)
+    val eq = t.filter(col("lang") === "en")
+    assertSameRows(eq, spark.read.parquet(d).filter(col("lang") === "en"))
+    assert(plannedFiles(eq) < 5)
+    val pre = t.filter(col("lang").startsWith("e"))
+    assertSameRows(pre,
+      spark.read.parquet(d).filter(col("lang").startsWith("e")))
+    assert(plannedFiles(pre) < 5)
+  }
+
+  test("residual predicate still pushes into the parquet scan") {
+    val d = builtEvents("idxtpush")
+    val got = IndexedTable.table(spark, d)
+      .filter(col("user_id").between(100, 119))
+    val scan = got.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(user_id"),
+      s"range must reach the row-group scan, got: $pushed")
+  }
+}
