@@ -76,6 +76,9 @@ object BloomIndex {
       .withColumn("m_bits", lit(mBits))
       .withColumn("k_hashes", lit(k))
       .withColumn("n_files", lit(nFiles))
+      // the indexed column rides with the bits so planner integration
+      // ([[SkippingFileIndex]]) can recognize equality predicates on it
+      .withColumn("key_col", lit(keyCol))
       .write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,7 +119,24 @@ object BloomIndex {
       .withColumn("m_bits", lit(mBits))
       .withColumn("k_hashes", lit(k))
       .withColumn("n_files", lit(geo.getInt(2)))
+      .withColumn("key_col", lit(keyCol))
       .write.mode("append").parquet(sidecarPath(tablePath))
+  }
+
+  /** The column this table's bloom sidecar indexes, if the sidecar exists
+    * and records it (sidecars from before the `key_col` column are still
+    * probed fine explicitly, but the planner cannot claim them).
+    */
+  private[sources] def plannedKeyCol(spark: SparkSession,
+      tablePath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(sidecarPath(tablePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val sc = spark.read.parquet(sidecarPath(tablePath))
+      if (!sc.columns.contains("key_col")) None
+      else Option(sc.select(col("key_col")).head().getString(0))
+    }
   }
 
   /** Files that may contain any of `keys` (exact w.r.t. the table:

@@ -28,6 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * parquet row-group scan, so pruning is pure I/O savings, never a
   * correctness surface).
   *
+  * When the table ALSO carries a [[BloomIndex]] sidecar (its `key_col`
+  * rides with the bits), equality and IN predicates on that key add a
+  * second admission leg: one batched distributed bloom probe per plan,
+  * intersected with the zone-map leg — point lookups through plain SQL
+  * open only the files whose bloom admits the key, exactly like
+  * [[BloomIndex.lookup]] but with the planner doing the routing.
+  *
   * Conservatism contract (the [[ZoneMap]] read-side rules, verbatim):
   * a conjunct the translator does not understand admits every file; null
   * or missing bounds never prune; live files the sidecar does not cover
@@ -45,9 +52,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object IndexedTable {
 
-  /** Open a zone-mapped table (built by [[ZoneMap.build]]/`append`/
-    * `appendBatch`) as a DataFrame whose scan prunes files from any
-    * pushed predicate at planning time.
+  /** Open an indexed table (zone-mapped via [[ZoneMap.build]]/`append`/
+    * `appendBatch`, bloom-indexed via [[BloomIndex.build]], or both) as a
+    * DataFrame whose scan prunes files from any pushed predicate at
+    * planning time.
     */
   def table(spark: SparkSession, tablePath: String): DataFrame = {
     val schema = spark.read.parquet(tablePath).schema
@@ -75,7 +83,8 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
     * one snapshot of table + sidecar.
     */
   private final case class State(byName: Map[String, FileStatus],
-      live: Set[String], stats: Seq[ZoneMap.Stat])
+      live: Set[String], stats: Seq[ZoneMap.Stat],
+      bloomCol: Option[String])
 
   @volatile private var cached: State = _
 
@@ -94,7 +103,7 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
     val (liveUris, stats) = ZoneMap.loadIndex(spark, tablePath)
     val liveNames = liveUris.map(u => new Path(u).getName)
     State(files.map(st => st.getPath.getName -> st).toMap,
-      liveNames, stats)
+      liveNames, stats, BloomIndex.plannedKeyCol(spark, tablePath))
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
@@ -200,16 +209,45 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
       case None => s.live
     }
 
+  private def longVal(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  /** Bloom-sidecar admission for a point/IN predicate: one batched probe
+    * when the attribute is the bloom-indexed key and every value is an
+    * integral literal (the sidecar hashes keys cast to long); anything
+    * else admits all — the zone-map leg still applies via intersection.
+    * Uncovered files come back from the probe itself (its torn-append
+    * contract), so the fallback survives.
+    */
+  private def bloomCands(s: State, e: Expression,
+      vs: Seq[Any]): Set[String] = (attrOf(e), s.bloomCol) match {
+    case (Some(a), Some(bc)) if a.name == bc =>
+      val keys = vs.flatMap(longVal)
+      if (keys.size != vs.size || keys.isEmpty) s.live
+      else BloomIndex.candidateFiles(spark, tablePath, keys)
+        .map(f => new Path(f).getName).toSet.intersect(s.live)
+    case _ => s.live
+  }
+
   /** Conservative admitted set for one predicate; anything unrecognized
     * admits every live file.
     */
   private def admitted(e: Expression, s: State): Set[String] = e match {
     case And(l, r) => admitted(l, s) intersect admitted(r, s)
     case Or(l, r) => admitted(l, s) union admitted(r, s)
-    case EqualTo(x, Literal(v, _)) => point(s, x, v)
-    case EqualTo(Literal(v, _), x) => point(s, x, v)
-    case EqualNullSafe(x, Literal(v, _)) if v != null => point(s, x, v)
-    case EqualNullSafe(Literal(v, _), x) if v != null => point(s, x, v)
+    case EqualTo(x, Literal(v, _)) =>
+      point(s, x, v) intersect bloomCands(s, x, Seq(v))
+    case EqualTo(Literal(v, _), x) =>
+      point(s, x, v) intersect bloomCands(s, x, Seq(v))
+    case EqualNullSafe(x, Literal(v, _)) if v != null =>
+      point(s, x, v) intersect bloomCands(s, x, Seq(v))
+    case EqualNullSafe(Literal(v, _), x) if v != null =>
+      point(s, x, v) intersect bloomCands(s, x, Seq(v))
     case GreaterThan(x, Literal(v, _)) =>
       attrOf(x).map(interval(s, _, Some(v), None)).getOrElse(s.live)
     case GreaterThanOrEqual(x, Literal(v, _)) =>
@@ -228,11 +266,17 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
       attrOf(x).map(interval(s, _, Some(v), None)).getOrElse(s.live)
     case In(x, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       // col IN () and col IN (NULL) match no definite row; the union of
-      // per-value point sets (empty for those cases) is exactly right
-      vs.map(l => point(s, x, l.asInstanceOf[Literal].value))
+      // per-value point sets (empty for those cases) is exactly right.
+      // The bloom leg probes the whole key list in ONE batched job.
+      val values = vs.map(_.asInstanceOf[Literal].value)
+      values.map(v => point(s, x, v))
         .foldLeft(Set.empty[String])(_ union _)
+        .intersect(bloomCands(s, x, values))
     case InSet(x, vs) =>
-      vs.map(v => point(s, x, v)).foldLeft(Set.empty[String])(_ union _)
+      val values = vs.toSeq
+      values.map(v => point(s, x, v))
+        .foldLeft(Set.empty[String])(_ union _)
+        .intersect(bloomCands(s, x, values))
     case StartsWith(x, Literal(p, StringType)) =>
       (attrOf(x), strVal(p)) match {
         case (Some(a), Some(prefix)) if prefix.nonEmpty =>

@@ -460,10 +460,32 @@ object SourceQueries {
     },
     srcZonemapStringRange.oracle)
 
+  /** Bloom point lookup through the PLANNER ([[IndexedTable]]): the same
+    * table + key set as src_bloom_lookup, but the probe is a plain
+    * `isin` filter — the scan's FileIndex recognizes the sidecar's
+    * recorded key column and routes the equality through one batched
+    * bloom probe. Content-invisible under the shared oracle; the ~1-file
+    * admission and the bloom×zonemap intersection are IndexedTableSpec's.
+    */
+  val srcBloomPlanned = Q(
+    "src_bloom_planned",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("bloomplan").toString + "/t"
+      BloomIndex.build(graft.Tables.events(s, d), "user_id", dir, nFiles = 16)
+      IndexedTable.table(s, dir)
+        .filter(col("user_id").isin(7L, 123L, 456L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    srcBloomLookup.oracle)
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
       srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
       srcBloomAppendedLookup, srcZonemapRange, srcZonemapAppendedRange,
       srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox,
-      srcZonemapStringRange, srcZonemapPlanned, srcZonemapPlannedSql)
+      srcZonemapStringRange, srcZonemapPlanned, srcZonemapPlannedSql,
+      srcBloomPlanned)
 }

@@ -140,6 +140,54 @@ class IndexedTableSpec extends AnyFunSuite {
     assert(plannedFiles(pre) < 5)
   }
 
+  test("bloom-indexed table: planner routes equality through the bloom") {
+    val d = newTable("idxtbloom")
+    BloomIndex.build(ev, "user_id", d, nFiles = 16)
+    val t = IndexedTable.table(spark, d)
+    val got = t.filter(col("user_id") === 123L)
+    assertSameRows(got,
+      spark.read.parquet(d).filter(col("user_id") === 123L))
+    // one key lives in ONE hash-partitioned file (+ rare fp)
+    val n = plannedFiles(got)
+    assert(n <= 3, s"bloom point lookup should open ~1 of 16 files, got $n")
+  }
+
+  test("bloom-indexed table: IN-list probes once, batched") {
+    val d = newTable("idxtbloomin")
+    BloomIndex.build(ev, "user_id", d, nFiles = 16)
+    val t = IndexedTable.table(spark, d)
+    val got = t.filter(col("user_id").isin(7L, 123L, 456L))
+    assertSameRows(got, spark.read.parquet(d)
+      .filter(col("user_id").isin(7L, 123L, 456L)))
+    val n = plannedFiles(got)
+    assert(n <= 6, s"3-key bloom lookup should open <=6 of 16 files, got $n")
+  }
+
+  test("bloom + zone map on one table intersect their admissions") {
+    val d = newTable("idxtboth")
+    // zone-map build clusters on user_id; bloom over the SAME layout via
+    // stats-only on the bloom's hash layout is not range-clustered, so
+    // build bloom first, then index the existing layout with stats
+    BloomIndex.build(ev, "user_id", d, nFiles = 16)
+    ZoneMap.buildStatsOnly(spark, d, Seq("value"))
+    val t = IndexedTable.table(spark, d)
+    val pred = col("user_id") === 123L && col("value") > lit(1e9)
+    val got = t.filter(pred)
+    assertSameRows(got, spark.read.parquet(d).filter(pred))
+    // value > 1e9 is out of domain: the zone leg alone should empty it
+    assert(plannedFiles(got) == 0)
+  }
+
+  test("equality on a NON-key column does not consult the bloom") {
+    val d = newTable("idxtnk")
+    BloomIndex.build(ev, "user_id", d, nFiles = 8)
+    val t = IndexedTable.table(spark, d)
+    val got = t.filter(col("event_type") === "click")
+    assertSameRows(got,
+      spark.read.parquet(d).filter(col("event_type") === "click"))
+    assert(plannedFiles(got) == 8) // no stats, no bloom claim: all files
+  }
+
   test("residual predicate still pushes into the parquet scan") {
     val d = builtEvents("idxtpush")
     val got = IndexedTable.table(spark, d)
