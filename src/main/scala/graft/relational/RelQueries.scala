@@ -2136,6 +2136,37 @@ object RelQueries {
       GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
       ORDER BY lang, source, len_bucket"""))
 
+  /** Bloom runtime-filter join ([[graft.ops.RuntimeFilter]]): the 20%
+    * urgent-orders slice ships as a 16 KiB bit-set literal that kills
+    * ~80% of lineitem BEFORE the fact-side shuffle; the exact join then
+    * runs over the survivors, so the oracle is the PLAIN join — the
+    * reduction must be invisible in the result. Selectivity and
+    * completeness are RuntimeFilterSpec's.
+    */
+  val q59BloomSemijoin = Q(
+    "q59_bloom_semijoin",
+    (s, d) => {
+      val li = T.lineitem(s, d)
+      val urgent = T.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.ops.RuntimeFilter.bloomSemiJoin(li, "l_orderkey", urgent,
+        "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             CAST(COUNT(*) AS BIGINT)                            AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
@@ -2149,5 +2180,6 @@ object RelQueries {
     q46DistinctSketchMerge, q47ResampleFfill, q48ProfileCorr,
     q49ProfileHistogram, q50ResampleMaintained, q51GroupQuantilesApprox,
     q52DriftPsi, q53ProfileCramersV, q54RetentionCohorts,
-    q55FreqSketchMerge, q56AnomalyMad, q57DqChecks, q58KAnonymity)
+    q55FreqSketchMerge, q56AnomalyMad, q57DqChecks, q58KAnonymity,
+    q59BloomSemijoin)
 }
