@@ -481,11 +481,89 @@ object SourceQueries {
     },
     srcBloomLookup.oracle)
 
+  /** The z-order × zone-map box composition through the PLANNER: same
+    * layout + box as src_zorder_zonemap_box, probed as a plain 2-D
+    * conjunction — [[SkippingFileIndex]] intersects the per-dimension
+    * admissions (And of two ranges), so the Morton clustering's tight
+    * per-file bounding boxes prune with zero probe syntax.
+    */
+  val srcZorderPlanned = Q(
+    "src_zorder_planned",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("zzplan").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      ZOrder.writeZOrdered(ev, dir, col("user_id"),
+        (col("value") * 1000).cast("long"), bits = 12, nFiles = 32)
+      ZoneMap.buildStatsOnly(s, dir, Seq("user_id", "value"))
+      IndexedTable.table(s, dir)
+        .filter(col("user_id").between(100, 199) &&
+          col("value").between(10.0, 30.0))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    srcZorderZonemapBox.oracle)
+
+  /** Merge-on-READ equality deletes on the [[Versioned]] table — the
+    * other half of the Iceberg COW/MOR pair: the delete commit writes the
+    * key batch as a delete FILE (O(batch), zero data files rewritten —
+    * spec-asserted), readers anti-join, and the delete masks only files
+    * committed BEFORE it, so the later append RE-INSERTS a deleted key
+    * (the sequencing subtlety the oracle replays). compact() then
+    * materializes; the compacted state must equal the pre-compaction
+    * read.
+    */
+  val srcVersionedMor = Q(
+    "src_versioned_mor",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vmor").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev, dir)
+      Versioned.deleteByKeyMor(
+        ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+        dir, "event_id")
+      val reins = ev.filter(col("event_id") % 14 === 0)
+        .withColumn("value", col("value") + 5000.0)
+        .withColumn("event_type", lit("reinserted"))
+      Versioned.append(reins, dir)
+      Versioned.compact(s, dir, numFiles = 4)
+      def state(name: String, v: Int) =
+        Versioned.read(s, dir, Some(v))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      state("a_masked", 2).unionAll(state("b_reinserted", 3))
+        .unionAll(state("c_compacted", 4))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH masked AS (
+        SELECT event_type, value FROM events WHERE event_id % 7 <> 0),
+      reins AS (
+        SELECT 'reinserted' AS event_type, value + 5000.0 AS value
+        FROM events WHERE event_id % 14 = 0),
+      after AS (
+        SELECT * FROM masked UNION ALL SELECT * FROM reins)
+      SELECT 'a_masked' AS state, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM masked GROUP BY 2
+      UNION ALL
+      SELECT 'b_reinserted', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after GROUP BY 2
+      UNION ALL
+      SELECT 'c_compacted', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after GROUP BY 2
+      ORDER BY state, event_type"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
       srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
       srcBloomAppendedLookup, srcZonemapRange, srcZonemapAppendedRange,
       srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox,
       srcZonemapStringRange, srcZonemapPlanned, srcZonemapPlannedSql,
-      srcBloomPlanned)
+      srcBloomPlanned, srcZorderPlanned, srcVersionedMor)
 }

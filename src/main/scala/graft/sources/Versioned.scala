@@ -71,10 +71,12 @@ object Versioned {
     listVersions(table, conf).lastOption.getOrElse(0)
 
   private def commitManifest(spark: SparkSession, table: String, v: Int,
-      files: Seq[String], txns: Seq[Long]): Unit = {
+      files: Seq[String], txns: Seq[Long],
+      deletes: Seq[String] = Seq.empty): Unit = {
     import spark.implicits._
     val tmp = s"${manifestRoot(table)}/_tmp_v$v"
-    (files.map(("f", _)) ++ txns.map(t => ("t", t.toString)))
+    (files.map(("f", _)) ++ txns.map(t => ("t", t.toString)) ++
+      deletes.map(("d", _)))
       .toDF("kind", "value")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val fs = fsFor(table, spark.sparkContext.hadoopConfiguration)
@@ -82,18 +84,77 @@ object Versioned {
     require(ok, s"manifest commit v$v failed (concurrent writer?)")
   }
 
-  /** (data files sorted, committed batch ids) of snapshot `v`. */
-  private def manifest(spark: SparkSession, table: String,
-      v: Int): (Seq[String], Seq[Long]) = {
+  /** (data files sorted, committed batch ids, equality-delete files) of
+    * snapshot `v`.
+    */
+  private def manifestFull(spark: SparkSession, table: String,
+      v: Int): (Seq[String], Seq[Long], Seq[String]) = {
     import spark.implicits._
     val rows = spark.read.parquet(manifestDir(table, v))
       .as[(String, String)].collect()
     (rows.collect { case ("f", f) => f }.toSeq.sorted,
-      rows.collect { case ("t", t) => t.toLong }.toSeq.sorted)
+      rows.collect { case ("t", t) => t.toLong }.toSeq.sorted,
+      rows.collect { case ("d", p) => p }.toSeq.sorted)
+  }
+
+  /** (data files sorted, committed batch ids) of snapshot `v`. */
+  private def manifest(spark: SparkSession, table: String,
+      v: Int): (Seq[String], Seq[Long]) = {
+    val (f, t, _) = manifestFull(spark, table, v); (f, t)
   }
 
   private def snapshotFiles(spark: SparkSession, table: String,
       v: Int): Seq[String] = manifest(spark, table, v)._1
+
+  /** Commit SEQUENCE of a data/delete file, derived from its
+    * version-stamped directory name (`c=`/`u=`/`r=`/`d=` carry the commit
+    * version; streamed dirs are `b=<batchId>-v<version>`). Legacy `b=`
+    * dirs without the suffix parse as 0 — correct, since they predate
+    * every equality delete (the MOR path postdates them).
+    */
+  private def seqOfDir(dirName: String): Int = {
+    val eq = dirName.indexOf('=')
+    if (eq < 0) 0
+    else (dirName.take(eq), dirName.drop(eq + 1)) match {
+      case ("c" | "u" | "r" | "d", n) => n.toIntOption.getOrElse(0)
+      case ("b", rest) => rest.split("-v") match {
+        case Array(_, v) => v.toIntOption.getOrElse(0)
+        case _ => 0
+      }
+      case _ => 0
+    }
+  }
+
+  private def seqOf(path: String): Int =
+    seqOfDir(new Path(path).getParent.getName)
+
+  /** Distributed read of `dataFiles` with equality-delete files applied —
+    * the merge-on-read contract: a delete masks only rows in files
+    * committed BEFORE it (Iceberg's sequence-number rule), so a later
+    * re-insert of a deleted key is visible. Data files group by commit
+    * sequence; each group anti-joins the union of its applicable delete
+    * keys per key column (delete batches are batch-sized by contract —
+    * the broadcast is bounded). Keep delete chains short: [[compact]]
+    * materializes.
+    */
+  private def readWithDeletes(spark: SparkSession, dataFiles: Seq[String],
+      delFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (dataFiles.isEmpty) return spark.emptyDataFrame
+    if (delFiles.isEmpty) return spark.read.parquet(dataFiles: _*)
+    val delMeta = delFiles.map { p =>
+      (seqOf(p), spark.read.parquet(p).schema.head.name, p)
+    }
+    dataFiles.groupBy(seqOf).toSeq.sortBy(_._1).map { case (s, fs) =>
+      val applicable = delMeta.filter(_._1 > s)
+      applicable.groupBy(_._2).toSeq.sortBy(_._1)
+        .foldLeft(spark.read.parquet(fs: _*)) { case (df, (kc, ms)) =>
+          val keys = spark.read.parquet(ms.map(_._3): _*)
+            .select(col(kc)).distinct()
+          df.join(broadcast(keys), Seq(kc), "left_anti")
+        }
+    }.reduce(_ unionByName _)
+  }
 
   private def writeData(df: DataFrame, dataDir: String): Seq[String] = {
     // clear a torn prior attempt (data landed, manifest rename didn't) so
@@ -106,14 +167,18 @@ object Versioned {
     df.sparkSession.read.parquet(dataDir).inputFiles.toSeq
   }
 
-  /** Append `df` as a new snapshot; returns the new version number. */
+  /** Append `df` as a new snapshot; returns the new version number.
+    * Pending equality deletes carry forward — they mask only OLDER files,
+    * so the appended rows are visible even for previously-deleted keys.
+    */
   def append(df: DataFrame, table: String): Int = {
     val spark = df.sparkSession
     val v = currentVersion(table, spark.sparkContext.hadoopConfiguration) + 1
-    val (prev, txns) = if (v == 1) (Seq.empty[String], Seq.empty[Long])
-      else manifest(spark, table, v - 1)
+    val (prev, txns, dels) =
+      if (v == 1) (Seq.empty[String], Seq.empty[Long], Seq.empty[String])
+      else manifestFull(spark, table, v - 1)
     val added = writeData(df, s"$table/data/c=$v")
-    commitManifest(spark, table, v, prev ++ added, txns)
+    commitManifest(spark, table, v, prev ++ added, txns, dels)
     v
   }
 
@@ -127,11 +192,16 @@ object Versioned {
   def appendBatch(df: DataFrame, table: String, batchId: Long): Option[Int] = {
     val spark = df.sparkSession
     val v = currentVersion(table, spark.sparkContext.hadoopConfiguration)
-    val (prev, txns) = if (v == 0) (Seq.empty[String], Seq.empty[Long])
-      else manifest(spark, table, v)
+    val (prev, txns, dels) =
+      if (v == 0) (Seq.empty[String], Seq.empty[Long], Seq.empty[String])
+      else manifestFull(spark, table, v)
     if (txns.contains(batchId)) return None
-    val added = writeData(df, s"$table/data/b=$batchId")
-    commitManifest(spark, table, v + 1, prev ++ added, txns :+ batchId)
+    // the committing version rides in the dir name so equality deletes
+    // sequence correctly against streamed files (see seqOfDir); under the
+    // single-writer contract a torn redelivery recomputes the same v and
+    // clears the same dir
+    val added = writeData(df, s"$table/data/b=$batchId-v${v + 1}")
+    commitManifest(spark, table, v + 1, prev ++ added, txns :+ batchId, dels)
     Some(v + 1)
   }
 
@@ -144,9 +214,8 @@ object Versioned {
     val conf = spark.sparkContext.hadoopConfiguration
     val v = version.getOrElse(currentVersion(table, conf))
     require(listVersions(table, conf).contains(v), s"no snapshot v=$v at $table")
-    val files = snapshotFiles(spark, table, v)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    val (files, _, dels) = manifestFull(spark, table, v)
+    readWithDeletes(spark, files, dels)
   }
 
   /** Overwrite commit (Iceberg's REPLACE): the new snapshot's content is
@@ -186,7 +255,7 @@ object Versioned {
     val spark = updates.sparkSession
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     if (cur == 0) return append(updates, table)
-    val (files, txns) = manifest(spark, table, cur)
+    val (files, txns, dels) = manifestFull(spark, table, cur)
     val keys = updates.select(col(keyCol)).distinct()
     val touched = spark.read.parquet(files: _*)
       .select(col(keyCol), input_file_name().as("__f"))
@@ -195,13 +264,17 @@ object Versioned {
       .collect().map(_.getString(0)).toSet
     val carried = files.filterNot(touched)
     val v = cur + 1
+    // rewritten files jump PAST every pending delete's sequence, so the
+    // deletes must be applied to the rows being rewritten (masked rows
+    // must not resurrect); untouched files keep their old sequence and
+    // stay masked by the carried delete entries
     val survivors =
       if (touched.isEmpty) updates
-      else spark.read.parquet(touched.toSeq: _*)
+      else readWithDeletes(spark, touched.toSeq, dels)
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         .unionByName(updates)
     val added = writeData(survivors, s"$table/data/u=$v")
-    commitManifest(spark, table, v, carried ++ added, txns)
+    commitManifest(spark, table, v, carried ++ added, txns, dels)
     v
   }
 
@@ -216,7 +289,7 @@ object Versioned {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     require(cur > 0, s"no snapshot to delete from at $table")
-    val (files, txns) = manifest(spark, table, cur)
+    val (files, txns, dels) = manifestFull(spark, table, cur)
     val touched = spark.read.parquet(files: _*)
       .filter(pred)
       .select(input_file_name().as("__f")).distinct()
@@ -225,12 +298,76 @@ object Versioned {
     val carried = files.filterNot(touched)
     val v = cur + 1
     // NULL-pred rows are NOT matches: keep them (coalesce, so the
-    // survivor filter is the exact complement of the touch filter)
-    val survivors = spark.read.parquet(touched.toSeq: _*)
+    // survivor filter is the exact complement of the touch filter).
+    // Pending equality deletes apply to the rewrite (see upsert).
+    val survivors = readWithDeletes(spark, touched.toSeq, dels)
       .filter(!coalesce(pred, lit(false)))
     val added = writeData(survivors, s"$table/data/u=$v")
-    commitManifest(spark, table, v, carried ++ added, txns)
+    commitManifest(spark, table, v, carried ++ added, txns, dels)
     v
+  }
+
+  /** Merge-on-READ equality delete (Iceberg's equality-delete files —
+    * the other half of the COW/MOR pair): instead of rewriting the files
+    * that hold matches, the commit writes the key batch as a DELETE FILE
+    * and carries every data file forward by reference — an O(batch)
+    * write, independent of how many data files hold the keys, the shape
+    * CDC-heavy ingest needs. Readers anti-join ([[readWithDeletes]]):
+    * the delete masks rows only in files committed BEFORE it, so a later
+    * append/upsert of the same key is visible. Cost moves to the read
+    * side — [[compact]] materializes (its snapshot lists no delete
+    * entries), so keep delete chains short between compactions.
+    */
+  def deleteByKeyMor(keys: DataFrame, table: String, keyCol: String): Int = {
+    import org.apache.spark.sql.functions._
+    val spark = keys.sparkSession
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    require(cur > 0, s"no snapshot to delete from at $table")
+    val (files, txns, dels) = manifestFull(spark, table, cur)
+    val v = cur + 1
+    val added = writeData(keys.select(col(keyCol)).distinct().coalesce(1),
+      s"$table/data/d=$v")
+    commitManifest(spark, table, v, files, txns, dels ++ added)
+    v
+  }
+
+  /** Delete data/delete files under the table that NO surviving manifest
+    * references (torn attempts orphaned by an interleaved commit, debris
+    * from killed jobs). Single-writer contract: run from the writer, not
+    * concurrently with it. Returns the deleted paths. Matching is by the
+    * path's `/data/...` suffix, so filesystem-URI spelling differences
+    * between the manifest (inputFiles) and the listing cannot cause a
+    * live file to look orphaned — both sides normalize.
+    */
+  def vacuumOrphans(spark: SparkSession, table: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def suffix(p: String): String = {
+      val i = p.indexOf("/data/")
+      if (i < 0) p else p.substring(i)
+    }
+    val referenced = listVersions(table, conf).flatMap { v =>
+      val (f, _, d) = manifestFull(spark, table, v); f ++ d
+    }.map(suffix).toSet
+    val fs = fsFor(table, conf)
+    val dataRoot = new Path(s"$table/data")
+    if (!fs.exists(dataRoot)) return Seq.empty
+    val it = fs.listFiles(dataRoot, true)
+    val all = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) all += it.next().getPath
+    // _SUCCESS/.crc markers are committer metadata, never manifest
+    // entries — not orphans (they go when their directory goes)
+    val orphans = all
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .filterNot(p => referenced.contains(suffix(p.toString)))
+    orphans.foreach(p => fs.delete(p, false))
+    // drop leaf dirs holding nothing but committer metadata, so a
+    // vacuumed attempt leaves no husk
+    orphans.map(_.getParent).distinct.foreach { d =>
+      if (fs.exists(d) && fs.listStatus(d).forall { s =>
+        val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+      }) fs.delete(d, true)
+    }
+    orphans.map(_.toString).toSeq
   }
 
   /** Rewrite the CURRENT snapshot into `numFiles` files as a new snapshot
@@ -250,7 +387,7 @@ object Versioned {
   }
 
   /** Drop all snapshots but the last `keepLast`, then delete every data
-    * file no surviving manifest references.
+    * (and equality-delete) file no surviving manifest references.
     */
   def expire(spark: SparkSession, table: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"keepLast=$keepLast")
@@ -258,10 +395,13 @@ object Versioned {
     val vs = listVersions(table, conf)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
     if (drop.isEmpty) return
-    val live = keep.flatMap(snapshotFiles(spark, table, _)).toSet
+    def allFiles(v: Int): Seq[String] = {
+      val (f, _, d) = manifestFull(spark, table, v); f ++ d
+    }
+    val live = keep.flatMap(allFiles).toSet
     val fs = fsFor(table, conf)
     drop.foreach { v =>
-      val dead = snapshotFiles(spark, table, v).filterNot(live)
+      val dead = allFiles(v).filterNot(live)
       dead.foreach(f => fs.delete(new Path(f), false))
       fs.delete(new Path(manifestDir(table, v)), true)
     }

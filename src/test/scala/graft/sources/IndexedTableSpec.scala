@@ -188,6 +188,24 @@ class IndexedTableSpec extends AnyFunSuite {
     assert(plannedFiles(got) == 8) // no stats, no bloom claim: all files
   }
 
+  test("2-D box over a z-ordered layout: conjunction beats either dim alone") {
+    val d = newTable("idxtzz")
+    ZOrder.writeZOrdered(ev, d, col("user_id"),
+      (col("value") * 1000).cast("long"), bits = 12, nFiles = 32)
+    ZoneMap.buildStatsOnly(spark, d, Seq("user_id", "value"))
+    val t = IndexedTable.table(spark, d)
+    val both = t.filter(col("user_id").between(100, 199) &&
+      col("value").between(10.0, 30.0))
+    assertSameRows(both, spark.read.parquet(d).filter(
+      col("user_id").between(100, 199) && col("value").between(10.0, 30.0)))
+    val nBoth = plannedFiles(both)
+    val nU = plannedFiles(t.filter(col("user_id").between(100, 199)))
+    val nV = plannedFiles(t.filter(col("value").between(10.0, 30.0)))
+    assert(nBoth < nU && nBoth < nV,
+      s"box admission ($nBoth) must beat either dim alone ($nU, $nV)")
+    assert(nBoth < 32)
+  }
+
   test("residual predicate still pushes into the parquet scan") {
     val d = builtEvents("idxtpush")
     val got = IndexedTable.table(spark, d)

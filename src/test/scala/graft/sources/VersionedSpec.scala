@@ -83,8 +83,9 @@ class VersionedSpec extends AnyFunSuite {
   test("a torn un-committed batch write is cleared and rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
     val a = ev.filter(col("event_id") % 2 === 0)
-    // simulate: data landed, manifest rename never happened
-    a.limit(5).write.parquet(s"$dir/data/b=7")
+    // simulate: data landed, manifest rename never happened (the dir a
+    // redelivery at the same version recomputes and must clear)
+    a.limit(5).write.parquet(s"$dir/data/b=7-v1")
     assert(Versioned.currentVersion(dir) == 0)
     assert(Versioned.appendBatch(a, dir, batchId = 7L).contains(1))
     val v1 = Versioned.read(spark, dir)
@@ -250,5 +251,91 @@ class VersionedSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ver").toString + "/t"
     assert(Versioned.compact(spark, dir, numFiles = 2) == 0)
     assert(Versioned.currentVersion(dir) == 0)
+  }
+
+  test("MOR delete rewrites NO data files; readers mask the keys") {
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
+    Versioned.append(ev.repartition(6), dir)
+    val before = Versioned.read(spark, dir).inputFiles.toSet
+    val keys = ev.filter(col("event_id") % 7 === 0)
+      .select(col("event_id"))
+    Versioned.deleteByKeyMor(keys, dir, "event_id")
+    val after = Versioned.read(spark, dir)
+    // every pre-delete data file is still the snapshot's storage
+    assert(before.subsetOf(after.inputFiles.toSet))
+    val want = ev.filter(col("event_id") % 7 =!= 0)
+    assert(after.count() == want.count())
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty)
+    // time travel to the pre-delete snapshot is unmasked
+    assert(Versioned.read(spark, dir, Some(1)).count() == ev.count())
+  }
+
+  test("MOR delete sequences: a later append re-inserts a deleted key") {
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
+    Versioned.append(ev, dir)
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+      dir, "event_id")
+    val reins = ev.filter(col("event_id") % 14 === 0)
+      .withColumn("value", col("value") + 5000.0)
+    Versioned.append(reins, dir)
+    val got = Versioned.read(spark, dir)
+    val want = ev.filter(col("event_id") % 7 =!= 0).unionByName(reins)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // streamed files sequence the same way (b=<id>-v<version> dirs)
+    Versioned.appendBatch(reins.withColumn("value", col("value") + 1), dir, 99L)
+    assert(Versioned.read(spark, dir).count() == want.count() + reins.count())
+  }
+
+  test("compact materializes pending MOR deletes; content invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
+    Versioned.append(ev, dir)
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 5 === 0).select(col("event_id")),
+      dir, "event_id")
+    val preCompact = Versioned.read(spark, dir)
+    val wantN = preCompact.count()
+    Versioned.compact(spark, dir, numFiles = 2)
+    val post = Versioned.read(spark, dir)
+    assert(post.count() == wantN)
+    assert(post.exceptAll(preCompact).isEmpty &&
+      preCompact.exceptAll(post).isEmpty)
+  }
+
+  test("COW upsert over pending MOR deletes does not resurrect masked rows") {
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
+    Versioned.append(ev.repartitionByRange(4, col("event_id")), dir)
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 10 === 0).select(col("event_id")),
+      dir, "event_id")
+    // patch a key set that shares files with masked keys
+    val patches = ev.filter(col("event_id") % 10 === 3)
+      .withColumn("event_type", lit("patched"))
+    Versioned.upsert(patches, dir, "event_id")
+    val got = Versioned.read(spark, dir)
+    val want = ev.filter(col("event_id") % 10 =!= 0)
+      .filter(col("event_id") % 10 =!= 3).unionByName(patches)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("expire keeps carried delete files; vacuum removes only orphans") {
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
+    Versioned.append(ev, dir)
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+      dir, "event_id")
+    Versioned.append(ev.limit(10).withColumn("event_id",
+      col("event_id") + 9000000L), dir)
+    val want = Versioned.read(spark, dir).count()
+    Versioned.expire(spark, dir, keepLast = 1)
+    assert(Versioned.read(spark, dir).count() == want) // delete file survived
+    // an orphan (torn, never-committed dir) is vacuumed; live files are not
+    ev.limit(3).write.parquet(s"$dir/data/b=777-v9")
+    val vacuumed = Versioned.vacuumOrphans(spark, dir)
+    assert(vacuumed.nonEmpty && vacuumed.forall(_.contains("b=777")))
+    assert(Versioned.read(spark, dir).count() == want)
+    assert(Versioned.vacuumOrphans(spark, dir).isEmpty)
   }
 }
