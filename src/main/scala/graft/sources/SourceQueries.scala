@@ -559,11 +559,78 @@ object SourceQueries {
       FROM after GROUP BY 2
       ORDER BY state, event_type"""))
 
+  /** Streaming CDC through merge-on-read (`EventsStream.cdcMorSink` /
+    * `Versioned.mergeMorBatch`): batch 0 patches one key set and deletes
+    * another in ONE atomic commit (data + delete file + txn id in a
+    * single manifest rename), is REDELIVERED mid-sequence (must no-op),
+    * then batch 1 revives the deleted keys — visible despite the earlier
+    * delete (the sequence rule) — and a compact materializes. The oracle
+    * replays all three states from the original table.
+    */
+  val srcVersionedCdc = Q(
+    "src_versioned_cdc",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vcdc").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev, dir)
+      val b0 = ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + 1000.0)
+        .withColumn("event_type", lit("patched"))
+        .withColumn("op", lit("upsert"))
+        .unionByName(ev.filter(col("event_id") % 100 === 50)
+          .withColumn("op", lit("delete")))
+      graft.streaming.EventsStream.processCdcMorBatch(b0, 0L, dir,
+        "event_id", "op")
+      // redelivery of batch 0: the txn row must make this a no-op
+      graft.streaming.EventsStream.processCdcMorBatch(b0, 0L, dir,
+        "event_id", "op")
+      require(Versioned.currentVersion(dir) == 2, "redelivery committed!")
+      val b1 = ev.filter(col("event_id") % 100 === 50)
+        .withColumn("value", col("value") + 7000.0)
+        .withColumn("event_type", lit("revived"))
+        .withColumn("op", lit("upsert"))
+      graft.streaming.EventsStream.processCdcMorBatch(b1, 1L, dir,
+        "event_id", "op")
+      Versioned.compact(s, dir, numFiles = 4)
+      def state(name: String, v: Int) =
+        Versioned.read(s, dir, Some(v))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      state("a_cdc0", 2).unionAll(state("b_cdc1", 3))
+        .unionAll(state("c_compacted", 4))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH after0 AS (
+        SELECT CASE WHEN event_id % 100 = 0 THEN 'patched'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 100 = 0 THEN value + 1000.0
+                    ELSE value END AS value
+        FROM events WHERE event_id % 100 <> 50),
+      revived AS (
+        SELECT 'revived' AS event_type, value + 7000.0 AS value
+        FROM events WHERE event_id % 100 = 50),
+      after1 AS (SELECT * FROM after0 UNION ALL SELECT * FROM revived)
+      SELECT 'a_cdc0' AS state, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM after0 GROUP BY 2
+      UNION ALL
+      SELECT 'b_cdc1', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after1 GROUP BY 2
+      UNION ALL
+      SELECT 'c_compacted', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after1 GROUP BY 2
+      ORDER BY state, event_type"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
       srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
       srcBloomAppendedLookup, srcZonemapRange, srcZonemapAppendedRange,
       srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox,
       srcZonemapStringRange, srcZonemapPlanned, srcZonemapPlannedSql,
-      srcBloomPlanned, srcZorderPlanned, srcVersionedMor)
+      srcBloomPlanned, srcZorderPlanned, srcVersionedMor, srcVersionedCdc)
 }

@@ -116,7 +116,7 @@ object Versioned {
     val eq = dirName.indexOf('=')
     if (eq < 0) 0
     else (dirName.take(eq), dirName.drop(eq + 1)) match {
-      case ("c" | "u" | "r" | "d", n) => n.toIntOption.getOrElse(0)
+      case ("c" | "u" | "r" | "d" | "m", n) => n.toIntOption.getOrElse(0)
       case ("b", rest) => rest.split("-v") match {
         case Array(_, v) => v.toIntOption.getOrElse(0)
         case _ => 0
@@ -329,6 +329,57 @@ object Versioned {
       s"$table/data/d=$v")
     commitManifest(spark, table, v, files, txns, dels ++ added)
     v
+  }
+
+  /** Merge-on-read MERGE — ONE atomic commit of (new data files at
+    * sequence v, an equality-delete file at sequence v): the delete masks
+    * the OLDER rows of every key in `upserts` ∪ `deleteKeys`, while the
+    * upsert rows land AT v and survive their own mask (the sequence rule
+    * is strict). This is the CDC ingest shape at scale — O(batch) writes
+    * with zero data-file rewrites, where [[upsert]] (copy-on-write) pays
+    * O(touched files) per commit; [[compact]] amortizes the read-side
+    * anti-joins away. Returns the new version.
+    */
+  def mergeMor(upserts: DataFrame, deleteKeys: DataFrame, table: String,
+      keyCol: String): Int =
+    mergeMorImpl(upserts, deleteKeys, table, keyCol, None).get
+
+  /** Merge-on-read UPSERT: [[mergeMor]] with no extra deletes — new rows
+    * land, the keys' older rows mask. The MOR twin of [[upsert]].
+    */
+  def upsertMor(updates: DataFrame, table: String, keyCol: String): Int = {
+    import org.apache.spark.sql.functions._
+    mergeMor(updates, updates.select(col(keyCol)), table, keyCol)
+  }
+
+  /** Exactly-once micro-batch [[mergeMor]] (the streaming CDC face — see
+    * `EventsStream.cdcMorSink`): the batch id commits as a manifest txn
+    * row in the SAME rename as the data and delete files, so a
+    * redelivered batch no-ops. Returns the new version, or None if the
+    * batch already committed.
+    */
+  def mergeMorBatch(upserts: DataFrame, deleteKeys: DataFrame,
+      table: String, keyCol: String, batchId: Long): Option[Int] =
+    mergeMorImpl(upserts, deleteKeys, table, keyCol, Some(batchId))
+
+  private def mergeMorImpl(upserts: DataFrame, deleteKeys: DataFrame,
+      table: String, keyCol: String, batchId: Option[Long]): Option[Int] = {
+    import org.apache.spark.sql.functions._
+    val spark = upserts.sparkSession
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    val (files, txns, dels) =
+      if (cur == 0) (Seq.empty[String], Seq.empty[Long], Seq.empty[String])
+      else manifestFull(spark, table, cur)
+    if (batchId.exists(txns.contains)) return None
+    val v = cur + 1
+    val added = writeData(upserts, s"$table/data/m=$v")
+    val allKeys = upserts.select(col(keyCol))
+      .unionByName(deleteKeys.select(col(keyCol)).toDF(keyCol))
+      .distinct().coalesce(1)
+    val delAdded = writeData(allKeys, s"$table/data/d=$v")
+    commitManifest(spark, table, v, files ++ added,
+      txns ++ batchId.toSeq, dels ++ delAdded)
+    Some(v)
   }
 
   /** Delete data/delete files under the table that NO surviving manifest

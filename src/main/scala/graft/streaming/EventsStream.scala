@@ -273,6 +273,35 @@ object EventsStream {
         ()
     }
 
+  /** Streaming CDC ingest (merge-on-read): each micro-batch carries an
+    * `opCol` ("upsert" | "delete") and commits as ONE atomic
+    * `Versioned.mergeMorBatch` — new rows land as data files, the
+    * touched keys land as an equality-delete file masking their older
+    * rows, and the batch id rides the same manifest rename, so
+    * redelivery no-ops. Per-trigger cost is O(batch) with ZERO data-file
+    * rewrites — the CDC shape the copy-on-write merge cannot give at
+    * high trigger rates; run `Versioned.compact` periodically to
+    * materialize the delete chain.
+    */
+  def cdcMorSink(changes: DataFrame, tablePath: String, keyCol: String,
+      opCol: String = "op")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processCdcMorBatch(batch, batchId, tablePath, keyCol, opCol)
+    }
+
+  /** One micro-batch of [[cdcMorSink]], exposed for replay testing. */
+  def processCdcMorBatch(batch: DataFrame, batchId: Long,
+      tablePath: String, keyCol: String, opCol: String): Unit = {
+    val ups = batch.filter(col(opCol) === "upsert").drop(opCol)
+    val delKeys = batch.filter(col(opCol) === "delete")
+      .select(col(keyCol)).distinct()
+    graft.sources.Versioned.mergeMorBatch(ups, delKeys, tablePath, keyCol,
+      batchId)
+    ()
+  }
+
   /** Streaming ingest into a [[graft.sources.ZoneMap]]-indexed table:
     * each micro-batch lands as range-clustered files + their min/max
     * sidecar rows (`ZoneMap.appendBatch` — O(batch) per trigger), so the

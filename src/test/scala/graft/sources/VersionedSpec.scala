@@ -320,6 +320,64 @@ class VersionedSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("mergeMor: one commit, zero rewrites, replaces and deletes keys") {
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
+    Versioned.append(ev.repartition(5), dir)
+    val before = Versioned.read(spark, dir).inputFiles.toSet
+    val ups = ev.filter(col("event_id") % 100 === 0)
+      .withColumn("event_type", lit("patched"))
+    val delKeys = ev.filter(col("event_id") % 100 === 50)
+      .select(col("event_id"))
+    val v = Versioned.mergeMor(ups, delKeys, dir, "event_id")
+    assert(v == 2)
+    val got = Versioned.read(spark, dir)
+    assert(before.subsetOf(got.inputFiles.toSet)) // nothing rewritten
+    val want = ev.filter(col("event_id") % 100 =!= 0)
+      .filter(col("event_id") % 100 =!= 50).unionByName(ups)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("mergeMorBatch: a redelivered CDC batch no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
+    Versioned.append(ev, dir)
+    val ups = ev.filter(col("event_id") % 100 === 0)
+      .withColumn("event_type", lit("patched"))
+    val delKeys = ev.filter(col("event_id") % 100 === 50)
+      .select(col("event_id"))
+    assert(Versioned.mergeMorBatch(ups, delKeys, dir, "event_id", 0L)
+      .contains(2))
+    val once = Versioned.read(spark, dir).count()
+    assert(Versioned.mergeMorBatch(ups, delKeys, dir, "event_id", 0L).isEmpty)
+    assert(Versioned.read(spark, dir).count() == once)
+    assert(Versioned.currentVersion(dir) == 2)
+  }
+
+  test("cdcMorSink: streamed CDC changes == batch merge content") {
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
+    val src = java.nio.file.Files.createTempDirectory("cdcsrc").toString
+    Versioned.append(ev, dir)
+    val changes = ev.filter(col("event_id") % 100 === 0)
+      .withColumn("event_type", lit("patched"))
+      .withColumn("op", lit("upsert"))
+      .unionByName(ev.filter(col("event_id") % 100 === 50)
+        .withColumn("op", lit("delete")))
+    changes.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(changes.schema).parquet(src)
+    val q = graft.streaming.EventsStream.cdcMorSink(stream, dir, "event_id")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdcchk").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = Versioned.read(spark, dir)
+    val want = ev.filter(col("event_id") % 100 =!= 0)
+      .filter(col("event_id") % 100 =!= 50)
+      .unionByName(ev.filter(col("event_id") % 100 === 0)
+        .withColumn("event_type", lit("patched")))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("expire keeps carried delete files; vacuum removes only orphans") {
     val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
     Versioned.append(ev, dir)
