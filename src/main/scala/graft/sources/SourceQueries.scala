@@ -626,11 +626,54 @@ object SourceQueries {
       FROM after1 GROUP BY 2
       ORDER BY state, event_type"""))
 
+  /** Change-data-feed read ([[Versioned.changesBetween]]): a COW patch
+    * span emits delete+insert pairs (file-pruned to the rewritten files —
+    * spec-asserted), a MOR delete span emits deletes only; the oracle
+    * reconstructs both spans' row deltas from the original table.
+    */
+  val srcVersionedCdf = Q(
+    "src_versioned_cdf",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vcdf").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.repartitionByRange(4, col("event_id")), dir)
+      Versioned.upsert(ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + 1000.0)
+        .withColumn("event_type", lit("patched")), dir, "event_id")
+      Versioned.deleteByKeyMor(
+        ev.filter(col("event_id") % 100 === 50).select(col("event_id")),
+        dir, "event_id")
+      def span(name: String, a: Int, b: Int) =
+        Versioned.changesBetween(s, dir, a, b)
+          .groupBy(col("_change_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("span"), col("_change_type"),
+            col("event_type"), col("n"), col("sv"))
+      span("v1v2", 1, 2).unionAll(span("v2v3", 2, 3))
+        .orderBy(col("span"), col("_change_type"), col("event_type"))
+    },
+    Some("""
+      WITH deltas AS (
+        SELECT 'v1v2' AS span, 'insert' AS _change_type,
+               'patched' AS event_type, value + 1000.0 AS value
+        FROM events WHERE event_id % 100 = 0
+        UNION ALL
+        SELECT 'v1v2', 'delete', event_type, value
+        FROM events WHERE event_id % 100 = 0
+        UNION ALL
+        SELECT 'v2v3', 'delete', event_type, value
+        FROM events WHERE event_id % 100 = 50)
+      SELECT span, _change_type, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM deltas GROUP BY 1, 2, 3
+      ORDER BY span, _change_type, event_type"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
       srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
       srcBloomAppendedLookup, srcZonemapRange, srcZonemapAppendedRange,
       srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox,
       srcZonemapStringRange, srcZonemapPlanned, srcZonemapPlannedSql,
-      srcBloomPlanned, srcZorderPlanned, srcVersionedMor, srcVersionedCdc)
+      srcBloomPlanned, srcZorderPlanned, srcVersionedMor, srcVersionedCdc,
+      srcVersionedCdf)
 }

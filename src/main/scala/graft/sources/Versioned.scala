@@ -382,6 +382,44 @@ object Versioned {
     Some(v)
   }
 
+  /** Change-data-feed between two snapshots (Delta CDF re-expressed from
+    * manifests alone): rows present in `v2` but not `v1` tagged
+    * `insert`, rows present in `v1` but not `v2` tagged `delete` (an
+    * update is a delete+insert pair — no hidden row ids). FILE-PRUNED:
+    * carried files that no new equality delete touches contribute
+    * nothing and are NEVER SCANNED — a COW upsert's CDF reads only the
+    * rewritten files; equality deletes, by nature, put every older file
+    * back in scope (their mask is content-defined, not file-defined).
+    * The diff itself is `exceptAll` over the in-scope rows only.
+    */
+  def changesBetween(spark: SparkSession, table: String, v1: Int,
+      v2: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(v1 <= v2, s"changesBetween: v1=$v1 > v2=$v2")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vs = listVersions(table, conf)
+    require(vs.contains(v1) && vs.contains(v2),
+      s"no snapshot v=$v1 or v=$v2 at $table")
+    val (a, _, dA) = manifestFull(spark, table, v1)
+    val (b, _, dB) = manifestFull(spark, table, v2)
+    val newDels = dB.filterNot(dA.toSet)
+    val common = a.toSet.intersect(b.toSet)
+    // a carried file is in scope only if a NEW delete can mask it
+    val affected = common.filter(f => newDels.exists(d => seqOf(d) > seqOf(f)))
+    val oldSide = a.filterNot(common) ++ affected
+    val newSide = b.filterNot(common) ++ affected
+    val oldRows = readWithDeletes(spark, oldSide.toSeq.sorted, dA)
+    val newRows = readWithDeletes(spark, newSide.toSeq.sorted, dB)
+    def tag(df: DataFrame, t: String) =
+      df.withColumn("_change_type", lit(t))
+    if (oldSide.isEmpty && newSide.isEmpty)
+      tag(read(spark, table, Some(v2)).limit(0), "insert")
+    else if (oldSide.isEmpty) tag(newRows, "insert")
+    else if (newSide.isEmpty) tag(oldRows, "delete")
+    else tag(newRows.exceptAll(oldRows), "insert")
+      .unionByName(tag(oldRows.exceptAll(newRows), "delete"))
+  }
+
   /** Delete data/delete files under the table that NO surviving manifest
     * references (torn attempts orphaned by an interleaved commit, debris
     * from killed jobs). Single-writer contract: run from the writer, not

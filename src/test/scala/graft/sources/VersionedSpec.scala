@@ -378,6 +378,60 @@ class VersionedSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("changesBetween: append CDF is inserts-only and reads only new files") {
+    val dir = java.nio.file.Files.createTempDirectory("cdf").toString + "/t"
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    Versioned.append(half1, dir)
+    Versioned.append(half2, dir)
+    val cdf = Versioned.changesBetween(spark, dir, 1, 2)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 0)
+    val ins = cdf.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    assert(ins.count() == half2.count())
+    assert(ins.exceptAll(half2).isEmpty)
+    // pruning: v1's carried files are out of scope entirely
+    val v1Files = Versioned.read(spark, dir, Some(1)).inputFiles.toSet
+    assert(cdf.inputFiles.toSet.intersect(v1Files).isEmpty)
+  }
+
+  test("changesBetween: COW upsert CDF = delete+insert pairs, file-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("cdf").toString + "/t"
+    Versioned.append(ev.repartitionByRange(4, col("event_id")), dir)
+    val band = ev.filter(col("event_id").between(100, 199))
+      .withColumn("event_type", lit("patched"))
+    Versioned.upsert(band, dir, "event_id")
+    val cdf = Versioned.changesBetween(spark, dir, 1, 2)
+    val dels = cdf.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    val ins = cdf.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    val origBand = ev.filter(col("event_id").between(100, 199))
+    assert(ins.count() == band.count() && dels.count() == origBand.count())
+    assert(ins.exceptAll(band).isEmpty && dels.exceptAll(origBand).isEmpty)
+    // only the rewritten file(s) + their replacements are in scope: the
+    // range-clustered carried files must not be scanned
+    val carried = Versioned.read(spark, dir, Some(2)).inputFiles.toSet
+      .intersect(Versioned.read(spark, dir, Some(1)).inputFiles.toSet)
+    assert(cdf.inputFiles.toSet.intersect(carried).isEmpty)
+    assert(carried.nonEmpty) // the pruning claim is non-vacuous
+  }
+
+  test("changesBetween: MOR delete CDF is deletes-only") {
+    val dir = java.nio.file.Files.createTempDirectory("cdf").toString + "/t"
+    Versioned.append(ev, dir)
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+      dir, "event_id")
+    val cdf = Versioned.changesBetween(spark, dir, 1, 2)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 0)
+    val dels = cdf.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    val want = ev.filter(col("event_id") % 7 === 0)
+    assert(dels.count() == want.count())
+    assert(dels.exceptAll(want).isEmpty)
+  }
+
   test("expire keeps carried delete files; vacuum removes only orphans") {
     val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
     Versioned.append(ev, dir)
