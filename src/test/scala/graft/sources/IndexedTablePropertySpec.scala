@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence check for the planner translator: for ANY
+  * predicate tree (comparisons, equality, IN, prefix, deep AND/OR mixes —
+  * seeded, so failures replay), filtering the [[IndexedTable]] must return
+  * exactly the rows the raw parquet scan returns. This is the property the
+  * whole integration rests on: pruning is an optimization, NEVER a
+  * correctness surface — a single dropped file shows up here as a missing
+  * row.
+  */
+class IndexedTablePropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val table: String = {
+    val d = java.nio.file.Files.createTempDirectory("idxprop").toString + "/t"
+    ZoneMap.build(graft.Tables.events(spark, "/root/testdata/sf0.01"),
+      Seq("user_id", "value"), d, nFiles = 8)
+    d
+  }
+
+  private def randomPredicate(rnd: scala.util.Random, depth: Int): Column = {
+    def leaf(): Column = rnd.nextInt(7) match {
+      case 0 => col("user_id") >= rnd.between(-20L, 220L)
+      case 1 => col("user_id") < rnd.between(-20L, 220L)
+      case 2 => col("user_id").between(rnd.between(-20L, 200L),
+        rnd.between(-20L, 260L))
+      case 3 => col("value") > rnd.between(-100.0, 1200.0)
+      case 4 => col("user_id").isin(
+        Seq.fill(1 + rnd.nextInt(4))(rnd.between(-5L, 200L)): _*)
+      case 5 => col("event_type") === Seq("click", "view", "purchase",
+        "nope")(rnd.nextInt(4))
+      case 6 => col("user_id") === rnd.between(-5L, 200L)
+    }
+    if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+    else if (rnd.nextBoolean())
+      randomPredicate(rnd, depth - 1) && randomPredicate(rnd, depth - 1)
+    else
+      randomPredicate(rnd, depth - 1) || randomPredicate(rnd, depth - 1)
+  }
+
+  test("40 seeded random predicate trees: planner == raw scan, row-exact") {
+    val t = IndexedTable.table(spark, table)
+    val raw = spark.read.parquet(table)
+    val rnd = new scala.util.Random(4217)
+    (1 to 40).foreach { i =>
+      val pred = randomPredicate(rnd, 2)
+      val got = t.filter(pred)
+      val want = raw.filter(pred)
+      val (ng, nw) = (got.count(), want.count())
+      assert(ng == nw, s"case $i: $pred -> $ng vs $nw rows")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"case $i content mismatch: $pred")
+    }
+  }
+}
