@@ -668,6 +668,42 @@ object SourceQueries {
       FROM deltas GROUP BY 1, 2, 3
       ORDER BY span, _change_type, event_type"""))
 
+  /** Additive schema evolution ([[Versioned]] stores each snapshot's
+    * merged schema in the manifest, Delta-style): half the rows commit
+    * WITHOUT the `score` column, half WITH it; the current read
+    * null-fills the old files at scan (no O(files) footer merge), while
+    * time travel to v1 reads the pre-evolution schema (spec-asserted).
+    * The oracle replays the union with NULL AS score.
+    */
+  val srcVersionedEvolve = Q(
+    "src_versioned_evolve",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vevo").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 2 === 0), dir)
+      Versioned.append(ev.filter(col("event_id") % 2 === 1)
+        .withColumn("score", round(col("value") * 2, 3)), dir)
+      Versioned.read(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("score").isNull.cast("long")).as("n_null_score"),
+          round(sum(coalesce(col("score"), lit(0.0))), 2).as("sum_score"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH evolved AS (
+        SELECT event_type, CAST(NULL AS DOUBLE) AS score
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_type, ROUND(value * 2, 3) AS score
+        FROM events WHERE event_id % 2 = 1)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_score,
+             ROUND(SUM(COALESCE(score, 0.0)), 2) AS sum_score
+      FROM evolved GROUP BY event_type
+      ORDER BY event_type"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
       srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
@@ -675,5 +711,5 @@ object SourceQueries {
       srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox,
       srcZonemapStringRange, srcZonemapPlanned, srcZonemapPlannedSql,
       srcBloomPlanned, srcZorderPlanned, srcVersionedMor, srcVersionedCdc,
-      srcVersionedCdf)
+      srcVersionedCdf, srcVersionedEvolve)
 }

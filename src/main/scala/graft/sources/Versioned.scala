@@ -72,16 +72,47 @@ object Versioned {
 
   private def commitManifest(spark: SparkSession, table: String, v: Int,
       files: Seq[String], txns: Seq[Long],
-      deletes: Seq[String] = Seq.empty): Unit = {
+      deletes: Seq[String] = Seq.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     import spark.implicits._
     val tmp = s"${manifestRoot(table)}/_tmp_v$v"
     (files.map(("f", _)) ++ txns.map(t => ("t", t.toString)) ++
-      deletes.map(("d", _)))
+      deletes.map(("d", _)) ++ schema.map(s => ("s", s.json)).toSeq)
       .toDF("kind", "value")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val fs = fsFor(table, spark.sparkContext.hadoopConfiguration)
     val ok = fs.rename(new Path(tmp), new Path(manifestDir(table, v)))
     require(ok, s"manifest commit v$v failed (concurrent writer?)")
+  }
+
+  /** The snapshot's stored table schema (None on legacy manifests from
+    * before schema tracking — readers then fall back to per-footer
+    * schemas, the old behavior).
+    */
+  private def schemaOf(spark: SparkSession, table: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    import spark.implicits._
+    spark.read.parquet(manifestDir(table, v))
+      .as[(String, String)].collect()
+      .collectFirst { case ("s", j) =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+  }
+
+  /** Additive schema evolution (the Delta read-side contract): the new
+    * snapshot's schema is the previous schema plus any column the commit
+    * introduces — old files surface new columns as NULL at read; dropped
+    * or retyped columns are out of scope (a retype is a rebuild).
+    */
+  private def mergeSchemas(
+      prev: Option[org.apache.spark.sql.types.StructType],
+      cur: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = prev match {
+    case None => cur
+    case Some(p) =>
+      val extra = cur.fields.filterNot(f => p.fieldNames.contains(f.name))
+      org.apache.spark.sql.types.StructType(p.fields ++ extra)
   }
 
   /** (data files sorted, committed batch ids, equality-delete files) of
@@ -138,22 +169,28 @@ object Versioned {
     * materializes.
     */
   private def readWithDeletes(spark: SparkSession, dataFiles: Seq[String],
-      delFiles: Seq[String]): DataFrame = {
+      delFiles: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import org.apache.spark.sql.functions._
+    // the stored snapshot schema applied at scan: files from before an
+    // additive evolution surface the new columns as NULL, with no
+    // O(files) footer merging
+    def reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
     if (dataFiles.isEmpty) return spark.emptyDataFrame
-    if (delFiles.isEmpty) return spark.read.parquet(dataFiles: _*)
+    if (delFiles.isEmpty) return reader.parquet(dataFiles: _*)
     val delMeta = delFiles.map { p =>
       (seqOf(p), spark.read.parquet(p).schema.head.name, p)
     }
     dataFiles.groupBy(seqOf).toSeq.sortBy(_._1).map { case (s, fs) =>
       val applicable = delMeta.filter(_._1 > s)
       applicable.groupBy(_._2).toSeq.sortBy(_._1)
-        .foldLeft(spark.read.parquet(fs: _*)) { case (df, (kc, ms)) =>
+        .foldLeft(reader.parquet(fs: _*)) { case (df, (kc, ms)) =>
           val keys = spark.read.parquet(ms.map(_._3): _*)
             .select(col(kc)).distinct()
           df.join(broadcast(keys), Seq(kc), "left_anti")
         }
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def writeData(df: DataFrame, dataDir: String): Seq[String] = {
@@ -177,8 +214,10 @@ object Versioned {
     val (prev, txns, dels) =
       if (v == 1) (Seq.empty[String], Seq.empty[Long], Seq.empty[String])
       else manifestFull(spark, table, v - 1)
+    val sch = mergeSchemas(
+      if (v == 1) None else schemaOf(spark, table, v - 1), df.schema)
     val added = writeData(df, s"$table/data/c=$v")
-    commitManifest(spark, table, v, prev ++ added, txns, dels)
+    commitManifest(spark, table, v, prev ++ added, txns, dels, Some(sch))
     v
   }
 
@@ -196,12 +235,15 @@ object Versioned {
       if (v == 0) (Seq.empty[String], Seq.empty[Long], Seq.empty[String])
       else manifestFull(spark, table, v)
     if (txns.contains(batchId)) return None
+    val sch = mergeSchemas(
+      if (v == 0) None else schemaOf(spark, table, v), df.schema)
     // the committing version rides in the dir name so equality deletes
     // sequence correctly against streamed files (see seqOfDir); under the
     // single-writer contract a torn redelivery recomputes the same v and
     // clears the same dir
     val added = writeData(df, s"$table/data/b=$batchId-v${v + 1}")
-    commitManifest(spark, table, v + 1, prev ++ added, txns :+ batchId, dels)
+    commitManifest(spark, table, v + 1, prev ++ added, txns :+ batchId,
+      dels, Some(sch))
     Some(v + 1)
   }
 
@@ -215,7 +257,7 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table, conf))
     require(listVersions(table, conf).contains(v), s"no snapshot v=$v at $table")
     val (files, _, dels) = manifestFull(spark, table, v)
-    readWithDeletes(spark, files, dels)
+    readWithDeletes(spark, files, dels, schemaOf(spark, table, v))
   }
 
   /** Overwrite commit (Iceberg's REPLACE): the new snapshot's content is
@@ -231,7 +273,8 @@ object Versioned {
     val txns = if (cur == 0) Seq.empty[Long] else manifest(spark, table, cur)._2
     val v = cur + 1
     val added = writeData(df, s"$table/data/r=$v")
-    commitManifest(spark, table, v, added, txns)
+    // a replace RESETS the schema too: content is exactly df
+    commitManifest(spark, table, v, added, txns, Seq.empty, Some(df.schema))
     v
   }
 
@@ -268,13 +311,15 @@ object Versioned {
     // deletes must be applied to the rows being rewritten (masked rows
     // must not resurrect); untouched files keep their old sequence and
     // stay masked by the carried delete entries
+    val prevSchema = schemaOf(spark, table, cur)
+    val sch = mergeSchemas(prevSchema, updates.schema)
     val survivors =
       if (touched.isEmpty) updates
-      else readWithDeletes(spark, touched.toSeq, dels)
+      else readWithDeletes(spark, touched.toSeq, dels, prevSchema)
         .join(broadcast(keys), Seq(keyCol), "left_anti")
-        .unionByName(updates)
+        .unionByName(updates, allowMissingColumns = true)
     val added = writeData(survivors, s"$table/data/u=$v")
-    commitManifest(spark, table, v, carried ++ added, txns, dels)
+    commitManifest(spark, table, v, carried ++ added, txns, dels, Some(sch))
     v
   }
 
@@ -300,10 +345,11 @@ object Versioned {
     // NULL-pred rows are NOT matches: keep them (coalesce, so the
     // survivor filter is the exact complement of the touch filter).
     // Pending equality deletes apply to the rewrite (see upsert).
-    val survivors = readWithDeletes(spark, touched.toSeq, dels)
+    val sch = schemaOf(spark, table, cur)
+    val survivors = readWithDeletes(spark, touched.toSeq, dels, sch)
       .filter(!coalesce(pred, lit(false)))
     val added = writeData(survivors, s"$table/data/u=$v")
-    commitManifest(spark, table, v, carried ++ added, txns, dels)
+    commitManifest(spark, table, v, carried ++ added, txns, dels, sch)
     v
   }
 
@@ -327,7 +373,8 @@ object Versioned {
     val v = cur + 1
     val added = writeData(keys.select(col(keyCol)).distinct().coalesce(1),
       s"$table/data/d=$v")
-    commitManifest(spark, table, v, files, txns, dels ++ added)
+    commitManifest(spark, table, v, files, txns, dels ++ added,
+      schemaOf(spark, table, cur))
     v
   }
 
@@ -372,13 +419,15 @@ object Versioned {
       else manifestFull(spark, table, cur)
     if (batchId.exists(txns.contains)) return None
     val v = cur + 1
+    val sch = mergeSchemas(
+      if (cur == 0) None else schemaOf(spark, table, cur), upserts.schema)
     val added = writeData(upserts, s"$table/data/m=$v")
     val allKeys = upserts.select(col(keyCol))
       .unionByName(deleteKeys.select(col(keyCol)).toDF(keyCol))
       .distinct().coalesce(1)
     val delAdded = writeData(allKeys, s"$table/data/d=$v")
     commitManifest(spark, table, v, files ++ added,
-      txns ++ batchId.toSeq, dels ++ delAdded)
+      txns ++ batchId.toSeq, dels ++ delAdded, Some(sch))
     Some(v)
   }
 
@@ -408,8 +457,11 @@ object Versioned {
     val affected = common.filter(f => newDels.exists(d => seqOf(d) > seqOf(f)))
     val oldSide = a.filterNot(common) ++ affected
     val newSide = b.filterNot(common) ++ affected
-    val oldRows = readWithDeletes(spark, oldSide.toSeq.sorted, dA)
-    val newRows = readWithDeletes(spark, newSide.toSeq.sorted, dB)
+    // both sides read at v2's schema so the diff is column-consistent
+    // across an additive evolution (v1 rows null-fill the new columns)
+    val sch = schemaOf(spark, table, v2)
+    val oldRows = readWithDeletes(spark, oldSide.toSeq.sorted, dA, sch)
+    val newRows = readWithDeletes(spark, newSide.toSeq.sorted, dB, sch)
     def tag(df: DataFrame, t: String) =
       df.withColumn("_change_type", lit(t))
     if (oldSide.isEmpty && newSide.isEmpty)
@@ -469,9 +521,10 @@ object Versioned {
     if (cur == 0) return 0
     val txns = manifest(spark, table, cur)._2
     val v = cur + 1
-    val added = writeData(read(spark, table).repartition(numFiles),
-      s"$table/data/c=$v")
-    commitManifest(spark, table, v, added, txns)
+    val snap = read(spark, table)
+    val added = writeData(snap.repartition(numFiles), s"$table/data/c=$v")
+    commitManifest(spark, table, v, added, txns, Seq.empty,
+      Some(snap.schema))
     v
   }
 

@@ -432,6 +432,42 @@ class VersionedSpec extends AnyFunSuite {
     assert(dels.exceptAll(want).isEmpty)
   }
 
+  test("additive schema evolution: old files null-fill the new column") {
+    val dir = java.nio.file.Files.createTempDirectory("evo").toString + "/t"
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+      .withColumn("score", col("value") * 2)
+    Versioned.append(half1, dir)
+    Versioned.append(half2, dir)
+    val got = Versioned.read(spark, dir)
+    assert(got.columns.contains("score"))
+    assert(got.filter(col("score").isNull).count() == half1.count())
+    assert(got.filter(col("score").isNotNull).count() == half2.count())
+    // time travel to v1 reads the PRE-evolution schema
+    assert(!Versioned.read(spark, dir, Some(1)).columns.contains("score"))
+  }
+
+  test("schema evolution through upsert; MOR deletes still apply across it") {
+    val dir = java.nio.file.Files.createTempDirectory("evo").toString + "/t"
+    Versioned.append(ev, dir)
+    Versioned.upsert(ev.filter(col("event_id") % 100 === 0)
+      .withColumn("flag", lit("patched")), dir, "event_id")
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 100 === 50).select(col("event_id")),
+      dir, "event_id")
+    val got = Versioned.read(spark, dir)
+    assert(got.filter(col("flag") === "patched").count() ==
+      ev.filter(col("event_id") % 100 === 0).count())
+    assert(got.filter(col("event_id") % 100 === 50).count() == 0)
+    assert(got.count() == ev.filter(col("event_id") % 100 =!= 50).count())
+    // CDF across the evolution is column-consistent at the later schema
+    val cdf = Versioned.changesBetween(spark, dir, 1, 3)
+    assert(cdf.columns.contains("flag") &&
+      cdf.columns.contains("_change_type"))
+    assert(cdf.filter(col("_change_type") === "insert").count() ==
+      ev.filter(col("event_id") % 100 === 0).count())
+  }
+
   test("expire keeps carried delete files; vacuum removes only orphans") {
     val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
     Versioned.append(ev, dir)
