@@ -37,14 +37,11 @@ object RuntimeFilter {
       k: Int = 4): Array[Long] = {
     require(mBits % 64 == 0 && mBits > 0 && k >= 1,
       s"bad geometry: mBits=$mBits k=$k")
-    val words = dim.select(col(keyCol).cast("long").as("kk"))
-      .filter(col("kk").isNotNull)
-      .select(explode(array((0 until k).map { s =>
-        struct(
-          expr(s"CAST(pmod(xxhash64(kk, $s), $mBits) DIV 64 AS INT)").as("w"),
-          expr(s"shiftleft(CAST(1 AS BIGINT), " +
-            s"CAST(pmod(xxhash64(kk, $s), $mBits) % 64 AS INT))").as("m"))
-      }: _*)).as("c"))
+    // the (word, mask) contribution exprs are BloomIndex's — one
+    // definition, so a geometry/hash tweak can never fork build vs probe
+    val words = dim.select(col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .select(explode(graft.sources.BloomIndex.contribs(mBits, k)).as("c"))
       .groupBy(col("c.w").as("w")).agg(bit_or(col("c.m")).as("bits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     Array.tabulate(mBits / 64)(w => words.getOrElse(w, 0L))
@@ -56,7 +53,10 @@ object RuntimeFilter {
   def mightContain(key: Column, bits: Array[Long], k: Int = 4): Column = {
     val mBits = bits.length * 64
     val arr = typedLit(bits)
-    (0 until k).map { s =>
+    // the explicit isNotNull guard is load-bearing: xxhash64 SKIPS null
+    // children (hashing only the seed), so without it a null key would
+    // probe deterministic positions and could pass on a dense filter
+    key.isNotNull && (0 until k).map { s =>
       val pos = pmod(xxhash64(key.cast("long"), lit(s)), lit(mBits.toLong))
       val word = element_at(arr, (shiftright(pos, 6) + 1).cast("int"))
       word.bitwiseAND(call_function("shiftleft", lit(1L),
@@ -72,7 +72,10 @@ object RuntimeFilter {
   def bloomSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
     val bits = buildBits(dim, dimKey, mBits, k)
-    fact.filter(mightContain(col(factKey), bits, k))
-      .join(dim, col(factKey) === col(dimKey))
+    val reduced = fact.filter(mightContain(col(factKey), bits, k))
+    // same-named keys would make col(factKey) === col(dimKey) ambiguous;
+    // join USING in that case (merging the key column, the usual shape)
+    if (factKey == dimKey) reduced.join(dim, Seq(factKey))
+    else reduced.join(dim, reduced(factKey) === dim(dimKey))
   }
 }

@@ -42,9 +42,10 @@ object BloomIndex {
   private def sidecarPath(table: String) = table.stripSuffix("/") + "_bloom"
 
   /** k (word, mask) contribution structs for key column `k` (must be named
-    * `k` in scope — the exprs reference it by name).
+    * `k` in scope — the exprs reference it by name). Shared with
+    * [[graft.ops.RuntimeFilter]] so build and probe can never drift.
     */
-  private def contribs(mBits: Int, k: Int) =
+  private[graft] def contribs(mBits: Int, k: Int) =
     array((0 until k).map { s =>
       struct(
         expr(s"CAST(pmod(xxhash64(k, $s), $mBits) DIV 64 AS INT)").as("w"),
@@ -103,6 +104,13 @@ object BloomIndex {
   def append(df: DataFrame, keyCol: String, tablePath: String,
       nFiles: Int = 4): Unit = {
     val spark = df.sparkSession
+    // an append on a different column than the build would poison the
+    // planner's bloom admission (equality pruned against bits of another
+    // column) — fail loudly instead
+    plannedKeyCol(spark, tablePath).foreach { kc =>
+      require(kc == keyCol,
+        s"bloom index at $tablePath is keyed on '$kc', append got '$keyCol'")
+    }
     val geo = spark.read.parquet(sidecarPath(tablePath))
       .select(col("m_bits"), col("k_hashes"), col("n_files")).head()
     val (mBits, k) = (geo.getInt(0), geo.getInt(1))
@@ -135,7 +143,8 @@ object BloomIndex {
     else {
       val sc = spark.read.parquet(sidecarPath(tablePath))
       if (!sc.columns.contains("key_col")) None
-      else Option(sc.select(col("key_col")).head().getString(0))
+      else sc.select(col("key_col")).take(1).headOption
+        .flatMap(r => Option(r.getString(0)))
     }
   }
 

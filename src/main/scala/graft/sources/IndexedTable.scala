@@ -102,8 +102,17 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
     }
     val (liveUris, stats) = ZoneMap.loadIndex(spark, tablePath)
     val liveNames = liveUris.map(u => new Path(u).getName)
-    State(files.map(st => st.getPath.getName -> st).toMap,
-      liveNames, stats, BloomIndex.plannedKeyCol(spark, tablePath))
+    val byName = files.map(st => st.getPath.getName -> st).toMap
+    // the sidecar family's layout contract is a FLAT directory; a nested
+    // layout (hive partitions, Versioned data dirs) would silently lose
+    // every nested file from the name-keyed admission — fail loudly
+    val unresolved = liveNames.filterNot(byName.contains)
+    require(unresolved.isEmpty,
+      s"IndexedTable requires a flat table directory: ${unresolved.size} " +
+        s"live file(s) are not top-level children of $tablePath " +
+        s"(e.g. ${unresolved.take(2).mkString(", ")})")
+    State(byName, liveNames, stats,
+      BloomIndex.plannedKeyCol(spark, tablePath))
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
@@ -132,18 +141,33 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
 
   // ---- predicate -> admitted-file translation -------------------------
 
-  /** The stat-bearing attribute under an optional numeric widening cast
-    * (Catalyst casts an integral column to compare against a fractional
-    * literal; the cast is monotonic, so double-bound pruning stays
-    * sound).
+  /** The stat-bearing attribute under an optional VALUE-PRESERVING
+    * widening cast (Catalyst casts an integral column to compare against
+    * a fractional literal). Only injective, monotone widenings qualify —
+    * a narrowing/truncating cast (double→int, long→int) is not, and
+    * unwrapping it would prune files that still hold matching rows, so
+    * anything else falls back to no-pruning.
     */
+  private def wideningCast(from: DataType, to: DataType): Boolean = {
+    val intRank: Map[DataType, Int] = Map(ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (f, t) if intRank.contains(f) && intRank.contains(t) =>
+        intRank(f) <= intRank(t)
+      // integral→double matches the sidecar's own double-stat exactness
+      // domain; float→double is exact
+      case (f, DoubleType) if intRank.contains(f) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   private def attrOf(e: Expression): Option[AttributeReference] = e match {
     case a: AttributeReference => Some(a)
     case c: Cast =>
       c.child match {
         case a: AttributeReference
-            if a.dataType.isInstanceOf[NumericType] &&
-              c.dataType.isInstanceOf[NumericType] => Some(a)
+            if wideningCast(a.dataType, c.dataType) => Some(a)
         case _ => None
       }
     case _ => None

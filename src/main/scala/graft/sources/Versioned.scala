@@ -85,25 +85,12 @@ object Versioned {
     require(ok, s"manifest commit v$v failed (concurrent writer?)")
   }
 
-  /** The snapshot's stored table schema (None on legacy manifests from
-    * before schema tracking — readers then fall back to per-footer
-    * schemas, the old behavior).
-    */
-  private def schemaOf(spark: SparkSession, table: String,
-      v: Int): Option[org.apache.spark.sql.types.StructType] = {
-    import spark.implicits._
-    spark.read.parquet(manifestDir(table, v))
-      .as[(String, String)].collect()
-      .collectFirst { case ("s", j) =>
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-      }
-  }
-
   /** Additive schema evolution (the Delta read-side contract): the new
     * snapshot's schema is the previous schema plus any column the commit
     * introduces — old files surface new columns as NULL at read; dropped
-    * or retyped columns are out of scope (a retype is a rebuild).
+    * columns are out of scope, and a RETYPE of an existing column fails
+    * AT COMMIT (silently keeping the old type would poison every later
+    * read of the new files with a parquet type mismatch).
     */
   private def mergeSchemas(
       prev: Option[org.apache.spark.sql.types.StructType],
@@ -111,22 +98,53 @@ object Versioned {
       : org.apache.spark.sql.types.StructType = prev match {
     case None => cur
     case Some(p) =>
+      cur.fields.foreach { f =>
+        p.fields.find(_.name == f.name).foreach { old =>
+          require(old.dataType == f.dataType,
+            s"schema evolution is additive-only: column '${f.name}' was " +
+              s"${old.dataType.simpleString}, commit has " +
+              s"${f.dataType.simpleString} (a retype is a rebuild)")
+        }
+      }
       val extra = cur.fields.filterNot(f => p.fieldNames.contains(f.name))
       org.apache.spark.sql.types.StructType(p.fields ++ extra)
   }
 
-  /** (data files sorted, committed batch ids, equality-delete files) of
-    * snapshot `v`.
+  /** One snapshot's full manifest, parsed from ONE collect (every
+    * operation needs some subset; re-reading the parquet per facet would
+    * double planning-time driver jobs on hot streaming paths).
     */
-  private def manifestFull(spark: SparkSession, table: String,
-      v: Int): (Seq[String], Seq[Long], Seq[String]) = {
+  private final case class Snapshot(files: Seq[String], txns: Seq[Long],
+      deletes: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  private def manifestAll(spark: SparkSession, table: String,
+      v: Int): Snapshot = {
     import spark.implicits._
     val rows = spark.read.parquet(manifestDir(table, v))
       .as[(String, String)].collect()
-    (rows.collect { case ("f", f) => f }.toSeq.sorted,
+    Snapshot(
+      rows.collect { case ("f", f) => f }.toSeq.sorted,
       rows.collect { case ("t", t) => t.toLong }.toSeq.sorted,
-      rows.collect { case ("d", p) => p }.toSeq.sorted)
+      rows.collect { case ("d", p) => p }.toSeq.sorted,
+      rows.collectFirst { case ("s", j) =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      })
   }
+
+  private def manifestFull(spark: SparkSession, table: String,
+      v: Int): (Seq[String], Seq[Long], Seq[String]) = {
+    val m = manifestAll(spark, table, v); (m.files, m.txns, m.deletes)
+  }
+
+  /** The snapshot's stored table schema (None on legacy manifests from
+    * before schema tracking — readers then fall back to per-footer
+    * schemas, the old behavior).
+    */
+  private def schemaOf(spark: SparkSession, table: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] =
+    manifestAll(spark, table, v).schema
 
   /** (data files sorted, committed batch ids) of snapshot `v`. */
   private def manifest(spark: SparkSession, table: String,
@@ -182,6 +200,9 @@ object Versioned {
     val delMeta = delFiles.map { p =>
       (seqOf(p), spark.read.parquet(p).schema.head.name, p)
     }
+    // each delete file's scan recurs once per APPLICABLE seq group; both
+    // counts are bounded by commits-since-compaction (the keep-chains-
+    // short contract), and the files are key batches, not data
     dataFiles.groupBy(seqOf).toSeq.sortBy(_._1).map { case (s, fs) =>
       val applicable = delMeta.filter(_._1 > s)
       applicable.groupBy(_._2).toSeq.sortBy(_._1)
@@ -211,13 +232,12 @@ object Versioned {
   def append(df: DataFrame, table: String): Int = {
     val spark = df.sparkSession
     val v = currentVersion(table, spark.sparkContext.hadoopConfiguration) + 1
-    val (prev, txns, dels) =
-      if (v == 1) (Seq.empty[String], Seq.empty[Long], Seq.empty[String])
-      else manifestFull(spark, table, v - 1)
-    val sch = mergeSchemas(
-      if (v == 1) None else schemaOf(spark, table, v - 1), df.schema)
+    val m = if (v == 1) Snapshot(Nil, Nil, Nil, None)
+      else manifestAll(spark, table, v - 1)
+    val sch = mergeSchemas(m.schema, df.schema)
     val added = writeData(df, s"$table/data/c=$v")
-    commitManifest(spark, table, v, prev ++ added, txns, dels, Some(sch))
+    commitManifest(spark, table, v, m.files ++ added, m.txns, m.deletes,
+      Some(sch))
     v
   }
 
@@ -231,19 +251,17 @@ object Versioned {
   def appendBatch(df: DataFrame, table: String, batchId: Long): Option[Int] = {
     val spark = df.sparkSession
     val v = currentVersion(table, spark.sparkContext.hadoopConfiguration)
-    val (prev, txns, dels) =
-      if (v == 0) (Seq.empty[String], Seq.empty[Long], Seq.empty[String])
-      else manifestFull(spark, table, v)
-    if (txns.contains(batchId)) return None
-    val sch = mergeSchemas(
-      if (v == 0) None else schemaOf(spark, table, v), df.schema)
+    val m = if (v == 0) Snapshot(Nil, Nil, Nil, None)
+      else manifestAll(spark, table, v)
+    if (m.txns.contains(batchId)) return None
+    val sch = mergeSchemas(m.schema, df.schema)
     // the committing version rides in the dir name so equality deletes
     // sequence correctly against streamed files (see seqOfDir); under the
     // single-writer contract a torn redelivery recomputes the same v and
     // clears the same dir
     val added = writeData(df, s"$table/data/b=$batchId-v${v + 1}")
-    commitManifest(spark, table, v + 1, prev ++ added, txns :+ batchId,
-      dels, Some(sch))
+    commitManifest(spark, table, v + 1, m.files ++ added,
+      m.txns :+ batchId, m.deletes, Some(sch))
     Some(v + 1)
   }
 
@@ -256,8 +274,8 @@ object Versioned {
     val conf = spark.sparkContext.hadoopConfiguration
     val v = version.getOrElse(currentVersion(table, conf))
     require(listVersions(table, conf).contains(v), s"no snapshot v=$v at $table")
-    val (files, _, dels) = manifestFull(spark, table, v)
-    readWithDeletes(spark, files, dels, schemaOf(spark, table, v))
+    val m = manifestAll(spark, table, v)
+    readWithDeletes(spark, m.files, m.deletes, m.schema)
   }
 
   /** Overwrite commit (Iceberg's REPLACE): the new snapshot's content is
@@ -298,28 +316,28 @@ object Versioned {
     val spark = updates.sparkSession
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     if (cur == 0) return append(updates, table)
-    val (files, txns, dels) = manifestFull(spark, table, cur)
+    val m = manifestAll(spark, table, cur)
     val keys = updates.select(col(keyCol)).distinct()
-    val touched = spark.read.parquet(files: _*)
+    val touched = spark.read.parquet(m.files: _*)
       .select(col(keyCol), input_file_name().as("__f"))
       .join(broadcast(keys), Seq(keyCol))
       .select(col("__f")).distinct()
       .collect().map(_.getString(0)).toSet
-    val carried = files.filterNot(touched)
+    val carried = m.files.filterNot(touched)
     val v = cur + 1
     // rewritten files jump PAST every pending delete's sequence, so the
     // deletes must be applied to the rows being rewritten (masked rows
     // must not resurrect); untouched files keep their old sequence and
     // stay masked by the carried delete entries
-    val prevSchema = schemaOf(spark, table, cur)
-    val sch = mergeSchemas(prevSchema, updates.schema)
+    val sch = mergeSchemas(m.schema, updates.schema)
     val survivors =
       if (touched.isEmpty) updates
-      else readWithDeletes(spark, touched.toSeq, dels, prevSchema)
+      else readWithDeletes(spark, touched.toSeq, m.deletes, m.schema)
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         .unionByName(updates, allowMissingColumns = true)
     val added = writeData(survivors, s"$table/data/u=$v")
-    commitManifest(spark, table, v, carried ++ added, txns, dels, Some(sch))
+    commitManifest(spark, table, v, carried ++ added, m.txns, m.deletes,
+      Some(sch))
     v
   }
 
@@ -334,22 +352,22 @@ object Versioned {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     require(cur > 0, s"no snapshot to delete from at $table")
-    val (files, txns, dels) = manifestFull(spark, table, cur)
-    val touched = spark.read.parquet(files: _*)
+    val m = manifestAll(spark, table, cur)
+    val touched = spark.read.parquet(m.files: _*)
       .filter(pred)
       .select(input_file_name().as("__f")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touched.isEmpty) return cur
-    val carried = files.filterNot(touched)
+    val carried = m.files.filterNot(touched)
     val v = cur + 1
     // NULL-pred rows are NOT matches: keep them (coalesce, so the
     // survivor filter is the exact complement of the touch filter).
     // Pending equality deletes apply to the rewrite (see upsert).
-    val sch = schemaOf(spark, table, cur)
-    val survivors = readWithDeletes(spark, touched.toSeq, dels, sch)
-      .filter(!coalesce(pred, lit(false)))
+    val survivors = readWithDeletes(spark, touched.toSeq, m.deletes,
+      m.schema).filter(!coalesce(pred, lit(false)))
     val added = writeData(survivors, s"$table/data/u=$v")
-    commitManifest(spark, table, v, carried ++ added, txns, dels, sch)
+    commitManifest(spark, table, v, carried ++ added, m.txns, m.deletes,
+      m.schema)
     v
   }
 
@@ -369,12 +387,12 @@ object Versioned {
     val spark = keys.sparkSession
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     require(cur > 0, s"no snapshot to delete from at $table")
-    val (files, txns, dels) = manifestFull(spark, table, cur)
+    val m = manifestAll(spark, table, cur)
     val v = cur + 1
     val added = writeData(keys.select(col(keyCol)).distinct().coalesce(1),
       s"$table/data/d=$v")
-    commitManifest(spark, table, v, files, txns, dels ++ added,
-      schemaOf(spark, table, cur))
+    commitManifest(spark, table, v, m.files, m.txns, m.deletes ++ added,
+      m.schema)
     v
   }
 
@@ -414,20 +432,18 @@ object Versioned {
     import org.apache.spark.sql.functions._
     val spark = upserts.sparkSession
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
-    val (files, txns, dels) =
-      if (cur == 0) (Seq.empty[String], Seq.empty[Long], Seq.empty[String])
-      else manifestFull(spark, table, cur)
-    if (batchId.exists(txns.contains)) return None
+    val m = if (cur == 0) Snapshot(Nil, Nil, Nil, None)
+      else manifestAll(spark, table, cur)
+    if (batchId.exists(m.txns.contains)) return None
     val v = cur + 1
-    val sch = mergeSchemas(
-      if (cur == 0) None else schemaOf(spark, table, cur), upserts.schema)
+    val sch = mergeSchemas(m.schema, upserts.schema)
     val added = writeData(upserts, s"$table/data/m=$v")
     val allKeys = upserts.select(col(keyCol))
       .unionByName(deleteKeys.select(col(keyCol)).toDF(keyCol))
       .distinct().coalesce(1)
     val delAdded = writeData(allKeys, s"$table/data/d=$v")
-    commitManifest(spark, table, v, files ++ added,
-      txns ++ batchId.toSeq, dels ++ delAdded, Some(sch))
+    commitManifest(spark, table, v, m.files ++ added,
+      m.txns ++ batchId.toSeq, m.deletes ++ delAdded, Some(sch))
     Some(v)
   }
 
@@ -449,8 +465,10 @@ object Versioned {
     val vs = listVersions(table, conf)
     require(vs.contains(v1) && vs.contains(v2),
       s"no snapshot v=$v1 or v=$v2 at $table")
-    val (a, _, dA) = manifestFull(spark, table, v1)
-    val (b, _, dB) = manifestFull(spark, table, v2)
+    val mA = manifestAll(spark, table, v1)
+    val mB = manifestAll(spark, table, v2)
+    val (a, dA) = (mA.files, mA.deletes)
+    val (b, dB) = (mB.files, mB.deletes)
     val newDels = dB.filterNot(dA.toSet)
     val common = a.toSet.intersect(b.toSet)
     // a carried file is in scope only if a NEW delete can mask it
@@ -459,9 +477,8 @@ object Versioned {
     val newSide = b.filterNot(common) ++ affected
     // both sides read at v2's schema so the diff is column-consistent
     // across an additive evolution (v1 rows null-fill the new columns)
-    val sch = schemaOf(spark, table, v2)
-    val oldRows = readWithDeletes(spark, oldSide.toSeq.sorted, dA, sch)
-    val newRows = readWithDeletes(spark, newSide.toSeq.sorted, dB, sch)
+    val oldRows = readWithDeletes(spark, oldSide.toSeq.sorted, dA, mB.schema)
+    val newRows = readWithDeletes(spark, newSide.toSeq.sorted, dB, mB.schema)
     def tag(df: DataFrame, t: String) =
       df.withColumn("_change_type", lit(t))
     if (oldSide.isEmpty && newSide.isEmpty)

@@ -115,4 +115,14 @@ class BloomIndexSpec extends AnyFunSuite {
     val want = spark.read.parquet(d).filter(col("user_id").isin(keys: _*))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("append on a DIFFERENT key column than the build fails loudly") {
+    val d = java.nio.file.Files.createTempDirectory("bloomkc").toString + "/t"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    BloomIndex.build(ev.filter(col("event_id") % 2 === 0), "user_id", d)
+    val e = intercept[IllegalArgumentException] {
+      BloomIndex.append(ev.filter(col("event_id") % 2 === 1), "event_id", d)
+    }
+    assert(e.getMessage.contains("keyed on 'user_id'"))
+  }
 }

@@ -206,6 +206,27 @@ class IndexedTableSpec extends AnyFunSuite {
     assert(nBoth < 32)
   }
 
+  test("a NARROWING cast is never unwrapped: no file pruned, content exact") {
+    val d = builtEvents("idxtnarrow")
+    val t = IndexedTable.table(spark, d)
+    // CAST(value AS INT) = 5 matches rows with value in [5, 6) — stats
+    // pruning on value=5.0 would drop files like [5.2, 5.9]
+    val pred = col("value").cast("int") === 5
+    val got = t.filter(pred)
+    assertSameRows(got, spark.read.parquet(d).filter(pred))
+    assert(plannedFiles(got) == 16, "narrowing cast must not prune")
+  }
+
+  test("a nested (non-flat) layout fails loudly, not silently empty") {
+    val d = newTable("idxtnested")
+    ev.limit(100).write.parquet(s"$d/sub=1")
+    ev.limit(50).write.parquet(s"$d/sub=2")
+    val e = intercept[IllegalArgumentException] {
+      IndexedTable.table(spark, d).count()
+    }
+    assert(e.getMessage.contains("flat table directory"))
+  }
+
   test("residual predicate still pushes into the parquet scan") {
     val d = builtEvents("idxtpush")
     val got = IndexedTable.table(spark, d)

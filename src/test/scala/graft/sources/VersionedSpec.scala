@@ -468,6 +468,18 @@ class VersionedSpec extends AnyFunSuite {
       ev.filter(col("event_id") % 100 === 0).count())
   }
 
+  test("retyping an existing column fails AT COMMIT, not at later reads") {
+    val dir = java.nio.file.Files.createTempDirectory("evo").toString + "/t"
+    Versioned.append(ev, dir)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(ev.withColumn("value", col("value").cast("string")),
+        dir)
+    }
+    assert(e.getMessage.contains("additive-only"))
+    assert(Versioned.currentVersion(dir) == 1) // table not poisoned
+    assert(Versioned.read(spark, dir).count() == ev.count())
+  }
+
   test("expire keeps carried delete files; vacuum removes only orphans") {
     val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
     Versioned.append(ev, dir)
