@@ -704,6 +704,56 @@ object SourceQueries {
       FROM evolved GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** POSITION deletes ([[Versioned.deleteWhereMorPos]] — Iceberg's
+    * positional delete files): the predicate evaluates ONCE at delete
+    * time and the losing rows' (file, row-index) pairs commit as a
+    * delete file (zero rewrites — spec-asserted); a later append of rows
+    * MATCHING the same predicate is visible, because position masks are
+    * file-scoped and the predicate never re-evaluates (the semantic
+    * difference from an equality delete, which the oracle replays).
+    */
+  val srcVersionedPos = Q(
+    "src_versioned_pos",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vpos").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      val pred = col("event_type") === "view" && col("user_id") < 50
+      Versioned.append(ev, dir)
+      Versioned.deleteWhereMorPos(s, dir, pred)
+      Versioned.append(ev.filter(pred)
+        .withColumn("value", col("value") + 9000.0), dir)
+      Versioned.compact(s, dir, numFiles = 4)
+      def state(name: String, v: Int) =
+        Versioned.read(s, dir, Some(v))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      state("a_deleted", 2).unionAll(state("b_readded", 3))
+        .unionAll(state("c_compacted", 4))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH survivors AS (
+        SELECT event_type, value FROM events
+        WHERE NOT (event_type = 'view' AND user_id < 50)),
+      readded AS (
+        SELECT event_type, value + 9000.0 AS value FROM events
+        WHERE event_type = 'view' AND user_id < 50),
+      after AS (SELECT * FROM survivors UNION ALL SELECT * FROM readded)
+      SELECT 'a_deleted' AS state, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM survivors GROUP BY 2
+      UNION ALL
+      SELECT 'b_readded', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after GROUP BY 2
+      UNION ALL
+      SELECT 'c_compacted', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after GROUP BY 2
+      ORDER BY state, event_type"""))
+
   def all: Seq[Q] =
     Seq(srcJsonlRoundtrip, srcCsvRoundtrip, srcOrcRoundtrip, srcBucketedJoin,
       srcZorderBox, srcBloomLookup, srcPartitionPrune, srcTimeTravel,
@@ -711,5 +761,5 @@ object SourceQueries {
       srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox,
       srcZonemapStringRange, srcZonemapPlanned, srcZonemapPlannedSql,
       srcBloomPlanned, srcZorderPlanned, srcVersionedMor, srcVersionedCdc,
-      srcVersionedCdf, srcVersionedEvolve)
+      srcVersionedCdf, srcVersionedEvolve, srcVersionedPos)
 }

@@ -177,6 +177,15 @@ object Versioned {
   private def seqOf(path: String): Int =
     seqOfDir(new Path(path).getParent.getName)
 
+  /** Column names of a POSITION-delete file (Iceberg's positional
+    * deletes): rows are (referenced data file path, row index within it).
+    * Distinguished from equality-delete files by this exact schema.
+    */
+  private val PosCols = Seq("__file", "__pos")
+
+  private def isPosDelete(schema: org.apache.spark.sql.types.StructType) =
+    schema.fieldNames.toSeq == PosCols
+
   /** Distributed read of `dataFiles` with equality-delete files applied —
     * the merge-on-read contract: a delete masks only rows in files
     * committed BEFORE it (Iceberg's sequence-number rule), so a later
@@ -197,16 +206,33 @@ object Versioned {
     def reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
     if (dataFiles.isEmpty) return spark.emptyDataFrame
     if (delFiles.isEmpty) return reader.parquet(dataFiles: _*)
-    val delMeta = delFiles.map { p =>
-      (seqOf(p), spark.read.parquet(p).schema.head.name, p)
+    val metas = delFiles.map(p => (seqOf(p), spark.read.parquet(p).schema, p))
+    val eqMeta = metas.collect {
+      case (s, sch, p) if !isPosDelete(sch) => (s, sch.head.name, p)
     }
+    val posMeta = metas.collect { case (s, sch, p) if isPosDelete(sch) => (s, p) }
     // each delete file's scan recurs once per APPLICABLE seq group; both
     // counts are bounded by commits-since-compaction (the keep-chains-
     // short contract), and the files are key batches, not data
     dataFiles.groupBy(seqOf).toSeq.sortBy(_._1).map { case (s, fs) =>
-      val applicable = delMeta.filter(_._1 > s)
-      applicable.groupBy(_._2).toSeq.sortBy(_._1)
-        .foldLeft(reader.parquet(fs: _*)) { case (df, (kc, ms)) =>
+      val posApplicable = posMeta.collect { case (ds, p) if ds > s => p }
+      val base =
+        if (posApplicable.isEmpty) reader.parquet(fs: _*)
+        else {
+          // position deletes anti-join on the scan's own metadata
+          // columns (path spellings agree: both sides come from
+          // _metadata), then the helper columns drop
+          val pos = spark.read.parquet(posApplicable: _*)
+          val cols = schema.map(_.fieldNames)
+            .getOrElse(spark.read.parquet(fs.head).schema.fieldNames).toSeq
+          reader.parquet(fs: _*)
+            .withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(broadcast(pos), PosCols, "left_anti")
+            .select(cols.map(col): _*)
+        }
+      eqMeta.filter(_._1 > s).groupBy(_._2).toSeq.sortBy(_._1)
+        .foldLeft(base) { case (df, (kc, ms)) =>
           val keys = spark.read.parquet(ms.map(_._3): _*)
             .select(col(kc)).distinct()
           df.join(broadcast(keys), Seq(kc), "left_anti")
@@ -487,6 +513,50 @@ object Versioned {
     else if (newSide.isEmpty) tag(oldRows, "delete")
     else tag(newRows.exceptAll(oldRows), "insert")
       .unionByName(tag(oldRows.exceptAll(newRows), "delete"))
+  }
+
+  /** Merge-on-read POSITION delete (Iceberg's positional delete files —
+    * the delete shape a merge engine emits when it knows exactly which
+    * rows lose): the predicate evaluates ONCE, now, against the current
+    * snapshot, and the losing rows' (file, row-index) pairs land as a
+    * delete file — O(matches) written, zero data files rewritten.
+    * Readers anti-join on the scan's own metadata columns. Unlike
+    * equality deletes the mask is file-scoped by construction, so later
+    * appends and rewrites are immune without any re-evaluation of the
+    * predicate (a rewritten file has a new path; its stale positions
+    * match nothing). No-op (current version, no commit) when nothing
+    * matches. [[compact]] materializes, as with every delete kind.
+    */
+  def deleteWhereMorPos(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    require(cur > 0, s"no snapshot to delete from at $table")
+    val m = manifestAll(spark, table, cur)
+    require(!m.schema.exists(s => PosCols.exists(s.fieldNames.contains)),
+      s"table schema may not contain reserved columns ${PosCols.mkString(",")}")
+    if (m.files.isEmpty) return cur
+    // positions come from a RAW scan (the _metadata columns exist only at
+    // the scan, not through readWithDeletes' joins). Rows already masked
+    // by pending deletes may be recorded again — re-masking a masked row
+    // is a no-op, never a resurrection.
+    val reader = m.schema.map(spark.read.schema(_)).getOrElse(spark.read)
+    val positions = reader.parquet(m.files: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(pred)
+      .select(col("__file"), col("__pos"))
+    val v = cur + 1
+    val added = writeData(positions.coalesce(1), s"$table/data/d=$v")
+    if (added.isEmpty || spark.read.parquet(added: _*).isEmpty) {
+      // nothing matched: drop the empty attempt, mint no snapshot
+      fsFor(table, spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(s"$table/data/d=$v"), true)
+      return cur
+    }
+    commitManifest(spark, table, v, m.files, m.txns, m.deletes ++ added,
+      m.schema)
+    v
   }
 
   /** Delete data/delete files under the table that NO surviving manifest

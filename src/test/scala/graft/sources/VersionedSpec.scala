@@ -480,6 +480,56 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, dir).count() == ev.count())
   }
 
+  test("position delete: predicate evaluates once, zero rewrites, later appends immune") {
+    val dir = java.nio.file.Files.createTempDirectory("pos").toString + "/t"
+    Versioned.append(ev.repartition(4), dir)
+    val before = Versioned.read(spark, dir).inputFiles.toSet
+    val pred = col("event_type") === "view" && col("user_id") < 50
+    Versioned.deleteWhereMorPos(spark, dir, pred)
+    val got = Versioned.read(spark, dir)
+    assert(before.subsetOf(got.inputFiles.toSet)) // nothing rewritten
+    val want = ev.filter(!coalesce(pred, lit(false)))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // later append of rows MATCHING the predicate is visible: position
+    // masks are file-scoped, the predicate never re-evaluates
+    val readd = ev.filter(pred).limit(20)
+    Versioned.append(readd, dir)
+    assert(Versioned.read(spark, dir).count() ==
+      want.count() + readd.count())
+    // time travel to the pre-delete snapshot is unmasked
+    assert(Versioned.read(spark, dir, Some(1)).count() == ev.count())
+  }
+
+  test("position delete: no-match is a no-op; compact materializes") {
+    val dir = java.nio.file.Files.createTempDirectory("pos").toString + "/t"
+    Versioned.append(ev, dir)
+    assert(Versioned.deleteWhereMorPos(spark, dir,
+      col("user_id") > 1000000L) == 1)
+    assert(Versioned.currentVersion(dir) == 1)
+    Versioned.deleteWhereMorPos(spark, dir, col("event_id") % 5 === 0)
+    val pre = Versioned.read(spark, dir)
+    val n = pre.count()
+    Versioned.compact(spark, dir, numFiles = 2)
+    val post = Versioned.read(spark, dir)
+    assert(post.count() == n)
+    assert(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty)
+  }
+
+  test("position and equality deletes compose on one table") {
+    val dir = java.nio.file.Files.createTempDirectory("pos").toString + "/t"
+    Versioned.append(ev, dir)
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+      dir, "event_id")
+    Versioned.deleteWhereMorPos(spark, dir, col("event_type") === "view")
+    val got = Versioned.read(spark, dir)
+    val want = ev.filter(col("event_id") % 7 =!= 0)
+      .filter(col("event_type") =!= "view")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("expire keeps carried delete files; vacuum removes only orphans") {
     val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
     Versioned.append(ev, dir)
