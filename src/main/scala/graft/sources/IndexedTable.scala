@@ -9,18 +9,18 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Zone-map skipping integrated into Catalyst PLANNING — the lakehouse
-  * endgame for the sidecar family (public prior art: Delta/Iceberg expose
-  * their file-stats pruning through a custom file listing consulted by the
-  * scan, not through explicit probe calls).
+/** Zone-map/bloom skipping integrated into Catalyst PLANNING — the
+  * lakehouse endgame for the sidecar family (public prior art:
+  * Delta/Iceberg expose their file-stats pruning through a custom file
+  * listing consulted by the scan, not through explicit probe calls).
   *
   * [[ZoneMap.readRange]]/[[ZoneMap.readBox]] require the caller to name the
   * probe interval; [[IndexedTable.table]] instead returns a DataFrame whose
   * scan consults the sidecar AT PLAN TIME: Spark's `FileSourceStrategy`
   * hands every pushed data predicate to `FileIndex.listFiles`, and
-  * [[SkippingFileIndex]] translates the conjuncts it understands
+  * [[SkipIndexBase]] translates the conjuncts it understands
   * (comparisons, equality, IN, string prefix, AND/OR) into per-file
-  * admission against the sidecar's min/max bounds. A plain
+  * admission against the per-file min/max bounds. A plain
   * `.filter("user_id BETWEEN 100 AND 199 AND lang = 'en'")` — or the same
   * WHERE via `spark.sql` — prunes files with no index-aware code at the
   * call site, composing with everything Catalyst already does (the full
@@ -37,12 +37,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Conservatism contract (the [[ZoneMap]] read-side rules, verbatim):
   * a conjunct the translator does not understand admits every file; null
-  * or missing bounds never prune; live files the sidecar does not cover
-  * are unconditional candidates; a missing sidecar degrades to the full
-  * listing. Strict comparisons prune as their non-strict relaxation
-  * (boundary-touching files cost I/O, never rows). File identity is
-  * matched by basename — the table directory is flat by the sidecar
-  * family's layout contract, so basenames are unique.
+  * or missing bounds never prune; live files the index does not cover
+  * are unconditional candidates; a missing index degrades to the full
+  * listing. Strict comparisons prune as their non-strict relaxation, and
+  * only VALUE-PRESERVING widening casts unwrap (a narrowing cast is not
+  * injective — unwrapping it could prune files still holding matches).
+  *
+  * Two concrete indexes share the translation: [[SkippingFileIndex]]
+  * (a flat sidecar-indexed directory, file identity = basename) and
+  * [[ManifestFileIndex]] (an explicit snapshot file list + stats from a
+  * [[Versioned]] manifest, file identity = full path — versioned data
+  * dirs reuse part-file basenames across commits).
   *
   * Scale shape: driver state is O(files × stat columns) — the same index
   * the explicit probes load — read once per plan (and once per
@@ -59,7 +64,11 @@ object IndexedTable {
     */
   def table(spark: SparkSession, tablePath: String): DataFrame = {
     val schema = spark.read.parquet(tablePath).schema
-    val index = new SkippingFileIndex(spark, tablePath)
+    toDataFrame(spark, new SkippingFileIndex(spark, tablePath), schema)
+  }
+
+  private[sources] def toDataFrame(spark: SparkSession, index: FileIndex,
+      schema: StructType): DataFrame = {
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
@@ -71,62 +80,46 @@ object IndexedTable {
   }
 }
 
-/** The [[org.apache.spark.sql.execution.datasources.FileIndex]] that
-  * consults the [[ZoneMap]] sidecar. See [[IndexedTable]] for the
-  * contract; the translation lives in `admitted`.
+/** Shared predicate→admission translation over per-file stats. Concrete
+  * indexes provide the state (file identities, statuses, stats, an
+  * optional bloom hook); see [[IndexedTable]] for the contract.
   */
-final class SkippingFileIndex(spark: SparkSession, tablePath: String)
+private[sources] abstract class SkipIndexBase(spark: SparkSession)
     extends FileIndex {
 
-  /** (basename -> status, basename live set, sidecar stats). Loaded
-    * lazily at first list and pinned until `refresh()` — one plan sees
-    * one snapshot of table + sidecar.
+  /** `byKey` maps file IDENTITY (subclass-chosen: basename or full path)
+    * to its status; `live` is the identity set; `stats.f` values map to
+    * identities via `keyOf`.
     */
-  private final case class State(byName: Map[String, FileStatus],
+  protected final case class State(byKey: Map[String, FileStatus],
       live: Set[String], stats: Seq[ZoneMap.Stat],
-      bloomCol: Option[String])
+      keyOf: String => String)
+
+  protected def loadState(): State
+
+  /** Bloom admission hook for point/IN values on `e` — default: no bloom
+    * leg, admit all.
+    */
+  protected def bloomCands(s: State, e: Expression,
+      vs: Seq[Any]): Set[String] = s.live
 
   @volatile private var cached: State = _
 
-  private def state: State = {
-    if (cached == null) cached = load()
+  protected def state: State = {
+    if (cached == null) cached = loadState()
     cached
   }
-
-  private def load(): State = {
-    val p = new Path(tablePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-    val (liveUris, stats) = ZoneMap.loadIndex(spark, tablePath)
-    val liveNames = liveUris.map(u => new Path(u).getName)
-    val byName = files.map(st => st.getPath.getName -> st).toMap
-    // the sidecar family's layout contract is a FLAT directory; a nested
-    // layout (hive partitions, Versioned data dirs) would silently lose
-    // every nested file from the name-keyed admission — fail loudly
-    val unresolved = liveNames.filterNot(byName.contains)
-    require(unresolved.isEmpty,
-      s"IndexedTable requires a flat table directory: ${unresolved.size} " +
-        s"live file(s) are not top-level children of $tablePath " +
-        s"(e.g. ${unresolved.take(2).mkString(", ")})")
-    State(byName, liveNames, stats,
-      BloomIndex.plannedKeyCol(spark, tablePath))
-  }
-
-  override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
   override def refresh(): Unit = { cached = null }
 
   override def partitionSchema: StructType = new StructType()
 
   override def sizeInBytes: Long =
-    state.byName.values.map(_.getLen).sum
+    state.byKey.values.map(_.getLen).sum
 
   override def inputFiles: Array[String] =
     state.live.toArray.sorted.flatMap(n =>
-      state.byName.get(n).map(_.getPath.toString))
+      state.byKey.get(n).map(_.getPath.toString))
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -134,19 +127,16 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
     val names =
       if (dataFilters.isEmpty) s.live
       else dataFilters.map(f => admitted(f, s)).reduce(_ intersect _)
-    val statuses = names.toSeq.sorted.flatMap(s.byName.get)
+    val statuses = names.toSeq.sorted.flatMap(s.byKey.get)
     Seq(PartitionDirectory(InternalRow.empty,
       statuses.map(st => FileStatusWithMetadata(st)).toIndexedSeq))
   }
 
   // ---- predicate -> admitted-file translation -------------------------
 
-  /** The stat-bearing attribute under an optional VALUE-PRESERVING
-    * widening cast (Catalyst casts an integral column to compare against
-    * a fractional literal). Only injective, monotone widenings qualify —
-    * a narrowing/truncating cast (double→int, long→int) is not, and
-    * unwrapping it would prune files that still hold matching rows, so
-    * anything else falls back to no-pruning.
+  /** Only injective, monotone widenings unwrap — a narrowing/truncating
+    * cast (double→int, long→int) is not, and unwrapping it would prune
+    * files that still hold matching rows.
     */
   private def wideningCast(from: DataType, to: DataType): Boolean = {
     val intRank: Map[DataType, Int] = Map(ByteType -> 1, ShortType -> 2,
@@ -154,15 +144,15 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
     (from, to) match {
       case (f, t) if intRank.contains(f) && intRank.contains(t) =>
         intRank(f) <= intRank(t)
-      // integral→double matches the sidecar's own double-stat exactness
-      // domain; float→double is exact
+      // integral→double matches the stats' own double exactness domain;
+      // float→double is exact
       case (f, DoubleType) if intRank.contains(f) => true
       case (FloatType, DoubleType) => true
       case _ => false
     }
   }
 
-  private def attrOf(e: Expression): Option[AttributeReference] = e match {
+  protected def attrOf(e: Expression): Option[AttributeReference] = e match {
     case a: AttributeReference => Some(a)
     case c: Cast =>
       c.child match {
@@ -191,9 +181,8 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
     case _ => None
   }
 
-  /** Files admitted by `c in [lo, hi]` (open ends = unbounded): the
-    * [[ZoneMap]] probe rule over pre-loaded state — null/missing bounds
-    * and uncovered live files always admit.
+  /** Files admitted by `c in [lo, hi]` (open ends = unbounded): null or
+    * missing bounds and uncovered live files always admit.
     */
   private def rangeCands[T](s: State, c: String, lo: Option[T],
       hi: Option[T], bounds: ZoneMap.Stat => (Option[T], Option[T]))(
@@ -204,8 +193,8 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
       flo.isEmpty || fhi.isEmpty ||
         !(lo.exists(l => ord.lt(fhi.get, l)) ||
           hi.exists(h => ord.gt(flo.get, h)))
-    }.map(st => new Path(st.f).getName).toSet.intersect(s.live)
-    val covered = forCol.map(st => new Path(st.f).getName).toSet
+    }.map(st => s.keyOf(st.f)).toSet.intersect(s.live)
+    val covered = forCol.map(st => s.keyOf(st.f)).toSet
     matched ++ s.live.filterNot(covered)
   }
 
@@ -232,31 +221,6 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
       case Some(_) => Set.empty // `col = NULL` matches no row
       case None => s.live
     }
-
-  private def longVal(v: Any): Option[Long] = v match {
-    case b: Byte => Some(b.toLong)
-    case s: Short => Some(s.toLong)
-    case i: Int => Some(i.toLong)
-    case l: Long => Some(l)
-    case _ => None
-  }
-
-  /** Bloom-sidecar admission for a point/IN predicate: one batched probe
-    * when the attribute is the bloom-indexed key and every value is an
-    * integral literal (the sidecar hashes keys cast to long); anything
-    * else admits all — the zone-map leg still applies via intersection.
-    * Uncovered files come back from the probe itself (its torn-append
-    * contract), so the fallback survives.
-    */
-  private def bloomCands(s: State, e: Expression,
-      vs: Seq[Any]): Set[String] = (attrOf(e), s.bloomCol) match {
-    case (Some(a), Some(bc)) if a.name == bc =>
-      val keys = vs.flatMap(longVal)
-      if (keys.size != vs.size || keys.isEmpty) s.live
-      else BloomIndex.candidateFiles(spark, tablePath, keys)
-        .map(f => new Path(f).getName).toSet.intersect(s.live)
-    case _ => s.live
-  }
 
   /** Conservative admitted set for one predicate; anything unrecognized
     * admits every live file.
@@ -314,5 +278,87 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
         case _ => s.live
       }
     case _ => s.live
+  }
+}
+
+/** The flat-directory index: live files from the directory listing, stats
+  * from the [[ZoneMap]] sidecar, equality routed through the
+  * [[BloomIndex]] sidecar when it records its key column. File identity
+  * is the BASENAME (unique in a flat dir — enforced at load).
+  */
+final class SkippingFileIndex(spark: SparkSession, tablePath: String)
+    extends SkipIndexBase(spark) {
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
+
+  private var bloomCol: Option[String] = None
+
+  override protected def loadState(): State = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val (liveUris, stats) = ZoneMap.loadIndex(spark, tablePath)
+    val liveNames = liveUris.map(u => new Path(u).getName)
+    val byName = files.map(st => st.getPath.getName -> st).toMap
+    // the sidecar family's layout contract is a FLAT directory; a nested
+    // layout (hive partitions, Versioned data dirs) would silently lose
+    // every nested file from the name-keyed admission — fail loudly
+    val unresolved = liveNames.filterNot(byName.contains)
+    require(unresolved.isEmpty,
+      s"IndexedTable requires a flat table directory: ${unresolved.size} " +
+        s"live file(s) are not top-level children of $tablePath " +
+        s"(e.g. ${unresolved.take(2).mkString(", ")})")
+    bloomCol = BloomIndex.plannedKeyCol(spark, tablePath)
+    State(byName, liveNames, stats, f => new Path(f).getName)
+  }
+
+  private def longVal(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  /** Bloom-sidecar admission for a point/IN predicate: one batched probe
+    * when the attribute is the bloom-indexed key and every value is an
+    * integral literal (the sidecar hashes keys cast to long); anything
+    * else admits all — the zone-map leg still applies via intersection.
+    * Uncovered files come back from the probe itself (its torn-append
+    * contract), so the fallback survives.
+    */
+  override protected def bloomCands(s: State, e: Expression,
+      vs: Seq[Any]): Set[String] = (attrOf(e), bloomCol) match {
+    case (Some(a), Some(bc)) if a.name == bc =>
+      val keys = vs.flatMap(longVal)
+      if (keys.size != vs.size || keys.isEmpty) s.live
+      else BloomIndex.candidateFiles(spark, tablePath, keys)
+        .map(f => new Path(f).getName).toSet.intersect(s.live)
+    case _ => s.live
+  }
+}
+
+/** The explicit-list index: a [[Versioned]] snapshot's file list + the
+  * per-file stats its manifest recorded at commit time. File identity is
+  * the FULL PATH (versioned data dirs reuse part-file basenames across
+  * commits). No directory listing happens at all — the manifest IS the
+  * listing, Iceberg-style.
+  */
+final class ManifestFileIndex(spark: SparkSession, root: String,
+    files: Seq[String], stats: Seq[ZoneMap.Stat])
+    extends SkipIndexBase(spark) {
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override protected def loadState(): State = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statuses = files.map { f =>
+      val p = new Path(f)
+      f -> p.getFileSystem(conf).getFileStatus(p)
+    }
+    State(statuses.toMap, files.toSet, stats, identity)
   }
 }

@@ -761,5 +761,32 @@ object SourceQueries {
       srcZonemapStreamedRange, srcVersionedUpsert, srcZorderZonemapBox,
       srcZonemapStringRange, srcZonemapPlanned, srcZonemapPlannedSql,
       srcBloomPlanned, srcZorderPlanned, srcVersionedMor, srcVersionedCdc,
-      srcVersionedCdf, srcVersionedEvolve, srcVersionedPos)
+      srcVersionedCdf, srcVersionedEvolve, srcVersionedPos,
+      srcVersionedIndexed)
+
+  /** Plan-time pruned snapshot read ([[Versioned.indexedRead]] — Iceberg
+    * file-stats pruning through the planner): key-clustered commits
+    * record per-file min/max in the manifest, and a plain filter over the
+    * returned frame opens only intersecting files — pruned TIME TRAVEL
+    * with zero probe syntax, content-invisible under the shared oracle;
+    * the admission counts are VersionedSpec's.
+    */
+  lazy val srcVersionedIndexed: Q = Q(
+    "src_versioned_indexed",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vidx2").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("user_id")), dir)
+      Versioned.append(ev.filter(col("event_id") % 2 === 1)
+        .repartitionByRange(8, col("user_id")), dir)
+      Versioned.indexedRead(s, dir)
+        .filter(col("user_id").between(100, 199) &&
+          col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    srcZorderBox.oracle)
 }

@@ -73,16 +73,86 @@ object Versioned {
   private def commitManifest(spark: SparkSession, table: String, v: Int,
       files: Seq[String], txns: Seq[Long],
       deletes: Seq[String] = Seq.empty,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      fileStats: Seq[String] = Seq.empty): Unit = {
     import spark.implicits._
     val tmp = s"${manifestRoot(table)}/_tmp_v$v"
     (files.map(("f", _)) ++ txns.map(t => ("t", t.toString)) ++
-      deletes.map(("d", _)) ++ schema.map(s => ("s", s.json)).toSeq)
+      deletes.map(("d", _)) ++ schema.map(s => ("s", s.json)).toSeq ++
+      fileStats.map(("fs", _)))
       .toDF("kind", "value")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val fs = fsFor(table, spark.sparkContext.hadoopConfiguration)
     val ok = fs.rename(new Path(tmp), new Path(manifestDir(table, v)))
     require(ok, s"manifest commit v$v failed (concurrent writer?)")
+  }
+
+  // ---- per-file column stats in the manifest (Iceberg's file stats) ----
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def encodeStat(f: String, c: String, lo: Option[Double],
+      hi: Option[Double], slo: Option[String],
+      shi: Option[String]): String =
+    Seq(enc(f), enc(c), lo.map(_.toString).getOrElse(""),
+      hi.map(_.toString).getOrElse(""), slo.map(enc).getOrElse(""),
+      shi.map(enc).getOrElse("")).mkString("|")
+
+  private[sources] def decodeStat(s: String): ZoneMap.Stat = {
+    val p = s.split("\\|", -1)
+    ZoneMap.Stat(dec(p(0)), dec(p(1)),
+      if (p(2).isEmpty) None else Some(p(2).toDouble),
+      if (p(3).isEmpty) None else Some(p(3).toDouble),
+      if (p(4).isEmpty) None else Some(dec(p(4))),
+      if (p(5).isEmpty) None else Some(dec(p(5))))
+  }
+
+  private def statFileOf(encoded: String): String =
+    dec(encoded.takeWhile(_ != '|'))
+
+  /** Iceberg-style string-stat truncation: a truncated LOWER bound stays
+    * a lower bound; the UPPER bound truncates then increments its last
+    * char (rounds up) — or drops entirely when it cannot round up.
+    */
+  private def truncStr(s: String, isUpper: Boolean,
+      maxLen: Int = 16): Option[String] =
+    if (s.length <= maxLen) Some(s)
+    else if (!isUpper) Some(s.take(maxLen))
+    else {
+      val t = s.take(maxLen)
+      val i = t.lastIndexWhere(_ != Char.MaxValue)
+      if (i < 0) None
+      else Some(t.take(i) + (t(i) + 1).toChar)
+    }
+
+  /** Per-file min/max stats of the freshly-written `files`, encoded for
+    * the manifest — ONE aggregation pass over the batch (the ZoneMap
+    * machinery with the sidecar replaced by manifest rows). All numeric
+    * and string primitive columns are covered; string bounds truncate to
+    * 16 chars, Iceberg-style.
+    */
+  private def statsFor(spark: SparkSession,
+      files: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    if (files.isEmpty) return Seq.empty
+    val schema = spark.read.parquet(files.head).schema
+    val cols = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == StringType => f.name
+    }.toSeq
+    if (cols.isEmpty) return Seq.empty
+    ZoneMap.statsOf(spark, files, cols).collect().toSeq.map { r =>
+      encodeStat(r.getString(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None
+        else truncStr(r.getString(5), isUpper = false),
+        if (r.isNullAt(6)) None
+        else truncStr(r.getString(6), isUpper = true))
+    }
   }
 
   /** Additive schema evolution (the Delta read-side contract): the new
@@ -116,7 +186,8 @@ object Versioned {
     */
   private final case class Snapshot(files: Seq[String], txns: Seq[Long],
       deletes: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      statsRaw: Seq[String] = Seq.empty)
 
   private def manifestAll(spark: SparkSession, table: String,
       v: Int): Snapshot = {
@@ -130,7 +201,8 @@ object Versioned {
       rows.collectFirst { case ("s", j) =>
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-      })
+      },
+      rows.collect { case ("fs", s) => s }.toSeq.sorted)
   }
 
   private def manifestFull(spark: SparkSession, table: String,
@@ -263,7 +335,7 @@ object Versioned {
     val sch = mergeSchemas(m.schema, df.schema)
     val added = writeData(df, s"$table/data/c=$v")
     commitManifest(spark, table, v, m.files ++ added, m.txns, m.deletes,
-      Some(sch))
+      Some(sch), m.statsRaw ++ statsFor(spark, added))
     v
   }
 
@@ -287,7 +359,8 @@ object Versioned {
     // clears the same dir
     val added = writeData(df, s"$table/data/b=$batchId-v${v + 1}")
     commitManifest(spark, table, v + 1, m.files ++ added,
-      m.txns :+ batchId, m.deletes, Some(sch))
+      m.txns :+ batchId, m.deletes, Some(sch),
+      m.statsRaw ++ statsFor(spark, added))
     Some(v + 1)
   }
 
@@ -318,7 +391,8 @@ object Versioned {
     val v = cur + 1
     val added = writeData(df, s"$table/data/r=$v")
     // a replace RESETS the schema too: content is exactly df
-    commitManifest(spark, table, v, added, txns, Seq.empty, Some(df.schema))
+    commitManifest(spark, table, v, added, txns, Seq.empty, Some(df.schema),
+      statsFor(spark, added))
     v
   }
 
@@ -362,8 +436,9 @@ object Versioned {
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         .unionByName(updates, allowMissingColumns = true)
     val added = writeData(survivors, s"$table/data/u=$v")
+    val carriedStats = m.statsRaw.filter(s => !touched(statFileOf(s)))
     commitManifest(spark, table, v, carried ++ added, m.txns, m.deletes,
-      Some(sch))
+      Some(sch), carriedStats ++ statsFor(spark, added))
     v
   }
 
@@ -392,8 +467,9 @@ object Versioned {
     val survivors = readWithDeletes(spark, touched.toSeq, m.deletes,
       m.schema).filter(!coalesce(pred, lit(false)))
     val added = writeData(survivors, s"$table/data/u=$v")
+    val carriedStats = m.statsRaw.filter(s => !touched(statFileOf(s)))
     commitManifest(spark, table, v, carried ++ added, m.txns, m.deletes,
-      m.schema)
+      m.schema, carriedStats ++ statsFor(spark, added))
     v
   }
 
@@ -418,7 +494,7 @@ object Versioned {
     val added = writeData(keys.select(col(keyCol)).distinct().coalesce(1),
       s"$table/data/d=$v")
     commitManifest(spark, table, v, m.files, m.txns, m.deletes ++ added,
-      m.schema)
+      m.schema, m.statsRaw)
     v
   }
 
@@ -469,7 +545,8 @@ object Versioned {
       .distinct().coalesce(1)
     val delAdded = writeData(allKeys, s"$table/data/d=$v")
     commitManifest(spark, table, v, m.files ++ added,
-      m.txns ++ batchId.toSeq, m.deletes ++ delAdded, Some(sch))
+      m.txns ++ batchId.toSeq, m.deletes ++ delAdded, Some(sch),
+      m.statsRaw ++ statsFor(spark, added))
     Some(v)
   }
 
@@ -555,8 +632,37 @@ object Versioned {
       return cur
     }
     commitManifest(spark, table, v, m.files, m.txns, m.deletes ++ added,
-      m.schema)
+      m.schema, m.statsRaw)
     v
+  }
+
+  /** Plan-time pruned read of a snapshot (Iceberg's file-stats scan
+    * pruning, through the [[SkipIndexBase]] translation): the manifest's
+    * per-file min/max stats back a [[ManifestFileIndex]], so a plain
+    * `.filter`/SQL WHERE on the returned frame opens only the files
+    * whose bounds can match — pruned TIME TRAVEL with zero probe syntax.
+    * Requires no pending MOR deletes (the planner path cannot apply
+    * anti-join masks — [[compact]] first); legacy snapshots without
+    * stats rows degrade to the full listing, and files a commit recorded
+    * no stats for are unconditional candidates (the house contract).
+    */
+  def indexedRead(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = version.getOrElse(currentVersion(table, conf))
+    require(listVersions(table, conf).contains(v), s"no snapshot v=$v at $table")
+    val m = manifestAll(spark, table, v)
+    require(m.deletes.isEmpty,
+      s"indexedRead needs a delete-free snapshot (compact $table first)")
+    val schema = m.schema.getOrElse {
+      require(m.files.nonEmpty, s"empty legacy snapshot v=$v has no schema")
+      spark.read.parquet(m.files.head).schema
+    }
+    if (m.files.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val index = new ManifestFileIndex(spark, table, m.files,
+      m.statsRaw.map(decodeStat))
+    IndexedTable.toDataFrame(spark, index, schema)
   }
 
   /** Delete data/delete files under the table that NO surviving manifest
@@ -611,7 +717,7 @@ object Versioned {
     val snap = read(spark, table)
     val added = writeData(snap.repartition(numFiles), s"$table/data/c=$v")
     commitManifest(spark, table, v, added, txns, Seq.empty,
-      Some(snap.schema))
+      Some(snap.schema), statsFor(spark, added))
     v
   }
 

@@ -57,7 +57,7 @@ object ZoneMap {
     * row-local explode into (f, c, ci, lo, hi). `ci` records the caller's
     * column order (the pinned clustering order).
     */
-  private def statsOf(spark: SparkSession, files: Seq[String],
+  private[sources] def statsOf(spark: SparkSession, files: Seq[String],
       statCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.StringType
     val src = spark.read.parquet(files: _*)

@@ -530,6 +530,67 @@ class VersionedSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.size).sum
+  }
+
+  test("indexedRead: manifest file stats prune a plain filter at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("vidx").toString + "/t"
+    // key-clustered commits give each file a tight user_id range
+    Versioned.append(ev.repartitionByRange(8, col("user_id")), dir)
+    Versioned.append(ev.repartitionByRange(8, col("user_id"))
+      .withColumn("value", col("value") + 1), dir)
+    val t = Versioned.indexedRead(spark, dir)
+    // sf0.001 user_id spans [0, 14]: a 2-wide band lives in ~1 of the 8
+    // range-clustered files per commit
+    val pred = col("user_id").between(3, 4)
+    val got = t.filter(pred)
+    val want = Versioned.read(spark, dir).filter(pred)
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val n = plannedFiles(got)
+    assert(n < 16, s"stats should prune the 16-file snapshot, planned $n")
+    // pruned TIME TRAVEL: v1 alone, still pruned, still exact
+    val t1 = Versioned.indexedRead(spark, dir, Some(1)).filter(pred)
+    assert(plannedFiles(t1) < 8)
+    assert(t1.count() == ev.filter(pred).count())
+  }
+
+  test("indexedRead refuses pending MOR deletes; compact unlocks it") {
+    val dir = java.nio.file.Files.createTempDirectory("vidx").toString + "/t"
+    Versioned.append(ev.repartitionByRange(4, col("event_id")), dir)
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+      dir, "event_id")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.indexedRead(spark, dir)
+    }
+    assert(e.getMessage.contains("delete-free"))
+    Versioned.compact(spark, dir, numFiles = 4)
+    val got = Versioned.indexedRead(spark, dir)
+    assert(got.count() == ev.filter(col("event_id") % 7 =!= 0).count())
+  }
+
+  test("truncated string stats stay conservative (16-char Iceberg rule)") {
+    val dir = java.nio.file.Files.createTempDirectory("vidx").toString + "/t"
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    Versioned.append(docs.repartitionByRange(4, col("text")), dir)
+    val t = Versioned.indexedRead(spark, dir)
+    // text values are ~200-500 chars, far past the truncation point: the
+    // rounded-up upper bound must still admit every true match
+    val pred = col("text").startsWith("key")
+    val got = t.filter(pred)
+    val want = Versioned.read(spark, dir).filter(pred)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(plannedFiles(got) < 4, "text-clustered files should prune")
+  }
+
   test("expire keeps carried delete files; vacuum removes only orphans") {
     val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
     Versioned.append(ev, dir)
