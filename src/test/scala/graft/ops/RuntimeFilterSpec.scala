@@ -36,6 +36,29 @@ class RuntimeFilterSpec extends AnyFunSuite {
       s"20% dim slice should kill most fact rows, survived $surviving/$total")
   }
 
+  test("the probe runs BELOW the join shuffle (plan audit)") {
+    val got = RuntimeFilter.bloomSemiJoin(li, "l_orderkey", urgent,
+      "o_orderkey")
+    val plan = got.queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // broadcast plans have no shuffle at all — equally fine; when the
+    // join DOES shuffle, the bloom filter must sit under the exchange so
+    // pruned rows never ship
+    if (shuffles.nonEmpty) {
+      val underShuffle = shuffles.exists(_.collect {
+        case f: FilterExec if f.condition.toString.contains("element_at") => f
+      }.nonEmpty)
+      assert(underShuffle,
+        "bloom probe filter must be below the fact-side exchange:\n" + plan)
+    } else {
+      assert(plan.collect {
+        case f: FilterExec if f.condition.toString.contains("element_at") => f
+      }.nonEmpty, "bloom probe filter missing from the plan")
+    }
+  }
+
   test("null fact keys fail the probe (inner-join semantics)") {
     val bits = RuntimeFilter.buildBits(urgent, "o_orderkey")
     val withNull = li.limit(5)
