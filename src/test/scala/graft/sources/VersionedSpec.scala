@@ -591,6 +591,32 @@ class VersionedSpec extends AnyFunSuite {
     assert(plannedFiles(got) < 4, "text-clustered files should prune")
   }
 
+  test("z-ordered commits + manifest stats: 2-D box prunes through indexedRead") {
+    val dir = java.nio.file.Files.createTempDirectory("vzz").toString + "/t"
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    // Morton-cluster the commit IN-ROW (writeData owns the file layout),
+    // so every file gets a tight 2-D bounding box in the manifest stats
+    val (exprA, exprB) = (col("user_id"), (col("value") * 1000).cast("long"))
+    val r = evs.agg(min(exprA), max(exprA), min(exprB), max(exprB)).head()
+    val z = ZOrder.interleave(
+      ZOrder.bucketize(exprA, r.getLong(0), r.getLong(1), 12),
+      ZOrder.bucketize(exprB, r.getLong(2), r.getLong(3), 12), 12)
+    Versioned.append(evs.withColumn("_z", z)
+      .repartitionByRange(16, col("_z")).sortWithinPartitions("_z")
+      .drop("_z"), dir)
+    val t = Versioned.indexedRead(spark, dir)
+    val pred = col("user_id").between(100, 199) &&
+      col("value").between(10.0, 30.0)
+    val got = t.filter(pred)
+    val want = Versioned.read(spark, dir).filter(pred)
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val nBoth = plannedFiles(got)
+    val nU = plannedFiles(t.filter(col("user_id").between(100, 199)))
+    assert(nBoth < 16 && nBoth <= nU,
+      s"2-D admission ($nBoth) should beat the 1-D cut ($nU) of 16")
+  }
+
   test("expire keeps carried delete files; vacuum removes only orphans") {
     val dir = java.nio.file.Files.createTempDirectory("mor").toString + "/t"
     Versioned.append(ev, dir)
