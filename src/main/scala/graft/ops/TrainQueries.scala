@@ -474,9 +474,64 @@ object TrainQueries {
     // both already regression-tracked by the benched curate rows
     bench = false)
 
+  /** The STORAGE-level release diff: the same two re-releases as
+    * train_release_diff, but the row deltas come from
+    * [[graft.sources.Versioned.changesBetween]] — the change-data-feed
+    * read over the actual published snapshots (manifest-derived, no
+    * logical join of the releases) — and must agree with the oracle's
+    * from-first-principles EXCEPT-ALL replay of both cascades. Kept
+    * docs (identical rows) cancel out of the feed by construction.
+    */
+  val trainReleaseCdf = Q(
+    "train_release_cdf",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_relcdf").toString + "/t"
+      val docs = T.documents(s, d)
+      def release(minTok: Int) =
+        Curate.curate(docs, "doc_id", "text",
+          Curate.Config(minTokens = minTok, minStopwordRatio = 0.02,
+            nearDupThreshold = 0.8))
+          .select(col("doc_id"),
+            size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      graft.sources.Versioned.replace(release(30), dir)
+      graft.sources.Versioned.replace(release(40), dir)
+      graft.sources.Versioned.changesBetween(s, dir, 1, 2)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("_change_type"))
+    },
+    Some {
+      def rel(minTok: Int) =
+        "(WITH " + TextQueries.duckCurateChain
+          .replace("n_tokens >= 30", s"n_tokens >= $minTok") +
+          """
+        SELECT k.doc_id, CAST(k.n_tokens AS BIGINT) AS n_tokens
+        FROM kept2 k LEFT JOIN losers l ON l.b = k.doc_id
+        WHERE l.b IS NULL)"""
+      s"""
+      WITH r1 AS (SELECT * FROM ${rel(30)}),
+      r2 AS (SELECT * FROM ${rel(40)}),
+      ins AS (SELECT doc_id, n_tokens FROM r2
+              EXCEPT ALL SELECT doc_id, n_tokens FROM r1),
+      del AS (SELECT doc_id, n_tokens FROM r1
+              EXCEPT ALL SELECT doc_id, n_tokens FROM r2)
+      SELECT 'delete' AS _change_type, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM del HAVING COUNT(*) > 0
+      UNION ALL
+      SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT)
+      FROM ins HAVING COUNT(*) > 0
+      ORDER BY _change_type"""
+    },
+    // correctness-gated only, like train_release_diff (two cascades)
+    bench = false)
+
   def all: Seq[Q] = Seq(trainShards, trainPack, trainMixture,
     textDecontaminate, textDecontaminateBloom, textDecontaminateWho,
     trainSplitCluster, trainWeightedSample, trainCurriculum,
     trainTemperatureMix, trainDatasetCard, trainReleaseSnapshot,
-    trainReleaseDiff)
+    trainReleaseDiff, trainReleaseCdf)
 }
