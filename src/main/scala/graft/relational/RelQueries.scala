@@ -2167,6 +2167,36 @@ object RelQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** Explicit GROUPING SETS — the general grouping-lattice form CUBE and
+    * ROLLUP are shorthands for (q16/q27 cover those): an irregular set of
+    * three groupings in ONE aggregation pass, disambiguated by
+    * GROUPING__ID exactly as the rollup row does with its NULL-marker
+    * convention.
+    */
+  val q60GroupingSets = Q(
+    "q60_grouping_sets",
+    (s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("q60_lineitem")
+      s.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM q60_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+             COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), ())
+      ORDER BY l_returnflag, l_linestatus"""))
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinAgg, q3Argmax, q4Having, q5Collect, q6WindowLag, q7Union,
     q8Anti, q9TopK, q10Scalar, q11Rank, q12EventsWindow, q13Json, q14AboveAvg,
@@ -2181,5 +2211,5 @@ object RelQueries {
     q49ProfileHistogram, q50ResampleMaintained, q51GroupQuantilesApprox,
     q52DriftPsi, q53ProfileCramersV, q54RetentionCohorts,
     q55FreqSketchMerge, q56AnomalyMad, q57DqChecks, q58KAnonymity,
-    q59BloomSemijoin)
+    q59BloomSemijoin, q60GroupingSets)
 }

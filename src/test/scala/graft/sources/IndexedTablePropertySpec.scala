@@ -57,4 +57,24 @@ class IndexedTablePropertySpec extends AnyFunSuite {
         s"case $i content mismatch: $pred")
     }
   }
+
+  test("25 seeded random trees over a VERSIONED snapshot (ManifestFileIndex)") {
+    val dir = java.nio.file.Files.createTempDirectory("vprop").toString + "/t"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    Versioned.append(ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(6, col("user_id")), dir)
+    Versioned.append(ev.filter(col("event_id") % 2 === 1)
+      .repartitionByRange(6, col("user_id")), dir)
+    val t = Versioned.indexedRead(spark, dir)
+    val raw = Versioned.read(spark, dir)
+    val rnd = new scala.util.Random(90125)
+    (1 to 25).foreach { i =>
+      val pred = randomPredicate(rnd, 2)
+      val got = t.filter(pred)
+      val want = raw.filter(pred)
+      assert(got.count() == want.count(), s"case $i: $pred")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"case $i content mismatch: $pred")
+    }
+  }
 }
