@@ -58,6 +58,35 @@ class IndexedTablePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("25 seeded random STRING predicates over lexicographic stats") {
+    val d = java.nio.file.Files.createTempDirectory("idxstr").toString + "/t"
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    ZoneMap.build(docs, Seq("lang", "doc_id"), d, nFiles = 8)
+    val t = IndexedTable.table(spark, d)
+    val raw = spark.read.parquet(d)
+    val langs = Seq("de", "en", "es", "fr", "ja", "aa", "zz")
+    val rnd = new scala.util.Random(777)
+    def strLeaf(): org.apache.spark.sql.Column = rnd.nextInt(4) match {
+      case 0 => col("lang") === langs(rnd.nextInt(langs.size))
+      case 1 =>
+        val (a, b) = (langs(rnd.nextInt(langs.size)),
+          langs(rnd.nextInt(langs.size)))
+        col("lang").between(if (a <= b) a else b, if (a <= b) b else a)
+      case 2 => col("lang").startsWith(
+        langs(rnd.nextInt(langs.size)).take(1))
+      case 3 => col("lang") >= langs(rnd.nextInt(langs.size))
+    }
+    (1 to 25).foreach { i =>
+      val pred =
+        if (rnd.nextBoolean()) strLeaf() && strLeaf() else strLeaf() || strLeaf()
+      val got = t.filter(pred)
+      val want = raw.filter(pred)
+      assert(got.count() == want.count(), s"case $i: $pred")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"case $i content mismatch: $pred")
+    }
+  }
+
   test("25 seeded random trees over a VERSIONED snapshot (ManifestFileIndex)") {
     val dir = java.nio.file.Files.createTempDirectory("vprop").toString + "/t"
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
