@@ -113,6 +113,21 @@ object Versioned {
   private def statFileOf(encoded: String): String =
     dec(encoded.takeWhile(_ != '|'))
 
+  /** Filesystem-URI-spelling-proof file identity: the path's `/data/...`
+    * suffix. Manifest paths come from `DataFrame.inputFiles` at write
+    * time while touch detection reads `input_file_name()` at query time,
+    * and the two can spell the same file differently (scheme, authority,
+    * port — e.g. `hdfs://nn:8020/...` vs `hdfs://nn/...`); comparing raw
+    * strings would silently return an EMPTY touched set, carrying the old
+    * files forward and keeping updated/deleted keys alive. Every set
+    * membership between the two worlds normalizes through this (the
+    * [[vacuumOrphans]] idiom).
+    */
+  private def dataSuffix(p: String): String = {
+    val i = p.indexOf("/data/")
+    if (i < 0) p else p.substring(i)
+  }
+
   /** Iceberg-style string-stat truncation: a truncated LOWER bound stays
     * a lower bound; the UPPER bound truncates then increments its last
     * char (rounds up) — or drops entirely when it cannot round up.
@@ -249,6 +264,45 @@ object Versioned {
   private def seqOf(path: String): Int =
     seqOfDir(new Path(path).getParent.getName)
 
+  /** Broadcast guard for the key-set joins (delete masks, upsert keys):
+    * below this many rows the key side broadcasts (one tiny table to
+    * every executor — the fast path for batch-sized CDC masks); above it
+    * the join falls back to a plain shuffle join. The guard exists
+    * because the MOR delete mask ACCUMULATES between compactions — a
+    * table taking heavy churn without [[compact]] would otherwise OOM
+    * every executor on a plain read, failing as a driver broadcast error
+    * instead of degrading to a shuffle (the `Dedup.appendToDedupIndex`
+    * maxBroadcastKeys idiom). Override per session with
+    * `spark.conf.set("graft.versioned.maxBroadcastKeys", n)`.
+    */
+  val DefaultMaxBroadcastKeys: Long = 1L << 20
+
+  private def maxBroadcastKeys(spark: SparkSession): Long =
+    spark.conf.getOption("graft.versioned.maxBroadcastKeys")
+      .map(_.toLong).getOrElse(DefaultMaxBroadcastKeys)
+
+  /** `df` hinted for broadcast when its (estimated) row count fits the
+    * guard; unhinted otherwise — AQE still gets to pick a broadcast join
+    * from REAL runtime sizes on the fallback path, so the guard only
+    * removes the unbounded FORCED broadcast, never the optimization.
+    */
+  private def maybeBroadcast(df: DataFrame, approxRows: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    if (approxRows <= maxBroadcastKeys(df.sparkSession)) broadcast(df) else df
+  }
+
+  /** Pending delete-mask size of the CURRENT snapshot (equality keys +
+    * recorded positions) — the compaction trigger: pipelines poll this
+    * and run [[compact]] past a threshold, keeping the read-side mask
+    * joins broadcast-sized. Parquet footer counts only; no data scan.
+    */
+  def pendingDeleteKeys(spark: SparkSession, table: String): Long = {
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    if (cur == 0) 0L
+    else manifestAll(spark, table, cur).deletes
+      .map(p => spark.read.parquet(p).count()).sum
+  }
+
   /** Column names of a POSITION-delete file (Iceberg's positional
     * deletes): rows are (referenced data file path, row index within it).
     * Distinguished from equality-delete files by this exact schema.
@@ -279,6 +333,11 @@ object Versioned {
     if (dataFiles.isEmpty) return spark.emptyDataFrame
     if (delFiles.isEmpty) return reader.parquet(dataFiles: _*)
     val metas = delFiles.map(p => (seqOf(p), spark.read.parquet(p).schema, p))
+    // per-delete-file row counts (parquet footer metadata — no data scan)
+    // feed the broadcast guard: a batch-sized mask broadcasts, an
+    // accumulated-past-threshold mask shuffle-joins instead of OOMing
+    val delRows: Map[String, Long] =
+      delFiles.map(p => p -> spark.read.parquet(p).count()).toMap
     val eqMeta = metas.collect {
       case (s, sch, p) if !isPosDelete(sch) => (s, sch.head.name, p)
     }
@@ -300,14 +359,16 @@ object Versioned {
           reader.parquet(fs: _*)
             .withColumn("__file", col("_metadata.file_path"))
             .withColumn("__pos", col("_metadata.row_index"))
-            .join(broadcast(pos), PosCols, "left_anti")
+            .join(maybeBroadcast(pos, posApplicable.map(delRows).sum),
+              PosCols, "left_anti")
             .select(cols.map(col): _*)
         }
       eqMeta.filter(_._1 > s).groupBy(_._2).toSeq.sortBy(_._1)
         .foldLeft(base) { case (df, (kc, ms)) =>
           val keys = spark.read.parquet(ms.map(_._3): _*)
             .select(col(kc)).distinct()
-          df.join(broadcast(keys), Seq(kc), "left_anti")
+          df.join(maybeBroadcast(keys, ms.map(m => delRows(m._3)).sum),
+            Seq(kc), "left_anti")
         }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -365,8 +426,10 @@ object Versioned {
   }
 
   /** Read snapshot `version` (default: latest). A snapshot whose manifest
-    * lists zero data files reads as an EMPTY frame (no schema — the
-    * manifest stores paths, not schemas), not an error.
+    * lists zero data files reads as an EMPTY frame AT THE STORED TABLE
+    * SCHEMA (the manifest records it — downstream column references keep
+    * resolving), not an error; only a legacy pre-schema-tracking empty
+    * manifest degrades to a zero-column frame.
     */
   def read(spark: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
@@ -374,7 +437,10 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table, conf))
     require(listVersions(table, conf).contains(v), s"no snapshot v=$v at $table")
     val m = manifestAll(spark, table, v)
-    readWithDeletes(spark, m.files, m.deletes, m.schema)
+    if (m.files.isEmpty && m.schema.isDefined)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema.get)
+    else readWithDeletes(spark, m.files, m.deletes, m.schema)
   }
 
   /** Overwrite commit (Iceberg's REPLACE): the new snapshot's content is
@@ -417,29 +483,40 @@ object Versioned {
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     if (cur == 0) return append(updates, table)
     val m = manifestAll(spark, table, cur)
-    val keys = updates.select(col(keyCol)).distinct()
-    val touched = spark.read.parquet(m.files: _*)
-      .select(col(keyCol), input_file_name().as("__f"))
-      .join(broadcast(keys), Seq(keyCol))
-      .select(col("__f")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val carried = m.files.filterNot(touched)
-    val v = cur + 1
-    // rewritten files jump PAST every pending delete's sequence, so the
-    // deletes must be applied to the rows being rewritten (masked rows
-    // must not resurrect); untouched files keep their old sequence and
-    // stay masked by the carried delete entries
-    val sch = mergeSchemas(m.schema, updates.schema)
-    val survivors =
-      if (touched.isEmpty) updates
-      else readWithDeletes(spark, touched.toSeq, m.deletes, m.schema)
-        .join(broadcast(keys), Seq(keyCol), "left_anti")
-        .unionByName(updates, allowMissingColumns = true)
-    val added = writeData(survivors, s"$table/data/u=$v")
-    val carriedStats = m.statsRaw.filter(s => !touched(statFileOf(s)))
-    commitManifest(spark, table, v, carried ++ added, m.txns, m.deletes,
-      Some(sch), carriedStats ++ statsFor(spark, added))
-    v
+    // cache + count in one pass: the count feeds the broadcast guard and
+    // the cache keeps the updates pipeline from recomputing across the
+    // touch probe and the anti-join
+    val keys = updates.select(col(keyCol)).distinct().cache()
+    val nKeys = keys.count()
+    try {
+      // touch detection compares input_file_name() spellings against
+      // manifest paths — normalize BOTH to the /data/ suffix (see
+      // [[dataSuffix]]; raw-string compare silently misses on URI drift)
+      val touched = spark.read.parquet(m.files: _*)
+        .select(col(keyCol), input_file_name().as("__f"))
+        .join(maybeBroadcast(keys, nKeys), Seq(keyCol))
+        .select(col("__f")).distinct()
+        .collect().map(r => dataSuffix(r.getString(0))).toSet
+      val (touchedPaths, carried) =
+        m.files.partition(f => touched(dataSuffix(f)))
+      val v = cur + 1
+      // rewritten files jump PAST every pending delete's sequence, so the
+      // deletes must be applied to the rows being rewritten (masked rows
+      // must not resurrect); untouched files keep their old sequence and
+      // stay masked by the carried delete entries
+      val sch = mergeSchemas(m.schema, updates.schema)
+      val survivors =
+        if (touchedPaths.isEmpty) updates
+        else readWithDeletes(spark, touchedPaths, m.deletes, m.schema)
+          .join(maybeBroadcast(keys, nKeys), Seq(keyCol), "left_anti")
+          .unionByName(updates, allowMissingColumns = true)
+      val added = writeData(survivors, s"$table/data/u=$v")
+      val carriedStats =
+        m.statsRaw.filter(s => !touched(dataSuffix(statFileOf(s))))
+      commitManifest(spark, table, v, carried ++ added, m.txns, m.deletes,
+        Some(sch), carriedStats ++ statsFor(spark, added))
+      v
+    } finally keys.unpersist()
   }
 
   /** Copy-on-write DELETE: drop rows matching `pred`; only files holding
@@ -457,17 +534,19 @@ object Versioned {
     val touched = spark.read.parquet(m.files: _*)
       .filter(pred)
       .select(input_file_name().as("__f")).distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => dataSuffix(r.getString(0))).toSet
     if (touched.isEmpty) return cur
-    val carried = m.files.filterNot(touched)
+    val (touchedPaths, carried) =
+      m.files.partition(f => touched(dataSuffix(f)))
     val v = cur + 1
     // NULL-pred rows are NOT matches: keep them (coalesce, so the
     // survivor filter is the exact complement of the touch filter).
     // Pending equality deletes apply to the rewrite (see upsert).
-    val survivors = readWithDeletes(spark, touched.toSeq, m.deletes,
+    val survivors = readWithDeletes(spark, touchedPaths, m.deletes,
       m.schema).filter(!coalesce(pred, lit(false)))
     val added = writeData(survivors, s"$table/data/u=$v")
-    val carriedStats = m.statsRaw.filter(s => !touched(statFileOf(s)))
+    val carriedStats =
+      m.statsRaw.filter(s => !touched(dataSuffix(statFileOf(s))))
     commitManifest(spark, table, v, carried ++ added, m.txns, m.deletes,
       m.schema, carriedStats ++ statsFor(spark, added))
     v
@@ -675,13 +754,9 @@ object Versioned {
     */
   def vacuumOrphans(spark: SparkSession, table: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def suffix(p: String): String = {
-      val i = p.indexOf("/data/")
-      if (i < 0) p else p.substring(i)
-    }
     val referenced = listVersions(table, conf).flatMap { v =>
       val (f, _, d) = manifestFull(spark, table, v); f ++ d
-    }.map(suffix).toSet
+    }.map(dataSuffix).toSet
     val fs = fsFor(table, conf)
     val dataRoot = new Path(s"$table/data")
     if (!fs.exists(dataRoot)) return Seq.empty
@@ -692,7 +767,7 @@ object Versioned {
     // entries — not orphans (they go when their directory goes)
     val orphans = all
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-      .filterNot(p => referenced.contains(suffix(p.toString)))
+      .filterNot(p => referenced.contains(dataSuffix(p.toString)))
     orphans.foreach(p => fs.delete(p, false))
     // drop leaf dirs holding nothing but committer metadata, so a
     // vacuumed attempt leaves no husk

@@ -635,4 +635,58 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, dir).count() == want)
     assert(Versioned.vacuumOrphans(spark, dir).isEmpty)
   }
+
+  test("over-threshold delete mask shuffles instead of forcing broadcast") {
+    val dir = java.nio.file.Files.createTempDirectory("morg").toString + "/t"
+    Versioned.append(ev, dir)
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 3 === 0).select(col("event_id")),
+      dir, "event_id")
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    // under the default threshold the batch-sized mask join IS hinted
+    assert(hints(Versioned.read(spark, dir)).nonEmpty)
+    val want = Versioned.read(spark, dir)
+      .orderBy(col("event_id")).collect()
+    // force the over-threshold path: every mask join must drop its
+    // broadcast HINT (AQE may still pick a broadcast join from real
+    // runtime sizes — the guard only removes the unbounded FORCED one)
+    spark.conf.set("graft.versioned.maxBroadcastKeys", "0")
+    try {
+      val got = Versioned.read(spark, dir)
+      val h = hints(got)
+      assert(h.isEmpty, s"guard left ${h.size} forced broadcast(s)")
+      assert(got.orderBy(col("event_id")).collect().sameElements(want))
+      // upsert's key joins carry the same guard
+      val up = ev.filter(col("event_id") % 10 === 1)
+        .withColumn("event_type", lit("patched"))
+      Versioned.upsert(up, dir, "event_id")
+      val after = Versioned.read(spark, dir)
+      assert(after.filter(col("event_type") === "patched").count() ==
+        up.count())
+    } finally spark.conf.unset("graft.versioned.maxBroadcastKeys")
+  }
+
+  test("pendingDeleteKeys counts the mask; compact resets it to zero") {
+    val dir = java.nio.file.Files.createTempDirectory("pdk").toString + "/t"
+    Versioned.append(ev, dir)
+    assert(Versioned.pendingDeleteKeys(spark, dir) == 0L)
+    val keys = ev.filter(col("event_id") % 5 === 0).select(col("event_id"))
+    Versioned.deleteByKeyMor(keys, dir, "event_id")
+    assert(Versioned.pendingDeleteKeys(spark, dir) == keys.count())
+    Versioned.compact(spark, dir, numFiles = 2)
+    assert(Versioned.pendingDeleteKeys(spark, dir) == 0L)
+  }
+
+  test("empty snapshot reads at the stored table schema") {
+    val dir = java.nio.file.Files.createTempDirectory("vempty").toString + "/t"
+    Versioned.append(ev, dir)
+    Versioned.replace(ev.limit(0), dir)
+    val empty = Versioned.read(spark, dir)
+    assert(empty.columns.toSeq == ev.columns.toSeq) // not a 0-column frame
+    assert(empty.count() == 0)
+    // downstream column references keep resolving
+    assert(empty.filter(col("event_id") > 0).count() == 0)
+  }
 }
