@@ -17,11 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * O(rows) — the only driver-side state is that list (the classic
   * index-read contract); data reads are ordinary distributed parquet
   * scans of the listed files. Commit atomicity is a single directory
-  * rename of the manifest (write to `_tmp_v<N>`, rename to `v=<N>`); a
-  * crash before the rename leaves the table at the previous snapshot,
-  * and the torn data directory is cleared by the next writer (every
-  * write path clears its target before writing — a half-written commit
-  * can never brick subsequent commits).
+  * rename of the manifest (write to a uid-staged `_tmp_v<N>_<uid>`,
+  * rename to `v=<N>` — the CAS); a crash before the rename leaves the
+  * table at the previous snapshot, and the torn, uniquely-named data
+  * directory is unreferenced debris [[vacuumOrphans]] clears — a
+  * half-written commit can never brick subsequent commits.
   *
   * All manifest/commit/expire filesystem traffic goes through the Hadoop
   * `FileSystem` API resolved from the table path (the same idiom as
@@ -41,8 +41,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * window where a compaction before redelivery erased the evidence;
   * manifest-native txns have no such window.)
   *
-  * Concurrent WRITERS are out of scope (single-writer, like a Delta
-  * table without a lock service); concurrent READERS are always safe.
+  * Concurrent WRITERS commit through an optimistic validate-then-retry
+  * loop (Iceberg's model, [[commitLoop]]): the manifest rename is the
+  * CAS, a losing ADDITIVE commit (append, MOR merge/delete) rebases onto
+  * the new head and retries — its staged data directory renames so the
+  * rebased rows carry the sequence of the version they actually land at
+  * — while a losing COPY-ON-WRITE commit (upsert, predicate delete,
+  * compact) rebases only when every file it read-and-rewrote is still
+  * live and no new delete mask appeared, and otherwise aborts loudly
+  * with its staged data cleaned up. Concurrent READERS are always safe.
   */
 object Versioned {
 
@@ -70,21 +77,135 @@ object Versioned {
   private def currentVersion(table: String, conf: Configuration): Int =
     listVersions(table, conf).lastOption.getOrElse(0)
 
-  private def commitManifest(spark: SparkSession, table: String, v: Int,
-      files: Seq[String], txns: Seq[Long],
-      deletes: Seq[String] = Seq.empty,
-      schema: Option[org.apache.spark.sql.types.StructType] = None,
-      fileStats: Seq[String] = Seq.empty): Unit = {
+  /** One commit's complete manifest content. */
+  private final case class Content(files: Seq[String], txns: Seq[Long],
+      deletes: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      stats: Seq[String])
+
+  /** Attempt the atomic manifest rename at version `v`: true on success;
+    * false when a concurrent writer already took `v`. The rename goes
+    * through `FileContext` (HDFS "rename2" semantics: FAILS when the
+    * destination exists) rather than `FileSystem.rename`, whose Hadoop
+    * contract silently NESTS the source inside an existing destination
+    * directory and returns true — which would make both racing writers
+    * believe they won. The staged manifest is uid-suffixed so two racing
+    * writers can never scribble over each other's staging dir either.
+    */
+  private def tryCommit(spark: SparkSession, table: String, v: Int,
+      c: Content): Boolean = {
     import spark.implicits._
-    val tmp = s"${manifestRoot(table)}/_tmp_v$v"
-    (files.map(("f", _)) ++ txns.map(t => ("t", t.toString)) ++
-      deletes.map(("d", _)) ++ schema.map(s => ("s", s.json)).toSeq ++
-      fileStats.map(("fs", _)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = s"${manifestRoot(table)}/_tmp_v${v}_${newUid()}"
+    (c.files.map(("f", _)) ++ c.txns.map(t => ("t", t.toString)) ++
+      c.deletes.map(("d", _)) ++ c.schema.map(s => ("s", s.json)).toSeq ++
+      c.stats.map(("fs", _)))
       .toDF("kind", "value")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = fsFor(table, spark.sparkContext.hadoopConfiguration)
-    val ok = fs.rename(new Path(tmp), new Path(manifestDir(table, v)))
-    require(ok, s"manifest commit v$v failed (concurrent writer?)")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(table).toUri, conf)
+    val ok =
+      try { fc.rename(new Path(tmp), new Path(manifestDir(table, v))); true }
+      catch {
+        // dest exists (a concurrent writer took v) — a genuine IO fault
+        // also lands here and surfaces as retries-exhausted, never as a
+        // silent double-win
+        case _: java.io.IOException => false
+      }
+    if (!ok) fsFor(table, conf).delete(new Path(tmp), true)
+    ok
+  }
+
+  private def newUid(): String =
+    java.util.UUID.randomUUID.toString.take(8)
+
+  /** TEST-ONLY injection point: fired once, immediately before the first
+    * commit attempt of the next [[commitLoop]], then cleared — lets specs
+    * interleave a competing writer deterministically (the two-writer
+    * rebase/abort cases). Production never sets it.
+    */
+  private[sources] var onBeforeCommit: () => Unit = () => ()
+
+  /** Optimistic commit with validate-then-retry (Iceberg's commit loop):
+    * read the CURRENT head, let `build` produce the new manifest content
+    * against it (returning None to no-op, or throwing to abort on a true
+    * conflict), attempt the rename CAS at head+1; on losing the race,
+    * re-read the new head and rebuild. `build` runs once per attempt, so
+    * every validation it performs is against the head it will commit on
+    * top of. Additive commits (append, MOR merge/delete) always rebase;
+    * copy-on-write commits validate their touched files are still live
+    * and abort loudly otherwise (see each op). Bounded retries: livelock
+    * under sustained contention surfaces as an error, not a hang.
+    */
+  private def commitLoop(spark: SparkSession, table: String,
+      build: (Snapshot, Int) => Option[Content],
+      retries: Int = 5): Option[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var attempt = 0
+    while (attempt <= retries) {
+      val cur = currentVersion(table, conf)
+      val m = if (cur == 0) Snapshot(Nil, Nil, Nil, None)
+        else manifestAll(spark, table, cur)
+      build(m, cur) match {
+        case None => return None
+        case Some(c) =>
+          if (attempt == 0) {
+            val h = onBeforeCommit; onBeforeCommit = () => (); h()
+          }
+          if (tryCommit(spark, table, cur + 1, c)) return Some(cur + 1)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commit at $table failed after $retries retries (sustained " +
+        "concurrent-writer contention)")
+  }
+
+  /** Lazily-staged data/delete-file write whose directory name carries
+    * the COMMIT version (the sequence-number source — see [[seqOfDir]])
+    * plus a unique suffix, so concurrent writers can never collide on a
+    * staging directory. `at(v)` writes on first call and RENAMES the
+    * directory (remapping file paths and encoded stats) when a rebase
+    * moves the commit to a later version — rebased rows then carry the
+    * sequence of the version they actually committed at, Iceberg-style.
+    */
+  private final class Staged(table: String, kind: String, df: DataFrame,
+      batchId: Option[Long] = None, withStats: Boolean = true) {
+    private val spark = df.sparkSession
+    private val uid = newUid()
+    private var dirV: Int = -1
+    private var files: Seq[String] = Nil
+    private var stats: Seq[String] = Nil
+    private def dirName(v: Int) = batchId match {
+      case Some(b) => s"b=$b-v$v-$uid"
+      case None => s"$kind=$v-$uid"
+    }
+    def at(v: Int): (Seq[String], Seq[String]) = {
+      if (dirV < 0) {
+        files = writeData(df, s"$table/data/${dirName(v)}")
+        stats = if (withStats) statsFor(spark, files) else Nil
+        dirV = v
+      } else if (dirV != v) {
+        val fs = fsFor(table, spark.sparkContext.hadoopConfiguration)
+        val from = new Path(s"$table/data/${dirName(dirV)}")
+        val to = new Path(s"$table/data/${dirName(v)}")
+        require(fs.rename(from, to), s"rebase rename failed: $from -> $to")
+        val (o, n) = (s"/${dirName(dirV)}/", s"/${dirName(v)}/")
+        files = files.map(_.replace(o, n))
+        stats = stats.map { s =>
+          val i = s.indexOf('|')
+          enc(dec(s.take(i)).replace(o, n)) + s.drop(i)
+        }
+        dirV = v
+      }
+      (files, stats)
+    }
+    /** Drop the staged directory (the commit no-op'd or aborted). */
+    def abort(): Unit = if (dirV >= 0) {
+      fsFor(table, spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(s"$table/data/${dirName(dirV)}"), true)
+      dirV = -1
+    }
   }
 
   // ---- per-file column stats in the manifest (Iceberg's file stats) ----
@@ -95,19 +216,25 @@ object Versioned {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   private def encodeStat(f: String, c: String, lo: Option[Double],
-      hi: Option[Double], slo: Option[String],
-      shi: Option[String]): String =
+      hi: Option[Double], slo: Option[String], shi: Option[String],
+      nulls: Option[Long], rows: Option[Long]): String =
     Seq(enc(f), enc(c), lo.map(_.toString).getOrElse(""),
       hi.map(_.toString).getOrElse(""), slo.map(enc).getOrElse(""),
-      shi.map(enc).getOrElse("")).mkString("|")
+      shi.map(enc).getOrElse(""), nulls.map(_.toString).getOrElse(""),
+      rows.map(_.toString).getOrElse("")).mkString("|")
 
+  /** 6-field stats predate null counts; they decode with unknown counts
+    * (which never prune).
+    */
   private[sources] def decodeStat(s: String): ZoneMap.Stat = {
     val p = s.split("\\|", -1)
     ZoneMap.Stat(dec(p(0)), dec(p(1)),
       if (p(2).isEmpty) None else Some(p(2).toDouble),
       if (p(3).isEmpty) None else Some(p(3).toDouble),
       if (p(4).isEmpty) None else Some(dec(p(4))),
-      if (p(5).isEmpty) None else Some(dec(p(5))))
+      if (p(5).isEmpty) None else Some(dec(p(5))),
+      if (p.length < 7 || p(6).isEmpty) None else Some(p(6).toLong),
+      if (p.length < 8 || p(7).isEmpty) None else Some(p(7).toLong))
   }
 
   private def statFileOf(encoded: String): String =
@@ -128,20 +255,20 @@ object Versioned {
     if (i < 0) p else p.substring(i)
   }
 
-  /** Iceberg-style string-stat truncation: a truncated LOWER bound stays
-    * a lower bound; the UPPER bound truncates then increments its last
-    * char (rounds up) — or drops entirely when it cannot round up.
+  /** Iceberg-style string-stat truncation AT CODE-POINT GRANULARITY
+    * (UTF-16-unit truncation could split a surrogate pair, and
+    * char-level increment disagrees with Spark's UTF-8 order — see
+    * [[Utf8Order]]): a truncated LOWER bound stays a lower bound; the
+    * UPPER bound truncates then rounds its last code point up — or drops
+    * entirely when it cannot round up.
     */
   private def truncStr(s: String, isUpper: Boolean,
-      maxLen: Int = 16): Option[String] =
-    if (s.length <= maxLen) Some(s)
-    else if (!isUpper) Some(s.take(maxLen))
-    else {
-      val t = s.take(maxLen)
-      val i = t.lastIndexWhere(_ != Char.MaxValue)
-      if (i < 0) None
-      else Some(t.take(i) + (t(i) + 1).toChar)
-    }
+      maxLen: Int = 16): Option[String] = {
+    val cps = Utf8Order.codePoints(s)
+    if (cps.length <= maxLen) Some(s)
+    else if (!isUpper) Some(Utf8Order.fromCodePoints(cps.take(maxLen)))
+    else Utf8Order.incLast(cps.take(maxLen)).map(Utf8Order.fromCodePoints)
+  }
 
   /** Per-file min/max stats of the freshly-written `files`, encoded for
     * the manifest — ONE aggregation pass over the batch (the ZoneMap
@@ -166,7 +293,9 @@ object Versioned {
         if (r.isNullAt(5)) None
         else truncStr(r.getString(5), isUpper = false),
         if (r.isNullAt(6)) None
-        else truncStr(r.getString(6), isUpper = true))
+        else truncStr(r.getString(6), isUpper = true),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)))
     }
   }
 
@@ -249,12 +378,18 @@ object Versioned {
     * every equality delete (the MOR path postdates them).
     */
   private def seqOfDir(dirName: String): Int = {
+    // version numbers may carry a `-<uid>` staging suffix (see [[Staged]])
+    def leadingInt(s: String): Int =
+      s.takeWhile(_.isDigit) match {
+        case "" => 0
+        case d => d.toIntOption.getOrElse(0)
+      }
     val eq = dirName.indexOf('=')
     if (eq < 0) 0
     else (dirName.take(eq), dirName.drop(eq + 1)) match {
-      case ("c" | "u" | "r" | "d" | "m", n) => n.toIntOption.getOrElse(0)
+      case ("c" | "u" | "r" | "d" | "m", n) => leadingInt(n)
       case ("b", rest) => rest.split("-v") match {
-        case Array(_, v) => v.toIntOption.getOrElse(0)
+        case a if a.length >= 2 => leadingInt(a(1))
         case _ => 0
       }
       case _ => 0
@@ -387,17 +522,18 @@ object Versioned {
   /** Append `df` as a new snapshot; returns the new version number.
     * Pending equality deletes carry forward — they mask only OLDER files,
     * so the appended rows are visible even for previously-deleted keys.
+    * An append is ADDITIVE, so losing the commit race simply rebases onto
+    * the new head (re-merging the schema) and retries.
     */
   def append(df: DataFrame, table: String): Int = {
     val spark = df.sparkSession
-    val v = currentVersion(table, spark.sparkContext.hadoopConfiguration) + 1
-    val m = if (v == 1) Snapshot(Nil, Nil, Nil, None)
-      else manifestAll(spark, table, v - 1)
-    val sch = mergeSchemas(m.schema, df.schema)
-    val added = writeData(df, s"$table/data/c=$v")
-    commitManifest(spark, table, v, m.files ++ added, m.txns, m.deletes,
-      Some(sch), m.statsRaw ++ statsFor(spark, added))
-    v
+    val w = new Staged(table, "c", df)
+    commitLoop(spark, table, { (m, cur) =>
+      val sch = mergeSchemas(m.schema, df.schema)
+      val (files, stats) = w.at(cur + 1)
+      Some(Content(m.files ++ files, m.txns, m.deletes, Some(sch),
+        m.statsRaw ++ stats))
+    }).get
   }
 
   /** Exactly-once micro-batch append (the streaming face — see
@@ -409,20 +545,22 @@ object Versioned {
     */
   def appendBatch(df: DataFrame, table: String, batchId: Long): Option[Int] = {
     val spark = df.sparkSession
-    val v = currentVersion(table, spark.sparkContext.hadoopConfiguration)
-    val m = if (v == 0) Snapshot(Nil, Nil, Nil, None)
-      else manifestAll(spark, table, v)
-    if (m.txns.contains(batchId)) return None
-    val sch = mergeSchemas(m.schema, df.schema)
     // the committing version rides in the dir name so equality deletes
-    // sequence correctly against streamed files (see seqOfDir); under the
-    // single-writer contract a torn redelivery recomputes the same v and
-    // clears the same dir
-    val added = writeData(df, s"$table/data/b=$batchId-v${v + 1}")
-    commitManifest(spark, table, v + 1, m.files ++ added,
-      m.txns :+ batchId, m.deletes, Some(sch),
-      m.statsRaw ++ statsFor(spark, added))
-    Some(v + 1)
+    // sequence correctly against streamed files (see seqOfDir); the txn
+    // check runs against the head of EVERY attempt, so a redelivery —
+    // including one racing the original — no-ops before writing data
+    val w = new Staged(table, "b", df, batchId = Some(batchId))
+    val r = commitLoop(spark, table, { (m, cur) =>
+      if (m.txns.contains(batchId)) None
+      else {
+        val sch = mergeSchemas(m.schema, df.schema)
+        val (files, stats) = w.at(cur + 1)
+        Some(Content(m.files ++ files, m.txns :+ batchId, m.deletes,
+          Some(sch), m.statsRaw ++ stats))
+      }
+    })
+    if (r.isEmpty) w.abort() // lost to an identical redelivery mid-loop
+    r
   }
 
   /** Read snapshot `version` (default: latest). A snapshot whose manifest
@@ -452,14 +590,14 @@ object Versioned {
     */
   def replace(df: DataFrame, table: String): Int = {
     val spark = df.sparkSession
-    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
-    val txns = if (cur == 0) Seq.empty[Long] else manifest(spark, table, cur)._2
-    val v = cur + 1
-    val added = writeData(df, s"$table/data/r=$v")
-    // a replace RESETS the schema too: content is exactly df
-    commitManifest(spark, table, v, added, txns, Seq.empty, Some(df.schema),
-      statsFor(spark, added))
-    v
+    val w = new Staged(table, "r", df)
+    // content is exactly df regardless of the head, so a lost race just
+    // rebases (txn ids carry from whatever head it lands on)
+    commitLoop(spark, table, { (m, cur) =>
+      val (files, stats) = w.at(cur + 1)
+      // a replace RESETS the schema too: content is exactly df
+      Some(Content(files, m.txns, Seq.empty, Some(df.schema), stats))
+    }).get
   }
 
   /** Copy-on-write UPSERT (the Delta/Iceberg `MERGE INTO` shape): rows of
@@ -482,7 +620,7 @@ object Versioned {
     val spark = updates.sparkSession
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     if (cur == 0) return append(updates, table)
-    val m = manifestAll(spark, table, cur)
+    val basis = manifestAll(spark, table, cur)
     // cache + count in one pass: the count feeds the broadcast guard and
     // the cache keeps the updates pipeline from recomputing across the
     // touch probe and the anti-join
@@ -492,32 +630,64 @@ object Versioned {
       // touch detection compares input_file_name() spellings against
       // manifest paths — normalize BOTH to the /data/ suffix (see
       // [[dataSuffix]]; raw-string compare silently misses on URI drift)
-      val touched = spark.read.parquet(m.files: _*)
+      val touched = spark.read.parquet(basis.files: _*)
         .select(col(keyCol), input_file_name().as("__f"))
         .join(maybeBroadcast(keys, nKeys), Seq(keyCol))
         .select(col("__f")).distinct()
         .collect().map(r => dataSuffix(r.getString(0))).toSet
-      val (touchedPaths, carried) =
-        m.files.partition(f => touched(dataSuffix(f)))
-      val v = cur + 1
+      val touchedPaths = basis.files.filter(f => touched(dataSuffix(f)))
       // rewritten files jump PAST every pending delete's sequence, so the
       // deletes must be applied to the rows being rewritten (masked rows
       // must not resurrect); untouched files keep their old sequence and
       // stay masked by the carried delete entries
-      val sch = mergeSchemas(m.schema, updates.schema)
       val survivors =
         if (touchedPaths.isEmpty) updates
-        else readWithDeletes(spark, touchedPaths, m.deletes, m.schema)
+        else readWithDeletes(spark, touchedPaths, basis.deletes, basis.schema)
           .join(maybeBroadcast(keys, nKeys), Seq(keyCol), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
-      val added = writeData(survivors, s"$table/data/u=$v")
-      val carriedStats =
-        m.statsRaw.filter(s => !touched(dataSuffix(statFileOf(s))))
-      commitManifest(spark, table, v, carried ++ added, m.txns, m.deletes,
-        Some(sch), carriedStats ++ statsFor(spark, added))
-      v
+      val w = new Staged(table, "u", survivors)
+      cowCommit(spark, table, w, basis, touched, updates.schema,
+        what = s"upsert($keyCol)")
     } finally keys.unpersist()
   }
+
+  /** The copy-on-write commit tail shared by [[upsert]] and [[delete]]:
+    * validate-then-retry where a rebase is legal ONLY when (a) every
+    * file this writer read-and-rewrote is still live at the head and
+    * (b) the head gained no new delete files since the basis (a new
+    * mask would have applied to the rows being rewritten — committing
+    * past it would resurrect them). Anything else aborts LOUDLY with the
+    * staged data cleaned up; concurrent APPENDS are commutative and
+    * rebase fine (their files carry forward untouched — a concurrently
+    * appended row sharing an upsert key keeps its own, later sequence).
+    */
+  private def cowCommit(spark: SparkSession, table: String, w: Staged,
+      basis: Snapshot, touched: Set[String],
+      commitSchema: org.apache.spark.sql.types.StructType,
+      what: String): Int =
+    try {
+      commitLoop(spark, table, { (m, cur) =>
+        val live = m.files.map(dataSuffix).toSet
+        val missing = touched.filterNot(live)
+        val newDeletes = m.deletes.filterNot(basis.deletes.toSet)
+        if (missing.nonEmpty || newDeletes.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"$what at $table conflicts with a concurrent commit: " +
+              (if (missing.nonEmpty)
+                s"${missing.size} touched file(s) no longer live"
+              else s"${newDeletes.size} new delete file(s) since the " +
+                "basis snapshot") + " — re-run against the new head")
+        val carried = m.files.filterNot(f => touched(dataSuffix(f)))
+        val carriedStats =
+          m.statsRaw.filter(s => !touched(dataSuffix(statFileOf(s))))
+        val sch = mergeSchemas(m.schema, commitSchema)
+        val (files, stats) = w.at(cur + 1)
+        Some(Content(carried ++ files, m.txns, m.deletes, Some(sch),
+          carriedStats ++ stats))
+      }).get
+    } catch {
+      case e: Throwable => w.abort(); throw e
+    }
 
   /** Copy-on-write DELETE: drop rows matching `pred`; only files holding
     * a matching row are rewritten, the rest carry forward by reference
@@ -536,20 +706,15 @@ object Versioned {
       .select(input_file_name().as("__f")).distinct()
       .collect().map(r => dataSuffix(r.getString(0))).toSet
     if (touched.isEmpty) return cur
-    val (touchedPaths, carried) =
-      m.files.partition(f => touched(dataSuffix(f)))
-    val v = cur + 1
+    val touchedPaths = m.files.filter(f => touched(dataSuffix(f)))
     // NULL-pred rows are NOT matches: keep them (coalesce, so the
     // survivor filter is the exact complement of the touch filter).
     // Pending equality deletes apply to the rewrite (see upsert).
     val survivors = readWithDeletes(spark, touchedPaths, m.deletes,
       m.schema).filter(!coalesce(pred, lit(false)))
-    val added = writeData(survivors, s"$table/data/u=$v")
-    val carriedStats =
-      m.statsRaw.filter(s => !touched(dataSuffix(statFileOf(s))))
-    commitManifest(spark, table, v, carried ++ added, m.txns, m.deletes,
-      m.schema, carriedStats ++ statsFor(spark, added))
-    v
+    val w = new Staged(table, "u", survivors)
+    cowCommit(spark, table, w, m, touched,
+      m.schema.getOrElse(survivors.schema), what = "delete(pred)")
   }
 
   /** Merge-on-READ equality delete (Iceberg's equality-delete files —
@@ -566,15 +731,20 @@ object Versioned {
   def deleteByKeyMor(keys: DataFrame, table: String, keyCol: String): Int = {
     import org.apache.spark.sql.functions._
     val spark = keys.sparkSession
-    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
-    require(cur > 0, s"no snapshot to delete from at $table")
-    val m = manifestAll(spark, table, cur)
-    val v = cur + 1
-    val added = writeData(keys.select(col(keyCol)).distinct().coalesce(1),
-      s"$table/data/d=$v")
-    commitManifest(spark, table, v, m.files, m.txns, m.deletes ++ added,
-      m.schema, m.statsRaw)
-    v
+    require(currentVersion(table,
+      spark.sparkContext.hadoopConfiguration) > 0,
+      s"no snapshot to delete from at $table")
+    // additive (one delete file, zero data files touched): a lost commit
+    // race rebases onto the new head — the rename moves the delete file's
+    // sequence PAST the interleaved commit, preserving "masks everything
+    // committed before me" under the serial order the CAS establishes
+    val w = new Staged(table, "d",
+      keys.select(col(keyCol)).distinct().coalesce(1), withStats = false)
+    commitLoop(spark, table, { (m, cur) =>
+      val (added, _) = w.at(cur + 1)
+      Some(Content(m.files, m.txns, m.deletes ++ added, m.schema,
+        m.statsRaw))
+    }).get
   }
 
   /** Merge-on-read MERGE — ONE atomic commit of (new data files at
@@ -612,21 +782,26 @@ object Versioned {
       table: String, keyCol: String, batchId: Option[Long]): Option[Int] = {
     import org.apache.spark.sql.functions._
     val spark = upserts.sparkSession
-    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
-    val m = if (cur == 0) Snapshot(Nil, Nil, Nil, None)
-      else manifestAll(spark, table, cur)
-    if (batchId.exists(m.txns.contains)) return None
-    val v = cur + 1
-    val sch = mergeSchemas(m.schema, upserts.schema)
-    val added = writeData(upserts, s"$table/data/m=$v")
     val allKeys = upserts.select(col(keyCol))
       .unionByName(deleteKeys.select(col(keyCol)).toDF(keyCol))
       .distinct().coalesce(1)
-    val delAdded = writeData(allKeys, s"$table/data/d=$v")
-    commitManifest(spark, table, v, m.files ++ added,
-      m.txns ++ batchId.toSeq, m.deletes ++ delAdded, Some(sch),
-      m.statsRaw ++ statsFor(spark, added))
-    Some(v)
+    // additive pair (data at seq v, delete at seq v — strict sequence
+    // rule keeps the upserts alive through their own mask); both staged
+    // dirs rename together on a rebase, so the pair stays same-sequence
+    val wData = new Staged(table, "m", upserts)
+    val wDel = new Staged(table, "d", allKeys, withStats = false)
+    val r = commitLoop(spark, table, { (m, cur) =>
+      if (batchId.exists(m.txns.contains)) None
+      else {
+        val sch = mergeSchemas(m.schema, upserts.schema)
+        val (added, stats) = wData.at(cur + 1)
+        val (delAdded, _) = wDel.at(cur + 1)
+        Some(Content(m.files ++ added, m.txns ++ batchId.toSeq,
+          m.deletes ++ delAdded, Some(sch), m.statsRaw ++ stats))
+      }
+    })
+    if (r.isEmpty) { wData.abort(); wDel.abort() }
+    r
   }
 
   /** Change-data-feed between two snapshots (Delta CDF re-expressed from
@@ -702,17 +877,32 @@ object Versioned {
       .withColumn("__pos", col("_metadata.row_index"))
       .filter(pred)
       .select(col("__file"), col("__pos"))
-    val v = cur + 1
-    val added = writeData(positions.coalesce(1), s"$table/data/d=$v")
-    if (added.isEmpty || spark.read.parquet(added: _*).isEmpty) {
+    val w = new Staged(table, "d", positions.coalesce(1), withStats = false)
+    val (added0, _) = w.at(cur + 1)
+    if (added0.isEmpty || spark.read.parquet(added0: _*).isEmpty) {
       // nothing matched: drop the empty attempt, mint no snapshot
-      fsFor(table, spark.sparkContext.hadoopConfiguration)
-        .delete(new Path(s"$table/data/d=$v"), true)
+      w.abort()
       return cur
     }
-    commitManifest(spark, table, v, m.files, m.txns, m.deletes ++ added,
-      m.schema, m.statsRaw)
-    v
+    try {
+      commitLoop(spark, table, { (h, c) =>
+        // the recorded positions reference the BASIS files by path; if a
+        // concurrent commit rewrote/removed any of them, those positions
+        // would silently match nothing — a lost delete. Abort instead.
+        val live = h.files.map(dataSuffix).toSet
+        val gone = m.files.map(dataSuffix).filterNot(live)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"deleteWhereMorPos at $table conflicts with a concurrent " +
+              s"commit: ${gone.size} referenced file(s) no longer live — " +
+              "re-run against the new head")
+        val (added, _) = w.at(c + 1)
+        Some(Content(h.files, h.txns, h.deletes ++ added, h.schema,
+          h.statsRaw))
+      }).get
+    } catch {
+      case e: Throwable => w.abort(); throw e
+    }
   }
 
   /** Plan-time pruned read of a snapshot (Iceberg's file-stats scan
@@ -787,13 +977,24 @@ object Versioned {
   def compact(spark: SparkSession, table: String, numFiles: Int): Int = {
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     if (cur == 0) return 0
-    val txns = manifest(spark, table, cur)._2
-    val v = cur + 1
-    val snap = read(spark, table)
-    val added = writeData(snap.repartition(numFiles), s"$table/data/c=$v")
-    commitManifest(spark, table, v, added, txns, Seq.empty,
-      Some(snap.schema), statsFor(spark, added))
-    v
+    val basis = manifestAll(spark, table, cur)
+    val snap = read(spark, table, Some(cur))
+    val w = new Staged(table, "c", snap.repartition(numFiles))
+    try {
+      commitLoop(spark, table, { (h, c) =>
+        // a compaction is a whole-table COW: it can only land on the
+        // exact snapshot it read (ANY interleaved commit — append,
+        // delete, merge — changes the content it would be erasing)
+        if (h.files != basis.files || h.deletes != basis.deletes)
+          throw new java.util.ConcurrentModificationException(
+            s"compact at $table conflicts with a concurrent commit " +
+              "(table changed since the compaction read) — re-run")
+        val (added, stats) = w.at(c + 1)
+        Some(Content(added, h.txns, Seq.empty, Some(snap.schema), stats))
+      }).get
+    } catch {
+      case e: Throwable => w.abort(); throw e
+    }
   }
 
   /** Drop all snapshots but the last `keepLast`, then delete every data

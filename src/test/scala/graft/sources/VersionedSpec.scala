@@ -55,10 +55,11 @@ class VersionedSpec extends AnyFunSuite {
     assert(v3.exceptAll(ev).isEmpty && ev.exceptAll(v3).isEmpty)
     assert(Versioned.read(spark, dir, Some(4)).count() == ev.count())
     // the pre-compaction commit dirs were orphaned by compact -> deleted
+    // (commit dirs carry a staging uid suffix: c=<v>-<uid>)
     def parquets(c: Int) = {
-      val f = new java.io.File(s"$dir/data/c=$c")
-      if (!f.isDirectory) Array.empty[java.io.File]
-      else f.listFiles().filter(_.getName.endsWith(".parquet"))
+      val root = new java.io.File(s"$dir/data")
+      root.listFiles().filter(_.getName.startsWith(s"c=$c-"))
+        .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
     }
     assert(parquets(1).isEmpty && parquets(2).isEmpty)
     assert(parquets(3).nonEmpty)
@@ -677,6 +678,115 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.pendingDeleteKeys(spark, dir) == keys.count())
     Versioned.compact(spark, dir, numFiles = 2)
     assert(Versioned.pendingDeleteKeys(spark, dir) == 0L)
+  }
+
+  test("manifest null counts prune IS NULL probes through indexedRead") {
+    val dir = java.nio.file.Files.createTempDirectory("vnull").toString + "/t"
+    val src = ev.withColumn("click_value",
+      when(col("event_type") === "click", col("value")))
+    Versioned.append(src.repartitionByRange(8, col("event_type")), dir)
+    val t = Versioned.indexedRead(spark, dir)
+    val total = plannedFiles(t)
+    val gotNull = t.filter(col("click_value").isNull)
+    val want = Versioned.read(spark, dir).filter(col("click_value").isNull)
+    assert(gotNull.count() == want.count() && want.count() > 0)
+    assert(plannedFiles(gotNull) < total,
+      s"IS NULL did not prune (${plannedFiles(gotNull)} of $total)")
+  }
+
+  test("two-writer: a losing append rebases onto the interleaved commit") {
+    val dir = java.nio.file.Files.createTempDirectory("race").toString + "/t"
+    val (a, b, c) = (ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2))
+    Versioned.append(a, dir)
+    // writer B stages its append against v1; writer A commits v2 between
+    // B's basis read and B's rename — B must lose the CAS, rebase, and
+    // land at v3 with BOTH appends visible
+    Versioned.onBeforeCommit = () => { Versioned.append(c, dir) }
+    try {
+      assert(Versioned.append(b, dir) == 3)
+    } finally Versioned.onBeforeCommit = () => ()
+    val got = Versioned.read(spark, dir)
+    assert(got.count() == ev.count())
+    assert(got.exceptAll(ev).isEmpty && ev.exceptAll(got).isEmpty)
+    // the interleaved writer's snapshot is intact too
+    assert(Versioned.read(spark, dir, Some(2)).count() ==
+      a.count() + c.count())
+    assert(Versioned.vacuumOrphans(spark, dir).isEmpty) // no debris left
+  }
+
+  test("two-writer: a rebased MOR delete masks the interleaved append") {
+    val dir = java.nio.file.Files.createTempDirectory("race2").toString + "/t"
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), dir)
+    val keys = ev.filter(col("event_id") % 10 === 0).select(col("event_id"))
+    // between the delete's basis read and its commit, a concurrent append
+    // lands rows SHARING some of the delete keys. The rebase renames the
+    // delete file past the append's sequence (commit-time sequencing), so
+    // the serial order is append -> delete and those rows are masked too.
+    Versioned.onBeforeCommit = () =>
+      Versioned.append(ev.filter(col("event_id") % 2 === 1), dir)
+    try {
+      assert(Versioned.deleteByKeyMor(keys, dir, "event_id") == 3)
+    } finally Versioned.onBeforeCommit = () => ()
+    val got = Versioned.read(spark, dir)
+    val want = ev.filter(col("event_id") % 10 =!= 0)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("two-writer: an overlapping COW upsert aborts loudly, no debris") {
+    val dir = java.nio.file.Files.createTempDirectory("race3").toString + "/t"
+    Versioned.append(ev, dir)
+    val up = ev.filter(col("event_id") % 100 === 0)
+      .withColumn("event_type", lit("patched"))
+    // the interleaved writer REWRITES files the upsert read (a predicate
+    // delete touching the same rows) — the upsert's touched set is no
+    // longer live at the head, so it must abort, not silently clobber
+    Versioned.onBeforeCommit = () =>
+      Versioned.delete(spark, dir, col("event_id") % 100 === 0)
+    try {
+      intercept[java.util.ConcurrentModificationException](
+        Versioned.upsert(up, dir, "event_id"))
+    } finally Versioned.onBeforeCommit = () => ()
+    // the interleaved delete won; the aborted upsert left no orphan data
+    val got = Versioned.read(spark, dir)
+    assert(got.filter(col("event_type") === "patched").isEmpty)
+    assert(got.count() == ev.filter(col("event_id") % 100 =!= 0).count())
+    assert(Versioned.vacuumOrphans(spark, dir).isEmpty)
+  }
+
+  test("two-writer: compact aborts when the table changed under it") {
+    val dir = java.nio.file.Files.createTempDirectory("race4").toString + "/t"
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), dir)
+    Versioned.onBeforeCommit = () =>
+      Versioned.append(ev.filter(col("event_id") % 2 === 1), dir)
+    try {
+      intercept[java.util.ConcurrentModificationException](
+        Versioned.compact(spark, dir, numFiles = 2))
+    } finally Versioned.onBeforeCommit = () => ()
+    // both writers' data intact: the append won, the compact vanished
+    val got = Versioned.read(spark, dir)
+    assert(got.count() == ev.count())
+    assert(Versioned.vacuumOrphans(spark, dir).isEmpty)
+  }
+
+  test("two-writer: a racing redelivered batch no-ops mid-loop") {
+    val dir = java.nio.file.Files.createTempDirectory("race5").toString + "/t"
+    val a = ev.filter(col("event_id") % 2 === 0)
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), dir)
+    // the SAME batch id commits concurrently between this writer's basis
+    // read and its rename: the retry re-reads the head, sees the txn row,
+    // and no-ops — exactly-once survives the race
+    Versioned.onBeforeCommit = () => {
+      assert(Versioned.appendBatch(a, dir, batchId = 42L).contains(2))
+    }
+    try {
+      assert(Versioned.appendBatch(a, dir, batchId = 42L).isEmpty)
+    } finally Versioned.onBeforeCommit = () => ()
+    val got = Versioned.read(spark, dir)
+    assert(got.count() == ev.count())
+    assert(Versioned.vacuumOrphans(spark, dir).isEmpty)
   }
 
   test("empty snapshot reads at the stored table schema") {
