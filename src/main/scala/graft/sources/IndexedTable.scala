@@ -211,8 +211,29 @@ private[sources] abstract class SkipIndexBase(spark: SparkSession)
       val hi = hiV.flatMap(strVal)
       if (loV.isDefined != lo.isDefined || hiV.isDefined != hi.isDefined)
         s.live
-      else rangeCands(s, a.name, lo, hi, st => (st.slo, st.shi))
+      // code-point order, matching the UTF8String order of the stats
+      else rangeCands(s, a.name, lo, hi,
+        st => (st.slo, st.shi))(Utf8Order.ord)
     case _ => s.live
+  }
+
+  /** Files admitted by IS NULL / IS NOT NULL against the per-file null
+    * counts (the Delta/Iceberg nullCount stat): IS NULL prunes files
+    * recording ZERO nulls; IS NOT NULL prunes all-null files (nulls ==
+    * rows). Unknown counts — legacy stats, uncovered files — admit.
+    */
+  private def nullCands(s: State, c: String, wantNull: Boolean)
+      : Set[String] = {
+    val forCol = s.stats.filter(_.c == c)
+    val matched = forCol.filter { st =>
+      (st.nulls, st.rows) match {
+        case (Some(n), _) if wantNull => n > 0
+        case (Some(n), Some(r)) if !wantNull => n < r
+        case _ => true
+      }
+    }.map(st => s.keyOf(st.f)).toSet.intersect(s.live)
+    val covered = forCol.map(st => s.keyOf(st.f)).toSet
+    matched ++ s.live.filterNot(covered)
   }
 
   private def point(s: State, e: Expression, v: Any): Set[String] =
@@ -265,15 +286,22 @@ private[sources] abstract class SkipIndexBase(spark: SparkSession)
       values.map(v => point(s, x, v))
         .foldLeft(Set.empty[String])(_ union _)
         .intersect(bloomCands(s, x, values))
+    case IsNull(x) => attrOf(x) match {
+      case Some(a) => nullCands(s, a.name, wantNull = true)
+      case None => s.live
+    }
+    case IsNotNull(x) => attrOf(x) match {
+      case Some(a) => nullCands(s, a.name, wantNull = false)
+      case None => s.live
+    }
     case StartsWith(x, Literal(p, StringType)) =>
       (attrOf(x), strVal(p)) match {
         case (Some(a), Some(prefix)) if prefix.nonEmpty =>
-          // any s with prefix p satisfies p <= s <= p + maxChar-run; the
-          // closed upper bound `p.init :+ (p.last + 1)` over-admits only
-          // the boundary file
-          val hi =
-            if (prefix.last == Char.MaxValue) None
-            else Some(prefix.init + (prefix.last + 1).toChar)
+          // any s with prefix p satisfies p <= s < nextPrefix; the
+          // closed upper bound (last CODE POINT rounded up — see
+          // Utf8Order) over-admits only the boundary file
+          val hi = Utf8Order.incLast(Utf8Order.codePoints(prefix))
+            .map(Utf8Order.fromCodePoints)
           interval(s, a, Some(prefix), hi)
         case _ => s.live
       }
@@ -291,7 +319,7 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
-  private var bloomCol: Option[String] = None
+  private var bloomMeta: Option[(String, String)] = None
 
   override protected def loadState(): State = {
     val p = new Path(tablePath)
@@ -311,7 +339,7 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
       s"IndexedTable requires a flat table directory: ${unresolved.size} " +
         s"live file(s) are not top-level children of $tablePath " +
         s"(e.g. ${unresolved.take(2).mkString(", ")})")
-    bloomCol = BloomIndex.plannedKeyCol(spark, tablePath)
+    bloomMeta = BloomIndex.plannedKeyMeta(spark, tablePath)
     State(byName, liveNames, stats, f => new Path(f).getName)
   }
 
@@ -323,20 +351,34 @@ final class SkippingFileIndex(spark: SparkSession, tablePath: String)
     case _ => None
   }
 
+  private def strLit(v: Any): Option[String] = v match {
+    case s: UTF8String => Some(s.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
   /** Bloom-sidecar admission for a point/IN predicate: one batched probe
-    * when the attribute is the bloom-indexed key and every value is an
-    * integral literal (the sidecar hashes keys cast to long); anything
-    * else admits all — the zone-map leg still applies via intersection.
-    * Uncovered files come back from the probe itself (its torn-append
-    * contract), so the fallback survives.
+    * when the attribute is the bloom-indexed key and every value lives
+    * in the sidecar's recorded hash domain (integral literals for a
+    * long-domain sidecar, string literals for a string-domain one);
+    * anything else admits all — the zone-map leg still applies via
+    * intersection. Uncovered files come back from the probe itself (its
+    * torn-append contract), so the fallback survives.
     */
   override protected def bloomCands(s: State, e: Expression,
-      vs: Seq[Any]): Set[String] = (attrOf(e), bloomCol) match {
-    case (Some(a), Some(bc)) if a.name == bc =>
-      val keys = vs.flatMap(longVal)
-      if (keys.size != vs.size || keys.isEmpty) s.live
-      else BloomIndex.candidateFiles(spark, tablePath, keys)
-        .map(f => new Path(f).getName).toSet.intersect(s.live)
+      vs: Seq[Any]): Set[String] = (attrOf(e), bloomMeta) match {
+    case (Some(a), Some((bc, kind))) if a.name == bc =>
+      val files =
+        if (kind == "string") {
+          val keys = vs.flatMap(strLit)
+          if (keys.size != vs.size || keys.isEmpty) return s.live
+          BloomIndex.candidateFilesStr(spark, tablePath, keys)
+        } else {
+          val keys = vs.flatMap(longVal)
+          if (keys.size != vs.size || keys.isEmpty) return s.live
+          BloomIndex.candidateFiles(spark, tablePath, keys)
+        }
+      files.map(f => new Path(f).getName).toSet.intersect(s.live)
     case _ => s.live
   }
 }

@@ -762,7 +762,75 @@ object SourceQueries {
       srcZonemapStringRange, srcZonemapPlanned, srcZonemapPlannedSql,
       srcBloomPlanned, srcZorderPlanned, srcVersionedMor, srcVersionedCdc,
       srcVersionedCdf, srcVersionedEvolve, srcVersionedPos,
-      srcVersionedIndexed)
+      srcVersionedIndexed, srcZonemapNulls, srcBloomStringLookup,
+      srcBloomStringPlanned)
+
+  /** String-key bloom sidecar ([[BloomIndex]] hashing UTF-8 natively —
+    * the doc-id/URL key shape an LLM corpus actually has): point lookups
+    * on a derived string key open only bloom-admitted files, explicitly
+    * (`lookupStr`) and through the planner (a plain `isin` on the
+    * [[IndexedTable]]). Content-invisible under the shared oracle; the
+    * files-opened assertions are BloomIndexSpec's / IndexedTableSpec's.
+    */
+  lazy val srcBloomStringLookup: Q = Q(
+    "src_bloom_string_lookup",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("bloomstr").toString + "/t"
+      val docs = T.documents(s, d)
+        .withColumn("doc_key", concat(lit("doc-"), col("doc_id")))
+      BloomIndex.build(docs, "doc_key", dir, nFiles = 16)
+      BloomIndex.lookupStr(s, dir, "doc_key",
+        Seq("doc-7", "doc-123", "doc-456"))
+        .select(col("doc_id"), col("doc_key"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS doc_key,
+             lang, text
+      FROM documents
+      WHERE 'doc-' || CAST(doc_id AS VARCHAR)
+            IN ('doc-7', 'doc-123', 'doc-456')
+      ORDER BY doc_id"""))
+
+  lazy val srcBloomStringPlanned: Q = Q(
+    "src_bloom_string_planned",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("bloomstrp").toString + "/t"
+      val docs = T.documents(s, d)
+        .withColumn("doc_key", concat(lit("doc-"), col("doc_id")))
+      BloomIndex.build(docs, "doc_key", dir, nFiles = 16)
+      IndexedTable.table(s, dir)
+        .filter(col("doc_key").isin("doc-7", "doc-123", "doc-456"))
+        .select(col("doc_id"), col("doc_key"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    srcBloomStringLookup.oracle)
+
+  /** Null-count file stats ([[ZoneMap.statsOf]] records per-file
+    * nullCount/rowCount, Delta/Iceberg-style): a sparse column clustered
+    * by its determinant makes whole files all-null or no-null, and plain
+    * IS NULL / IS NOT NULL filters prune them at PLAN time through
+    * [[IndexedTable]] — content-invisible under the oracle; the
+    * files-opened assertions are IndexedTableSpec's.
+    */
+  lazy val srcZonemapNulls: Q = Q(
+    "src_zonemap_nulls",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("zmnull").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+        .withColumn("click_value",
+          when(col("event_type") === "click", col("value")))
+      ZoneMap.build(ev, Seq("event_type", "click_value"), dir, nFiles = 8)
+      IndexedTable.table(s, dir)
+        .filter(col("click_value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("click_value"), 3).as("click_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type, ROUND(value, 3) AS click_value
+      FROM events WHERE event_type = 'click'
+      ORDER BY event_id"""))
 
   /** Plan-time pruned snapshot read ([[Versioned.indexedRead]] — Iceberg
     * file-stats pruning through the planner): key-clustered commits

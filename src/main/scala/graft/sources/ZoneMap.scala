@@ -52,10 +52,13 @@ object ZoneMap {
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Per-(file, column) min/max rows for `files` over `statCols` — ONE
-    * scan: a single groupBy(f) carrying 2·S algebraic partials, then a
-    * row-local explode into (f, c, ci, lo, hi). `ci` records the caller's
-    * column order (the pinned clustering order).
+  /** Per-(file, column) min/max/nullCount rows for `files` over
+    * `statCols` — ONE scan: a single groupBy(f) carrying the algebraic
+    * partials (2 bounds + a null count per column, plus one row count),
+    * then a row-local explode into (f, c, ci, lo, hi, slo, shi, nulls,
+    * rows). `ci` records the caller's column order (the pinned
+    * clustering order); nulls/rows back IS NULL / IS NOT NULL pruning
+    * (the Delta/Iceberg nullCount file stat).
     */
   private[sources] def statsOf(spark: SparkSession, files: Seq[String],
       statCols: Seq[String]): DataFrame = {
@@ -68,11 +71,13 @@ object ZoneMap {
           (if (isStr(i)) col(c) else col(c).cast("double")).as(s"v$i")
       }: _*)
     val aggs = statCols.indices.flatMap(i =>
-      Seq(min(col(s"v$i")).as(s"lo$i"), max(col(s"v$i")).as(s"hi$i")))
+      Seq(min(col(s"v$i")).as(s"lo$i"), max(col(s"v$i")).as(s"hi$i"),
+        sum(col(s"v$i").isNull.cast("long")).as(s"nu$i"))) :+
+      count(lit(1)).as("rows")
     // string columns carry LEXICOGRAPHIC bounds in (slo, shi), numeric
     // bounds ride (lo, hi); the unused pair is null, which never prunes
     base.groupBy(col("f")).agg(aggs.head, aggs.tail: _*)
-      .select(col("f"), explode(array(statCols.zipWithIndex.map {
+      .select(col("f"), col("rows"), explode(array(statCols.zipWithIndex.map {
         case (c, i) =>
           val (lo, hi) =
             if (isStr(i)) (lit(null).cast("double"), lit(null).cast("double"))
@@ -81,11 +86,12 @@ object ZoneMap {
             if (isStr(i)) (col(s"lo$i"), col(s"hi$i"))
             else (lit(null).cast("string"), lit(null).cast("string"))
           struct(lit(c).as("c"), lit(i).as("ci"), lo.as("lo"), hi.as("hi"),
-            slo.as("slo"), shi.as("shi"))
+            slo.as("slo"), shi.as("shi"), col(s"nu$i").as("nulls"))
       }: _*)).as("s"))
       .select(col("f"), col("s.c").as("c"), col("s.ci").as("ci"),
         col("s.lo").as("lo"), col("s.hi").as("hi"),
-        col("s.slo").as("slo"), col("s.shi").as("shi"))
+        col("s.slo").as("slo"), col("s.shi").as("shi"),
+        col("s.nulls").as("nulls"), col("rows"))
   }
 
   /** Land a freshly computed sidecar frame atomically: write aside, then
@@ -238,7 +244,8 @@ object ZoneMap {
     */
   private[sources] final case class Stat(f: String, c: String,
       lo: Option[Double], hi: Option[Double],
-      slo: Option[String], shi: Option[String])
+      slo: Option[String], shi: Option[String],
+      nulls: Option[Long] = None, rows: Option[Long] = None)
 
   private[sources] def loadIndex(spark: SparkSession, tablePath: String)
       : (Set[String], Seq[Stat]) = {
@@ -246,14 +253,25 @@ object ZoneMap {
     val stats =
       if (!fsOf(spark, tablePath).exists(new Path(sidecarPath(tablePath))))
         Seq.empty
-      else spark.read.parquet(sidecarPath(tablePath))
-        .select(col("f"), col("c"), col("lo"), col("hi"),
-          col("slo"), col("shi"))
-        .collect().toSeq.map(r => Stat(r.getString(0), r.getString(1),
+      else {
+        val sc = spark.read.parquet(sidecarPath(tablePath))
+        // null-count columns arrived after the first sidecar generation;
+        // a legacy sidecar reads with unknown counts (which never prune)
+        val hasNulls = sc.columns.contains("nulls")
+        val projected =
+          if (hasNulls) sc.select(col("f"), col("c"), col("lo"), col("hi"),
+            col("slo"), col("shi"), col("nulls"), col("rows"))
+          else sc.select(col("f"), col("c"), col("lo"), col("hi"),
+            col("slo"), col("shi"), lit(null).cast("long").as("nulls"),
+            lit(null).cast("long").as("rows"))
+        projected.collect().toSeq.map(r => Stat(r.getString(0), r.getString(1),
           if (r.isNullAt(2)) None else Some(r.getDouble(2)),
           if (r.isNullAt(3)) None else Some(r.getDouble(3)),
           if (r.isNullAt(4)) None else Some(r.getString(4)),
-          if (r.isNullAt(5)) None else Some(r.getString(5))))
+          if (r.isNullAt(5)) None else Some(r.getString(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)),
+          if (r.isNullAt(7)) None else Some(r.getLong(7))))
+      }
     (live, stats)
   }
 
@@ -297,7 +315,10 @@ object ZoneMap {
   def candidateFilesStr(spark: SparkSession, tablePath: String,
       c: String, lo: String, hi: String): Seq[String] = {
     val (live, stats) = loadIndex(spark, tablePath)
-    candidatesFrom(live, stats, c, lo, hi, strBounds).toSeq.sorted
+    // code-point order, matching the UTF8String order the stats were
+    // computed under (JVM char order misorders supplementary planes)
+    candidatesFrom(live, stats, c, lo, hi, strBounds)(Utf8Order.ord)
+      .toSeq.sorted
   }
 
   /** Files that may contain a row inside EVERY interval of `box` — the

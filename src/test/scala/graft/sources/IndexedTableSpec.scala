@@ -55,6 +55,46 @@ class IndexedTableSpec extends AnyFunSuite {
     assert(n <= 4, s"expected <=4 planned files of 16, got $n")
   }
 
+  test("a string-key bloom sidecar routes isin through the planner") {
+    val d = newTable("idxbstr")
+    val src = docs.withColumn("doc_key", concat(lit("doc-"), col("doc_id")))
+    BloomIndex.build(src, "doc_key", d, nFiles = 16)
+    val t = IndexedTable.table(spark, d)
+    val got = t.filter(col("doc_key").isin("doc-7", "doc-123", "doc-456"))
+    val want = spark.read.parquet(d)
+      .filter(col("doc_key").isin("doc-7", "doc-123", "doc-456"))
+    assertSameRows(got, want)
+    assert(got.count() == 3)
+    val n = plannedFiles(got)
+    assert(n <= 6, s"string bloom admission should open few of 16, got $n")
+    // a LONG-literal probe on the string-domain sidecar degrades to
+    // admit-all (never wrong-hashes) — content still exact
+    val longProbe = t.filter(col("doc_id").isin(7L, 123L))
+    assertSameRows(longProbe,
+      spark.read.parquet(d).filter(col("doc_id").isin(7L, 123L)))
+  }
+
+  test("IS NULL / IS NOT NULL prune via per-file null counts") {
+    val d = newTable("idxnull")
+    // cluster by the determinant so whole files are all-null or no-null
+    // in the sparse column
+    val src = ev.withColumn("click_value",
+      when(col("event_type") === "click", col("value")))
+    ZoneMap.build(src, Seq("event_type", "click_value"), d, nFiles = 8)
+    val t = IndexedTable.table(spark, d)
+    val total = plannedFiles(t)
+    val gotNull = t.filter(col("click_value").isNull)
+    val gotNotNull = t.filter(col("click_value").isNotNull)
+    val raw = spark.read.parquet(d)
+    assertSameRows(gotNull, raw.filter(col("click_value").isNull))
+    assertSameRows(gotNotNull, raw.filter(col("click_value").isNotNull))
+    val (nNull, nNotNull) = (plannedFiles(gotNull), plannedFiles(gotNotNull))
+    assert(nNull < total, s"IS NULL did not prune ($nNull of $total)")
+    assert(nNotNull < total, s"IS NOT NULL did not prune ($nNotNull of $total)")
+    // together the two probes must cover every file holding rows
+    assert(nNull + nNotNull >= total)
+  }
+
   test("the same WHERE through spark.sql prunes identically") {
     val d = builtEvents("idxtsql")
     IndexedTable.table(spark, d).createOrReplaceTempView("idxt_events")
