@@ -41,6 +41,24 @@ object BloomIndex {
 
   private def sidecarPath(table: String) = table.stripSuffix("/") + "_bloom"
 
+  /** The sidecar's hash domain for a key column: integral keys hash as
+    * LONG (so int vs long spellings of the same key can never miss each
+    * other), string keys hash their UTF-8 bytes natively — the doc-id/URL
+    * shape an LLM corpus actually keys on. Anything else (float, decimal,
+    * binary) is rejected loudly: a lossy cast would hash two distinct
+    * keys to one domain value and silently break the one-key-one-file
+    * read contract.
+    */
+  private def domainOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"BloomIndex supports integral and string keys, got $other")
+    }
+  }
+
   /** k (word, mask) contribution structs for key column `k` (must be named
     * `k` in scope — the exprs reference it by name). Shared with
     * [[graft.ops.RuntimeFilter]] so build and probe can never drift.
@@ -61,14 +79,17 @@ object BloomIndex {
     require(mBits % 64 == 0 && mBits > 0 && k >= 1 && nFiles >= 1,
       s"bad geometry: mBits=$mBits k=$k nFiles=$nFiles")
     val spark = df.sparkSession
+    val kind = domainOf(df.schema(keyCol).dataType)
     df.repartition(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(tablePath)
-    // Cast to long on the BUILD side: xxhash64 is input-type-sensitive,
-    // so an INT key column hashed at its native type would never match a
-    // probe's LongType keys — a silent false negative. Casting both sides
-    // to long keeps build and probe hashing the same bytes.
+    // Cast to the recorded domain on the BUILD side: xxhash64 is
+    // input-type-sensitive, so an INT key column hashed at its native
+    // type would never match a probe's LongType keys — a silent false
+    // negative. Casting both sides to the domain type keeps build and
+    // probe hashing the same bytes; string keys hash natively (no cast
+    // loss is possible — the cast is identity).
     val back = spark.read.parquet(tablePath)
-      .select(col(keyCol).cast("long").as("k"), input_file_name().as("f"))
+      .select(col(keyCol).cast(kind).as("k"), input_file_name().as("f"))
     val tmp = sidecarPath(tablePath) + "__new"
     back
       .select(col("f"), explode(contribs(mBits, k)).as("c"))
@@ -77,9 +98,11 @@ object BloomIndex {
       .withColumn("m_bits", lit(mBits))
       .withColumn("k_hashes", lit(k))
       .withColumn("n_files", lit(nFiles))
-      // the indexed column rides with the bits so planner integration
-      // ([[SkippingFileIndex]]) can recognize equality predicates on it
+      // the indexed column AND its hash domain ride with the bits so
+      // planner integration ([[SkippingFileIndex]]) can recognize
+      // equality predicates on it and probe in the right domain
       .withColumn("key_col", lit(keyCol))
+      .withColumn("key_kind", lit(kind))
       .write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,16 +134,24 @@ object BloomIndex {
       require(kc == keyCol,
         s"bloom index at $tablePath is keyed on '$kc', append got '$keyCol'")
     }
-    val geo = spark.read.parquet(sidecarPath(tablePath))
-      .select(col("m_bits"), col("k_hashes"), col("n_files")).head()
+    val sc = spark.read.parquet(sidecarPath(tablePath))
+    val geo = sc.select(col("m_bits"), col("k_hashes"), col("n_files")).head()
     val (mBits, k) = (geo.getInt(0), geo.getInt(1))
+    // the domain is pinned by the sidecar (legacy sidecars predate
+    // key_kind: they were all long-domain); an append in another domain
+    // would fork the hash generation — the keyCol require above already
+    // rejects a different column, and same column ⇒ same domain
+    val kind =
+      if (sc.columns.contains("key_kind"))
+        sc.select(col("key_kind")).head().getString(0)
+      else "long"
     val before = spark.read.parquet(tablePath).inputFiles.toSet
     df.repartition(nFiles, col(keyCol))
       .write.mode("append").parquet(tablePath)
     val newFiles = spark.read.parquet(tablePath).inputFiles.toSet -- before
     if (newFiles.isEmpty) return // empty batch: nothing to index, no-op
     spark.read.parquet(newFiles.toSeq: _*)
-      .select(col(keyCol).cast("long").as("k"), input_file_name().as("f"))
+      .select(col(keyCol).cast(kind).as("k"), input_file_name().as("f"))
       .select(col("f"), explode(contribs(mBits, k)).as("c"))
       .groupBy(col("f"), col("c.w").as("w"))
       .agg(bit_or(col("c.m")).as("bits"))
@@ -128,6 +159,7 @@ object BloomIndex {
       .withColumn("k_hashes", lit(k))
       .withColumn("n_files", lit(geo.getInt(2)))
       .withColumn("key_col", lit(keyCol))
+      .withColumn("key_kind", lit(kind))
       .write.mode("append").parquet(sidecarPath(tablePath))
   }
 
@@ -136,15 +168,30 @@ object BloomIndex {
     * probed fine explicitly, but the planner cannot claim them).
     */
   private[sources] def plannedKeyCol(spark: SparkSession,
-      tablePath: String): Option[String] = {
+      tablePath: String): Option[String] =
+    plannedKeyMeta(spark, tablePath).map(_._1)
+
+  /** (key column, hash domain) of this table's bloom sidecar, if it
+    * exists and records its key column. Sidecars from before `key_kind`
+    * are long-domain by construction.
+    */
+  private[sources] def plannedKeyMeta(spark: SparkSession,
+      tablePath: String): Option[(String, String)] = {
     val p = new org.apache.hadoop.fs.Path(sidecarPath(tablePath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val sc = spark.read.parquet(sidecarPath(tablePath))
       if (!sc.columns.contains("key_col")) None
-      else sc.select(col("key_col")).take(1).headOption
-        .flatMap(r => Option(r.getString(0)))
+      else {
+        val kind =
+          if (sc.columns.contains("key_kind"))
+            sc.select(col("key_kind")).take(1).headOption
+              .flatMap(r => Option(r.getString(0))).getOrElse("long")
+          else "long"
+        sc.select(col("key_col")).take(1).headOption
+          .flatMap(r => Option(r.getString(0))).map(kc => (kc, kind))
+      }
     }
   }
 
@@ -156,10 +203,29 @@ object BloomIndex {
   def candidateFiles(spark: SparkSession, tablePath: String,
       keys: Seq[Long]): Seq[String] = {
     import spark.implicits._
+    candidateFilesOf(spark, tablePath, keys.toDF("k"))
+  }
+
+  /** String-domain twin of [[candidateFiles]] — probes hash the UTF-8
+    * bytes natively, matching a sidecar built on a string key column.
+    */
+  def candidateFilesStr(spark: SparkSession, tablePath: String,
+      keys: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    candidateFilesOf(spark, tablePath, keys.toDF("k"))
+  }
+
+  /** The shared probe: `probe` carries one key per row in column `k`,
+    * ALREADY in the sidecar's hash domain (the public wrappers pin the
+    * Scala element type, so a domain mismatch cannot compile).
+    */
+  private def candidateFilesOf(spark: SparkSession, tablePath: String,
+      probeKeys: DataFrame): Seq[String] = {
+    import spark.implicits._
     val sidecar = spark.read.parquet(sidecarPath(tablePath))
     val geo = sidecar.select(col("m_bits"), col("k_hashes")).head()
     val (mBits, k) = (geo.getInt(0), geo.getInt(1))
-    val probe = keys.toDF("k")
+    val probe = probeKeys
       .select(col("k"), explode(contribs(mBits, k)).as("c"))
       .groupBy(col("k"), col("c.w").as("w"))
       .agg(bit_or(col("c.m")).as("pm"))
@@ -186,6 +252,20 @@ object BloomIndex {
   def lookup(spark: SparkSession, tablePath: String, keyCol: String,
       keys: Seq[Long]): DataFrame = {
     val files = candidateFiles(spark, tablePath, keys)
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).limit(0)
+    else
+      spark.read.parquet(files: _*)
+        .filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** String-key point lookup through the index — same contract as
+    * [[lookup]]: content-identical to the full-scan IN filter, candidate
+    * files bound the I/O.
+    */
+  def lookupStr(spark: SparkSession, tablePath: String, keyCol: String,
+      keys: Seq[String]): DataFrame = {
+    val files = candidateFilesStr(spark, tablePath, keys)
     if (files.isEmpty)
       spark.read.parquet(tablePath).limit(0)
     else
