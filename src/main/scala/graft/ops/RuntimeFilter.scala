@@ -30,16 +30,37 @@ import org.apache.spark.sql.functions._
   */
 object RuntimeFilter {
 
-  /** Global bloom bits of `dim[keyCol]` cast to long: one aggregation,
-    * driver state mBits/64 longs (never the key count).
+  /** The hash domain for a join key type: integral keys hash as LONG (so
+    * int-vs-long spellings of one key can never miss each other), string
+    * keys hash their UTF-8 bytes natively. Anything else is rejected
+    * LOUDLY: the old behavior cast everything to long, and a non-null
+    * key whose long cast is null (a string like 'abc', a NaN double)
+    * made xxhash64 silently skip the null child and probe seed-only
+    * positions — a fact row that WOULD match the exact join could then
+    * be dropped, breaking the "result is exactly the plain join's"
+    * guarantee.
+    */
+  private def domainOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"RuntimeFilter supports integral and string join keys, got $other")
+    }
+  }
+
+  /** Global bloom bits of `dim[keyCol]` in its type's hash domain: one
+    * aggregation, driver state mBits/64 longs (never the key count).
     */
   def buildBits(dim: DataFrame, keyCol: String, mBits: Int = 1 << 17,
       k: Int = 4): Array[Long] = {
     require(mBits % 64 == 0 && mBits > 0 && k >= 1,
       s"bad geometry: mBits=$mBits k=$k")
+    val domain = domainOf(dim.schema(keyCol).dataType)
     // the (word, mask) contribution exprs are BloomIndex's — one
     // definition, so a geometry/hash tweak can never fork build vs probe
-    val words = dim.select(col(keyCol).cast("long").as("k"))
+    val words = dim.select(col(keyCol).cast(domain).as("k"))
       .filter(col("k").isNotNull)
       .select(explode(graft.sources.BloomIndex.contribs(mBits, k)).as("c"))
       .groupBy(col("c.w").as("w")).agg(bit_or(col("c.m")).as("bits"))
@@ -48,16 +69,21 @@ object RuntimeFilter {
   }
 
   /** Codegen'd membership probe against literal bits (1-based
-    * `element_at`; word = pos >> 6, bit = pos & 63).
+    * `element_at`; word = pos >> 6, bit = pos & 63). `domain` must be
+    * the build side's hash domain ("long" or "string") — the cast is
+    * identity-or-widening within the domain, so a non-null key can never
+    * turn null under it (the silent seed-only-probe failure mode).
     */
-  def mightContain(key: Column, bits: Array[Long], k: Int = 4): Column = {
+  def mightContain(key: Column, bits: Array[Long], k: Int = 4,
+      domain: String = "long"): Column = {
+    require(domain == "long" || domain == "string", s"bad domain: $domain")
     val mBits = bits.length * 64
     val arr = typedLit(bits)
     // the explicit isNotNull guard is load-bearing: xxhash64 SKIPS null
     // children (hashing only the seed), so without it a null key would
     // probe deterministic positions and could pass on a dense filter
     key.isNotNull && (0 until k).map { s =>
-      val pos = pmod(xxhash64(key.cast("long"), lit(s)), lit(mBits.toLong))
+      val pos = pmod(xxhash64(key.cast(domain), lit(s)), lit(mBits.toLong))
       val word = element_at(arr, (shiftright(pos, 6) + 1).cast("int"))
       word.bitwiseAND(call_function("shiftleft", lit(1L),
         pos.bitwiseAND(63).cast("int"))) =!= 0
@@ -67,12 +93,19 @@ object RuntimeFilter {
   /** `fact ⋈ dim` on `factKey = dimKey`, with fact rows pre-filtered by
     * the dim key set's bloom BEFORE the fact-side shuffle. Result is
     * exactly the inner join's (the exact condition re-applies; the bloom
-    * only removes rows that cannot match).
+    * only removes rows that cannot match). Both key columns must share a
+    * hash domain (integral×integral or string×string — enforced), since
+    * a cross-domain equality would hash the two sides differently.
     */
   def bloomSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, mBits: Int = 1 << 17, k: Int = 4): DataFrame = {
+    val domain = domainOf(dim.schema(dimKey).dataType)
+    require(domainOf(fact.schema(factKey).dataType) == domain,
+      s"bloomSemiJoin key domains differ: fact.$factKey is " +
+        s"${fact.schema(factKey).dataType.simpleString}, dim.$dimKey is " +
+        s"${dim.schema(dimKey).dataType.simpleString}")
     val bits = buildBits(dim, dimKey, mBits, k)
-    val reduced = fact.filter(mightContain(col(factKey), bits, k))
+    val reduced = fact.filter(mightContain(col(factKey), bits, k, domain))
     // same-named keys would make col(factKey) === col(dimKey) ambiguous;
     // join USING in that case (merging the key column, the usual shape)
     if (factKey == dimKey) reduced.join(dim, Seq(factKey))

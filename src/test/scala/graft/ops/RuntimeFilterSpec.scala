@@ -66,4 +66,34 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(withNull.filter(
       RuntimeFilter.mightContain(col("l_orderkey"), bits)).count() == 0)
   }
+
+  test("string keys hash natively: semi-join equals the plain join") {
+    // string keys whose long cast is null ('P-7', …) — the shape that
+    // used to probe seed-only positions and drop true matches
+    val fact = li.withColumn("ok", concat(lit("P-"), col("l_orderkey")))
+    val dim = urgent.withColumn("dk", concat(lit("P-"), col("o_orderkey")))
+      .select(col("dk"), col("o_orderpriority"))
+    val got = RuntimeFilter.bloomSemiJoin(fact, "ok", dim, "dk")
+    val want = fact.join(dim, col("ok") === col("dk"))
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("non-integral, non-string keys are rejected up front") {
+    val dim = urgent.withColumn("dkey", col("o_totalprice")) // double
+    intercept[IllegalArgumentException] {
+      RuntimeFilter.buildBits(dim, "dkey")
+    }
+    intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomSemiJoin(
+        li.withColumn("fkey", col("l_extendedprice")), "fkey", dim, "dkey")
+    }
+  }
+
+  test("cross-domain key pairs (string fact × long dim) are rejected") {
+    val fact = li.withColumn("ok", col("l_orderkey").cast("string"))
+    intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomSemiJoin(fact, "ok", urgent, "o_orderkey")
+    }
+  }
 }
