@@ -763,7 +763,119 @@ object SourceQueries {
       srcBloomPlanned, srcZorderPlanned, srcVersionedMor, srcVersionedCdc,
       srcVersionedCdf, srcVersionedEvolve, srcVersionedPos,
       srcVersionedIndexed, srcZonemapNulls, srcBloomStringLookup,
-      srcBloomStringPlanned)
+      srcBloomStringPlanned, srcPartitionZonemapPlanned,
+      srcVersionedZorderBox, srcVersionedCompactSmall)
+
+  /** Bin-pack small-file compaction ([[Versioned.compactSmall]] —
+    * Iceberg's rewrite_data_files binpack): a streaming-ish dribble of
+    * small commits packs into ~threshold-sized files while the healthy
+    * big commit carries BY REFERENCE (selection from manifest-recorded
+    * sizes, zero filesystem RPCs; rewrite reads O(small bytes), never
+    * the table). A pending MOR delete mask applies to the rewritten rows
+    * and survives for the carried ones. The three states replay the
+    * content invariants: before the pack, after it (must match), and
+    * time travel to the pre-pack snapshot (must match too) — the
+    * carried-file/packed-file shape is VersionedSpec's.
+    */
+  lazy val srcVersionedCompactSmall: Q = Q(
+    "src_versioned_compact_small",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vcs").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 4 =!= 0)
+        .repartition(1), dir)
+      Seq(0L, 1L, 2L).foreach { i =>
+        Versioned.append(
+          ev.filter(col("event_id") % 4 === 0 &&
+            pmod(col("event_id") / 4, lit(3)) === i).repartition(1), dir)
+      }
+      Versioned.deleteByKeyMor(
+        ev.filter(col("event_id") % 10 === 6).select(col("event_id")),
+        dir, "event_id")
+      val preV = Versioned.currentVersion(dir)
+      val threshold = Versioned.dataFileSizes(s, dir).values.max
+      val agg = (df: org.apache.spark.sql.DataFrame, state: String) =>
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .withColumn("state", lit(state))
+          .select(col("state"), col("event_type"), col("n"), col("sv"))
+      val before = agg(Versioned.read(s, dir), "a_before")
+      Versioned.compactSmall(s, dir, smallBytes = threshold)
+      val after = agg(Versioned.read(s, dir), "b_packed")
+      val pinned = agg(Versioned.read(s, dir, Some(preV)), "c_timetravel")
+      before.unionAll(after).unionAll(pinned)
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH survivors AS (
+        SELECT event_type, value FROM events WHERE event_id % 10 <> 6)
+      SELECT s AS state, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM survivors, (VALUES ('a_before'), ('b_packed'),
+                              ('c_timetravel')) AS states(s)
+      GROUP BY 1, 2
+      ORDER BY state, event_type"""))
+
+  /** Partition pruning × zone-map file skipping, COMPOSED through the
+    * planner ([[IndexedTable.partitionedTable]] — the standard lakehouse
+    * read path): a date-partitioned, within-day key-clustered layout
+    * answers a (day, key-range) query by opening only the admitted files
+    * of one `dt=` directory. Content-invisible under the shared oracle;
+    * the both-prunes-fire file counts are IndexedTableSpec's.
+    */
+  lazy val srcPartitionZonemapPlanned: Q = Q(
+    "src_partition_zonemap_planned",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("pzm").toString + "/t"
+      // range-shuffle on (dt, user_id): each day splits into a few
+      // user_id-contiguous files — the partition cut AND the stat cut
+      // both have something to bite on
+      graft.Tables.events(s, d)
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartitionByRange(120, col("dt"), col("user_id"))
+        .write.partitionBy("dt").parquet(dir)
+      ZoneMap.buildStatsOnly(s, dir, Seq("user_id", "value"))
+      IndexedTable.partitionedTable(s, dir)
+        .filter(col("dt") === "2024-01-15" &&
+          col("user_id").between(100, 199))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+             ROUND(value, 3) AS value
+      FROM events
+      WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        AND user_id BETWEEN 100 AND 199
+      ORDER BY event_id"""))
+
+  /** Z-order clustering committed INTO a versioned table
+    * ([[ZOrder.clustered]] + [[Versioned.append]]): the manifest's
+    * per-file stats get tight 2-D bounding boxes, so a 2-D box probe
+    * prunes through the planner ([[Versioned.indexedRead]]) WITH time
+    * travel intact — the clustered-lakehouse composition. Same
+    * content-invisibility oracle as the flat z-order+zone-map pairing;
+    * the box-prune file counts at a pinned snapshot are VersionedSpec's.
+    */
+  lazy val srcVersionedZorderBox: Q = Q(
+    "src_versioned_zorder_box",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vzb").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ZOrder.clustered(ev, col("user_id"),
+        (col("value") * 1000).cast("long"), bits = 12, nFiles = 16), dir)
+      Versioned.indexedRead(s, dir)
+        .filter(col("user_id").between(100, 199) &&
+          col("value").between(10.0, 30.0))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    srcZorderZonemapBox.oracle)
 
   /** String-key bloom sidecar ([[BloomIndex]] hashing UTF-8 natively —
     * the doc-id/URL key shape an LLM corpus actually has): point lookups

@@ -77,11 +77,18 @@ object Versioned {
   private def currentVersion(table: String, conf: Configuration): Int =
     listVersions(table, conf).lastOption.getOrElse(0)
 
-  /** One commit's complete manifest content. */
+  /** One commit's complete manifest content. `sizes` are per-file byte
+    * lengths (encoded `path|len`, Iceberg's file_size_in_bytes): recorded
+    * at write time from the staged directory's OWN listing, so a
+    * plan-time reader ([[indexedRead]]'s [[ManifestFileIndex]]) can
+    * synthesize every FileStatus from the manifest — zero per-file
+    * getFileStatus RPCs, which at 10⁵–10⁶ files per snapshot is minutes
+    * of sequential NameNode/S3 round-trips per plan.
+    */
   private final case class Content(files: Seq[String], txns: Seq[Long],
       deletes: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      stats: Seq[String])
+      stats: Seq[String], sizes: Seq[String])
 
   /** Attempt the atomic manifest rename at version `v`: true on success;
     * false when a concurrent writer already took `v`. The rename goes
@@ -99,7 +106,7 @@ object Versioned {
     val tmp = s"${manifestRoot(table)}/_tmp_v${v}_${newUid()}"
     (c.files.map(("f", _)) ++ c.txns.map(t => ("t", t.toString)) ++
       c.deletes.map(("d", _)) ++ c.schema.map(s => ("s", s.json)).toSeq ++
-      c.stats.map(("fs", _)))
+      c.stats.map(("fs", _)) ++ c.sizes.map(("fl", _)))
       .toDF("kind", "value")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -176,14 +183,33 @@ object Versioned {
     private var dirV: Int = -1
     private var files: Seq[String] = Nil
     private var stats: Seq[String] = Nil
+    private var sizes: Seq[String] = Nil
     private def dirName(v: Int) = batchId match {
       case Some(b) => s"b=$b-v$v-$uid"
       case None => s"$kind=$v-$uid"
     }
-    def at(v: Int): (Seq[String], Seq[String]) = {
+    /** Re-encode the path prefix of a `enc(path)|rest` manifest row when
+      * a rebase renames the staged directory.
+      */
+    private def remap(rows: Seq[String], o: String, n: String) =
+      rows.map { s =>
+        val i = s.indexOf('|')
+        enc(dec(s.take(i)).replace(o, n)) + s.drop(i)
+      }
+    def at(v: Int): (Seq[String], Seq[String], Seq[String]) = {
       if (dirV < 0) {
-        files = writeData(df, s"$table/data/${dirName(v)}")
+        val dataDir = s"$table/data/${dirName(v)}"
+        files = writeData(df, dataDir)
         stats = if (withStats) statsFor(spark, files) else Nil
+        // byte lengths from ONE listing of the staged dir (basenames are
+        // unique within it) — the manifest then carries every reader's
+        // FileStatus, so plan time never stats files one by one
+        val byName = fsFor(dataDir,
+          spark.sparkContext.hadoopConfiguration)
+          .listStatus(new Path(dataDir))
+          .filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
+        sizes = files.flatMap(f => byName.get(new Path(f).getName)
+          .map(len => s"${enc(f)}|$len"))
         dirV = v
       } else if (dirV != v) {
         val fs = fsFor(table, spark.sparkContext.hadoopConfiguration)
@@ -192,13 +218,11 @@ object Versioned {
         require(fs.rename(from, to), s"rebase rename failed: $from -> $to")
         val (o, n) = (s"/${dirName(dirV)}/", s"/${dirName(v)}/")
         files = files.map(_.replace(o, n))
-        stats = stats.map { s =>
-          val i = s.indexOf('|')
-          enc(dec(s.take(i)).replace(o, n)) + s.drop(i)
-        }
+        stats = remap(stats, o, n)
+        sizes = remap(sizes, o, n)
         dirV = v
       }
-      (files, stats)
+      (files, stats, sizes)
     }
     /** Drop the staged directory (the commit no-op'd or aborted). */
     def abort(): Unit = if (dirV >= 0) {
@@ -331,7 +355,8 @@ object Versioned {
   private final case class Snapshot(files: Seq[String], txns: Seq[Long],
       deletes: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      statsRaw: Seq[String] = Seq.empty)
+      statsRaw: Seq[String] = Seq.empty,
+      sizesRaw: Seq[String] = Seq.empty)
 
   private def manifestAll(spark: SparkSession, table: String,
       v: Int): Snapshot = {
@@ -346,7 +371,8 @@ object Versioned {
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       },
-      rows.collect { case ("fs", s) => s }.toSeq.sorted)
+      rows.collect { case ("fs", s) => s }.toSeq.sorted,
+      rows.collect { case ("fl", s) => s }.toSeq.sorted)
   }
 
   private def manifestFull(spark: SparkSession, table: String,
@@ -530,9 +556,9 @@ object Versioned {
     val w = new Staged(table, "c", df)
     commitLoop(spark, table, { (m, cur) =>
       val sch = mergeSchemas(m.schema, df.schema)
-      val (files, stats) = w.at(cur + 1)
+      val (files, stats, sizes) = w.at(cur + 1)
       Some(Content(m.files ++ files, m.txns, m.deletes, Some(sch),
-        m.statsRaw ++ stats))
+        m.statsRaw ++ stats, m.sizesRaw ++ sizes))
     }).get
   }
 
@@ -554,9 +580,9 @@ object Versioned {
       if (m.txns.contains(batchId)) None
       else {
         val sch = mergeSchemas(m.schema, df.schema)
-        val (files, stats) = w.at(cur + 1)
+        val (files, stats, sizes) = w.at(cur + 1)
         Some(Content(m.files ++ files, m.txns :+ batchId, m.deletes,
-          Some(sch), m.statsRaw ++ stats))
+          Some(sch), m.statsRaw ++ stats, m.sizesRaw ++ sizes))
       }
     })
     if (r.isEmpty) w.abort() // lost to an identical redelivery mid-loop
@@ -594,9 +620,9 @@ object Versioned {
     // content is exactly df regardless of the head, so a lost race just
     // rebases (txn ids carry from whatever head it lands on)
     commitLoop(spark, table, { (m, cur) =>
-      val (files, stats) = w.at(cur + 1)
+      val (files, stats, sizes) = w.at(cur + 1)
       // a replace RESETS the schema too: content is exactly df
-      Some(Content(files, m.txns, Seq.empty, Some(df.schema), stats))
+      Some(Content(files, m.txns, Seq.empty, Some(df.schema), stats, sizes))
     }).get
   }
 
@@ -680,10 +706,12 @@ object Versioned {
         val carried = m.files.filterNot(f => touched(dataSuffix(f)))
         val carriedStats =
           m.statsRaw.filter(s => !touched(dataSuffix(statFileOf(s))))
+        val carriedSizes =
+          m.sizesRaw.filter(s => !touched(dataSuffix(statFileOf(s))))
         val sch = mergeSchemas(m.schema, commitSchema)
-        val (files, stats) = w.at(cur + 1)
+        val (files, stats, sizes) = w.at(cur + 1)
         Some(Content(carried ++ files, m.txns, m.deletes, Some(sch),
-          carriedStats ++ stats))
+          carriedStats ++ stats, carriedSizes ++ sizes))
       }).get
     } catch {
       case e: Throwable => w.abort(); throw e
@@ -741,9 +769,9 @@ object Versioned {
     val w = new Staged(table, "d",
       keys.select(col(keyCol)).distinct().coalesce(1), withStats = false)
     commitLoop(spark, table, { (m, cur) =>
-      val (added, _) = w.at(cur + 1)
+      val (added, _, _) = w.at(cur + 1)
       Some(Content(m.files, m.txns, m.deletes ++ added, m.schema,
-        m.statsRaw))
+        m.statsRaw, m.sizesRaw))
     }).get
   }
 
@@ -794,10 +822,11 @@ object Versioned {
       if (batchId.exists(m.txns.contains)) None
       else {
         val sch = mergeSchemas(m.schema, upserts.schema)
-        val (added, stats) = wData.at(cur + 1)
-        val (delAdded, _) = wDel.at(cur + 1)
+        val (added, stats, sizes) = wData.at(cur + 1)
+        val (delAdded, _, _) = wDel.at(cur + 1)
         Some(Content(m.files ++ added, m.txns ++ batchId.toSeq,
-          m.deletes ++ delAdded, Some(sch), m.statsRaw ++ stats))
+          m.deletes ++ delAdded, Some(sch), m.statsRaw ++ stats,
+          m.sizesRaw ++ sizes))
       }
     })
     if (r.isEmpty) { wData.abort(); wDel.abort() }
@@ -878,7 +907,7 @@ object Versioned {
       .filter(pred)
       .select(col("__file"), col("__pos"))
     val w = new Staged(table, "d", positions.coalesce(1), withStats = false)
-    val (added0, _) = w.at(cur + 1)
+    val (added0, _, _) = w.at(cur + 1)
     if (added0.isEmpty || spark.read.parquet(added0: _*).isEmpty) {
       // nothing matched: drop the empty attempt, mint no snapshot
       w.abort()
@@ -896,9 +925,9 @@ object Versioned {
             s"deleteWhereMorPos at $table conflicts with a concurrent " +
               s"commit: ${gone.size} referenced file(s) no longer live — " +
               "re-run against the new head")
-        val (added, _) = w.at(c + 1)
+        val (added, _, _) = w.at(c + 1)
         Some(Content(h.files, h.txns, h.deletes ++ added, h.schema,
-          h.statsRaw))
+          h.statsRaw, h.sizesRaw))
       }).get
     } catch {
       case e: Throwable => w.abort(); throw e
@@ -929,8 +958,15 @@ object Versioned {
     }
     if (m.files.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // manifest-recorded byte lengths let the index synthesize every
+    // FileStatus — zero per-file RPCs at plan time (legacy snapshots
+    // without `fl` rows fall back to getFileStatus per uncovered file)
+    val sizes = m.sizesRaw.map { s =>
+      val i = s.indexOf('|')
+      dec(s.take(i)) -> s.drop(i + 1).toLong
+    }.toMap
     val index = new ManifestFileIndex(spark, table, m.files,
-      m.statsRaw.map(decodeStat))
+      m.statsRaw.map(decodeStat), sizes)
     IndexedTable.toDataFrame(spark, index, schema)
   }
 
@@ -969,6 +1005,65 @@ object Versioned {
     orphans.map(_.toString).toSeq
   }
 
+  /** Per-data-file byte lengths of a snapshot, from the manifest's
+    * commit-time records alone (no filesystem RPCs). Files from legacy
+    * pre-`fl` snapshots are absent. Keys are the manifest's path
+    * spellings; [[compactSmall]] and monitoring dashboards are the
+    * consumers.
+    */
+  def dataFileSizes(spark: SparkSession, table: String,
+      version: Option[Int] = None): Map[String, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = version.getOrElse(currentVersion(table, conf))
+    if (v == 0) return Map.empty
+    val m = manifestAll(spark, table, v)
+    val live = m.files.map(dataSuffix).toSet
+    m.sizesRaw.map { s =>
+      val i = s.indexOf('|')
+      dec(s.take(i)) -> s.drop(i + 1).toLong
+    }.filter(kv => live(dataSuffix(kv._1))).toMap
+  }
+
+  /** Bin-pack SMALL-FILE compaction (Iceberg's `rewrite_data_files`
+    * binpack strategy): rewrite only the current snapshot's data files
+    * SMALLER than `smallBytes` into ~`smallBytes`-sized files; every file
+    * at or above the threshold — and every legacy file with no recorded
+    * size — carries forward BY REFERENCE, byte-untouched. Candidate
+    * selection is manifest-only (the commit-time `fl` rows — zero
+    * filesystem RPCs), and the rewrite reads O(small bytes), never the
+    * table: the maintenance shape that keeps a streaming-ingest table
+    * healthy at 100 TB, where [[compact]] (whole-table) is a rebuild.
+    *
+    * Pending equality/position deletes APPLY to the rewritten rows (the
+    * new file's sequence jumps past every pending delete — masked rows
+    * must not resurrect) and carry forward for the untouched files, so
+    * this does NOT reset [[pendingDeleteKeys]]; [[compact]] does. The
+    * commit is copy-on-write and shares [[cowCommit]]'s conflict rules:
+    * concurrent appends rebase fine, a concurrent rewrite of a packed
+    * file or a new delete mask aborts loudly. Returns the new version,
+    * or the current one when fewer than two files qualify.
+    */
+  def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
+      targetFiles: Int = 0): Int = {
+    require(smallBytes > 0, s"smallBytes=$smallBytes")
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    require(cur > 0, s"no snapshot to compact at $table")
+    val m = manifestAll(spark, table, cur)
+    val sizeOf = dataFileSizes(spark, table, Some(cur))
+      .map { case (p, l) => dataSuffix(p) -> l }
+    val small = m.files.filter(f =>
+      sizeOf.get(dataSuffix(f)).exists(_ < smallBytes))
+    if (small.size < 2) return cur
+    val total = small.map(f => sizeOf(dataSuffix(f))).sum
+    val n = if (targetFiles > 0) targetFiles
+      else math.max(1, math.ceil(total.toDouble / smallBytes).toInt)
+    val survivors = readWithDeletes(spark, small, m.deletes, m.schema)
+      .repartition(n)
+    val w = new Staged(table, "u", survivors)
+    cowCommit(spark, table, w, m, small.map(dataSuffix).toSet,
+      m.schema.getOrElse(survivors.schema), what = "compactSmall")
+  }
+
   /** Rewrite the CURRENT snapshot into `numFiles` files as a new snapshot
     * — content-invisible (committed batch ids carried forward); old
     * snapshots keep reading the old files. No-op (returns 0) on an empty
@@ -989,8 +1084,9 @@ object Versioned {
           throw new java.util.ConcurrentModificationException(
             s"compact at $table conflicts with a concurrent commit " +
               "(table changed since the compaction read) — re-run")
-        val (added, stats) = w.at(c + 1)
-        Some(Content(added, h.txns, Seq.empty, Some(snap.schema), stats))
+        val (added, stats, sizes) = w.at(c + 1)
+        Some(Content(added, h.txns, Seq.empty, Some(snap.schema), stats,
+          sizes))
       }).get
     } catch {
       case e: Throwable => w.abort(); throw e

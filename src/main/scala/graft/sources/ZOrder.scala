@@ -102,11 +102,19 @@ object ZOrder {
     graft.ops.Maintenance.swapParquetDir(spark, base, tmp)
   }
 
-  private def zOrderedWriter(df: DataFrame, exprA: Column, exprB: Column,
-      bits: Int, nFiles: Int) = {
+  /** `df` Morton-clustered IN-ROW but not yet written: range-partitioned
+    * and sorted on the (derived, then dropped) z-value. Feed it to any
+    * writer that preserves the frame's partitioning — e.g.
+    * `Versioned.append(ZOrder.clustered(...), table)` commits z-ordered
+    * files INTO a versioned table, so the manifest's per-file stats get
+    * tight 2-D bounding boxes and box probes prune through
+    * `Versioned.indexedRead` with time travel intact.
+    */
+  def clustered(df: DataFrame, exprA: Column, exprB: Column,
+      bits: Int = 16, nFiles: Int = 32): DataFrame = {
     val r = df.agg(min(exprA), max(exprA), min(exprB), max(exprB)).head()
     require(!r.isNullAt(0) && !r.isNullAt(2),
-      "writeZOrdered: empty input or null axis values")
+      "ZOrder.clustered: empty input or null axis values")
     val z = interleave(
       bucketize(exprA, r.getLong(0), r.getLong(1), bits),
       bucketize(exprB, r.getLong(2), r.getLong(3), bits), bits)
@@ -114,6 +122,9 @@ object ZOrder {
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write
   }
+
+  private def zOrderedWriter(df: DataFrame, exprA: Column, exprB: Column,
+      bits: Int, nFiles: Int) =
+    clustered(df, exprA, exprB, bits, nFiles).write
 }

@@ -74,6 +74,48 @@ class IndexedTableSpec extends AnyFunSuite {
       spark.read.parquet(d).filter(col("doc_id").isin(7L, 123L)))
   }
 
+  test("hive partitions × zone-map stats: both prunes fire and compose") {
+    val d = newTable("pzm")
+    // 30 days × ~4 user_id-contiguous files per day
+    ev.withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartitionByRange(120, col("dt"), col("user_id"))
+      .write.partitionBy("dt").parquet(d)
+    ZoneMap.buildStatsOnly(spark, d, Seq("user_id", "value"))
+    val t = IndexedTable.partitionedTable(spark, d)
+    val raw = spark.read.parquet(d)
+    val total = plannedFiles(t)
+
+    val dayP = col("dt") === "2024-01-15"
+    val bandP = col("user_id").between(100, 119)
+    for (p <- Seq(dayP, bandP, dayP && bandP)) {
+      val got = t.filter(p)
+      assertSameRows(got.drop("dt"), raw.filter(p).drop("dt"))
+    }
+    assert(t.filter(dayP && bandP).count() > 0)
+    val nDay = plannedFiles(t.filter(dayP))
+    val nBand = plannedFiles(t.filter(bandP))
+    val nBoth = plannedFiles(t.filter(dayP && bandP))
+    // partition cut alone: one day's directory of ~30
+    assert(nDay <= total / 10, s"partition prune weak: $nDay of $total")
+    // stat cut alone: ~1 of each day's ~4 user_id-clustered files
+    assert(nBand <= total / 2, s"zone-map prune weak: $nBand of $total")
+    // composed: the intersection beats both single cuts
+    assert(nBoth < nDay && nBoth <= nBand,
+      s"composed prune ($nBoth) should beat day ($nDay) and band ($nBand)")
+  }
+
+  test("partitionedTable without a sidecar degrades to partition pruning only") {
+    val d = newTable("pzmns")
+    ev.withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartitionByRange(60, col("dt"), col("user_id"))
+      .write.partitionBy("dt").parquet(d)
+    val t = IndexedTable.partitionedTable(spark, d)
+    val raw = spark.read.parquet(d)
+    val p = col("dt") === "2024-01-15" && col("user_id").between(100, 119)
+    assertSameRows(t.filter(p).drop("dt"), raw.filter(p).drop("dt"))
+    assert(plannedFiles(t.filter(p)) < plannedFiles(t))
+  }
+
   test("IS NULL / IS NOT NULL prune via per-file null counts") {
     val d = newTable("idxnull")
     // cluster by the determinant so whole files are all-null or no-null

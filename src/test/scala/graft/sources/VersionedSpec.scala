@@ -598,13 +598,8 @@ class VersionedSpec extends AnyFunSuite {
     // Morton-cluster the commit IN-ROW (writeData owns the file layout),
     // so every file gets a tight 2-D bounding box in the manifest stats
     val (exprA, exprB) = (col("user_id"), (col("value") * 1000).cast("long"))
-    val r = evs.agg(min(exprA), max(exprA), min(exprB), max(exprB)).head()
-    val z = ZOrder.interleave(
-      ZOrder.bucketize(exprA, r.getLong(0), r.getLong(1), 12),
-      ZOrder.bucketize(exprB, r.getLong(2), r.getLong(3), 12), 12)
-    Versioned.append(evs.withColumn("_z", z)
-      .repartitionByRange(16, col("_z")).sortWithinPartitions("_z")
-      .drop("_z"), dir)
+    Versioned.append(
+      ZOrder.clustered(evs, exprA, exprB, bits = 12, nFiles = 16), dir)
     val t = Versioned.indexedRead(spark, dir)
     val pred = col("user_id").between(100, 199) &&
       col("value").between(10.0, 30.0)
@@ -616,6 +611,12 @@ class VersionedSpec extends AnyFunSuite {
     val nU = plannedFiles(t.filter(col("user_id").between(100, 199)))
     assert(nBoth < 16 && nBoth <= nU,
       s"2-D admission ($nBoth) should beat the 1-D cut ($nU) of 16")
+    // a later UNCLUSTERED commit cannot degrade the PINNED snapshot:
+    // time travel to v1 sees only the z-ordered files, still box-pruned
+    Versioned.append(evs.limit(50).repartition(4), dir)
+    val t1 = Versioned.indexedRead(spark, dir, Some(1)).filter(pred)
+    assert(plannedFiles(t1) == nBoth, "pinned-snapshot prune changed")
+    assert(t1.count() == want.count())
   }
 
   test("expire keeps carried delete files; vacuum removes only orphans") {
@@ -692,6 +693,71 @@ class VersionedSpec extends AnyFunSuite {
     assert(gotNull.count() == want.count() && want.count() > 0)
     assert(plannedFiles(gotNull) < total,
       s"IS NULL did not prune (${plannedFiles(gotNull)} of $total)")
+  }
+
+  test("compactSmall packs only sub-threshold files; big files carry by reference") {
+    val dir = java.nio.file.Files.createTempDirectory("vcs").toString + "/t"
+    // one healthy commit + a dribble of small streaming-ish commits
+    Versioned.append(ev.filter(col("event_id") % 4 =!= 0).repartition(1), dir)
+    Seq(0L, 1L, 2L).foreach { i =>
+      Versioned.append(
+        ev.filter(col("event_id") % 4 === 0 &&
+          pmod(col("event_id") / 4, lit(3)) === i).repartition(1), dir)
+    }
+    // a pending MOR mask: compactSmall must apply it to rewritten rows
+    // and must NOT reset it (it only touches small files)
+    val delKeys = ev.filter(col("event_id") % 10 === 6).select(col("event_id"))
+    Versioned.deleteByKeyMor(delKeys, dir, "event_id")
+    val pendingBefore = Versioned.pendingDeleteKeys(spark, dir)
+    val sizes = Versioned.dataFileSizes(spark, dir)
+    assert(sizes.size == 4)
+    val bigFile = sizes.maxBy(_._2)._1
+    val threshold = sizes(bigFile) // strictly-smaller rule spares the max
+    val preV = Versioned.currentVersion(dir)
+    val want = Versioned.read(spark, dir).orderBy(col("event_id")).collect()
+
+    val v = Versioned.compactSmall(spark, dir, smallBytes = threshold)
+    assert(v == preV + 1)
+    val after = Versioned.dataFileSizes(spark, dir)
+    assert(after.contains(bigFile), "big file must carry by reference")
+    assert(after.size < 4, s"small files should pack, got ${after.size}")
+    assert(sizes.keySet.filterNot(_ == bigFile).forall(!after.contains(_)))
+    // content-invisible, mask intact (no resurrection), history frozen
+    val got = Versioned.read(spark, dir).orderBy(col("event_id")).collect()
+    assert(got.sameElements(want))
+    assert(Versioned.pendingDeleteKeys(spark, dir) == pendingBefore)
+    assert(Versioned.read(spark, dir, Some(preV)).count() == want.length)
+    // nothing left under the threshold but the pack: re-running no-ops
+    assert(Versioned.compactSmall(spark, dir, smallBytes = threshold) == v)
+  }
+
+  test("indexedRead synthesizes FileStatus from manifest sizes: zero stat RPCs") {
+    val dir = java.nio.file.Files.createTempDirectory("vfl").toString + "/t"
+    Versioned.append(ev.repartitionByRange(4, col("user_id")), dir)
+    Versioned.upsert(ev.limit(20).withColumn("event_type", lit("patched")),
+      dir, "event_id")
+    val t = Versioned.indexedRead(spark, dir)
+    val scan = t.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no scan"))
+    val listed = scan.relation.location.listFiles(Nil, Nil)
+      .flatMap(_.files)
+    assert(listed.nonEmpty)
+    // a real getFileStatus would carry the on-disk mtime; manifest-
+    // synthesized statuses carry 0 — every file (including the upsert's
+    // carried + rewritten ones) must come from the manifest, not an RPC
+    assert(listed.forall(_.getModificationTime == 0L),
+      "some FileStatus came from a getFileStatus RPC, not the manifest")
+    // the synthesized lengths are the REAL byte lengths (split planning
+    // and sizeInBytes depend on them) — compare against the filesystem
+    val conf = spark.sparkContext.hadoopConfiguration
+    listed.foreach { f =>
+      val real = f.getPath.getFileSystem(conf).getFileStatus(f.getPath)
+      assert(f.getLen == real.getLen, s"bad length for ${f.getPath}")
+    }
+    // and the read is still content-exact
+    val want = Versioned.read(spark, dir)
+    assert(t.exceptAll(want).isEmpty && want.exceptAll(t).isEmpty)
   }
 
   test("two-writer: a losing append rebases onto the interleaved commit") {
