@@ -764,7 +764,64 @@ object SourceQueries {
       srcVersionedCdf, srcVersionedEvolve, srcVersionedPos,
       srcVersionedIndexed, srcZonemapNulls, srcBloomStringLookup,
       srcBloomStringPlanned, srcPartitionZonemapPlanned,
-      srcVersionedZorderBox, srcVersionedCompactSmall)
+      srcVersionedZorderBox, srcVersionedCompactSmall,
+      srcVersionedMorComposite)
+
+  /** COMPOSITE-key merge-on-read deletes ([[Versioned.deleteByKeysMor]] —
+    * Iceberg's multi-column equality_ids): the delete file carries
+    * (user_id, event_type) and masks ONE event family of the named users
+    * while their other event types survive — inexpressible with a
+    * single-column key; a later append re-inserts a masked pair (the
+    * sequence rule is column-count-blind), and compact materializes. The
+    * oracle replays all three states in plain SQL.
+    */
+  lazy val srcVersionedMorComposite: Q = Q(
+    "src_versioned_mor_composite",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vmorc").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev, dir)
+      Versioned.deleteByKeysMor(
+        ev.filter(col("user_id") % 10 === 3 && col("event_type") === "click")
+          .select(col("user_id"), col("event_type")).distinct(),
+        dir, Seq("user_id", "event_type"))
+      val reins = ev.filter(col("user_id") % 10 === 3 &&
+          col("event_type") === "click" && col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + 7000.0)
+      Versioned.append(reins, dir)
+      Versioned.compact(s, dir, numFiles = 4)
+      def state(name: String, v: Int) =
+        Versioned.read(s, dir, Some(v))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      state("a_masked", 2).unionAll(state("b_reinserted", 3))
+        .unionAll(state("c_compacted", 4))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH masked AS (
+        SELECT event_type, value FROM events
+        WHERE NOT (user_id % 10 = 3 AND event_type = 'click')),
+      reins AS (
+        SELECT event_type, value + 7000.0 AS value FROM events
+        WHERE user_id % 10 = 3 AND event_type = 'click'
+          AND event_id % 2 = 0),
+      after AS (
+        SELECT * FROM masked UNION ALL SELECT * FROM reins)
+      SELECT 'a_masked' AS state, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM masked GROUP BY 2
+      UNION ALL
+      SELECT 'b_reinserted', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after GROUP BY 2
+      UNION ALL
+      SELECT 'c_compacted', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after GROUP BY 2
+      ORDER BY state, event_type"""))
 
   /** Bin-pack small-file compaction ([[Versioned.compactSmall]] —
     * Iceberg's rewrite_data_files binpack): a streaming-ish dribble of

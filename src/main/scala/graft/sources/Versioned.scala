@@ -499,8 +499,11 @@ object Versioned {
     // accumulated-past-threshold mask shuffle-joins instead of OOMing
     val delRows: Map[String, Long] =
       delFiles.map(p => p -> spark.read.parquet(p).count()).toMap
+    // equality-delete files group by their full KEY COLUMN LIST (one
+    // column is the common case; composite keys — the (user_id, region)
+    // CDC shape — anti-join on every column)
     val eqMeta = metas.collect {
-      case (s, sch, p) if !isPosDelete(sch) => (s, sch.head.name, p)
+      case (s, sch, p) if !isPosDelete(sch) => (s, sch.fieldNames.toSeq, p)
     }
     val posMeta = metas.collect { case (s, sch, p) if isPosDelete(sch) => (s, p) }
     // each delete file's scan recurs once per APPLICABLE seq group; both
@@ -524,13 +527,19 @@ object Versioned {
               PosCols, "left_anti")
             .select(cols.map(col): _*)
         }
-      eqMeta.filter(_._1 > s).groupBy(_._2).toSeq.sortBy(_._1)
-        .foldLeft(base) { case (df, (kc, ms)) =>
+      val masked = eqMeta.filter(_._1 > s).groupBy(_._2).toSeq
+        .sortBy(_._1.mkString(","))
+        .foldLeft(base) { case (df, (kcs, ms)) =>
           val keys = spark.read.parquet(ms.map(_._3): _*)
-            .select(col(kc)).distinct()
+            .select(kcs.map(col): _*).distinct()
           df.join(maybeBroadcast(keys, ms.map(m => delRows(m._3)).sum),
-            Seq(kc), "left_anti")
+            kcs, "left_anti")
         }
+      // a USING anti-join REORDERS output columns (key columns first) —
+      // restore the table's order, or positional consumers (exceptAll,
+      // unions) of a snapshot read would silently misalign whenever the
+      // delete key is not the leading column
+      masked.select(base.columns.map(col): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -641,24 +650,35 @@ object Versioned {
     * (the CDC/merge contract); a corpus-sized update is a rebuild, not a
     * merge. Returns the new version.
     */
-  def upsert(updates: DataFrame, table: String, keyCol: String): Int = {
+  def upsert(updates: DataFrame, table: String, keyCol: String): Int =
+    upsertKeys(updates, table, Seq(keyCol))
+
+  /** COMPOSITE-key copy-on-write upsert: rows of `updates` replace
+    * current rows sharing their FULL `keyCols` tuple; unseen tuples
+    * insert. Same file-level pruning and conflict rules as the
+    * single-column form.
+    */
+  def upsertKeys(updates: DataFrame, table: String,
+      keyCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions._
     val spark = updates.sparkSession
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"bad key columns: $keyCols")
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     if (cur == 0) return append(updates, table)
     val basis = manifestAll(spark, table, cur)
     // cache + count in one pass: the count feeds the broadcast guard and
     // the cache keeps the updates pipeline from recomputing across the
     // touch probe and the anti-join
-    val keys = updates.select(col(keyCol)).distinct().cache()
+    val keys = updates.select(keyCols.map(col): _*).distinct().cache()
     val nKeys = keys.count()
     try {
       // touch detection compares input_file_name() spellings against
       // manifest paths — normalize BOTH to the /data/ suffix (see
       // [[dataSuffix]]; raw-string compare silently misses on URI drift)
       val touched = spark.read.parquet(basis.files: _*)
-        .select(col(keyCol), input_file_name().as("__f"))
-        .join(maybeBroadcast(keys, nKeys), Seq(keyCol))
+        .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+        .join(maybeBroadcast(keys, nKeys), keyCols)
         .select(col("__f")).distinct()
         .collect().map(r => dataSuffix(r.getString(0))).toSet
       val touchedPaths = basis.files.filter(f => touched(dataSuffix(f)))
@@ -669,11 +689,11 @@ object Versioned {
       val survivors =
         if (touchedPaths.isEmpty) updates
         else readWithDeletes(spark, touchedPaths, basis.deletes, basis.schema)
-          .join(maybeBroadcast(keys, nKeys), Seq(keyCol), "left_anti")
+          .join(maybeBroadcast(keys, nKeys), keyCols, "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       val w = new Staged(table, "u", survivors)
       cowCommit(spark, table, w, basis, touched, updates.schema,
-        what = s"upsert($keyCol)")
+        what = s"upsert(${keyCols.mkString(",")})")
     } finally keys.unpersist()
   }
 
@@ -756,9 +776,25 @@ object Versioned {
     * side — [[compact]] materializes (its snapshot lists no delete
     * entries), so keep delete chains short between compactions.
     */
-  def deleteByKeyMor(keys: DataFrame, table: String, keyCol: String): Int = {
+  def deleteByKeyMor(keys: DataFrame, table: String, keyCol: String): Int =
+    deleteByKeysMor(keys, table, Seq(keyCol))
+
+  /** COMPOSITE-key merge-on-read equality delete (Iceberg's multi-column
+    * equality_ids): the delete file carries every key column, readers
+    * anti-join on all of them — `(user_id, event_type)` deletes one
+    * event family of a user without touching the rest. Key rows with a
+    * NULL component match nothing (SQL equality semantics — a null key
+    * identifies no row); same sequence rule and O(batch) write as the
+    * single-column form.
+    */
+  def deleteByKeysMor(keys: DataFrame, table: String,
+      keyCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions._
     val spark = keys.sparkSession
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"bad key columns: $keyCols")
+    require(keyCols != PosCols,
+      s"${PosCols.mkString(",")} is the reserved position-delete schema")
     require(currentVersion(table,
       spark.sparkContext.hadoopConfiguration) > 0,
       s"no snapshot to delete from at $table")
@@ -767,7 +803,8 @@ object Versioned {
     // sequence PAST the interleaved commit, preserving "masks everything
     // committed before me" under the serial order the CAS establishes
     val w = new Staged(table, "d",
-      keys.select(col(keyCol)).distinct().coalesce(1), withStats = false)
+      keys.select(keyCols.map(col): _*).distinct().coalesce(1),
+      withStats = false)
     commitLoop(spark, table, { (m, cur) =>
       val (added, _, _) = w.at(cur + 1)
       Some(Content(m.files, m.txns, m.deletes ++ added, m.schema,
@@ -786,7 +823,15 @@ object Versioned {
     */
   def mergeMor(upserts: DataFrame, deleteKeys: DataFrame, table: String,
       keyCol: String): Int =
-    mergeMorImpl(upserts, deleteKeys, table, keyCol, None).get
+    mergeMorImpl(upserts, deleteKeys, table, Seq(keyCol), None).get
+
+  /** [[mergeMor]] on a COMPOSITE key — the delete file carries every key
+    * column and masks the upserts' ∪ deleteKeys' older rows on all of
+    * them in one atomic commit.
+    */
+  def mergeMorKeys(upserts: DataFrame, deleteKeys: DataFrame,
+      table: String, keyCols: Seq[String]): Int =
+    mergeMorImpl(upserts, deleteKeys, table, keyCols, None).get
 
   /** Merge-on-read UPSERT: [[mergeMor]] with no extra deletes — new rows
     * land, the keys' older rows mask. The MOR twin of [[upsert]].
@@ -804,14 +849,17 @@ object Versioned {
     */
   def mergeMorBatch(upserts: DataFrame, deleteKeys: DataFrame,
       table: String, keyCol: String, batchId: Long): Option[Int] =
-    mergeMorImpl(upserts, deleteKeys, table, keyCol, Some(batchId))
+    mergeMorImpl(upserts, deleteKeys, table, Seq(keyCol), Some(batchId))
 
   private def mergeMorImpl(upserts: DataFrame, deleteKeys: DataFrame,
-      table: String, keyCol: String, batchId: Option[Long]): Option[Int] = {
+      table: String, keyCols: Seq[String],
+      batchId: Option[Long]): Option[Int] = {
     import org.apache.spark.sql.functions._
     val spark = upserts.sparkSession
-    val allKeys = upserts.select(col(keyCol))
-      .unionByName(deleteKeys.select(col(keyCol)).toDF(keyCol))
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols &&
+      keyCols != PosCols, s"bad key columns: $keyCols")
+    val allKeys = upserts.select(keyCols.map(col): _*)
+      .unionByName(deleteKeys.select(keyCols.map(col): _*).toDF(keyCols: _*))
       .distinct().coalesce(1)
     // additive pair (data at seq v, delete at seq v — strict sequence
     // rule keeps the upserts alive through their own mask); both staged

@@ -106,4 +106,35 @@ class IndexedTablePropertySpec extends AnyFunSuite {
         s"case $i content mismatch: $pred")
     }
   }
+
+  test("25 seeded random trees over a HIVE-PARTITIONED table (both prunes)") {
+    val d = java.nio.file.Files.createTempDirectory("pprop").toString + "/t"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    ev.withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartitionByRange(60, col("dt"), col("user_id"))
+      .write.partitionBy("dt").parquet(d)
+    ZoneMap.buildStatsOnly(spark, d, Seq("user_id", "value"))
+    val t = IndexedTable.partitionedTable(spark, d)
+    val raw = spark.read.parquet(d)
+    val rnd = new scala.util.Random(60901)
+    val days = Seq("2024-01-05", "2024-01-15", "2024-01-25", "2023-12-31")
+    // random data-predicate trees, half the cases with a partition-column
+    // conjunct on top — partition pruning and sidecar admission must
+    // agree with the raw scan in every combination
+    (1 to 25).foreach { i =>
+      val data = randomPredicate(rnd, 2)
+      val pred =
+        if (rnd.nextBoolean()) data
+        else data && (rnd.nextInt(3) match {
+          case 0 => col("dt") === days(rnd.nextInt(days.size))
+          case 1 => col("dt") >= days(rnd.nextInt(days.size))
+          case 2 => col("dt").isin(days.take(1 + rnd.nextInt(3)): _*)
+        })
+      val got = t.filter(pred).drop("dt")
+      val want = raw.filter(pred).drop("dt")
+      assert(got.count() == want.count(), s"case $i: $pred")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"case $i content mismatch: $pred")
+    }
+  }
 }

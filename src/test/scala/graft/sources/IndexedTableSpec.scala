@@ -104,6 +104,61 @@ class IndexedTableSpec extends AnyFunSuite {
       s"composed prune ($nBoth) should beat day ($nDay) and band ($nBand)")
   }
 
+  test("dynamic partition pruning flows through partitionedTable") {
+    val d = newTable("dpp")
+    ev.withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartitionByRange(60, col("dt"), col("user_id"))
+      .write.partitionBy("dt").parquet(d)
+    ZoneMap.buildStatsOnly(spark, d, Seq("user_id", "value"))
+    val fact = IndexedTable.partitionedTable(spark, d)
+    val total = plannedFiles(fact)
+    // a filtered FILE-BACKED dim joined on the PARTITION column: Spark's
+    // DPP injects the dim's dt values as a runtime partition filter —
+    // our listFiles delegates partition filters to Spark's own index, so
+    // the injection must survive the custom FileIndex. (An in-memory dim
+    // would constant-fold its filter away and DPP would never consider
+    // it — true of plain spark.read too.)
+    val dimDir = newTable("dppdim")
+    spark.createDataFrame(Seq(
+      ("2024-01-15", 1), ("2024-01-20", 1), ("2024-01-25", 0)))
+      .toDF("dim_dt", "flag")
+      .select(col("dim_dt").cast("date").as("dim_dt"), col("flag"))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = fact.join(dim, fact("dt") === dim("dim_dt"))
+      .filter(col("flag") === 1)
+    val want = spark.read.parquet(d)
+      .filter(col("dt").isin("2024-01-15", "2024-01-20")).count()
+    assert(q.count() == want && want > 0)
+    // at sparkPlan stage the filter is still the DynamicPruningSubquery
+    // placeholder; the executed plan swaps in DynamicPruningExpression —
+    // the shared trait matches both
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruning
+    val planScan = q.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    assert(planScan.partitionFilters.exists(_.exists(
+      _.isInstanceOf[DynamicPruning])),
+      "no dynamic pruning filter reached the scan:\n" +
+        q.queryExecution.sparkPlan)
+    // drive THIS query execution, then read the numFiles metric off the
+    // FINAL (adaptive) plan — it must reflect the runtime-pruned listing.
+    // AQE wraps materialized stages as leaf QueryStageExec nodes; descend.
+    q.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case s: QueryStageExec => scans(s.plan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    }.flatten
+    val factScan = scans(q.queryExecution.executedPlan)
+      .find(_.relation.location.isInstanceOf[PartitionedSkippingFileIndex])
+      .getOrElse(fail("no partitioned fact scan in final plan"))
+    val n = factScan.metrics("numFiles").value
+    assert(n < total / 5, s"DPP did not prune at runtime: $n of $total files")
+  }
+
   test("partitionedTable without a sidecar degrades to partition pruning only") {
     val d = newTable("pzmns")
     ev.withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))

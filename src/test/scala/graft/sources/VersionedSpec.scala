@@ -695,6 +695,80 @@ class VersionedSpec extends AnyFunSuite {
       s"IS NULL did not prune (${plannedFiles(gotNull)} of $total)")
   }
 
+  test("composite-key MOR delete masks on ALL key columns; appends re-insert") {
+    val dir = java.nio.file.Files.createTempDirectory("morc").toString + "/t"
+    Versioned.append(ev, dir)
+    // delete only the CLICK family of users 0..4 — their other event
+    // types must survive (the single-column form can't express this)
+    val delKeys = ev.filter(col("user_id") < 5 &&
+      col("event_type") === "click")
+      .select(col("user_id"), col("event_type")).distinct()
+    val v = Versioned.deleteByKeysMor(delKeys, dir,
+      Seq("user_id", "event_type"))
+    assert(v == 2)
+    val got = Versioned.read(spark, dir)
+    val want = ev.filter(!(col("user_id") < 5 && col("event_type") === "click"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // sequence rule unchanged: a later append re-inserts a masked pair
+    val reAdd = ev.filter(col("user_id") === 0 && col("event_type") === "click")
+      .limit(1).withColumn("value", lit(123.0))
+    Versioned.append(reAdd, dir)
+    assert(Versioned.read(spark, dir).count() == want.count() + 1)
+    // compact materializes the composite mask too
+    Versioned.compact(spark, dir, numFiles = 2)
+    assert(Versioned.read(spark, dir).count() == want.count() + 1)
+    assert(Versioned.pendingDeleteKeys(spark, dir) == 0L)
+  }
+
+  test("composite-key COW upsertKeys replaces full tuples, inserts unseen ones") {
+    val dir = java.nio.file.Files.createTempDirectory("upck").toString + "/t"
+    val base = ev.select("event_id", "user_id", "event_type", "value")
+    Versioned.append(base.repartitionByRange(4, col("user_id")), dir)
+    // replace every (user 3, view) row with ONE aggregate row + insert an
+    // unseen (user 9999, view) tuple, atomically
+    val ups = base.filter(col("user_id") === 3 && col("event_type") === "view")
+      .limit(1).withColumn("value", lit(555.5))
+      .unionByName(base.limit(1)
+        .withColumn("user_id", lit(9999L))
+        .withColumn("event_type", lit("view"))
+        .withColumn("value", lit(1.0)))
+    Versioned.upsertKeys(ups, dir, Seq("user_id", "event_type"))
+    val got = Versioned.read(spark, dir)
+    val want = base.filter(
+      !(col("user_id") === 3 && col("event_type") === "view"))
+      .unionByName(ups)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // only tuple-touched files rewrote; the rest carried by reference
+    val before = Versioned.dataFileSizes(spark, dir, Some(1)).keySet
+    val after = Versioned.dataFileSizes(spark, dir).keySet
+    assert(before.intersect(after).nonEmpty, "some files should carry")
+  }
+
+  test("composite-key mergeMorKeys: one commit, upserts + deletes on a pair key") {
+    val dir = java.nio.file.Files.createTempDirectory("morck").toString + "/t"
+    val base = ev.select("event_id", "user_id", "event_type", "value")
+    Versioned.append(base, dir)
+    // replace the (user 1, view) family with one patched row and drop
+    // the (user 2, click) family, atomically
+    val ups = base.filter(col("user_id") === 1 && col("event_type") === "view")
+      .limit(1).withColumn("value", lit(999.0))
+    val dels = base.filter(col("user_id") === 2 && col("event_type") === "click")
+      .select(col("user_id"), col("event_type")).distinct()
+    val filesBefore = Versioned.dataFileSizes(spark, dir).keySet
+    Versioned.mergeMorKeys(ups, dels, dir, Seq("user_id", "event_type"))
+    assert(Versioned.dataFileSizes(spark, dir).keySet
+      .intersect(filesBefore) == filesBefore, "MOR merge must not rewrite")
+    val got = Versioned.read(spark, dir)
+    val want = base.filter(
+      !((col("user_id") === 1 && col("event_type") === "view") ||
+        (col("user_id") === 2 && col("event_type") === "click")))
+      .unionByName(ups)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("compactSmall packs only sub-threshold files; big files carry by reference") {
     val dir = java.nio.file.Files.createTempDirectory("vcs").toString + "/t"
     // one healthy commit + a dribble of small streaming-ish commits
