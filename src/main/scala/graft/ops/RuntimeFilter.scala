@@ -30,25 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object RuntimeFilter {
 
-  /** The hash domain for a join key type: integral keys hash as LONG (so
-    * int-vs-long spellings of one key can never miss each other), string
-    * keys hash their UTF-8 bytes natively. Anything else is rejected
-    * LOUDLY: the old behavior cast everything to long, and a non-null
-    * key whose long cast is null (a string like 'abc', a NaN double)
-    * made xxhash64 silently skip the null child and probe seed-only
-    * positions — a fact row that WOULD match the exact join could then
-    * be dropped, breaking the "result is exactly the plain join's"
-    * guarantee.
-    */
-  private def domainOf(dt: org.apache.spark.sql.types.DataType): String = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType => "long"
-      case StringType => "string"
-      case other => throw new IllegalArgumentException(
-        s"RuntimeFilter supports integral and string join keys, got $other")
-    }
-  }
+  // the hash-domain mapping is BloomIndex's (one definition, like
+  // contribs — build and probe can never fork): integral->long,
+  // string->native UTF-8, anything else rejected loudly. The old
+  // behavior cast everything to long, and a non-null key whose long
+  // cast is null ('abc') made xxhash64 skip the null child and probe
+  // seed-only positions — a matching fact row could be dropped.
+  private def domainOf(dt: org.apache.spark.sql.types.DataType): String =
+    graft.sources.BloomIndex.hashDomainOf(dt)
 
   /** Global bloom bits of `dim[keyCol]` in its type's hash domain: one
     * aggregation, driver state mBits/64 longs (never the key count).
@@ -69,13 +58,15 @@ object RuntimeFilter {
   }
 
   /** Codegen'd membership probe against literal bits (1-based
-    * `element_at`; word = pos >> 6, bit = pos & 63). `domain` must be
-    * the build side's hash domain ("long" or "string") — the cast is
-    * identity-or-widening within the domain, so a non-null key can never
-    * turn null under it (the silent seed-only-probe failure mode).
+    * `element_at`; word = pos >> 6, bit = pos & 63). `domain` is REQUIRED
+    * and must be the build side's hash domain ("long" or "string") — a
+    * defaulted "long" would silently reintroduce the seed-only-probe
+    * false negative for string-key bits the moment a caller forgot it;
+    * within the right domain the cast is identity-or-widening, so a
+    * non-null key can never turn null under it.
     */
-  def mightContain(key: Column, bits: Array[Long], k: Int = 4,
-      domain: String = "long"): Column = {
+  def mightContain(key: Column, bits: Array[Long], domain: String,
+      k: Int = 4): Column = {
     require(domain == "long" || domain == "string", s"bad domain: $domain")
     val mBits = bits.length * 64
     val arr = typedLit(bits)
@@ -105,7 +96,7 @@ object RuntimeFilter {
         s"${fact.schema(factKey).dataType.simpleString}, dim.$dimKey is " +
         s"${dim.schema(dimKey).dataType.simpleString}")
     val bits = buildBits(dim, dimKey, mBits, k)
-    val reduced = fact.filter(mightContain(col(factKey), bits, k, domain))
+    val reduced = fact.filter(mightContain(col(factKey), bits, domain, k))
     // same-named keys would make col(factKey) === col(dimKey) ambiguous;
     // join USING in that case (merging the key column, the usual shape)
     if (factKey == dimKey) reduced.join(dim, Seq(factKey))

@@ -41,15 +41,17 @@ object BloomIndex {
 
   private def sidecarPath(table: String) = table.stripSuffix("/") + "_bloom"
 
-  /** The sidecar's hash domain for a key column: integral keys hash as
-    * LONG (so int vs long spellings of the same key can never miss each
+  /** The hash domain for a bloom key column: integral keys hash as LONG
+    * (so int vs long spellings of the same key can never miss each
     * other), string keys hash their UTF-8 bytes natively — the doc-id/URL
     * shape an LLM corpus actually keys on. Anything else (float, decimal,
     * binary) is rejected loudly: a lossy cast would hash two distinct
-    * keys to one domain value and silently break the one-key-one-file
-    * read contract.
+    * keys to one domain value and silently break the membership contract.
+    * Shared with [[graft.ops.RuntimeFilter]] — like [[contribs]], ONE
+    * definition so build and probe can never fork their hash domains.
     */
-  private def domainOf(dt: org.apache.spark.sql.types.DataType): String = {
+  private[graft] def hashDomainOf(
+      dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType => "long"
@@ -79,7 +81,7 @@ object BloomIndex {
     require(mBits % 64 == 0 && mBits > 0 && k >= 1 && nFiles >= 1,
       s"bad geometry: mBits=$mBits k=$k nFiles=$nFiles")
     val spark = df.sparkSession
-    val kind = domainOf(df.schema(keyCol).dataType)
+    val kind = hashDomainOf(df.schema(keyCol).dataType)
     df.repartition(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(tablePath)
     // Cast to the recorded domain on the BUILD side: xxhash64 is

@@ -80,11 +80,15 @@ object IndexedTable {
     */
   def partitionedTable(spark: SparkSession, tablePath: String): DataFrame = {
     val index = new PartitionedSkippingFileIndex(spark, tablePath)
-    val partCols = index.partitionSchema.fieldNames.toSet
-    // spark.read's inferred schema carries the partition columns too —
-    // the relation wants them split out
-    val dataSchema = StructType(spark.read.parquet(tablePath)
-      .schema.fields.filterNot(f => partCols.contains(f.name)))
+    // data schema from ONE leaf footer off the index's OWN listing — a
+    // spark.read.parquet(tablePath) here would run partition discovery a
+    // second time, doubling open cost on exactly the 10⁵-file table this
+    // path targets. (Same single-footer contract as spark.read's default:
+    // heterogeneous-schema layouts need their own merge pass.)
+    val dataSchema = index.sampleFile match {
+      case Some(p) => spark.read.parquet(p.toString).schema
+      case None => new StructType()
+    }
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
@@ -451,6 +455,12 @@ final class PartitionedSkippingFileIndex(spark: SparkSession,
   override def inputFiles: Array[String] = inner.inputFiles
 
   private def norm(p: String): String = new Path(p).toUri.getPath
+
+  /** One leaf data file, for single-footer schema discovery without a
+    * second recursive listing.
+    */
+  private[sources] def sampleFile: Option[Path] =
+    inner.allFiles().headOption.map(_.getPath)
 
   override protected def loadState(): State = {
     val (_, stats) = ZoneMap.loadIndex(spark, tablePath)

@@ -264,6 +264,16 @@ object Versioned {
   private def statFileOf(encoded: String): String =
     dec(encoded.takeWhile(_ != '|'))
 
+  /** Decode manifest `fl` rows (`enc(path)|len`) — the ONE inverse of the
+    * encoding in [[Staged.at]]; both [[indexedRead]] and
+    * [[dataFileSizes]] parse through here.
+    */
+  private def decodeSizes(raw: Seq[String]): Map[String, Long] =
+    raw.map { s =>
+      val i = s.indexOf('|')
+      dec(s.take(i)) -> s.drop(i + 1).toLong
+    }.toMap
+
   /** Filesystem-URI-spelling-proof file identity: the path's `/data/...`
     * suffix. Manifest paths come from `DataFrame.inputFiles` at write
     * time while touch detection reads `input_file_name()` at query time,
@@ -460,8 +470,25 @@ object Versioned {
   def pendingDeleteKeys(spark: SparkSession, table: String): Long = {
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     if (cur == 0) 0L
-    else manifestAll(spark, table, cur).deletes
-      .map(p => spark.read.parquet(p).count()).sum
+    else countRowsByFile(spark,
+      manifestAll(spark, table, cur).deletes).values.sum
+  }
+
+  /** Per-file row counts of `files` in ONE Spark job (zero-column
+    * projection grouped by the scan's own file name), keyed by the
+    * [[dataSuffix]]-normalized path — input_file_name() spellings can
+    * differ from manifest spellings. Zero-row files are absent (look up
+    * with getOrElse 0). Tolerates heterogeneous schemas across the files
+    * (only input_file_name is projected).
+    */
+  private def countRowsByFile(spark: SparkSession,
+      files: Seq[String]): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty) Map.empty
+    else spark.read.parquet(files: _*)
+      .select(input_file_name().as("__f"))
+      .groupBy(col("__f")).count().collect()
+      .map(r => dataSuffix(r.getString(0)) -> r.getLong(1)).toMap
   }
 
   /** Column names of a POSITION-delete file (Iceberg's positional
@@ -494,11 +521,13 @@ object Versioned {
     if (dataFiles.isEmpty) return spark.emptyDataFrame
     if (delFiles.isEmpty) return reader.parquet(dataFiles: _*)
     val metas = delFiles.map(p => (seqOf(p), spark.read.parquet(p).schema, p))
-    // per-delete-file row counts (parquet footer metadata — no data scan)
-    // feed the broadcast guard: a batch-sized mask broadcasts, an
-    // accumulated-past-threshold mask shuffle-joins instead of OOMing
-    val delRows: Map[String, Long] =
-      delFiles.map(p => p -> spark.read.parquet(p).count()).toMap
+    // per-delete-file row counts feed the broadcast guard: a batch-sized
+    // mask broadcasts, an accumulated-past-threshold mask shuffle-joins
+    // instead of OOMing. ONE job over every delete file (zero-column
+    // projection + group by file), not one count() job per file — a
+    // 50-batch un-compacted delete chain would otherwise pay 50
+    // sequential job launches on every read
+    val delRows: Map[String, Long] = countRowsByFile(spark, delFiles)
     // equality-delete files group by their full KEY COLUMN LIST (one
     // column is the common case; composite keys — the (user_id, region)
     // CDC shape — anti-join on every column)
@@ -523,7 +552,8 @@ object Versioned {
           reader.parquet(fs: _*)
             .withColumn("__file", col("_metadata.file_path"))
             .withColumn("__pos", col("_metadata.row_index"))
-            .join(maybeBroadcast(pos, posApplicable.map(delRows).sum),
+            .join(maybeBroadcast(pos, posApplicable
+              .map(p => delRows.getOrElse(dataSuffix(p), 0L)).sum),
               PosCols, "left_anti")
             .select(cols.map(col): _*)
         }
@@ -532,7 +562,8 @@ object Versioned {
         .foldLeft(base) { case (df, (kcs, ms)) =>
           val keys = spark.read.parquet(ms.map(_._3): _*)
             .select(kcs.map(col): _*).distinct()
-          df.join(maybeBroadcast(keys, ms.map(m => delRows(m._3)).sum),
+          df.join(maybeBroadcast(keys,
+            ms.map(m => delRows.getOrElse(dataSuffix(m._3), 0L)).sum),
             kcs, "left_anti")
         }
       // a USING anti-join REORDERS output columns (key columns first) —
@@ -563,12 +594,16 @@ object Versioned {
   def append(df: DataFrame, table: String): Int = {
     val spark = df.sparkSession
     val w = new Staged(table, "c", df)
-    commitLoop(spark, table, { (m, cur) =>
-      val sch = mergeSchemas(m.schema, df.schema)
-      val (files, stats, sizes) = w.at(cur + 1)
-      Some(Content(m.files ++ files, m.txns, m.deletes, Some(sch),
-        m.statsRaw ++ stats, m.sizesRaw ++ sizes))
-    }).get
+    // retries-exhausted (or any throw) must not leak the staged data —
+    // the same discipline as the COW paths
+    try {
+      commitLoop(spark, table, { (m, cur) =>
+        val sch = mergeSchemas(m.schema, df.schema)
+        val (files, stats, sizes) = w.at(cur + 1)
+        Some(Content(m.files ++ files, m.txns, m.deletes, Some(sch),
+          m.statsRaw ++ stats, m.sizesRaw ++ sizes))
+      }).get
+    } catch { case e: Throwable => w.abort(); throw e }
   }
 
   /** Exactly-once micro-batch append (the streaming face — see
@@ -585,15 +620,18 @@ object Versioned {
     // check runs against the head of EVERY attempt, so a redelivery —
     // including one racing the original — no-ops before writing data
     val w = new Staged(table, "b", df, batchId = Some(batchId))
-    val r = commitLoop(spark, table, { (m, cur) =>
-      if (m.txns.contains(batchId)) None
-      else {
-        val sch = mergeSchemas(m.schema, df.schema)
-        val (files, stats, sizes) = w.at(cur + 1)
-        Some(Content(m.files ++ files, m.txns :+ batchId, m.deletes,
-          Some(sch), m.statsRaw ++ stats, m.sizesRaw ++ sizes))
-      }
-    })
+    val r =
+      try {
+        commitLoop(spark, table, { (m, cur) =>
+          if (m.txns.contains(batchId)) None
+          else {
+            val sch = mergeSchemas(m.schema, df.schema)
+            val (files, stats, sizes) = w.at(cur + 1)
+            Some(Content(m.files ++ files, m.txns :+ batchId, m.deletes,
+              Some(sch), m.statsRaw ++ stats, m.sizesRaw ++ sizes))
+          }
+        })
+      } catch { case e: Throwable => w.abort(); throw e }
     if (r.isEmpty) w.abort() // lost to an identical redelivery mid-loop
     r
   }
@@ -805,11 +843,13 @@ object Versioned {
     val w = new Staged(table, "d",
       keys.select(keyCols.map(col): _*).distinct().coalesce(1),
       withStats = false)
-    commitLoop(spark, table, { (m, cur) =>
-      val (added, _, _) = w.at(cur + 1)
-      Some(Content(m.files, m.txns, m.deletes ++ added, m.schema,
-        m.statsRaw, m.sizesRaw))
-    }).get
+    try {
+      commitLoop(spark, table, { (m, cur) =>
+        val (added, _, _) = w.at(cur + 1)
+        Some(Content(m.files, m.txns, m.deletes ++ added, m.schema,
+          m.statsRaw, m.sizesRaw))
+      }).get
+    } catch { case e: Throwable => w.abort(); throw e }
   }
 
   /** Merge-on-read MERGE — ONE atomic commit of (new data files at
@@ -866,17 +906,22 @@ object Versioned {
     // dirs rename together on a rebase, so the pair stays same-sequence
     val wData = new Staged(table, "m", upserts)
     val wDel = new Staged(table, "d", allKeys, withStats = false)
-    val r = commitLoop(spark, table, { (m, cur) =>
-      if (batchId.exists(m.txns.contains)) None
-      else {
-        val sch = mergeSchemas(m.schema, upserts.schema)
-        val (added, stats, sizes) = wData.at(cur + 1)
-        val (delAdded, _, _) = wDel.at(cur + 1)
-        Some(Content(m.files ++ added, m.txns ++ batchId.toSeq,
-          m.deletes ++ delAdded, Some(sch), m.statsRaw ++ stats,
-          m.sizesRaw ++ sizes))
+    val r =
+      try {
+        commitLoop(spark, table, { (m, cur) =>
+          if (batchId.exists(m.txns.contains)) None
+          else {
+            val sch = mergeSchemas(m.schema, upserts.schema)
+            val (added, stats, sizes) = wData.at(cur + 1)
+            val (delAdded, _, _) = wDel.at(cur + 1)
+            Some(Content(m.files ++ added, m.txns ++ batchId.toSeq,
+              m.deletes ++ delAdded, Some(sch), m.statsRaw ++ stats,
+              m.sizesRaw ++ sizes))
+          }
+        })
+      } catch { case e: Throwable =>
+        wData.abort(); wDel.abort(); throw e
       }
-    })
     if (r.isEmpty) { wData.abort(); wDel.abort() }
     r
   }
@@ -1009,24 +1054,32 @@ object Versioned {
     // manifest-recorded byte lengths let the index synthesize every
     // FileStatus — zero per-file RPCs at plan time (legacy snapshots
     // without `fl` rows fall back to getFileStatus per uncovered file)
-    val sizes = m.sizesRaw.map { s =>
-      val i = s.indexOf('|')
-      dec(s.take(i)) -> s.drop(i + 1).toLong
-    }.toMap
     val index = new ManifestFileIndex(spark, table, m.files,
-      m.statsRaw.map(decodeStat), sizes)
+      m.statsRaw.map(decodeStat), decodeSizes(m.sizesRaw))
     IndexedTable.toDataFrame(spark, index, schema)
   }
 
+  /** Default [[vacuumOrphans]] grace period: an unreferenced file younger
+    * than this is presumed to be a CONCURRENT writer's staged-but-not-yet-
+    * committed data and is left alone (Iceberg's remove_orphan_files
+    * defaults to 3 days for the same race). Without it, a vacuum running
+    * beside a slow append could delete the staged files moments before
+    * that append's manifest rename succeeds — a committed snapshot
+    * referencing deleted data.
+    */
+  val DefaultVacuumGraceMs: Long = 24L * 3600 * 1000
+
   /** Delete data/delete files under the table that NO surviving manifest
     * references (torn attempts orphaned by an interleaved commit, debris
-    * from killed jobs). Single-writer contract: run from the writer, not
-    * concurrently with it. Returns the deleted paths. Matching is by the
-    * path's `/data/...` suffix, so filesystem-URI spelling differences
-    * between the manifest (inputFiles) and the listing cannot cause a
-    * live file to look orphaned — both sides normalize.
+    * from killed jobs) and that are OLDER than `graceMs` (see
+    * [[DefaultVacuumGraceMs]]; pass 0 only when no writer can be running).
+    * Returns the deleted paths. Matching is by the path's `/data/...`
+    * suffix, so filesystem-URI spelling differences between the manifest
+    * (inputFiles) and the listing cannot cause a live file to look
+    * orphaned — both sides normalize.
     */
-  def vacuumOrphans(spark: SparkSession, table: String): Seq[String] = {
+  def vacuumOrphans(spark: SparkSession, table: String,
+      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val referenced = listVersions(table, conf).flatMap { v =>
       val (f, _, d) = manifestFull(spark, table, v); f ++ d
@@ -1034,9 +1087,13 @@ object Versioned {
     val fs = fsFor(table, conf)
     val dataRoot = new Path(s"$table/data")
     if (!fs.exists(dataRoot)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMs
     val it = fs.listFiles(dataRoot, true)
     val all = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (it.hasNext) all += it.next().getPath
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getModificationTime <= cutoff) all += st.getPath
+    }
     // _SUCCESS/.crc markers are committer metadata, never manifest
     // entries — not orphans (they go when their directory goes)
     val orphans = all
@@ -1066,10 +1123,7 @@ object Versioned {
     if (v == 0) return Map.empty
     val m = manifestAll(spark, table, v)
     val live = m.files.map(dataSuffix).toSet
-    m.sizesRaw.map { s =>
-      val i = s.indexOf('|')
-      dec(s.take(i)) -> s.drop(i + 1).toLong
-    }.filter(kv => live(dataSuffix(kv._1))).toMap
+    decodeSizes(m.sizesRaw).filter(kv => live(dataSuffix(kv._1)))
   }
 
   /** Bin-pack SMALL-FILE compaction (Iceberg's `rewrite_data_files`
@@ -1103,8 +1157,12 @@ object Versioned {
       sizeOf.get(dataSuffix(f)).exists(_ < smallBytes))
     if (small.size < 2) return cur
     val total = small.map(f => sizeOf(dataSuffix(f))).sum
+    // FLOOR, not ceil: packed outputs must average AT OR ABOVE the
+    // threshold, or every output re-qualifies as small and the next
+    // maintenance run repacks the same bytes forever — compaction must
+    // converge (n packed files re-trigger only by falling below 2)
     val n = if (targetFiles > 0) targetFiles
-      else math.max(1, math.ceil(total.toDouble / smallBytes).toInt)
+      else math.max(1, (total / smallBytes).toInt)
     val survivors = readWithDeletes(spark, small, m.deletes, m.schema)
       .repartition(n)
     val w = new Staged(table, "u", survivors)

@@ -28,7 +28,7 @@ class RuntimeFilterSpec extends AnyFunSuite {
     val bits = RuntimeFilter.buildBits(urgent, "o_orderkey")
     val total = li.count()
     val surviving = li.filter(
-      RuntimeFilter.mightContain(col("l_orderkey"), bits)).count()
+      RuntimeFilter.mightContain(col("l_orderkey"), bits, "long")).count()
     val trueMatches = li.join(urgent.select(col("o_orderkey")),
       col("l_orderkey") === col("o_orderkey"), "left_semi").count()
     assert(surviving >= trueMatches, "false negative: bloom dropped a match")
@@ -64,7 +64,7 @@ class RuntimeFilterSpec extends AnyFunSuite {
     val withNull = li.limit(5)
       .withColumn("l_orderkey", lit(null).cast("long"))
     assert(withNull.filter(
-      RuntimeFilter.mightContain(col("l_orderkey"), bits)).count() == 0)
+      RuntimeFilter.mightContain(col("l_orderkey"), bits, "long")).count() == 0)
   }
 
   test("string keys hash natively: semi-join equals the plain join") {

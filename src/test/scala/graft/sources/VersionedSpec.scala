@@ -632,10 +632,14 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, dir).count() == want) // delete file survived
     // an orphan (torn, never-committed dir) is vacuumed; live files are not
     ev.limit(3).write.parquet(s"$dir/data/b=777-v9")
-    val vacuumed = Versioned.vacuumOrphans(spark, dir)
+    // under the DEFAULT grace period a fresh unreferenced file is presumed
+    // to be a concurrent writer's staged data and is LEFT ALONE — the
+    // vacuum-vs-slow-commit race Iceberg's remove_orphan_files guards too
+    assert(Versioned.vacuumOrphans(spark, dir).isEmpty)
+    val vacuumed = Versioned.vacuumOrphans(spark, dir, graceMs = 0)
     assert(vacuumed.nonEmpty && vacuumed.forall(_.contains("b=777")))
     assert(Versioned.read(spark, dir).count() == want)
-    assert(Versioned.vacuumOrphans(spark, dir).isEmpty)
+    assert(Versioned.vacuumOrphans(spark, dir, graceMs = 0).isEmpty)
   }
 
   test("over-threshold delete mask shuffles instead of forcing broadcast") {
@@ -805,6 +809,31 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.compactSmall(spark, dir, smallBytes = threshold) == v)
   }
 
+  test("compactSmall converges: packed outputs do not re-qualify forever") {
+    val dir = java.nio.file.Files.createTempDirectory("vcsc").toString + "/t"
+    (0 until 6).foreach { i =>
+      Versioned.append(
+        ev.filter(pmod(col("event_id"), lit(6)) === i).repartition(1), dir)
+    }
+    // threshold ≈ half the total bytes: the pack must emit MULTIPLE
+    // output files — the shape where ceil-sizing made every output fall
+    // back under the threshold and maintenance repacked the same bytes
+    // on every cycle, forever
+    val th = Versioned.dataFileSizes(spark, dir).values.sum / 2
+    val want = Versioned.read(spark, dir).count()
+    var v = Versioned.currentVersion(dir)
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 5) {
+      val nv = Versioned.compactSmall(spark, dir, smallBytes = th)
+      changed = nv != v
+      v = nv
+      if (changed) rounds += 1
+    }
+    assert(rounds <= 3, s"compactSmall repacked for $rounds rounds")
+    assert(Versioned.read(spark, dir).count() == want)
+  }
+
   test("indexedRead synthesizes FileStatus from manifest sizes: zero stat RPCs") {
     val dir = java.nio.file.Files.createTempDirectory("vfl").toString + "/t"
     Versioned.append(ev.repartitionByRange(4, col("user_id")), dir)
@@ -853,7 +882,7 @@ class VersionedSpec extends AnyFunSuite {
     // the interleaved writer's snapshot is intact too
     assert(Versioned.read(spark, dir, Some(2)).count() ==
       a.count() + c.count())
-    assert(Versioned.vacuumOrphans(spark, dir).isEmpty) // no debris left
+    assert(Versioned.vacuumOrphans(spark, dir, graceMs = 0).isEmpty) // no debris left
   }
 
   test("two-writer: a rebased MOR delete masks the interleaved append") {
@@ -893,7 +922,7 @@ class VersionedSpec extends AnyFunSuite {
     val got = Versioned.read(spark, dir)
     assert(got.filter(col("event_type") === "patched").isEmpty)
     assert(got.count() == ev.filter(col("event_id") % 100 =!= 0).count())
-    assert(Versioned.vacuumOrphans(spark, dir).isEmpty)
+    assert(Versioned.vacuumOrphans(spark, dir, graceMs = 0).isEmpty)
   }
 
   test("two-writer: compact aborts when the table changed under it") {
@@ -908,7 +937,7 @@ class VersionedSpec extends AnyFunSuite {
     // both writers' data intact: the append won, the compact vanished
     val got = Versioned.read(spark, dir)
     assert(got.count() == ev.count())
-    assert(Versioned.vacuumOrphans(spark, dir).isEmpty)
+    assert(Versioned.vacuumOrphans(spark, dir, graceMs = 0).isEmpty)
   }
 
   test("two-writer: a racing redelivered batch no-ops mid-loop") {
@@ -926,7 +955,7 @@ class VersionedSpec extends AnyFunSuite {
     } finally Versioned.onBeforeCommit = () => ()
     val got = Versioned.read(spark, dir)
     assert(got.count() == ev.count())
-    assert(Versioned.vacuumOrphans(spark, dir).isEmpty)
+    assert(Versioned.vacuumOrphans(spark, dir, graceMs = 0).isEmpty)
   }
 
   test("empty snapshot reads at the stored table schema") {
