@@ -765,7 +765,41 @@ object SourceQueries {
       srcVersionedIndexed, srcZonemapNulls, srcBloomStringLookup,
       srcBloomStringPlanned, srcPartitionZonemapPlanned,
       srcVersionedZorderBox, srcVersionedCompactSmall,
-      srcVersionedMorComposite)
+      srcVersionedMorComposite, srcZorder3Box)
+
+  /** THREE-axis Morton clustering ([[ZOrder.clusteredN]] — the
+    * (id, value, time)-shaped slice a telemetry corpus carves): the N-way
+    * interleave gives every file a tight bounding box in ALL dims, and
+    * [[ZoneMap.readBox]] (N-dim by construction) prunes on the 3-way
+    * intersection. Content-invisible under the shared-oracle rule; the
+    * 3-D-beats-2-D file counts are ZOrderSpec's.
+    */
+  lazy val srcZorder3Box: Q = Q(
+    "src_zorder3_box",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("z3b").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      ZOrder.clusteredN(ev, Seq(col("user_id"),
+        (col("value") * 1000).cast("long"), col("event_id")),
+        bits = 10, nFiles = 32)
+        .write.parquet(dir)
+      ZoneMap.buildStatsOnly(s, dir, Seq("user_id", "value", "event_id"))
+      ZoneMap.readBox(s, dir, Seq(
+        ("user_id", 100.0, 399.0), ("value", 10.0, 40.0),
+        ("event_id", 0.0, 4999.0)))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          round(col("value"), 3).as("value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+             ROUND(value, 3) AS value
+      FROM events
+      WHERE user_id BETWEEN 100 AND 399 AND value BETWEEN 10.0 AND 40.0
+        AND event_id BETWEEN 0 AND 4999
+      ORDER BY event_id"""))
 
   /** COMPOSITE-key merge-on-read deletes ([[Versioned.deleteByKeysMor]] —
     * Iceberg's multi-column equality_ids): the delete file carries

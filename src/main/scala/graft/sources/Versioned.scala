@@ -1199,6 +1199,57 @@ object Versioned {
     }
   }
 
+  /** One maintenance action taken by [[maintain]], for logging/tests. */
+  final case class Maintenance(compacted: Boolean, packed: Boolean,
+      vacuumed: Int, version: Int)
+
+  /** One-call table maintenance — the policy loop a streaming pipeline
+    * schedules between batches (Iceberg/Delta run the same three as
+    * stored procedures): (1) when the pending delete mask exceeds
+    * `maxPendingDeleteKeys`, COMPACT — materializing the mask is what
+    * keeps the read-side anti-joins broadcast-sized; (2) otherwise
+    * bin-pack sub-`smallBytes` files ([[compactSmall]] — converges, so
+    * scheduling this every trigger is safe); (3) vacuum unreferenced
+    * debris older than `graceMs`. Each step is an ordinary commit with
+    * the usual conflict rules. Returns what ran.
+    */
+  def maintain(spark: SparkSession, table: String,
+      maxPendingDeleteKeys: Long = 100000L,
+      smallBytes: Long = 32L << 20,
+      compactFiles: Int = 32,
+      graceMs: Long = DefaultVacuumGraceMs): Maintenance = {
+    val pending = pendingDeleteKeys(spark, table)
+    val compacted = pending > maxPendingDeleteKeys
+    if (compacted) compact(spark, table, compactFiles)
+    val before = currentVersion(table,
+      spark.sparkContext.hadoopConfiguration)
+    val packed = !compacted &&
+      compactSmall(spark, table, smallBytes) != before
+    val vacuumed = vacuumOrphans(spark, table, graceMs).size
+    Maintenance(compacted, packed, vacuumed,
+      currentVersion(table, spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** Drop every snapshot whose manifest is older than `maxAgeMs` (by the
+    * manifest directory's own commit time), always keeping at least
+    * `keepLast` — the standard age-based retention policy ("keep 7 days
+    * of time travel"). Delegates the file reclaim to [[expire]]'s
+    * reference counting.
+    */
+  def expireOlderThan(spark: SparkSession, table: String, maxAgeMs: Long,
+      keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, s"keepLast=$keepLast")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vs = listVersions(table, conf)
+    if (vs.isEmpty) return
+    val fs = fsFor(table, conf)
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val young = vs.count(v =>
+      fs.getFileStatus(new Path(manifestDir(table, v)))
+        .getModificationTime > cutoff)
+    expire(spark, table, keepLast = math.max(keepLast, young))
+  }
+
   /** Drop all snapshots but the last `keepLast`, then delete every data
     * (and equality-delete) file no surviving manifest references.
     */

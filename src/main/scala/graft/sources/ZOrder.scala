@@ -34,10 +34,23 @@ object ZOrder {
     */
   def interleave(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    (0 until bits).map { k =>
-      shiftleft(shiftright(a, k).bitwiseAND(lit(1L)), 2 * k)
-        .bitwiseOR(
-          shiftleft(shiftright(b, k).bitwiseAND(lit(1L)), 2 * k + 1))
+    interleaveN(Seq(a, b), bits)
+  }
+
+  /** Morton interleave of N pre-bucketed values in [0, 2^bits): result
+    * bit N·k+i is column i's bit k (column 0 lowest — the N=2 layout is
+    * exactly [[interleave]]'s). N·bits must fit a positive long. The
+    * (lat, lon, time) three-axis corpus slice is the standard use.
+    */
+  def interleaveN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"need >= 2 axes, got ${cols.size}")
+    require(bits >= 1 && cols.size * bits <= 62,
+      s"${cols.size} axes x $bits bits exceeds a long")
+    val n = cols.size
+    (0 until bits).flatMap { k =>
+      cols.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c, k).bitwiseAND(lit(1L)), n * k + i)
+      }
     }.reduce(_ bitwiseOR _)
   }
 
@@ -111,13 +124,28 @@ object ZOrder {
     * `Versioned.indexedRead` with time travel intact.
     */
   def clustered(df: DataFrame, exprA: Column, exprB: Column,
-      bits: Int = 16, nFiles: Int = 32): DataFrame = {
-    val r = df.agg(min(exprA), max(exprA), min(exprB), max(exprB)).head()
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      "ZOrder.clustered: empty input or null axis values")
-    val z = interleave(
-      bucketize(exprA, r.getLong(0), r.getLong(1), bits),
-      bucketize(exprB, r.getLong(2), r.getLong(3), bits), bits)
+      bits: Int = 16, nFiles: Int = 32): DataFrame =
+    clusteredN(df, Seq(exprA, exprB), bits, nFiles)
+
+  /** N-axis [[clustered]]: one aggregation collects every axis's min/max
+    * (2N driver scalars — bounded metadata), each axis bucketizes to its
+    * full bit width, and the N-way Morton value drives the same
+    * range-partition + in-file sort. N·bits must fit a long (e.g. three
+    * axes at <=20 bits).
+    */
+  def clusteredN(df: DataFrame, exprs: Seq[Column], bits: Int = 16,
+      nFiles: Int = 32): DataFrame = {
+    require(exprs.size >= 2, s"need >= 2 axes, got ${exprs.size}")
+    val aggs = exprs.flatMap(e => Seq(min(e), max(e)))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    exprs.indices.foreach { i =>
+      require(!r.isNullAt(2 * i),
+        s"ZOrder.clusteredN: empty input or null axis ${i + 1} values")
+    }
+    val z = interleaveN(
+      exprs.zipWithIndex.map { case (e, i) =>
+        bucketize(e, r.getLong(2 * i), r.getLong(2 * i + 1), bits)
+      }, bits)
     df.withColumn("_z", z)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")

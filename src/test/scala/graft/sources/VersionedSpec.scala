@@ -809,6 +809,52 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.compactSmall(spark, dir, smallBytes = threshold) == v)
   }
 
+  test("maintain: compacts past the delete threshold, packs smalls, else no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("vmnt").toString + "/t"
+    (0 until 3).foreach { i =>
+      Versioned.append(
+        ev.filter(pmod(col("event_id"), lit(3)) === i).repartition(1), dir)
+    }
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 5 === 0).select(col("event_id")),
+      dir, "event_id")
+    val want = Versioned.read(spark, dir).count()
+    // over-threshold mask -> compact (materializes, resets the mask)
+    val m1 = Versioned.maintain(spark, dir, maxPendingDeleteKeys = 10)
+    assert(m1.compacted && !m1.packed)
+    assert(Versioned.pendingDeleteKeys(spark, dir) == 0L)
+    assert(Versioned.read(spark, dir).count() == want)
+    // dribble more smalls -> the next maintain bin-packs instead
+    (0 until 2).foreach { i =>
+      Versioned.append(ev.limit(20).withColumn("event_id",
+        col("event_id") + lit(1000000L * (i + 1))).repartition(1), dir)
+    }
+    val m2 = Versioned.maintain(spark, dir,
+      smallBytes = Versioned.dataFileSizes(spark, dir).values.max)
+    assert(!m2.compacted && m2.packed)
+    assert(Versioned.read(spark, dir).count() == want + 40)
+    // healthy table -> maintain changes nothing
+    val m3 = Versioned.maintain(spark, dir,
+      smallBytes = Versioned.dataFileSizes(spark, dir).values.min)
+    assert(!m3.compacted && !m3.packed && m3.version == m2.version)
+  }
+
+  test("expireOlderThan: age-based retention keeps young snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("vexp").toString + "/t"
+    (0 until 3).foreach { i =>
+      Versioned.append(
+        ev.filter(pmod(col("event_id"), lit(3)) === i), dir)
+    }
+    // everything is younger than a day: nothing expires
+    Versioned.expireOlderThan(spark, dir, maxAgeMs = 24L * 3600 * 1000)
+    assert(Versioned.read(spark, dir, Some(1)).count() > 0)
+    // everything is "old" at cutoff 0 — keepLast still floors retention
+    Versioned.expireOlderThan(spark, dir, maxAgeMs = 0, keepLast = 2)
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(1)))
+    assert(Versioned.read(spark, dir, Some(2)).count() > 0)
+    assert(Versioned.read(spark, dir).count() == ev.count())
+  }
+
   test("compactSmall converges: packed outputs do not re-qualify forever") {
     val dir = java.nio.file.Files.createTempDirectory("vcsc").toString + "/t"
     (0 until 6).foreach { i =>

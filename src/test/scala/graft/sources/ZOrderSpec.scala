@@ -82,6 +82,35 @@ class ZOrderSpec extends AnyFunSuite {
     assert(after.exceptAll(ev).isEmpty && ev.exceptAll(after).isEmpty)
   }
 
+  test("3-axis Morton: 3-D box admission beats every 2-D cut") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val d = java.nio.file.Files.createTempDirectory("z3").toString + "/t"
+    ZOrder.clusteredN(ev, Seq(col("user_id"),
+      (col("value") * 1000).cast("long"), col("event_id")),
+      bits = 10, nFiles = 32).write.parquet(d)
+    ZoneMap.buildStatsOnly(spark, d, Seq("user_id", "value", "event_id"))
+    val full = Seq(("user_id", 100.0, 399.0), ("value", 10.0, 40.0),
+      ("event_id", 0.0, 4999.0))
+    // content-exact vs the raw triple filter
+    val got = ZoneMap.readBox(spark, d, full)
+    val want = spark.read.parquet(d)
+      .filter(col("user_id").between(100, 399) &&
+        col("value").between(10.0, 40.0) &&
+        col("event_id").between(0, 4999))
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the 3-way intersection admits no more files than any 2-D sub-box,
+    // and strictly fewer than the table
+    def nFiles(box: Seq[(String, Double, Double)]) =
+      ZoneMap.candidateFilesBox(spark, d, box).size
+    val n3 = nFiles(full)
+    assert(n3 < 32, s"3-D box did not prune: $n3 of 32")
+    full.combinations(2).foreach { sub =>
+      assert(n3 <= nFiles(sub),
+        s"3-D admission ($n3) worse than 2-D ${sub.map(_._1)}")
+    }
+  }
+
   test("box query touches few files under z-order, all files linearly") {
     // sf0.01: 10k events, 150 users — big enough that 16 files hold
     // distinguishable z ranges (sf0.001's 15 users cannot)
