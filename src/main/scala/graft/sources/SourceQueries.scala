@@ -765,7 +765,71 @@ object SourceQueries {
       srcVersionedIndexed, srcZonemapNulls, srcBloomStringLookup,
       srcBloomStringPlanned, srcPartitionZonemapPlanned,
       srcVersionedZorderBox, srcVersionedCompactSmall,
-      srcVersionedMorComposite, srcZorder3Box)
+      srcVersionedMorComposite, srcZorder3Box, srcVersionedMaintain)
+
+  /** The maintenance POLICY loop as a content gate ([[Versioned.maintain]]
+    * — the between-batches pass a streaming pipeline schedules): an
+    * over-threshold MOR mask makes pass 1 COMPACT (materializing the
+    * mask), a later small-commit dribble makes pass 2 BIN-PACK — and both
+    * passes must be content-invisible, which is exactly what the two
+    * replayed states check. Which action each pass took is
+    * VersionedSpec's assertion; the threshold derives from the live
+    * manifest sizes so the shape holds at every sf.
+    */
+  lazy val srcVersionedMaintain: Q = Q(
+    "src_versioned_maintain",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vmn").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Seq(0L, 1L, 2L).foreach { i =>
+        Versioned.append(
+          ev.filter(pmod(col("event_id"), lit(3)) === i).repartition(1), dir)
+      }
+      Versioned.deleteByKeyMor(
+        ev.filter(col("event_id") % 6 === 1).select(col("event_id")),
+        dir, "event_id")
+      def state(name: String) = Versioned.read(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .select(lit(name).as("state"), col("event_type"), col("n"),
+          col("sv"))
+      // pass 1: the mask (1/6 of the table) is far over threshold ->
+      // compact materializes it
+      Versioned.maintain(s, dir, maxPendingDeleteKeys = 10,
+        compactFiles = 4)
+      val a = state("a_compacted")
+      // threshold between the compacted files and the dribble below
+      val smallBytes = Versioned.dataFileSizes(s, dir).values.min
+      Versioned.append(ev.filter(col("event_id") % 12 === 1)
+        .withColumn("value", col("value") + 3000.0).repartition(1), dir)
+      Versioned.append(ev.filter(col("event_id") % 12 === 7)
+        .withColumn("value", col("value") + 4000.0).repartition(1), dir)
+      // pass 2: mask clean -> the dribble bin-packs
+      Versioned.maintain(s, dir, maxPendingDeleteKeys = 10,
+        smallBytes = smallBytes)
+      val b = state("b_packed")
+      a.unionAll(b).orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH survivors AS (
+        SELECT event_type, value FROM events WHERE event_id % 6 <> 1),
+      re1 AS (
+        SELECT event_type, value + 3000.0 AS value FROM events
+        WHERE event_id % 12 = 1),
+      re2 AS (
+        SELECT event_type, value + 4000.0 AS value FROM events
+        WHERE event_id % 12 = 7),
+      after AS (
+        SELECT * FROM survivors UNION ALL SELECT * FROM re1
+        UNION ALL SELECT * FROM re2)
+      SELECT 'a_compacted' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM survivors GROUP BY 2
+      UNION ALL
+      SELECT 'b_packed', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after GROUP BY 2
+      ORDER BY state, event_type"""))
 
   /** THREE-axis Morton clustering ([[ZOrder.clusteredN]] — the
     * (id, value, time)-shaped slice a telemetry corpus carves): the N-way
@@ -855,7 +919,12 @@ object SourceQueries {
       SELECT 'c_compacted', event_type, CAST(COUNT(*) AS BIGINT),
              ROUND(SUM(value), 2)
       FROM after GROUP BY 2
-      ORDER BY state, event_type"""))
+      ORDER BY state, event_type"""),
+    // bench=false: 5 commits + a materializing compact + a pack are
+    // by-construction fixture work already regression-tracked by the
+    // benched versioned rows (the train_release_cdf precedent); x10 leg
+    // 9.2 -> 13.0 s (1.4x, the compact term) recorded in SCALE.md
+    bench = false)
 
   /** Bin-pack small-file compaction ([[Versioned.compactSmall]] —
     * Iceberg's rewrite_data_files binpack): a streaming-ish dribble of

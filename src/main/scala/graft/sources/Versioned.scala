@@ -1199,6 +1199,30 @@ object Versioned {
     }
   }
 
+  /** Per-snapshot table history as a DataFrame (Delta's DESCRIBE HISTORY
+    * shape, manifest-derived): version, commit time (manifest mtime),
+    * data-file count, recorded data bytes, pending delete-file count,
+    * committed-txn count. All driver-held manifest metadata — no data
+    * scan, no per-data-file RPCs (bytes come from the `fl` rows; legacy
+    * snapshots without them report 0).
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsFor(table, conf)
+    listVersions(table, conf).map { v =>
+      val m = manifestAll(spark, table, v)
+      val committedAt = new java.sql.Timestamp(
+        fs.getFileStatus(new Path(manifestDir(table, v)))
+          .getModificationTime)
+      val live = m.files.map(dataSuffix).toSet
+      val bytes = decodeSizes(m.sizesRaw)
+        .collect { case (p, len) if live(dataSuffix(p)) => len }.sum
+      (v, committedAt, m.files.size, bytes, m.deletes.size, m.txns.size)
+    }.toDF("version", "committed_at", "n_files", "bytes",
+      "n_delete_files", "n_txns")
+  }
+
   /** One maintenance action taken by [[maintain]], for logging/tests. */
   final case class Maintenance(compacted: Boolean, packed: Boolean,
       vacuumed: Int, version: Int)

@@ -839,6 +839,26 @@ class VersionedSpec extends AnyFunSuite {
     assert(!m3.compacted && !m3.packed && m3.version == m2.version)
   }
 
+  test("history: manifest-derived, RPC-free per-snapshot summary") {
+    val dir = java.nio.file.Files.createTempDirectory("vhist").toString + "/t"
+    Versioned.append(ev.repartition(2), dir)
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 9 === 0).select(col("event_id")),
+      dir, "event_id")
+    Versioned.compact(spark, dir, numFiles = 1)
+    val h = Versioned.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(h(0).getInt(2) == 2 && h(0).getInt(4) == 0) // 2 files, no mask
+    assert(h(1).getInt(2) == 2 && h(1).getInt(4) == 1) // mask pending
+    assert(h(2).getInt(2) == 1 && h(2).getInt(4) == 0) // materialized
+    // recorded bytes match the manifests' own size rows, no stat RPCs
+    h.foreach { r =>
+      assert(r.getLong(3) ==
+        Versioned.dataFileSizes(spark, dir, Some(r.getInt(0))).values.sum)
+    }
+    assert(!h.exists(_.getTimestamp(1) == null))
+  }
+
   test("expireOlderThan: age-based retention keeps young snapshots") {
     val dir = java.nio.file.Files.createTempDirectory("vexp").toString + "/t"
     (0 until 3).foreach { i =>
