@@ -765,7 +765,292 @@ object SourceQueries {
       srcVersionedIndexed, srcZonemapNulls, srcBloomStringLookup,
       srcBloomStringPlanned, srcPartitionZonemapPlanned,
       srcVersionedZorderBox, srcVersionedCompactSmall,
-      srcVersionedMorComposite, srcZorder3Box, srcVersionedMaintain)
+      srcVersionedMorComposite, srcZorder3Box, srcVersionedMaintain,
+      srcVersionedMerge, srcVersionedWap, srcVersionedRollback,
+      srcVersionedAsof, srcViewIncremental)
+
+  /** Incremental materialized-view maintenance as a content gate
+    * ([[IncrementalView]] — delta-propagation refresh over the
+    * change-data-feed): the view materializes per-type (SUM(value),
+    * COUNT(*)) over a versioned events table, then an upsert that MOVES
+    * rows between groups, a MOR equality delete, and a late append all
+    * land upstream, and ONE refresh folds their CDF delta into the
+    * stored aggregates. The oracle recomputes both states from scratch;
+    * the sequence-rule nuance rides along (late-appended rows sharing a
+    * deleted key survive — the mask only covers files committed before
+    * it). Refresh cost is O(delta)+O(groups), not a source scan —
+    * IncrementalViewSpec pins exactly-once watermarking and the
+    * refresh==recompute property per mutation kind.
+    */
+  lazy val srcViewIncremental: Q = Q(
+    "src_view_incremental",
+    (s, d) => {
+      val src = java.nio.file.Files.createTempDirectory("ivq").toString + "/t"
+      val vw = java.nio.file.Files.createTempDirectory("ivq").toString + "/v"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(4, col("event_id")), src) // v1: evens
+      Versioned.append(ev.filter(col("event_id") % 4 === 1), src) // v2
+      IncrementalView.create(s, src, vw, Seq("event_type"), "value")
+      def state(name: String) = Versioned.read(s, vw)
+        .select(lit(name).as("state"), col("event_type"),
+          round(col("sum_value"), 2).as("sv"), col("n_rows"))
+      val a = state("a_initial")
+      // churn: group-moving upsert, MOR delete, late append — then one
+      // refresh folds all three commits' CDF
+      Versioned.upsert(ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("event_type", lit("patched")), src, "event_id") // v3
+      Versioned.deleteByKeyMor(ev.filter(col("event_id") % 10 === 3)
+        .select(col("event_id")), src, "event_id") // v4
+      Versioned.append(ev.filter(col("event_id") % 4 === 3), src) // v5
+      IncrementalView.refresh(s, src, vw, Seq("event_type"), "value")
+      val b = state("b_refreshed")
+      a.unionAll(b).orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH initial AS (
+        SELECT event_type, value FROM events
+        WHERE event_id % 2 = 0 OR event_id % 4 = 1),
+      patched AS (
+        SELECT CASE WHEN event_id % 100 = 0 THEN 'patched'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 100 = 0 THEN value + 1000
+                    ELSE value END AS value,
+               event_id
+        FROM events WHERE event_id % 2 = 0 OR event_id % 4 = 1),
+      final AS (
+        -- the MOR mask hits only rows committed before it; the %4=3
+        -- rows append AFTER the delete and survive (sequence rule)
+        SELECT event_type, value FROM patched WHERE event_id % 10 <> 3
+        UNION ALL
+        SELECT event_type, value FROM events WHERE event_id % 4 = 3)
+      SELECT 'a_initial' AS state, event_type, ROUND(SUM(value), 2) AS sv,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM initial GROUP BY 2
+      UNION ALL
+      SELECT 'b_refreshed', event_type, ROUND(SUM(value), 2),
+             CAST(COUNT(*) AS BIGINT)
+      FROM final GROUP BY 2
+      ORDER BY state, event_type"""))
+
+  /** Write-audit-publish as a content gate ([[Versioned.publish]] /
+    * [[Versioned.readPublished]] — Iceberg's WAP): a good batch
+    * publishes, a bad batch (sentinel value -1) lands at the HEAD but
+    * consumers keep reading the published snapshot; after repair
+    * (delete the bad rows, re-append the corrected batch) the publish
+    * fast-forwards and consumers see the full corpus. Three states:
+    * what consumers saw during the incident, what the head held, what
+    * shipped after repair — each replayed in SQL.
+    */
+  lazy val srcVersionedWap: Q = Q(
+    "src_versioned_wap",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vwap").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 2 === 0), dir) // v1
+      Versioned.publish(dir)
+      // the bad batch: value corrupted to the -1 sentinel, fails audit
+      Versioned.append(ev.filter(col("event_id") % 2 === 1)
+        .withColumn("value", lit(-1.0)), dir) // v2: head, unpublished
+      def grp(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      val a = grp(Versioned.readPublished(s, dir), "a_consumers")
+      val b = grp(Versioned.read(s, dir), "b_head")
+      // repair: drop the corrupted rows, land the corrected batch, publish
+      Versioned.delete(s, dir, col("value") === -1.0) // v3
+      Versioned.append(ev.filter(col("event_id") % 2 === 1), dir) // v4
+      Versioned.publish(dir)
+      val c = grp(Versioned.readPublished(s, dir), "c_published")
+      a.unionAll(b).unionAll(c)
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH evens AS (SELECT * FROM events WHERE event_id % 2 = 0),
+      head AS (
+        SELECT event_type, value FROM evens
+        UNION ALL
+        SELECT event_type, -1.0 FROM events WHERE event_id % 2 = 1)
+      SELECT 'a_consumers' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM evens GROUP BY 2
+      UNION ALL
+      SELECT 'b_head', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM head GROUP BY 2
+      UNION ALL
+      SELECT 'c_published', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM events GROUP BY 2
+      ORDER BY state, event_type"""))
+
+  /** Snapshot rollback as a content gate ([[Versioned.rollback]] —
+    * Iceberg's rollback_to_snapshot): an errant DELETE wipes every
+    * click, rollback mints a NEW commit carrying the pre-damage
+    * content by reference (zero data I/O), and ingest resumes on top.
+    * States: the damaged table, the rolled-back table, and the table
+    * after post-rollback ingest — the damaged snapshot itself stays
+    * readable history (VersionedSpec asserts that and the exactly-once
+    * batch-fact carry).
+    */
+  lazy val srcVersionedRollback: Q = Q(
+    "src_versioned_rollback",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vrb").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 2 === 0), dir) // v1
+      Versioned.append(ev.filter(col("event_id") % 2 === 1), dir) // v2
+      Versioned.delete(s, dir, col("event_type") === "click") // v3: damage
+      def grp(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      val a = grp(Versioned.read(s, dir), "a_damaged")
+      Versioned.rollback(s, dir, 2) // v4: pre-damage content, by reference
+      val b = grp(Versioned.read(s, dir), "b_rolled_back")
+      Versioned.append(ev.filter(col("event_id") % 1000 === 7)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("event_type", lit("late")), dir) // v5
+      val c = grp(Versioned.read(s, dir), "c_resumed")
+      a.unionAll(b).unionAll(c)
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH resumed AS (
+        SELECT event_type, value FROM events
+        UNION ALL
+        SELECT 'late', value FROM events WHERE event_id % 1000 = 7)
+      SELECT 'a_damaged' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events WHERE event_type <> 'click' GROUP BY 2
+      UNION ALL
+      SELECT 'b_rolled_back', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'c_resumed', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM resumed GROUP BY 2
+      ORDER BY state, event_type"""))
+
+  /** Timestamp time travel as a content gate ([[Versioned.readAsOf]] —
+    * Delta's TIMESTAMP AS OF): two commits 60 ms apart, then a read as
+    * of the FIRST commit's recorded instant (from [[Versioned.history]])
+    * must resolve to snapshot 1 and a read as of "now" to the head. The
+    * sleep pins distinct manifest mtimes; resolution semantics (latest
+    * commit at-or-before) are VersionedSpec's assertion.
+    */
+  lazy val srcVersionedAsof: Q = Q(
+    "src_versioned_asof",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vts").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 2 === 0), dir) // v1
+      Thread.sleep(60)
+      Versioned.append(ev.filter(col("event_id") % 2 === 1), dir) // v2
+      val ts1 = Versioned.history(s, dir).orderBy(col("version"))
+        .collect()(0).getTimestamp(1).getTime
+      def grp(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      grp(Versioned.readAsOf(s, dir, ts1), "a_asof_first")
+        .unionAll(grp(
+          Versioned.readAsOf(s, dir, System.currentTimeMillis()), "b_now"))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      SELECT 'a_asof_first' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events WHERE event_id % 2 = 0 GROUP BY 2
+      UNION ALL
+      SELECT 'b_now', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM events GROUP BY 2
+      ORDER BY state, event_type"""))
+
+  /** General MERGE INTO as a content gate ([[Versioned.merge]] — the
+    * full Delta/Iceberg statement): one source carries updates
+    * (matched + 'patched' → conditional UPDATE SET of two columns,
+    * others carried from the target), tombstones (matched + anything
+    * else → conditional DELETE, exercising first-true clause order),
+    * and brand-new rows (unmatched + gated INSERT). The oracle replays
+    * the clause semantics as a LEFT JOIN CASE/filter + NOT EXISTS
+    * insert leg. Copy-on-write file pruning (only files holding a
+    * matched key rewrite) is VersionedSpec's assertion; this row gates
+    * that the clause algebra is content-exact.
+    */
+  lazy val srcVersionedMerge: Q = Q(
+    "src_versioned_merge",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vmg").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(4, col("event_id")), dir)
+      Versioned.append(ev.filter(col("event_id") % 2 === 1)
+        .repartitionByRange(4, col("event_id")), dir)
+      val src = ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("event_type", lit("patched"))
+        .unionByName(ev.filter(col("event_id") % 100 === 55))
+        .unionByName(ev.filter(col("event_id") % 1000 === 3)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("event_type", lit("inserted")))
+      Versioned.merge(src, dir, Seq("event_id"),
+        matched = Seq(
+          Versioned.WhenMatchedDelete(
+            Some(col("s.event_type") =!= "patched")),
+          Versioned.WhenMatchedUpdate(Map(
+            "value" -> col("s.value"),
+            "event_type" -> col("s.event_type")),
+            Some(col("s.event_type") === "patched"))),
+        insertNotMatched = true,
+        insertCond = Some(col("event_type") === "inserted"))
+      def state(name: String, v: Int) =
+        Versioned.read(s, dir, Some(v))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      state("a_pre", 2).unionAll(state("b_merged", 3))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT event_id, 'patched' AS event_type, value + 1000 AS value
+        FROM events WHERE event_id % 100 = 0
+        UNION ALL
+        SELECT event_id, event_type, value FROM events
+        WHERE event_id % 100 = 55
+        UNION ALL
+        SELECT event_id + 10000000, 'inserted', value FROM events
+        WHERE event_id % 1000 = 3),
+      merged AS (
+        SELECT t.event_id,
+               CASE WHEN s.event_id IS NOT NULL THEN s.event_type
+                    ELSE t.event_type END AS event_type,
+               CASE WHEN s.event_id IS NOT NULL THEN s.value
+                    ELSE t.value END AS value
+        FROM events t LEFT JOIN src s ON t.event_id = s.event_id
+        WHERE s.event_id IS NULL OR s.event_type = 'patched'
+        UNION ALL
+        SELECT s.event_id, s.event_type, s.value FROM src s
+        WHERE s.event_type = 'inserted'
+          AND NOT EXISTS (SELECT 1 FROM events t
+                          WHERE t.event_id = s.event_id))
+      SELECT 'a_pre' AS state, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'b_merged', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM merged GROUP BY 2
+      ORDER BY state, event_type"""))
 
   /** The maintenance POLICY loop as a content gate ([[Versioned.maintain]]
     * — the between-batches pass a streaming pipeline schedules): an

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Snapshot-versioned parquet table with time travel — the Iceberg/Delta
   * core re-expressed minimally (public prior art: Iceberg's
@@ -661,16 +661,44 @@ object Versioned {
     * periodically re-curated corpus publishes, where [[append]] is the
     * incremental-release shape. Returns the new version.
     */
-  def replace(df: DataFrame, table: String): Int = {
+  def replace(df: DataFrame, table: String): Int =
+    replaceImpl(df, table, None)
+
+  /** [[replace]] that additionally records an UPSTREAM WATERMARK in the
+    * commit (Delta's `txn` appId/version action, the idiom Structured
+    * Streaming uses for Kafka offsets): the mark rides in the same
+    * atomic manifest rename as the data, so a maintenance loop that
+    * derives this table from another table's version (e.g.
+    * [[IncrementalView]]) is exactly-once by construction — a crash
+    * between "data written" and "mark advanced" cannot exist. The mark
+    * REPLACES the txn slot; don't mix with [[appendBatch]] on one table
+    * (a derived table is owned by its maintenance loop).
+    */
+  def replaceWithMark(df: DataFrame, table: String, mark: Long): Int =
+    replaceImpl(df, table, Some(mark))
+
+  /** The last upstream watermark recorded by [[replaceWithMark]]. */
+  def markOf(table: String): Option[Long] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val cur = currentVersion(table, conf)
+    if (cur == 0) None
+    else manifestAll(SparkSession.active, table, cur).txns.lastOption
+  }
+
+  private def replaceImpl(df: DataFrame, table: String,
+      mark: Option[Long]): Int = {
     val spark = df.sparkSession
     val w = new Staged(table, "r", df)
     // content is exactly df regardless of the head, so a lost race just
     // rebases (txn ids carry from whatever head it lands on)
-    commitLoop(spark, table, { (m, cur) =>
-      val (files, stats, sizes) = w.at(cur + 1)
-      // a replace RESETS the schema too: content is exactly df
-      Some(Content(files, m.txns, Seq.empty, Some(df.schema), stats, sizes))
-    }).get
+    try {
+      commitLoop(spark, table, { (m, cur) =>
+        val (files, stats, sizes) = w.at(cur + 1)
+        // a replace RESETS the schema too: content is exactly df
+        Some(Content(files, mark.map(Seq(_)).getOrElse(m.txns), Seq.empty,
+          Some(df.schema), stats, sizes))
+      }).get
+    } catch { case e: Throwable => w.abort(); throw e }
   }
 
   /** Copy-on-write UPSERT (the Delta/Iceberg `MERGE INTO` shape): rows of
@@ -733,6 +761,143 @@ object Versioned {
       cowCommit(spark, table, w, basis, touched, updates.schema,
         what = s"upsert(${keyCols.mkString(",")})")
     } finally keys.unpersist()
+  }
+
+  /** One WHEN MATCHED branch of [[merge]], evaluated in declaration order
+    * (the SQL MERGE rule: the FIRST clause whose condition holds wins for
+    * a given matched row; later clauses never see it). Conditions and SET
+    * expressions reference the target row as `t.<col>` and the source row
+    * as `s.<col>` (the frames are joined under those aliases); a `None`
+    * condition is WHEN MATCHED with no AND — always true.
+    */
+  sealed trait MergeAction
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ...` — columns
+    * absent from `set` keep the target row's value (SQL partial-update
+    * semantics); SET expressions are cast to the target column's type.
+    */
+  final case class WhenMatchedUpdate(set: Map[String, Column],
+      cond: Option[Column] = None) extends MergeAction
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class WhenMatchedDelete(cond: Option[Column] = None)
+      extends MergeAction
+
+  /** General `MERGE INTO` (the full Delta/Iceberg statement, of which
+    * [[upsert]] is the update-all/insert-all special case): each target
+    * row matched by its `keyCols` tuple goes through the `matched` clause
+    * list — first true condition wins (update / delete / fall through
+    * unchanged) — and each source row matching NO target row inserts when
+    * `insertNotMatched` (optionally gated by `insertCond`, which sees
+    * plain source columns). SQL equality matching: null key components
+    * match nothing (a null-keyed source row can only insert).
+    *
+    * Copy-on-write with the [[upsert]] file-pruning shape: only data
+    * files CONTAINING a matched key rewrite; everything else carries by
+    * reference, so the rewrite cost is O(touched files), not O(table).
+    * The source must be batch-sized (the merge contract) and must have at
+    * most ONE row per key tuple — multiple matches for one target row
+    * make the result order-dependent, so they reject loudly (Delta's
+    * cardinality check). Returns the new version (current version when
+    * the whole merge no-ops).
+    */
+  def merge(source: DataFrame, table: String, keyCols: Seq[String],
+      matched: Seq[MergeAction] = Seq.empty,
+      insertNotMatched: Boolean = true,
+      insertCond: Option[Column] = None): Int = {
+    import org.apache.spark.sql.functions._
+    val spark = source.sparkSession
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"bad key columns: $keyCols")
+    require(matched.nonEmpty || insertNotMatched,
+      "merge with no clauses is a no-op by construction")
+    val Reserved = Seq("__m", "__a")
+    require(!source.columns.exists(Reserved.contains),
+      s"source may not contain reserved columns ${Reserved.mkString(",")}")
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    if (cur == 0) {
+      // empty target: every source row is NOT MATCHED
+      if (!insertNotMatched) return cur
+      val ins = insertCond.map(source.filter).getOrElse(source)
+      return append(ins, table)
+    }
+    val basis = manifestAll(spark, table, cur)
+    val tSchema = basis.schema.getOrElse(
+      spark.read.parquet(basis.files: _*).schema)
+    require(!tSchema.fieldNames.exists(Reserved.contains),
+      s"target may not contain reserved columns ${Reserved.mkString(",")}")
+    // the cardinality check (one source row per key tuple) shares a cache
+    // with the touch probe and the join; count() doubles as the broadcast
+    // guard's estimate
+    val src = source.cache()
+    try {
+      val dup = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"merge source has multiple rows for key ${dup.head.toSeq.init}")
+      val nKeys = src.count()
+      val keys = src.select(keyCols.map(col): _*)
+      val touched = spark.read.parquet(basis.files: _*)
+        .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+        .join(maybeBroadcast(keys, nKeys), keyCols)
+        .select(col("__f")).distinct()
+        .collect().map(r => dataSuffix(r.getString(0))).toSet
+      if (touched.isEmpty && !insertNotMatched) return cur
+      val touchedPaths = basis.files.filter(f => touched(dataSuffix(f)))
+      val t =
+        if (touchedPaths.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tSchema)
+        else readWithDeletes(spark, touchedPaths, basis.deletes, basis.schema)
+      val joined = t.alias("t").join(
+        maybeBroadcast(src.withColumn("__m", lit(true)), nKeys).alias("s"),
+        keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+        "left_outer")
+      // first-true clause index for this row; -1 = unmatched or no clause
+      // held -> the target row carries unchanged
+      val clauseIdx = matched.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((a, i), rest) =>
+          val c = a match {
+            case WhenMatchedUpdate(_, cnd) => cnd.getOrElse(lit(true))
+            case WhenMatchedDelete(cnd) => cnd.getOrElse(lit(true))
+          }
+          when(c, lit(i)).otherwise(rest)
+      }
+      val withA = joined.withColumn("__a",
+        when(col("s.__m").isNull, lit(-1)).otherwise(clauseIdx))
+      val deleteIdx = matched.zipWithIndex
+        .collect { case (WhenMatchedDelete(_), i) => i }
+      val kept =
+        if (deleteIdx.isEmpty) withA
+        else withA.filter(!col("__a").isin(deleteIdx.map(Integer.valueOf): _*))
+      val updates = matched.zipWithIndex
+        .collect { case (WhenMatchedUpdate(set, _), i) => (i, set) }
+      val outCols = tSchema.fields.map { f =>
+        val base = col(s"t.${f.name}")
+        updates.foldRight(base) { case ((i, set), rest) =>
+          set.get(f.name) match {
+            case Some(e) =>
+              when(col("__a") === i, e.cast(f.dataType)).otherwise(rest)
+            case None => rest
+          }
+        }.as(f.name)
+      }
+      val rewritten = kept.select(outCols.toSeq: _*)
+      val inserts =
+        if (!insertNotMatched) None
+        else Some(insertCond.map(src.filter).getOrElse(src)
+          .join(t.select(keyCols.map(col): _*), keyCols, "left_anti"))
+      val survivors = inserts match {
+        case Some(ins) => rewritten.unionByName(ins,
+          allowMissingColumns = true)
+        case None => rewritten
+      }
+      val commitSchema = inserts
+        .map(_ => mergeSchemas(Some(tSchema), source.schema))
+        .getOrElse(tSchema)
+      val w = new Staged(table, "u", survivors)
+      cowCommit(spark, table, w, basis, touched, commitSchema,
+        what = s"merge(${keyCols.mkString(",")})")
+    } finally src.unpersist()
   }
 
   /** The copy-on-write commit tail shared by [[upsert]] and [[delete]]:
@@ -1199,6 +1364,188 @@ object Versioned {
     }
   }
 
+  // ---- named refs: immutable tags + the published pointer (WAP) ----
+
+  private def refsRoot(table: String) = s"$table/_refs"
+  private def tagPath(table: String, name: String) =
+    new Path(s"${refsRoot(table)}/t_${enc(name)}")
+
+  /** Pin `name` to snapshot `version` (default: the current head) —
+    * Iceberg's immutable TAG: a named, human-meaningful time-travel
+    * anchor ("release-2026-08") that [[expire]]/[[expireOlderThan]]
+    * retention PROTECTS regardless of age. Creation is atomic (staged
+    * dir + rename-CAS, the manifest idiom): re-tagging an existing name
+    * fails loudly — drop it first ([[dropTag]]) if you really mean to
+    * move it. Returns the pinned version.
+    */
+  def tag(table: String, name: String, version: Option[Int] = None): Int = {
+    require(name.nonEmpty, "empty tag name")
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val v = version.getOrElse(currentVersion(table, conf))
+    require(listVersions(table, conf).contains(v),
+      s"no snapshot v=$v at $table")
+    val fs = fsFor(table, conf)
+    val tmp = new Path(s"${refsRoot(table)}/_tmp_${newUid()}")
+    fs.mkdirs(tmp)
+    fs.create(new Path(tmp, s"v=$v"), false).close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(table).toUri, conf)
+    try fc.rename(tmp, tagPath(table, name))
+    catch {
+      case _: java.io.IOException =>
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"tag '$name' already exists at $table")
+    }
+    v
+  }
+
+  /** All tags of `table`, name -> pinned version. */
+  def tags(table: String): Map[String, Int] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = fsFor(table, conf)
+    val root = new Path(refsRoot(table))
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("t_"))
+      .flatMap { s =>
+        val name = dec(s.getPath.getName.stripPrefix("t_"))
+        fs.listStatus(s.getPath).toSeq
+          .map(_.getPath.getName).find(_.startsWith("v="))
+          .map(m => name -> m.stripPrefix("v=").toInt)
+      }.toMap
+  }
+
+  /** Read the snapshot a tag pins. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame = {
+    val v = tags(table).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $table"))
+    read(spark, table, Some(v))
+  }
+
+  /** Remove a tag (the snapshot itself stays until retention drops it). */
+  def dropTag(table: String, name: String): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    fsFor(table, conf).delete(tagPath(table, name), true)
+  }
+
+  /** Advance the PUBLISHED pointer to `version` (default: current head) —
+    * the write-audit-publish pattern (Iceberg's WAP / staging branch +
+    * fast-forward): writers commit normally (the linear version chain is
+    * the audit/staging area), audits run against the head, and only an
+    * explicit publish makes a snapshot visible to [[readPublished]]
+    * consumers. The pointer is an append-only sequence of marker files
+    * (`r=<seq>-v<version>`, atomic create-no-overwrite CAS on the seq),
+    * so concurrent publishes serialize and the publish history is
+    * inspectable. Publishing an OLDER version is legal — that is the
+    * "unpublish a bad release" lever — and never rewrites data.
+    */
+  def publish(table: String, version: Option[Int] = None): Int = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val v = version.getOrElse(currentVersion(table, conf))
+    require(listVersions(table, conf).contains(v),
+      s"no snapshot v=$v at $table")
+    val fs = fsFor(table, conf)
+    val dir = new Path(s"${refsRoot(table)}/pub")
+    fs.mkdirs(dir)
+    var attempt = 0
+    while (attempt < 8) {
+      val seq = pubEntries(table, conf).lastOption.map(_._1).getOrElse(0) + 1
+      try {
+        fs.create(new Path(dir, s"r=$seq-v$v"), false).close()
+        return v
+      } catch { case _: java.io.IOException => attempt += 1 } // lost the seq
+    }
+    throw new IllegalStateException(
+      s"publish at $table failed after 8 retries (concurrent publishers)")
+  }
+
+  private def pubEntries(table: String,
+      conf: Configuration): Seq[(Int, Int)] = {
+    val fs = fsFor(table, conf)
+    val dir = new Path(s"${refsRoot(table)}/pub")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("r="))
+      .flatMap { n =>
+        n.stripPrefix("r=").split("-v") match {
+          case Array(s, v) => Some((s.toInt, v.toInt))
+          case _ => None
+        }
+      }.sortBy(_._1)
+  }
+
+  /** The currently published snapshot, or None when the table has never
+    * published (consumers then fall back to the head — a table that
+    * doesn't use WAP behaves exactly as before).
+    */
+  def publishedVersion(table: String): Option[Int] =
+    pubEntries(table,
+      SparkSession.active.sparkContext.hadoopConfiguration)
+      .lastOption.map(_._2)
+
+  /** The consumer-facing read: the published snapshot when the table
+    * uses write-audit-publish, the head otherwise.
+    */
+  def readPublished(spark: SparkSession, table: String): DataFrame = {
+    val v = publishedVersion(table)
+      .getOrElse(currentVersion(table,
+        spark.sparkContext.hadoopConfiguration))
+    read(spark, table, Some(v))
+  }
+
+  /** Every version a ref protects from retention: all tags + the CURRENT
+    * published version (older publish-history entries are audit log, not
+    * pins).
+    */
+  private def refVersions(table: String, conf: Configuration): Set[Int] =
+    tags(table).values.toSet ++
+      pubEntries(table, conf).lastOption.map(_._2).toSet
+
+  /** ROLL BACK the table to snapshot `toVersion` — a NEW commit whose
+    * content is exactly the old snapshot's (files, deletes, schema, and
+    * per-file stats all carried by reference; zero data I/O), Iceberg's
+    * rollback_to_snapshot. History is preserved: the damaged snapshots
+    * stay readable until retention drops them, and writers continue from
+    * the rolled-back content. Committed streaming batch ids carry from
+    * the HEAD (not the target), so exactly-once replay facts survive the
+    * rollback — a redelivered batch whose data was rolled back still
+    * no-ops; re-ingest it under a NEW batch id if you want it back.
+    * No-ops (no new commit) when the head already is `toVersion`.
+    */
+  def rollback(spark: SparkSession, table: String, toVersion: Int): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(listVersions(table, conf).contains(toVersion),
+      s"no snapshot v=$toVersion at $table")
+    val target = manifestAll(spark, table, toVersion)
+    commitLoop(spark, table, { (m, cur) =>
+      if (cur == toVersion) None
+      else Some(Content(target.files, m.txns, target.deletes, target.schema,
+        target.statsRaw, target.sizesRaw))
+    }).getOrElse(toVersion)
+  }
+
+  // ---- timestamp time travel ----
+
+  /** The snapshot current AS OF wall-clock `tsMillis` (the latest commit
+    * at or before it, by manifest commit time — Delta's TIMESTAMP AS OF).
+    * Fails when the table didn't exist yet.
+    */
+  def versionAsOf(table: String, tsMillis: Long): Int = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = fsFor(table, conf)
+    val vs = listVersions(table, conf).filter(v =>
+      fs.getFileStatus(new Path(manifestDir(table, v)))
+        .getModificationTime <= tsMillis)
+    require(vs.nonEmpty, s"no snapshot at or before ts=$tsMillis at $table")
+    vs.max
+  }
+
+  /** Read the table as of a wall-clock instant. */
+  def readAsOf(spark: SparkSession, table: String,
+      tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(table, tsMillis)))
+
   /** Per-snapshot table history as a DataFrame (Delta's DESCRIBE HISTORY
     * shape, manifest-derived): version, commit time (manifest mtime),
     * data-file count, recorded data bytes, pending delete-file count,
@@ -1276,13 +1623,19 @@ object Versioned {
 
   /** Drop all snapshots but the last `keepLast`, then delete every data
     * (and equality-delete) file no surviving manifest references.
+    * Ref-PINNED versions (tags + the current published pointer) never
+    * drop, whatever their age — retention must not break a named release
+    * or the snapshot WAP consumers are reading.
     */
   def expire(spark: SparkSession, table: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"keepLast=$keepLast")
     val conf = spark.sparkContext.hadoopConfiguration
     val vs = listVersions(table, conf)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val pinned = refVersions(table, conf)
+    val (dropByAge, keepByAge) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val drop = dropByAge.filterNot(pinned)
     if (drop.isEmpty) return
+    val keep = keepByAge ++ dropByAge.filter(pinned)
     def allFiles(v: Int): Seq[String] = {
       val (f, _, d) = manifestFull(spark, table, v); f ++ d
     }

@@ -1024,6 +1024,193 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.vacuumOrphans(spark, dir, graceMs = 0).isEmpty)
   }
 
+  test("merge: full clause taxonomy — conditional update/delete, insert, " +
+    "clause order, partial SET") {
+    import Versioned.{WhenMatchedDelete, WhenMatchedUpdate}
+    val dir = java.nio.file.Files.createTempDirectory("vmrg").toString + "/t"
+    Versioned.append(ev.repartitionByRange(4, col("event_id")), dir)
+    // source: ids %10==0 update (value+1000, type 'patched'), %10==5
+    // delete, one brand-new id inserts
+    val upd = ev.filter(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + 1000)
+      .withColumn("event_type", lit("patched"))
+    val del = ev.filter(col("event_id") % 10 === 5)
+    val ins = ev.limit(1).withColumn("event_id", lit(99999999L))
+      .withColumn("event_type", lit("inserted"))
+    val src = upd.unionByName(del).unionByName(ins)
+    val v = Versioned.merge(src, dir, Seq("event_id"),
+      matched = Seq(
+        // clause ORDER: the delete fires first for %10==5 rows even
+        // though the update's condition (always-true) would also match
+        WhenMatchedDelete(Some(col("s.event_id") % 10 === 5)),
+        WhenMatchedUpdate(Map(
+          "value" -> col("s.value"),
+          "event_type" -> col("s.event_type")))))
+    assert(v == 2)
+    val got = Versioned.read(spark, dir)
+    val nUpd = upd.count(); val nDel = del.count()
+    assert(got.count() == ev.count() - nDel + 1)
+    assert(got.filter(col("event_type") === "patched").count() == nUpd)
+    assert(got.filter(col("event_id") % 10 === 5 &&
+      col("event_id") < 99999999L).count() == 0)
+    assert(got.filter(col("event_id") === 99999999L).count() == 1)
+    // partial SET: user_id/ts carried from the TARGET on updated rows
+    val u0 = ev.filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"))
+    val u1 = got.filter(col("event_type") === "patched")
+      .select(col("event_id"), col("user_id"))
+    assert(u1.exceptAll(u0).isEmpty && u0.exceptAll(u1).isEmpty)
+  }
+
+  test("merge: untouched files carry by reference; conditional insert; " +
+    "cardinality check rejects dup source keys") {
+    import Versioned.{WhenMatchedUpdate}
+    val dir = java.nio.file.Files.createTempDirectory("vmrg2").toString + "/t"
+    Versioned.append(ev.repartitionByRange(8, col("event_id")), dir)
+    val before = Versioned.dataFileSizes(spark, dir).keys.toSet
+    // a tight key band touches few of the 8 range-clustered files
+    val lo = ev.agg(min(col("event_id"))).collect()(0).getLong(0)
+    val src = ev.filter(col("event_id").between(lo, lo + 20))
+      .withColumn("event_type", lit("patched"))
+      .unionByName(ev.limit(1)
+        .withColumn("event_id", lit(77777777L))
+        .withColumn("value", lit(1.0))
+        .withColumn("event_type", lit("new")))
+      .unionByName(ev.limit(1)
+        .withColumn("event_id", lit(77777778L))
+        .withColumn("value", lit(2.0))
+        .withColumn("event_type", lit("new")))
+    Versioned.merge(src, dir, Seq("event_id"),
+      matched = Seq(WhenMatchedUpdate(
+        Map("event_type" -> col("s.event_type")))),
+      insertNotMatched = true,
+      // only ONE of the two unmatched rows passes the insert gate
+      insertCond = Some(col("event_id") % 2 === 1))
+    val after = Versioned.dataFileSizes(spark, dir).keys.toSet
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty, "no untouched file carried by reference")
+    assert(before.diff(after).nonEmpty, "no touched file was rewritten")
+    val got = Versioned.read(spark, dir)
+    assert(got.filter(col("event_type") === "new").count() == 1)
+    val nBand = ev.filter(col("event_id").between(lo, lo + 20)).count()
+    assert(nBand > 0 &&
+      got.filter(col("event_type") === "patched").count() == nBand)
+    // duplicate source keys reject loudly (order-dependent result)
+    val dup = ev.limit(1).unionByName(ev.limit(1))
+    intercept[IllegalArgumentException](
+      Versioned.merge(dup, dir, Seq("event_id"),
+        matched = Seq(WhenMatchedUpdate(Map("value" -> col("s.value"))))))
+  }
+
+  test("merge: empty target is insert-only; unmatched-only merge without " +
+    "insert clause no-ops") {
+    import Versioned.WhenMatchedUpdate
+    val dir = java.nio.file.Files.createTempDirectory("vmrg3").toString + "/t"
+    val src = ev.limit(10)
+    assert(Versioned.merge(src, dir, Seq("event_id")) == 1)
+    assert(Versioned.read(spark, dir).count() == 10)
+    // a merge whose source matches nothing and may not insert -> no commit
+    val miss = ev.limit(3).withColumn("event_id",
+      col("event_id") + 55555555L)
+    val v = Versioned.merge(miss, dir, Seq("event_id"),
+      matched = Seq(WhenMatchedUpdate(Map("value" -> col("s.value")))),
+      insertNotMatched = false)
+    assert(v == 1)
+  }
+
+  test("tags pin snapshots through retention and reject re-tagging") {
+    val dir = java.nio.file.Files.createTempDirectory("vtag").toString + "/t"
+    val a = ev.filter(col("event_id") % 2 === 0)
+    Versioned.append(a, dir)
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), dir)
+    assert(Versioned.tag(dir, "raw-release", Some(1)) == 1)
+    Versioned.compact(spark, dir, numFiles = 2) // v3
+    Versioned.expire(spark, dir, keepLast = 1)
+    // v1 is PINNED by the tag: still readable after retention; v2 is gone
+    val pinned = Versioned.readTag(spark, dir, "raw-release")
+    assert(pinned.exceptAll(a).isEmpty && a.exceptAll(pinned).isEmpty)
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(2)))
+    assert(Versioned.read(spark, dir).count() == ev.count())
+    // immutability: a tag never silently moves
+    intercept[IllegalStateException](Versioned.tag(dir, "raw-release"))
+    assert(Versioned.tags(dir) == Map("raw-release" -> 1))
+    Versioned.dropTag(dir, "raw-release")
+    assert(Versioned.tags(dir).isEmpty)
+  }
+
+  test("write-audit-publish: consumers see only published snapshots; " +
+    "publishing an older version un-releases") {
+    val dir = java.nio.file.Files.createTempDirectory("vwap").toString + "/t"
+    val good = ev.filter(col("event_id") % 2 === 0)
+    Versioned.append(good, dir)
+    assert(Versioned.publish(dir) == 1)
+    // a bad batch lands at the head, unaudited: consumers don't move
+    Versioned.append(ev.filter(col("event_id") % 2 === 1)
+      .withColumn("value", lit(-1.0)), dir)
+    val pub = Versioned.readPublished(spark, dir)
+    assert(pub.exceptAll(good).isEmpty && good.exceptAll(pub).isEmpty)
+    assert(Versioned.read(spark, dir).count() == ev.count())
+    // audit passes -> fast-forward publish; consumers move to the head
+    assert(Versioned.publish(dir) == 2)
+    assert(Versioned.readPublished(spark, dir).count() == ev.count())
+    // the un-release lever: point consumers back at v1 (no data rewrite)
+    Versioned.publish(dir, Some(1))
+    assert(Versioned.publishedVersion(dir).contains(1))
+    assert(Versioned.readPublished(spark, dir).count() == good.count())
+    // retention keeps the published snapshot even when age would drop it
+    Versioned.compact(spark, dir, numFiles = 1) // v3
+    Versioned.expire(spark, dir, keepLast = 1)
+    assert(Versioned.readPublished(spark, dir).count() == good.count())
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(2)))
+  }
+
+  test("rollback mints a new commit with the old content; exactly-once " +
+    "batch facts survive") {
+    val dir = java.nio.file.Files.createTempDirectory("vrb").toString + "/t"
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), dir)
+    assert(Versioned.appendBatch(ev.filter(col("event_id") % 2 === 1),
+      dir, batchId = 9L).contains(2))
+    Versioned.delete(spark, dir, col("event_type") === "click") // v3: damage
+    assert(Versioned.read(spark, dir)
+      .filter(col("event_type") === "click").count() == 0)
+    // roll back PAST the damage: new commit, zero data I/O
+    assert(Versioned.rollback(spark, dir, 2) == 4)
+    val got = Versioned.read(spark, dir)
+    assert(got.exceptAll(ev).isEmpty && ev.exceptAll(got).isEmpty)
+    // the damaged snapshot is still history (readable until retention)
+    assert(Versioned.read(spark, dir, Some(3))
+      .filter(col("event_type") === "click").count() == 0)
+    // head's txn facts carried: the rolled-back batch still no-ops
+    assert(Versioned.appendBatch(ev.limit(5), dir, batchId = 9L).isEmpty)
+    // rolling back to the head no-ops (no empty commit)
+    assert(Versioned.rollback(spark, dir, 4) == 4)
+    assert(Versioned.currentVersion(dir) == 4)
+    // writers continue from the rolled-back content
+    Versioned.append(ev.limit(3).withColumn("event_id",
+      col("event_id") + 66666666L), dir)
+    assert(Versioned.read(spark, dir).count() == ev.count() + 3)
+  }
+
+  test("timestamp travel: versionAsOf picks the latest commit at or " +
+    "before the instant") {
+    val dir = java.nio.file.Files.createTempDirectory("vts").toString + "/t"
+    val a = ev.filter(col("event_id") % 2 === 0)
+    Versioned.append(a, dir)
+    Thread.sleep(60)
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), dir)
+    val h = Versioned.history(spark, dir).orderBy(col("version")).collect()
+    val ts1 = h(0).getTimestamp(1).getTime
+    val ts2 = h(1).getTimestamp(1).getTime
+    assert(ts1 < ts2, "commit times not distinct")
+    assert(Versioned.versionAsOf(dir, ts1) == 1)
+    assert(Versioned.versionAsOf(dir, ts2) == 2)
+    assert(Versioned.versionAsOf(dir, System.currentTimeMillis()) == 2)
+    val asOf = Versioned.readAsOf(spark, dir, ts1)
+    assert(asOf.exceptAll(a).isEmpty && a.exceptAll(asOf).isEmpty)
+    intercept[IllegalArgumentException](
+      Versioned.versionAsOf(dir, ts1 - 10000))
+  }
+
   test("empty snapshot reads at the stored table schema") {
     val dir = java.nio.file.Files.createTempDirectory("vempty").toString + "/t"
     Versioned.append(ev, dir)
