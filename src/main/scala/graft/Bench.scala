@@ -62,7 +62,13 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadStart = loadAvg
+    // optional comma-separated name filter for fast local single-query
+    // timings (the Verify idiom); the driver sets nothing => all benched.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val benched = Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
     val pass1 = benched.map(q => q.name -> timeOnce(q)).toMap
     val pass2 = benched.map(q => q.name -> timeOnce(q)).toMap
     // sub-second queries are noise-dominated (host-load swings exceed their
