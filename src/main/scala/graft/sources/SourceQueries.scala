@@ -767,7 +767,39 @@ object SourceQueries {
       srcVersionedZorderBox, srcVersionedCompactSmall,
       srcVersionedMorComposite, srcZorder3Box, srcVersionedMaintain,
       srcVersionedMerge, srcVersionedWap, srcVersionedRollback,
-      srcVersionedAsof, srcViewIncremental)
+      srcVersionedAsof, srcViewIncremental, srcViewStreamed)
+
+  /** Streaming-maintained materialized view as a content gate
+    * ([[graft.streaming.EventsStream.viewMaintSink]]'s batch processor —
+    * the "live dashboard over a 100 TB stream" composition): three
+    * micro-batches land exactly-once in the versioned source and each
+    * folds its CDF delta into the view; batch 0 is REDELIVERED
+    * mid-stream and must fold exactly once (the append no-ops on its
+    * txn marker, the refresh on its watermark). The final view must
+    * equal a from-scratch GROUP BY over everything streamed.
+    */
+  lazy val srcViewStreamed: Q = Q(
+    "src_view_streamed",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("ivstr").toString
+      val (src, vw) = (s"$root/t", s"$root/v")
+      val ev = graft.Tables.events(s, d)
+      def batch(i: Int, id: Long) =
+        graft.streaming.EventsStream.processViewMaintBatch(
+          ev.filter(col("event_id") % 3 === i), id, src, vw,
+          Seq("event_type"), "value")
+      batch(0, 0L); batch(1, 1L)
+      batch(0, 0L) // redelivery: must fold exactly once
+      batch(2, 2L)
+      Versioned.read(s, vw)
+        .select(col("event_type"), round(col("sum_value"), 2).as("sv"),
+          col("n_rows"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, ROUND(SUM(value), 2) AS sv,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** Incremental materialized-view maintenance as a content gate
     * ([[IncrementalView]] — delta-propagation refresh over the

@@ -273,6 +273,43 @@ object EventsStream {
         ()
     }
 
+  /** Streaming ingest with a MAINTAINED materialized view — the
+    * "dashboard over a 100 TB stream" shape: each micro-batch (1)
+    * commits to the source table exactly-once
+    * (`Versioned.appendBatch`'s txn marker) and (2) folds the batch's
+    * change-data-feed into the aggregate view
+    * ([[graft.sources.IncrementalView.refresh]]) — per-trigger cost is
+    * O(batch) + O(group cardinality), never a source scan. Crash-safe at
+    * every boundary: a redelivered batch no-ops the append AND the
+    * refresh (the view's watermark already covers it); a crash between
+    * append and refresh just widens the next trigger's CDF span (the
+    * refresh folds multi-commit deltas). Single maintenance loop per
+    * view (the house derived-table contract).
+    */
+  def viewMaintSink(events: DataFrame, srcPath: String, viewPath: String,
+      groupCols: Seq[String], valueCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processViewMaintBatch(batch, batchId, srcPath, viewPath,
+          groupCols, valueCol)
+    }
+
+  /** One micro-batch of [[viewMaintSink]], exposed for replay testing. */
+  def processViewMaintBatch(batch: DataFrame, batchId: Long,
+      srcPath: String, viewPath: String, groupCols: Seq[String],
+      valueCol: String): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Versioned.appendBatch(batch, srcPath, batchId)
+    if (graft.sources.Versioned.markOf(viewPath).isEmpty)
+      graft.sources.IncrementalView.create(spark, srcPath, viewPath,
+        groupCols, valueCol)
+    else
+      graft.sources.IncrementalView.refresh(spark, srcPath, viewPath,
+        groupCols, valueCol)
+    ()
+  }
+
   /** Streaming CDC ingest (merge-on-read): each micro-batch carries an
     * `opCol` ("upsert" | "delete") and commits as ONE atomic
     * `Versioned.mergeMorBatch` — new rows land as data files, the

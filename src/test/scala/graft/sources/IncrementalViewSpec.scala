@@ -90,6 +90,28 @@ class IncrementalViewSpec extends AnyFunSuite {
       Versioned.currentVersion(src))
   }
 
+  test("viewMaintSink: streamed source + maintained view == recompute; " +
+    "a redelivered batch folds exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("ivstr").toString
+    val (src, vw, in) = (s"$root/t", s"$root/v", s"$root/in")
+    ev.write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema).parquet(in)
+    val q = graft.streaming.EventsStream.viewMaintSink(stream, src, vw,
+      Seq("event_type"), "value").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(Versioned.read(spark, src).count() == ev.count())
+    assertSame(Versioned.read(spark, vw), recompute(src))
+    // redeliver batch 0 with the same rows: append no-ops (txn marker),
+    // refresh no-ops (watermark current) — nothing double-counts
+    val srcV = Versioned.currentVersion(src)
+    val vwV = Versioned.currentVersion(vw)
+    graft.streaming.EventsStream.processViewMaintBatch(ev, 0L, src, vw,
+      Seq("event_type"), "value")
+    assert(Versioned.currentVersion(src) == srcV)
+    assert(Versioned.currentVersion(vw) == vwV)
+    assertSame(Versioned.read(spark, vw), recompute(src))
+  }
+
   test("group births and null groups are tracked") {
     val src = java.nio.file.Files.createTempDirectory("ivs3").toString + "/t"
     val vw = java.nio.file.Files.createTempDirectory("ivv3").toString + "/v"
