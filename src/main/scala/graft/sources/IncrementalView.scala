@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * MV refresh), driven by the table's change-data-feed instead of a
   * full recompute.
   *
-  * The view materializes `GROUP BY groupCols -> (SUM(valueCol), COUNT(*))`
-  * as its own [[Versioned]] table. [[refresh]] reads ONLY the CDF delta
+  * The view materializes `GROUP BY groupCols -> (SUM(valueCol), COUNT(*),
+  * COUNT(valueCol))` as its own [[Versioned]] table — the non-null value
+  * count is what lets the fold reproduce SQL SUM's null semantics (a
+  * group whose live values are all NULL shows sum NULL, not 0.0), and
+  * AVG is derivable as sum_value / n_vals at query time. [[refresh]] reads ONLY the CDF delta
   * between the view's recorded upstream watermark and the source head
   * ([[Versioned.changesBetween]] — file-pruned, so an append/COW-upsert
   * delta scans just the new/rewritten files), folds it into the stored
@@ -40,13 +43,28 @@ object IncrementalView {
 
   private val SumCol = "sum_value"
   private val CntCol = "n_rows"
+  private val ValsCol = "n_vals"
+
+  /** Output + internal names the fold owns; colliding user columns would
+    * make the view self-ambiguous one refresh later (the merge()
+    * reserved-name discipline).
+    */
+  private val Reserved =
+    Set(SumCol, CntCol, ValsCol, "__dsum", "__dn", "__dvals", "_change_type")
+
+  private def checkNames(groupCols: Seq[String], valueCol: String): Unit = {
+    require(groupCols.nonEmpty, "empty group columns")
+    val bad = (groupCols :+ valueCol).filter(Reserved.contains)
+    require(bad.isEmpty,
+      s"group/value columns collide with view columns: ${bad.mkString(",")}")
+  }
 
   /** Materialize the view from the CURRENT source snapshot and record
     * that snapshot as the watermark. Returns the view's version.
     */
   def create(spark: SparkSession, source: String, viewPath: String,
       groupCols: Seq[String], valueCol: String): Int = {
-    require(groupCols.nonEmpty, "empty group columns")
+    checkNames(groupCols, valueCol)
     val v = Versioned.currentVersion(source)
     require(v > 0, s"source $source has no snapshot")
     val df = aggregate(Versioned.read(spark, source, Some(v)),
@@ -65,6 +83,7 @@ object IncrementalView {
     */
   def refresh(spark: SparkSession, source: String, viewPath: String,
       groupCols: Seq[String], valueCol: String): Int = {
+    checkNames(groupCols, valueCol)
     val from = syncedVersion(viewPath)
     val to = Versioned.currentVersion(source)
     require(to >= from, s"source $source went backwards ($from -> $to); " +
@@ -75,7 +94,9 @@ object IncrementalView {
       .otherwise(lit(-1))
     val delta = cdf.groupBy(groupCols.map(col): _*)
       .agg(sum(sign * col(valueCol)).as("__dsum"),
-        sum(sign.cast("long")).as("__dn"))
+        sum(sign.cast("long")).as("__dn"),
+        sum(when(col(valueCol).isNotNull, sign.cast("long"))
+          .otherwise(lit(0L))).as("__dvals"))
     val old = Versioned.read(spark, viewPath)
     // null group values are real groups: join null-safely and coalesce
     // the key from whichever side has it
@@ -84,11 +105,18 @@ object IncrementalView {
       "full_outer")
     val keys = groupCols.map(k =>
       coalesce(col(s"o.$k"), col(s"d.$k")).as(k))
+    // the non-null count decides SUM's null, matching SQL: a group whose
+    // live values are all NULL must show sum NULL, not the fold's 0.0
+    // (a recompute — and any oracle — would say NULL)
+    val nVals = coalesce(col(s"o.$ValsCol"), lit(0L)) +
+      coalesce(col("d.__dvals"), lit(0L))
     val folded = joined.select(keys ++ Seq(
-      (coalesce(col(s"o.$SumCol"), lit(0.0)) +
-        coalesce(col("d.__dsum"), lit(0.0))).as(SumCol),
+      when(nVals === 0L, lit(null))
+        .otherwise(coalesce(col(s"o.$SumCol"), lit(0.0)) +
+          coalesce(col("d.__dsum"), lit(0.0))).as(SumCol),
       (coalesce(col(s"o.$CntCol"), lit(0L)) +
-        coalesce(col("d.__dn"), lit(0L))).as(CntCol)): _*)
+        coalesce(col("d.__dn"), lit(0L))).as(CntCol),
+      nVals.as(ValsCol)): _*)
       .filter(col(CntCol) > 0)
     Versioned.replaceWithMark(folded, viewPath, mark = to.toLong)
   }
@@ -96,5 +124,6 @@ object IncrementalView {
   private def aggregate(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(sum(col(valueCol)).as(SumCol), count(lit(1)).as(CntCol))
+      .agg(sum(col(valueCol)).as(SumCol), count(lit(1)).as(CntCol),
+        count(col(valueCol)).as(ValsCol))
 }

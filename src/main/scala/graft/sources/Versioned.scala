@@ -739,14 +739,7 @@ object Versioned {
     val keys = updates.select(keyCols.map(col): _*).distinct().cache()
     val nKeys = keys.count()
     try {
-      // touch detection compares input_file_name() spellings against
-      // manifest paths — normalize BOTH to the /data/ suffix (see
-      // [[dataSuffix]]; raw-string compare silently misses on URI drift)
-      val touched = spark.read.parquet(basis.files: _*)
-        .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
-        .join(maybeBroadcast(keys, nKeys), keyCols)
-        .select(col("__f")).distinct()
-        .collect().map(r => dataSuffix(r.getString(0))).toSet
+      val touched = touchedBy(spark, basis, keys, nKeys, keyCols)
       val touchedPaths = basis.files.filter(f => touched(dataSuffix(f)))
       // rewritten files jump PAST every pending delete's sequence, so the
       // deletes must be applied to the rows being rewritten (masked rows
@@ -761,6 +754,23 @@ object Versioned {
       cowCommit(spark, table, w, basis, touched, updates.schema,
         what = s"upsert(${keyCols.mkString(",")})")
     } finally keys.unpersist()
+  }
+
+  /** Data files of `basis` holding at least one key tuple from `keys` —
+    * the copy-on-write touch probe shared by [[upsertKeys]] and
+    * [[merge]]. The probe compares input_file_name() spellings against
+    * manifest paths — normalize BOTH to the /data/ suffix (see
+    * [[dataSuffix]]; a raw-string compare silently misses on URI
+    * scheme/authority drift and carries stale rows forward).
+    */
+  private def touchedBy(spark: SparkSession, basis: Snapshot,
+      keys: DataFrame, nKeys: Long, keyCols: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(basis.files: _*)
+      .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+      .join(maybeBroadcast(keys, nKeys), keyCols)
+      .select(col("__f")).distinct()
+      .collect().map(r => dataSuffix(r.getString(0))).toSet
   }
 
   /** One WHEN MATCHED branch of [[merge]], evaluated in declaration order
@@ -824,6 +834,14 @@ object Versioned {
       spark.read.parquet(basis.files: _*).schema)
     require(!tSchema.fieldNames.exists(Reserved.contains),
       s"target may not contain reserved columns ${Reserved.mkString(",")}")
+    // every SET target must resolve to a target column — a typo'd (or
+    // evolution-intending) name would otherwise no-op silently, which is
+    // an update that REPORTS success and applies nothing (Delta raises
+    // the same analysis error)
+    val unknownSets = matched.collect { case WhenMatchedUpdate(set, _) =>
+      set.keySet.diff(tSchema.fieldNames.toSet) }.flatten
+    require(unknownSets.isEmpty,
+      s"UPDATE SET names unknown target column(s): ${unknownSets.mkString(",")}")
     // the cardinality check (one source row per key tuple) shares a cache
     // with the touch probe and the join; count() doubles as the broadcast
     // guard's estimate
@@ -836,18 +854,18 @@ object Versioned {
         s"merge source has multiple rows for key ${dup.head.toSeq.init}")
       val nKeys = src.count()
       val keys = src.select(keyCols.map(col): _*)
-      val touched = spark.read.parquet(basis.files: _*)
-        .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
-        .join(maybeBroadcast(keys, nKeys), keyCols)
-        .select(col("__f")).distinct()
-        .collect().map(r => dataSuffix(r.getString(0))).toSet
-      if (touched.isEmpty && !insertNotMatched) return cur
+      val touched = touchedBy(spark, basis, keys, nKeys, keyCols)
+      if (touched.isEmpty) {
+        // nothing matched: the merge degenerates to an insert-only
+        // append (or a true no-op — mint NO empty version either way)
+        if (!insertNotMatched) return cur
+        val ins = insertCond.map(src.filter).getOrElse(src)
+        if (ins.isEmpty) return cur
+        return append(ins, table)
+      }
       val touchedPaths = basis.files.filter(f => touched(dataSuffix(f)))
-      val t =
-        if (touchedPaths.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tSchema)
-        else readWithDeletes(spark, touchedPaths, basis.deletes, basis.schema)
+      val t = readWithDeletes(spark, touchedPaths, basis.deletes,
+        basis.schema)
       val joined = t.alias("t").join(
         maybeBroadcast(src.withColumn("__m", lit(true)), nKeys).alias("s"),
         keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
@@ -1392,10 +1410,15 @@ object Versioned {
       new Path(table).toUri, conf)
     try fc.rename(tmp, tagPath(table, name))
     catch {
-      case _: java.io.IOException =>
+      case e: java.io.IOException =>
         fs.delete(tmp, true)
-        throw new IllegalStateException(
-          s"tag '$name' already exists at $table")
+        // only a REAL collision is "already exists" — a transient IO
+        // fault must surface as itself, not as a permanent-looking
+        // name conflict telling the caller not to retry
+        if (fs.exists(tagPath(table, name)))
+          throw new IllegalStateException(
+            s"tag '$name' already exists at $table")
+        else throw e
     }
     v
   }
@@ -1451,10 +1474,25 @@ object Versioned {
     var attempt = 0
     while (attempt < 8) {
       val seq = pubEntries(table, conf).lastOption.map(_._1).getOrElse(0) + 1
+      // the CAS must be keyed on the SEQ ALONE: the marker is a DIRECTORY
+      // named r=<seq> whose version rides inside (a v=<ver> child), staged
+      // and renamed (the manifest idiom) — a name carrying the version
+      // would let two publishers of DIFFERENT versions both win one seq
+      // (different filenames, both creates succeed) and leave the head
+      // nondeterministic
+      val tmp = new Path(s"${refsRoot(table)}/_ptmp_${newUid()}")
+      fs.mkdirs(tmp)
+      fs.create(new Path(tmp, s"v=$v"), false).close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(table).toUri, conf)
       try {
-        fs.create(new Path(dir, s"r=$seq-v$v"), false).close()
+        fc.rename(tmp, new Path(dir, s"r=$seq"))
         return v
-      } catch { case _: java.io.IOException => attempt += 1 } // lost the seq
+      } catch {
+        case _: java.io.IOException => // lost the seq; clean and retry
+          fs.delete(tmp, true)
+          attempt += 1
+      }
     }
     throw new IllegalStateException(
       s"publish at $table failed after 8 retries (concurrent publishers)")
@@ -1465,13 +1503,24 @@ object Versioned {
     val fs = fsFor(table, conf)
     val dir = new Path(s"${refsRoot(table)}/pub")
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("r="))
-      .flatMap { n =>
-        n.stripPrefix("r=").split("-v") match {
-          case Array(s, v) => Some((s.toInt, v.toInt))
-          case _ => None
-        }
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("r="))
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory)
+          // current format: r=<seq>/v=<ver>
+          n.stripPrefix("r=").toIntOption.flatMap { s =>
+            fs.listStatus(st.getPath).toSeq.map(_.getPath.getName)
+              .find(_.startsWith("v="))
+              .flatMap(_.stripPrefix("v=").toIntOption).map((s, _))
+          }
+        else
+          // legacy flat-file format: r=<seq>-v<ver>
+          n.stripPrefix("r=").split("-v") match {
+            case Array(s, v) =>
+              for (si <- s.toIntOption; vi <- v.toIntOption) yield (si, vi)
+            case _ => None
+          }
       }.sortBy(_._1)
   }
 

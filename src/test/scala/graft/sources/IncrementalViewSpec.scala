@@ -112,6 +112,44 @@ class IncrementalViewSpec extends AnyFunSuite {
     assertSame(Versioned.read(spark, vw), recompute(src))
   }
 
+  test("SQL SUM null semantics survive the fold: an all-NULL group shows " +
+    "sum NULL, not 0.0") {
+    val src = java.nio.file.Files.createTempDirectory("ivs4").toString + "/t"
+    val vw = java.nio.file.Files.createTempDirectory("ivv4").toString + "/v"
+    Versioned.append(ev.limit(50), src)
+    IncrementalView.create(spark, src, vw, Seq("event_type"), "value")
+    // a group arrives whose values are ALL NULL: the fold must surface
+    // sum NULL (what a recompute and any SQL oracle say), not 0.0
+    Versioned.append(ev.limit(4)
+      .withColumn("event_id", col("event_id") + 4000000L)
+      .withColumn("event_type", lit("ghost"))
+      .withColumn("value", lit(null).cast("double")), src)
+    IncrementalView.refresh(spark, src, vw, Seq("event_type"), "value")
+    assertSame(Versioned.read(spark, vw), recompute(src))
+    val ghost = Versioned.read(spark, vw)
+      .filter(col("event_type") === "ghost").collect()(0)
+    assert(ghost.isNullAt(ghost.fieldIndex("sum_value")))
+    assert(ghost.getLong(ghost.fieldIndex("n_rows")) == 4)
+    // the group gains one real value -> sum becomes that value
+    Versioned.append(ev.limit(1)
+      .withColumn("event_id", lit(4999999L))
+      .withColumn("event_type", lit("ghost"))
+      .withColumn("value", lit(7.5)), src)
+    IncrementalView.refresh(spark, src, vw, Seq("event_type"), "value")
+    assertSame(Versioned.read(spark, vw), recompute(src))
+    // ...and loses it again -> back to NULL, not 0.0
+    Versioned.deleteByKeyMor(
+      ev.limit(1).select(lit(4999999L).as("event_id")), src, "event_id")
+    IncrementalView.refresh(spark, src, vw, Seq("event_type"), "value")
+    assertSame(Versioned.read(spark, vw), recompute(src))
+    val g2 = Versioned.read(spark, vw)
+      .filter(col("event_type") === "ghost").collect()(0)
+    assert(g2.isNullAt(g2.fieldIndex("sum_value")))
+    // reserved-name collision rejects up front
+    intercept[IllegalArgumentException](
+      IncrementalView.create(spark, src, vw + "2", Seq("n_rows"), "value"))
+  }
+
   test("group births and null groups are tracked") {
     val src = java.nio.file.Files.createTempDirectory("ivs3").toString + "/t"
     val vw = java.nio.file.Files.createTempDirectory("ivv3").toString + "/v"

@@ -1118,6 +1118,44 @@ class VersionedSpec extends AnyFunSuite {
     assert(v == 1)
   }
 
+  test("merge: unknown SET column rejects loudly; an all-filtered merge " +
+    "mints NO empty version") {
+    import Versioned.WhenMatchedUpdate
+    val dir = java.nio.file.Files.createTempDirectory("vmrg4").toString + "/t"
+    Versioned.append(ev.limit(20), dir)
+    // a typo'd SET target must not silently no-op (it would report
+    // success and update nothing)
+    intercept[IllegalArgumentException](
+      Versioned.merge(ev.limit(1), dir, Seq("event_id"),
+        matched = Seq(WhenMatchedUpdate(Map("vlaue" -> col("s.value"))))))
+    // unmatched source + insert gate filtering everything -> no commit
+    val miss = ev.limit(3).withColumn("event_id",
+      col("event_id") + 44444444L)
+    assert(Versioned.merge(miss, dir, Seq("event_id"),
+      insertCond = Some(lit(false))) == 1)
+    assert(Versioned.currentVersion(dir) == 1)
+    // unmatched source with a passing gate degenerates to a plain append
+    assert(Versioned.merge(miss, dir, Seq("event_id")) == 2)
+    assert(Versioned.read(spark, dir).count() == 23)
+  }
+
+  test("publish: legacy flat-file markers parse; new markers are " +
+    "seq-keyed CAS dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("vpub").toString + "/t"
+    Versioned.append(ev.limit(10), dir)
+    Versioned.append(ev.limit(5).withColumn("event_id",
+      col("event_id") + 5555555L), dir)
+    // legacy round-16 wave-2 format: a flat r=<seq>-v<ver> FILE
+    new java.io.File(s"$dir/_refs/pub").mkdirs()
+    new java.io.File(s"$dir/_refs/pub/r=1-v1").createNewFile()
+    assert(Versioned.publishedVersion(dir).contains(1))
+    assert(Versioned.readPublished(spark, dir).count() == 10)
+    // a new publish lands the dir format at the next seq and wins
+    Versioned.publish(dir)
+    assert(Versioned.publishedVersion(dir).contains(2))
+    assert(new java.io.File(s"$dir/_refs/pub/r=2").isDirectory)
+  }
+
   test("tags pin snapshots through retention and reject re-tagging") {
     val dir = java.nio.file.Files.createTempDirectory("vtag").toString + "/t"
     val a = ev.filter(col("event_id") % 2 === 0)
