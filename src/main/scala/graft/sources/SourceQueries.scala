@@ -767,7 +767,46 @@ object SourceQueries {
       srcVersionedZorderBox, srcVersionedCompactSmall,
       srcVersionedMorComposite, srcZorder3Box, srcVersionedMaintain,
       srcVersionedMerge, srcVersionedWap, srcVersionedRollback,
-      srcVersionedAsof, srcViewIncremental, srcViewStreamed)
+      srcVersionedAsof, srcViewIncremental, srcViewStreamed,
+      srcVersionedMetadataDelete)
+
+  /** Metadata-only DELETE as a content gate ([[Versioned.delete]]'s
+    * stats-proof tier — Iceberg/Delta drop whole files the predicate
+    * provably covers, zero data I/O): a range-clustered table takes a
+    * `event_id < max/4` delete; the files wholly below the cut drop as
+    * pure manifest edits, the boundary file rewrites, the rest carry.
+    * The oracle replays the complement; which tier each file took is
+    * VersionedSpec's assertion (dropped file never staged, exactly one
+    * rewrite).
+    */
+  lazy val srcVersionedMetadataDelete: Q = Q(
+    "src_versioned_metadata_delete",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vmd").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.repartitionByRange(8, col("event_id")), dir)
+      val cut = ev.agg(max(col("event_id"))).collect()(0).getLong(0) / 4
+      Versioned.delete(s, dir, col("event_id") < cut)
+      def state(name: String, v: Int) =
+        Versioned.read(s, dir, Some(v))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(name).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      state("a_pre", 1).unionAll(state("b_deleted", 2))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      SELECT 'a_pre' AS state, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'b_deleted', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM events
+      WHERE event_id >= (SELECT MAX(event_id) // 4 FROM events)
+      GROUP BY 2
+      ORDER BY state, event_type"""))
 
   /** Streaming-maintained materialized view as a content gate
     * ([[graft.streaming.EventsStream.viewMaintSink]]'s batch processor —

@@ -751,7 +751,7 @@ object Versioned {
           .join(maybeBroadcast(keys, nKeys), keyCols, "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       val w = new Staged(table, "u", survivors)
-      cowCommit(spark, table, w, basis, touched, updates.schema,
+      cowCommit(spark, table, Some(w), basis, touched, updates.schema,
         what = s"upsert(${keyCols.mkString(",")})")
     } finally keys.unpersist()
   }
@@ -913,7 +913,7 @@ object Versioned {
         .map(_ => mergeSchemas(Some(tSchema), source.schema))
         .getOrElse(tSchema)
       val w = new Staged(table, "u", survivors)
-      cowCommit(spark, table, w, basis, touched, commitSchema,
+      cowCommit(spark, table, Some(w), basis, touched, commitSchema,
         what = s"merge(${keyCols.mkString(",")})")
     } finally src.unpersist()
   }
@@ -928,7 +928,8 @@ object Versioned {
     * rebase fine (their files carry forward untouched — a concurrently
     * appended row sharing an upsert key keeps its own, later sequence).
     */
-  private def cowCommit(spark: SparkSession, table: String, w: Staged,
+  private def cowCommit(spark: SparkSession, table: String,
+      w: Option[Staged],
       basis: Snapshot, touched: Set[String],
       commitSchema: org.apache.spark.sql.types.StructType,
       what: String): Int =
@@ -950,19 +951,144 @@ object Versioned {
         val carriedSizes =
           m.sizesRaw.filter(s => !touched(dataSuffix(statFileOf(s))))
         val sch = mergeSchemas(m.schema, commitSchema)
-        val (files, stats, sizes) = w.at(cur + 1)
+        // w = None is the metadata-only shape: touched files DROP with
+        // no replacement rows (a delete whose predicate provably covers
+        // them whole) — zero data read, zero data written
+        val (files, stats, sizes) =
+          w.map(_.at(cur + 1)).getOrElse((Nil, Nil, Nil))
         Some(Content(carried ++ files, m.txns, m.deletes, Some(sch),
           carriedStats ++ stats, carriedSizes ++ sizes))
       }).get
     } catch {
-      case e: Throwable => w.abort(); throw e
+      case e: Throwable => w.foreach(_.abort()); throw e
     }
 
-  /** Copy-on-write DELETE: drop rows matching `pred`; only files holding
-    * a matching row are rewritten, the rest carry forward by reference
-    * (same machinery as [[upsert]]). Returns the new version — a no-op
-    * commit is skipped (returns the current version) when nothing
-    * matches.
+  /** Conservative proof from one file's manifest column stats that EVERY
+    * row satisfies `e` — the metadata-delete decision (Iceberg/Delta drop
+    * whole data files when the delete predicate provably covers them;
+    * the inverse of [[SkipIndexBase]]'s may-match admission). `false`
+    * means "unknown", never "no". Soundness notes baked in:
+    * - a NULL predicate result keeps the row, so every per-column proof
+    *   additionally requires nullCount == 0 (legacy stats without null
+    *   counts therefore never prove);
+    * - numeric bounds ride as doubles: proofs demand |bound| and
+    *   |literal| < 2^52 so integral rounding cannot overclaim;
+    * - string bounds are TRUNCATED Iceberg-style (lower rounds down,
+    *   upper rounds UP), i.e. slo <= true min <= true max <= shi — which
+    *   is exactly the direction a must-match proof needs — and compare
+    *   in UTF-8 code-point order ([[Utf8Order.ord]]), never JVM UTF-16.
+    */
+  private def mustMatchAll(stats: Map[String, ZoneMap.Stat],
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.NumericType
+    def nameOf(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      // a numeric->numeric cast of the attribute is value-order-
+      // preserving within the 2^52 magnitude guard below
+      case c: Cast => c.child match {
+        case a: AttributeReference
+          if a.dataType.isInstanceOf[NumericType] &&
+            c.dataType.isInstanceOf[NumericType] => Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Any] = x match {
+      case Literal(v, _) => Option(v)
+      // the analyzer leaves literal-side implicit casts unfolded
+      // (folding is the optimizer's); a foldable subtree is a constant
+      case c if c.foldable && c.deterministic => Option(c.eval(null))
+      case _ => None
+    }
+    def numOf(v: Any): Option[Double] = {
+      val d = v match {
+        case n: Number => Some(n.doubleValue())
+        case dec: org.apache.spark.sql.types.Decimal => Some(dec.toDouble)
+        case _ => None
+      }
+      d.filter(x => math.abs(x) < (1L << 52).toDouble)
+    }
+    def strOf(v: Any): Option[String] = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    def noNulls(c: String) = stats.get(c).exists(_.nulls.contains(0L))
+    // cmp > 0 form: "bound OP lit" with OP in {<, <=, >, >=, ==}
+    def prove(c: String, v: Any,
+        numOk: (Double, Double) => Boolean,
+        strOk: (String, String) => Boolean,
+        useHi: Boolean): Boolean =
+      noNulls(c) && stats.get(c).exists { st =>
+        (numOf(v), if (useHi) st.hi else st.lo) match {
+          case (Some(x), Some(b))
+            if math.abs(b) < (1L << 52).toDouble => numOk(b, x)
+          case _ =>
+            (strOf(v), if (useHi) st.shi else st.slo) match {
+              case (Some(x), Some(b)) => strOk(b, x)
+              case _ => false
+            }
+        }
+      }
+    def lt(c: String, v: Any, orEq: Boolean) = prove(c, v,
+      (hi, x) => if (orEq) hi <= x else hi < x,
+      (shi, x) => { val d = Utf8Order.ord.compare(shi, x)
+        if (orEq) d <= 0 else d < 0 },
+      useHi = true)
+    def gt(c: String, v: Any, orEq: Boolean) = prove(c, v,
+      (lo, x) => if (orEq) lo >= x else lo > x,
+      (slo, x) => { val d = Utf8Order.ord.compare(slo, x)
+        if (orEq) d >= 0 else d > 0 },
+      useHi = false)
+    def eq(c: String, v: Any) = lt(c, v, orEq = true) && gt(c, v, orEq = true)
+    // attr-vs-literal in either spelling; `rev` is the flipped relation
+    def cmp2(a: Expression, b: Expression)(fwd: (String, Any) => Boolean)(
+        rev: (String, Any) => Boolean): Boolean =
+      (nameOf(a), litOf(b)) match {
+        case (Some(c), Some(v)) => fwd(c, v)
+        case _ => (litOf(a), nameOf(b)) match {
+          case (Some(v), Some(c)) => rev(c, v)
+          case _ => false
+        }
+      }
+    def go(x: Expression): Boolean = x match {
+      case And(a, b) => go(a) && go(b)
+      case Or(a, b) => go(a) || go(b)
+      case Literal(true, org.apache.spark.sql.types.BooleanType) => true
+      case LessThan(a, b) =>
+        cmp2(a, b)(lt(_, _, orEq = false))(gt(_, _, orEq = false))
+      case LessThanOrEqual(a, b) =>
+        cmp2(a, b)(lt(_, _, orEq = true))(gt(_, _, orEq = true))
+      case GreaterThan(a, b) =>
+        cmp2(a, b)(gt(_, _, orEq = false))(lt(_, _, orEq = false))
+      case GreaterThanOrEqual(a, b) =>
+        cmp2(a, b)(gt(_, _, orEq = true))(lt(_, _, orEq = true))
+      case EqualTo(a, b) => cmp2(a, b)(eq)(eq)
+      case EqualNullSafe(a, b) => cmp2(a, b)(eq)(eq) // eq demands 0 nulls
+      case IsNotNull(a) => nameOf(a).exists(noNulls)
+      case IsNull(a) => nameOf(a).exists(c => stats.get(c).exists(st =>
+        st.rows.isDefined && st.nulls.isDefined && st.nulls == st.rows))
+      case _ => false
+    }
+    go(e)
+  }
+
+  /** Per-file column-stat maps of a snapshot, keyed by [[dataSuffix]]. */
+  private def statsByFile(m: Snapshot)
+      : Map[String, Map[String, ZoneMap.Stat]] =
+    m.statsRaw.map(decodeStat).groupBy(s => dataSuffix(s.f))
+      .map { case (f, ss) => f -> ss.map(s => s.c -> s).toMap }
+
+  /** Copy-on-write DELETE: drop rows matching `pred`. Three cost tiers,
+    * best first: (1) files whose manifest stats PROVE every row matches
+    * drop as pure metadata — never read, never rewritten (the
+    * Iceberg/Delta metadata delete; dropping a whole retention window
+    * from a 100 TB table is O(1) data I/O); (2) files holding some
+    * matching row rewrite without the matches; (3) everything else
+    * carries forward by reference (same machinery as [[upsert]]).
+    * Returns the new version — a no-op commit is skipped (returns the
+    * current version) when nothing matches.
     */
   def delete(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column): Int = {
@@ -970,19 +1096,48 @@ object Versioned {
     val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
     require(cur > 0, s"no snapshot to delete from at $table")
     val m = manifestAll(spark, table, cur)
-    val touched = spark.read.parquet(m.files: _*)
+    val byFile = statsByFile(m)
+    // resolve the predicate against the table schema so the proof sees
+    // CATALYST comparisons with implicit casts explicit (a raw Column in
+    // Spark 4 carries only an UnresolvedFunction node tree); a
+    // zero-row local frame makes the analysis driver-only
+    val schema = m.schema.getOrElse(
+      spark.read.parquet(m.files.head).schema)
+    val predExpr = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(false))
+    val dropped = m.files.filter(f =>
+      byFile.get(dataSuffix(f)).exists(mustMatchAll(_, predExpr)))
+      .map(p => dataSuffix(p)).toSet
+    val scanFiles = m.files.filterNot(f => dropped(dataSuffix(f)))
+    if (scanFiles.isEmpty) {
+      // the predicate provably covers the whole table
+      if (dropped.isEmpty) return cur
+      return cowCommit(spark, table, None, m, dropped,
+        m.schema.getOrElse(spark.read.parquet(m.files.head).schema),
+        what = "delete(pred)")
+    }
+    val rewriteTouched = spark.read.parquet(scanFiles: _*)
       .filter(pred)
       .select(input_file_name().as("__f")).distinct()
       .collect().map(r => dataSuffix(r.getString(0))).toSet
-    if (touched.isEmpty) return cur
-    val touchedPaths = m.files.filter(f => touched(dataSuffix(f)))
+    if (rewriteTouched.isEmpty && dropped.isEmpty) return cur
+    if (rewriteTouched.isEmpty)
+      // pure metadata delete: covered files drop, nothing reads/rewrites
+      return cowCommit(spark, table, None, m, dropped,
+        m.schema.getOrElse(spark.read.parquet(m.files.head).schema),
+        what = "delete(pred)")
+    val touchedPaths = m.files.filter(f => rewriteTouched(dataSuffix(f)))
     // NULL-pred rows are NOT matches: keep them (coalesce, so the
     // survivor filter is the exact complement of the touch filter).
     // Pending equality deletes apply to the rewrite (see upsert).
     val survivors = readWithDeletes(spark, touchedPaths, m.deletes,
       m.schema).filter(!coalesce(pred, lit(false)))
     val w = new Staged(table, "u", survivors)
-    cowCommit(spark, table, w, m, touched,
+    cowCommit(spark, table, Some(w), m, rewriteTouched ++ dropped,
       m.schema.getOrElse(survivors.schema), what = "delete(pred)")
   }
 
@@ -1349,7 +1504,7 @@ object Versioned {
     val survivors = readWithDeletes(spark, small, m.deletes, m.schema)
       .repartition(n)
     val w = new Staged(table, "u", survivors)
-    cowCommit(spark, table, w, m, small.map(dataSuffix).toSet,
+    cowCommit(spark, table, Some(w), m, small.map(dataSuffix).toSet,
       m.schema.getOrElse(survivors.schema), what = "compactSmall")
   }
 

@@ -1156,6 +1156,62 @@ class VersionedSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/_refs/pub/r=2").isDirectory)
   }
 
+  test("metadata delete: a stats-covered file drops with no data read " +
+    "or written; partially-covered files still rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("vmd").toString + "/t"
+    Versioned.append(ev.repartitionByRange(8, col("event_id")), dir)
+    val files1 = Versioned.dataFileSizes(spark, dir).keys.toSeq
+    // per-file id bounds; range partitioning makes them disjoint
+    val bounds = files1.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("event_id")), max(col("event_id"))).collect()(0)
+      (f, r.getLong(0), r.getLong(1))
+    }.sortBy(_._2)
+    // (1) PURE metadata: the predicate covers exactly the lowest file
+    val v2 = Versioned.delete(spark, dir,
+      col("event_id") <= bounds.head._3)
+    assert(v2 == 2)
+    val files2 = Versioned.dataFileSizes(spark, dir).keys.toSet
+    assert(!files2.contains(bounds.head._1), "covered file not dropped")
+    assert(files1.toSet.diff(files2) == Set(bounds.head._1))
+    assert(files2.subsetOf(files1.toSet), "metadata delete wrote data")
+    // no staging dir was even created for v2
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName)
+    assert(!dataDirs.exists(_.startsWith("u=2")), "v2 staged data")
+    val want1 = ev.filter(col("event_id") > bounds.head._3)
+    val got1 = Versioned.read(spark, dir)
+    assert(got1.exceptAll(want1).isEmpty && want1.exceptAll(got1).isEmpty)
+    // (2) MIXED: cut inside the 3rd file -> file 2 drops as metadata,
+    // file 3 rewrites, the rest carry
+    val cut = (bounds(2)._2 + bounds(2)._3) / 2
+    val v3 = Versioned.delete(spark, dir, col("event_id") < cut)
+    assert(v3 == 3)
+    val files3 = Versioned.dataFileSizes(spark, dir).keys.toSet
+    assert(!files3.contains(bounds(1)._1), "fully-covered file not dropped")
+    assert(!files3.contains(bounds(2)._1), "partial file not rewritten")
+    assert(files3.diff(files2).size == 1, "expected exactly one rewrite")
+    val want2 = ev.filter(col("event_id") >= cut)
+    val got2 = Versioned.read(spark, dir)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+    // (3) string equality proof: a file holding ONLY one event_type
+    // drops without a rewrite
+    val dir3 = java.nio.file.Files.createTempDirectory("vmd3").toString + "/t"
+    Versioned.append(ev.filter(col("event_type") === "click")
+      .repartition(1), dir3)
+    Versioned.append(ev.filter(col("event_type") =!= "click")
+      .repartition(2), dir3)
+    val pre = Versioned.dataFileSizes(spark, dir3).keys.toSet
+    Versioned.delete(spark, dir3, col("event_type") === "click")
+    val post = Versioned.dataFileSizes(spark, dir3).keys.toSet
+    assert(post.subsetOf(pre), "string-eq metadata delete wrote data")
+    assert(pre.diff(post).size == 1)
+    assert(Versioned.read(spark, dir3)
+      .filter(col("event_type") === "click").count() == 0)
+    assert(Versioned.read(spark, dir3).count() ==
+      ev.filter(col("event_type") =!= "click").count())
+  }
+
   test("tags pin snapshots through retention and reject re-tagging") {
     val dir = java.nio.file.Files.createTempDirectory("vtag").toString + "/t"
     val a = ev.filter(col("event_id") % 2 === 0)
