@@ -768,7 +768,64 @@ object SourceQueries {
       srcVersionedMorComposite, srcZorder3Box, srcVersionedMaintain,
       srcVersionedMerge, srcVersionedWap, srcVersionedRollback,
       srcVersionedAsof, srcViewIncremental, srcViewStreamed,
-      srcVersionedMetadataDelete)
+      srcVersionedMetadataDelete, srcVersionedCdfSource)
+
+  /** The versioned table as a STRUCTURED STREAMING SOURCE, as a content
+    * gate ([[graft.streaming.VersionedCdfProvider]] — Delta's CDF
+    * streaming read: commits are micro-batches, versions are offsets):
+    * the stream replays v1, then two live commits (an append and a COW
+    * upsert emitting delete+insert pairs) land while it runs; the
+    * memory-sink rows aggregate by (commit, change type, event type)
+    * and the oracle reconstructs the same CDC ledger in SQL.
+    */
+  lazy val srcVersionedCdfSource: Q = Q(
+    "src_versioned_cdf_source",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("cdfq").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 2 === 0), dir) // v1
+      val name = "cdfq_" + java.util.UUID.randomUUID.toString.take(8)
+      val q = s.readStream.format("versioned-cdf")
+        .option("path", dir).option("startingVersion", "0").load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        Versioned.append(ev.filter(col("event_id") % 2 === 1), dir) // v2
+        Versioned.upsert(ev.filter(col("event_id") % 100 === 0)
+          .withColumn("value", col("value") + 1000)
+          .withColumn("event_type", lit("patched"))
+          .unionByName(ev.filter(col("event_id") % 1000 === 7)
+            .withColumn("event_id", col("event_id") + 10000000L)),
+          dir, "event_id") // v3
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .groupBy(col("_commit_version").as("cv"),
+          col("_change_type").as("ct"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .orderBy(col("cv"), col("ct"), col("event_type"))
+    },
+    Some("""
+      WITH cdf AS (
+        SELECT 1 AS cv, 'insert' AS ct, event_type, value FROM events
+        WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT 2, 'insert', event_type, value FROM events
+        WHERE event_id % 2 = 1
+        UNION ALL
+        SELECT 3, 'delete', event_type, value FROM events
+        WHERE event_id % 100 = 0
+        UNION ALL
+        SELECT 3, 'insert', 'patched', value + 1000 FROM events
+        WHERE event_id % 100 = 0
+        UNION ALL
+        SELECT 3, 'insert', event_type, value FROM events
+        WHERE event_id % 1000 = 7)
+      SELECT CAST(cv AS BIGINT) AS cv, ct, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM cdf GROUP BY 1, 2, 3
+      ORDER BY cv, ct, event_type"""))
 
   /** Metadata-only DELETE as a content gate ([[Versioned.delete]]'s
     * stats-proof tier — Iceberg/Delta drop whole files the predicate

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.sources.Versioned
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The versioned table as a streaming source: every commit is one
+  * micro-batch, offsets are table versions, change rows match the batch
+  * CDF exactly (with per-commit attribution), and offset deserialization
+  * round-trips.
+  */
+class VersionedCdfSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("streams history + live commits; rows match batch CDF per version") {
+    val dir = java.nio.file.Files.createTempDirectory("cdfsrc").toString + "/t"
+    val evens = ev.filter(col("event_id") % 2 === 0)
+    Versioned.append(evens, dir) // v1 (pre-stream history)
+    val name = "cdfstream_" + java.util.UUID.randomUUID.toString.take(8)
+    val q = spark.readStream.format("versioned-cdf")
+      .option("path", dir).option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterV1 = spark.table(name)
+      assert(afterV1.count() == evens.count())
+      assert(afterV1.filter(col("_change_type") =!= "insert").count() == 0)
+      assert(afterV1.filter(col("_commit_version") =!= 1L).count() == 0)
+      // live commits while the stream runs: append + a COW upsert
+      Versioned.append(ev.filter(col("event_id") % 2 === 1), dir) // v2
+      Versioned.upsert(ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("event_type", lit("patched")), dir, "event_id") // v3
+      q.processAllAvailable()
+      val got = spark.table(name)
+      // per-version rows equal the batch CDF of that version
+      Seq(2, 3).foreach { v =>
+        val want = Versioned.changesBetween(spark, dir, v - 1, v)
+        val gotV = got.filter(col("_commit_version") === v.toLong)
+          .drop("_commit_version")
+        assert(gotV.exceptAll(want).isEmpty && want.exceptAll(gotV).isEmpty,
+          s"v$v stream != batch CDF")
+      }
+      // the upsert batch carries delete+insert pairs
+      assert(got.filter(col("_commit_version") === 3L &&
+        col("_change_type") === "delete").count() ==
+        ev.filter(col("event_id") % 100 === 0).count())
+    } finally q.stop()
+  }
+
+  test("offsets: serialized offsets parse; catch-up batch spans commits " +
+    "with exact attribution") {
+    val dir = java.nio.file.Files.createTempDirectory("cdfsrc2").toString + "/t"
+    Versioned.append(ev.filter(col("event_id") % 3 === 0), dir) // v1
+    Versioned.append(ev.filter(col("event_id") % 3 === 1), dir) // v2
+    Versioned.append(ev.filter(col("event_id") % 3 === 2), dir) // v3
+    val src = new VersionedCdfSource(spark.sqlContext, dir, starting = 0)
+    import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+    assert(src.getOffset.contains(LongOffset(3L)))
+    // one batch spanning v2..v3 from a checkpoint-deserialized offset:
+    // the streaming wrapper reports isStreaming, the underlying frame
+    // carries exact per-commit attribution
+    assert(src.getBatch(Some(SerializedOffset("1")), LongOffset(3L))
+      .isStreaming)
+    val batch = src.batchFrame(1, 3)
+    val byV = batch.groupBy(col("_commit_version")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byV.keySet == Set(2L, 3L))
+    assert(byV(2L) == ev.filter(col("event_id") % 3 === 1).count())
+    assert(byV(3L) == ev.filter(col("event_id") % 3 === 2).count())
+    // default start = current version: a fresh source sees no backlog
+    val live = new VersionedCdfSource(spark.sqlContext, dir,
+      starting = Versioned.currentVersion(dir))
+    assert(live.getOffset.isEmpty)
+  }
+}
