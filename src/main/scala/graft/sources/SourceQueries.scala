@@ -768,7 +768,69 @@ object SourceQueries {
       srcVersionedMorComposite, srcZorder3Box, srcVersionedMaintain,
       srcVersionedMerge, srcVersionedWap, srcVersionedRollback,
       srcVersionedAsof, srcViewIncremental, srcViewStreamed,
-      srcVersionedMetadataDelete, srcVersionedCdfSource)
+      srcVersionedMetadataDelete, srcVersionedCdfSource,
+      srcVersionedReplicate)
+
+  /** End-to-end CDC replication as a content gate
+    * ([[graft.streaming.EventsStream.replicateSink]] over the
+    * versioned-cdf source): a replica table follows the source through
+    * append, group-moving COW upsert, MOR delete, and a post-delete
+    * re-insert — four commits landing in one catch-up batch, so the
+    * per-key net-out rule (last commit wins; insert beats delete within
+    * a commit) is on the hook. The replica's final content must equal
+    * the source's, which the oracle reconstructs in SQL. The replica
+    * never scans the source — each trigger applies the commits' own
+    * file-pruned CDF as ONE merge-on-read commit (redelivery no-ops on
+    * the batch marker; VersionedCdfSourceSpec asserts both).
+    */
+  lazy val srcVersionedReplicate: Q = Q(
+    "src_versioned_replicate",
+    (s, d) => {
+      val src = java.nio.file.Files.createTempDirectory("replq").toString + "/t"
+      val rep = java.nio.file.Files.createTempDirectory("replq").toString + "/r"
+      val ev = graft.Tables.events(s, d)
+      Versioned.append(ev.filter(col("event_id") % 2 === 0), src) // v1
+      val stream = s.readStream.format("versioned-cdf")
+        .option("path", src).option("startingVersion", "0").load()
+      val q = graft.streaming.EventsStream
+        .replicateSink(stream, rep, "event_id").start()
+      try {
+        q.processAllAvailable()
+        Versioned.append(ev.filter(col("event_id") % 2 === 1), src) // v2
+        Versioned.upsert(ev.filter(col("event_id") % 100 === 0)
+          .withColumn("value", col("value") + 1000)
+          .withColumn("event_type", lit("patched")), src, "event_id") // v3
+        Versioned.deleteByKeyMor(ev.filter(col("event_id") % 10 === 3)
+          .select(col("event_id")), src, "event_id") // v4
+        Versioned.append(ev.filter(col("event_id") % 1000 === 7)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("event_type", lit("late")), src) // v5
+        q.processAllAvailable()
+      } finally q.stop()
+      Versioned.read(s, rep)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT CASE WHEN event_id % 100 = 0 THEN 'patched'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 100 = 0 THEN value + 1000
+                    ELSE value END AS value,
+               event_id
+        FROM events),
+      final AS (
+        SELECT event_type, value FROM base WHERE event_id % 10 <> 3
+        UNION ALL
+        SELECT 'late', value FROM events WHERE event_id % 1000 = 7)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    // five source commits + a live stream + MOR replica commits: the
+    // cost IS the fixture (measured 8.7 s x1 / 10.8 s x10, 1.24x —
+    // near-FLAT); gate row only, the src_versioned_maintain precedent
+    bench = false)
 
   /** The versioned table as a STRUCTURED STREAMING SOURCE, as a content
     * gate ([[graft.streaming.VersionedCdfProvider]] — Delta's CDF

@@ -310,6 +310,44 @@ object EventsStream {
     ()
   }
 
+  /** Table REPLICATION over the change feed — the end-to-end CDC loop:
+    * read a [[graft.sources.Versioned]] table's commits as a stream
+    * ([[VersionedCdfProvider]]), apply each micro-batch to a REPLICA
+    * table, and the replica converges to the source content without
+    * ever scanning the source (per-trigger cost = the commits' own
+    * file-pruned CDF). A batch may span several source commits, so
+    * changes NET OUT per key first — the LAST commit wins, and within
+    * one commit an insert beats a delete (an update is a same-version
+    * delete+insert pair) — then land as ONE merge-on-read commit whose
+    * batch id makes redelivery a no-op. Keyed tables only (the CDC
+    * replication contract).
+    */
+  def replicateSink(changes: DataFrame, replicaPath: String,
+      keyCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        processReplicateBatch(batch, batchId, replicaPath, keyCol)
+    }
+
+  /** One micro-batch of [[replicateSink]], exposed for replay testing. */
+  def processReplicateBatch(batch: DataFrame, batchId: Long,
+      replicaPath: String, keyCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val last = batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val ups = last.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version", "__rn")
+    val delKeys = last.filter(col("_change_type") === "delete")
+      .select(col(keyCol))
+    graft.sources.Versioned.mergeMorBatch(ups, delKeys, replicaPath,
+      keyCol, batchId)
+    ()
+  }
+
   /** Streaming CDC ingest (merge-on-read): each micro-batch carries an
     * `opCol` ("upsert" | "delete") and commits as ONE atomic
     * `Versioned.mergeMorBatch` — new rows land as data files, the

@@ -52,6 +52,44 @@ class VersionedCdfSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("replicateSink: the replica converges to the source through " +
+    "churn, including cross-commit delete-then-reinsert") {
+    val src = java.nio.file.Files.createTempDirectory("repl").toString + "/t"
+    val rep = java.nio.file.Files.createTempDirectory("repl").toString + "/r"
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), src) // v1
+    val stream = spark.readStream.format("versioned-cdf")
+      .option("path", src).option("startingVersion", "0").load()
+    val q = EventsStream.replicateSink(stream, rep, "event_id").start()
+    def sync(): Unit = q.processAllAvailable()
+    try {
+      sync()
+      // churn: append, update (COW), MOR delete, then RE-INSERT one of
+      // the deleted keys in a LATER commit — the net-out rule must keep
+      // the reinsert when both commits land in one catch-up batch
+      Versioned.append(ev.filter(col("event_id") % 2 === 1), src) // v2
+      Versioned.upsert(ev.filter(col("event_id") % 100 === 0)
+        .withColumn("event_type", lit("patched")), src, "event_id") // v3
+      val delKeys = ev.filter(col("event_id") % 10 === 3)
+        .select(col("event_id"))
+      Versioned.deleteByKeyMor(delKeys, src, "event_id") // v4
+      val reborn = ev.filter(col("event_id") % 10 === 3).limit(1)
+        .withColumn("event_type", lit("reborn"))
+      Versioned.append(reborn, src) // v5
+      sync()
+      val want = Versioned.read(spark, src)
+      val got = Versioned.read(spark, rep)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "replica diverged from source")
+      assert(got.filter(col("event_type") === "reborn").count() == 1)
+      // redelivered batch no-ops (merge-on-read txn marker)
+      val repV = Versioned.currentVersion(rep)
+      EventsStream.processReplicateBatch(
+        new VersionedCdfSource(spark.sqlContext, src, 0).batchFrame(0, 5),
+        0L, rep, "event_id")
+      assert(Versioned.currentVersion(rep) == repV)
+    } finally q.stop()
+  }
+
   test("offsets: serialized offsets parse; catch-up batch spans commits " +
     "with exact attribution") {
     val dir = java.nio.file.Files.createTempDirectory("cdfsrc2").toString + "/t"
