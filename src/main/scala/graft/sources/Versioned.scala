@@ -981,15 +981,45 @@ object Versioned {
   private def mustMatchAll(stats: Map[String, ZoneMap.Stat],
       e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.types._
+    // DECIMALS never prove: their stats round through double, so two
+    // values distinct in decimal space can share a bound — a proof
+    // could then overclaim (silent extra deletion). Float/double stats
+    // are exact in the comparison domain; integrals are exact under
+    // the 2^52 magnitude guard.
+    def provableType(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _ => false
+    }
+    // widening rank: a cast unwraps only when every child value maps
+    // order-preservingly and losslessly (under the magnitude guard)
+    // into the target — a NARROWING cast overflows/wraps (or throws
+    // under ANSI), so proving against the raw bounds would delete rows
+    // the predicate does not cover
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case FloatType => 5
+      case DoubleType => 6
+      case _ => 99
+    }
+    def widening(from: DataType, to: DataType): Boolean =
+      provableType(from) && (to match {
+        case DoubleType => true // guard covers integral/float precision
+        case LongType => rank(from) <= 4
+        case IntegerType => rank(from) <= 3
+        case ShortType => rank(from) <= 2
+        case _ => false
+      })
     def nameOf(x: Expression): Option[String] = x match {
-      case a: AttributeReference => Some(a.name)
-      // a numeric->numeric cast of the attribute is value-order-
-      // preserving within the 2^52 magnitude guard below
+      case a: AttributeReference if provableType(a.dataType) ||
+        a.dataType == StringType => Some(a.name)
       case c: Cast => c.child match {
         case a: AttributeReference
-          if a.dataType.isInstanceOf[NumericType] &&
-            c.dataType.isInstanceOf[NumericType] => Some(a.name)
+          if widening(a.dataType, c.dataType) => Some(a.name)
         case _ => None
       }
       case _ => None
@@ -1003,8 +1033,8 @@ object Versioned {
     }
     def numOf(v: Any): Option[Double] = {
       val d = v match {
+        case _: org.apache.spark.sql.types.Decimal => None // see above
         case n: Number => Some(n.doubleValue())
-        case dec: org.apache.spark.sql.types.Decimal => Some(dec.toDouble)
         case _ => None
       }
       d.filter(x => math.abs(x) < (1L << 52).toDouble)
@@ -1113,23 +1143,17 @@ object Versioned {
       byFile.get(dataSuffix(f)).exists(mustMatchAll(_, predExpr)))
       .map(p => dataSuffix(p)).toSet
     val scanFiles = m.files.filterNot(f => dropped(dataSuffix(f)))
-    if (scanFiles.isEmpty) {
-      // the predicate provably covers the whole table
-      if (dropped.isEmpty) return cur
-      return cowCommit(spark, table, None, m, dropped,
-        m.schema.getOrElse(spark.read.parquet(m.files.head).schema),
-        what = "delete(pred)")
-    }
-    val rewriteTouched = spark.read.parquet(scanFiles: _*)
-      .filter(pred)
-      .select(input_file_name().as("__f")).distinct()
-      .collect().map(r => dataSuffix(r.getString(0))).toSet
+    val rewriteTouched =
+      if (scanFiles.isEmpty) Set.empty[String] // pred covers every file
+      else spark.read.parquet(scanFiles: _*)
+        .filter(pred)
+        .select(input_file_name().as("__f")).distinct()
+        .collect().map(r => dataSuffix(r.getString(0))).toSet
     if (rewriteTouched.isEmpty && dropped.isEmpty) return cur
     if (rewriteTouched.isEmpty)
       // pure metadata delete: covered files drop, nothing reads/rewrites
       return cowCommit(spark, table, None, m, dropped,
-        m.schema.getOrElse(spark.read.parquet(m.files.head).schema),
-        what = "delete(pred)")
+        schema, what = "delete(pred)")
     val touchedPaths = m.files.filter(f => rewriteTouched(dataSuffix(f)))
     // NULL-pred rows are NOT matches: keep them (coalesce, so the
     // survivor filter is the exact complement of the touch filter).
@@ -1276,14 +1300,46 @@ object Versioned {
     */
   def changesBetween(spark: SparkSession, table: String, v1: Int,
       v2: Int): DataFrame = {
-    import org.apache.spark.sql.functions._
     require(v1 <= v2, s"changesBetween: v1=$v1 > v2=$v2")
     val conf = spark.sparkContext.hadoopConfiguration
     val vs = listVersions(table, conf)
     require(vs.contains(v1) && vs.contains(v2),
       s"no snapshot v=$v1 or v=$v2 at $table")
-    val mA = manifestAll(spark, table, v1)
-    val mB = manifestAll(spark, table, v2)
+    changesImpl(spark, table, manifestAll(spark, table, v1),
+      manifestAll(spark, table, v2))
+  }
+
+  /** Per-commit change frames for every version in `(from, to]`, each
+    * paired with its version — the streaming-CDF planning shape
+    * ([[graft.streaming.VersionedCdfSource]]): adjacent diffs SHARE
+    * their endpoint manifests (one driver read per version, not two per
+    * diff — a 50-commit catch-up batch plans with 51 manifest reads,
+    * not 100). `from = 0` yields version 1's full snapshot as inserts.
+    */
+  def changesPerCommit(spark: SparkSession, table: String, from: Int,
+      to: Int): Seq[(Int, DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    require(0 <= from && from <= to, s"changesPerCommit: $from > $to")
+    if (from == to) return Seq.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vs = listVersions(table, conf).toSet
+    require(((math.max(from, 1)) to to).forall(vs.contains),
+      s"missing snapshot in ($from, $to] at $table")
+    val snaps: Map[Int, Snapshot] =
+      (math.max(from, 1) to to).map(v =>
+        v -> manifestAll(spark, table, v)).toMap
+    ((from + 1) to to).map { v =>
+      val d =
+        if (v == 1) readWithDeletes(spark, snaps(1).files, snaps(1).deletes,
+          snaps(1).schema).withColumn("_change_type", lit("insert"))
+        else changesImpl(spark, table, snaps(v - 1), snaps(v))
+      v -> d
+    }
+  }
+
+  private def changesImpl(spark: SparkSession, table: String,
+      mA: Snapshot, mB: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
     val (a, dA) = (mA.files, mA.deletes)
     val (b, dB) = (mB.files, mB.deletes)
     val newDels = dB.filterNot(dA.toSet)
@@ -1299,7 +1355,9 @@ object Versioned {
     def tag(df: DataFrame, t: String) =
       df.withColumn("_change_type", lit(t))
     if (oldSide.isEmpty && newSide.isEmpty)
-      tag(read(spark, table, Some(v2)).limit(0), "insert")
+      tag(mB.schema.map(sch => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+        .getOrElse(readWithDeletes(spark, b, dB, None).limit(0)), "insert")
     else if (oldSide.isEmpty) tag(newRows, "insert")
     else if (newSide.isEmpty) tag(oldRows, "delete")
     else tag(newRows.exceptAll(oldRows), "insert")

@@ -334,6 +334,12 @@ object EventsStream {
   def processReplicateBatch(batch: DataFrame, batchId: Long,
       replicaPath: String, keyCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    // a row-less source commit (compact, maintenance) still triggers a
+    // batch; committing it would mint an empty equality-delete file per
+    // trigger, and every delete file puts older files back in CDF scope
+    // for downstream streams of the REPLICA. Skipping is replay-safe: a
+    // redelivered empty batch re-nets to empty.
+    if (batch.isEmpty) return
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_commit_version").desc,
         when(col("_change_type") === "insert", 1).otherwise(0).desc)

@@ -1,11 +1,12 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftShim, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 import graft.sources.Versioned
 
@@ -29,13 +30,22 @@ import graft.sources.Versioned
   *   .load()                           // default = only NEW commits
   * }}}
   *
+  * The base version and the stream's pinned schema persist in the
+  * query's own checkpoint (`metadataPath`) at FIRST start — the
+  * Kafka-source idiom — so a RESTART reuses them: the default
+  * "only new commits" base cannot silently re-pin to a later version
+  * (which would withhold downtime commits and crash replay of an
+  * uncommitted first batch), and an additive evolution between runs
+  * cannot change the stream's arity mid-checkpoint.
+  *
   * Scale shape: a batch's cost is its commits' CDF — file-pruned for
   * appends/COW rewrites (only new/rewritten files scanned), so steady
   * ingest streams at O(delta) per trigger. Batches spanning several
-  * versions (catch-up after downtime) compute one per-version diff each,
-  * preserving exact `_commit_version` attribution. Schema is pinned at
-  * stream start (the house additive-evolution rule: columns added later
-  * are dropped from this stream; restart the stream to pick them up).
+  * versions (catch-up after downtime) plan with ONE manifest read per
+  * version ([[Versioned.changesPerCommit]]) and preserve exact
+  * `_commit_version` attribution. Columns added to the table after
+  * stream start are dropped from this stream; restart with a fresh
+  * checkpoint to pick them up.
   */
 class VersionedCdfProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -56,13 +66,15 @@ class VersionedCdfProvider extends StreamSourceProvider
       metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source = {
     val table = pathOf(parameters)
-    val starting = parameters.get("startingVersion").map(_.toInt)
-      .getOrElse(Versioned.currentVersion(table))
-    new VersionedCdfSource(sqlContext, table, starting)
+    val (starting, pinned) = VersionedCdfSource.loadOrInitInfo(sqlContext,
+      metadataPath, table, parameters.get("startingVersion").map(_.toInt))
+    new VersionedCdfSource(sqlContext, table, starting, Some(pinned))
   }
 }
 
 object VersionedCdfSource {
+  private[streaming] val MetaCols = Seq("_change_type", "_commit_version")
+
   /** Table schema + the two CDF metadata columns. */
   private[streaming] def cdfSchema(sqlContext: SQLContext,
       table: String): StructType = {
@@ -70,19 +82,60 @@ object VersionedCdfSource {
     require(cur > 0, s"versioned-cdf: no snapshot at $table yet")
     val base = Versioned.read(sqlContext.sparkSession, table, Some(cur))
       .schema
+    val clash = base.fieldNames.filter(MetaCols.contains)
+    require(clash.isEmpty, // a silent overwrite would corrupt every row
+      s"versioned-cdf: table carries reserved column(s) " +
+        clash.mkString(","))
     StructType(base.fields.toSeq :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false))
   }
+
+  /** The stream's (base version, pinned schema), persisted in the
+    * query checkpoint at first start (create-no-overwrite CAS; a losing
+    * racer re-reads the winner's file) and REUSED on every restart.
+    */
+  private[streaming] def loadOrInitInfo(sqlContext: SQLContext,
+      metadataPath: String, table: String,
+      startingOpt: Option[Int]): (Int, StructType) = {
+    val conf = sqlContext.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new Path(metadataPath)
+    val fs = dir.getFileSystem(conf)
+    val p = new Path(dir, "graft-cdf-init")
+    def readIt(): (Int, StructType) = {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val i = txt.indexOf('\n')
+      (txt.take(i).trim.toInt,
+        DataType.fromJson(txt.drop(i + 1)).asInstanceOf[StructType])
+    }
+    if (fs.exists(p)) return readIt()
+    val starting = startingOpt.getOrElse(Versioned.currentVersion(table))
+    val schema = cdfSchema(sqlContext, table)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir,
+      s"_tmp_init_${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$starting\n${schema.json}".getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    try { fc.rename(tmp, p); (starting, schema) }
+    catch {
+      case _: java.io.IOException => // lost the init race: use the winner
+        fs.delete(tmp, false)
+        readIt()
+    }
+  }
 }
 
 class VersionedCdfSource(sqlContext: SQLContext, table: String,
-    starting: Int) extends Source {
+    starting: Int, pinnedSchema: Option[StructType] = None) extends Source {
 
   private val spark = sqlContext.sparkSession
 
-  override val schema: StructType =
-    VersionedCdfSource.cdfSchema(sqlContext, table)
+  override val schema: StructType = pinnedSchema.getOrElse(
+    VersionedCdfSource.cdfSchema(sqlContext, table))
 
   private def ver(o: Offset): Int = o match {
     case l: LongOffset => l.offset.toInt
@@ -95,28 +148,24 @@ class VersionedCdfSource(sqlContext: SQLContext, table: String,
     if (cur <= starting) None else Some(LongOffset(cur.toLong))
   }
 
-  /** One per-version diff per commit in (start, end], each tagged with
-    * its `_commit_version` — exact CDC attribution even when the engine
-    * coalesces several commits into one catch-up batch. Version 1's
-    * "diff" is the full first snapshot as inserts.
-    */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     GraftShim.asMicroBatch(
       batchFrame(start.map(ver).getOrElse(starting), ver(end)))
 
   /** The (batch-executable) change frame for versions in (s, e] — what
     * [[getBatch]] wraps as a micro-batch; exposed for direct testing.
+    * One per-commit diff per version, each tagged `_commit_version`,
+    * planned with shared manifest reads.
     */
   private[streaming] def batchFrame(s: Int, e: Int): DataFrame = {
-    val perCommit = ((s + 1) to e).map { v =>
-      val d =
-        if (v == 1)
-          Versioned.read(spark, table, Some(1))
-            .withColumn("_change_type", lit("insert"))
-        else Versioned.changesBetween(spark, table, v - 1, v)
-      conform(d.withColumn("_commit_version", lit(v.toLong)))
-    }
-    perCommit.reduce(_ unionAll _)
+    if (e <= s) // replayed no-op span (defensive; offsets are monotonic)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    Versioned.changesPerCommit(spark, table, s, e)
+      .map { case (v, d) =>
+        conform(d.withColumn("_commit_version", lit(v.toLong)))
+      }
+      .reduce(_ unionAll _)
   }
 
   /** Project a per-commit diff onto the PINNED stream schema: columns

@@ -1212,6 +1212,35 @@ class VersionedSpec extends AnyFunSuite {
       ev.filter(col("event_type") =!= "click").count())
   }
 
+  test("metadata tier stays conservative: decimal predicates rewrite; " +
+    "a widening cast still proves") {
+    // decimal stats round through double -> the proof must NOT fire
+    // (a rewrite, evidenced by a staging dir, handles it exactly)
+    val dir = java.nio.file.Files.createTempDirectory("vmdd").toString + "/t"
+    Versioned.append(ev.limit(60)
+      .withColumn("d", col("value").cast("decimal(20,4)"))
+      .repartition(1), dir)
+    Versioned.delete(spark, dir, col("d") >= new java.math.BigDecimal(0))
+    assert(Versioned.read(spark, dir).count() == 0)
+    val dirs = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("u=2")),
+      "decimal predicate took the metadata tier (unsound)")
+    // a WIDENING cast (long -> double) is value-preserving under the
+    // magnitude guard: the covered file still drops as pure metadata
+    val dir2 = java.nio.file.Files.createTempDirectory("vmdw").toString + "/t"
+    Versioned.append(ev.repartitionByRange(4, col("event_id")), dir2)
+    val files = Versioned.dataFileSizes(spark, dir2).keys.toSeq
+    val loMax = files.map(f => spark.read.parquet(f)
+      .agg(max(col("event_id"))).collect()(0).getLong(0)).min
+    Versioned.delete(spark, dir2,
+      col("event_id").cast("double") <= lit(loMax.toDouble))
+    val dirs2 = new java.io.File(s"$dir2/data").listFiles().map(_.getName)
+    assert(!dirs2.exists(_.startsWith("u=2")),
+      "widening-cast predicate missed the metadata tier")
+    assert(Versioned.read(spark, dir2).count() ==
+      ev.filter(col("event_id") > loMax).count())
+  }
+
   test("tags pin snapshots through retention and reject re-tagging") {
     val dir = java.nio.file.Files.createTempDirectory("vtag").toString + "/t"
     val a = ev.filter(col("event_id") % 2 === 0)

@@ -114,5 +114,65 @@ class VersionedCdfSourceSpec extends AnyFunSuite {
     val live = new VersionedCdfSource(spark.sqlContext, dir,
       starting = Versioned.currentVersion(dir))
     assert(live.getOffset.isEmpty)
+    // a replayed no-op span yields an empty frame, never a crash
+    assert(src.batchFrame(3, 3).isEmpty)
+  }
+
+  test("checkpointed init: restart reuses the persisted base version " +
+    "and schema; downtime commits are delivered") {
+    val dir = java.nio.file.Files.createTempDirectory("cdfsrc3").toString + "/t"
+    val meta = java.nio.file.Files.createTempDirectory("cdfmeta").toString
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), dir) // v1
+    val provider = new VersionedCdfProvider
+    val params = Map("path" -> dir)
+    val s1 = provider.createSource(spark.sqlContext, meta, None,
+      "versioned-cdf", params).asInstanceOf[VersionedCdfSource]
+    // default base pinned at v1; no backlog yet
+    assert(s1.getOffset.isEmpty)
+    // "downtime": the stream is gone, commits land
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), dir) // v2
+    // restart: the base must come from the CHECKPOINT, not re-pin to
+    // the new head (which would withhold v2 forever)
+    val s2 = provider.createSource(spark.sqlContext, meta, None,
+      "versioned-cdf", params).asInstanceOf[VersionedCdfSource]
+    assert(s2.getOffset.contains(
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L)))
+    assert(s2.batchFrame(1, 2).count() ==
+      ev.filter(col("event_id") % 2 === 1).count())
+    // an explicit startingVersion on restart is ignored in favor of the
+    // checkpointed base (the engine's offsets reference it)
+    val s3 = provider.createSource(spark.sqlContext, meta, None,
+      "versioned-cdf", params + ("startingVersion" -> "0"))
+      .asInstanceOf[VersionedCdfSource]
+    assert(s3.getOffset.contains(
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L)))
+    // a table with a reserved column rejects up front
+    val bad = java.nio.file.Files.createTempDirectory("cdfbad").toString + "/t"
+    Versioned.append(ev.limit(5)
+      .withColumn("_change_type", lit("x")), bad)
+    intercept[IllegalArgumentException](
+      VersionedCdfSource.cdfSchema(spark.sqlContext, bad))
+  }
+
+  test("replicateSink skips row-less source commits (no delete-file " +
+    "debris on the replica)") {
+    val src = java.nio.file.Files.createTempDirectory("replc").toString + "/t"
+    val rep = java.nio.file.Files.createTempDirectory("replc").toString + "/r"
+    Versioned.append(ev.limit(100).repartition(4), src) // v1
+    EventsStream.processReplicateBatch(
+      new VersionedCdfSource(spark.sqlContext, src, 0).batchFrame(0, 1),
+      0L, rep, "event_id")
+    val v = Versioned.currentVersion(rep)
+    val pending = Versioned.pendingDeleteKeys(spark, rep)
+    // a content-neutral source commit (compact) yields an EMPTY batch
+    Versioned.compact(spark, src, numFiles = 1) // v2
+    EventsStream.processReplicateBatch(
+      new VersionedCdfSource(spark.sqlContext, src, 0).batchFrame(1, 2),
+      1L, rep, "event_id")
+    assert(Versioned.currentVersion(rep) == v, "empty batch minted debris")
+    assert(Versioned.pendingDeleteKeys(spark, rep) == pending)
+    val got = Versioned.read(spark, rep)
+    val want = Versioned.read(spark, src)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 }
