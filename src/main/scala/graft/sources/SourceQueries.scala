@@ -1304,7 +1304,12 @@ object SourceQueries {
       SELECT 'b_packed', event_type, CAST(COUNT(*) AS BIGINT),
              ROUND(SUM(value), 2)
       FROM after GROUP BY 2
-      ORDER BY state, event_type"""))
+      ORDER BY state, event_type"""),
+    // bench=false: 5 commits + a materializing compact + a pack are
+    // by-construction fixture work already regression-tracked by the
+    // benched versioned rows (the train_release_cdf precedent); x10 leg
+    // 9.2 -> 13.0 s (1.4x, the compact term) recorded in SCALE.md
+    bench = false)
 
   /** THREE-axis Morton clustering ([[ZOrder.clusteredN]] — the
     * (id, value, time)-shaped slice a telemetry corpus carves): the N-way
@@ -1394,12 +1399,7 @@ object SourceQueries {
       SELECT 'c_compacted', event_type, CAST(COUNT(*) AS BIGINT),
              ROUND(SUM(value), 2)
       FROM after GROUP BY 2
-      ORDER BY state, event_type"""),
-    // bench=false: 5 commits + a materializing compact + a pack are
-    // by-construction fixture work already regression-tracked by the
-    // benched versioned rows (the train_release_cdf precedent); x10 leg
-    // 9.2 -> 13.0 s (1.4x, the compact term) recorded in SCALE.md
-    bench = false)
+      ORDER BY state, event_type"""))
 
   /** Bin-pack small-file compaction ([[Versioned.compactSmall]] —
     * Iceberg's rewrite_data_files binpack): a streaming-ish dribble of
