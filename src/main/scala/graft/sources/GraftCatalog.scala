@@ -1,0 +1,424 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** [[Versioned]] tables as a Spark SQL CATALOG (DataSource V2
+  * TableCatalog — the same integration seam Iceberg and Delta publish):
+  * register once per session,
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.lake.warehouse", "/data/lake")
+  * }}}
+  *
+  * and every table under the warehouse root is plain SQL:
+  * `CREATE TABLE lake.ns.t (…)`, `INSERT INTO lake.ns.t SELECT …`,
+  * `INSERT OVERWRITE`, `DELETE FROM lake.ns.t WHERE …`, `SELECT … FROM
+  * lake.ns.t VERSION AS OF 3` (numbers, or TAG names from
+  * [[Versioned.tag]]) and `TIMESTAMP AS OF …` — each statement mapping
+  * onto the corresponding commit/read primitive, so SQL writers get the
+  * same optimistic commit-retry, manifest atomicity, and time-travel
+  * guarantees as API writers, and SQL readers get manifest-stats file
+  * skipping ([[Versioned.readForScan]]) with zero plan-time stat RPCs.
+  *
+  * Execution bridges through the V1 fallback seam (`V1Scan` /
+  * `V1Write` — the JDBC connector's pattern): the scan hands Spark a
+  * relation whose inner plan IS the pruning snapshot read with the
+  * pushed predicates applied (so [[ManifestFileIndex]] admission fires
+  * at plan time), while the engine re-applies the full residual
+  * predicate above it — pushdown stays pure I/O savings. Writes reject
+  * on a time-travel load; DELETE refuses (loudly, via `canDeleteWhere`)
+  * any predicate [[SqlBridge]] cannot translate EXACTLY.
+  *
+  * Namespaces are directories under the warehouse root; a table is any
+  * directory holding a `_manifests` child. ALTER TABLE is out of scope
+  * (schema evolution happens additively at commit time instead —
+  * [[Versioned]]'s mergeSchemas contract).
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var initWarehouse: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initWarehouse = Option(options.get("warehouse"))
+    require(initWarehouse.isDefined || spark.conf
+      .getOption(s"spark.sql.catalog.$name.warehouse").isDefined,
+      s"catalog $name requires spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The warehouse root, re-read from the SESSION conf on every call
+    * (falling back to the init-time option): Spark caches one catalog
+    * instance per name for the session's lifetime, so resolving the
+    * root lazily keeps `spark.conf.set(...warehouse, newDir)` honest
+    * instead of silently pinning the first value forever.
+    */
+  private def warehouse: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .orElse(initWarehouse)
+      .getOrElse(throw new IllegalStateException(
+        s"catalog $catalogName has no warehouse configured"))
+
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirOf(parts: Seq[String]): Path =
+    new Path((warehouse +: parts).mkString("/"))
+
+  private def tablePath(ident: Identifier): String =
+    dirOf(ident.namespace.toSeq :+ ident.name).toString
+
+  private def isTable(p: Path): Boolean = {
+    val f = fs(p)
+    f.exists(new Path(p, "_manifests"))
+  }
+
+  // ---- tables ---------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace.toSeq)
+    val f = fs(dir)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && isTable(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .sortBy(_.name).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(new Path(tablePath(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (tableExists(ident))
+      return new VersionedSparkTable(tablePath(ident),
+        s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}",
+        None)
+    metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** Iceberg-style METADATA tables — one extra name part after a real
+    * table: `SELECT * FROM cat.ns.t.history` (commit log: version,
+    * commit time, file/byte/delete/txn counts — [[Versioned.history]]),
+    * `….t.files` (the current manifest's data files with recorded byte
+    * lengths), `….t.tags` (named refs → pinned versions). Driver-held
+    * metadata only; no data I/O.
+    */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    import org.apache.spark.sql.types._
+    if (ident.namespace.isEmpty) return None
+    val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+    if (!tableExists(base)) return None
+    val table = tablePath(base)
+    val fullName =
+      s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}"
+    ident.name match {
+      case "history" => Some(new MetadataSparkTable(fullName,
+        StructType(Seq(StructField("version", IntegerType),
+          StructField("committed_at", TimestampType),
+          StructField("n_files", IntegerType),
+          StructField("bytes", LongType),
+          StructField("n_delete_files", IntegerType),
+          StructField("n_txns", IntegerType))),
+        s => Versioned.history(s, table)))
+      case "files" => Some(new MetadataSparkTable(fullName,
+        StructType(Seq(StructField("path", StringType),
+          StructField("bytes", LongType))),
+        { s =>
+          import s.implicits._
+          val sizes = Versioned.dataFileSizes(s, table)
+          Versioned.listDataFiles(s, table)
+            .map(f => (f, sizes.get(f)))
+            .toDF("path", "bytes").orderBy("path")
+        }))
+      case "tags" => Some(new MetadataSparkTable(fullName,
+        StructType(Seq(StructField("tag", StringType),
+          StructField("version", IntegerType))),
+        { s =>
+          import s.implicits._
+          Versioned.tags(table).toSeq.toDF("tag", "version").orderBy("tag")
+        }))
+      case _ => None
+    }
+  }
+
+  /** `VERSION AS OF x`: a snapshot number, or a tag name
+    * ([[Versioned.tag]] — Iceberg's ref syntax).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val table = tablePath(ident)
+    val v = version.toIntOption.getOrElse(
+      Versioned.tags(table).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"VERSION AS OF '$version' is neither a snapshot number nor a " +
+            s"tag of $table")))
+    new VersionedSparkTable(table, s"${ident.name}@v$v", Some(v))
+  }
+
+  /** `TIMESTAMP AS OF x`: Spark hands epoch MICROseconds; commit times
+    * resolve at millisecond granularity ([[Versioned.versionAsOf]]).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val table = tablePath(ident)
+    val v = Versioned.versionAsOf(table, timestamp / 1000L)
+    new VersionedSparkTable(table, s"${ident.name}@v$v", Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft catalog tables are unpartitioned (cluster with " +
+        "ZOrder/key-ranged appends instead)")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    Versioned.createEmpty(spark, tablePath(ident), schema)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is out of scope: schema evolves additively at commit " +
+        "time (Versioned.mergeSchemas)")
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(tablePath(ident))
+    isTable(p) && fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val from = new Path(tablePath(oldIdent))
+    val to = new Path(tablePath(newIdent))
+    require(fs(from).rename(from, to), s"rename failed: $from -> $to")
+  }
+
+  // ---- namespaces -----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = dirOf(Nil)
+    val f = fs(root)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && !isTable(s.getPath) &&
+        !s.getPath.getName.startsWith("_"))
+      .map(s => Array(s.getPath.getName)).sortBy(_.head).toArray
+  }
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = dirOf(namespace.toSeq)
+    val f = fs(dir)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && !isTable(s.getPath) &&
+        !s.getPath.getName.startsWith("_"))
+      .map(s => namespace :+ s.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = dirOf(namespace.toSeq)
+    namespace.isEmpty || (fs(dir).exists(dir) && !isTable(dir))
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val dir = dirOf(namespace.toSeq)
+    fs(dir).mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespace properties are out of scope")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = dirOf(namespace.toSeq)
+    val f = fs(dir)
+    if (!f.exists(dir)) false
+    else {
+      if (!cascade && f.listStatus(dir).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      f.delete(dir, true)
+    }
+  }
+}
+
+/** One catalog table, pinned to a snapshot for time-travel loads (`pinned`
+  * = Some(v)) or tracking the head (None). Reads bridge through
+  * [[V1Scan]] into [[SqlBridge.scan]]; writes through [[V1Write]] into
+  * the commit API; row-level DELETE through the exact predicate
+  * translation. A pinned table is read-only — writes and deletes against
+  * history reject loudly.
+  */
+private[sources] final class VersionedSparkTable(table: String,
+    ident: String, pinned: Option[Int])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident
+
+  override lazy val schema: StructType =
+    Versioned.schemaAt(spark, table, pinned)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+      private var pushed: Array[Filter] = Array.empty
+
+      /** Record what translates (for the inner scan's plan-time file
+        * admission + EXPLAIN's PushedFilters), but return EVERY filter
+        * as residual — the engine re-applies the full predicate above
+        * the scan, so the translation can only ever reduce I/O.
+        */
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(f => SqlBridge.toColumn(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = {
+        val req = required
+        val cols = pushed.toSeq.flatMap(SqlBridge.toColumn)
+        new V1Scan {
+          override def readSchema(): StructType = req
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new VersionedV1TableScan(context, table, pinned,
+              req).withFilters(cols).asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ov: Boolean): Unit = {
+              require(pinned.isEmpty,
+                s"cannot write to time-travel read $ident")
+              if (overwrite || ov) Versioned.replace(data, table)
+              else Versioned.append(data, table)
+            }
+          }
+      }
+    }
+
+  /** `DELETE FROM … WHERE …` — accepted only when every conjunct
+    * translates EXACTLY ([[SqlBridge.conjunction]]); Spark surfaces the
+    * refusal as an analysis error instead of this table deleting the
+    * wrong rows. The delete itself is [[Versioned.delete]]: stats-proven
+    * whole-file drops as pure metadata, partial files rewritten.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && SqlBridge.conjunction(filters.toSeq).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinned.isEmpty, s"cannot delete from time-travel read $ident")
+    val pred = SqlBridge.conjunction(filters.toSeq).getOrElse(
+      throw new UnsupportedOperationException(
+        s"untranslatable DELETE predicate: ${filters.mkString(", ")}"))
+    Versioned.delete(spark, table, pred)
+  }
+}
+
+/** A read-only, driver-computed metadata table (`history`/`files`/
+  * `tags`): fixed schema, rows from `producer` at scan time through the
+  * same V1 bridge as data reads. These are O(commits)/O(files) frames —
+  * no pushdown machinery needed.
+  */
+private[sources] final class MetadataSparkTable(ident: String,
+    override val schema: StructType,
+    producer: SparkSession => DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = ident
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType = schema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val rel: BaseRelation with TableScan = new BaseRelation
+          with TableScan {
+        override val sqlContext: SQLContext = context
+        override val schema: StructType = MetadataSparkTable.this.schema
+        override def buildScan()
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          val s = sqlContext.sparkSession
+          import org.apache.spark.sql.functions.col
+          producer(s)
+            .select(schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*).rdd
+        }
+      }
+      rel.asInstanceOf[T]
+    }
+  }
+}
+
+/** The `BaseRelation with TableScan` the V1 bridge hands back: schema is
+  * the PRUNED read schema, rows come from [[SqlBridge.scan]] over the
+  * pinned snapshot with the translated predicates inside the plan.
+  */
+private[sources] final class VersionedV1TableScan(
+    @transient override val sqlContext: SQLContext, table: String,
+    version: Option[Int], override val schema: StructType)
+    extends BaseRelation with TableScan {
+
+  private var pushed: Seq[org.apache.spark.sql.Column] = Nil
+
+  def withFilters(cols: Seq[org.apache.spark.sql.Column]): this.type = {
+    pushed = cols; this
+  }
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    SqlBridge.scan(sqlContext.sparkSession, table, version,
+      schema.fieldNames.toSeq, pushed)
+}

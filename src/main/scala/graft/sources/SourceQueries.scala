@@ -769,7 +769,186 @@ object SourceQueries {
       srcVersionedMerge, srcVersionedWap, srcVersionedRollback,
       srcVersionedAsof, srcViewIncremental, srcViewStreamed,
       srcVersionedMetadataDelete, srcVersionedCdfSource,
-      srcVersionedReplicate)
+      srcVersionedReplicate, srcSqlCatalog, srcSqlTimetravel,
+      srcSqlDelete, srcFormatRoundtrip)
+
+  /** The versioned table as PLAIN SQL through a registered
+    * [[GraftCatalog]] (DataSource V2 TableCatalog — the Iceberg/Delta
+    * integration seam): CREATE NAMESPACE / CREATE TABLE / two INSERT
+    * INTO SELECT commits / one aggregate SELECT, no library calls at the
+    * query site. The inserts land as ordinary optimistic commits
+    * (schema-checked, stats-recorded), and the SELECT's WHERE travels
+    * through the V1Scan bridge into manifest-stats admission. The oracle
+    * replays the two inserts' union in DuckDB.
+    */
+  lazy val srcSqlCatalog: Q = Q(
+    "src_sql_catalog",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqlcat").toString
+      s.conf.set("spark.sql.catalog.graft_sql",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+      // the catalog instance is CACHED per name after first use, pinning
+      // the first run's warehouse — a unique table name keeps a re-run
+      // in the same JVM (bench after verify) independent
+      val t = "graft_sql.ns.ev_" +
+        java.util.UUID.randomUUID.toString.take(8)
+      graft.Tables.events(s, d).createOrReplaceTempView("ev_sqlcat")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_sql.ns")
+      s.sql(s"CREATE TABLE $t " +
+        "(event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)")
+      s.sql(s"INSERT INTO $t SELECT event_id, user_id, event_type, value " +
+        "FROM ev_sqlcat WHERE event_id % 2 = 0")
+      s.sql(s"INSERT INTO $t SELECT event_id, user_id, event_type, value " +
+        "FROM ev_sqlcat WHERE event_id % 2 = 1")
+      s.sql(s"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"ROUND(SUM(value), 2) AS sv FROM $t WHERE user_id < 400 " +
+        "GROUP BY event_type ORDER BY event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM events WHERE user_id < 400
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** SQL time travel over catalog tables: `VERSION AS OF 1` (a snapshot
+    * number), `VERSION AS OF 'rel1'` (a [[Versioned.tag]] name —
+    * Iceberg's ref syntax), and the bare head — three states of the same
+    * table, selected entirely in the FROM clause. The oracle replays
+    * each snapshot's content.
+    */
+  lazy val srcSqlTimetravel: Q = Q(
+    "src_sql_timetravel",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqltt").toString
+      s.conf.set("spark.sql.catalog.graft_tt",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
+      val name = "ev_" + java.util.UUID.randomUUID.toString.take(8)
+      val t = s"graft_tt.ns.$name"
+      val dir = s.conf.get("spark.sql.catalog.graft_tt.warehouse") +
+        s"/ns/$name"
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      Versioned.append(ev.filter(col("event_id") % 2 === 0), dir) // v1
+      Versioned.tag(dir, "rel1") // pins v1
+      Versioned.append(ev.filter(col("event_id") % 2 === 1), dir) // v2
+      def st(state: String, from: String) =
+        s"SELECT '$state' AS state, event_type, " +
+          "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv " +
+          s"FROM $from GROUP BY event_type"
+      s.sql(st("a_v1", s"$t VERSION AS OF 1") +
+        " UNION ALL " + st("b_tag", s"$t VERSION AS OF 'rel1'") +
+        " UNION ALL " + st("c_head", t) +
+        " ORDER BY state, event_type")
+    },
+    Some("""
+      WITH evens AS (
+        SELECT event_type, value FROM events WHERE event_id % 2 = 0)
+      SELECT 'a_v1' AS state, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM evens GROUP BY 2
+      UNION ALL
+      SELECT 'b_tag', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM evens GROUP BY 2
+      UNION ALL
+      SELECT 'c_head', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM events GROUP BY 2
+      ORDER BY state, event_type"""),
+    bench = false)
+
+  /** `DELETE FROM … WHERE …` through the catalog ([[SupportsDelete]] —
+    * accepted only when the predicate translates EXACTLY, then executed
+    * as [[Versioned.delete]]'s tiered COW: stats-proven files drop as
+    * metadata, partial files rewrite). States read back as pinned
+    * `VERSION AS OF` snapshots — the pre-delete version stays readable
+    * history. The oracle replays the predicate's complement.
+    */
+  lazy val srcSqlDelete: Q = Q(
+    "src_sql_delete",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqldel").toString
+      s.conf.set("spark.sql.catalog.graft_del",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_del.warehouse", wh)
+      val name = "ev_" + java.util.UUID.randomUUID.toString.take(8)
+      val t = s"graft_del.ns.$name"
+      val dir = s.conf.get("spark.sql.catalog.graft_del.warehouse") +
+        s"/ns/$name"
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      Versioned.append(ev, dir) // v1
+      s.sql(s"DELETE FROM $t WHERE event_type = 'view' AND user_id < 50")
+      // v2 = post-delete head; v1 stays readable history
+      def st(state: String, from: String) =
+        s"SELECT '$state' AS state, event_type, " +
+          "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv " +
+          s"FROM $from GROUP BY event_type"
+      s.sql(st("a_before", s"$t VERSION AS OF 1") +
+        " UNION ALL " + st("b_after", s"$t VERSION AS OF 2") +
+        " ORDER BY state, event_type")
+    },
+    Some("""
+      SELECT 'a_before' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'b_after', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM events WHERE NOT (event_type = 'view' AND user_id < 50)
+      GROUP BY 2
+      ORDER BY state, event_type"""),
+    bench = false)
+
+  /** The `graft-versioned` DataFrame FORMAT face
+    * ([[GraftVersionedProvider]], registered via DataSourceRegister):
+    * `df.write.format("graft-versioned")` commits append/overwrite
+    * snapshots, `spark.read.format("graft-versioned")` reads them with
+    * `versionAsOf` (numbers or tags) — the pre-DSv2 integration shape
+    * Delta shipped first. The overwrite is a full re-release
+    * ([[Versioned.replace]]); the pinned read proves the replaced
+    * snapshot stayed readable. Filters on the read push through
+    * [[SqlBridge.scan]] into manifest admission.
+    */
+  lazy val srcFormatRoundtrip: Q = Q(
+    "src_format_roundtrip",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("vfmt").toString + "/t"
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      ev.filter(col("event_id") % 2 === 0).write
+        .format("graft-versioned").save(dir) // v1 (ErrorIfExists→append)
+      ev.filter(col("event_id") % 2 === 1).write
+        .format("graft-versioned").mode("append").save(dir) // v2
+      // the re-release: values re-scored, full snapshot replaced
+      ev.withColumn("value", col("value") * 2).write
+        .format("graft-versioned").mode("overwrite").save(dir) // v3
+      def grp(df: org.apache.spark.sql.DataFrame, state: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(lit(state).as("state"), col("event_type"), col("n"),
+            col("sv"))
+      val before = s.read.format("graft-versioned")
+        .option("versionAsOf", "2").load(dir)
+        .filter(col("user_id") < 300)
+      val after = s.read.format("graft-versioned").load(dir)
+        .filter(col("user_id") < 300)
+      grp(before, "a_v2").unionAll(grp(after, "b_rescored"))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""
+      SELECT 'a_v2' AS state, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM events WHERE user_id < 300 GROUP BY 2
+      UNION ALL
+      SELECT 'b_rescored', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value * 2), 2)
+      FROM events WHERE user_id < 300 GROUP BY 2
+      ORDER BY state, event_type"""))
 
   /** End-to-end CDC replication as a content gate
     * ([[graft.streaming.EventsStream.replicateSink]] over the

@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The V1 `sources.Filter` → `Column` translation shared by every SQL
+  * face of the versioned table ([[GraftVersionedProvider]]'s
+  * PrunedFilteredScan, [[GraftCatalog]]'s V1Scan bridge and DELETE
+  * support). Translation is EXACT, never approximate: a translated
+  * column evaluates to precisely the filter's documented semantics
+  * (standard SQL three-valued logic — a NULL predicate result selects
+  * nothing), so callers may use it both for pruning (where re-applying
+  * the full predicate afterwards makes exactness optional) and for
+  * row-level DELETE (where it is load-bearing). A shape with no exact
+  * `Column` equivalent returns None and the caller must degrade (skip
+  * the pushdown / refuse the delete) rather than guess.
+  */
+private[sources] object SqlBridge {
+
+  private def c(attr: String): Column = col(s"`$attr`")
+
+  /** Exact Column equivalent of `f`, or None when no exact form exists.
+    * `In` needs care: the V1 filter contract is "attribute is equal to
+    * one of the values" where a NULL in `values` matches nothing
+    * definite — `isin` implements exactly that (NULL yields NULL, which
+    * filters out).
+    */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(c(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(c(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+    case LessThan(a, v) => Some(c(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+    case In(a, vs) => Some(c(a).isin(vs.toSeq.map(lit): _*))
+    case IsNull(a) => Some(c(a).isNull)
+    case IsNotNull(a) => Some(c(a).isNotNull)
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(x) => toColumn(x).map(not)
+    case StringStartsWith(a, p) => Some(c(a).startsWith(p))
+    case StringEndsWith(a, p) => Some(c(a).endsWith(p))
+    case StringContains(a, p) => Some(c(a).contains(p))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  /** The conjunction of `filters` as one exact Column — None when ANY
+    * conjunct fails to translate (a partial conjunction would be a
+    * WEAKER predicate, which for DELETE means deleting too much).
+    * An empty array is SQL's missing WHERE: everything.
+    */
+  def conjunction(filters: Seq[Filter]): Option[Column] =
+    filters.foldLeft(Option(lit(true))) { (acc, f) =>
+      for (a <- acc; fc <- toColumn(f)) yield a && fc
+    }
+
+  /** The scan every SQL face runs: the pruning snapshot read with the
+    * translated predicates applied INSIDE the inner plan — that is what
+    * lets [[ManifestFileIndex]] see them as pushed data filters and cut
+    * files at plan time — projected to `required` in order. The engine
+    * re-applies the full residual predicate on top (both V1
+    * PrunedFilteredScan and the V1Scan bridge declare every filter
+    * residual), so the pushdown is pure I/O savings, never a
+    * correctness surface.
+    */
+  def scan(spark: SparkSession, table: String, version: Option[Int],
+      required: Seq[String], pushed: Seq[Column]): RDD[Row] = {
+    val base = Versioned.readForScan(spark, table, version)
+    val filtered = pushed.foldLeft(base)(_ filter _)
+    filtered.select(required.map(n => col(s"`$n`")): _*).rdd
+  }
+}
+
+/** `spark.read.format("graft-versioned")` / `df.write.format(
+  * "graft-versioned")` — the V1 DataSource face of [[Versioned]]
+  * (public prior art: delta-core's pre-DSv2 RelationProvider face).
+  * Read options: `path` (the table root), `versionAsOf` (a snapshot
+  * number or a tag name — [[Versioned.tag]]), `timestampAsOf` (epoch
+  * millis, resolved by commit time like [[Versioned.readAsOf]]).
+  * Writes map SaveMode onto the commit API: Append → [[Versioned
+  * .append]], Overwrite → [[Versioned.replace]] (a full re-release —
+  * previous snapshots stay readable), ErrorIfExists / Ignore honor
+  * their contracts against table existence. Scans go through
+  * [[SqlBridge.scan]], so a filtered read prunes data files from the
+  * manifest stats at plan time.
+  */
+final class GraftVersionedProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-versioned requires a path (load(path) or option(\"path\", …))"))
+
+  /** `versionAsOf` resolves a number, then a tag; `timestampAsOf`
+    * resolves by commit time. Naming both is ambiguous and rejects.
+    */
+  private def versionOf(table: String,
+      parameters: Map[String, String]): Option[Int] = {
+    val byV = parameters.get("versionAsOf").map { v =>
+      v.toIntOption.getOrElse(Versioned.tags(table).getOrElse(v,
+        throw new IllegalArgumentException(
+          s"versionAsOf '$v' is neither a snapshot number nor a tag of " +
+            table)))
+    }
+    val byTs = parameters.get("timestampAsOf")
+      .map(ts => Versioned.versionAsOf(table, ts.toLong))
+    require(byV.isEmpty || byTs.isEmpty,
+      "set versionAsOf or timestampAsOf, not both")
+    byV.orElse(byTs)
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val table = pathOf(parameters)
+    new VersionedRelation(sqlContext, table, versionOf(table, parameters))
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val table = pathOf(parameters)
+    val exists = Versioned.currentVersion(table) > 0
+    mode match {
+      case SaveMode.Append => Versioned.append(data, table)
+      case SaveMode.Overwrite => Versioned.replace(data, table)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-versioned table already exists at $table (mode " +
+            "ErrorIfExists)")
+        Versioned.append(data, table)
+      case SaveMode.Ignore => if (!exists) Versioned.append(data, table)
+    }
+    new VersionedRelation(sqlContext, table, None)
+  }
+}
+
+/** The V1 relation over one pinned (or head) snapshot: column-pruned,
+  * filter-pushed scans via [[SqlBridge.scan]], inserts via the commit
+  * API. `unhandledFilters` keeps the BaseRelation default — every
+  * filter is re-applied by the engine above the scan — so the pushed
+  * translation only ever REDUCES I/O.
+  */
+private[sources] final class VersionedRelation(
+    @transient override val sqlContext: SQLContext, table: String,
+    version: Option[Int])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  override val schema: StructType =
+    Versioned.schemaAt(sqlContext.sparkSession, table, version)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] =
+    SqlBridge.scan(sqlContext.sparkSession, table, version,
+      requiredColumns.toSeq, filters.toSeq.flatMap(SqlBridge.toColumn))
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(version.isEmpty,
+      s"cannot write to a time-travel read of $table (v=${version.get})")
+    if (overwrite) Versioned.replace(data, table)
+    else Versioned.append(data, table)
+  }
+}

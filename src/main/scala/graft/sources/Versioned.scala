@@ -1909,4 +1909,69 @@ object Versioned {
       fs.delete(new Path(manifestDir(table, v)), true)
     }
   }
+
+  // ---- SQL-surface helpers (GraftCatalog / graft-versioned format) ----
+
+  /** Create an EMPTY versioned table recording only the schema — the
+    * catalog `CREATE TABLE` shape: v1 lists no data files, reads return
+    * an empty frame AT this schema, and the first append evolves
+    * additively from it. Fails when the table already has a snapshot
+    * (CREATE of an existing table is the caller's
+    * TableAlreadyExistsException, not a silent new commit).
+    */
+  def createEmpty(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType): Int =
+    commitLoop(spark, table, { (_, cur) =>
+      require(cur == 0, s"$table already has a snapshot (v=$cur)")
+      Some(Content(Nil, Nil, Nil, Some(schema), Nil, Nil))
+    }).get
+
+  /** True when snapshot `version` (default: head) carries unmerged MOR
+    * delete files — the read path must then anti-join the mask, so
+    * planner-integrated file skipping ([[indexedRead]]) is unavailable
+    * until [[compact]] materializes. Manifest-only; no data I/O.
+    */
+  def hasDeleteFiles(spark: SparkSession, table: String,
+      version: Option[Int] = None): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = version.getOrElse(currentVersion(table, conf))
+    v > 0 && manifestAll(spark, table, v).deletes.nonEmpty
+  }
+
+  /** The stored table schema at snapshot `version` (default: head);
+    * legacy manifests from before schema tracking fall back to one data
+    * footer. The SQL surfaces resolve column references against this.
+    */
+  def schemaAt(spark: SparkSession, table: String,
+      version: Option[Int] = None): org.apache.spark.sql.types.StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = version.getOrElse(currentVersion(table, conf))
+    require(listVersions(table, conf).contains(v), s"no snapshot v=$v at $table")
+    val m = manifestAll(spark, table, v)
+    m.schema.getOrElse {
+      require(m.files.nonEmpty, s"empty legacy snapshot v=$v has no schema")
+      spark.read.parquet(m.files.head).schema
+    }
+  }
+
+  /** The read the SQL surfaces plan through: [[indexedRead]] (manifest
+    * stats + byte lengths drive plan-time file skipping, zero stat RPCs)
+    * whenever the snapshot is delete-free, degrading to the plain
+    * MOR-masked [[read]] while delete files are pending — correctness
+    * never depends on which path served the scan.
+    */
+  def readForScan(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame =
+    if (hasDeleteFiles(spark, table, version)) read(spark, table, version)
+    else indexedRead(spark, table, version)
+
+  /** Snapshot `version`'s data files in manifest spelling (sorted) —
+    * the `files` metadata-table feed. Manifest-only; no data I/O.
+    */
+  def listDataFiles(spark: SparkSession, table: String,
+      version: Option[Int] = None): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = version.getOrElse(currentVersion(table, conf))
+    if (v == 0) Seq.empty else manifestAll(spark, table, v).files
+  }
 }
