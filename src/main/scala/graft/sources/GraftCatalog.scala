@@ -106,10 +106,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     isTable(new Path(tablePath(ident)))
 
   override def loadTable(ident: Identifier): Table = {
-    if (tableExists(ident))
-      return new VersionedSparkTable(tablePath(ident),
+    if (tableExists(ident)) {
+      // pin the CURRENT snapshot at load (the Iceberg/Delta contract):
+      // the scan then reads the version the statement was analyzed
+      // against — a concurrent commit between analysis and execution
+      // (or between a self-join's two scans) cannot split one query
+      // across two table states. Writes/deletes still run against the
+      // head via the commit loop; only explicit time travel is readOnly.
+      val table = tablePath(ident)
+      return new VersionedSparkTable(table,
         s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}",
-        None)
+        Some(Versioned.currentVersion(table)), readOnly = false)
+    }
     metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
   }
 
@@ -142,8 +150,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           StructField("bytes", LongType))),
         { s =>
           import s.implicits._
-          val sizes = Versioned.dataFileSizes(s, table)
-          Versioned.listDataFiles(s, table)
+          // resolve the head ONCE: independent resolutions could straddle
+          // a concurrent commit and pair v(n+1) paths with v(n) bytes
+          val v = Some(Versioned.currentVersion(table))
+          val sizes = Versioned.dataFileSizes(s, table, v)
+          Versioned.listDataFiles(s, table, v)
             .map(f => (f, sizes.get(f)))
             .toDF("path", "bytes").orderBy("path")
         }))
@@ -169,7 +180,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalArgumentException(
           s"VERSION AS OF '$version' is neither a snapshot number nor a " +
             s"tag of $table")))
-    new VersionedSparkTable(table, s"${ident.name}@v$v", Some(v))
+    new VersionedSparkTable(table, s"${ident.name}@v$v", Some(v),
+      readOnly = true)
   }
 
   /** `TIMESTAMP AS OF x`: Spark hands epoch MICROseconds; commit times
@@ -179,7 +191,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val table = tablePath(ident)
     val v = Versioned.versionAsOf(table, timestamp / 1000L)
-    new VersionedSparkTable(table, s"${ident.name}@v$v", Some(v))
+    new VersionedSparkTable(table, s"${ident.name}@v$v", Some(v),
+      readOnly = true)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -232,7 +245,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespace.isEmpty) return listNamespaces()
     val dir = dirOf(namespace.toSeq)
     val f = fs(dir)
-    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    // a TABLE path is not a namespace: without this, SHOW NAMESPACES IN
+    // cat.ns.t would leak the table's internal layout (data/, _manifests
+    // siblings) as namespaces while namespaceExists says false
+    if (!f.exists(dir) || isTable(dir))
+      throw new NoSuchNamespaceException(namespace)
     f.listStatus(dir).toSeq
       .filter(s => s.isDirectory && !isTable(s.getPath) &&
         !s.getPath.getName.startsWith("_"))
@@ -284,7 +301,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * history reject loudly.
   */
 private[sources] final class VersionedSparkTable(table: String,
-    ident: String, pinned: Option[Int])
+    ident: String, pinned: Option[Int], readOnly: Boolean)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
@@ -339,7 +356,7 @@ private[sources] final class VersionedSparkTable(table: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ov: Boolean): Unit = {
-              require(pinned.isEmpty,
+              require(!readOnly,
                 s"cannot write to time-travel read $ident")
               if (overwrite || ov) Versioned.replace(data, table)
               else Versioned.append(data, table)
@@ -355,10 +372,10 @@ private[sources] final class VersionedSparkTable(table: String,
     * whole-file drops as pure metadata, partial files rewritten.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinned.isEmpty && SqlBridge.conjunction(filters.toSeq).isDefined
+    !readOnly && SqlBridge.conjunction(filters.toSeq).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    require(pinned.isEmpty, s"cannot delete from time-travel read $ident")
+    require(!readOnly, s"cannot delete from time-travel read $ident")
     val pred = SqlBridge.conjunction(filters.toSeq).getOrElse(
       throw new UnsupportedOperationException(
         s"untranslatable DELETE predicate: ${filters.mkString(", ")}"))

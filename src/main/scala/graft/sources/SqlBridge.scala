@@ -20,7 +20,18 @@ import org.apache.spark.sql.types.StructType
   */
 private[sources] object SqlBridge {
 
-  private def c(attr: String): Column = col(s"`$attr`")
+  /** TOP-LEVEL column reference for a V1 filter attribute — None for
+    * nested-field names: DSv2 pushes nested predicates with DOTTED
+    * attribute names (`s.x` for struct field x), and backtick-quoting
+    * the whole name would reference a nonexistent top-level column —
+    * crashing a valid query, or for DELETE silently evaluating against
+    * the WRONG column if a literal "s.x" column also existed. Refusing
+    * here makes nested predicates residual-only (scans stay correct,
+    * just unpruned) and makes DELETE reject them via canDeleteWhere.
+    */
+  private def c(attr: String): Option[Column] =
+    if (attr.contains(".") || attr.contains("`")) None
+    else Some(col(s"`$attr`"))
 
   /** Exact Column equivalent of `f`, or None when no exact form exists.
     * `In` needs care: the V1 filter contract is "attribute is equal to
@@ -29,21 +40,21 @@ private[sources] object SqlBridge {
     * filters out).
     */
   def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(c(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(c(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
-    case LessThan(a, v) => Some(c(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
-    case In(a, vs) => Some(c(a).isin(vs.toSeq.map(lit): _*))
-    case IsNull(a) => Some(c(a).isNull)
-    case IsNotNull(a) => Some(c(a).isNotNull)
+    case EqualTo(a, v) => c(a).map(_ === lit(v))
+    case EqualNullSafe(a, v) => c(a).map(_ <=> lit(v))
+    case GreaterThan(a, v) => c(a).map(_ > lit(v))
+    case GreaterThanOrEqual(a, v) => c(a).map(_ >= lit(v))
+    case LessThan(a, v) => c(a).map(_ < lit(v))
+    case LessThanOrEqual(a, v) => c(a).map(_ <= lit(v))
+    case In(a, vs) => c(a).map(_.isin(vs.toSeq.map(lit): _*))
+    case IsNull(a) => c(a).map(_.isNull)
+    case IsNotNull(a) => c(a).map(_.isNotNull)
     case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
     case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case Not(x) => toColumn(x).map(not)
-    case StringStartsWith(a, p) => Some(c(a).startsWith(p))
-    case StringEndsWith(a, p) => Some(c(a).endsWith(p))
-    case StringContains(a, p) => Some(c(a).contains(p))
+    case StringStartsWith(a, p) => c(a).map(_.startsWith(p))
+    case StringEndsWith(a, p) => c(a).map(_.endsWith(p))
+    case StringContains(a, p) => c(a).map(_.contains(p))
     case AlwaysTrue() => Some(lit(true))
     case AlwaysFalse() => Some(lit(false))
     case _ => None
@@ -152,12 +163,20 @@ private[sources] final class VersionedRelation(
     version: Option[Int])
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
+  /** The snapshot every scan of this relation reads, PINNED at load —
+    * schema and rows must come from one version even when a concurrent
+    * commit lands between load() and the action (or between a
+    * self-join's two scans).
+    */
+  private val scanVersion: Option[Int] =
+    Some(version.getOrElse(Versioned.currentVersion(table)))
+
   override val schema: StructType =
-    Versioned.schemaAt(sqlContext.sparkSession, table, version)
+    Versioned.schemaAt(sqlContext.sparkSession, table, scanVersion)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] =
-    SqlBridge.scan(sqlContext.sparkSession, table, version,
+    SqlBridge.scan(sqlContext.sparkSession, table, scanVersion,
       requiredColumns.toSeq, filters.toSeq.flatMap(SqlBridge.toColumn))
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {

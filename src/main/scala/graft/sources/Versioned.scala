@@ -368,12 +368,33 @@ object Versioned {
       statsRaw: Seq[String] = Seq.empty,
       sizesRaw: Seq[String] = Seq.empty)
 
+  /** Committed manifests are IMMUTABLE (a new commit is a new `v=N+1`
+    * directory; expire deletes old ones, never rewrites), so parsed
+    * snapshots cache per (table, version) — one SQL statement otherwise
+    * pays several driver Spark jobs re-collecting the same manifest
+    * (schema resolution, delete-mask check, scan). The cached entry is
+    * validated against the manifest directory's CURRENT mtime (one
+    * metadata RPC, not a job): a drop-and-recreate of the same table
+    * path reuses version numbers with different content, and the fresh
+    * directory's mtime evicts the stale parse. Bounded by wholesale
+    * clear — the working set is a handful of hot snapshots.
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      (Long, Snapshot)]
+
   private def manifestAll(spark: SparkSession, table: String,
       v: Int): Snapshot = {
     import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mtime = fsFor(table, conf)
+      .getFileStatus(new Path(manifestDir(table, v))).getModificationTime
+    val key = (table, v)
+    val hit = manifestCache.get(key)
+    if (hit != null && hit._1 == mtime) return hit._2
     val rows = spark.read.parquet(manifestDir(table, v))
       .as[(String, String)].collect()
-    Snapshot(
+    val snap = Snapshot(
       rows.collect { case ("f", f) => f }.toSeq.sorted,
       rows.collect { case ("t", t) => t.toLong }.toSeq.sorted,
       rows.collect { case ("d", p) => p }.toSeq.sorted,
@@ -383,12 +404,27 @@ object Versioned {
       },
       rows.collect { case ("fs", s) => s }.toSeq.sorted,
       rows.collect { case ("fl", s) => s }.toSeq.sorted)
+    if (manifestCache.size > 256) manifestCache.clear()
+    manifestCache.put(key, (mtime, snap))
+    snap
   }
 
   private def manifestFull(spark: SparkSession, table: String,
       v: Int): (Seq[String], Seq[Long], Seq[String]) = {
     val m = manifestAll(spark, table, v); (m.files, m.txns, m.deletes)
   }
+
+  /** The ONE legacy-schema fallback rule (manifest schema, else the
+    * first data footer, else fail loudly) — indexedRead, schemaAt, and
+    * delete all resolve through here so the SQL surfaces and the API
+    * reads can never diverge on it.
+    */
+  private def schemaOfSnapshot(spark: SparkSession, m: Snapshot,
+      what: => String): org.apache.spark.sql.types.StructType =
+    m.schema.getOrElse {
+      require(m.files.nonEmpty, s"empty legacy snapshot $what has no schema")
+      spark.read.parquet(m.files.head).schema
+    }
 
   /** The snapshot's stored table schema (None on legacy manifests from
     * before schema tracking — readers then fall back to per-footer
@@ -1131,8 +1167,7 @@ object Versioned {
     // CATALYST comparisons with implicit casts explicit (a raw Column in
     // Spark 4 carries only an UnresolvedFunction node tree); a
     // zero-row local frame makes the analysis driver-only
-    val schema = m.schema.getOrElse(
-      spark.read.parquet(m.files.head).schema)
+    val schema = schemaOfSnapshot(spark, m, s"at $table")
     val predExpr = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .filter(pred).queryExecution.analyzed.collectFirst {
@@ -1441,10 +1476,7 @@ object Versioned {
     val m = manifestAll(spark, table, v)
     require(m.deletes.isEmpty,
       s"indexedRead needs a delete-free snapshot (compact $table first)")
-    val schema = m.schema.getOrElse {
-      require(m.files.nonEmpty, s"empty legacy snapshot v=$v has no schema")
-      spark.read.parquet(m.files.head).schema
-    }
+    val schema = schemaOfSnapshot(spark, m, s"v=$v")
     if (m.files.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // manifest-recorded byte lengths let the index synthesize every
@@ -1947,23 +1979,24 @@ object Versioned {
     val conf = spark.sparkContext.hadoopConfiguration
     val v = version.getOrElse(currentVersion(table, conf))
     require(listVersions(table, conf).contains(v), s"no snapshot v=$v at $table")
-    val m = manifestAll(spark, table, v)
-    m.schema.getOrElse {
-      require(m.files.nonEmpty, s"empty legacy snapshot v=$v has no schema")
-      spark.read.parquet(m.files.head).schema
-    }
+    schemaOfSnapshot(spark, manifestAll(spark, table, v), s"v=$v")
   }
 
   /** The read the SQL surfaces plan through: [[indexedRead]] (manifest
     * stats + byte lengths drive plan-time file skipping, zero stat RPCs)
     * whenever the snapshot is delete-free, degrading to the plain
     * MOR-masked [[read]] while delete files are pending — correctness
-    * never depends on which path served the scan.
+    * never depends on which path served the scan. The head resolves
+    * ONCE: checking one version and reading another (a concurrent MOR
+    * commit between the two) would crash a plain SELECT.
     */
   def readForScan(spark: SparkSession, table: String,
-      version: Option[Int] = None): DataFrame =
-    if (hasDeleteFiles(spark, table, version)) read(spark, table, version)
-    else indexedRead(spark, table, version)
+      version: Option[Int] = None): DataFrame = {
+    val v = Some(version.getOrElse(
+      currentVersion(table, spark.sparkContext.hadoopConfiguration)))
+    if (hasDeleteFiles(spark, table, v)) read(spark, table, v)
+    else indexedRead(spark, table, v)
+  }
 
   /** Snapshot `version`'s data files in manifest spelling (sorted) —
     * the `files` metadata-table feed. Manifest-only; no data I/O.

@@ -201,6 +201,27 @@ class SqlCatalogSpec extends AnyFunSuite {
       ev.withColumn("value", col("value") * 2))
   }
 
+  test("nested-field predicates stay residual (never mistranslated) and " +
+      "evaluate correctly through SQL") {
+    import org.apache.spark.sql.sources.{EqualTo => V1EqualTo}
+    // a dotted V1 attribute is a NESTED field reference — backtick-
+    // wrapping it would name a nonexistent top-level column, so the
+    // translation must refuse (scan keeps it residual; DELETE rejects)
+    assert(SqlBridge.toColumn(V1EqualTo("s.x", 1)).isEmpty)
+    assert(SqlBridge.conjunction(Seq(V1EqualTo("s.x", 1))).isEmpty)
+    val wh = catalog("gsp9")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp9.ns")
+    val dir = s"$wh/ns/t"
+    Versioned.append(
+      ev.select(col("event_id"),
+        struct(col("user_id").as("x"), col("event_type").as("k")).as("s")),
+      dir)
+    val got = spark.sql(
+      "SELECT event_id FROM gsp9.ns.t WHERE s.x < 10 ORDER BY event_id")
+    assertSameRows(got, ev.filter(col("user_id") < 10)
+      .select(col("event_id")).orderBy(col("event_id")))
+  }
+
   test("metadata tables: history, files, and tags read through SQL") {
     val wh = catalog("gsp8")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp8.ns")
@@ -244,5 +265,10 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists("gsp7.ns.b"))
     assert(spark.sql("SHOW NAMESPACES IN gsp7").collect()
       .map(_.getString(0)).contains("ns"))
+    // a table path is NOT a namespace — listing inside it must not leak
+    // the table's internal layout (data/, _manifests) as namespaces
+    intercept[Exception] {
+      spark.sql("SHOW NAMESPACES IN gsp7.ns.b").collect()
+    }
   }
 }
