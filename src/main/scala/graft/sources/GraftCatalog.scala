@@ -7,8 +7,9 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -302,7 +303,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 private[sources] final class VersionedSparkTable(table: String,
     ident: String, pinned: Option[Int], readOnly: Boolean)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -311,6 +313,19 @@ private[sources] final class VersionedSparkTable(table: String,
   override lazy val schema: StructType =
     Versioned.schemaAt(spark, table, pinned)
 
+  /** `_file` — each row's source data file (Iceberg's metadata column):
+    * selectable in plain SQL and REQUIRED by the row-level rewrite plan
+    * (the group identity [[GraftRowLevelOperation]] replaces by).
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = RowLevelFile.Name
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path holding the row"
+    })
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -318,9 +333,12 @@ private[sources] final class VersionedSparkTable(table: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
-        with SupportsPushDownRequiredColumns {
+        with SupportsPushDownRequiredColumns
+        with SupportsPushDownAggregates {
       private var required: StructType = schema
       private var pushed: Array[Filter] = Array.empty
+      private var aggResult: Option[(StructType, Seq[Any])] = None
+      private var aggPushed = false
 
       /** Record what translates (for the inner scan's plan-time file
         * admission + EXPLAIN's PushedFilters), but return EVERY filter
@@ -335,16 +353,52 @@ private[sources] final class VersionedSparkTable(table: String,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
-      override def build(): Scan = {
-        val req = required
-        val cols = pushed.toSeq.flatMap(SqlBridge.toColumn)
-        new V1Scan {
-          override def readSchema(): StructType = req
-          override def toV1TableScan[T <: BaseRelation with TableScan](
-              context: SQLContext): T =
-            new VersionedV1TableScan(context, table, pinned,
-              req).withFilters(cols).asInstanceOf[T]
-        }
+      /** Metadata-only COUNT/MIN/MAX ([[AggPushdown]] — the Iceberg
+        * `SELECT COUNT(*)` shape): answered entirely from manifest
+        * stats when sound, refused otherwise. The engine only offers
+        * aggregates when no residual filter survives, so an accepted
+        * push is always a WHOLE-snapshot aggregate.
+        */
+      override def supportCompletePushDown(agg: Aggregation): Boolean = {
+        // recompute per offer (cheap: the parsed manifest is cached);
+        // probing and pushing may not carry the same Aggregation object
+        val v = pinned.getOrElse(Versioned.currentVersion(table))
+        val (files, stats, _, tableSchema, nDeletes) =
+          Versioned.rowLevelSnapshot(spark, table, v)
+        aggResult =
+          AggPushdown.compute(agg, stats, files, nDeletes, tableSchema)
+        aggResult.isDefined
+      }
+
+      /** Partial pushdown is refused (complete-or-nothing: partial
+        * results would still scan every file, buying nothing).
+        */
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        aggPushed = supportCompletePushDown(agg)
+        aggPushed
+      }
+
+      override def build(): Scan = aggResult.filter(_ => aggPushed) match {
+        case Some((aggSchema, values)) =>
+          new V1Scan {
+            override def readSchema(): StructType = aggSchema
+            override def description(): String =
+              s"graft-metadata-agg ${aggSchema.fieldNames.mkString(",")}"
+            override def toV1TableScan[T <: BaseRelation with TableScan](
+                context: SQLContext): T =
+              new MetadataAggScan(context, aggSchema, values)
+                .asInstanceOf[T]
+          }
+        case None =>
+          val req = required
+          val cols = pushed.toSeq.flatMap(SqlBridge.toColumn)
+          new V1Scan {
+            override def readSchema(): StructType = req
+            override def toV1TableScan[T <: BaseRelation with TableScan](
+                context: SQLContext): T =
+              new VersionedV1TableScan(context, table, pinned,
+                req).withFilters(cols).asInstanceOf[T]
+          }
       }
     }
 
@@ -371,6 +425,23 @@ private[sources] final class VersionedSparkTable(table: String,
     * wrong rows. The delete itself is [[Versioned.delete]]: stats-proven
     * whole-file drops as pure metadata, partial files rewritten.
     */
+  /** SQL `UPDATE` / `MERGE INTO` / untranslatable-`DELETE` — Spark's
+    * group-based rewrite over [[GraftRowLevelOperation]] (copy-on-write
+    * group replacement with manifest-stats group pruning). Translatable
+    * DELETE predicates never reach it: `OptimizeMetadataOnlyDeleteFromTable`
+    * routes them back to [[deleteWhere]]'s metadata tier below.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(!readOnly,
+      s"cannot ${info.command} a time-travel read of $ident")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(table,
+          pinned.getOrElse(Versioned.currentVersion(table)), info.command)
+    }
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !readOnly && SqlBridge.conjunction(filters.toSeq).isDefined
 
@@ -381,6 +452,20 @@ private[sources] final class VersionedSparkTable(table: String,
         s"untranslatable DELETE predicate: ${filters.mkString(", ")}"))
     Versioned.delete(spark, table, pred)
   }
+}
+
+/** The one-row relation a completely-pushed aggregate returns: values
+  * were computed on the DRIVER from manifest stats; the scan ships them
+  * as a single-row RDD — zero data-file I/O by construction.
+  */
+private[sources] final class MetadataAggScan(
+    @transient override val sqlContext: SQLContext,
+    override val schema: StructType, values: Seq[Any])
+    extends BaseRelation with TableScan {
+  override def buildScan()
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    sqlContext.sparkContext.parallelize(
+      Seq(org.apache.spark.sql.Row.fromSeq(values)), 1)
 }
 
 /** A read-only, driver-computed metadata table (`history`/`files`/

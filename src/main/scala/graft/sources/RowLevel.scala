@@ -1,0 +1,592 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionSpec, PartitionedFile, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.{Filter => VFilter}
+import org.apache.spark.sql.{sources => vf}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate `DELETE FROM` for
+  * [[Versioned]] tables through Spark's OWN row-level operation seam
+  * (`SupportsRowLevelOperations` — the DSv2 integration Iceberg publishes;
+  * Spark 4's `RewriteUpdateTable`/`RewriteMergeIntoTable`/
+  * `RewriteDeleteFromTable` turn the statement into a group-based
+  * `ReplaceData` plan): the engine plans ONE distributed query producing
+  * the affected groups' replacement rows, and the connector supplies
+  *
+  *  - the GROUP-GRANULAR scan ([[GraftRowLevelOperation.newScanBuilder]]):
+  *    the statement's condition arrives as pushed V1 filters which are
+  *    used ONLY to prune whole files via the snapshot's manifest stats
+  *    (the [[ManifestFileIndex]] may-match admission — never to drop
+  *    individual rows, which would corrupt a group replacement); rows of
+  *    admitted files stream through Spark's own vectorized V2 parquet
+  *    batch over a ZERO-RPC file index synthesized from manifest-recorded
+  *    lengths;
+  *  - the distributed V2 write ([[GraftBatchWrite]]): executors write
+  *    replacement parquet task files straight into the staged commit
+  *    directory (speculative/retried attempts prune by commit message),
+  *    and the driver-side commit swaps affected files for replacement
+  *    files in ONE optimistic manifest commit with the house
+  *    copy-on-write validation ([[Versioned.commitReplaceGroups]] — same
+  *    rebase/abort rules as the API `merge`).
+  *
+  * Scale shape: rewrite cost is O(may-match files) for UPDATE/DELETE
+  * (the condition prunes at plan time from driver-held stats) and
+  * O(table) for MERGE (no static condition; runtime group filtering is
+  * a documented follow-up), never a driver-side row loop; the write is
+  * executor-parallel with no driver materialization. Translatable DELETE
+  * predicates never reach this path at all — Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable` routes them back to
+  * [[VersionedSparkTable.deleteWhere]]'s stats-proven metadata tier.
+  *
+  * Contract notes: requires a delete-free snapshot (pending MOR masks
+  * cannot be applied inside a file-granular scan — `compact` first;
+  * refusal is loud at planning) and commits at basis+1 with the standard
+  * validate-then-retry (concurrent appends rebase; a concurrent rewrite
+  * of an affected file aborts).
+  */
+private[sources] final class GraftRowLevelOperation(table: String,
+    basisVersion: Int, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** Files the operation's scan admitted (full manifest spellings) —
+    * the GROUPS the write replaces. Set when the scan builds; read by
+    * [[GraftBatchWrite.commit]].
+    */
+  @volatile private[sources] var affectedFiles: Option[Seq[String]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-versioned $cmd (copy-on-write group replacement)"
+
+  /** The affected-group identity column, Iceberg-style: the rewrite
+    * plan carries each row's source file so (a) the engine's runtime
+    * group filtering can narrow the rewrite to files that actually hold
+    * matching rows, and (b) Spark's DataAndMetadataWritingSparkTask
+    * applies the row/metadata projections before rows reach the writer.
+    */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(RowLevelFile.Name))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private def spark = SparkSession.active
+      private val (files, stats, sizes, tableSchema, nDeletes) =
+        Versioned.rowLevelSnapshot(spark, table, basisVersion)
+      private var req: StructType = tableSchema
+      private var pushed: Array[VFilter] = Array.empty
+
+      /** The statement condition, recorded for GROUP pruning only; every
+        * filter returns as residual — a row-level scan must yield every
+        * row of every admitted file (non-matching rows of an affected
+        * file are the copied-over half of the group replacement).
+        */
+      override def pushFilters(filters: Array[VFilter]): Array[VFilter] = {
+        pushed = filters
+        filters
+      }
+      override def pushedFilters(): Array[VFilter] = pushed
+      override def pruneColumns(r: StructType): Unit = { req = r }
+
+      override def build(): Scan = {
+        require(nDeletes == 0,
+          s"SQL $cmd on $table needs a delete-free snapshot: pending " +
+            "merge-on-read delete files cannot be masked inside a " +
+            "file-granular rewrite scan — run Versioned.compact first")
+        val admissionExprs =
+          pushed.toSeq.flatMap(RowLevelFilters.toCatalyst(_, tableSchema))
+        val statAdmitted: Seq[String] =
+          if (files.isEmpty) Nil
+          else if (admissionExprs.isEmpty) files
+          else {
+            val idx = new ManifestFileIndex(spark, table, files, stats, sizes)
+            val ok = idx.listFiles(Nil, admissionExprs)
+              .flatMap(_.files)
+              .map(st => Versioned.dataSuffix(st.getPath.toString)).toSet
+            files.filter(f => ok(Versioned.dataSuffix(f)))
+          }
+        affectedFiles = Some(statAdmitted)
+        new RowLevelScan(GraftRowLevelOperation.this, spark, table,
+          tableSchema, req, sizes, files.size, statAdmitted)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String =
+          s"graft-versioned $cmd group-replace write"
+        override def toBatch: BatchWrite =
+          new GraftBatchWrite(table, basisVersion,
+            GraftRowLevelOperation.this, info.schema())
+      }
+    }
+}
+
+/** The `_file` metadata column ([[VersionedSparkTable.metadataColumns]]):
+  * each row's source data file, spelled exactly as the manifest records
+  * it. The row-level rewrite requires it; plain SQL can also select it.
+  */
+private[sources] object RowLevelFile {
+  val Name = "_file"
+}
+
+/** The row-level operation's scan: reads EVERY row of the admitted files
+  * (one input partition per file) through Spark's own V2 parquet reader
+  * over a zero-RPC listing, appending the `_file` metadata column as a
+  * per-partition constant (columnar when the inner reader is columnar —
+  * a [[ConstantColumnVector]], the engine's own metadata-column shape).
+  * Implements the engine's runtime group filtering
+  * ([[SupportsRuntimeV2Filtering]] on `_file`): the optimizer runs the
+  * statement's condition as a separate pruned scan, collects the
+  * matching files, and narrows THIS scan — and with it the affected
+  * group set the write replaces — to files that truly hold matching
+  * rows. MERGE (no static condition) prunes this way too.
+  */
+private[sources] final class RowLevelScan(op: GraftRowLevelOperation,
+    spark: SparkSession, table: String, tableSchema: StructType,
+    req: StructType, sizes: Map[String, Long], totalFiles: Int,
+    statAdmitted: Seq[String]) extends Scan with SupportsRuntimeV2Filtering {
+
+  @volatile private var admitted: Seq[String] = statAdmitted
+
+  /** Data columns requested, in request order, `_file` handled apart. */
+  private val dataReq: StructType =
+    StructType(req.fields.filter(_.name != RowLevelFile.Name))
+  private val wantsFile: Boolean =
+    req.fields.exists(_.name == RowLevelFile.Name)
+  require(!wantsFile || req.fields.last.name == RowLevelFile.Name,
+    s"row-level scan expects ${RowLevelFile.Name} as the LAST requested " +
+      s"column, got ${req.fieldNames.mkString(",")}")
+
+  override def readSchema(): StructType = req
+
+  override def description(): String =
+    s"graft-rowlevel-scan ${op.command()} ${admitted.size}/$totalFiles files"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(RowLevelFile.Name))
+
+  /** Runtime group filtering: the engine hands IN/= predicates over
+    * `_file` collected from the matching-rows subquery. Comparison is by
+    * the house /data/ suffix so URI-spelling drift between the probe
+    * scan's `_file` values and the manifest's cannot widen or lose
+    * groups; an unrecognized predicate shape narrows nothing
+    * (conservative — extra groups rewrite to identical content).
+    */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val parsed = predicates.toSeq.flatMap(RowLevelFilters.fileSet)
+    if (parsed.nonEmpty) {
+      val keep = parsed.map(_.map(Versioned.dataSuffix).toSet)
+        .reduce(_ intersect _)
+      admitted = admitted.filter(f => keep(Versioned.dataSuffix(f)))
+      op.affectedFiles = Some(admitted)
+    }
+  }
+
+  override def toBatch: Batch = {
+    val current = admitted
+    if (current.isEmpty) RowLevelEmptyBatch
+    else new RowLevelBatch(spark, table, tableSchema, dataReq, wantsFile,
+      sizes, current)
+  }
+}
+
+/** One input partition per admitted file (the copy-on-write rewrite
+  * granularity — a group is a file), reader factory delegated to the V2
+  * parquet stack and wrapped with the `_file` constant append.
+  */
+private[sources] final class RowLevelBatch(spark: SparkSession,
+    table: String, tableSchema: StructType, dataReq: StructType,
+    wantsFile: Boolean, sizes: Map[String, Long], admitted: Seq[String])
+    extends Batch {
+
+  private def statusOf(f: String): FileStatus = {
+    val p = new Path(f)
+    sizes.get(f)
+      .map(len => new FileStatus(len, false, 1, 128L << 20, 0L, p))
+      .getOrElse(p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).getFileStatus(p))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    admitted.zipWithIndex.map { case (f, i) =>
+      val st = statusOf(f)
+      FilePartition(i, Array(PartitionedFile(InternalRow.empty,
+        SparkPath.fromPathString(f), 0L, st.getLen, Array.empty,
+        st.getModificationTime, st.getLen,
+        Map.empty))): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val statuses = admitted.map(statusOf)
+    val idx = new ListedFileIndex(spark, statuses)
+    // asNullable: the manifest schema can carry non-null fields (e.g. a
+    // column born from literals), but files from BEFORE an additive
+    // evolution lack the column entirely — the reader must null-fill,
+    // not demand it (spark.read coerces user schemas the same way)
+    def nullable(s: StructType): StructType =
+      StructType(s.fields.map(_.copy(nullable = true)))
+    val readerSchema = nullable(tableSchema)
+    val sb = ParquetScanBuilder(spark, idx, readerSchema, readerSchema,
+      CaseInsensitiveStringMap.empty())
+    sb.pruneColumns(nullable(dataReq))
+    val inner = sb.build().toBatch.createReaderFactory()
+    if (!wantsFile) inner
+    else new FileTaggingReaderFactory(inner, dataReq.size)
+  }
+}
+
+/** A scan over zero admitted files (the condition provably matches no
+  * file): no partitions, so no groups are affected and the commit
+  * no-ops.
+  */
+private[sources] object RowLevelEmptyBatch extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = Array.empty
+  override def createReaderFactory(): PartitionReaderFactory =
+    (_: InputPartition) => throw new IllegalStateException(
+      "empty row-level scan has no partitions to read")
+}
+
+/** Appends the partition's file path as a trailing constant `_file`
+  * column — [[ConstantColumnVector]] on the columnar path (keeping the
+  * vectorized parquet reader), a reused [[JoinedRow]] on the row path.
+  * Partitions are single-file by construction, so the constant is exact.
+  */
+private[sources] final class FileTaggingReaderFactory(
+    inner: PartitionReaderFactory, nDataCols: Int)
+    extends PartitionReaderFactory {
+
+  private def fileOf(partition: InputPartition): UTF8String =
+    partition match {
+      case fp: FilePartition =>
+        require(fp.files.length == 1,
+          s"row-level partitions are single-file; got ${fp.files.length}")
+        UTF8String.fromString(fp.files.head.filePath.toString)
+      case other => throw new IllegalStateException(
+        s"unexpected partition type ${other.getClass.getName}")
+    }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(partition)
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val in = inner.createReader(partition)
+    val fileRow =
+      new GenericInternalRow(Array[Any](fileOf(partition)))
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = joined(in.get(), fileRow)
+      override def close(): Unit = in.close()
+    }
+  }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val in = inner.createColumnarReader(partition)
+    val path = fileOf(partition)
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = in.next()
+      override def get(): ColumnarBatch = {
+        val b = in.get()
+        val fileCol = new ConstantColumnVector(b.numRows(), StringType)
+        fileCol.setUtf8String(path)
+        val cols = (0 until nDataCols).map(b.column).toArray :+
+          (fileCol: ColumnVector)
+        new ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** The distributed replacement write: each task writes one parquet file
+  * into the staged commit directory via Spark's own
+  * [[ParquetWriteSupport]] (the exact writer `df.write.parquet` uses, so
+  * byte-level format conventions match the rest of the table); the
+  * driver commit prunes uncommitted attempt debris, then swaps the
+  * affected files for the replacements through
+  * [[Versioned.commitReplaceGroups]].
+  */
+private[sources] final class GraftBatchWrite(table: String,
+    basisVersion: Int, op: GraftRowLevelOperation, writeSchema: StructType)
+    extends BatchWrite {
+
+  private def spark = SparkSession.active
+  private val uid = Versioned.rowLevelUid()
+  private val stagingDir =
+    Versioned.rowLevelStagingDir(table, uid, basisVersion + 1)
+
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("parquet.write.support.class",
+      classOf[ParquetWriteSupport].getName)
+    ParquetWriteSupport.setSchema(writeSchema, conf)
+    // ParquetWriteSupport.init / SparkToParquetSchemaConverter read these
+    // with NO default (bare conf.get(..).toBoolean) — mirror the
+    // session's effective values, exactly what prepareWrite does
+    val sc = spark.sessionState.conf
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sc.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sc.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf.set("parquet.compression",
+      spark.conf.get("spark.sql.parquet.compression.codec", "snappy"))
+    new RowLevelWriterFactory(stagingDir, new SerializableHadoopConf(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.toSeq
+      .collect { case RowLevelCommitMessage(Some(p)) => p }
+    val affected = op.affectedFiles.getOrElse(
+      throw new IllegalStateException(
+        "row-level write committed before its scan planned"))
+    val fs = new Path(stagingDir).getFileSystem(hadoopConf)
+    val staging = new Path(stagingDir)
+    if (fs.exists(staging)) {
+      // speculative / retried task attempts leave extra files; only the
+      // ones named by commit messages belong to the snapshot
+      val keep = committed.map(p => new Path(p).getName).toSet
+      fs.listStatus(staging)
+        .filter(s => s.isFile && !keep(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    if (affected.isEmpty && committed.isEmpty) {
+      // condition matched no file and produced no rows: mint no version
+      fs.delete(staging, true)
+      return
+    }
+    Versioned.commitReplaceGroups(spark, table, basisVersion, affected,
+      uid, committed, what = s"sql-${op.command()}")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(stagingDir)
+    val fs = staging.getFileSystem(hadoopConf)
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+}
+
+private[sources] final case class RowLevelCommitMessage(path: Option[String])
+    extends WriterCommitMessage
+
+private[sources] final class RowLevelWriterFactory(stagingDir: String,
+    conf: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new RowLevelDataWriter(stagingDir, partitionId, taskId, conf.value)
+}
+
+/** One task's parquet writer, opened LAZILY on the first row so empty
+  * partitions emit no file at all (a group replacement that deletes
+  * every row of the affected files then commits zero files — the
+  * metadata-drop shape).
+  */
+private[sources] final class RowLevelDataWriter(dir: String, pid: Int,
+    tid: Long, conf: Configuration) extends DataWriter[InternalRow] {
+
+  private var writer: ParquetOutputWriter = _
+  private var path: String = _
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      path = f"$dir/part-$pid%05d-$tid.parquet"
+      val attempt = new TaskAttemptID(
+        new TaskID(new JobID("graft-rowlevel", 0), TaskType.MAP, pid),
+        (tid % Int.MaxValue).toInt)
+      writer = new ParquetOutputWriter(path,
+        new TaskAttemptContextImpl(conf, attempt))
+    }
+    writer.write(row)
+  }
+
+  /** Metadata-bearing write (the group-replace task shape): the `_file`
+    * metadata identifies the row's SOURCE group, which the driver-side
+    * commit already tracks wholesale — the data row is all that lands.
+    */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    RowLevelCommitMessage(Option(path))
+  }
+
+  override def abort(): Unit = if (writer != null) {
+    writer.close()
+    val p = new Path(path)
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Hadoop `Configuration` is not Serializable; ship it Writable-style
+  * (the standard Spark idiom) to the executor-side writers.
+  */
+private[sources] final class SerializableHadoopConf(
+    @transient private var conf: Configuration) extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+/** V1 `sources.Filter` → catalyst expression for MANIFEST-STATS FILE
+  * ADMISSION only (never row evaluation): the result feeds
+  * [[SkipIndexBase]]'s conservative may-match translation, so dropping
+  * an untranslatable shape is always safe — it only admits more files.
+  * AND keeps whichever side translates (intersection semantics); OR
+  * needs both sides or nothing (a one-sided OR would under-admit).
+  */
+private[sources] object RowLevelFilters {
+
+  /** The file set a runtime `_file` group-filter predicate names:
+    * `Some(files)` when the predicate is EXACTLY "_file ∈ files" (IN or
+    * equality over string literals — possibly EMPTY: a condition that
+    * matched no row at all narrows the rewrite to zero groups, turning
+    * an unprunable no-match statement into a version-free no-op);
+    * `Some(Nil)` for ALWAYS_FALSE; `None` for any other shape — the
+    * caller must not narrow on what it cannot read exactly.
+    */
+  def fileSet(p: Predicate): Option[Seq[String]] = {
+    val kids = p.children().toSeq
+    val (refs, rest) = kids.partition(_.isInstanceOf[NamedReference])
+    val refsFile = refs.exists {
+      case r: NamedReference =>
+        r.fieldNames.sameElements(Array(RowLevelFile.Name))
+      case _ => false
+    }
+    p.name() match {
+      case "ALWAYS_FALSE" => Some(Nil)
+      case "IN" | "=" if refsFile && refs.size == 1 =>
+        val lits = rest.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType == StringType && l.value != null =>
+            l.value.toString
+        }
+        if (lits.size == rest.size) Some(lits) else None
+      case _ => None
+    }
+  }
+
+  private def attr(name: String,
+      schema: StructType): Option[ce.AttributeReference] =
+    if (name.contains(".") || name.contains("`")) None
+    else schema.find(_.name == name)
+      .map(f => ce.AttributeReference(f.name, f.dataType, nullable = true)())
+
+  private def lit(v: Any): Option[ce.Literal] =
+    scala.util.Try(ce.Literal(v)).toOption
+
+  def toCatalyst(f: VFilter, schema: StructType): Option[ce.Expression] = {
+    def bin(a: String, v: Any,
+        mk: (ce.Expression, ce.Expression) => ce.Expression) =
+      for (ar <- attr(a, schema); l <- lit(v)) yield mk(ar, l)
+    f match {
+      case vf.EqualTo(a, v) => bin(a, v, ce.EqualTo(_, _))
+      case vf.EqualNullSafe(a, v) if v != null =>
+        bin(a, v, ce.EqualNullSafe(_, _))
+      case vf.GreaterThan(a, v) => bin(a, v, ce.GreaterThan(_, _))
+      case vf.GreaterThanOrEqual(a, v) =>
+        bin(a, v, ce.GreaterThanOrEqual(_, _))
+      case vf.LessThan(a, v) => bin(a, v, ce.LessThan(_, _))
+      case vf.LessThanOrEqual(a, v) => bin(a, v, ce.LessThanOrEqual(_, _))
+      case vf.In(a, vs) =>
+        val lits = vs.toSeq.map(lit)
+        if (lits.exists(_.isEmpty)) None
+        else attr(a, schema).map(ar => ce.In(ar, lits.map(_.get)))
+      case vf.IsNull(a) => attr(a, schema).map(ce.IsNull)
+      case vf.IsNotNull(a) => attr(a, schema).map(ce.IsNotNull)
+      case vf.StringStartsWith(a, p) =>
+        for (ar <- attr(a, schema); l <- lit(p))
+          yield ce.StartsWith(ar, l)
+      case vf.And(l, r) =>
+        (toCatalyst(l, schema), toCatalyst(r, schema)) match {
+          case (Some(le), Some(re)) => Some(ce.And(le, re))
+          case (Some(le), None) => Some(le)
+          case (None, Some(re)) => Some(re)
+          case _ => None
+        }
+      case vf.Or(l, r) =>
+        for (le <- toCatalyst(l, schema); re <- toCatalyst(r, schema))
+          yield ce.Or(le, re)
+      case _ => None
+    }
+  }
+}
+
+/** A [[PartitioningAwareFileIndex]] whose listing IS the given statuses —
+  * the row-level scan synthesizes them from manifest-recorded byte
+  * lengths, so planning the inner parquet batch costs ZERO filesystem
+  * RPCs (the [[ManifestFileIndex]] contract, carried into the V2 scan
+  * stack). `allFiles()` resolves root paths against
+  * `leafDirToChildrenFiles` by QUALIFIED path, so every status is
+  * qualified up front and the roots are the files' parent directories.
+  */
+private[sources] final class ListedFileIndex(spark: SparkSession,
+    statuses0: Seq[FileStatus])
+    extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+
+  private val statuses: Seq[FileStatus] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    statuses0.map { s =>
+      val q = s.getPath.getFileSystem(conf).makeQualified(s.getPath)
+      new FileStatus(s.getLen, false, s.getReplication, s.getBlockSize,
+        s.getModificationTime, q)
+    }
+  }
+
+  override def rootPaths: Seq[Path] =
+    statuses.map(_.getPath.getParent).distinct
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override protected def leafFiles
+      : scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    statuses.foreach(s => m.put(s.getPath, s))
+    m
+  }
+  override protected def leafDirToChildrenFiles
+      : Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent).map { case (d, fs) =>
+      d -> fs.toArray }
+  override def refresh(): Unit = ()
+}

@@ -770,7 +770,8 @@ object SourceQueries {
       srcVersionedAsof, srcViewIncremental, srcViewStreamed,
       srcVersionedMetadataDelete, srcVersionedCdfSource,
       srcVersionedReplicate, srcSqlCatalog, srcSqlTimetravel,
-      srcSqlDelete, srcFormatRoundtrip)
+      srcSqlDelete, srcFormatRoundtrip, srcSqlUpdate, srcSqlMerge,
+      srcSqlDeleteRewrite, srcSqlAggPushdown)
 
   /** The versioned table as PLAIN SQL through a registered
     * [[GraftCatalog]] (DataSource V2 TableCatalog — the Iceberg/Delta
@@ -1783,4 +1784,204 @@ object SourceQueries {
         .orderBy(col("event_id"))
     },
     srcZorderBox.oracle)
+
+  /** One catalog + table per SQL row-level gate row (the srcSqlCatalog
+    * uniqueness idiom: Spark caches one catalog instance per name, so
+    * re-runs in one JVM need fresh table names).
+    */
+  private def rowLevelTable(s: org.apache.spark.sql.SparkSession, d: String,
+      cat: String): (String, String) = {
+    val wh = java.nio.file.Files.createTempDirectory(cat).toString
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    val name = "ev_" + java.util.UUID.randomUUID.toString.take(8)
+    val dir = s"$wh/ns/$name"
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), dir) // v1
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), dir) // v2
+    (s"$cat.ns.$name", dir)
+  }
+
+  private def stateAgg(state: String, from: String): String =
+    s"SELECT '$state' AS state, event_type, " +
+      "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv " +
+      s"FROM $from GROUP BY event_type"
+
+  /** SQL `UPDATE` through the catalog — Spark's group-based row-level
+    * rewrite over [[GraftRowLevelOperation]] (SupportsRowLevelOperations,
+    * the Iceberg integration seam): the statement's condition prunes
+    * affected FILES from manifest stats at plan time plus the engine's
+    * runtime group filter, matched rows rewrite copy-on-write, untouched
+    * files carry by reference (identity-asserted in SqlRowLevelSpec).
+    * Value arithmetic is ×2 — exact in binary, so the oracle's replay is
+    * bit-identical. Pre-update snapshot read back as VERSION AS OF.
+    */
+  lazy val srcSqlUpdate: Q = Q(
+    "src_sql_update",
+    (s, d) => {
+      val (t, _) = rowLevelTable(s, d, "graft_upd")
+      s.sql(s"UPDATE $t SET value = value * 2.0, event_type = 'boost' " +
+        "WHERE event_type = 'click' AND user_id < 5")
+      s.sql(stateAgg("a_before", s"$t VERSION AS OF 2") +
+        " UNION ALL " + stateAgg("b_after", t) +
+        " ORDER BY state, event_type")
+    },
+    Some("""
+      WITH after AS (
+        SELECT CASE WHEN event_type = 'click' AND user_id < 5
+                    THEN 'boost' ELSE event_type END AS event_type,
+               CASE WHEN event_type = 'click' AND user_id < 5
+                    THEN value * 2.0 ELSE value END AS value
+        FROM events)
+      SELECT 'a_before' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'b_after', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after GROUP BY 2
+      ORDER BY state, event_type"""))
+
+  /** SQL `MERGE INTO` through the catalog — the full ordered-clause
+    * statement (conditional DELETE, partial-column UPDATE, NOT MATCHED
+    * INSERT) planned by Spark's own MergeRows rewrite (cardinality check
+    * included) and executed as a copy-on-write group replacement; the
+    * engine's runtime group filter narrows the rewrite to files holding
+    * matched keys. The oracle replays the clause algebra as LEFT JOIN
+    * CASE + NOT EXISTS in DuckDB.
+    */
+  lazy val srcSqlMerge: Q = Q(
+    "src_sql_merge",
+    (s, d) => {
+      val (t, _) = rowLevelTable(s, d, "graft_mrg")
+      val ev = graft.Tables.events(s, d)
+      val src = ev.filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"),
+          lit("patched").as("event_type"),
+          when(col("event_id") % 10 === 0, lit(-1.0)).otherwise(lit(50.0))
+            .as("value"))
+        .unionByName(ev.filter(col("event_id") % 97 === 0)
+          .select((col("event_id") + 1000000000L).as("event_id"),
+            col("user_id"), lit("fresh").as("event_type"),
+            lit(7.0).as("value")))
+      src.createOrReplaceTempView("sqlmrg_src")
+      s.sql(s"MERGE INTO $t t USING sqlmrg_src s ON t.event_id = " +
+        "s.event_id " +
+        "WHEN MATCHED AND s.value < 0 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET value = t.value + s.value, " +
+        "event_type = s.event_type " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      s.sql(stateAgg("a_before", s"$t VERSION AS OF 2") +
+        " UNION ALL " + stateAgg("b_after", t) +
+        " ORDER BY state, event_type")
+    },
+    Some("""
+      WITH src AS (
+        SELECT event_id, user_id, 'patched' AS event_type,
+               CASE WHEN event_id % 10 = 0 THEN -1.0 ELSE 50.0 END AS value
+        FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT event_id + 1000000000, user_id, 'fresh', 7.0
+        FROM events WHERE event_id % 97 = 0),
+      joined AS (
+        SELECT t.event_id, t.user_id,
+               CASE WHEN s.event_id IS NOT NULL THEN s.event_type
+                    ELSE t.event_type END AS event_type,
+               CASE WHEN s.event_id IS NOT NULL THEN t.value + s.value
+                    ELSE t.value END AS value,
+               CASE WHEN s.event_id IS NOT NULL AND s.value < 0
+                    THEN 1 ELSE 0 END AS del
+        FROM events t LEFT JOIN src s ON t.event_id = s.event_id),
+      kept AS (
+        SELECT event_id, user_id, event_type, value
+        FROM joined WHERE del = 0),
+      ins AS (
+        SELECT s.event_id, s.user_id, s.event_type, s.value FROM src s
+        WHERE NOT EXISTS (
+          SELECT 1 FROM events t WHERE t.event_id = s.event_id)),
+      after AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT 'a_before' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'b_after', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after GROUP BY 2
+      ORDER BY state, event_type"""))
+
+  /** SQL `DELETE FROM` with a predicate [[SqlBridge]] can NOT translate
+    * (`%` has no V1 Filter form): instead of refusing, the statement
+    * falls back to the row-level copy-on-write rewrite — the complement
+    * rows rewrite, fully-deleted files drop with no replacement, and a
+    * no-match predicate mints NO version (the runtime group filter
+    * narrows to zero files). States read back as pinned snapshots.
+    */
+  lazy val srcSqlDeleteRewrite: Q = Q(
+    "src_sql_delete_rewrite",
+    (s, d) => {
+      val (t, dir) = rowLevelTable(s, d, "graft_dlr")
+      s.sql(s"DELETE FROM $t WHERE event_id % 3 = 0")
+      val v3 = Versioned.currentVersion(dir)
+      // no-match delete: the rewrite must not mint a snapshot
+      s.sql(s"DELETE FROM $t WHERE event_id % 3 = 0")
+      require(Versioned.currentVersion(dir) == v3,
+        "no-match row-level DELETE minted a snapshot")
+      s.sql(stateAgg("a_before", s"$t VERSION AS OF 2") +
+        " UNION ALL " + stateAgg("b_after", t) +
+        " ORDER BY state, event_type")
+    },
+    Some("""
+      SELECT 'a_before' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'b_after', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM events WHERE event_id % 3 <> 0 GROUP BY 2
+      ORDER BY state, event_type"""))
+
+  /** Metadata-only aggregates through the catalog ([[AggPushdown]] via
+    * `SupportsPushDownAggregates` — Iceberg's `SELECT COUNT(*)` parity):
+    * global COUNT / COUNT(col) / MIN / MAX answer from the manifest's
+    * per-file stats with ZERO data I/O, composing with TIME TRAVEL (the
+    * v1 row aggregates a pinned snapshot's stats). AggPushdownSpec
+    * proves the zero-I/O claim by hiding the data directory; this row
+    * pins the VALUES against DuckDB.
+    */
+  lazy val srcSqlAggPushdown: Q = Q(
+    "src_sql_agg_pushdown",
+    (s, d) => {
+      val (t, _) = rowLevelTable(s, d, "graft_agg")
+      s.sql(
+        s"""SELECT 'a_v1' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(value) AS BIGINT) AS nv,
+               CAST(MIN(event_id) AS BIGINT) AS mn,
+               CAST(MAX(event_id) AS BIGINT) AS mx,
+               ROUND(MAX(value), 2) AS mxv
+           FROM $t VERSION AS OF 1
+           UNION ALL
+           SELECT 'b_head', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(value) AS BIGINT),
+               CAST(MIN(event_id) AS BIGINT),
+               CAST(MAX(event_id) AS BIGINT), ROUND(MAX(value), 2)
+           FROM $t
+           ORDER BY state""")
+    },
+    Some("""
+      SELECT 'a_v1' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(value) AS BIGINT) AS nv,
+             CAST(MIN(event_id) AS BIGINT) AS mn,
+             CAST(MAX(event_id) AS BIGINT) AS mx,
+             ROUND(MAX(value), 2) AS mxv
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT 'b_head', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(value) AS BIGINT),
+             CAST(MIN(event_id) AS BIGINT),
+             CAST(MAX(event_id) AS BIGINT), ROUND(MAX(value), 2)
+      FROM events
+      ORDER BY state"""))
 }

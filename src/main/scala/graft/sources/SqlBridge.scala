@@ -83,7 +83,16 @@ private[sources] object SqlBridge {
       required: Seq[String], pushed: Seq[Column]): RDD[Row] = {
     val base = Versioned.readForScan(spark, table, version)
     val filtered = pushed.foldLeft(base)(_ filter _)
-    filtered.select(required.map(n => col(s"`$n`")): _*).rdd
+    // `_file` is the table's metadata column (RowLevelFile): surface the
+    // scan's own per-file constant. Spelling can differ from the
+    // manifest's (URI qualification); group-filter consumers compare by
+    // /data/ suffix, never raw equality.
+    val cols = required.map {
+      case RowLevelFile.Name =>
+        col("_metadata.file_path").as(RowLevelFile.Name)
+      case n => col(s"`$n`")
+    }
+    filtered.select(cols: _*).rdd
   }
 }
 

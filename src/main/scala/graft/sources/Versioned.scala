@@ -176,8 +176,20 @@ object Versioned {
     * moves the commit to a later version — rebased rows then carry the
     * sequence of the version they actually committed at, Iceberg-style.
     */
+  /** The commit-tail contract shared by [[Staged]] (we write the data)
+    * and [[Adopted]] (executors already wrote it — the SQL row-level
+    * write path): `at(v)` yields (files, stats, sizes) positioned at
+    * commit version `v`, renaming the staged directory on a rebase;
+    * `abort()` reclaims the staged data.
+    */
+  private trait StagedLike {
+    def at(v: Int): (Seq[String], Seq[String], Seq[String])
+    def abort(): Unit
+  }
+
   private final class Staged(table: String, kind: String, df: DataFrame,
-      batchId: Option[Long] = None, withStats: Boolean = true) {
+      batchId: Option[Long] = None, withStats: Boolean = true)
+      extends StagedLike {
     private val spark = df.sparkSession
     private val uid = newUid()
     private var dirV: Int = -1
@@ -232,6 +244,108 @@ object Versioned {
     }
   }
 
+  /** [[StagedLike]] over a directory the V2 row-level BatchWrite's
+    * executors ALREADY populated (`rowLevelStagingDir(table, uid, v0)`):
+    * same rename-on-rebase and abort discipline as [[Staged]], but the
+    * write step is adoption — stats/sizes come from one pass over the
+    * committed files. Task-attempt debris (speculative/retried writers)
+    * was already pruned by the BatchWrite's commit before adoption.
+    */
+  private final class Adopted(table: String, spark: SparkSession,
+      uid: String, v0: Int, committed: Seq[String]) extends StagedLike {
+    private def dirName(v: Int) = s"u=$v-$uid"
+    private var dirV: Int = v0
+    private var files: Seq[String] = committed
+    private var stats: Seq[String] = Nil
+    private var sizes: Seq[String] = Nil
+    private var loaded = false
+    private def remap(rows: Seq[String], o: String, n: String) =
+      rows.map { s =>
+        val i = s.indexOf('|')
+        enc(dec(s.take(i)).replace(o, n)) + s.drop(i)
+      }
+    def at(v: Int): (Seq[String], Seq[String], Seq[String]) = {
+      if (!loaded) {
+        stats = statsFor(spark, files)
+        val dataDir = s"$table/data/${dirName(dirV)}"
+        val byName = fsFor(dataDir,
+          spark.sparkContext.hadoopConfiguration)
+          .listStatus(new Path(dataDir))
+          .filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
+        sizes = files.flatMap(f => byName.get(new Path(f).getName)
+          .map(len => s"${enc(f)}|$len"))
+        loaded = true
+      }
+      if (dirV != v) {
+        val fs = fsFor(table, spark.sparkContext.hadoopConfiguration)
+        val from = new Path(s"$table/data/${dirName(dirV)}")
+        val to = new Path(s"$table/data/${dirName(v)}")
+        require(fs.rename(from, to), s"rebase rename failed: $from -> $to")
+        val (o, n) = (s"/${dirName(dirV)}/", s"/${dirName(v)}/")
+        files = files.map(_.replace(o, n))
+        stats = remap(stats, o, n)
+        sizes = remap(sizes, o, n)
+        dirV = v
+      }
+      (files, stats, sizes)
+    }
+    def abort(): Unit = {
+      fsFor(table, spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(s"$table/data/${dirName(dirV)}"), true)
+    }
+  }
+
+  // ---- SQL row-level operation support (UPDATE / MERGE / DELETE
+  //      fallback through SupportsRowLevelOperations) ------------------
+
+  /** Staging directory for a SQL row-level rewrite targeting version
+    * `v0` = basis+1 (a rebase renames it — [[Adopted]]). Executors write
+    * replacement files here BEFORE the commit version is final.
+    */
+  private[sources] def rowLevelStagingDir(table: String, uid: String,
+      v0: Int): String = s"$table/data/u=$v0-$uid"
+
+  private[sources] def rowLevelUid(): String = newUid()
+
+  /** Snapshot facets the row-level scan needs: (data files, encoded
+    * stats, decoded sizes, schema, pending delete-file count).
+    */
+  private[sources] def rowLevelSnapshot(spark: SparkSession, table: String,
+      v: Int): (Seq[String], Seq[ZoneMap.Stat], Map[String, Long],
+      org.apache.spark.sql.types.StructType, Int) = {
+    val m = manifestAll(spark, table, v)
+    (m.files, m.statsRaw.map(decodeStat), decodeSizes(m.sizesRaw),
+      schemaOfSnapshot(spark, m, s"v=$v"), m.deletes.size)
+  }
+
+  /** Commit tail for a SQL row-level group replacement: the scanned
+    * (affected) files drop, the executor-written `committed` files take
+    * their place, everything else carries by reference — the same
+    * copy-on-write validate-then-retry as [[upsertKeys]]/[[merge]]
+    * ([[cowCommit]]): a rebase is legal only while every affected file is
+    * still live at the head and no new delete files landed since the
+    * basis. An empty `committed` (every scanned row deleted) drops the
+    * affected files with no replacement — the metadata-delete shape.
+    * Returns the committed version.
+    */
+  private[sources] def commitReplaceGroups(spark: SparkSession,
+      table: String, basisVersion: Int, affected: Seq[String],
+      uid: String, committed: Seq[String], what: String): Int = {
+    val basis = manifestAll(spark, table, basisVersion)
+    val touched = affected.map(dataSuffix).toSet
+    val schema = schemaOfSnapshot(spark, basis, s"v=$basisVersion")
+    val w: Option[StagedLike] =
+      if (committed.isEmpty) {
+        // nothing survived the rewrite: drop the (possibly file-less)
+        // staging dir now; the commit then drops the affected files as a
+        // pure manifest edit
+        new Adopted(table, spark, uid, basisVersion + 1, Nil).abort()
+        None
+      } else Some(new Adopted(table, spark, uid, basisVersion + 1,
+        committed))
+    cowCommit(spark, table, w, basis, touched, schema, what)
+  }
+
   // ---- per-file column stats in the manifest (Iceberg's file stats) ----
 
   private def enc(s: String) =
@@ -284,7 +398,7 @@ object Versioned {
     * membership between the two worlds normalizes through this (the
     * [[vacuumOrphans]] idiom).
     */
-  private def dataSuffix(p: String): String = {
+  private[sources] def dataSuffix(p: String): String = {
     val i = p.indexOf("/data/")
     if (i < 0) p else p.substring(i)
   }
@@ -420,11 +534,19 @@ object Versioned {
     * reads can never diverge on it.
     */
   private def schemaOfSnapshot(spark: SparkSession, m: Snapshot,
-      what: => String): org.apache.spark.sql.types.StructType =
-    m.schema.getOrElse {
+      what: => String): org.apache.spark.sql.types.StructType = {
+    val s = m.schema.getOrElse {
       require(m.files.nonEmpty, s"empty legacy snapshot $what has no schema")
       spark.read.parquet(m.files.head).schema
     }
+    // a lake column is NULLABLE at read no matter how the committing
+    // batch spelled it (a literal-born column stores nullable=false, but
+    // files from BEFORE its additive evolution null-fill it) — the same
+    // coercion spark.read applies to every user schema. Without this the
+    // SQL surface plans non-null codegen over rows that ARE null.
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true)))
+  }
 
   /** The snapshot's stored table schema (None on legacy manifests from
     * before schema tracking — readers then fall back to per-footer
@@ -965,7 +1087,7 @@ object Versioned {
     * appended row sharing an upsert key keeps its own, later sequence).
     */
   private def cowCommit(spark: SparkSession, table: String,
-      w: Option[Staged],
+      w: Option[StagedLike],
       basis: Snapshot, touched: Set[String],
       commitSchema: org.apache.spark.sql.types.StructType,
       what: String): Int =

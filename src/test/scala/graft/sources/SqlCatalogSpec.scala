@@ -116,12 +116,12 @@ class SqlCatalogSpec extends AnyFunSuite {
       ev.filter(!(col("event_type") === "view" && col("user_id") < 30)))
     // pre-delete snapshot remains readable history
     assertSameRows(spark.sql("SELECT * FROM gsp4.ns.t VERSION AS OF 1"), ev)
-    // a predicate with no exact source-filter form must refuse, not
-    // guess (canDeleteWhere = false -> analysis-time failure)
-    intercept[Exception] {
-      spark.sql("DELETE FROM gsp4.ns.t WHERE abs(value) > 1e9")
-    }
-    // and the refusal left the table untouched
+    // a predicate with no exact source-filter form no longer refuses: it
+    // falls back to the row-level COW rewrite (SqlRowLevelSpec covers the
+    // semantics); here it matches nothing, so no snapshot is minted
+    val vBefore = Versioned.currentVersion(dir)
+    spark.sql("DELETE FROM gsp4.ns.t WHERE abs(value) > 1e9")
+    assert(Versioned.currentVersion(dir) == vBefore)
     assertSameRows(spark.sql("SELECT * FROM gsp4.ns.t"),
       ev.filter(!(col("event_type") === "view" && col("user_id") < 30)))
   }
