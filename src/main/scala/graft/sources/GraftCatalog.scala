@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -328,7 +328,8 @@ private[sources] final class VersionedSparkTable(table: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -391,13 +392,25 @@ private[sources] final class VersionedSparkTable(table: String,
           }
         case None =>
           val req = required
-          val cols = pushed.toSeq.flatMap(SqlBridge.toColumn)
-          new V1Scan {
-            override def readSchema(): StructType = req
-            override def toV1TableScan[T <: BaseRelation with TableScan](
-                context: SQLContext): T =
-              new VersionedV1TableScan(context, table, pinned,
-                req).withFilters(cols).asInstanceOf[T]
+          val v = pinned.getOrElse(Versioned.currentVersion(table))
+          val (files, stats, sizes, tableSchema, nDeletes) =
+            Versioned.rowLevelSnapshot(spark, table, v)
+          if (nDeletes == 0)
+            new VersionedBatchScan(spark, table, v, req, pushed, files,
+              stats, sizes, tableSchema)
+          else {
+            // pending MOR masks need the anti-join read
+            // (readWithDeletes) — only expressible through the V1
+            // DataFrame bridge; compact returns the table to the
+            // vectorized stats-reporting path above
+            val cols = pushed.toSeq.flatMap(SqlBridge.toColumn)
+            new V1Scan {
+              override def readSchema(): StructType = req
+              override def toV1TableScan[T <: BaseRelation with TableScan](
+                  context: SQLContext): T =
+                new VersionedV1TableScan(context, table, pinned,
+                  req).withFilters(cols).asInstanceOf[T]
+            }
           }
       }
     }
@@ -416,6 +429,21 @@ private[sources] final class VersionedSparkTable(table: String,
               else Versioned.append(data, table)
             }
           }
+
+        /** `df.writeStream.toTable(…)` — exactly-once epoch appends
+          * ([[GraftStreamingWrite]]). Append mode only: a versioned
+          * table IS the changelog; Complete-mode truncation per
+          * trigger is a batch `replace`, not a stream.
+          */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(!readOnly,
+            s"cannot stream into time-travel read $ident")
+          require(!overwrite,
+            "streaming into a versioned table is append-only " +
+              "(Complete/Truncate output modes are unsupported)")
+          new GraftStreamingWrite(table, info.schema())
+        }
       }
     }
 

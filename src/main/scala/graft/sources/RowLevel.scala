@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionSpec, PartitionedFile, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
@@ -213,13 +213,87 @@ private[sources] final class RowLevelScan(op: GraftRowLevelOperation,
   }
 }
 
+/** The PLAIN catalog read as a true DSv2 BATCH scan (delete-free
+  * snapshots — the common, compaction-maintained case; MOR-masked
+  * snapshots keep the V1 anti-join bridge): manifest-stats file
+  * admission from the pushed predicates at plan time, Spark's own
+  * vectorized V2 parquet reader over a zero-RPC listing with the
+  * residual predicates pushed into row-group/page pruning, `_file`
+  * metadata rows on request, and — the reason this path exists as V2 —
+  * working join-planning statistics: `SupportsReportStatistics` is
+  * invisible through the `V1ScanWrapper` bridge, so only a native batch
+  * scan lets a small versioned dimension auto-broadcast.
+  */
+private[sources] final class VersionedBatchScan(spark: SparkSession,
+    table: String, version: Int, req: StructType,
+    pushed: Array[VFilter], files: Seq[String], stats: Seq[ZoneMap.Stat],
+    sizes: Map[String, Long], tableSchema: StructType)
+    extends Scan with SupportsReportStatistics {
+
+  private val admitted: Seq[String] = {
+    val exprs = pushed.toSeq.flatMap(RowLevelFilters.toCatalyst(_, tableSchema))
+    if (files.isEmpty) Nil
+    else if (exprs.isEmpty) files
+    else {
+      val idx = new ManifestFileIndex(spark, table, files, stats, sizes)
+      val ok = idx.listFiles(Nil, exprs).flatMap(_.files)
+        .map(st => Versioned.dataSuffix(st.getPath.toString)).toSet
+      files.filter(f => ok(Versioned.dataSuffix(f)))
+    }
+  }
+
+  private val dataReq: StructType =
+    StructType(req.fields.filter(_.name != RowLevelFile.Name))
+  private val wantsFile: Boolean =
+    req.fields.exists(_.name == RowLevelFile.Name)
+  require(!wantsFile || req.fields.last.name == RowLevelFile.Name,
+    s"expected ${RowLevelFile.Name} as the LAST requested column, got " +
+      req.fieldNames.mkString(","))
+
+  override def readSchema(): StructType = req
+
+  override def description(): String =
+    s"graft-versioned-scan v=$version ${admitted.size}/${files.size} " +
+      s"files, PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch =
+    if (admitted.isEmpty) RowLevelEmptyBatch
+    else new RowLevelBatch(spark, table, tableSchema, dataReq, wantsFile,
+      sizes, admitted, rowFilters = pushed)
+
+  /** Manifest-derived size/row estimates ([[Versioned.snapshotStats]]):
+    * facets the manifest cannot answer soundly report empty — never an
+    * undercount (which could broadcast a huge table).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (bytes, rows) = Versioned.snapshotStats(spark, table, version)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty)
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty)
+    }
+  }
+}
+
 /** One input partition per admitted file (the copy-on-write rewrite
-  * granularity — a group is a file), reader factory delegated to the V2
-  * parquet stack and wrapped with the `_file` constant append.
+  * granularity — a group is a file; for PLAIN reads it is also the
+  * natural task unit of a size-bounded lake layout), reader factory
+  * delegated to the V2 parquet stack and wrapped with the `_file`
+  * constant append.
+  *
+  * `rowFilters` push into the inner parquet builder for ROW-GROUP/page
+  * pruning — legal ONLY for plain reads (the engine re-applies the full
+  * residual above); a row-level operation's scan must pass none (group
+  * semantics forbid dropping rows).
   */
 private[sources] final class RowLevelBatch(spark: SparkSession,
     table: String, tableSchema: StructType, dataReq: StructType,
-    wantsFile: Boolean, sizes: Map[String, Long], admitted: Seq[String])
+    wantsFile: Boolean, sizes: Map[String, Long], admitted: Seq[String],
+    rowFilters: Array[VFilter] = Array.empty)
     extends Batch {
 
   private def statusOf(f: String): FileStatus = {
@@ -251,6 +325,9 @@ private[sources] final class RowLevelBatch(spark: SparkSession,
     val readerSchema = nullable(tableSchema)
     val sb = ParquetScanBuilder(spark, idx, readerSchema, readerSchema,
       CaseInsensitiveStringMap.empty())
+    if (rowFilters.nonEmpty)
+      sb.pushFilters(
+        rowFilters.toSeq.flatMap(RowLevelFilters.toCatalyst(_, readerSchema)))
     sb.pruneColumns(nullable(dataReq))
     val inner = sb.build().toBatch.createReaderFactory()
     if (!wantsFile) inner
@@ -343,27 +420,10 @@ private[sources] final class GraftBatchWrite(table: String,
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = spark.sessionState.newHadoopConf()
-    conf.set("parquet.write.support.class",
-      classOf[ParquetWriteSupport].getName)
-    ParquetWriteSupport.setSchema(writeSchema, conf)
-    // ParquetWriteSupport.init / SparkToParquetSchemaConverter read these
-    // with NO default (bare conf.get(..).toBoolean) — mirror the
-    // session's effective values, exactly what prepareWrite does
-    val sc = spark.sessionState.conf
-    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
-      sc.writeLegacyParquetFormat.toString)
-    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-      sc.parquetOutputTimestampType.toString)
-    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
-      sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
-    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
-      sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
-    conf.set("parquet.compression",
-      spark.conf.get("spark.sql.parquet.compression.codec", "snappy"))
-    new RowLevelWriterFactory(stagingDir, new SerializableHadoopConf(conf))
-  }
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new RowLevelWriterFactory(stagingDir,
+      new SerializableHadoopConf(
+        RowLevelWriteSupport.writerConf(spark, writeSchema)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.toSeq
@@ -395,6 +455,83 @@ private[sources] final class GraftBatchWrite(table: String,
     val fs = staging.getFileSystem(hadoopConf)
     if (fs.exists(staging)) fs.delete(staging, true)
   }
+}
+
+/** Executor-writer configuration shared by the batch (row-level) and
+  * streaming sinks: Spark's own [[ParquetWriteSupport]], with the keys
+  * its `init`/`SparkToParquetSchemaConverter` read bare (no default)
+  * mirrored from the session — exactly what prepareWrite does.
+  */
+private[sources] object RowLevelWriteSupport {
+  def writerConf(spark: SparkSession,
+      writeSchema: StructType): Configuration = {
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("parquet.write.support.class",
+      classOf[ParquetWriteSupport].getName)
+    ParquetWriteSupport.setSchema(writeSchema, conf)
+    val sc = spark.sessionState.conf
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sc.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sc.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf.set("parquet.compression",
+      spark.conf.get("spark.sql.parquet.compression.codec", "snappy"))
+    conf
+  }
+}
+
+/** The STREAMING sink half of the catalog table (`df.writeStream
+  * .toTable("cat.ns.t")`): each trigger's executors write parquet task
+  * files into an epoch-scoped staging directory, and the driver commit
+  * adopts them as ONE exactly-once snapshot
+  * ([[Versioned.commitStreamEpoch]] — the epoch id rides the manifest
+  * txn list, so a redelivered epoch no-ops and reclaims its staging;
+  * an empty epoch mints no version). Append output mode only — the
+  * versioned table IS the changelog, Complete-mode truncation is
+  * `replace` territory.
+  */
+private[sources] final class GraftStreamingWrite(table: String,
+    writeSchema: StructType) extends
+    org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def spark = SparkSession.active
+  private val uid = Versioned.rowLevelUid()
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new RowLevelStreamingWriterFactory(table, uid,
+      new SerializableHadoopConf(
+        RowLevelWriteSupport.writerConf(spark, writeSchema)))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.toSeq
+      .collect { case RowLevelCommitMessage(Some(p)) => p }
+    Versioned.commitStreamEpoch(spark, table, uid, epochId, committed,
+      writeSchema)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(Versioned.streamStagingDir(table, uid, epochId))
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+}
+
+private[sources] final class RowLevelStreamingWriterFactory(table: String,
+    uid: String, conf: SerializableHadoopConf) extends
+    org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new RowLevelDataWriter(
+      Versioned.streamStagingDir(table, uid, epochId),
+      partitionId, taskId, conf.value)
 }
 
 private[sources] final case class RowLevelCommitMessage(path: Option[String])

@@ -771,7 +771,7 @@ object SourceQueries {
       srcVersionedMetadataDelete, srcVersionedCdfSource,
       srcVersionedReplicate, srcSqlCatalog, srcSqlTimetravel,
       srcSqlDelete, srcFormatRoundtrip, srcSqlUpdate, srcSqlMerge,
-      srcSqlDeleteRewrite, srcSqlAggPushdown)
+      srcSqlDeleteRewrite, srcSqlAggPushdown, srcSqlStreamSink)
 
   /** The versioned table as PLAIN SQL through a registered
     * [[GraftCatalog]] (DataSource V2 TableCatalog — the Iceberg/Delta
@@ -1984,4 +1984,47 @@ object SourceQueries {
              CAST(MAX(event_id) AS BIGINT), ROUND(MAX(value), 2)
       FROM events
       ORDER BY state"""))
+
+  /** `df.writeStream.toTable` into a catalog table — the streaming SINK
+    * half of the lakehouse story through the STANDARD API (the source
+    * half is `readStream.format("versioned-cdf")`): each trigger's
+    * executor task files adopt as ONE exactly-once snapshot (epoch id =
+    * txn marker; [[GraftStreamingWrite]]), so a live pipeline lands in
+    * the same table SQL mutates and time-travels. Aggregated through
+    * the metadata/stats-carrying read path after the stream closes.
+    */
+  lazy val srcSqlStreamSink: Q = Q(
+    "src_sql_stream_sink",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqlstr").toString
+      s.conf.set("spark.sql.catalog.graft_str",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_str.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_str.ns")
+      val name = "ev_" + java.util.UUID.randomUUID.toString.take(8)
+      val t = s"graft_str.ns.$name"
+      s.sql(s"CREATE TABLE $t (event_id BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE)")
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val in = java.nio.file.Files.createTempDirectory("sqlstrin").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("sqlstrck").toString
+      // two input files -> the stream may land them across triggers;
+      // either way the txn markers make the total exactly-once
+      ev.filter(col("event_id") % 2 === 0).write.mode("overwrite")
+        .parquet(in)
+      ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(in)
+      val q = s.readStream.schema(ev.schema).parquet(in)
+        .writeStream.option("checkpointLocation", ckpt).toTable(t)
+      try q.processAllAvailable() finally q.stop()
+      s.sql(s"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"ROUND(SUM(value), 2) AS sv FROM $t " +
+        "GROUP BY event_type ORDER BY event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    bench = false)
 }

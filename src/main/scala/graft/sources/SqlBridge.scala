@@ -183,6 +183,15 @@ private[sources] final class VersionedRelation(
   override val schema: StructType =
     Versioned.schemaAt(sqlContext.sparkSession, table, scanVersion)
 
+  /** Manifest-derived size (same contract as the catalog face's
+    * `SupportsReportStatistics`): lets joins over format reads broadcast
+    * a small versioned side. Any size-less legacy file falls back to
+    * Spark's assume-huge default — never an undercount.
+    */
+  override def sizeInBytes: Long =
+    Versioned.snapshotStats(sqlContext.sparkSession, table,
+      scanVersion.get)._1.getOrElse(super.sizeInBytes)
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] =
     SqlBridge.scan(sqlContext.sparkSession, table, scanVersion,

@@ -252,9 +252,9 @@ object Versioned {
     * was already pruned by the BatchWrite's commit before adoption.
     */
   private final class Adopted(table: String, spark: SparkSession,
-      uid: String, v0: Int, committed: Seq[String]) extends StagedLike {
-    private def dirName(v: Int) = s"u=$v-$uid"
-    private var dirV: Int = v0
+      nameFor: Int => String, initialName: String,
+      committed: Seq[String]) extends StagedLike {
+    private var curName: String = initialName
     private var files: Seq[String] = committed
     private var stats: Seq[String] = Nil
     private var sizes: Seq[String] = Nil
@@ -267,7 +267,7 @@ object Versioned {
     def at(v: Int): (Seq[String], Seq[String], Seq[String]) = {
       if (!loaded) {
         stats = statsFor(spark, files)
-        val dataDir = s"$table/data/${dirName(dirV)}"
+        val dataDir = s"$table/data/$curName"
         val byName = fsFor(dataDir,
           spark.sparkContext.hadoopConfiguration)
           .listStatus(new Path(dataDir))
@@ -276,22 +276,23 @@ object Versioned {
           .map(len => s"${enc(f)}|$len"))
         loaded = true
       }
-      if (dirV != v) {
+      if (curName != nameFor(v)) {
+        val next = nameFor(v)
         val fs = fsFor(table, spark.sparkContext.hadoopConfiguration)
-        val from = new Path(s"$table/data/${dirName(dirV)}")
-        val to = new Path(s"$table/data/${dirName(v)}")
+        val from = new Path(s"$table/data/$curName")
+        val to = new Path(s"$table/data/$next")
         require(fs.rename(from, to), s"rebase rename failed: $from -> $to")
-        val (o, n) = (s"/${dirName(dirV)}/", s"/${dirName(v)}/")
+        val (o, n) = (s"/$curName/", s"/$next/")
         files = files.map(_.replace(o, n))
         stats = remap(stats, o, n)
         sizes = remap(sizes, o, n)
-        dirV = v
+        curName = next
       }
       (files, stats, sizes)
     }
     def abort(): Unit = {
       fsFor(table, spark.sparkContext.hadoopConfiguration)
-        .delete(new Path(s"$table/data/${dirName(dirV)}"), true)
+        .delete(new Path(s"$table/data/$curName"), true)
     }
   }
 
@@ -334,16 +335,57 @@ object Versioned {
     val basis = manifestAll(spark, table, basisVersion)
     val touched = affected.map(dataSuffix).toSet
     val schema = schemaOfSnapshot(spark, basis, s"v=$basisVersion")
+    def nameFor(v: Int) = s"u=$v-$uid"
+    val initial = nameFor(basisVersion + 1)
     val w: Option[StagedLike] =
       if (committed.isEmpty) {
         // nothing survived the rewrite: drop the (possibly file-less)
         // staging dir now; the commit then drops the affected files as a
         // pure manifest edit
-        new Adopted(table, spark, uid, basisVersion + 1, Nil).abort()
+        new Adopted(table, spark, nameFor, initial, Nil).abort()
         None
-      } else Some(new Adopted(table, spark, uid, basisVersion + 1,
-        committed))
+      } else Some(new Adopted(table, spark, nameFor, initial, committed))
     cowCommit(spark, table, w, basis, touched, schema, what)
+  }
+
+  /** Staging directory for one STREAMING epoch's executor-written task
+    * files (the sink half of the streaming story — `writeStream
+    * .toTable` through [[GraftCatalog]]): epoch-scoped so one long-lived
+    * writer factory serves every trigger; adopted (renamed to the
+    * sequence-carrying `b=<epoch>-v<version>` name) at commit.
+    */
+  private[sources] def streamStagingDir(table: String, uid: String,
+      epochId: Long): String = s"$table/data/_stream-$uid-e$epochId"
+
+  /** Exactly-once adoption of one streaming epoch's executor-written
+    * files ([[appendBatch]]'s contract with the write step already
+    * done): the epoch id rides the manifest txn list, so a redelivered
+    * commit — including one racing the original — no-ops and reclaims
+    * its staged files. An empty epoch commits nothing and mints no
+    * version (replay-safe: its redelivery is empty too). One streaming
+    * writer per table, the house txn-marker contract.
+    */
+  private[sources] def commitStreamEpoch(spark: SparkSession,
+      table: String, uid: String, epochId: Long, committed: Seq[String],
+      writeSchema: org.apache.spark.sql.types.StructType): Option[Int] = {
+    val initial = s"_stream-$uid-e$epochId"
+    def nameFor(v: Int) = s"b=$epochId-v$v-$uid"
+    val w = new Adopted(table, spark, nameFor, initial, committed)
+    if (committed.isEmpty) { w.abort(); return None }
+    val r =
+      try {
+        commitLoop(spark, table, { (m, cur) =>
+          if (m.txns.contains(epochId)) None
+          else {
+            val sch = mergeSchemas(m.schema, writeSchema)
+            val (files, stats, sizes) = w.at(cur + 1)
+            Some(Content(m.files ++ files, m.txns :+ epochId, m.deletes,
+              Some(sch), m.statsRaw ++ stats, m.sizesRaw ++ sizes))
+          }
+        })
+      } catch { case e: Throwable => w.abort(); throw e }
+    if (r.isEmpty) w.abort() // lost to an identical redelivery mid-loop
+    r
   }
 
   // ---- per-file column stats in the manifest (Iceberg's file stats) ----
@@ -1674,6 +1716,36 @@ object Versioned {
     val m = manifestAll(spark, table, v)
     val live = m.files.map(dataSuffix).toSet
     decodeSizes(m.sizesRaw).filter(kv => live(dataSuffix(kv._1)))
+  }
+
+  /** (total data bytes, row count) of a snapshot from the manifest
+    * alone — the JOIN-PLANNING statistics seam ([[VersionedSparkTable]]
+    * reports them through `SupportsReportStatistics`, so a small
+    * versioned dimension auto-broadcasts instead of defaulting to the
+    * "assume huge" size). All-or-nothing per facet: a PARTIAL byte sum
+    * would UNDERCOUNT a large table and wrongly broadcast it, so any
+    * size-less (legacy) file yields None; rows additionally demand a
+    * delete-free snapshot (masked rows would overcount — None keeps the
+    * estimate honest, bytes alone still flow).
+    */
+  private[sources] def snapshotStats(spark: SparkSession, table: String,
+      v: Int): (Option[Long], Option[Long]) = {
+    if (v == 0) return (Some(0L), Some(0L))
+    val m = manifestAll(spark, table, v)
+    if (m.files.isEmpty) return (Some(0L), Some(0L))
+    val sizes = decodeSizes(m.sizesRaw)
+    val bytes =
+      if (m.files.forall(sizes.contains)) Some(m.files.map(sizes).sum)
+      else None
+    val rows: Option[Long] =
+      if (m.deletes.nonEmpty) None
+      else {
+        val byFile = m.statsRaw.map(decodeStat).groupBy(_.f)
+        val per = m.files.map(f =>
+          byFile.get(f).flatMap(_.flatMap(_.rows).headOption))
+        if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+      }
+    (bytes, rows)
   }
 
   /** Bin-pack SMALL-FILE compaction (Iceberg's `rewrite_data_files`
