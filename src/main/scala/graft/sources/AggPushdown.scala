@@ -59,8 +59,22 @@ private[sources] object AggPushdown {
       case _ => None
     }
 
+    // per-column once: (stats, covered-file set) — the per-aggregate
+    // coverage check is then O(files) set lookups, not O(files × stats)
+    // list scans (real money at 10^5 files on the PLANNING path)
+    val liveStats = stats.filter(s => live(s.f))
+    val byCol: Map[String, (Seq[ZoneMap.Stat], Set[String])] =
+      liveStats.groupBy(_.c).map { case (c, ss) =>
+        c -> (ss, ss.map(_.f).toSet)
+      }
+
     def statsOf(c: String): Seq[ZoneMap.Stat] =
-      stats.filter(s => live(s.f) && s.c == c)
+      byCol.get(c).map(_._1).getOrElse(Nil)
+
+    def covers(c: String): Boolean = {
+      val covered = byCol.get(c).map(_._2).getOrElse(Set.empty)
+      files.forall(covered)
+    }
 
     def exactType(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -85,8 +99,8 @@ private[sources] object AggPushdown {
       val dt = schema.find(_.name == c).map(_.dataType).getOrElse(
         return None)
       if (!exactType(dt)) return None
+      if (!covers(c)) return None
       val ss = statsOf(c)
-      if (files.exists(f => !ss.exists(_.f == f))) return None
       val bounds = ss.flatMap { st =>
         (st.rows, st.nulls) match {
           case (Some(r), Some(n)) if n == r => None // all-null file
@@ -109,8 +123,8 @@ private[sources] object AggPushdown {
           .getOrElse(return None)
       case c: Count if !c.isDistinct =>
         val col = colName(c.column).getOrElse(return None)
+        if (!covers(col)) return None
         val ss = statsOf(col)
-        if (files.exists(f => !ss.exists(_.f == f))) return None
         val nonNull = ss.map { st =>
           (st.rows, st.nulls) match {
             case (Some(r), Some(n)) => r - n

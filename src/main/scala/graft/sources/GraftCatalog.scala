@@ -341,6 +341,17 @@ private[sources] final class VersionedSparkTable(table: String,
       private var aggResult: Option[(StructType, Seq[Any])] = None
       private var aggPushed = false
 
+      /** Snapshot facets once per builder (the parsed manifest itself is
+        * cached, but decodeStat over every stats row is not free at
+        * 10^5 files × several offer/build calls per statement).
+        */
+      private lazy val snapshotV: Int =
+        pinned.getOrElse(Versioned.currentVersion(table))
+      private lazy val snapshot
+          : (Seq[String], Seq[ZoneMap.Stat], Map[String, Long],
+            StructType, Int) =
+        Versioned.rowLevelSnapshot(spark, table, snapshotV)
+
       /** Record what translates (for the inner scan's plan-time file
         * admission + EXPLAIN's PushedFilters), but return EVERY filter
         * as residual — the engine re-applies the full predicate above
@@ -361,11 +372,9 @@ private[sources] final class VersionedSparkTable(table: String,
         * push is always a WHOLE-snapshot aggregate.
         */
       override def supportCompletePushDown(agg: Aggregation): Boolean = {
-        // recompute per offer (cheap: the parsed manifest is cached);
-        // probing and pushing may not carry the same Aggregation object
-        val v = pinned.getOrElse(Versioned.currentVersion(table))
-        val (files, stats, _, tableSchema, nDeletes) =
-          Versioned.rowLevelSnapshot(spark, table, v)
+        // recompute per offer (probing and pushing may not carry the
+        // same Aggregation object); the facets themselves are cached
+        val (files, stats, _, tableSchema, nDeletes) = snapshot
         aggResult =
           AggPushdown.compute(agg, stats, files, nDeletes, tableSchema)
         aggResult.isDefined
@@ -392,12 +401,10 @@ private[sources] final class VersionedSparkTable(table: String,
           }
         case None =>
           val req = required
-          val v = pinned.getOrElse(Versioned.currentVersion(table))
-          val (files, stats, sizes, tableSchema, nDeletes) =
-            Versioned.rowLevelSnapshot(spark, table, v)
+          val (files, stats, sizes, tableSchema, nDeletes) = snapshot
           if (nDeletes == 0)
-            new VersionedBatchScan(spark, table, v, req, pushed, files,
-              stats, sizes, tableSchema)
+            new VersionedBatchScan(spark, table, snapshotV, req, pushed,
+              files, stats, sizes, tableSchema)
           else {
             // pending MOR masks need the anti-join read
             // (readWithDeletes) — only expressible through the V1
@@ -442,7 +449,7 @@ private[sources] final class VersionedSparkTable(table: String,
           require(!overwrite,
             "streaming into a versioned table is append-only " +
               "(Complete/Truncate output modes are unsupported)")
-          new GraftStreamingWrite(table, info.schema())
+          new GraftStreamingWrite(table, info.schema(), info.queryId())
         }
       }
     }

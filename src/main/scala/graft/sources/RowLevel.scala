@@ -114,18 +114,8 @@ private[sources] final class GraftRowLevelOperation(table: String,
           s"SQL $cmd on $table needs a delete-free snapshot: pending " +
             "merge-on-read delete files cannot be masked inside a " +
             "file-granular rewrite scan — run Versioned.compact first")
-        val admissionExprs =
-          pushed.toSeq.flatMap(RowLevelFilters.toCatalyst(_, tableSchema))
-        val statAdmitted: Seq[String] =
-          if (files.isEmpty) Nil
-          else if (admissionExprs.isEmpty) files
-          else {
-            val idx = new ManifestFileIndex(spark, table, files, stats, sizes)
-            val ok = idx.listFiles(Nil, admissionExprs)
-              .flatMap(_.files)
-              .map(st => Versioned.dataSuffix(st.getPath.toString)).toSet
-            files.filter(f => ok(Versioned.dataSuffix(f)))
-          }
+        val statAdmitted = RowLevelFilters.admittedFiles(spark, table,
+          files, stats, sizes, pushed.toSeq, tableSchema)
         affectedFiles = Some(statAdmitted)
         new RowLevelScan(GraftRowLevelOperation.this, spark, table,
           tableSchema, req, sizes, files.size, statAdmitted)
@@ -230,17 +220,8 @@ private[sources] final class VersionedBatchScan(spark: SparkSession,
     sizes: Map[String, Long], tableSchema: StructType)
     extends Scan with SupportsReportStatistics {
 
-  private val admitted: Seq[String] = {
-    val exprs = pushed.toSeq.flatMap(RowLevelFilters.toCatalyst(_, tableSchema))
-    if (files.isEmpty) Nil
-    else if (exprs.isEmpty) files
-    else {
-      val idx = new ManifestFileIndex(spark, table, files, stats, sizes)
-      val ok = idx.listFiles(Nil, exprs).flatMap(_.files)
-        .map(st => Versioned.dataSuffix(st.getPath.toString)).toSet
-      files.filter(f => ok(Versioned.dataSuffix(f)))
-    }
-  }
+  private val admitted: Seq[String] = RowLevelFilters.admittedFiles(
+    spark, table, files, stats, sizes, pushed.toSeq, tableSchema)
 
   private val dataReq: StructType =
     StructType(req.fields.filter(_.name != RowLevelFile.Name))
@@ -495,7 +476,7 @@ private[sources] object RowLevelWriteSupport {
   * `replace` territory.
   */
 private[sources] final class GraftStreamingWrite(table: String,
-    writeSchema: StructType) extends
+    writeSchema: StructType, queryId: String) extends
     org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def spark = SparkSession.active
@@ -512,8 +493,20 @@ private[sources] final class GraftStreamingWrite(table: String,
       messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.toSeq
       .collect { case RowLevelCommitMessage(Some(p)) => p }
-    Versioned.commitStreamEpoch(spark, table, uid, epochId, committed,
-      writeSchema)
+    // speculative / zombie task attempts leave extra files; only the
+    // ones commit messages name belong to the snapshot (the batch
+    // write's pruning discipline — adoption then canonicalizes against
+    // the cleaned listing)
+    val staging = new Path(Versioned.streamStagingDir(table, uid, epochId))
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(staging)) {
+      val keep = committed.map(p => new Path(p).getName).toSet
+      fs.listStatus(staging)
+        .filter(s => s.isFile && !keep(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    Versioned.commitStreamEpoch(spark, table, uid, queryId, epochId,
+      committed, writeSchema)
   }
 
   override def abort(epochId: Long,
@@ -613,6 +606,27 @@ private[sources] final class SerializableHadoopConf(
   * needs both sides or nothing (a one-sided OR would under-admit).
   */
 private[sources] object RowLevelFilters {
+
+  /** Manifest-stats may-match admission shared by the row-level
+    * operation scan and the plain [[VersionedBatchScan]] — ONE
+    * translation site, so rewrites and reads can never prune
+    * differently. Untranslatable conjuncts admit everything they touch
+    * (the conservative house contract).
+    */
+  def admittedFiles(spark: SparkSession, table: String,
+      files: Seq[String], stats: Seq[ZoneMap.Stat],
+      sizes: Map[String, Long], pushed: Seq[VFilter],
+      schema: StructType): Seq[String] = {
+    val exprs = pushed.flatMap(toCatalyst(_, schema))
+    if (files.isEmpty) Nil
+    else if (exprs.isEmpty) files
+    else {
+      val idx = new ManifestFileIndex(spark, table, files, stats, sizes)
+      val ok = idx.listFiles(Nil, exprs).flatMap(_.files)
+        .map(st => Versioned.dataSuffix(st.getPath.toString)).toSet
+      files.filter(f => ok(Versioned.dataSuffix(f)))
+    }
+  }
 
   /** The file set a runtime `_file` group-filter predicate names:
     * `Some(files)` when the predicate is EXACTLY "_file ∈ files" (IN or

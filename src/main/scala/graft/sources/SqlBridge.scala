@@ -86,7 +86,17 @@ private[sources] object SqlBridge {
     // `_file` is the table's metadata column (RowLevelFile): surface the
     // scan's own per-file constant. Spelling can differ from the
     // manifest's (URI qualification); group-filter consumers compare by
-    // /data/ suffix, never raw equality.
+    // /data/ suffix, never raw equality. A MOR-masked snapshot cannot
+    // attribute rows to files (readWithDeletes is an anti-join/union
+    // plan — _metadata does not survive it, and input_file_name() above
+    // a join is nondeterministic): refuse LOUDLY instead of surfacing a
+    // confusing unresolved-column error.
+    if (required.contains(RowLevelFile.Name) &&
+        Versioned.hasDeleteFiles(spark, table))
+      throw new UnsupportedOperationException(
+        s"SELECT ${RowLevelFile.Name} needs a delete-free snapshot of " +
+          s"$table: pending merge-on-read delete files make row→file " +
+          "attribution undefined — run Versioned.compact first")
     val cols = required.map {
       case RowLevelFile.Name =>
         col("_metadata.file_path").as(RowLevelFile.Name)

@@ -187,6 +187,17 @@ object Versioned {
     def abort(): Unit
   }
 
+  /** Re-encode the path prefix of a `enc(path)|rest` manifest row when a
+    * rebase renames a staged directory — shared by [[Staged]] and
+    * [[Adopted]] so the encoding discipline lives once.
+    */
+  private def remapStatRows(rows: Seq[String], o: String,
+      n: String): Seq[String] =
+    rows.map { s =>
+      val i = s.indexOf('|')
+      enc(dec(s.take(i)).replace(o, n)) + s.drop(i)
+    }
+
   private final class Staged(table: String, kind: String, df: DataFrame,
       batchId: Option[Long] = None, withStats: Boolean = true)
       extends StagedLike {
@@ -200,14 +211,6 @@ object Versioned {
       case Some(b) => s"b=$b-v$v-$uid"
       case None => s"$kind=$v-$uid"
     }
-    /** Re-encode the path prefix of a `enc(path)|rest` manifest row when
-      * a rebase renames the staged directory.
-      */
-    private def remap(rows: Seq[String], o: String, n: String) =
-      rows.map { s =>
-        val i = s.indexOf('|')
-        enc(dec(s.take(i)).replace(o, n)) + s.drop(i)
-      }
     def at(v: Int): (Seq[String], Seq[String], Seq[String]) = {
       if (dirV < 0) {
         val dataDir = s"$table/data/${dirName(v)}"
@@ -230,8 +233,8 @@ object Versioned {
         require(fs.rename(from, to), s"rebase rename failed: $from -> $to")
         val (o, n) = (s"/${dirName(dirV)}/", s"/${dirName(v)}/")
         files = files.map(_.replace(o, n))
-        stats = remap(stats, o, n)
-        sizes = remap(sizes, o, n)
+        stats = remapStatRows(stats, o, n)
+        sizes = remapStatRows(sizes, o, n)
         dirV = v
       }
       (files, stats, sizes)
@@ -259,15 +262,23 @@ object Versioned {
     private var stats: Seq[String] = Nil
     private var sizes: Seq[String] = Nil
     private var loaded = false
-    private def remap(rows: Seq[String], o: String, n: String) =
-      rows.map { s =>
-        val i = s.indexOf('|')
-        enc(dec(s.take(i)).replace(o, n)) + s.drop(i)
-      }
     def at(v: Int): (Seq[String], Seq[String], Seq[String]) = {
       if (!loaded) {
-        stats = statsFor(spark, files)
         val dataDir = s"$table/data/$curName"
+        // CANONICALIZE the adopted file list through the same reader
+        // spelling Staged's writeData records (inputFiles: qualified
+        // URIs): executor-interpolated raw paths would make the
+        // manifest's 'f' rows disagree with the 'fs' stats rows (keyed
+        // by input_file_name()), leaving every adopted file stats-dead
+        // to raw-equality consumers (ManifestFileIndex admission,
+        // AggPushdown, snapshotStats). Callers prune task-attempt
+        // debris BEFORE adoption, so the listing is the committed set.
+        files = spark.read.parquet(dataDir).inputFiles.toSeq.sorted
+        require(files.size == committed.size,
+          s"adopted dir $dataDir holds ${files.size} files, " +
+            s"commit messages name ${committed.size} — debris pruning " +
+            "must run before adoption")
+        stats = statsFor(spark, files)
         val byName = fsFor(dataDir,
           spark.sparkContext.hadoopConfiguration)
           .listStatus(new Path(dataDir))
@@ -284,8 +295,8 @@ object Versioned {
         require(fs.rename(from, to), s"rebase rename failed: $from -> $to")
         val (o, n) = (s"/$curName/", s"/$next/")
         files = files.map(_.replace(o, n))
-        stats = remap(stats, o, n)
-        sizes = remap(sizes, o, n)
+        stats = remapStatRows(stats, o, n)
+        sizes = remapStatRows(sizes, o, n)
         curName = next
       }
       (files, stats, sizes)
@@ -359,27 +370,43 @@ object Versioned {
 
   /** Exactly-once adoption of one streaming epoch's executor-written
     * files ([[appendBatch]]'s contract with the write step already
-    * done): the epoch id rides the manifest txn list, so a redelivered
-    * commit — including one racing the original — no-ops and reclaims
-    * its staged files. An empty epoch commits nothing and mints no
-    * version (replay-safe: its redelivery is empty too). One streaming
-    * writer per table, the house txn-marker contract.
+    * done). The txn marker is QUERY-SCOPED (Delta's appId/version
+    * contract, packed into the Long txn space: the query id's 32-bit
+    * hash in the high half, the epoch in the low half) so
+    *  - a NEW query (fresh checkpoint) writing a table that already
+    *    carries another query's epoch markers cannot collide and
+    *    silently drop its first epochs (bare epoch ids restart at 0);
+    *  - only the LATEST marker per query survives a commit — a
+    *    long-lived 1 s-trigger stream would otherwise grow the manifest
+    *    txn list by ~86k entries/day, every one re-parsed per read.
+    * Redelivery no-ops when the query's stored epoch is already at or
+    * past this one (epochs commit in order within a query). Epochs wrap
+    * at 2^32 — 136 years of 1 s triggers. An empty epoch commits
+    * nothing and mints no version (replay-safe: its redelivery is
+    * empty too).
     */
   private[sources] def commitStreamEpoch(spark: SparkSession,
-      table: String, uid: String, epochId: Long, committed: Seq[String],
+      table: String, uid: String, queryId: String, epochId: Long,
+      committed: Seq[String],
       writeSchema: org.apache.spark.sql.types.StructType): Option[Int] = {
     val initial = s"_stream-$uid-e$epochId"
     def nameFor(v: Int) = s"b=$epochId-v$v-$uid"
+    val prefix = scala.util.hashing.MurmurHash3.stringHash(queryId)
+    val epoch32 = epochId & 0xFFFFFFFFL
+    val marker = (prefix.toLong << 32) | epoch32
+    def mine(t: Long) = (t >>> 32).toInt == prefix
     val w = new Adopted(table, spark, nameFor, initial, committed)
     if (committed.isEmpty) { w.abort(); return None }
     val r =
       try {
         commitLoop(spark, table, { (m, cur) =>
-          if (m.txns.contains(epochId)) None
+          if (m.txns.exists(t => mine(t) && (t & 0xFFFFFFFFL) >= epoch32))
+            None
           else {
             val sch = mergeSchemas(m.schema, writeSchema)
             val (files, stats, sizes) = w.at(cur + 1)
-            Some(Content(m.files ++ files, m.txns :+ epochId, m.deletes,
+            Some(Content(m.files ++ files,
+              m.txns.filterNot(mine) :+ marker, m.deletes,
               Some(sch), m.statsRaw ++ stats, m.sizesRaw ++ sizes))
           }
         })

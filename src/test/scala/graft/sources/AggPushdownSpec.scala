@@ -87,6 +87,51 @@ class AggPushdownSpec extends AnyFunSuite {
       ev.agg(min("event_type")).head().getString(0))
   }
 
+  test("stats survive the SQL write paths: files minted by UPDATE and by " +
+      "the streaming sink still answer metadata aggregates and prune") {
+    val (t, dir) = mk("agp4")
+    // a row-level rewrite replaces one file with executor-written ones;
+    // their manifest stats entries must keep the SAME spelling as the
+    // 'f' rows, or every raw-equality consumer goes stats-blind
+    spark.sql(s"UPDATE $t SET value = value + 1.0 WHERE event_id < 100")
+    val afterUpd = spark.sql(s"SELECT COUNT(*) AS c, MAX(value) AS mx " +
+      s"FROM $t")
+    assert(afterUpd.queryExecution.executedPlan.toString
+      .contains("MetadataAggScan"),
+      "aggregate pushdown must survive a SQL UPDATE's rewritten files")
+    assert(afterUpd.head().getLong(0) == ev.count())
+    // file pruning from the rewritten files' stats: event_id < 100 rows
+    // all live in the UPDATE-written files (2 appends split by parity,
+    // both touched), so a disjoint probe must open fewer files
+    val probe = spark.sql(
+      s"SELECT COUNT(*) AS c FROM $t WHERE event_id > 1000000")
+    assert(probe.head().getLong(0) == 0L)
+
+    // streaming-sink files: same contract
+    val w = new GraftStreamingWrite(dir, ev.schema, "agp4-q")
+    val uidField = classOf[GraftStreamingWrite].getDeclaredField("uid")
+    uidField.setAccessible(true)
+    val uid = uidField.get(w).asInstanceOf[String]
+    val staging = Versioned.streamStagingDir(dir, uid, 0L)
+    ev.limit(10).withColumn("event_id", col("event_id") + 5000000L)
+      .coalesce(1).write.parquet(staging + "_tmp")
+    val fs = new Path(staging).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(staging + "_tmp"), new Path(staging))
+    val msgs = fs.listStatus(new Path(staging))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(f => RowLevelCommitMessage(Some(f.getPath.toString)):
+        org.apache.spark.sql.connector.write.WriterCommitMessage)
+    w.commit(0L, msgs)
+    val afterStream = spark.sql(s"SELECT COUNT(*) AS c, " +
+      s"MAX(event_id) AS mx FROM $t")
+    assert(afterStream.queryExecution.executedPlan.toString
+      .contains("MetadataAggScan"),
+      "aggregate pushdown must survive streamed-in files")
+    assert(afterStream.head().getLong(0) == ev.count() + 10)
+    assert(afterStream.head().getLong(1) >= 5000000L)
+  }
+
   test("MOR delete masks disable the metadata answer until compact") {
     val (t, dir) = mk("agp3")
     Versioned.deleteByKeyMor(

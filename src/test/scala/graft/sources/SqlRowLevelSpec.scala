@@ -214,6 +214,19 @@ class SqlRowLevelSpec extends AnyFunSuite {
     val got = spark.sql(s"SELECT DISTINCT _file FROM $t").collect()
       .map(r => r.getString(0).split("/data/").last).toSet
     assert(got == files, s"got=$got want=$files")
+    // on a masked snapshot row→file attribution is undefined: the
+    // refusal must be LOUD and name the remedy, not an unresolved-column
+    // crash from the anti-join plan
+    Versioned.deleteByKeyMor(
+      ev.filter(col("event_id") % 11 === 0).select("event_id"),
+      dir, "event_id")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT _file FROM $t").collect()
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("compact")),
+      s"expected a compact-first refusal, got: ${chain(e)}")
   }
 
   test("a concurrent append between basis and commit REBASES: both the " +

@@ -55,47 +55,92 @@ class StreamingSinkSpec extends AnyFunSuite {
       .head().getLong(0) == ev.count())
   }
 
-  test("a redelivered epoch no-ops on the txn marker; an empty epoch " +
-      "mints no version") {
-    val wh = newCatalog("ssk2")
-    val dir = s"$wh/ns/t"
-    Versioned.createEmpty(spark, dir, ev.schema)
-    val w = new GraftStreamingWrite(dir, ev.schema)
-    // drive the write surface directly (the engine path is covered
-    // above): one epoch's committed files, committed twice
+  /** Stage `n` rows of `ev` as one epoch's committed task files under
+    * `w`'s uid and return the commit messages.
+    */
+  private def stageEpoch(w: GraftStreamingWrite, dir: String, epoch: Long,
+      n: Int): Array[org.apache.spark.sql.connector.write.WriterCommitMessage] = {
     val uidField = classOf[GraftStreamingWrite].getDeclaredField("uid")
     uidField.setAccessible(true)
     val uid = uidField.get(w).asInstanceOf[String]
-    val staging = Versioned.streamStagingDir(dir, uid, 7L)
-    ev.limit(100).coalesce(1).write.parquet(staging + "_tmp")
+    val staging = Versioned.streamStagingDir(dir, uid, epoch)
+    ev.limit(n).coalesce(1).write.mode("overwrite").parquet(staging + "_tmp")
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     fs.rename(new org.apache.hadoop.fs.Path(staging + "_tmp"),
       new org.apache.hadoop.fs.Path(staging))
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+    fs.listStatus(new org.apache.hadoop.fs.Path(staging))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
-      files.map(f => RowLevelCommitMessage(Some(f)))
-    w.commit(7L, msgs)
+      .map(f => RowLevelCommitMessage(Some(f.getPath.toString)):
+        org.apache.spark.sql.connector.write.WriterCommitMessage)
+  }
+
+  test("a redelivered epoch no-ops on the QUERY-SCOPED txn marker; an " +
+      "empty epoch mints no version; one marker per query survives") {
+    val wh = newCatalog("ssk2")
+    val dir = s"$wh/ns/t"
+    Versioned.createEmpty(spark, dir, ev.schema)
+    val w = new GraftStreamingWrite(dir, ev.schema, "query-A")
+    w.commit(7L, stageEpoch(w, dir, 7L, 100))
     val v = Versioned.currentVersion(dir)
     assert(Versioned.read(spark, dir).count() == 100)
-    // redelivery: same epoch id commits again -> no-op
-    ev.limit(100).coalesce(1).write.parquet(staging + "_tmp")
-    fs.rename(new org.apache.hadoop.fs.Path(staging + "_tmp"),
-      new org.apache.hadoop.fs.Path(staging))
-    val files2 = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-    w.commit(7L, files2.map(f => RowLevelCommitMessage(Some(f)):
-      org.apache.spark.sql.connector.write.WriterCommitMessage))
+    // redelivery: same epoch id commits again -> no-op, staging reclaimed
+    val msgs2 = stageEpoch(w, dir, 7L, 100)
+    w.commit(7L, msgs2)
     assert(Versioned.currentVersion(dir) == v)
     assert(Versioned.read(spark, dir).count() == 100)
-    // and the redelivered staging was reclaimed
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+    // a LATER epoch commits and REPLACES the query's marker — the txn
+    // list stays one-entry-per-writer, not one-per-trigger forever
+    w.commit(9L, stageEpoch(w, dir, 9L, 50))
+    assert(Versioned.read(spark, dir).count() == 150)
+    val hist = Versioned.history(spark, dir)
+    val nTxns = hist.orderBy(org.apache.spark.sql.functions
+      .col("version").desc).select("n_txns").head().getInt(0)
+    assert(nTxns == 1, s"expected ONE surviving marker, got $nTxns")
+    // a redelivery of the OLDER epoch after the newer one still no-ops
+    val vv = Versioned.currentVersion(dir)
+    w.commit(7L, stageEpoch(w, dir, 7L, 100))
+    assert(Versioned.currentVersion(dir) == vv)
     // empty epoch: no version
-    w.commit(8L, Array(RowLevelCommitMessage(None)))
-    assert(Versioned.currentVersion(dir) == v)
+    w.commit(11L, Array(RowLevelCommitMessage(None)))
+    assert(Versioned.currentVersion(dir) == vv)
+  }
+
+  test("a NEW query (fresh checkpoint) starting at epoch 0 against a " +
+      "table carrying another query's markers does NOT lose data") {
+    val wh = newCatalog("ssk4")
+    val dir = s"$wh/ns/t"
+    Versioned.createEmpty(spark, dir, ev.schema)
+    val a = new GraftStreamingWrite(dir, ev.schema, "query-A")
+    a.commit(0L, stageEpoch(a, dir, 0L, 100))
+    a.commit(1L, stageEpoch(a, dir, 1L, 20))
+    assert(Versioned.read(spark, dir).count() == 120)
+    // a different query's epoch 0 must COMMIT, not silently no-op on
+    // query-A's epoch-0 marker (the bare-epoch collision)
+    val b = new GraftStreamingWrite(dir, ev.schema, "query-B")
+    b.commit(0L, stageEpoch(b, dir, 0L, 30))
+    assert(Versioned.read(spark, dir).count() == 150,
+      "query-B's first epoch was silently dropped")
+    // and speculative-attempt debris staged but NOT in the commit
+    // messages is pruned before adoption
+    val uidField = classOf[GraftStreamingWrite].getDeclaredField("uid")
+    uidField.setAccessible(true)
+    val uidB = uidField.get(b).asInstanceOf[String]
+    val msgs = stageEpoch(b, dir, 2L, 40)
+    val staging = Versioned.streamStagingDir(dir, uidB, 2L)
+    ev.limit(5).coalesce(1).write.parquet(staging + "_junk")
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = fs.listStatus(
+      new org.apache.hadoop.fs.Path(staging + "_junk"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(junk, new org.apache.hadoop.fs.Path(staging,
+      "part-zombie-attempt.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(staging + "_junk"), true)
+    b.commit(2L, msgs)
+    assert(Versioned.read(spark, dir).count() == 190,
+      "zombie task-attempt file must not be adopted")
   }
 
   test("Complete output mode rejects: versioned streaming is append-only") {
