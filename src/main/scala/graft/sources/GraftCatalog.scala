@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** [[Versioned]] tables as a Spark SQL CATALOG (DataSource V2
@@ -47,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (schema evolution happens additively at commit time instead —
   * [[Versioned]]'s mergeSchemas contract).
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var initWarehouse: Option[String] = None
@@ -207,12 +208,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE … ADD COLUMNS` — the one schema change the format
+    * supports (additive evolution; [[Versioned.addColumns]] commits it
+    * as pure metadata, old files null-fill at read). Everything else —
+    * renames, retypes, drops — rejects: they are rebuilds, not edits.
+    */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is out of scope: schema evolves additively at commit " +
-        "time (Versioned.mergeSchemas)")
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.size)
+      throw new UnsupportedOperationException(
+        "only ALTER TABLE ADD COLUMNS is supported: the schema evolves " +
+          "ADDITIVELY (renames/retypes/drops are rebuilds — " +
+          "Versioned.mergeSchemas contract)")
+    val fields = adds.map { a =>
+      if (a.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"nested ADD COLUMN is out of scope: ${a.fieldNames.mkString(".")}")
+      StructField(a.fieldNames.head, a.dataType, nullable = true)
+    }
+    Versioned.addColumns(spark, tablePath(ident), fields)
+    loadTable(ident)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -228,6 +245,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val to = new Path(tablePath(newIdent))
     require(fs(from).rename(from, to), s"rename failed: $from -> $to")
   }
+
+  // ---- functions ------------------------------------------------------
+
+  /** Engine scalar functions as catalog SQL ([[GraftFunctions]] — the
+    * DSv2 FunctionCatalog seam): `SELECT <cat>.<ns>.kmer_encode(seq)`;
+    * available in every existing namespace.
+    */
+  override def listFunctions(
+      namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   // ---- namespaces -----------------------------------------------------
 

@@ -771,7 +771,8 @@ object SourceQueries {
       srcVersionedMetadataDelete, srcVersionedCdfSource,
       srcVersionedReplicate, srcSqlCatalog, srcSqlTimetravel,
       srcSqlDelete, srcFormatRoundtrip, srcSqlUpdate, srcSqlMerge,
-      srcSqlDeleteRewrite, srcSqlAggPushdown, srcSqlStreamSink)
+      srcSqlDeleteRewrite, srcSqlAggPushdown, srcSqlStreamSink,
+      srcSqlFunctions)
 
   /** The versioned table as PLAIN SQL through a registered
     * [[GraftCatalog]] (DataSource V2 TableCatalog — the Iceberg/Delta
@@ -2027,4 +2028,32 @@ object SourceQueries {
              ROUND(SUM(value), 2) AS sv
       FROM events GROUP BY event_type ORDER BY event_type"""),
     bench = false)
+
+  /** Engine scalar functions through the DSv2 FunctionCatalog
+    * ([[GraftFunctions]]): `ws_tokens` (the tokenCounts pre-tokenizer)
+    * and `hamming64` (the SimHash distance) called as plain catalog SQL
+    * and replayed in DuckDB; `kmer_encode` has no DuckDB spelling and is
+    * pinned differentially against its codegen Expression in
+    * SqlFunctionsSpec instead.
+    */
+  lazy val srcSqlFunctions: Q = Q(
+    "src_sql_functions",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqlfn").toString
+      s.conf.set("spark.sql.catalog.graft_fn",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_fn.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fn.ns")
+      graft.Tables.documents(s, d).createOrReplaceTempView("fn_docs")
+      s.sql("""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(graft_fn.ns.ws_tokens(text)) AS BIGINT) AS toks,
+               CAST(SUM(graft_fn.ns.hamming64(doc_id, 6148914691236517205)) AS BIGINT) AS hm
+        FROM fn_docs GROUP BY lang ORDER BY lang""")
+    },
+    Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS toks,
+             CAST(SUM(bit_count(xor(doc_id, 6148914691236517205))) AS BIGINT) AS hm
+      FROM documents GROUP BY lang ORDER BY lang"""))
 }

@@ -2179,6 +2179,30 @@ object Versioned {
       Some(Content(Nil, Nil, Nil, Some(schema), Nil, Nil))
     }).get
 
+  /** `ALTER TABLE … ADD COLUMNS` as a PURE METADATA commit (the Delta/
+    * Iceberg contract, already the read-side behavior for commit-time
+    * evolution): every file, delete, txn, and stat row carries forward
+    * by reference; only the stored schema grows. Old files null-fill
+    * the new columns at read (they are forced nullable for exactly that
+    * reason). Duplicate names reject loudly; additive-only — a retype
+    * or drop is a rebuild, same as [[mergeSchemas]]' contract.
+    */
+  def addColumns(spark: SparkSession, table: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    commitLoop(spark, table, { (m, cur) =>
+      require(cur > 0, s"no table at $table")
+      val prev = schemaOfSnapshot(spark, m, s"v=$cur")
+      val dup = cols.map(_.name).intersect(prev.fieldNames.toSeq)
+      require(dup.isEmpty,
+        s"column(s) already exist: ${dup.mkString(", ")}")
+      val merged = org.apache.spark.sql.types.StructType(
+        prev.fields ++ cols.map(_.copy(nullable = true)))
+      Some(Content(m.files, m.txns, m.deletes, Some(merged),
+        m.statsRaw, m.sizesRaw))
+    }).get
+  }
+
   /** True when snapshot `version` (default: head) carries unmerged MOR
     * delete files — the read path must then anti-join the mask, so
     * planner-integrated file skipping ([[indexedRead]]) is unavailable

@@ -248,8 +248,8 @@ class SqlCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("catalog DDL edges: partitioned CREATE refuses, ALTER refuses, " +
-      "rename moves, namespaces list") {
+  test("catalog DDL edges: partitioned CREATE refuses, additive ALTER " +
+      "works, destructive ALTER refuses, rename moves, namespaces list") {
     val wh = catalog("gsp7")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp7.ns")
     intercept[Exception] {
@@ -257,8 +257,22 @@ class SqlCatalogSpec extends AnyFunSuite {
         "PARTITIONED BY (b)")
     }
     spark.sql("CREATE TABLE gsp7.ns.a (x BIGINT)")
+    // additive evolution is a pure metadata commit; old rows null-fill
+    spark.sql("INSERT INTO gsp7.ns.a VALUES (1)")
+    spark.sql("ALTER TABLE gsp7.ns.a ADD COLUMNS (y STRING)")
+    spark.sql("INSERT INTO gsp7.ns.a VALUES (2, 'two')")
+    val rows = spark.sql("SELECT * FROM gsp7.ns.a ORDER BY x").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).isNullAt(1) && rows(1).getString(1) == "two")
+    // duplicate column and destructive changes refuse
     intercept[Exception] {
-      spark.sql("ALTER TABLE gsp7.ns.a ADD COLUMN y STRING")
+      spark.sql("ALTER TABLE gsp7.ns.a ADD COLUMNS (y DOUBLE)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsp7.ns.a DROP COLUMN y")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsp7.ns.a RENAME COLUMN y TO z")
     }
     spark.sql("ALTER TABLE gsp7.ns.a RENAME TO ns.b")
     assert(!spark.catalog.tableExists("gsp7.ns.a"))
@@ -270,5 +284,18 @@ class SqlCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SHOW NAMESPACES IN gsp7.ns.b").collect()
     }
+  }
+
+  test("CREATE TABLE AS SELECT lands a populated versioned table") {
+    val wh = catalog("gsp8")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp8.ns")
+    ev.createOrReplaceTempView("gsp8_ev")
+    spark.sql("CREATE TABLE gsp8.ns.c AS SELECT event_id, value " +
+      "FROM gsp8_ev WHERE event_id % 4 = 0")
+    assertSameRows(spark.sql("SELECT * FROM gsp8.ns.c"),
+      ev.filter(col("event_id") % 4 === 0)
+        .select(col("event_id"), col("value")))
+    // create (schema-only v1) + the CTAS write commit
+    assert(Versioned.currentVersion(s"$wh/ns/c") == 2)
   }
 }
