@@ -33,20 +33,25 @@ private[sources] object GraftFunctions {
     case _ => None
   }
 
-  private def expect(inputType: StructType, types: Seq[DataType],
-      fn: String): Unit =
-    require(inputType.fields.length == types.length &&
-      inputType.fields.map(_.dataType).sameElements(types),
-      s"$fn expects (${types.mkString(", ")}), got " +
-        s"(${inputType.fields.map(_.dataType).mkString(", ")})")
+  /** Arity check only (UnsupportedOperationException is what the
+    * analyzer converts into its clean cannot-bind error); argument
+    * TYPES are reconciled by Spark against the bound function's
+    * `inputTypes()` — that is what lets `hamming64(sig, 0)` upcast the
+    * int literal instead of dying on exact-type equality.
+    */
+  private def expect(inputType: StructType, arity: Int, fn: String): Unit =
+    if (inputType.fields.length != arity)
+      throw new UnsupportedOperationException(
+        s"$fn expects $arity argument(s), got ${inputType.fields.length}")
 
   object KmerEncodeUnbound extends UnboundFunction {
     override def name(): String = "kmer_encode"
     override def description(): String =
       "kmer_encode(seq STRING) -> BIGINT: the k-mer table's base-20 " +
-        "packing of a protein k-mer (X and unknowns map to the last code)"
+        "packing of a protein k-mer; X/unknown residues yield NULL " +
+        "(the X-k-mer drop contract)"
     override def bind(inputType: StructType): BoundFunction = {
-      expect(inputType, Seq(StringType), name())
+      expect(inputType, 1, name())
       new KmerEncodeBound
     }
   }
@@ -79,7 +84,7 @@ private[sources] object GraftFunctions {
       "hamming64(a BIGINT, b BIGINT) -> INT: SimHash signature distance " +
         "(bit_count(a ^ b))"
     override def bind(inputType: StructType): BoundFunction = {
-      expect(inputType, Seq(LongType, LongType), name())
+      expect(inputType, 2, name())
       new Hamming64Bound
     }
   }
@@ -102,9 +107,13 @@ private[sources] object GraftFunctions {
       "ws_tokens(s STRING) -> INT: whitespace token count " +
         "(TextAnalysis.tokenCounts' ws_tokens column, exactly)"
     override def bind(inputType: StructType): BoundFunction = {
-      expect(inputType, Seq(StringType), name())
+      expect(inputType, 1, name())
       new WsTokensBound
     }
+  }
+
+  object WsTokensBound {
+    private[GraftFunctions] val Ws = java.util.regex.Pattern.compile("\\s+")
   }
 
   class WsTokensBound extends ScalarFunction[java.lang.Integer] {
@@ -112,13 +121,24 @@ private[sources] object GraftFunctions {
     override def canonicalName(): String = "graft.ws_tokens"
     override def inputTypes(): Array[DataType] = Array(StringType)
     override def resultType(): DataType = IntegerType
-    /** `size(split(trim(s), "\\s+"))` semantics, bit-for-bit: Spark's
-      * split drops TRAILING empty strings only, so a trimmed empty
-      * string still yields one (empty) token — count 1, not 0.
+    /** `size(split(trim(s), "\\s+"))` semantics, bit-for-bit: SQL trim
+      * strips SPACES only (Java's String.trim would also eat tabs/CR
+      * and change the count — "\thello" is 2 tokens here, the leading
+      * empty string survives a non-space head), and split keeps every
+      * empty token (Spark's limit = -1), so a trimmed empty string is
+      * one token. The pattern is compiled ONCE — this runs per row
+      * inside whole-stage codegen.
       */
-    def invoke(s: UTF8String): java.lang.Integer =
-      if (s == null) null
-      else Integer.valueOf(s.toString.trim.split("\\s+", -1).length)
+    def invoke(s: UTF8String): java.lang.Integer = {
+      if (s == null) return null
+      var str = s.toString
+      var from = 0
+      var to = str.length
+      while (from < to && str.charAt(from) == ' ') from += 1
+      while (to > from && str.charAt(to - 1) == ' ') to -= 1
+      str = str.substring(from, to)
+      Integer.valueOf(WsTokensBound.Ws.split(str, -1).length)
+    }
     override def produceResult(
         row: org.apache.spark.sql.catalyst.InternalRow): java.lang.Integer =
       if (row.isNullAt(0)) null else invoke(row.getUTF8String(0))

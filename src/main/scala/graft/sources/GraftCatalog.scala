@@ -226,6 +226,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (a.fieldNames.length != 1)
         throw new UnsupportedOperationException(
           s"nested ADD COLUMN is out of scope: ${a.fieldNames.mkString(".")}")
+      // silently honoring neither would lie: FIRST/AFTER cannot reorder
+      // parquet footers, and NOT NULL cannot hold when every old file
+      // null-fills the column — refuse loudly, like the other edges
+      if (a.position() != null)
+        throw new UnsupportedOperationException(
+          "ADD COLUMNS ... FIRST/AFTER is out of scope: columns append " +
+            "at the END of the schema")
+      if (!a.isNullable)
+        throw new UnsupportedOperationException(
+          "ADD COLUMNS ... NOT NULL is out of scope: files from before " +
+            "the evolution null-fill the new column, so the constraint " +
+            "cannot hold")
       StructField(a.fieldNames.head, a.dataType, nullable = true)
     }
     Versioned.addColumns(spark, tablePath(ident), fields)
@@ -260,10 +272,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadFunction(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    // same namespace universe as listFunctions — the two entry points
+    // must not disagree about which namespaces exist
+    if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
     GraftFunctions.load(ident.name).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident))
+  }
 
   // ---- namespaces -----------------------------------------------------
 

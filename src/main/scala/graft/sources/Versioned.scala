@@ -2190,10 +2190,17 @@ object Versioned {
   def addColumns(spark: SparkSession, table: String,
       cols: Seq[org.apache.spark.sql.types.StructField]): Int = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    // CASE-INSENSITIVE duplicate discipline (Spark's default resolution):
+    // a committed schema with x/X — or the same name twice within one
+    // call — would be unreadable (AMBIGUOUS_REFERENCE on every SELECT)
+    val lowered = cols.map(_.name.toLowerCase)
+    require(lowered.distinct == lowered,
+      s"duplicate column names in one ADD COLUMNS: ${cols.map(_.name)}")
     commitLoop(spark, table, { (m, cur) =>
       require(cur > 0, s"no table at $table")
       val prev = schemaOfSnapshot(spark, m, s"v=$cur")
-      val dup = cols.map(_.name).intersect(prev.fieldNames.toSeq)
+      val prevLower = prev.fieldNames.map(_.toLowerCase).toSet
+      val dup = cols.map(_.name).filter(n => prevLower(n.toLowerCase))
       require(dup.isEmpty,
         s"column(s) already exist: ${dup.mkString(", ")}")
       val merged = org.apache.spark.sql.types.StructType(

@@ -264,9 +264,19 @@ class SqlCatalogSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT * FROM gsp7.ns.a ORDER BY x").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(rows(0).isNullAt(1) && rows(1).getString(1) == "two")
-    // duplicate column and destructive changes refuse
+    // duplicate column (incl. case-insensitive) and destructive changes
+    // refuse; so do position/NOT NULL riders the format cannot honor
     intercept[Exception] {
       spark.sql("ALTER TABLE gsp7.ns.a ADD COLUMNS (y DOUBLE)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsp7.ns.a ADD COLUMNS (Y DOUBLE)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsp7.ns.a ADD COLUMNS (z DOUBLE FIRST)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsp7.ns.a ADD COLUMNS (w DOUBLE NOT NULL)")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE gsp7.ns.a DROP COLUMN y")

@@ -50,10 +50,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
       bit_count(col("a").bitwiseXOR(col("b"))).cast("int"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
 
+    // int literal upcasts to the declared BIGINT input (the implicit-
+    // cast path exact-type binding would block)
+    assert(spark.sql("SELECT fn2.ns.hamming64(5, 0)").head().getInt(0) == 2)
+
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text")).limit(200)
       .unionByName(Seq((900000001L, ""), (900000002L, "   "),
-        (900000003L, "one"), (900000004L, " a  b\tc \n d "))
+        (900000003L, "one"), (900000004L, " a  b\tc \n d "),
+        // SQL trim strips SPACES only: the leading tab survives and the
+        // split keeps its leading empty token (Java String.trim would
+        // under-count these by one)
+        (900000005L, "\thello"), (900000006L, "x\n"),
+        (900000007L, "\t \t mixed  tail \r\n"))
         .toDF("doc_id", "text"))
     docs.createOrReplaceTempView("fn2_docs")
     val gotTok = spark.sql(
