@@ -358,7 +358,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 private[sources] final class VersionedSparkTable(table: String,
     ident: String, pinned: Option[Int], readOnly: Boolean)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with TruncatableTable {
+
+  /** `TRUNCATE TABLE …` — a new EMPTY snapshot at the table's schema
+    * ([[Versioned.replace]] of nothing): history stays readable (time
+    * travel to the pre-truncate version works until expire), exactly
+    * the INSERT OVERWRITE-of-nothing shape.
+    */
+  override def truncateTable(): Boolean = {
+    require(!readOnly, s"cannot truncate time-travel read $ident")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    Versioned.replace(empty, table)
+    true
+  }
 
   private def spark: SparkSession = SparkSession.active
 

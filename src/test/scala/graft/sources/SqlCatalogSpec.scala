@@ -296,6 +296,23 @@ class SqlCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("TRUNCATE TABLE mints an empty snapshot; history stays readable") {
+    val wh = catalog("gsp9")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp9.ns")
+    val dir = s"$wh/ns/t"
+    Versioned.append(ev, dir) // v1
+    spark.sql("TRUNCATE TABLE gsp9.ns.t") // v2: empty at the same schema
+    val now = spark.sql("SELECT * FROM gsp9.ns.t")
+    assert(now.count() == 0)
+    assert(now.columns.toSeq ==
+      Seq("event_id", "user_id", "event_type", "value"))
+    assertSameRows(spark.sql("SELECT * FROM gsp9.ns.t VERSION AS OF 1"), ev)
+    // and it keeps taking writes
+    spark.sql("INSERT INTO gsp9.ns.t SELECT * FROM gsp9.ns.t VERSION AS OF 1")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM gsp9.ns.t")
+      .head().getLong(0) == ev.count())
+  }
+
   test("CREATE TABLE AS SELECT lands a populated versioned table") {
     val wh = catalog("gsp8")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp8.ns")
