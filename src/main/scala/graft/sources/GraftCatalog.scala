@@ -48,7 +48,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[Versioned]]'s mergeSchemas contract).
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var initWarehouse: Option[String] = None
@@ -257,6 +257,51 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val to = new Path(tablePath(newIdent))
     require(fs(from).rename(from, to), s"rename failed: $from -> $to")
   }
+
+  // ---- staged (atomic) CTAS / RTAS -------------------------------------
+
+  /** Atomic `CREATE [OR REPLACE] TABLE … AS SELECT` — the
+    * `StagingTableCatalog` seam, where the versioned table's manifest
+    * rename IS the atomic commit: the staged write lands data files
+    * first and publishes the snapshot in ONE rename-CAS at the very end
+    * ([[Versioned.replace]]/append), so readers never observe a partial
+    * replacement and a failed query leaves the previous table — and its
+    * whole history — untouched. `REPLACE … AS SELECT` keeps earlier
+    * snapshots readable through `VERSION AS OF` (a replace is a
+    * re-release, not a purge).
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft catalog tables are unpartitioned (cluster with " +
+        "ZOrder/key-ranged appends instead)")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new StagedVersionedTable(tablePath(ident), fullName(ident), schema,
+      existedBefore = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft catalog tables are unpartitioned")
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new StagedVersionedTable(tablePath(ident), fullName(ident), schema,
+      existedBefore = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft catalog tables are unpartitioned")
+    new StagedVersionedTable(tablePath(ident), fullName(ident), schema,
+      existedBefore = tableExists(ident))
+  }
+
+  private def fullName(ident: Identifier): String =
+    s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}"
 
   // ---- functions ------------------------------------------------------
 
@@ -554,6 +599,64 @@ private[sources] final class VersionedSparkTable(table: String,
       throw new UnsupportedOperationException(
         s"untranslatable DELETE predicate: ${filters.mkString(", ")}"))
     Versioned.delete(spark, table, pred)
+  }
+}
+
+/** One staged CTAS/RTAS target ([[GraftCatalog.stageCreate]] family):
+  * the AS-SELECT write replaces/creates the table content in ONE
+  * manifest commit at the end of the job (true atomicity — the staged
+  * data directory is invisible until the rename-CAS), so
+  * `commitStagedChanges` has nothing left to do and `abortStagedChanges`
+  * only reclaims a never-published table directory. An AS-SELECT-less
+  * staged create publishes the declared schema as an empty v1 at
+  * commit.
+  */
+private[sources] final class StagedVersionedTable(table: String,
+    ident: String, declared: StructType, existedBefore: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  @volatile private var written = false
+
+  override def name(): String = ident
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // CTAS/RTAS both arrive as the staged table's one write; the
+      // replace-vs-append distinction is table existence, not the mode
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ov: Boolean): Unit = {
+              if (existedBefore) Versioned.replace(data, table)
+              else Versioned.append(data, table)
+              written = true
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    // a staged CREATE with no AS-SELECT write still owes the schema
+    if (!written && !existedBefore)
+      Versioned.createEmpty(spark, table, declared)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    // the write never published (manifest CAS is the last step), so the
+    // only debris is a table dir WE would have minted; a pre-existing
+    // table keeps everything including any torn staging (vacuumOrphans'
+    // jurisdiction)
+    if (!existedBefore) {
+      val p = new Path(table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 }
 

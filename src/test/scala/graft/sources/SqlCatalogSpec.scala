@@ -313,7 +313,8 @@ class SqlCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == ev.count())
   }
 
-  test("CREATE TABLE AS SELECT lands a populated versioned table") {
+  test("CREATE TABLE AS SELECT lands a populated versioned table in ONE " +
+      "atomic commit (the staged path)") {
     val wh = catalog("gsp8")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp8.ns")
     ev.createOrReplaceTempView("gsp8_ev")
@@ -322,7 +323,45 @@ class SqlCatalogSpec extends AnyFunSuite {
     assertSameRows(spark.sql("SELECT * FROM gsp8.ns.c"),
       ev.filter(col("event_id") % 4 === 0)
         .select(col("event_id"), col("value")))
-    // create (schema-only v1) + the CTAS write commit
-    assert(Versioned.currentVersion(s"$wh/ns/c") == 2)
+    // StagingTableCatalog: the CTAS is ONE commit, not create + write
+    assert(Versioned.currentVersion(s"$wh/ns/c") == 1)
+  }
+
+  test("CREATE OR REPLACE TABLE AS SELECT is atomic: one re-release " +
+      "commit, history survives, a FAILED replace leaves the table " +
+      "untouched, a failed CTAS leaves no table") {
+    val wh = catalog("gsp10")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp10.ns")
+    val dir = s"$wh/ns/t"
+    ev.createOrReplaceTempView("gsp10_ev")
+    spark.sql("CREATE TABLE gsp10.ns.t AS SELECT * FROM gsp10_ev") // v1
+    spark.sql("CREATE OR REPLACE TABLE gsp10.ns.t AS " +
+      "SELECT * FROM gsp10_ev WHERE event_id % 2 = 0") // v2 re-release
+    assertSameRows(spark.sql("SELECT * FROM gsp10.ns.t"),
+      ev.filter(col("event_id") % 2 === 0))
+    // a replace is a re-release, not a purge: v1 stays readable
+    assertSameRows(spark.sql("SELECT * FROM gsp10.ns.t VERSION AS OF 1"),
+      ev)
+    assert(Versioned.currentVersion(dir) == 2)
+
+    // FAILED replace: the SELECT throws mid-job; the manifest CAS never
+    // ran, so head, content, and history are all untouched
+    intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TABLE gsp10.ns.t AS " +
+        "SELECT event_id, user_id, event_type, " +
+        "CAST(raise_error('boom') AS DOUBLE) AS value FROM gsp10_ev")
+    }
+    assert(Versioned.currentVersion(dir) == 2)
+    assertSameRows(spark.sql("SELECT * FROM gsp10.ns.t"),
+      ev.filter(col("event_id") % 2 === 0))
+    assertSameRows(spark.sql("SELECT * FROM gsp10.ns.t VERSION AS OF 1"),
+      ev)
+
+    // FAILED brand-new CTAS: no half-created table survives
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gsp10.ns.broken AS " +
+        "SELECT CAST(raise_error('boom') AS BIGINT) AS x FROM gsp10_ev")
+    }
+    assert(!spark.catalog.tableExists("gsp10.ns.broken"))
   }
 }
