@@ -618,6 +618,16 @@ private[sources] final class StagedVersionedTable(table: String,
   private def spark: SparkSession = SparkSession.active
   @volatile private var written = false
 
+  /** Whether the target DIRECTORY predates staging: a failed CTAS must
+    * reclaim only what IT minted — a stray non-table directory at the
+    * path is not ours to delete.
+    */
+  private val dirExistedBefore: Boolean = {
+    val p = new Path(table)
+    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+      .exists(p)
+  }
+
   override def name(): String = ident
   override def schema(): StructType = declared
   override def capabilities(): util.Set[TableCapability] =
@@ -649,10 +659,10 @@ private[sources] final class StagedVersionedTable(table: String,
 
   override def abortStagedChanges(): Unit = {
     // the write never published (manifest CAS is the last step), so the
-    // only debris is a table dir WE would have minted; a pre-existing
-    // table keeps everything including any torn staging (vacuumOrphans'
-    // jurisdiction)
-    if (!existedBefore) {
+    // only debris is a table dir WE minted; a pre-existing table keeps
+    // everything (torn staging is vacuumOrphans' jurisdiction), and a
+    // pre-existing NON-table directory at the path is not ours either
+    if (!existedBefore && !dirExistedBefore) {
       val p = new Path(table)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
