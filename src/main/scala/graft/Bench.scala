@@ -69,8 +69,15 @@ object Bench {
       .filter(_.nonEmpty)
     val benched = Registry.all.filter(_.bench)
       .filter(q => only.forall(_.contains(q.name)))
+    // per-pass load samples: the verdict's regression audits keep having
+    // to adjudicate load-vs-plan by hand (r16: the whole graph family
+    // drifted 1.2-1.5x under load 4.9) — stamping the band per pass makes
+    // a poisoned pass self-identifying in the artifact
+    val loadP1 = loadAvg
     val pass1 = benched.map(q => q.name -> timeOnce(q)).toMap
+    val loadP2 = loadAvg
     val pass2 = benched.map(q => q.name -> timeOnce(q)).toMap
+    val loadP3 = loadAvg
     // sub-second queries are noise-dominated (host-load swings exceed their
     // own runtime, so two passes still disagree round-over-round — the
     // q13-q17 drift every verdict chases); a third trial costs <1 s each
@@ -95,8 +102,12 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val loads = Seq(loadStart, loadP1, loadP2, loadP3, loadAvg)
+    def fmtLoads = loads.map(v =>
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString)
+      .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":$fmtLoads}"""
     // file copy survives any stdout truncation; bench_out.json is
     // git-tracked, so full per-query precision lands in the round snapshot
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
@@ -126,7 +137,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
         slowEntries.mkString("{", ",", "}")
       },"sf":"$sfDir","load_start":${fmt2(loadStart)},"load_end":${
-        fmt2(loadAvg)},"detail":"bench_out.json"}"""
+        fmt2(loadAvg)},"load":$fmtLoads,"detail":"bench_out.json"}"""
     println(compact)
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -197,30 +197,79 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       readOnly = true)
   }
 
+  /** `PARTITIONED BY (col, …)` — IDENTITY transforms over top-level
+    * columns only (the layout+pruning contract: [[Versioned]] lays data
+    * under partition directories while keeping files self-contained, and
+    * identity stats make manifest admission an exact partition pruner —
+    * see [[Versioned.createEmpty]]'s partitioned overload). Bucket/
+    * truncate/temporal transforms reject loudly: their pruning semantics
+    * need transform-aware admission, which manifest min/max stats cannot
+    * express — cluster with ZOrder/key-ranged appends instead.
+    */
+  private def identityCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() != "identity" || refs.length != 1 ||
+          refs(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"only identity partition transforms over top-level columns " +
+            s"are supported, got: $t (bucket/truncate/days need " +
+            "transform-aware pruning — cluster with ZOrder instead)")
+      refs(0).fieldNames()(0)
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft catalog tables are unpartitioned (cluster with " +
-        "ZOrder/key-ranged appends instead)")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    Versioned.createEmpty(spark, tablePath(ident), schema)
+    Versioned.createEmpty(spark, tablePath(ident), schema,
+      identityCols(partitions))
     loadTable(ident)
   }
 
-  /** `ALTER TABLE … ADD COLUMNS` — the one schema change the format
-    * supports (additive evolution; [[Versioned.addColumns]] commits it
-    * as pure metadata, old files null-fill at read). Everything else —
-    * renames, retypes, drops — rejects: they are rebuilds, not edits.
+  /** `ALTER TABLE … ADD COLUMNS / DROP COLUMN(S) / RENAME COLUMN` —
+    * all PURE METADATA commits over the manifest's per-snapshot schemas
+    * ([[Versioned.addColumns]]/[[Versioned.dropColumns]]/
+    * [[Versioned.renameColumn]]): adds null-fill old files at read,
+    * drops stop requesting the column, renames coalesce over name
+    * epochs until the next compaction materializes them. Old snapshots
+    * keep their schemas (time travel across the change reads the old
+    * names). Retypes reject — a retype is a rebuild.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    if (drops.nonEmpty) {
+      require(drops.size == changes.size,
+        "mixed ALTER TABLE change lists are unsupported")
+      val names = drops.map { d =>
+        require(d.fieldNames.length == 1,
+          s"nested DROP COLUMN is out of scope: " +
+            d.fieldNames.mkString("."))
+        d.fieldNames.head
+      }
+      Versioned.dropColumns(spark, tablePath(ident), names)
+      return loadTable(ident)
+    }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    if (renames.nonEmpty) {
+      require(renames.size == changes.size,
+        "mixed ALTER TABLE change lists are unsupported")
+      renames.foreach { r =>
+        require(r.fieldNames.length == 1,
+          s"nested RENAME COLUMN is out of scope: " +
+            r.fieldNames.mkString("."))
+        Versioned.renameColumn(spark, tablePath(ident),
+          r.fieldNames.head, r.newName)
+      }
+      return loadTable(ident)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.size != changes.size)
       throw new UnsupportedOperationException(
-        "only ALTER TABLE ADD COLUMNS is supported: the schema evolves " +
-          "ADDITIVELY (renames/retypes/drops are rebuilds — " +
+        "only ALTER TABLE ADD COLUMNS / DROP COLUMN / RENAME COLUMN " +
+          "are supported (a retype is a rebuild — " +
           "Versioned.mergeSchemas contract)")
     val fields = adds.map { a =>
       if (a.fieldNames.length != 1)
@@ -273,31 +322,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft catalog tables are unpartitioned (cluster with " +
-        "ZOrder/key-ranged appends instead)")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     new StagedVersionedTable(tablePath(ident), fullName(ident), schema,
-      existedBefore = false)
+      existedBefore = false, pcols = identityCols(partitions))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft catalog tables are unpartitioned")
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new StagedVersionedTable(tablePath(ident), fullName(ident), schema,
-      existedBefore = true)
+      existedBefore = true, pcols = identityCols(partitions))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft catalog tables are unpartitioned")
     new StagedVersionedTable(tablePath(ident), fullName(ident), schema,
-      existedBefore = tableExists(ident))
+      existedBefore = tableExists(ident), pcols = identityCols(partitions))
   }
 
   private def fullName(ident: Identifier): String =
@@ -426,6 +468,16 @@ private[sources] final class VersionedSparkTable(table: String,
   override lazy val schema: StructType =
     Versioned.schemaAt(spark, table, pinned)
 
+  /** Declared identity partitioning (PARTITIONED BY at create) — shown
+    * by DESCRIBE and consumed by the engine's distribution planning.
+    * Immutable for the table's lifetime, so the head's manifest answers.
+    */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    Versioned.partitionColumns(spark, table)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+
   /** `_file` — each row's source data file (Iceberg's metadata column):
     * selectable in plain SQL and REQUIRED by the row-level rewrite plan
     * (the group identity [[GraftRowLevelOperation]] replaces by).
@@ -439,9 +491,18 @@ private[sources] final class VersionedSparkTable(table: String,
       override def comment(): String = "data file path holding the row"
     })
 
+  // BATCH_WRITE rides alongside V1_BATCH_WRITE: the analyzer's
+  // TableCapabilityCheck demands it for OverwritePartitionsDynamic
+  // (which has no V1 fallback — builds a true V2 batch write), while
+  // the physical planner routes each statement by the WRITE OBJECT's
+  // type (V1Write vs Write), so appends/overwrites keep the V1 seam
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(
@@ -501,6 +562,26 @@ private[sources] final class VersionedSparkTable(table: String,
         aggPushed
       }
 
+      /** `spark.readStream.table(…)` lands here through either branch:
+        * version-offset micro-batches over append commits
+        * ([[GraftMicroBatchStream]] — Delta's streaming-source
+        * contract). Streams follow the HEAD; a time-travel load cannot
+        * stream (its pin is the whole point).
+        */
+      private def microBatch(checkpointLocation: String, req: StructType)
+          : org.apache.spark.sql.connector.read.streaming
+            .MicroBatchStream = {
+        require(!readOnly,
+          s"cannot stream a time-travel read of $ident")
+        require(Versioned.columnMapping(spark, table).isEmpty,
+          s"readStream.table on $ident needs materialized column " +
+            "names (a rename is pending) — run Versioned.compact first")
+        val (_, _, _, tableSchema, _) = snapshot
+        new GraftMicroBatchStream(spark, table,
+          StructType(req.fields.filter(_.name != RowLevelFile.Name)),
+          tableSchema, options)
+      }
+
       override def build(): Scan = aggResult.filter(_ => aggPushed) match {
         case Some((aggSchema, values)) =>
           new V1Scan {
@@ -515,38 +596,107 @@ private[sources] final class VersionedSparkTable(table: String,
         case None =>
           val req = required
           val (files, stats, sizes, tableSchema, nDeletes) = snapshot
-          if (nDeletes == 0)
-            new VersionedBatchScan(spark, table, snapshotV, req, pushed,
-              files, stats, sizes, tableSchema)
-          else {
-            // pending MOR masks need the anti-join read
-            // (readWithDeletes) — only expressible through the V1
-            // DataFrame bridge; compact returns the table to the
-            // vectorized stats-reporting path above
-            val cols = pushed.toSeq.flatMap(SqlBridge.toColumn)
-            new V1Scan {
-              override def readSchema(): StructType = req
-              override def toV1TableScan[T <: BaseRelation with TableScan](
-                  context: SQLContext): T =
-                new VersionedV1TableScan(context, table, pinned,
-                  req).withFilters(cols).asInstanceOf[T]
-            }
+          // pending MOR masks apply INSIDE the V2 scan when they
+          // collect under the broadcast guard — keeping join-planning
+          // statistics (a small dimension with one pending delete file
+          // still auto-broadcasts) and `SELECT _file` alive between
+          // compactions; only an over-cap mask degrades to the V1
+          // anti-join bridge below
+          val masks: Option[Option[Versioned.DeleteMasks]] =
+            if (Versioned.columnMapping(spark, table,
+              Some(snapshotV)).nonEmpty)
+              None // pending rename: only the coalescing V1 read serves
+            else if (nDeletes == 0) Some(None)
+            else Versioned.collectMasks(spark, table, snapshotV)
+              .map(mk => if (mk.isEmpty) None else Some(mk))
+          masks match {
+            case Some(mk) =>
+              new VersionedBatchScan(spark, table, snapshotV, req, pushed,
+                files, stats, sizes, tableSchema, mk) {
+                override def toMicroBatchStream(
+                    checkpointLocation: String)
+                    : org.apache.spark.sql.connector.read.streaming
+                      .MicroBatchStream =
+                  microBatch(checkpointLocation, req)
+              }
+            case None =>
+              // over-cap mask: the anti-join read (readWithDeletes) —
+              // only expressible through the V1 DataFrame bridge;
+              // compact returns the table to the vectorized path
+              val cols = pushed.toSeq.flatMap(SqlBridge.toColumn)
+              new V1Scan {
+                override def readSchema(): StructType = req
+                override def toV1TableScan[
+                    T <: BaseRelation with TableScan](
+                    context: SQLContext): T =
+                  new VersionedV1TableScan(context, table, pinned,
+                    req).withFilters(cols).asInstanceOf[T]
+                override def toMicroBatchStream(
+                    checkpointLocation: String)
+                    : org.apache.spark.sql.connector.read.streaming
+                      .MicroBatchStream =
+                  microBatch(checkpointLocation, req)
+              }
           }
       }
     }
 
+  /** INSERT INTO appends; INSERT OVERWRITE replaces — the WHOLE table
+    * for an unfiltered overwrite, or exactly the predicate's region for
+    * `INSERT OVERWRITE … PARTITION (p = v)` / a static-mode filtered
+    * overwrite ([[Versioned.replaceWhere]] — whole-partition drops are
+    * pure metadata on an identity-partitioned table). Dynamic partition
+    * overwrite mode replaces exactly the partitions present in the data
+    * ([[Versioned.replacePartitions]]). An untranslatable overwrite
+    * filter rejects loudly rather than overwriting the wrong region.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite
+        with SupportsDynamicOverwrite {
       private var overwrite = false
+      private var dynamic = false
+      private var overwriteBy: Option[org.apache.spark.sql.Column] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.isEmpty || filters.forall(
+            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          overwrite = true
+        else overwriteBy = Some(SqlBridge.conjunction(filters.toSeq)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"untranslatable overwrite predicate: " +
+              filters.mkString(", "))))
+        this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true; this
+      }
+      override def build(): Write = if (dynamic) {
+        // OverwritePartitionsDynamic has no V1 fallback: a true V2
+        // batch write (executor task files + one adopting commit)
+        require(!readOnly, s"cannot write to time-travel read $ident")
+        new Write {
+          override def description(): String =
+            s"graft-dynamic-overwrite $ident"
+          override def toBatch: org.apache.spark.sql.connector.write
+              .BatchWrite =
+            new GraftDynamicOverwriteWrite(table,
+              pinned.getOrElse(Versioned.currentVersion(table)),
+              info.schema())
+        }
+      } else new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ov: Boolean): Unit = {
               require(!readOnly,
                 s"cannot write to time-travel read $ident")
-              if (overwrite || ov) Versioned.replace(data, table)
-              else Versioned.append(data, table)
+              if (dynamic) Versioned.replacePartitions(data, table)
+              else overwriteBy match {
+                case Some(pred) =>
+                  Versioned.replaceWhere(data, table, pred)
+                case None =>
+                  if (overwrite || ov) Versioned.replace(data, table)
+                  else Versioned.append(data, table)
+              }
             }
           }
 
@@ -612,7 +762,8 @@ private[sources] final class VersionedSparkTable(table: String,
   * commit.
   */
 private[sources] final class StagedVersionedTable(table: String,
-    ident: String, declared: StructType, existedBefore: Boolean)
+    ident: String, declared: StructType, existedBefore: Boolean,
+    pcols: Seq[String] = Nil)
     extends StagedTable with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -643,8 +794,12 @@ private[sources] final class StagedVersionedTable(table: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ov: Boolean): Unit = {
-              if (existedBefore) Versioned.replace(data, table)
-              else Versioned.append(data, table)
+              // explicit pcols: a brand-new table has no manifest to
+              // discover them from, and an RTAS's PARTITIONED BY clause
+              // re-declares the layout
+              if (existedBefore) Versioned.replacePcols(data, table,
+                None, pcols)
+              else Versioned.appendImpl(data, table, pcols)
               written = true
             }
           }
@@ -654,7 +809,17 @@ private[sources] final class StagedVersionedTable(table: String,
   override def commitStagedChanges(): Unit = {
     // a staged CREATE with no AS-SELECT write still owes the schema
     if (!written && !existedBefore)
-      Versioned.createEmpty(spark, table, declared)
+      Versioned.createEmpty(spark, table, declared, pcols)
+    // a write-less REPLACE of an EXISTING table (plain `REPLACE TABLE t
+    // (cols)` / `CREATE OR REPLACE TABLE t (cols)` — Spark's
+    // AtomicReplaceTableExec stages, never writes, then commits) owes an
+    // EMPTY snapshot at the declared schema: without this the statement
+    // reports success while the old data and schema survive
+    else if (!written && existedBefore) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+      Versioned.replacePcols(empty, table, None, pcols)
+    }
   }
 
   override def abortStagedChanges(): Unit = {

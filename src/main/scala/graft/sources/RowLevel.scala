@@ -110,15 +110,29 @@ private[sources] final class GraftRowLevelOperation(table: String,
       override def pruneColumns(r: StructType): Unit = { req = r }
 
       override def build(): Scan = {
-        require(nDeletes == 0,
-          s"SQL $cmd on $table needs a delete-free snapshot: pending " +
-            "merge-on-read delete files cannot be masked inside a " +
-            "file-granular rewrite scan — run Versioned.compact first")
+        require(Versioned.columnMapping(spark, table,
+          Some(basisVersion)).isEmpty,
+          s"SQL $cmd on $table: a column rename is pending (the " +
+            "file-granular rewrite scan has no name-epoch coalesce) — " +
+            "run Versioned.compact first to materialize it")
+        // pending MOR masks apply INSIDE the group scan (bounded driver
+        // collection — the rewrite then retires them for the affected
+        // files, whose replacements jump past every pending sequence);
+        // only an over-cap mask still demands a compact first
+        val masks: Option[Versioned.DeleteMasks] =
+          if (nDeletes == 0) None
+          else Versioned.collectMasks(spark, table, basisVersion) match {
+            case Some(mk) => if (mk.isEmpty) None else Some(mk)
+            case None => throw new UnsupportedOperationException(
+              s"SQL $cmd on $table: the pending merge-on-read delete " +
+                "mask exceeds graft.versioned.maxBroadcastKeys rows — " +
+                "run Versioned.compact first")
+          }
         val statAdmitted = RowLevelFilters.admittedFiles(spark, table,
           files, stats, sizes, pushed.toSeq, tableSchema)
         affectedFiles = Some(statAdmitted)
         new RowLevelScan(GraftRowLevelOperation.this, spark, table,
-          tableSchema, req, sizes, files.size, statAdmitted)
+          tableSchema, req, sizes, files.size, statAdmitted, masks)
       }
     }
 
@@ -157,7 +171,9 @@ private[sources] object RowLevelFile {
 private[sources] final class RowLevelScan(op: GraftRowLevelOperation,
     spark: SparkSession, table: String, tableSchema: StructType,
     req: StructType, sizes: Map[String, Long], totalFiles: Int,
-    statAdmitted: Seq[String]) extends Scan with SupportsRuntimeV2Filtering {
+    statAdmitted: Seq[String],
+    masks: Option[Versioned.DeleteMasks] = None)
+    extends Scan with SupportsRuntimeV2Filtering {
 
   @volatile private var admitted: Seq[String] = statAdmitted
 
@@ -199,7 +215,7 @@ private[sources] final class RowLevelScan(op: GraftRowLevelOperation,
     val current = admitted
     if (current.isEmpty) RowLevelEmptyBatch
     else new RowLevelBatch(spark, table, tableSchema, dataReq, wantsFile,
-      sizes, current)
+      sizes, current, masks = masks)
   }
 }
 
@@ -214,10 +230,11 @@ private[sources] final class RowLevelScan(op: GraftRowLevelOperation,
   * invisible through the `V1ScanWrapper` bridge, so only a native batch
   * scan lets a small versioned dimension auto-broadcast.
   */
-private[sources] final class VersionedBatchScan(spark: SparkSession,
+private[sources] class VersionedBatchScan(spark: SparkSession,
     table: String, version: Int, req: StructType,
     pushed: Array[VFilter], files: Seq[String], stats: Seq[ZoneMap.Stat],
-    sizes: Map[String, Long], tableSchema: StructType)
+    sizes: Map[String, Long], tableSchema: StructType,
+    masks: Option[Versioned.DeleteMasks] = None)
     extends Scan with SupportsReportStatistics {
 
   private val admitted: Seq[String] = RowLevelFilters.admittedFiles(
@@ -240,7 +257,12 @@ private[sources] final class VersionedBatchScan(spark: SparkSession,
   override def toBatch: Batch =
     if (admitted.isEmpty) RowLevelEmptyBatch
     else new RowLevelBatch(spark, table, tableSchema, dataReq, wantsFile,
-      sizes, admitted, rowFilters = pushed)
+      sizes, admitted,
+      // position masks need a skip-free sequential read — withhold the
+      // parquet-level row pruning then (manifest admission already cut
+      // the files; the engine re-applies the residual predicate anyway)
+      rowFilters = if (masks.exists(_.hasPos)) Array.empty else pushed,
+      masks = masks)
 
   /** Manifest-derived size/row estimates ([[Versioned.snapshotStats]]):
     * facets the manifest cannot answer soundly report empty — never an
@@ -274,7 +296,8 @@ private[sources] final class VersionedBatchScan(spark: SparkSession,
 private[sources] final class RowLevelBatch(spark: SparkSession,
     table: String, tableSchema: StructType, dataReq: StructType,
     wantsFile: Boolean, sizes: Map[String, Long], admitted: Seq[String],
-    rowFilters: Array[VFilter] = Array.empty)
+    rowFilters: Array[VFilter] = Array.empty,
+    masks: Option[Versioned.DeleteMasks] = None)
     extends Batch {
 
   private def statusOf(f: String): FileStatus = {
@@ -304,13 +327,34 @@ private[sources] final class RowLevelBatch(spark: SparkSession,
     def nullable(s: StructType): StructType =
       StructType(s.fields.map(_.copy(nullable = true)))
     val readerSchema = nullable(tableSchema)
+    // pending MOR masks apply INSIDE the scan: the inner read widens to
+    // cover every mask key column (appended at the END so data ordinals
+    // stay stable), the masking wrapper filters and projects back
+    val extraKeys = masks.map(_.eqKeyCols).getOrElse(Nil)
+      .filterNot(dataReq.fieldNames.contains)
+    val missing = extraKeys.filterNot(tableSchema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"delete-mask key column(s) not in $table's schema: " +
+        missing.mkString(", "))
+    val innerReq = nullable(StructType(
+      dataReq.fields ++ extraKeys.map(tableSchema(_))))
     val sb = ParquetScanBuilder(spark, idx, readerSchema, readerSchema,
       CaseInsensitiveStringMap.empty())
+    // POSITION masks identify rows by file row index, which only a
+    // skip-free sequential read preserves — callers already withhold
+    // rowFilters when position masks exist; this is the backstop
+    require(rowFilters.isEmpty || !masks.exists(_.hasPos),
+      "row filters cannot combine with position-delete masks")
     if (rowFilters.nonEmpty)
       sb.pushFilters(
         rowFilters.toSeq.flatMap(RowLevelFilters.toCatalyst(_, readerSchema)))
-    sb.pruneColumns(nullable(dataReq))
-    val inner = sb.build().toBatch.createReaderFactory()
+    sb.pruneColumns(innerReq)
+    val raw = sb.build().toBatch.createReaderFactory()
+    val inner = masks match {
+      case Some(mk) if !mk.isEmpty =>
+        new MaskingReaderFactory(raw, mk, innerReq, dataReq.size)
+      case _ => raw
+    }
     if (!wantsFile) inner
     else new FileTaggingReaderFactory(inner, dataReq.size)
   }
@@ -325,6 +369,96 @@ private[sources] object RowLevelEmptyBatch extends Batch {
   override def createReaderFactory(): PartitionReaderFactory =
     (_: InputPartition) => throw new IllegalStateException(
       "empty row-level scan has no partitions to read")
+}
+
+/** Applies pending merge-on-read delete masks INSIDE the V2 scan
+  * ([[Versioned.DeleteMasks]], collected bounded on the driver): per
+  * partition (one file), the applicable masks are those with a LATER
+  * commit sequence than the file ([[Versioned.seqOfPath]] — the MOR
+  * ordering rule); equality masks drop rows whose key tuple is in the
+  * collected set (a NULL key component matches nothing — SQL equality),
+  * position masks drop rows by their sequential index in the file
+  * (exact because the read is skip-free and single-file per partition).
+  * Surviving rows project back to the requested data columns (mask key
+  * columns ride as TRAILING extras in the inner read). Row-path only —
+  * the masked read is the degraded between-compactions state; compact
+  * returns the table to the vectorized path.
+  */
+private[sources] final class MaskingReaderFactory(
+    inner: PartitionReaderFactory, masks: Versioned.DeleteMasks,
+    innerSchema: StructType, nDataCols: Int)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition match {
+      case fp: FilePartition =>
+        require(fp.files.length == 1,
+          s"masked partitions are single-file; got ${fp.files.length}")
+        fp.files.head.filePath.toString
+      case other => throw new IllegalStateException(
+        s"unexpected partition type ${other.getClass.getName}")
+    }
+    val seq = Versioned.seqOfPath(file)
+    val suffix = Versioned.dataSuffix(file)
+    // applicable = committed AFTER this file (strict — a commit's own
+    // delete file must not mask its own data files)
+    val eqApp = masks.eq.filter(_.seq > seq).map { m =>
+      (m.keyCols.map(innerSchema.fieldIndex).toArray, m.keys)
+    }
+    val posApp: java.util.HashSet[Long] = {
+      val s = new java.util.HashSet[Long]()
+      masks.pos.filter(_.seq > seq)
+        .flatMap(_.positions.get(suffix)).flatten.foreach(s.add)
+      s
+    }
+    val types = innerSchema.fields.map(_.dataType)
+    val in = inner.createReader(partition)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      private var rowIdx: Long = -1L
+      private val out = new GenericInternalRow(nDataCols)
+
+      private def masked(r: InternalRow, idx: Long): Boolean = {
+        if (!posApp.isEmpty && posApp.contains(idx)) return true
+        eqApp.exists { case (ords, keys) =>
+          var i = 0
+          var nullKey = false
+          val tuple = new Array[Any](ords.length)
+          while (i < ords.length && !nullKey) {
+            if (r.isNullAt(ords(i))) nullKey = true
+            else tuple(i) = r.get(ords(i), types(ords(i)))
+            i += 1
+          }
+          !nullKey && keys.contains(tuple.toSeq)
+        }
+      }
+
+      override def next(): Boolean = {
+        while (in.next()) {
+          val r = in.get()
+          rowIdx += 1
+          if (!masked(r, rowIdx)) { cur = r; return true }
+        }
+        false
+      }
+
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < nDataCols) {
+          out.update(i,
+            if (cur.isNullAt(i)) null else cur.get(i, types(i)))
+          i += 1
+        }
+        out
+      }
+
+      override def close(): Unit = in.close()
+    }
+  }
 }
 
 /** Appends the partition's file path as a trailing constant `_file`
@@ -462,6 +596,56 @@ private[sources] object RowLevelWriteSupport {
     conf.set("parquet.compression",
       spark.conf.get("spark.sql.parquet.compression.codec", "snappy"))
     conf
+  }
+}
+
+/** DYNAMIC partition overwrite as a true V2 batch write (Spark's
+  * `OverwritePartitionsDynamic` has NO V1 fallback seam): executors
+  * write task parquet files into the staged commit directory — the
+  * [[GraftBatchWrite]] machinery — and the driver commit swaps exactly
+  * the partitions present in the written data
+  * ([[Versioned.commitDynamicOverwrite]]). An empty write replaces no
+  * partitions and mints no version (dynamic-mode semantics).
+  */
+private[sources] final class GraftDynamicOverwriteWrite(table: String,
+    basisVersion: Int, writeSchema: StructType) extends BatchWrite {
+
+  private def spark = SparkSession.active
+  private val uid = Versioned.rowLevelUid()
+  private val stagingDir =
+    Versioned.rowLevelStagingDir(table, uid, basisVersion + 1)
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new RowLevelWriterFactory(stagingDir,
+      new SerializableHadoopConf(
+        RowLevelWriteSupport.writerConf(spark, writeSchema)))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.toSeq
+      .collect { case RowLevelCommitMessage(Some(p)) => p }
+    val staging = new Path(stagingDir)
+    val fs = staging.getFileSystem(hadoopConf)
+    if (fs.exists(staging)) {
+      // prune speculative / retried attempt debris before adoption
+      val keep = committed.map(p => new Path(p).getName).toSet
+      fs.listStatus(staging)
+        .filter(s => s.isFile && !keep(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    if (committed.isEmpty) { // nothing written: no partitions replaced
+      if (fs.exists(staging)) fs.delete(staging, true)
+      return
+    }
+    Versioned.commitDynamicOverwrite(spark, table, basisVersion, uid,
+      committed, writeSchema)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(stagingDir)
+    val fs = staging.getFileSystem(hadoopConf)
+    if (fs.exists(staging)) fs.delete(staging, true)
   }
 }
 

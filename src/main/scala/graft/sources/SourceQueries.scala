@@ -772,7 +772,8 @@ object SourceQueries {
       srcVersionedReplicate, srcSqlCatalog, srcSqlTimetravel,
       srcSqlDelete, srcFormatRoundtrip, srcSqlUpdate, srcSqlMerge,
       srcSqlDeleteRewrite, srcSqlAggPushdown, srcSqlStreamSink,
-      srcSqlFunctions)
+      srcSqlFunctions, srcSqlMergeBySource, srcSqlPartitioned,
+      srcSqlStreamSource, srcSqlEvolve)
 
   /** The versioned table as PLAIN SQL through a registered
     * [[GraftCatalog]] (DataSource V2 TableCatalog — the Iceberg/Delta
@@ -1913,6 +1914,148 @@ object SourceQueries {
       FROM after GROUP BY 2
       ORDER BY state, event_type"""))
 
+  /** PARTITIONED versioned tables end-to-end in SQL: `CREATE TABLE …
+    * PARTITIONED BY (event_type)` (identity layout —
+    * [[Versioned.PartDirPrefix]]: files land under partition dirs but
+    * stay self-contained, and lo==hi identity stats make manifest
+    * admission an exact partition pruner), INSERT INTO, a static
+    * `INSERT OVERWRITE … PARTITION (event_type = 'click')` replacing
+    * exactly one partition ([[Versioned.replaceWhere]] — the old
+    * partition drops as pure metadata), and a dynamic-mode overwrite
+    * replacing exactly the partitions present in the data
+    * ([[Versioned.commitDynamicOverwrite]] — a true V2 batch write).
+    * Before/after states read back via time travel.
+    */
+  lazy val srcSqlPartitioned: Q = Q(
+    "src_sql_partitioned",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqlpart").toString
+      s.conf.set("spark.sql.catalog.graft_prt",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_prt.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_prt.ns")
+      val name = "ev_" + java.util.UUID.randomUUID.toString.take(8)
+      val t = s"graft_prt.ns.$name"
+      s.sql(s"CREATE TABLE $t (event_id BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE) PARTITIONED BY (event_type)")
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")).createOrReplaceTempView("sqlprt_ev")
+      s.sql(s"INSERT INTO $t SELECT * FROM sqlprt_ev") // v2
+      // static: replace the click partition with its own doubled rows
+      s.sql(s"INSERT OVERWRITE $t PARTITION (event_type = 'click') " +
+        "SELECT event_id, user_id, value * 2.0 FROM sqlprt_ev " +
+        "WHERE event_type = 'click'")                   // v3
+      // dynamic: replace exactly the purchase partition
+      val prev = s.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE $t SELECT event_id, user_id, " +
+        "'purchase', value + 1000.0 FROM sqlprt_ev " +
+        "WHERE event_type = 'purchase' AND user_id < 50")  // v4
+      finally prev match {
+        case Some(v) => s.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+      s.sql(stateAgg("a_v2", s"$t VERSION AS OF 2") +
+        " UNION ALL " + stateAgg("b_v3", s"$t VERSION AS OF 3") +
+        " UNION ALL " + stateAgg("c_head", t) +
+        " ORDER BY state, event_type")
+    },
+    Some("""
+      WITH v3 AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_type = 'click' THEN value * 2.0
+                    ELSE value END AS value
+        FROM events),
+      head AS (
+        SELECT event_id, user_id, event_type, value FROM v3
+        WHERE event_type <> 'purchase'
+        UNION ALL
+        SELECT event_id, user_id, 'purchase', value + 1000.0
+        FROM events WHERE event_type = 'purchase' AND user_id < 50)
+      SELECT 'a_v2' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'b_v3', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM v3 GROUP BY 2
+      UNION ALL
+      SELECT 'c_head', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM head GROUP BY 2
+      ORDER BY state, event_type"""))
+
+  /** SQL `MERGE INTO … WHEN NOT MATCHED BY SOURCE` (Spark 4's third
+    * clause family): rewrites live in target files with NO source-
+    * matching rows — the case where runtime group filtering must NOT
+    * narrow the affected-group set (Spark plans by-source merges
+    * without a group-filter condition; SqlMergeBySourceProbe pins the
+    * mechanism, this row pins the VALUES against DuckDB's replay).
+    * Unmatched low-value target rows delete, unmatched high-value rows
+    * re-tag, matched rows patch, new keys insert — all in one statement.
+    */
+  lazy val srcSqlMergeBySource: Q = Q(
+    "src_sql_merge_bysource",
+    (s, d) => {
+      val (t, _) = rowLevelTable(s, d, "graft_mbs")
+      val ev = graft.Tables.events(s, d)
+      val src = ev.filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"),
+          lit("patched").as("event_type"), lit(3.0).as("value"))
+        .unionByName(ev.filter(col("event_id") % 101 === 0)
+          .select((col("event_id") + 2000000000L).as("event_id"),
+            col("user_id"), lit("fresh").as("event_type"),
+            lit(9.0).as("value")))
+      src.createOrReplaceTempView("sqlmbs_src")
+      s.sql(s"MERGE INTO $t t USING sqlmbs_src s ON t.event_id = " +
+        "s.event_id " +
+        "WHEN MATCHED THEN UPDATE SET value = t.value + s.value " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE AND t.value < 10 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET " +
+        "event_type = 'stale'")
+      s.sql(stateAgg("a_before", s"$t VERSION AS OF 2") +
+        " UNION ALL " + stateAgg("b_after", t) +
+        " ORDER BY state, event_type")
+    },
+    Some("""
+      WITH src AS (
+        SELECT event_id, user_id, 'patched' AS event_type, 3.0 AS value
+        FROM events WHERE event_id % 7 = 0
+        UNION ALL
+        SELECT event_id + 2000000000, user_id, 'fresh', 9.0
+        FROM events WHERE event_id % 101 = 0),
+      joined AS (
+        SELECT t.event_id, t.user_id,
+               CASE WHEN s.event_id IS NOT NULL THEN t.event_type
+                    WHEN t.value < 10 THEN t.event_type
+                    ELSE 'stale' END AS event_type,
+               CASE WHEN s.event_id IS NOT NULL THEN t.value + s.value
+                    ELSE t.value END AS value,
+               CASE WHEN s.event_id IS NULL AND t.value < 10
+                    THEN 1 ELSE 0 END AS del
+        FROM events t LEFT JOIN src s ON t.event_id = s.event_id),
+      kept AS (
+        SELECT event_id, user_id, event_type, value
+        FROM joined WHERE del = 0),
+      ins AS (
+        SELECT s.event_id, s.user_id, s.event_type, s.value FROM src s
+        WHERE NOT EXISTS (
+          SELECT 1 FROM events t WHERE t.event_id = s.event_id)),
+      after AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT 'a_before' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'b_after', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM after GROUP BY 2
+      ORDER BY state, event_type"""))
+
   /** SQL `DELETE FROM` with a predicate [[SqlBridge]] can NOT translate
     * (`%` has no V1 Filter form): instead of refusing, the statement
     * falls back to the row-level copy-on-write rewrite — the complement
@@ -2026,6 +2169,109 @@ object SourceQueries {
     Some("""
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    bench = false)
+
+  /** `ALTER TABLE RENAME COLUMN / DROP COLUMN` as pure-metadata commits
+    * ([[Versioned.renameColumn]]/[[Versioned.dropColumns]] — zero data
+    * I/O, the same files carry across the DDL): the head reads coalesce
+    * the renamed column over its name epochs, time travel BEFORE the
+    * rename keeps the old schema and name, and inserts after the rename
+    * write the new name physically. States aggregated before/after;
+    * DuckDB replays the rename as a projection.
+    */
+  lazy val srcSqlEvolve: Q = Q(
+    "src_sql_evolve",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqlevo").toString
+      s.conf.set("spark.sql.catalog.graft_evo",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_evo.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_evo.ns")
+      val name = "ev_" + java.util.UUID.randomUUID.toString.take(8)
+      val t = s"graft_evo.ns.$name"
+      s.sql(s"CREATE TABLE $t (event_id BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE)")
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")).createOrReplaceTempView("sqlevo_ev")
+      s.sql(s"INSERT INTO $t SELECT * FROM sqlevo_ev " +
+        "WHERE event_id % 2 = 0")                            // v2
+      s.sql(s"ALTER TABLE $t RENAME COLUMN value TO amount") // v3
+      s.sql(s"ALTER TABLE $t DROP COLUMN user_id")           // v4
+      s.sql(s"INSERT INTO $t SELECT event_id, event_type, value " +
+        "FROM sqlevo_ev WHERE event_id % 2 = 1")             // v5
+      s.sql(s"""
+        SELECT 'a_v2' AS state, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+        FROM $t VERSION AS OF 2 GROUP BY event_type
+        UNION ALL
+        SELECT 'b_head', event_type, CAST(COUNT(*) AS BIGINT),
+               ROUND(SUM(amount), 2)
+        FROM $t GROUP BY event_type
+        ORDER BY state, event_type""")
+    },
+    Some("""
+      SELECT 'a_v2' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+      UNION ALL
+      SELECT 'b_head', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM events GROUP BY event_type
+      ORDER BY state, event_type"""))
+
+  /** `readStream.table` — the streaming READ half of the catalog
+    * ([[GraftMicroBatchStream]]: version-number offsets, append commits
+    * as micro-batches, Delta's streaming-source contract), chained here
+    * into `writeStream.toTable` so the WHOLE pipeline — batch SQL
+    * inserts in, live tail, transform, exactly-once sink — runs inside
+    * the catalog with no format() escape hatch. The destination
+    * aggregates through the stats-carrying batch read; the oracle
+    * replays the transform over events.
+    */
+  lazy val srcSqlStreamSource: Q = Q(
+    "src_sql_stream_source",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqlsrc").toString
+      s.conf.set("spark.sql.catalog.graft_ssr",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_ssr.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ssr.ns")
+      val base = "ev_" + java.util.UUID.randomUUID.toString.take(8)
+      val src = s"graft_ssr.ns.$base"
+      val dst = s"graft_ssr.ns.${base}_out"
+      s.sql(s"CREATE TABLE $src (event_id BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE)")
+      s.sql(s"CREATE TABLE $dst (event_type STRING, value DOUBLE, " +
+        "boosted DOUBLE)")
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")).createOrReplaceTempView("sqlssr_ev")
+      // two append commits land BEFORE the stream starts; replayed via
+      // startingVersion=0 (version offsets), then tailed live
+      s.sql(s"INSERT INTO $src SELECT * FROM sqlssr_ev " +
+        "WHERE event_id % 2 = 0")
+      val ckpt = java.nio.file.Files.createTempDirectory("sqlsrcck")
+        .toString
+      val q = s.readStream.option("startingVersion", "0").table(src)
+        .select(col("event_type"), col("value"),
+          (col("value") * 2.0).as("boosted"))
+        .writeStream.option("checkpointLocation", ckpt).toTable(dst)
+      try {
+        q.processAllAvailable()
+        s.sql(s"INSERT INTO $src SELECT * FROM sqlssr_ev " +
+          "WHERE event_id % 2 = 1") // live append, next trigger
+        q.processAllAvailable()
+      } finally q.stop()
+      s.sql(s"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "ROUND(SUM(value), 2) AS sv, ROUND(SUM(boosted), 2) AS sb " +
+        s"FROM $dst GROUP BY event_type ORDER BY event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS sv,
+             ROUND(SUM(value * 2.0), 2) AS sb
       FROM events GROUP BY event_type ORDER BY event_type"""),
     bench = false)
 

@@ -92,7 +92,7 @@ private[sources] object SqlBridge {
     // a join is nondeterministic): refuse LOUDLY instead of surfacing a
     // confusing unresolved-column error.
     if (required.contains(RowLevelFile.Name) &&
-        Versioned.hasDeleteFiles(spark, table))
+        Versioned.hasDeleteFiles(spark, table, version))
       throw new UnsupportedOperationException(
         s"SELECT ${RowLevelFile.Name} needs a delete-free snapshot of " +
           s"$table: pending merge-on-read delete files make row→file " +

@@ -88,7 +88,9 @@ object Versioned {
   private final case class Content(files: Seq[String], txns: Seq[Long],
       deletes: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      stats: Seq[String], sizes: Seq[String])
+      stats: Seq[String], sizes: Seq[String],
+      partitionCols: Seq[String] = Nil,
+      columnMap: Map[String, Seq[String]] = Map.empty)
 
   /** Attempt the atomic manifest rename at version `v`: true on success;
     * false when a concurrent writer already took `v`. The rename goes
@@ -106,7 +108,11 @@ object Versioned {
     val tmp = s"${manifestRoot(table)}/_tmp_v${v}_${newUid()}"
     (c.files.map(("f", _)) ++ c.txns.map(t => ("t", t.toString)) ++
       c.deletes.map(("d", _)) ++ c.schema.map(s => ("s", s.json)).toSeq ++
-      c.stats.map(("fs", _)) ++ c.sizes.map(("fl", _)))
+      c.stats.map(("fs", _)) ++ c.sizes.map(("fl", _)) ++
+      (if (c.partitionCols.isEmpty) Nil
+       else Seq(("p", c.partitionCols.map(enc).mkString(",")))) ++
+      c.columnMap.toSeq.sortBy(_._1).map { case (l, ps) =>
+        ("cm", (enc(l) +: ps.map(enc)).mkString("|")) })
       .toDF("kind", "value")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -199,7 +205,8 @@ object Versioned {
     }
 
   private final class Staged(table: String, kind: String, df: DataFrame,
-      batchId: Option[Long] = None, withStats: Boolean = true)
+      batchId: Option[Long] = None, withStats: Boolean = true,
+      partitionCols: Seq[String] = Nil)
       extends StagedLike {
     private val spark = df.sparkSession
     private val uid = newUid()
@@ -214,16 +221,22 @@ object Versioned {
     def at(v: Int): (Seq[String], Seq[String], Seq[String]) = {
       if (dirV < 0) {
         val dataDir = s"$table/data/${dirName(v)}"
-        files = writeData(df, dataDir)
+        files = writeData(df, dataDir, partitionCols)
         stats = if (withStats) statsFor(spark, files) else Nil
-        // byte lengths from ONE listing of the staged dir (basenames are
-        // unique within it) — the manifest then carries every reader's
-        // FileStatus, so plan time never stats files one by one
-        val byName = fsFor(dataDir,
-          spark.sparkContext.hadoopConfiguration)
-          .listStatus(new Path(dataDir))
-          .filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
-        sizes = files.flatMap(f => byName.get(new Path(f).getName)
+        // byte lengths from ONE (recursive — partitioned layouts nest)
+        // listing of the staged dir, keyed by the /data/ path suffix:
+        // partitionBy writes the SAME basename into every partition dir
+        // one task touches, so basenames alone do not identify a file.
+        // The manifest then carries every reader's FileStatus, so plan
+        // time never stats files one by one
+        val it = fsFor(dataDir, spark.sparkContext.hadoopConfiguration)
+          .listFiles(new Path(dataDir), true)
+        val bySuffix = scala.collection.mutable.Map.empty[String, Long]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile) bySuffix(dataSuffix(s.getPath.toString)) = s.getLen
+        }
+        sizes = files.flatMap(f => bySuffix.get(dataSuffix(f))
           .map(len => s"${enc(f)}|$len"))
         dirV = v
       } else if (dirV != v) {
@@ -307,6 +320,19 @@ object Versioned {
     }
   }
 
+  /** Two staged/adopted commit tails as one (the dynamic-overwrite
+    * shape: executor-adopted NEW files + a driver-staged survivor
+    * rewrite land in the SAME snapshot).
+    */
+  private final class StagedPair(a: StagedLike, b: StagedLike)
+      extends StagedLike {
+    def at(v: Int): (Seq[String], Seq[String], Seq[String]) = {
+      val (f1, s1, z1) = a.at(v); val (f2, s2, z2) = b.at(v)
+      (f1 ++ f2, s1 ++ s2, z1 ++ z2)
+    }
+    def abort(): Unit = { a.abort(); b.abort() }
+  }
+
   // ---- SQL row-level operation support (UPDATE / MERGE / DELETE
   //      fallback through SupportsRowLevelOperations) ------------------
 
@@ -329,6 +355,73 @@ object Versioned {
     (m.files, m.statsRaw.map(decodeStat), decodeSizes(m.sizesRaw),
       schemaOfSnapshot(spark, m, s"v=$v"), m.deletes.size)
   }
+
+  /** One equality-delete file's mask, collected to the driver for
+    * IN-SCAN application ([[RowLevelBatch]]): key tuples as CATALYST
+    * values (UTF8String etc.) so executor readers compare them against
+    * InternalRow fields directly. Masks rows only in files with
+    * sequence < `seq` (the MOR ordering rule).
+    */
+  private[sources] final case class EqMask(seq: Int, keyCols: Seq[String],
+      keys: Set[Seq[Any]]) extends Serializable
+
+  /** One position-delete file's mask: [[dataSuffix]]-keyed row indexes
+    * (sorted) per referenced data file.
+    */
+  private[sources] final case class PosMask(seq: Int,
+      positions: Map[String, Array[Long]]) extends Serializable
+
+  private[sources] final case class DeleteMasks(eq: Seq[EqMask],
+      pos: Seq[PosMask]) extends Serializable {
+    def isEmpty: Boolean = eq.isEmpty && pos.isEmpty
+    def hasPos: Boolean = pos.nonEmpty
+    /** Every equality key column named by any mask. */
+    def eqKeyCols: Seq[String] = eq.flatMap(_.keyCols).distinct
+  }
+
+  /** Collect snapshot `v`'s pending delete masks to the driver for
+    * in-scan application — None when the total mask size exceeds
+    * [[maxBroadcastKeys]] (callers then degrade: plain reads fall back
+    * to the V1 anti-join bridge, row-level ops refuse with
+    * compact-first). Delete files are batch-sized by contract, so the
+    * common case is a few thousand rows; the cap exists for tables
+    * taking heavy churn without compaction.
+    */
+  private[sources] def collectMasks(spark: SparkSession, table: String,
+      v: Int): Option[DeleteMasks] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val m = manifestAll(spark, table, v)
+    if (m.deletes.isEmpty) return Some(DeleteMasks(Nil, Nil))
+    val cap = maxBroadcastKeys(spark)
+    // ONE job bounds the total before any collect
+    if (countRowsByFile(spark, m.deletes).values.sum > cap) return None
+    val eq = scala.collection.mutable.ArrayBuffer.empty[EqMask]
+    val pos = scala.collection.mutable.ArrayBuffer.empty[PosMask]
+    m.deletes.foreach { p =>
+      val df = spark.read.parquet(p)
+      val s = seqOf(p)
+      if (isPosDelete(df.schema)) {
+        val byFile = df.collect()
+          .groupBy(r => dataSuffix(r.getString(0)))
+          .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+        pos += PosMask(s, byFile)
+      } else {
+        val conv = df.schema.fields
+          .map(f => CatalystTypeConverters.createToCatalystConverter(
+            f.dataType))
+        val keys = df.collect().map(r =>
+          (0 until conv.length).map(i => conv(i)(r.get(i))): Seq[Any])
+          .toSet
+        eq += EqMask(s, df.schema.fieldNames.toSeq, keys)
+      }
+    }
+    Some(DeleteMasks(eq.toSeq, pos.toSeq))
+  }
+
+  /** Commit sequence of `path`'s enclosing commit directory — the
+    * executor-side mask applicability check ([[RowLevelBatch]]).
+    */
+  private[sources] def seqOfPath(path: String): Int = seqOf(path)
 
   /** Commit tail for a SQL row-level group replacement: the scanned
     * (affected) files drop, the executor-written `committed` files take
@@ -359,6 +452,49 @@ object Versioned {
     cowCommit(spark, table, w, basis, touched, schema, what)
   }
 
+  /** Commit tail for SQL DYNAMIC partition overwrite (`INSERT OVERWRITE`
+    * under `partitionOverwriteMode = dynamic` — no V1 fallback exists
+    * for `OverwritePartitionsDynamic`, so executors write task files
+    * into the staged dir and this adopts them): replace exactly the
+    * partitions PRESENT in the written data. Partition tuples come from
+    * ONE distinct() over the staged files; files of the basis holding a
+    * matching tuple drop (identity-laid files are single-tuple, so the
+    * probe admits whole partitions); mixed legacy files rewrite their
+    * survivors. Same cowCommit validate/rebase rules as [[upsertKeys]].
+    */
+  private[sources] def commitDynamicOverwrite(spark: SparkSession,
+      table: String, basisVersion: Int, uid: String,
+      committed: Seq[String],
+      writeSchema: org.apache.spark.sql.types.StructType): Int = {
+    import org.apache.spark.sql.functions.col
+    val pcols = partitionColumns(spark, table)
+    require(pcols.nonEmpty,
+      s"dynamic partition overwrite needs a partitioned table at $table")
+    val basis = manifestAll(spark, table, basisVersion)
+    def nameFor(v: Int) = s"u=$v-$uid"
+    val adopted = new Adopted(table, spark, nameFor,
+      nameFor(basisVersion + 1), committed)
+    val keys = spark.read.parquet(committed: _*)
+      .select(pcols.map(c => col(s"`$c`")): _*).distinct().cache()
+    try {
+      val nKeys = keys.count()
+      val touched = touchedBy(spark, basis, keys, nKeys, pcols)
+      val touchedPaths = basis.files.filter(f => touched(dataSuffix(f)))
+      val w: StagedLike =
+        if (touchedPaths.isEmpty) adopted
+        else new StagedPair(adopted,
+          new Staged(table, "u",
+            readWithDeletes(spark, touchedPaths, basis.deletes,
+              basis.schema, basis.columnMap)
+              .join(maybeBroadcast(keys, nKeys), pcols, "left_anti"),
+            partitionCols = basis.partitionCols))
+      cowCommit(spark, table, Some(w), basis, touched,
+        mergeSchemas(basis.schema, writeSchema),
+        what = "dynamic-overwrite")
+    } catch { case e: Throwable => adopted.abort(); throw e }
+    finally keys.unpersist()
+  }
+
   /** Staging directory for one STREAMING epoch's executor-written task
     * files (the sink half of the streaming story — `writeStream
     * .toTable` through [[GraftCatalog]]): epoch-scoped so one long-lived
@@ -374,8 +510,15 @@ object Versioned {
     * contract, packed into the Long txn space: the query id's 32-bit
     * hash in the high half, the epoch in the low half) so
     *  - a NEW query (fresh checkpoint) writing a table that already
-    *    carries another query's epoch markers cannot collide and
-    *    silently drop its first epochs (bare epoch ids restart at 0);
+    *    carries another query's epoch markers does not collide with it
+    *    (bare epoch ids restart at 0, the hash prefix disambiguates).
+    *    The guarantee is PROBABILISTIC, not absolute: two distinct query
+    *    ids share a 32-bit hash with probability 2^-32 per pair, and a
+    *    colliding pair would make the later query's early epochs no-op
+    *    (dropped data) while each commit strips the other's markers.
+    *    Acceptable for the expected handful of writers per table; a
+    *    deployment multiplexing MANY queries into one table should give
+    *    each its own table or extend the marker to carry the full id;
     *  - only the LATEST marker per query survives a commit — a
     *    long-lived 1 s-trigger stream would otherwise grow the manifest
     *    txn list by ~86k entries/day, every one re-parsed per read.
@@ -407,7 +550,8 @@ object Versioned {
             val (files, stats, sizes) = w.at(cur + 1)
             Some(Content(m.files ++ files,
               m.txns.filterNot(mine) :+ marker, m.deletes,
-              Some(sch), m.statsRaw ++ stats, m.sizesRaw ++ sizes))
+              Some(sch), m.statsRaw ++ stats, m.sizesRaw ++ sizes,
+              m.partitionCols, m.columnMap))
           }
         })
       } catch { case e: Throwable => w.abort(); throw e }
@@ -549,7 +693,9 @@ object Versioned {
       deletes: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       statsRaw: Seq[String] = Seq.empty,
-      sizesRaw: Seq[String] = Seq.empty)
+      sizesRaw: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty,
+      columnMap: Map[String, Seq[String]] = Map.empty)
 
   /** Committed manifests are IMMUTABLE (a new commit is a new `v=N+1`
     * directory; expire deletes old ones, never rewrites), so parsed
@@ -586,7 +732,13 @@ object Versioned {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       },
       rows.collect { case ("fs", s) => s }.toSeq.sorted,
-      rows.collect { case ("fl", s) => s }.toSeq.sorted)
+      rows.collect { case ("fl", s) => s }.toSeq.sorted,
+      rows.collectFirst { case ("p", s) =>
+        s.split(",").toSeq.map(dec) }.getOrElse(Nil),
+      rows.collect { case ("cm", s) =>
+        val parts = s.split("\\|", -1).toSeq.map(dec)
+        parts.head -> parts.tail
+      }.toMap)
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(key, (mtime, snap))
     snap
@@ -659,8 +811,18 @@ object Versioned {
     }
   }
 
-  private def seqOf(path: String): Int =
-    seqOfDir(new Path(path).getParent.getName)
+  /** Walks up past partition-layout directories ([[PartDirPrefix]] —
+    * `…/c=7-ab12cd34/__p_day=2026-01-01/part-….parquet`) to the commit
+    * directory that carries the sequence; without this every
+    * partition-laid file would parse as sequence 0 and ALL pending
+    * deletes would mask it, resurrecting the MOR ordering bug the
+    * sequence rule exists to prevent.
+    */
+  private def seqOf(path: String): Int = {
+    var p = new Path(path).getParent
+    while (p != null && p.getName.startsWith(PartDirPrefix)) p = p.getParent
+    if (p == null) 0 else seqOfDir(p.getName)
+  }
 
   /** Broadcast guard for the key-set joins (delete masks, upsert keys):
     * below this many rows the key side broadcasts (one tiny table to
@@ -736,17 +898,78 @@ object Versioned {
     * the broadcast is bounded). Keep delete chains short: [[compact]]
     * materializes.
     */
+  /** The RAW per-file-schema scan a mapped table needs (RENAME COLUMN is
+    * pure metadata — [[renameColumn]]): the requested schema EXPANDS to
+    * include every prior physical name of a renamed column, so files
+    * from before the rename surface their values under the prior name
+    * (and NULL under the current one), and [[logicalProject]] collapses
+    * each name epoch back into the logical column with coalesce — sound
+    * because a file carries exactly ONE name epoch (rename forbids
+    * recycling a name any live file ever used). Unmapped tables pass
+    * through untouched.
+    */
+  private def physicalScan(spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      colMap: Map[String, Seq[String]],
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    schema match {
+      case None => spark.read.parquet(files: _*)
+      case Some(sch) if colMap.isEmpty =>
+        spark.read.schema(sch).parquet(files: _*)
+      case Some(sch) =>
+        val extra = colMap.toSeq.sortBy(_._1).flatMap { case (l, ps) =>
+          sch.find(_.name == l).toSeq.flatMap(f =>
+            ps.filterNot(p => sch.fieldNames.contains(p))
+              .map(p => StructField(p, f.dataType, nullable = true)))
+        }
+        spark.read.schema(StructType(
+          sch.fields.map(_.copy(nullable = true)) ++ extra))
+          .parquet(files: _*)
+    }
+  }
+
+  /** Collapse a [[physicalScan]] frame to the LOGICAL schema: each
+    * renamed column coalesces over (current name, priors…) — exactly one
+    * is non-null per file epoch.
+    */
+  private def logicalProject(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      colMap: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    df.select(schema.fields.map { f =>
+      colMap.get(f.name).filter(_.nonEmpty) match {
+        case Some(ps) =>
+          coalesce((f.name +: ps).map(n => col(s"`$n`")): _*).as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    }.toSeq: _*)
+  }
+
+  /** prior physical name -> current logical name (the delete-file key
+    * renaming direction).
+    */
+  private def reverseMap(colMap: Map[String, Seq[String]])
+      : Map[String, String] =
+    colMap.toSeq.flatMap { case (l, ps) => ps.map(_ -> l) }.toMap
+
   private def readWithDeletes(spark: SparkSession, dataFiles: Seq[String],
       delFiles: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      colMap: Map[String, Seq[String]] = Map.empty)
       : DataFrame = {
     import org.apache.spark.sql.functions._
     // the stored snapshot schema applied at scan: files from before an
     // additive evolution surface the new columns as NULL, with no
-    // O(files) footer merging
-    def reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+    // O(files) footer merging; renamed columns coalesce over their
+    // name epochs (physicalScan/logicalProject)
+    def project(df: DataFrame): DataFrame =
+      schema.map(logicalProject(df, _, colMap)).getOrElse(df)
+    def reader(fs: Seq[String]): DataFrame =
+      project(physicalScan(spark, schema, colMap, fs))
     if (dataFiles.isEmpty) return spark.emptyDataFrame
-    if (delFiles.isEmpty) return reader.parquet(dataFiles: _*)
+    if (delFiles.isEmpty) return reader(dataFiles)
+    val rev = reverseMap(colMap)
     val metas = delFiles.map(p => (seqOf(p), spark.read.parquet(p).schema, p))
     // per-delete-file row counts feed the broadcast guard: a batch-sized
     // mask broadcasts, an accumulated-past-threshold mask shuffle-joins
@@ -758,8 +981,13 @@ object Versioned {
     // equality-delete files group by their full KEY COLUMN LIST (one
     // column is the common case; composite keys — the (user_id, region)
     // CDC shape — anti-join on every column)
+    // equality-delete key columns REMAP through the rename history: a
+    // delete file recorded before a rename spells the old name, the
+    // logical read spells the new one — anti-joining on the raw name
+    // would silently resurrect the masked rows
     val eqMeta = metas.collect {
-      case (s, sch, p) if !isPosDelete(sch) => (s, sch.fieldNames.toSeq, p)
+      case (s, sch, p) if !isPosDelete(sch) =>
+        (s, sch.fieldNames.toSeq.map(n => rev.getOrElse(n, n)), p)
     }
     val posMeta = metas.collect { case (s, sch, p) if isPosDelete(sch) => (s, p) }
     // each delete file's scan recurs once per APPLICABLE seq group; both
@@ -768,27 +996,36 @@ object Versioned {
     dataFiles.groupBy(seqOf).toSeq.sortBy(_._1).map { case (s, fs) =>
       val posApplicable = posMeta.collect { case (ds, p) if ds > s => p }
       val base =
-        if (posApplicable.isEmpty) reader.parquet(fs: _*)
+        if (posApplicable.isEmpty) reader(fs)
         else {
           // position deletes anti-join on the scan's own metadata
           // columns (path spellings agree: both sides come from
-          // _metadata), then the helper columns drop
+          // _metadata) — referenced on the RAW scan, before the logical
+          // projection (hidden columns resolve at the relation) — then
+          // the helper columns drop
           val pos = spark.read.parquet(posApplicable: _*)
+          val raw = physicalScan(spark, schema, colMap, fs)
           val cols = schema.map(_.fieldNames)
             .getOrElse(spark.read.parquet(fs.head).schema.fieldNames).toSeq
-          reader.parquet(fs: _*)
+          val unmasked = raw
             .withColumn("__file", col("_metadata.file_path"))
             .withColumn("__pos", col("_metadata.row_index"))
             .join(maybeBroadcast(pos, posApplicable
               .map(p => delRows.getOrElse(dataSuffix(p), 0L)).sum),
               PosCols, "left_anti")
-            .select(cols.map(col): _*)
+          schema match {
+            case Some(sch) => logicalProject(unmasked, sch, colMap)
+            case None => unmasked.select(cols.map(col): _*)
+          }
         }
       val masked = eqMeta.filter(_._1 > s).groupBy(_._2).toSeq
         .sortBy(_._1.mkString(","))
         .foldLeft(base) { case (df, (kcs, ms)) =>
-          val keys = spark.read.parquet(ms.map(_._3): _*)
-            .select(kcs.map(col): _*).distinct()
+          val keys = ms.map { m =>
+            val kdf = spark.read.parquet(m._3)
+            kdf.toDF(kdf.columns.map(n => rev.getOrElse(n, n)).toSeq: _*)
+              .select(kcs.map(col): _*)
+          }.reduce(_ unionAll _).distinct()
           df.join(maybeBroadcast(keys,
             ms.map(m => delRows.getOrElse(dataSuffix(m._3), 0L)).sum),
             kcs, "left_anti")
@@ -801,26 +1038,84 @@ object Versioned {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  private def writeData(df: DataFrame, dataDir: String): Seq[String] = {
+  /** Prefix of the DIRECTORY-layout twin a partition column writes under
+    * (`__p_<col>=<val>/`): `partitionBy` drops its columns from file
+    * content, but a versioned table's files must stay SELF-CONTAINED
+    * (every reader — time travel, CDF diffs, MOR anti-joins — reads leaf
+    * files directly, where Hive-style partition inference never runs).
+    * So the staged write duplicates each partition column under this
+    * prefix, partitions the LAYOUT by the duplicate, and keeps the real
+    * column in the data. Identity partitioning then needs no special
+    * read path at all: a single-valued file's manifest stats collapse to
+    * lo == hi, making [[ManifestFileIndex]]'s ordinary stats admission
+    * an EXACT partition pruner, while the directory layout serves the
+    * operational side (inspection, selective distcp, external retention).
+    */
+  private[sources] val PartDirPrefix = "__p_"
+
+  private def writeData(df: DataFrame, dataDir: String,
+      partitionCols: Seq[String] = Nil): Seq[String] = {
+    import org.apache.spark.sql.functions.col
     // clear a torn prior attempt (data landed, manifest rename didn't) so
     // a crash can never permanently reject the version's data directory
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = fsFor(dataDir, conf)
     val p = new Path(dataDir)
     if (fs.exists(p)) fs.delete(p, true)
-    df.write.mode("errorifexists").parquet(dataDir)
-    df.sparkSession.read.parquet(dataDir).inputFiles.toSeq
+    if (partitionCols.isEmpty)
+      df.write.mode("errorifexists").parquet(dataDir)
+    else {
+      val dup = partitionCols.foldLeft(df)((d, c) =>
+        d.withColumn(s"$PartDirPrefix$c", col(s"`$c`")))
+      dup.write.mode("errorifexists")
+        .partitionBy(partitionCols.map(PartDirPrefix + _): _*)
+        .parquet(dataDir)
+    }
+    // a ZERO-PARTITION frame (an AQE-emptied survivor rewrite — every
+    // row of the touched files lost) writes only _SUCCESS; reading that
+    // back would throw UNABLE_TO_INFER_SCHEMA, so detect the no-file
+    // case from the listing and stage nothing (the commit then drops
+    // the touched files with no replacement — the metadata-drop shape)
+    val it = fs.listFiles(p, true)
+    var hasData = false
+    while (!hasData && it.hasNext) {
+      val n = it.next().getPath.getName
+      hasData = !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData) Seq.empty
+    else df.sparkSession.read.parquet(dataDir).inputFiles.toSeq
+  }
+
+  /** Declared partition columns of `table` (identity transforms recorded
+    * at CREATE — [[createEmpty]]'s overload / the catalog's PARTITIONED
+    * BY): every data-writing commit lays its staged files under the
+    * matching directory tree. Nil for unpartitioned tables and empty
+    * paths. Partitioning is TABLE-LEVEL DDL fixed at creation; there is
+    * deliberately no ALTER (repartitioning 100 TB is a rebuild).
+    */
+  def partitionColumns(spark: SparkSession, table: String): Seq[String] = {
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    if (cur == 0) Nil else manifestAll(spark, table, cur).partitionCols
   }
 
   /** Append `df` as a new snapshot; returns the new version number.
     * Pending equality deletes carry forward — they mask only OLDER files,
     * so the appended rows are visible even for previously-deleted keys.
     * An append is ADDITIVE, so losing the commit race simply rebases onto
-    * the new head (re-merging the schema) and retries.
+    * the new head (re-merging the schema) and retries. Partitioned
+    * tables lay the staged files under their partition directory tree.
     */
-  def append(df: DataFrame, table: String): Int = {
+  def append(df: DataFrame, table: String): Int =
+    appendImpl(df, table, partitionColumns(df.sparkSession, table))
+
+  /** [[append]] with EXPLICIT partition columns — the staged-CTAS seam
+    * ([[GraftCatalog.stageCreate]]): the table has no manifest yet, so
+    * the partitioning cannot be discovered and must ride in.
+    */
+  private[sources] def appendImpl(df: DataFrame, table: String,
+      pcols: Seq[String]): Int = {
     val spark = df.sparkSession
-    val w = new Staged(table, "c", df)
+    val w = new Staged(table, "c", df, partitionCols = pcols)
     // retries-exhausted (or any throw) must not leak the staged data —
     // the same discipline as the COW paths
     try {
@@ -828,7 +1123,8 @@ object Versioned {
         val sch = mergeSchemas(m.schema, df.schema)
         val (files, stats, sizes) = w.at(cur + 1)
         Some(Content(m.files ++ files, m.txns, m.deletes, Some(sch),
-          m.statsRaw ++ stats, m.sizesRaw ++ sizes))
+          m.statsRaw ++ stats, m.sizesRaw ++ sizes,
+          if (cur == 0) pcols else m.partitionCols, m.columnMap))
       }).get
     } catch { case e: Throwable => w.abort(); throw e }
   }
@@ -846,7 +1142,8 @@ object Versioned {
     // sequence correctly against streamed files (see seqOfDir); the txn
     // check runs against the head of EVERY attempt, so a redelivery —
     // including one racing the original — no-ops before writing data
-    val w = new Staged(table, "b", df, batchId = Some(batchId))
+    val w = new Staged(table, "b", df, batchId = Some(batchId),
+      partitionCols = partitionColumns(spark, table))
     val r =
       try {
         commitLoop(spark, table, { (m, cur) =>
@@ -855,7 +1152,8 @@ object Versioned {
             val sch = mergeSchemas(m.schema, df.schema)
             val (files, stats, sizes) = w.at(cur + 1)
             Some(Content(m.files ++ files, m.txns :+ batchId, m.deletes,
-              Some(sch), m.statsRaw ++ stats, m.sizesRaw ++ sizes))
+              Some(sch), m.statsRaw ++ stats, m.sizesRaw ++ sizes,
+              m.partitionCols, m.columnMap))
           }
         })
       } catch { case e: Throwable => w.abort(); throw e }
@@ -878,7 +1176,8 @@ object Versioned {
     if (m.files.isEmpty && m.schema.isDefined)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema.get)
-    else readWithDeletes(spark, m.files, m.deletes, m.schema)
+    else readWithDeletes(spark, m.files, m.deletes, m.schema,
+      m.columnMap)
   }
 
   /** Overwrite commit (Iceberg's REPLACE): the new snapshot's content is
@@ -913,9 +1212,18 @@ object Versioned {
   }
 
   private def replaceImpl(df: DataFrame, table: String,
-      mark: Option[Long]): Int = {
+      mark: Option[Long]): Int =
+    replacePcols(df, table, mark,
+      partitionColumns(df.sparkSession, table))
+
+  /** [[replace]] with EXPLICIT partition columns (the staged-RTAS seam):
+    * a replace re-releases content AND schema, but the partitioning —
+    * table-level DDL — carries unless the replacing DDL declares its own.
+    */
+  private[sources] def replacePcols(df: DataFrame, table: String,
+      mark: Option[Long], pcols: Seq[String]): Int = {
     val spark = df.sparkSession
-    val w = new Staged(table, "r", df)
+    val w = new Staged(table, "r", df, partitionCols = pcols)
     // content is exactly df regardless of the head, so a lost race just
     // rebases (txn ids carry from whatever head it lands on)
     try {
@@ -923,7 +1231,7 @@ object Versioned {
         val (files, stats, sizes) = w.at(cur + 1)
         // a replace RESETS the schema too: content is exactly df
         Some(Content(files, mark.map(Seq(_)).getOrElse(m.txns), Seq.empty,
-          Some(df.schema), stats, sizes))
+          Some(df.schema), stats, sizes, pcols))
       }).get
     } catch { case e: Throwable => w.abort(); throw e }
   }
@@ -974,10 +1282,12 @@ object Versioned {
       // stay masked by the carried delete entries
       val survivors =
         if (touchedPaths.isEmpty) updates
-        else readWithDeletes(spark, touchedPaths, basis.deletes, basis.schema)
+        else readWithDeletes(spark, touchedPaths, basis.deletes,
+            basis.schema, basis.columnMap)
           .join(maybeBroadcast(keys, nKeys), keyCols, "left_anti")
           .unionByName(updates, allowMissingColumns = true)
-      val w = new Staged(table, "u", survivors)
+      val w = new Staged(table, "u", survivors,
+        partitionCols = basis.partitionCols)
       cowCommit(spark, table, Some(w), basis, touched, updates.schema,
         what = s"upsert(${keyCols.mkString(",")})")
     } finally keys.unpersist()
@@ -993,8 +1303,23 @@ object Versioned {
   private def touchedBy(spark: SparkSession, basis: Snapshot,
       keys: DataFrame, nKeys: Long, keyCols: Seq[String]): Set[String] = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(basis.files: _*)
-      .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+    // renamed key columns resolve through the name-epoch coalesce
+    // (physicalScan + per-column coalesce) so files from before the
+    // rename still probe under the logical name; input_file_name() is
+    // referenced at the scan, before the projection
+    val raw = physicalScan(spark, basis.schema, basis.columnMap,
+      basis.files).withColumn("__f", input_file_name())
+    val probe = basis.schema match {
+      case Some(sch) if basis.columnMap.nonEmpty =>
+        logicalProject(raw, org.apache.spark.sql.types.StructType(
+          sch.fields.filter(f => keyCols.contains(f.name)) :+
+            org.apache.spark.sql.types.StructField("__f",
+              org.apache.spark.sql.types.StringType)),
+          basis.columnMap)
+      case _ => raw
+    }
+    probe
+      .select(keyCols.map(col) :+ col("__f"): _*)
       .join(maybeBroadcast(keys, nKeys), keyCols)
       .select(col("__f")).distinct()
       .collect().map(r => dataSuffix(r.getString(0))).toSet
@@ -1092,7 +1417,7 @@ object Versioned {
       }
       val touchedPaths = basis.files.filter(f => touched(dataSuffix(f)))
       val t = readWithDeletes(spark, touchedPaths, basis.deletes,
-        basis.schema)
+        basis.schema, basis.columnMap)
       val joined = t.alias("t").join(
         maybeBroadcast(src.withColumn("__m", lit(true)), nKeys).alias("s"),
         keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
@@ -1139,7 +1464,8 @@ object Versioned {
       val commitSchema = inserts
         .map(_ => mergeSchemas(Some(tSchema), source.schema))
         .getOrElse(tSchema)
-      val w = new Staged(table, "u", survivors)
+      val w = new Staged(table, "u", survivors,
+        partitionCols = basis.partitionCols)
       cowCommit(spark, table, Some(w), basis, touched, commitSchema,
         what = s"merge(${keyCols.mkString(",")})")
     } finally src.unpersist()
@@ -1184,7 +1510,8 @@ object Versioned {
         val (files, stats, sizes) =
           w.map(_.at(cur + 1)).getOrElse((Nil, Nil, Nil))
         Some(Content(carried ++ files, m.txns, m.deletes, Some(sch),
-          carriedStats ++ stats, carriedSizes ++ sizes))
+          carriedStats ++ stats, carriedSizes ++ sizes,
+          m.partitionCols, m.columnMap))
       }).get
     } catch {
       case e: Throwable => w.foreach(_.abort()); throw e
@@ -1371,9 +1698,14 @@ object Versioned {
     val scanFiles = m.files.filterNot(f => dropped(dataSuffix(f)))
     val rewriteTouched =
       if (scanFiles.isEmpty) Set.empty[String] // pred covers every file
-      else spark.read.parquet(scanFiles: _*)
+      else logicalProject(
+          physicalScan(spark, m.schema, m.columnMap, scanFiles)
+            .withColumn("__f", input_file_name()),
+          org.apache.spark.sql.types.StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField("__f",
+              org.apache.spark.sql.types.StringType)), m.columnMap)
         .filter(pred)
-        .select(input_file_name().as("__f")).distinct()
+        .select(col("__f")).distinct()
         .collect().map(r => dataSuffix(r.getString(0))).toSet
     if (rewriteTouched.isEmpty && dropped.isEmpty) return cur
     if (rewriteTouched.isEmpty)
@@ -1385,10 +1717,92 @@ object Versioned {
     // survivor filter is the exact complement of the touch filter).
     // Pending equality deletes apply to the rewrite (see upsert).
     val survivors = readWithDeletes(spark, touchedPaths, m.deletes,
-      m.schema).filter(!coalesce(pred, lit(false)))
-    val w = new Staged(table, "u", survivors)
+      m.schema, m.columnMap).filter(!coalesce(pred, lit(false)))
+    val w = new Staged(table, "u", survivors,
+      partitionCols = m.partitionCols)
     cowCommit(spark, table, Some(w), m, rewriteTouched ++ dropped,
       m.schema.getOrElse(survivors.schema), what = "delete(pred)")
+  }
+
+  /** Overwrite-by-predicate in ONE commit (Delta's `replaceWhere` /
+    * Spark's `OverwriteByExpression` — the plan behind static
+    * `INSERT OVERWRITE … PARTITION (p = v)`): rows matching `pred` are
+    * replaced by `df`, everything else carries untouched. Three cost
+    * tiers, exactly [[delete]]'s: files whose manifest stats PROVE every
+    * row matches drop as pure metadata — for an identity-partitioned
+    * table a whole-partition overwrite never reads the old partition at
+    * all (lo == hi stats prove the drop); partially-matching files
+    * rewrite without the matches; untouched files carry by reference.
+    * The new rows commit in the SAME snapshot (atomic swap — readers see
+    * the old partition or the new one, never neither). `df` must itself
+    * satisfy `pred` (Delta's constraint): silently landing rows outside
+    * the overwritten region would make the statement's complement
+    * unpredictable, so violations reject loudly. Returns the version.
+    */
+  def replaceWhere(df: DataFrame, table: String,
+      pred: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    if (cur == 0) {
+      require(df.filter(!coalesce(pred, lit(false))).isEmpty,
+        s"replaceWhere at $table: rows violate the overwrite predicate")
+      return append(df, table)
+    }
+    val m = manifestAll(spark, table, cur)
+    require(df.filter(!coalesce(pred, lit(false))).isEmpty,
+      s"replaceWhere at $table: rows violate the overwrite predicate")
+    val byFile = statsByFile(m)
+    val schema = schemaOfSnapshot(spark, m, s"at $table")
+    val predExpr = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(false))
+    val dropped = m.files.filter(f =>
+      byFile.get(dataSuffix(f)).exists(mustMatchAll(_, predExpr)))
+      .map(dataSuffix).toSet
+    val scanFiles = m.files.filterNot(f => dropped(dataSuffix(f)))
+    val rewriteTouched =
+      if (scanFiles.isEmpty) Set.empty[String]
+      else logicalProject(
+          physicalScan(spark, m.schema, m.columnMap, scanFiles)
+            .withColumn("__f", input_file_name()),
+          org.apache.spark.sql.types.StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField("__f",
+              org.apache.spark.sql.types.StringType)), m.columnMap)
+        .filter(pred)
+        .select(col("__f")).distinct()
+        .collect().map(r => dataSuffix(r.getString(0))).toSet
+    val touchedPaths = m.files.filter(f => rewriteTouched(dataSuffix(f)))
+    // survivors of partially-matching files (pred complement, NULL keeps)
+    // union the NEW rows — one staged write, one atomic commit
+    val keepers =
+      if (touchedPaths.isEmpty) df
+      else readWithDeletes(spark, touchedPaths, m.deletes, m.schema,
+          m.columnMap)
+        .filter(!coalesce(pred, lit(false)))
+        .unionByName(df, allowMissingColumns = true)
+    val w = new Staged(table, "u", keepers,
+      partitionCols = m.partitionCols)
+    cowCommit(spark, table, Some(w), m, rewriteTouched ++ dropped,
+      mergeSchemas(m.schema, df.schema), what = "replaceWhere")
+  }
+
+  /** DYNAMIC partition overwrite (Spark's
+    * `partitionOverwriteMode = dynamic` / `SupportsDynamicOverwrite`):
+    * replace exactly the partitions PRESENT IN `df`, keep the rest.
+    * This is [[upsertKeys]] with the partition tuple as the key — all
+    * rows of a matched partition are by definition key-matched rows, so
+    * the copy-on-write prune/rewrite machinery carries over unchanged
+    * (partition-laid tables rewrite whole partition files; never O(table)).
+    */
+  def replacePartitions(df: DataFrame, table: String): Int = {
+    val pcols = partitionColumns(df.sparkSession, table)
+    require(pcols.nonEmpty,
+      s"replacePartitions needs a partitioned table at $table")
+    upsertKeys(df, table, pcols)
   }
 
   /** Merge-on-READ equality delete (Iceberg's equality-delete files —
@@ -1435,7 +1849,7 @@ object Versioned {
       commitLoop(spark, table, { (m, cur) =>
         val (added, _, _) = w.at(cur + 1)
         Some(Content(m.files, m.txns, m.deletes ++ added, m.schema,
-          m.statsRaw, m.sizesRaw))
+          m.statsRaw, m.sizesRaw, m.partitionCols, m.columnMap))
       }).get
     } catch { case e: Throwable => w.abort(); throw e }
   }
@@ -1492,7 +1906,8 @@ object Versioned {
     // additive pair (data at seq v, delete at seq v — strict sequence
     // rule keeps the upserts alive through their own mask); both staged
     // dirs rename together on a rebase, so the pair stays same-sequence
-    val wData = new Staged(table, "m", upserts)
+    val wData = new Staged(table, "m", upserts,
+      partitionCols = partitionColumns(spark, table))
     val wDel = new Staged(table, "d", allKeys, withStats = false)
     val r =
       try {
@@ -1504,7 +1919,7 @@ object Versioned {
             val (delAdded, _, _) = wDel.at(cur + 1)
             Some(Content(m.files ++ added, m.txns ++ batchId.toSeq,
               m.deletes ++ delAdded, Some(sch), m.statsRaw ++ stats,
-              m.sizesRaw ++ sizes))
+              m.sizesRaw ++ sizes, m.partitionCols, m.columnMap))
           }
         })
       } catch { case e: Throwable =>
@@ -1557,7 +1972,8 @@ object Versioned {
     ((from + 1) to to).map { v =>
       val d =
         if (v == 1) readWithDeletes(spark, snaps(1).files, snaps(1).deletes,
-          snaps(1).schema).withColumn("_change_type", lit("insert"))
+          snaps(1).schema, snaps(1).columnMap)
+          .withColumn("_change_type", lit("insert"))
         else changesImpl(spark, table, snaps(v - 1), snaps(v))
       v -> d
     }
@@ -1576,8 +1992,10 @@ object Versioned {
     val newSide = b.filterNot(common) ++ affected
     // both sides read at v2's schema so the diff is column-consistent
     // across an additive evolution (v1 rows null-fill the new columns)
-    val oldRows = readWithDeletes(spark, oldSide.toSeq.sorted, dA, mB.schema)
-    val newRows = readWithDeletes(spark, newSide.toSeq.sorted, dB, mB.schema)
+    val oldRows = readWithDeletes(spark, oldSide.toSeq.sorted, dA,
+      mB.schema, mB.columnMap)
+    val newRows = readWithDeletes(spark, newSide.toSeq.sorted, dB,
+      mB.schema, mB.columnMap)
     def tag(df: DataFrame, t: String) =
       df.withColumn("_change_type", lit(t))
     if (oldSide.isEmpty && newSide.isEmpty)
@@ -1642,7 +2060,7 @@ object Versioned {
               "re-run against the new head")
         val (added, _, _) = w.at(c + 1)
         Some(Content(h.files, h.txns, h.deletes ++ added, h.schema,
-          h.statsRaw, h.sizesRaw))
+          h.statsRaw, h.sizesRaw, h.partitionCols, h.columnMap))
       }).get
     } catch {
       case e: Throwable => w.abort(); throw e
@@ -1667,6 +2085,10 @@ object Versioned {
     val m = manifestAll(spark, table, v)
     require(m.deletes.isEmpty,
       s"indexedRead needs a delete-free snapshot (compact $table first)")
+    require(m.columnMap.isEmpty,
+      s"indexedRead cannot serve a pending column rename at $table " +
+        "(planner file-index reads have no name-epoch coalesce) — " +
+        "compact first to materialize it")
     val schema = schemaOfSnapshot(spark, m, s"v=$v")
     if (m.files.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1812,9 +2234,10 @@ object Versioned {
     // converge (n packed files re-trigger only by falling below 2)
     val n = if (targetFiles > 0) targetFiles
       else math.max(1, (total / smallBytes).toInt)
-    val survivors = readWithDeletes(spark, small, m.deletes, m.schema)
-      .repartition(n)
-    val w = new Staged(table, "u", survivors)
+    val survivors = readWithDeletes(spark, small, m.deletes, m.schema,
+      m.columnMap).repartition(n)
+    val w = new Staged(table, "u", survivors,
+      partitionCols = m.partitionCols)
     cowCommit(spark, table, Some(w), m, small.map(dataSuffix).toSet,
       m.schema.getOrElse(survivors.schema), what = "compactSmall")
   }
@@ -1829,7 +2252,8 @@ object Versioned {
     if (cur == 0) return 0
     val basis = manifestAll(spark, table, cur)
     val snap = read(spark, table, Some(cur))
-    val w = new Staged(table, "c", snap.repartition(numFiles))
+    val w = new Staged(table, "c", snap.repartition(numFiles),
+      partitionCols = basis.partitionCols)
     try {
       commitLoop(spark, table, { (h, c) =>
         // a compaction is a whole-table COW: it can only land on the
@@ -1841,7 +2265,7 @@ object Versioned {
               "(table changed since the compaction read) — re-run")
         val (added, stats, sizes) = w.at(c + 1)
         Some(Content(added, h.txns, Seq.empty, Some(snap.schema), stats,
-          sizes))
+          sizes, h.partitionCols))
       }).get
     } catch {
       case e: Throwable => w.abort(); throw e
@@ -2036,7 +2460,8 @@ object Versioned {
     commitLoop(spark, table, { (m, cur) =>
       if (cur == toVersion) None
       else Some(Content(target.files, m.txns, target.deletes, target.schema,
-        target.statsRaw, target.sizesRaw))
+        target.statsRaw, target.sizesRaw, target.partitionCols,
+        target.columnMap))
     }).getOrElse(toVersion)
   }
 
@@ -2174,10 +2599,29 @@ object Versioned {
     */
   def createEmpty(spark: SparkSession, table: String,
       schema: org.apache.spark.sql.types.StructType): Int =
+    createEmpty(spark, table, schema, Nil)
+
+  /** [[createEmpty]] declaring IDENTITY partition columns (the catalog's
+    * `PARTITIONED BY` — see [[PartDirPrefix]] for the layout contract):
+    * every later data commit lays its files under the partition
+    * directory tree, files stay self-contained, and identity stats
+    * (lo == hi per file) make manifest admission an exact partition
+    * pruner. Columns must exist in the schema; partitioning is fixed
+    * for the table's lifetime.
+    */
+  def createEmpty(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String]): Int = {
+    val missing = partitionCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partition column(s) not in schema: ${missing.mkString(", ")}")
+    require(partitionCols.distinct == partitionCols,
+      s"duplicate partition columns: $partitionCols")
     commitLoop(spark, table, { (_, cur) =>
       require(cur == 0, s"$table already has a snapshot (v=$cur)")
-      Some(Content(Nil, Nil, Nil, Some(schema), Nil, Nil))
+      Some(Content(Nil, Nil, Nil, Some(schema), Nil, Nil, partitionCols))
     }).get
+  }
 
   /** `ALTER TABLE … ADD COLUMNS` as a PURE METADATA commit (the Delta/
     * Iceberg contract, already the read-side behavior for commit-time
@@ -2190,6 +2634,25 @@ object Versioned {
   def addColumns(spark: SparkSession, table: String,
       cols: Seq[org.apache.spark.sql.types.StructField]): Int = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    // recycling a name ANY live snapshot's schema ever used would make
+    // old files' stored values resurface under the re-added column
+    // (parquet reads by name) instead of null-filling — refuse, like
+    // renameColumn's epoch guard. Expire the old snapshots to reuse it.
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val cur0 = currentVersion(table, conf0)
+    def usedBy(v: Int, n: String): Boolean =
+      schemaOf(spark, table, v)
+        .exists(_.fieldNames.exists(_.equalsIgnoreCase(n)))
+    val recycled = cols.map(_.name)
+      // in the CURRENT schema = the plain duplicate case, reported by
+      // the existing check below with its own message
+      .filterNot(n => cur0 > 0 && usedBy(cur0, n))
+      .filter(n => listVersions(table, conf0)
+        .exists(v => v != cur0 && usedBy(v, n)))
+    require(recycled.isEmpty,
+      s"cannot re-add dropped column name(s): ${recycled.mkString(", ")}" +
+        " — old files still carry values under that name (reads are " +
+        "name-based); use a fresh name, or expire the old snapshots")
     // CASE-INSENSITIVE duplicate discipline (Spark's default resolution):
     // a committed schema with x/X — or the same name twice within one
     // call — would be unreadable (AMBIGUOUS_REFERENCE on every SELECT)
@@ -2206,8 +2669,93 @@ object Versioned {
       val merged = org.apache.spark.sql.types.StructType(
         prev.fields ++ cols.map(_.copy(nullable = true)))
       Some(Content(m.files, m.txns, m.deletes, Some(merged),
-        m.statsRaw, m.sizesRaw))
+        m.statsRaw, m.sizesRaw, m.partitionCols, m.columnMap))
     }).get
+  }
+
+  /** `ALTER TABLE … DROP COLUMN(S)` as a PURE METADATA commit: the
+    * stored schema shrinks; every file, delete, txn, and stat row
+    * carries by reference (parquet reads by name, so the dropped
+    * column's bytes are simply never requested again). Old snapshots
+    * keep their schemas — time travel to before the drop still reads
+    * the column. Partition columns cannot drop (they define the layout);
+    * dropping the LAST column cannot either.
+    */
+  def dropColumns(spark: SparkSession, table: String,
+      names: Seq[String]): Int = {
+    require(names.nonEmpty, "DROP COLUMNS needs at least one column")
+    commitLoop(spark, table, { (m, cur) =>
+      require(cur > 0, s"no table at $table")
+      val prev = schemaOfSnapshot(spark, m, s"v=$cur")
+      val missing = names.filterNot(prev.fieldNames.contains)
+      require(missing.isEmpty,
+        s"no such column(s): ${missing.mkString(", ")}")
+      val pcolHit = names.filter(m.partitionCols.contains)
+      require(pcolHit.isEmpty,
+        s"cannot drop partition column(s): ${pcolHit.mkString(", ")}")
+      val kept = prev.fields.filterNot(f => names.contains(f.name))
+      require(kept.nonEmpty, "cannot drop every column")
+      Some(Content(m.files, m.txns, m.deletes,
+        Some(org.apache.spark.sql.types.StructType(kept)),
+        m.statsRaw, m.sizesRaw, m.partitionCols,
+        m.columnMap -- names))
+    }).get
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN from TO to` as a PURE METADATA commit
+    * (Iceberg/Delta's column-mapping idea, name-based): the stored
+    * schema renames in place and the manifest records `to -> (from ±
+    * its own priors)`, so reads coalesce the column over its name
+    * epochs ([[physicalScan]]/[[logicalProject]]) — zero data I/O now,
+    * and [[compact]]/[[replace]] materialize the mapping away (their
+    * rewrites store the logical name physically). Soundness of the
+    * coalesce needs name epochs to be EXCLUSIVE per file, so renaming
+    * TO a name that any LIVE snapshot's schema ever used refuses
+    * loudly (a recycled name could collide with an old file's stored
+    * column). While a mapping is pending, planner-integrated pruning
+    * ([[indexedRead]]) and the SQL row-level rewrites degrade/refuse —
+    * compact first; plain reads, writes, upserts, MOR deletes, and CDF
+    * all work mapped.
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Int = {
+    require(from != to, s"rename to itself: $from")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // every LIVE version's schema must never have used `to`
+    val everUsed = listVersions(table, conf).exists { v =>
+      schemaOf(spark, table, v).exists(_.fieldNames.exists(
+        _.equalsIgnoreCase(to)))
+    }
+    require(!everUsed,
+      s"cannot rename to '$to': a live snapshot's schema already uses " +
+        "that name (files could carry a column by it — coalesce over " +
+        "name epochs would collide). Pick a fresh name, or expire the " +
+        "old snapshots first")
+    commitLoop(spark, table, { (m, cur) =>
+      require(cur > 0, s"no table at $table")
+      val prev = schemaOfSnapshot(spark, m, s"v=$cur")
+      require(prev.fieldNames.contains(from), s"no such column: $from")
+      require(!prev.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists")
+      require(!m.partitionCols.contains(from),
+        s"cannot rename partition column '$from' (it names the layout)")
+      val renamed = org.apache.spark.sql.types.StructType(
+        prev.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      val priors = from +: m.columnMap.getOrElse(from, Nil)
+      Some(Content(m.files, m.txns, m.deletes, Some(renamed),
+        m.statsRaw, m.sizesRaw, m.partitionCols,
+        (m.columnMap - from) + (to -> priors)))
+    }).get
+  }
+
+  /** The pending rename mapping of snapshot `version` (default head):
+    * logical name -> prior physical names, empty when none pending.
+    */
+  def columnMapping(spark: SparkSession, table: String,
+      version: Option[Int] = None): Map[String, Seq[String]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = version.getOrElse(currentVersion(table, conf))
+    if (v == 0) Map.empty else manifestAll(spark, table, v).columnMap
   }
 
   /** True when snapshot `version` (default: head) carries unmerged MOR
@@ -2246,8 +2794,24 @@ object Versioned {
       version: Option[Int] = None): DataFrame = {
     val v = Some(version.getOrElse(
       currentVersion(table, spark.sparkContext.hadoopConfiguration)))
-    if (hasDeleteFiles(spark, table, v)) read(spark, table, v)
+    // pending MOR masks and pending renames both degrade to the plain
+    // coalescing read; compact returns the planner-pruned path
+    if (hasDeleteFiles(spark, table, v) ||
+        columnMapping(spark, table, v).nonEmpty) read(spark, table, v)
     else indexedRead(spark, table, v)
+  }
+
+  /** Snapshot facets the catalog MICRO-BATCH stream plans from
+    * ([[GraftMicroBatchStream]]): (data files, delete files, per-file
+    * byte lengths), all in manifest spelling. Within-manifest identity
+    * is raw-string safe: carried files copy their spelling verbatim
+    * commit to commit, so adjacent-version set ops need no suffix
+    * normalization. Manifest-only; no data I/O.
+    */
+  private[sources] def streamSnapshot(spark: SparkSession, table: String,
+      v: Int): (Set[String], Set[String], Map[String, Long]) = {
+    val m = manifestAll(spark, table, v)
+    (m.files.toSet, m.deletes.toSet, decodeSizes(m.sizesRaw))
   }
 
   /** Snapshot `version`'s data files in manifest spelling (sorted) —

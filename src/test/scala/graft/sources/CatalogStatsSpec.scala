@@ -57,9 +57,9 @@ class CatalogStatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
-  test("masked snapshots fall back to the assume-huge default (never an " +
-      "unsound estimate); compact restores it; the format face carries " +
-      "manifest size") {
+  test("masked snapshots KEEP manifest byte estimates (the V2 masking " +
+      "scan — an overcount, never an undercount); row counts stay " +
+      "honest; over-cap masks fall back to assume-huge") {
     val (t, dir) = mk("cst2")
     // delete-free: the format face reports manifest bytes at the V1
     // relation level
@@ -68,19 +68,33 @@ class CatalogStatsSpec extends AnyFunSuite {
     assert(relStats.sizeInBytes > 0 &&
       relStats.sizeInBytes < (1L << 30), s"${relStats.sizeInBytes}")
 
-    // a pending MOR mask forces the V1 anti-join read, where scan-level
-    // statistics cannot flow — the estimate must be the conservative
-    // default, NOT a stale manifest number that overlooks the mask
+    // a pending MOR mask now rides the V2 masking scan: manifest BYTES
+    // still flow (masks only remove rows, so the estimate is an
+    // overcount — sound for broadcast planning), while the ROW count is
+    // withheld (masked rows would overcount it)
     Versioned.deleteByKeyMor(
       ev.filter(col("event_id") % 9 === 0).select("event_id"),
       dir, "event_id")
     val masked = spark.sql(s"SELECT * FROM $t").queryExecution
       .optimizedPlan.stats
-    assert(masked.sizeInBytes > (1L << 40),
-      s"masked snapshot must not report a manifest estimate: " +
+    assert(masked.sizeInBytes > 0 && masked.sizeInBytes < (1L << 30),
+      s"masked snapshot lost its manifest estimate: " +
         s"${masked.sizeInBytes}")
+    assert(masked.rowCount.isEmpty,
+      s"masked row count must be withheld: ${masked.rowCount}")
 
-    // compact materializes the mask and the vectorized stats path returns
+    // an OVER-CAP mask degrades to the V1 anti-join read, where the
+    // estimate must be the conservative default
+    spark.conf.set("graft.versioned.maxBroadcastKeys", "1")
+    try {
+      val huge = spark.sql(s"SELECT * FROM $t").queryExecution
+        .optimizedPlan.stats
+      assert(huge.sizeInBytes > (1L << 40),
+        s"over-cap mask must not report a manifest estimate: " +
+          s"${huge.sizeInBytes}")
+    } finally spark.conf.unset("graft.versioned.maxBroadcastKeys")
+
+    // compact materializes the mask and row counts return
     Versioned.compact(spark, dir, numFiles = 2)
     val after = spark.sql(s"SELECT * FROM $t").queryExecution
       .optimizedPlan.stats

@@ -248,13 +248,20 @@ class SqlCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("catalog DDL edges: partitioned CREATE refuses, additive ALTER " +
-      "works, destructive ALTER refuses, rename moves, namespaces list") {
+  test("catalog DDL edges: non-identity partition transforms refuse, " +
+      "additive ALTER works, destructive ALTER refuses, rename moves, " +
+      "namespaces list") {
     val wh = catalog("gsp7")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp7.ns")
+    // identity PARTITIONED BY is supported (SqlPartitionedSpec); the
+    // transform families manifest stats cannot prune refuse loudly
     intercept[Exception] {
       spark.sql("CREATE TABLE gsp7.ns.p (a BIGINT, b STRING) " +
-        "PARTITIONED BY (b)")
+        "PARTITIONED BY (bucket(4, b))")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gsp7.ns.p2 (a BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
     }
     spark.sql("CREATE TABLE gsp7.ns.a (x BIGINT)")
     // additive evolution is a pure metadata commit; old rows null-fill
@@ -278,11 +285,10 @@ class SqlCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("ALTER TABLE gsp7.ns.a ADD COLUMNS (w DOUBLE NOT NULL)")
     }
+    // DROP/RENAME are supported metadata commits now (SqlEvolveSpec);
+    // the destructive change that stays a rebuild is a RETYPE
     intercept[Exception] {
-      spark.sql("ALTER TABLE gsp7.ns.a DROP COLUMN y")
-    }
-    intercept[Exception] {
-      spark.sql("ALTER TABLE gsp7.ns.a RENAME COLUMN y TO z")
+      spark.sql("ALTER TABLE gsp7.ns.a ALTER COLUMN y TYPE DOUBLE")
     }
     spark.sql("ALTER TABLE gsp7.ns.a RENAME TO ns.b")
     assert(!spark.catalog.tableExists("gsp7.ns.a"))
@@ -363,5 +369,29 @@ class SqlCatalogSpec extends AnyFunSuite {
         "SELECT CAST(raise_error('boom') AS BIGINT) AS x FROM gsp10_ev")
     }
     assert(!spark.catalog.tableExists("gsp10.ns.broken"))
+  }
+
+  test("write-less REPLACE TABLE of an existing table mints an EMPTY " +
+      "snapshot at the declared schema (not a silent no-op)") {
+    val wh = catalog("gsp11")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp11.ns")
+    val dir = s"$wh/ns/t"
+    ev.createOrReplaceTempView("gsp11_ev")
+    spark.sql("CREATE TABLE gsp11.ns.t AS SELECT * FROM gsp11_ev") // v1
+    // plain REPLACE (no AS SELECT): AtomicReplaceTableExec stages and
+    // commits WITHOUT ever writing — the commit must still re-release
+    spark.sql("REPLACE TABLE gsp11.ns.t (k BIGINT, s STRING)")
+    assert(Versioned.currentVersion(dir) == 2)
+    val head = spark.sql("SELECT * FROM gsp11.ns.t")
+    assert(head.count() == 0)
+    assert(head.schema.fieldNames.toSeq == Seq("k", "s"))
+    // history stays readable (a replace is a re-release, not a purge)
+    assert(spark.sql("SELECT * FROM gsp11.ns.t VERSION AS OF 1").count() ==
+      ev.count())
+    // CREATE OR REPLACE without AS SELECT on an existing table: same
+    spark.sql("CREATE OR REPLACE TABLE gsp11.ns.t (z DOUBLE)")
+    assert(Versioned.currentVersion(dir) == 3)
+    assert(spark.sql("SELECT * FROM gsp11.ns.t").schema
+      .fieldNames.toSeq == Seq("z"))
   }
 }

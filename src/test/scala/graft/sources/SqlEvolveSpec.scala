@@ -1,0 +1,133 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `ALTER TABLE DROP COLUMN / RENAME COLUMN` as pure-metadata commits
+  * over the manifest's per-snapshot schemas ([[Versioned.dropColumns]]/
+  * [[Versioned.renameColumn]]): reads of old snapshots keep the old
+  * schemas; renamed columns coalesce over their name epochs
+  * ([[Versioned.physicalScan]]) until [[Versioned.compact]]
+  * materializes the mapping; mutation paths that cannot coalesce
+  * refuse loudly.
+  */
+class SqlEvolveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def catalog(name: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory(name).toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.ns")
+    wh
+  }
+
+  test("RENAME COLUMN is pure metadata: reads coalesce name epochs, " +
+      "time travel keeps old names, compact materializes") {
+    import spark.implicits._
+    val wh = catalog("gse1")
+    val dir = s"$wh/ns/t"
+    spark.sql("CREATE TABLE gse1.ns.t (id BIGINT, amount DOUBLE)")
+    spark.sql("INSERT INTO gse1.ns.t VALUES (1, 10.0), (2, 20.0)") // v2
+    val filesBefore = Versioned.listDataFiles(spark, dir).toSet
+    spark.sql("ALTER TABLE gse1.ns.t RENAME COLUMN amount TO total") // v3
+    // zero data I/O: the same physical files carry
+    assert(Versioned.listDataFiles(spark, dir).toSet == filesBefore)
+    // new epoch writes the NEW name physically
+    spark.sql("INSERT INTO gse1.ns.t VALUES (3, 30.0)") // v4
+    val got = spark.sql("SELECT id, total FROM gse1.ns.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)), s"got $got")
+    // old snapshot keeps the OLD schema and name
+    val old = spark.sql("SELECT * FROM gse1.ns.t VERSION AS OF 2")
+    assert(old.schema.fieldNames.toSeq == Seq("id", "amount"))
+    assert(old.count() == 2)
+    // filters on the renamed column work across epochs
+    assert(spark.sql(
+      "SELECT id FROM gse1.ns.t WHERE total > 15 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    // compact materializes: mapping clears, planner pruning returns
+    assert(Versioned.columnMapping(spark, dir).nonEmpty)
+    Versioned.compact(spark, dir, 2)
+    assert(Versioned.columnMapping(spark, dir).isEmpty)
+    val after = spark.sql("SELECT id, total FROM gse1.ns.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(after == got)
+    // and the physical files now carry the logical name
+    assert(spark.read.parquet(Versioned.listDataFiles(spark, dir): _*)
+      .schema.fieldNames.contains("total"))
+  }
+
+  test("DROP COLUMN is pure metadata; old snapshots still read it; " +
+      "re-adding a recycled name refuses (old values would resurface)") {
+    val wh = catalog("gse2")
+    val dir = s"$wh/ns/t"
+    spark.sql("CREATE TABLE gse2.ns.t (id BIGINT, junk STRING, v DOUBLE)")
+    spark.sql("INSERT INTO gse2.ns.t VALUES (1, 'x', 1.0)") // v2
+    val filesBefore = Versioned.listDataFiles(spark, dir).toSet
+    spark.sql("ALTER TABLE gse2.ns.t DROP COLUMN junk") // v3
+    assert(Versioned.listDataFiles(spark, dir).toSet == filesBefore)
+    assert(spark.sql("SELECT * FROM gse2.ns.t").schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // time travel: the column is still there before the drop
+    val old = spark.sql("SELECT junk FROM gse2.ns.t VERSION AS OF 2")
+      .collect().map(_.getString(0))
+    assert(old.toSeq == Seq("x"))
+    // re-ADDing the dropped name refuses: parquet reads by NAME, so the
+    // old file's 'x' would resurface under the new column instead of
+    // null-filling — a silent wrong answer. Fresh names are fine.
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE gse2.ns.t ADD COLUMNS (junk STRING)")
+    }
+    assert(err.getMessage.contains("re-add"), err.getMessage)
+    spark.sql("ALTER TABLE gse2.ns.t ADD COLUMNS (junk2 STRING)")
+    val re = spark.sql("SELECT id, junk2 FROM gse2.ns.t").collect()
+    assert(re.length == 1 && re(0).isNullAt(1))
+  }
+
+  test("rename guards: recycled names refuse; partition columns refuse; " +
+      "row-level ops and streams refuse while a mapping is pending") {
+    import spark.implicits._
+    val wh = catalog("gse3")
+    val dir = s"$wh/ns/t"
+    spark.sql("CREATE TABLE gse3.ns.t (id BIGINT, a DOUBLE, day STRING) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO gse3.ns.t VALUES (1, 1.0, 'd1')")
+    // renaming TO a name any live snapshot used refuses (files could
+    // carry a column by it — epoch coalesce would collide)
+    spark.sql("ALTER TABLE gse3.ns.t RENAME COLUMN a TO b")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gse3.ns.t RENAME COLUMN b TO a")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gse3.ns.t RENAME COLUMN day TO d")
+    }
+    // row-level SQL refuses while the mapping is pending
+    val err = intercept[Exception] {
+      spark.sql("UPDATE gse3.ns.t SET b = 2.0 WHERE id = 1")
+    }
+    assert(err.getMessage.contains("compact"), err.getMessage)
+    // MOR delete + upsert still work mapped (coalescing read paths)
+    Versioned.deleteByKeyMor(Seq(99L).toDF("id"), dir, "id")
+    Versioned.upsert(Seq((1L, 5.0, "d1")).toDF("id", "b", "day"), dir,
+      "id")
+    val got = spark.sql("SELECT id, b, day FROM gse3.ns.t ORDER BY id")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(got == Seq((1L, 5.0, "d1")), s"got $got")
+  }
+
+  test("MOR equality deletes recorded BEFORE a rename still mask after " +
+      "it (delete-file key columns remap through the rename history)") {
+    import spark.implicits._
+    val wh = catalog("gse4")
+    val dir = s"$wh/ns/t"
+    Versioned.append(Seq((1L, "x"), (2L, "y")).toDF("k", "s"), dir)
+    Versioned.deleteByKeyMor(Seq(1L).toDF("k"), dir, "k") // keyed "k"
+    spark.sql("ALTER TABLE gse4.ns.t RENAME COLUMN k TO key")
+    val got = spark.sql("SELECT key, s FROM gse4.ns.t ORDER BY key")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "y")), s"masked row resurrected: $got")
+  }
+}

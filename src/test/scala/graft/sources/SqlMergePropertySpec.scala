@@ -13,6 +13,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * plan, the distributed V2 write, and the commit protocol are all on
   * the hook, not just the clause algebra. Failures print the seed round
   * and clause list.
+  *
+  * The clause space covers all THREE Spark 4 families: WHEN MATCHED
+  * (update/delete, conditional), WHEN NOT MATCHED (insert, conditional),
+  * and WHEN NOT MATCHED BY SOURCE (update/delete over target rows with
+  * no source match — conditions/SETs reference the target alone). The
+  * by-source family is the one that interacts dangerously with runtime
+  * group filtering (its rewrites live in files with NO matching rows);
+  * [[SqlMergeBySourceProbe]] pins the deterministic cases, this spec
+  * fuzzes the composition.
   */
 class SqlMergePropertySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -25,12 +34,25 @@ class SqlMergePropertySpec extends AnyFunSuite {
   private case class SValGt(c: Double) extends Cond
   private case class TValLe(c: Double) extends Cond
   private case class KindIs(k: String) extends Cond
+  private case class TKindIs(k: String) extends Cond
 
   private def evalCond(c: Cond, t: R, s: R): Boolean = c match {
     case Always => true
     case SValGt(x) => s.v > x
     case TValLe(x) => t.v <= x
     case KindIs(k) => s.kind == k
+    case TKindIs(k) => t.kind == k
+  }
+
+  /** Target-only condition evaluation (the BY SOURCE clause space — no
+    * source row exists for these target rows).
+    */
+  private def evalTCond(c: Cond, t: R): Boolean = c match {
+    case Always => true
+    case TValLe(x) => t.v <= x
+    case TKindIs(k) => t.kind == k
+    case other => throw new IllegalStateException(
+      s"source-referencing cond $other in a BY SOURCE clause")
   }
 
   private def condSql(c: Cond): Option[String] = c match {
@@ -38,11 +60,19 @@ class SqlMergePropertySpec extends AnyFunSuite {
     case SValGt(x) => Some(s"s.v > $x")
     case TValLe(x) => Some(s"t.v <= $x")
     case KindIs(k) => Some(s"s.kind = '$k'")
+    case TKindIs(k) => Some(s"t.kind = '$k'")
   }
 
   private sealed trait Act
   private case class Del(cond: Cond) extends Act
   private case class Upd(cond: Cond, dv: Option[Double],
+      kind: Option[String]) extends Act
+  /** WHEN NOT MATCHED BY SOURCE THEN DELETE — target-only condition. */
+  private case class BsDel(cond: Cond) extends Act
+  /** WHEN NOT MATCHED BY SOURCE THEN UPDATE — target-only condition and
+    * SET expressions (v = t.v + dv / kind = const).
+    */
+  private case class BsUpd(cond: Cond, dv: Option[Double],
       kind: Option[String]) extends Act
 
   test("20 seeded random clause lists: SQL MERGE INTO == driver-side " +
@@ -69,28 +99,44 @@ class SqlMergePropertySpec extends AnyFunSuite {
         (0 until rnd.nextInt(10)).map(i =>
           R(1000L + i, kinds(rnd.nextInt(kinds.length)),
             math.rint(rnd.nextDouble() * 100)))
-      def randCond(): Cond = rnd.nextInt(4) match {
+      def randCond(): Cond = rnd.nextInt(5) match {
         case 0 => Always
         case 1 => SValGt(math.rint(rnd.nextDouble() * 100))
         case 2 => TValLe(math.rint(rnd.nextDouble() * 100))
         case 3 => KindIs(kinds(rnd.nextInt(kinds.length)))
+        case 4 => TKindIs(kinds(rnd.nextInt(kinds.length)))
       }
-      // SQL grammar rule: only the LAST matched clause may omit its
+      // target-only conditions for the BY SOURCE clause family
+      def randTCond(): Cond = rnd.nextInt(3) match {
+        case 0 => Always
+        case 1 => TValLe(math.rint(rnd.nextDouble() * 100))
+        case 2 => TKindIs(kinds(rnd.nextInt(kinds.length)))
+      }
+      // SQL grammar rule: only the LAST clause of a family may omit its
       // condition (an unconditional mid-list clause would shadow the
       // rest anyway), so non-last positions draw non-Always conditions
-      def nonAlways(): Cond = {
-        var c = randCond()
-        while (c == Always) c = randCond()
+      def nonAlways(g: () => Cond): Cond = {
+        var c = g()
+        while (c == Always) c = g()
         c
       }
       val nActs = 1 + rnd.nextInt(3)
       val acts: Seq[Act] = (0 until nActs).map { i =>
-        val c = if (i == nActs - 1) randCond() else nonAlways()
+        val c = if (i == nActs - 1) randCond() else nonAlways(randCond _)
         if (rnd.nextBoolean()) Del(c)
         else Upd(c,
           if (rnd.nextBoolean()) Some(math.rint(rnd.nextDouble() * 10))
           else None,
           if (rnd.nextBoolean()) Some("upd") else None)
+      }
+      val nBs = rnd.nextInt(3) // 0 = no by-source family this round
+      val bsActs: Seq[Act] = (0 until nBs).map { i =>
+        val c = if (i == nBs - 1) randTCond() else nonAlways(randTCond _)
+        if (rnd.nextBoolean()) BsDel(c)
+        else BsUpd(c,
+          if (rnd.nextBoolean()) Some(math.rint(rnd.nextDouble() * 10))
+          else None,
+          if (rnd.nextBoolean()) Some("bys") else None)
       }
       val insert = rnd.nextBoolean()
       val insertCond: Option[Cond] =
@@ -113,14 +159,31 @@ class SqlMergePropertySpec extends AnyFunSuite {
           val setsSql = if (sets.isEmpty) "v = t.v" else sets.mkString(", ")
           "WHEN MATCHED" + condSql(c).map(" AND " + _).getOrElse("") +
             s" THEN UPDATE SET $setsSql"
+        case other => throw new IllegalStateException(s"matched: $other")
+      }.mkString(" ")
+      val bySourceSql = bsActs.map {
+        case BsDel(c) =>
+          "WHEN NOT MATCHED BY SOURCE" +
+            condSql(c).map(" AND " + _).getOrElse("") + " THEN DELETE"
+        case BsUpd(c, dv, k) =>
+          val sets = dv.map(d => s"v = t.v + $d").toSeq ++
+            k.map(x => s"kind = '$x'").toSeq
+          val setsSql = if (sets.isEmpty) "v = t.v" else sets.mkString(", ")
+          "WHEN NOT MATCHED BY SOURCE" +
+            condSql(c).map(" AND " + _).getOrElse("") +
+            s" THEN UPDATE SET $setsSql"
+        case other => throw new IllegalStateException(s"by-source: $other")
       }.mkString(" ")
       val insertSql =
         if (!insert) ""
         else "WHEN NOT MATCHED" +
           insertCond.flatMap(condSql).map(" AND " + _).getOrElse("") +
           " THEN INSERT *"
+      // Spark requires at least one clause besides by-source? No — a
+      // by-source-only merge is legal; but an EMPTY clause list is not,
+      // and acts is always non-empty here.
       spark.sql(s"MERGE INTO $t t USING smp_src s ON t.id = s.id " +
-        s"$matchedSql $insertSql")
+        s"$matchedSql $insertSql $bySourceSql")
       val got = spark.sql(s"SELECT * FROM $t").as[MergePropRow]
         .collect().sortBy(r => (r.id, r.kind, r.v))
 
@@ -128,16 +191,28 @@ class SqlMergePropertySpec extends AnyFunSuite {
       val byKey = src.map(r => r.id -> r).toMap
       val kept = target.flatMap { tr =>
         byKey.get(tr.id) match {
-          case None => Some(tr)
+          case None =>
+            // NOT MATCHED BY SOURCE: first true clause wins; none -> carry
+            bsActs.find {
+              case BsDel(c) => evalTCond(c, tr)
+              case BsUpd(c, _, _) => evalTCond(c, tr)
+              case _ => false
+            } match {
+              case Some(BsDel(_)) => None
+              case Some(BsUpd(_, dv, k)) => Some(R(tr.id,
+                k.getOrElse(tr.kind), dv.map(_ + tr.v).getOrElse(tr.v)))
+              case _ => Some(tr)
+            }
           case Some(s) =>
             acts.find {
               case Del(c) => evalCond(c, tr, s)
               case Upd(c, _, _) => evalCond(c, tr, s)
+              case _ => false
             } match {
               case Some(Del(_)) => None
               case Some(Upd(_, dv, k)) => Some(R(tr.id,
                 k.getOrElse(tr.kind), dv.map(_ + s.v).getOrElse(tr.v)))
-              case None => Some(tr)
+              case _ => Some(tr)
             }
         }
       }
@@ -150,8 +225,8 @@ class SqlMergePropertySpec extends AnyFunSuite {
           })
       val want = (kept ++ inserts).sortBy(r => (r.id, r.kind, r.v))
       assert(got.toSeq == want,
-        s"$hint: SQL MERGE != interpreter\nacts=$acts insert=$insert " +
-          s"cond=$insertCond\ngot ${got.toSeq}\nwant $want")
+        s"$hint: SQL MERGE != interpreter\nacts=$acts bs=$bsActs " +
+          s"insert=$insert cond=$insertCond\ngot ${got.toSeq}\nwant $want")
     }
   }
 }

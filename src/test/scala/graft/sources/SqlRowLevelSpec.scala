@@ -181,19 +181,16 @@ class SqlRowLevelSpec extends AnyFunSuite {
     assertSameRows(spark.sql(s"SELECT * FROM $t"), ev)
   }
 
-  test("row-level ops refuse pending MOR delete masks loudly; compact " +
-      "unlocks them") {
+  test("row-level ops apply pending MOR delete masks IN-SCAN (no " +
+      "compact needed); masked rows never resurrect") {
     val wh = newCatalog("rl6")
     val (t, dir) = mkTable("rl6", wh)
     Versioned.deleteByKeyMor(
       ev.filter(col("event_id") % 7 === 0).select("event_id"),
       dir, "event_id")
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $t SET value = 0.0 WHERE event_id % 2 = 0")
-    }
-    assert(e.getMessage != null && e.getMessage.contains("compact"),
-      s"expected a compact-first refusal, got: ${e.getMessage}")
-    Versioned.compact(spark, dir, numFiles = 2)
+    // the UPDATE runs directly against the MOR-pending snapshot: the
+    // group scan applies the masks (MaskingReaderFactory), the rewrite
+    // retires them for the affected files
     spark.sql(s"UPDATE $t SET value = 0.0 WHERE event_id % 2 = 0")
     assertSameRows(spark.sql(s"SELECT * FROM $t"),
       ev.filter(col("event_id") % 7 =!= 0)
@@ -214,19 +211,17 @@ class SqlRowLevelSpec extends AnyFunSuite {
     val got = spark.sql(s"SELECT DISTINCT _file FROM $t").collect()
       .map(r => r.getString(0).split("/data/").last).toSet
     assert(got == files, s"got=$got want=$files")
-    // on a masked snapshot row→file attribution is undefined: the
-    // refusal must be LOUD and name the remedy, not an unresolved-column
-    // crash from the anti-join plan
+    // on a masked snapshot attribution now WORKS through the V2
+    // masking scan (per-file partitions keep row→file exact); rows of
+    // masked keys simply vanish
     Versioned.deleteByKeyMor(
       ev.filter(col("event_id") % 11 === 0).select("event_id"),
       dir, "event_id")
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT _file FROM $t").collect()
-    }
-    def chain(x: Throwable): Seq[String] =
-      if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
-    assert(chain(e).exists(_.contains("compact")),
-      s"expected a compact-first refusal, got: ${chain(e)}")
+    val gotMasked = spark.sql(s"SELECT DISTINCT _file FROM $t").collect()
+      .map(r => r.getString(0).split("/data/").last).toSet
+    assert(gotMasked == files, s"got=$gotMasked want=$files")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").collect().head.getLong(0)
+      == ev.filter(col("event_id") % 11 =!= 0).count())
   }
 
   test("a concurrent append between basis and commit REBASES: both the " +
