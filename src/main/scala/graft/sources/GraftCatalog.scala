@@ -48,7 +48,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[Versioned]]'s mergeSchemas contract).
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with StagingTableCatalog {
+    with FunctionCatalog with StagingTableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var initWarehouse: Option[String] = None
@@ -368,6 +368,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftFunctions.load(ident.name).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident))
+  }
+
+  // ---- procedures -----------------------------------------------------
+
+  /** Maintenance procedures under the `system` namespace (the Iceberg
+    * `CALL` convention — [[GraftProcedures]]): compact, compact_small,
+    * expire, expire_older_than, vacuum, maintain, tag, drop_tag,
+    * publish, rollback. Table arguments are catalog-relative strings
+    * (`'ns.t'`).
+    */
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    def notFound = throw new RuntimeException(
+      s"no procedure $catalogName.${ident.namespace.mkString(".")}" +
+        s".${ident.name} (procedures live under $catalogName.system; " +
+        s"available: ${GraftProcedures.names.mkString(", ")})")
+    if (!ident.namespace.sameElements(Array("system"))) notFound
+    GraftProcedures.load(ident.name,
+      ref => dirOf(ref.split("\\.").toSeq).toString).getOrElse(notFound)
   }
 
   // ---- namespaces -----------------------------------------------------

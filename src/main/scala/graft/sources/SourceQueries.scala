@@ -773,7 +773,7 @@ object SourceQueries {
       srcSqlDelete, srcFormatRoundtrip, srcSqlUpdate, srcSqlMerge,
       srcSqlDeleteRewrite, srcSqlAggPushdown, srcSqlStreamSink,
       srcSqlFunctions, srcSqlMergeBySource, srcSqlPartitioned,
-      srcSqlStreamSource, srcSqlEvolve)
+      srcSqlStreamSource, srcSqlEvolve, srcSqlProcedures)
 
   /** The versioned table as PLAIN SQL through a registered
     * [[GraftCatalog]] (DataSource V2 TableCatalog — the Iceberg/Delta
@@ -2171,6 +2171,57 @@ object SourceQueries {
              ROUND(SUM(value), 2) AS sv
       FROM events GROUP BY event_type ORDER BY event_type"""),
     bench = false)
+
+  /** Maintenance as SQL `CALL` procedures ([[GraftProcedures]] — Spark
+    * 4's ProcedureCatalog seam, Iceberg's system-procedure convention):
+    * a MOR delete leaves a pending mask, `CALL system.compact`
+    * materializes it (pendingDeleteKeys drops to zero), `CALL
+    * system.tag` pins the compacted release, and `CALL system.rollback`
+    * re-releases the pre-delete content as a NEW commit — each returning
+    * a one-row result the statement asserts on. The final aggregate
+    * reads three states (pre-delete via tag-free VERSION AS OF, the
+    * compacted masked state, the rolled-back head) and DuckDB replays
+    * them relationally.
+    */
+  lazy val srcSqlProcedures: Q = Q(
+    "src_sql_procedures",
+    (s, d) => {
+      val (t, dir) = rowLevelTable(s, d, "graft_prc")
+      val cat = t.split("\\.").head
+      val ref = t.split("\\.", 2).last // ns.table
+      // MOR-delete one event family; the mask is pending until compact
+      Versioned.deleteByKeyMor(
+        graft.Tables.events(s, d).filter(col("event_type") === "view")
+          .select(col("event_id")), dir, "event_id")
+      require(Versioned.pendingDeleteKeys(s, dir) > 0)
+      val v = s.sql(s"CALL $cat.system.compact(table => '$ref', " +
+        "num_files => 4)").collect().head.getInt(0)
+      require(Versioned.pendingDeleteKeys(s, dir) == 0,
+        "compact must materialize the mask")
+      s.sql(s"CALL $cat.system.tag(table => '$ref', " +
+        s"name => 'compacted', version => $v)")
+      // roll back to the pre-delete snapshot (v2): a NEW commit
+      s.sql(s"CALL $cat.system.rollback(table => '$ref', " +
+        "to_version => 2)")
+      s.sql(stateAgg("a_predelete", s"$t VERSION AS OF 2") +
+        " UNION ALL " + stateAgg("b_compacted", s"$t VERSION AS OF " +
+        "'compacted'") +
+        " UNION ALL " + stateAgg("c_rolledback", t) +
+        " ORDER BY state, event_type")
+    },
+    Some("""
+      SELECT 'a_predelete' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'b_compacted', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM events WHERE event_type <> 'view' GROUP BY 2
+      UNION ALL
+      SELECT 'c_rolledback', event_type, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(value), 2)
+      FROM events GROUP BY 2
+      ORDER BY state, event_type"""))
 
   /** `ALTER TABLE RENAME COLUMN / DROP COLUMN` as pure-metadata commits
     * ([[Versioned.renameColumn]]/[[Versioned.dropColumns]] — zero data
