@@ -160,6 +160,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             .map(f => (f, sizes.get(f)))
             .toDF("path", "bytes").orderBy("path")
         }))
+      case "partitions" => Some(new MetadataSparkTable(fullName,
+        StructType(Seq(StructField("partition", StringType),
+          StructField("n_files", IntegerType),
+          StructField("bytes", LongType),
+          StructField("rows", LongType))),
+        s => Versioned.partitionSummary(s, table)))
       case "tags" => Some(new MetadataSparkTable(fullName,
         StructType(Seq(StructField("tag", StringType),
           StructField("version", IntegerType))),
@@ -232,9 +238,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * ([[Versioned.addColumns]]/[[Versioned.dropColumns]]/
     * [[Versioned.renameColumn]]): adds null-fill old files at read,
     * drops stop requesting the column, renames coalesce over name
-    * epochs until the next compaction materializes them. Old snapshots
-    * keep their schemas (time travel across the change reads the old
-    * names). Retypes reject — a retype is a rebuild.
+    * epochs until the next compaction materializes them, and
+    * `ALTER COLUMN … TYPE` commits VALUE-PRESERVING widenings
+    * ([[Versioned.widenColumn]] — Spark's parquet readers promote old
+    * files' narrow physical type natively). Old snapshots keep their
+    * schemas (time travel across the change reads the old names and
+    * types). Lossy retypes reject — those are a rebuild.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -265,12 +274,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       return loadTable(ident)
     }
+    val retypes = changes.collect { case u: TableChange.UpdateColumnType => u }
+    if (retypes.nonEmpty) {
+      require(retypes.size == changes.size,
+        "mixed ALTER TABLE change lists are unsupported")
+      retypes.foreach { u =>
+        require(u.fieldNames.length == 1,
+          s"nested ALTER COLUMN TYPE is out of scope: " +
+            u.fieldNames.mkString("."))
+        Versioned.widenColumn(spark, tablePath(ident),
+          u.fieldNames.head, u.newDataType)
+      }
+      return loadTable(ident)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.size != changes.size)
       throw new UnsupportedOperationException(
-        "only ALTER TABLE ADD COLUMNS / DROP COLUMN / RENAME COLUMN " +
-          "are supported (a retype is a rebuild — " +
-          "Versioned.mergeSchemas contract)")
+        "only ALTER TABLE ADD COLUMNS / DROP COLUMN / RENAME COLUMN / " +
+          "ALTER COLUMN TYPE (widening) are supported")
     val fields = adds.map { a =>
       if (a.fieldNames.length != 1)
         throw new UnsupportedOperationException(

@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   * CALL cat.system.compact(table => 'ns.t', num_files => 8)
   * CALL cat.system.compact_small(table => 'ns.t', small_bytes => 33554432)
+  * CALL cat.system.compact_where(table => 'ns.t', where => "day = 'd1'")
   * CALL cat.system.expire(table => 'ns.t', keep_last => 7)
   * CALL cat.system.vacuum(table => 'ns.t')         -- grace defaults on
   * CALL cat.system.maintain(table => 'ns.t')       -- the policy loop
@@ -64,6 +65,15 @@ private[sources] object GraftProcedures {
       (spark, path, args) => row(Int.box(Versioned.compactSmall(spark,
         path(args.getUTF8String(0).toString), args.getLong(1),
         args.getInt(2))))),
+    Proc("compact_where",
+      Seq(in("table", StringType), in("where", StringType),
+        inDef("small_bytes", LongType, "0"),
+        inDef("target_files", IntegerType, "0")),
+      StructType(Seq(StructField("version", IntegerType))),
+      (spark, path, args) => row(Int.box(Versioned.compactWhere(spark,
+        path(args.getUTF8String(0).toString),
+        org.apache.spark.sql.functions.expr(args.getUTF8String(1).toString),
+        args.getLong(2), args.getInt(3))))),
     Proc("expire",
       Seq(in("table", StringType), in("keep_last", IntegerType)),
       StructType(Seq(StructField("current_version", IntegerType))),

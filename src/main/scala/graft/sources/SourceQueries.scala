@@ -773,7 +773,8 @@ object SourceQueries {
       srcSqlDelete, srcFormatRoundtrip, srcSqlUpdate, srcSqlMerge,
       srcSqlDeleteRewrite, srcSqlAggPushdown, srcSqlStreamSink,
       srcSqlFunctions, srcSqlMergeBySource, srcSqlPartitioned,
-      srcSqlStreamSource, srcSqlEvolve, srcSqlProcedures)
+      srcSqlStreamSource, srcSqlEvolve, srcSqlProcedures, srcSqlWiden,
+      srcSqlCompactWhere)
 
   /** The versioned table as PLAIN SQL through a registered
     * [[GraftCatalog]] (DataSource V2 TableCatalog — the Iceberg/Delta
@@ -2270,6 +2271,117 @@ object SourceQueries {
       SELECT 'b_head', event_type, CAST(COUNT(*) AS BIGINT),
              ROUND(SUM(value), 2)
       FROM events GROUP BY event_type
+      ORDER BY state, event_type"""))
+
+  /** Predicate-scoped compaction through SQL
+    * (`CALL system.compact_where` → [[Versioned.compactWhere]], the
+    * Iceberg `rewrite_data_files(where => …)` shape): one partition of
+    * an identity-partitioned table packs to a known file count —
+    * asserted through the `partitions` METADATA TABLE (per-partition
+    * file/byte/row summary from driver-held manifest rows alone) —
+    * while content stays invisible to the rewrite. DuckDB replays the
+    * content and pins the packed file count literally.
+    */
+  lazy val srcSqlCompactWhere: Q = Q(
+    "src_sql_compact_where",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqlcw").toString
+      s.conf.set("spark.sql.catalog.graft_cw",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cw.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cw.ns")
+      val name = "cw_" + java.util.UUID.randomUUID.toString.take(8)
+      val t = s"graft_cw.ns.$name"
+      s.sql(s"CREATE TABLE $t (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE) PARTITIONED BY (event_type)")
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("sqlcw_ev")
+      // three commits -> every partition holds several files
+      (0 to 2).foreach(r => s.sql(
+        s"INSERT INTO $t SELECT * FROM sqlcw_ev WHERE event_id % 3 = $r"))
+      s.sql(s"CALL graft_cw.system.compact_where(table => 'ns.$name', " +
+        "where => \"event_type = 'click'\", target_files => 1)")
+      s.sql(s"""
+        SELECT 'a_content' AS state, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+        FROM $t GROUP BY event_type
+        UNION ALL
+        SELECT 'b_click_files', 'click', CAST(n_files AS BIGINT),
+               CAST(0.0 AS DOUBLE)
+        FROM $t.partitions WHERE partition = 'event_type=click'
+        ORDER BY state, event_type""")
+    },
+    Some("""
+      SELECT 'a_content' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'b_click_files', 'click', CAST(1 AS BIGINT), 0.0
+      ORDER BY state, event_type"""))
+
+  /** `ALTER TABLE … ALTER COLUMN … TYPE` widening as a pure-metadata
+    * commit ([[Versioned.widenColumn]] — zero data I/O: old files'
+    * narrow physical types promote through Spark's own parquet reader):
+    * an INT/FLOAT table widens to BIGINT/DOUBLE, a row beyond int range
+    * lands after the widen, and time travel BEFORE it still reads (and
+    * aggregates) the narrow types. DuckDB replays the widen as casts.
+    */
+  lazy val srcSqlWiden: Q = Q(
+    "src_sql_widen",
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("sqlwid").toString
+      s.conf.set("spark.sql.catalog.graft_wid",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_wid.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wid.ns")
+      val name = "wd_" + java.util.UUID.randomUUID.toString.take(8)
+      val t = s"graft_wid.ns.$name"
+      s.sql(s"CREATE TABLE $t (event_id INT, event_type STRING, " +
+        "value FLOAT)")
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("sqlwid_ev")
+      s.sql(s"INSERT INTO $t SELECT CAST(event_id AS INT), event_type, " +
+        "CAST(value AS FLOAT) FROM sqlwid_ev")                      // v2
+      s.sql(s"ALTER TABLE $t ALTER COLUMN event_id TYPE BIGINT")    // v3
+      s.sql(s"ALTER TABLE $t ALTER COLUMN value TYPE DOUBLE")       // v4
+      // a row the narrow type could not hold (> Int.MaxValue)
+      s.sql(s"INSERT INTO $t VALUES (3000000000, 'widened', 1.25)") // v5
+      s.sql(s"""
+        SELECT 'a_v2' AS state, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS sid,
+               ROUND(SUM(CAST(value AS DOUBLE)), 2) AS sv
+        FROM $t VERSION AS OF 2 GROUP BY event_type
+        UNION ALL
+        SELECT 'b_head', event_type, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(event_id) AS BIGINT),
+               ROUND(SUM(value), 2)
+        FROM $t GROUP BY event_type
+        ORDER BY state, event_type""")
+    },
+    Some("""
+      WITH narrow AS (
+        SELECT CAST(event_id AS INTEGER) AS event_id, event_type,
+               CAST(value AS REAL) AS value
+        FROM events
+      ), widened AS (
+        SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+               CAST(value AS DOUBLE) AS value
+        FROM narrow
+        UNION ALL
+        SELECT 3000000000, 'widened', 1.25
+      )
+      SELECT 'a_v2' AS state, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(event_id) AS BIGINT) AS sid,
+             ROUND(SUM(CAST(value AS DOUBLE)), 2) AS sv
+      FROM narrow GROUP BY event_type
+      UNION ALL
+      SELECT 'b_head', event_type, CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(event_id) AS BIGINT), ROUND(SUM(value), 2)
+      FROM widened GROUP BY event_type
       ORDER BY state, event_type"""))
 
   /** `readStream.table` — the streaming READ half of the catalog

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -35,19 +35,90 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 private[sources] final class GraftMicroBatchStream(spark: SparkSession,
     table: String, req: StructType, tableSchema: StructType,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val skipChangeCommits: Boolean =
     options.getBoolean("skipChangeCommits", false)
   private val startingVersion: Option[Int] =
     Option(options.get("startingVersion")).map(_.toInt)
+  /** ADMISSION CONTROL (the 100 TB catch-up story): a stream restarted
+    * after downtime — or replaying history — must not plan its whole
+    * backlog as ONE batch. `maxFilesPerTrigger` caps each batch by new
+    * data files (Delta's option; surfaces through Spark's ReadMaxFiles
+    * too), `maxVersionsPerTrigger` by commits. A batch always admits at
+    * least one version, so progress is guaranteed.
+    */
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+  private val maxVersionsPerTrigger: Option[Int] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+
+  /** Trigger.AvailableNow pins the catch-up TARGET at prepare time: the
+    * run drains rate-limited batches up to this version, then stops —
+    * commits landing mid-run wait for the next run.
+    */
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(Versioned.currentVersion(table))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset =
     VersionOffset(startingVersion.getOrElse(
       Versioned.currentVersion(table)))
 
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def reportLatestOffset(): Offset =
     VersionOffset(Versioned.currentVersion(table))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val head = availableNowTarget
+      .map(math.min(_, Versioned.currentVersion(table)))
+      .getOrElse(Versioned.currentVersion(table))
+    if (head <= s) return VersionOffset(s)
+    val maxFiles = limit match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles)
+      case _ => maxFilesPerTrigger
+    }
+    var e = s
+    var files = 0
+    var versions = 0
+    var stop = false
+    while (!stop && e < head) {
+      val nNew = newFileCount(e + 1)
+      // always admit the FIRST version (progress guarantee), then stop
+      // once either budget is exhausted
+      if (versions > 0 &&
+          (maxFiles.exists(files + nNew > _) ||
+            maxVersionsPerTrigger.exists(versions >= _))) stop = true
+      else {
+        e += 1; files += nNew; versions += 1
+        if (maxFiles.exists(files >= _) ||
+            maxVersionsPerTrigger.exists(versions >= _)) stop = true
+      }
+    }
+    VersionOffset(e)
+  }
+
+  /** New data files version `v` added over `v-1` (manifest-only; the
+    * parsed manifests cache, so rate-limit walks stay cheap).
+    */
+  private def newFileCount(v: Int): Int = {
+    val (cur, _, _) = Versioned.streamSnapshot(spark, table, v)
+    if (v == 1) cur.size
+    else {
+      val (prev, _, _) = Versioned.streamSnapshot(spark, table, v - 1)
+      cur.diff(prev).size
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toInt)

@@ -2242,6 +2242,57 @@ object Versioned {
       m.schema.getOrElse(survivors.schema), what = "compactSmall")
   }
 
+  /** PREDICATE-SCOPED compaction (Iceberg's `rewrite_data_files(where
+    * => …)`): rewrite only the files whose manifest stats PROVE every
+    * row satisfies `pred` — for an identity-partitioned layout a
+    * partition predicate selects exactly that partition's files (lo ==
+    * hi stats), so one hot partition of a 100 TB table compacts at
+    * O(partition bytes) while every other file carries BY REFERENCE,
+    * byte-untouched. Selection is manifest-only (must-match is
+    * [[delete]]'s proof tier — a file holding ANY out-of-scope or
+    * unprovable row is left alone, so the commit never widens the
+    * scope the caller named). `smallBytes > 0` additionally restricts
+    * candidates to files under that size (partition-scoped small-file
+    * maintenance); `targetFiles` overrides the output count (default:
+    * pack to ~128 MiB files). Pending deletes APPLY to the rewritten
+    * rows and carry for untouched files ([[compactSmall]]'s contract);
+    * conflict rules are [[cowCommit]]'s. Returns the new version, or
+    * the current one when fewer than two files qualify.
+    */
+  def compactWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column, smallBytes: Long = 0L,
+      targetFiles: Int = 0): Int = {
+    val cur = currentVersion(table, spark.sparkContext.hadoopConfiguration)
+    require(cur > 0, s"no snapshot to compact at $table")
+    val m = manifestAll(spark, table, cur)
+    val byFile = statsByFile(m)
+    val schema = schemaOfSnapshot(spark, m, s"at $table")
+    val predExpr = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(false))
+    val sizeOf = decodeSizes(m.sizesRaw)
+      .map { case (p, l) => dataSuffix(p) -> l }
+    val scoped = m.files.filter(f =>
+      byFile.get(dataSuffix(f)).exists(mustMatchAll(_, predExpr)))
+    val candidates =
+      if (smallBytes <= 0) scoped
+      else scoped.filter(f => sizeOf.get(dataSuffix(f)).exists(_ < smallBytes))
+    if (candidates.size < 2) return cur
+    val total = candidates.map(f => sizeOf.getOrElse(dataSuffix(f), 0L)).sum
+    val n = if (targetFiles > 0) targetFiles
+      else if (smallBytes > 0) math.max(1, (total / smallBytes).toInt)
+      else math.max(1, (total / (128L << 20)).toInt)
+    val survivors = readWithDeletes(spark, candidates, m.deletes, m.schema,
+      m.columnMap).repartition(n)
+    val w = new Staged(table, "u", survivors,
+      partitionCols = m.partitionCols)
+    cowCommit(spark, table, Some(w), m, candidates.map(dataSuffix).toSet,
+      m.schema.getOrElse(survivors.schema), what = "compactWhere")
+  }
+
   /** Rewrite the CURRENT snapshot into `numFiles` files as a new snapshot
     * — content-invisible (committed batch ids carried forward); old
     * snapshots keep reading the old files. No-op (returns 0) on an empty
@@ -2748,6 +2799,70 @@ object Versioned {
     }).get
   }
 
+  /** `ALTER TABLE … ALTER COLUMN col TYPE wider` as a PURE METADATA
+    * commit (Delta's type widening / Iceberg's schema evolution): the
+    * stored schema retypes in place and every data file carries by
+    * reference — Spark 4's parquet readers promote the stored physical
+    * type to the requested wider one natively (both the vectorized
+    * updaters — IntegerToLong/IntegerToDouble/FloatToDouble/Decimal —
+    * and the row converter), so files written before AND after the
+    * widen read back at the one widened type with zero data I/O now.
+    * Only VALUE-PRESERVING widenings commit (empirically pinned against
+    * Spark 4.1's reader matrix):
+    * byte → short/int/long, short → int/long, int → long,
+    * byte/short/int → double, float → double,
+    * decimal(p,s) → decimal(p',s) with p' > p (same scale), and
+    * integral → decimal(p,0) where p holds the whole source range
+    * (≥ 10 for int32 and below, ≥ 20 for long — Delta's rule).
+    * long → double refuses (2^53+ longs lose precision); every
+    * narrowing refuses. Old snapshots keep their schemas — time travel
+    * to before the widen reads the narrow type. Manifest column stats
+    * stay valid verbatim (numeric bounds are stored as doubles, and the
+    * widened column holds the same values). Partition columns refuse
+    * (their rendered layout values define file identity).
+    */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) =>
+        true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      // integral -> decimal needs the scale-0 precision to hold the
+      // whole source range (Delta's widening rule: 10 digits covers
+      // int32, 20 covers int64)
+      case (ByteType | ShortType | IntegerType, t: DecimalType) =>
+        t.scale == 0 && t.precision >= 10
+      case (LongType, t: DecimalType) => t.scale == 0 && t.precision >= 20
+      case _ => false
+    }
+    commitLoop(spark, table, { (m, cur) =>
+      require(cur > 0, s"no table at $table")
+      val prev = schemaOfSnapshot(spark, m, s"v=$cur")
+      val field = prev.fields.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such column: $name"))
+      require(!m.partitionCols.contains(name),
+        s"cannot widen partition column '$name' (its rendered values " +
+          "name the layout)")
+      require(widens(field.dataType, to),
+        s"cannot widen column '$name' from " +
+          s"${field.dataType.simpleString} to ${to.simpleString}: only " +
+          "value-preserving widenings are supported (byte/short/int up " +
+          "the integral chain, byte/short/int -> double, float -> " +
+          "double, decimal precision increase at the same scale). A " +
+          "lossy or narrowing retype is a rebuild")
+      val widened = StructType(prev.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f))
+      Some(Content(m.files, m.txns, m.deletes, Some(widened),
+        m.statsRaw, m.sizesRaw, m.partitionCols, m.columnMap))
+    }).get
+  }
+
   /** The pending rename mapping of snapshot `version` (default head):
     * logical name -> prior physical names, empty when none pending.
     */
@@ -2812,6 +2927,71 @@ object Versioned {
       v: Int): (Set[String], Set[String], Map[String, Long]) = {
     val m = manifestAll(spark, table, v)
     (m.files.toSet, m.deletes.toSet, decodeSizes(m.sizesRaw))
+  }
+
+  /** Per-partition summary of snapshot `version` (default head) — the
+    * `partitions` metadata-table feed (Iceberg's partitions table):
+    * partition rendered `col=val[/col=val]`, file/byte/row counts, all
+    * from DRIVER-HELD manifest rows (zero data I/O). A file's partition
+    * value parses from its layout path (`__p_<col>=<val>/`); files not
+    * partition-laid (row-level rewrites land flat) recover it from
+    * their lo==hi column stats, and files with neither render `null`.
+    * Row counts are per-file stats sums; files without recorded rows
+    * make the partition's row count NULL rather than an undercount.
+    */
+  def partitionSummary(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = version.getOrElse(currentVersion(table, conf))
+    val empty = Seq.empty[(String, Int, Long, Option[Long])]
+      .toDF("partition", "n_files", "bytes", "rows")
+    if (v == 0) return empty
+    val m = manifestAll(spark, table, v)
+    if (m.partitionCols.isEmpty || m.files.isEmpty) return empty
+    val sizes = decodeSizes(m.sizesRaw)
+      .map { case (p, l) => dataSuffix(p) -> l }
+    val stats = statsByFile(m)
+    def fromPath(f: String, c: String): Option[String] = {
+      val seg = s"/$PartDirPrefix$c="
+      val i = f.indexOf(seg)
+      if (i < 0) None
+      else {
+        val rest = f.substring(i + seg.length)
+        val value = rest.takeWhile(_ != '/')
+        if (value == "__HIVE_DEFAULT_PARTITION__") Some("null")
+        // invert Spark's escapePathName: %XX sequences ONLY (URLDecoder
+        // would also turn a literal '+' into a space — escapePathName
+        // leaves '+' unescaped, so that inversion would corrupt it)
+        else Some("%[0-9A-Fa-f]{2}".r.replaceAllIn(value, mm =>
+          java.util.regex.Matcher.quoteReplacement(
+            Integer.parseInt(mm.matched.substring(1), 16).toChar.toString)))
+      }
+    }
+    def fromStats(f: String, c: String): Option[String] =
+      stats.get(dataSuffix(f)).flatMap(_.get(c)).flatMap { st =>
+        (st.lo, st.hi, st.slo, st.shi) match {
+          case (Some(a), Some(b), _, _) if a == b =>
+            // render integrals without the .0 double artifact
+            Some(if (a == math.rint(a) && math.abs(a) < (1L << 52).toDouble)
+              a.toLong.toString else a.toString)
+          case (_, _, Some(a), Some(b)) if a == b => Some(a)
+          case _ => None
+        }
+      }
+    val rows = m.files.map { f =>
+      val pv = m.partitionCols.map(c =>
+        c + "=" + fromPath(f, c).orElse(fromStats(f, c)).getOrElse("null"))
+        .mkString("/")
+      val nRows = stats.get(dataSuffix(f))
+        .flatMap(_.values.flatMap(_.rows).headOption)
+      (pv, sizes.getOrElse(dataSuffix(f), 0L), nRows)
+    }
+    rows.groupBy(_._1).toSeq.map { case (p, fs) =>
+      (p, fs.size, fs.map(_._2).sum,
+        if (fs.exists(_._3.isEmpty)) None else Some(fs.flatMap(_._3).sum))
+    }.toDF("partition", "n_files", "bytes", "rows")
+      .orderBy("partition")
   }
 
   /** Snapshot `version`'s data files in manifest spelling (sorted) —

@@ -130,4 +130,102 @@ class SqlEvolveSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq
     assert(got == Seq((2L, "y")), s"masked row resurrected: $got")
   }
+
+  test("ALTER COLUMN TYPE widening is pure metadata: old files promote " +
+      "at read, post-widen rows exceed the narrow range, time travel " +
+      "keeps the narrow type") {
+    import spark.implicits._
+    val wh = catalog("gse5")
+    val dir = s"$wh/ns/t"
+    spark.sql("CREATE TABLE gse5.ns.t (id INT, ratio FLOAT)")
+    spark.sql("INSERT INTO gse5.ns.t VALUES (1, CAST(1.5 AS FLOAT)), " +
+      "(2, CAST(2.5 AS FLOAT))") // v2
+    val filesBefore = Versioned.listDataFiles(spark, dir).toSet
+    spark.sql("ALTER TABLE gse5.ns.t ALTER COLUMN id TYPE BIGINT") // v3
+    spark.sql("ALTER TABLE gse5.ns.t ALTER COLUMN ratio TYPE DOUBLE") // v4
+    // zero data I/O: the same physical files carry
+    assert(Versioned.listDataFiles(spark, dir).toSet == filesBefore)
+    // a value the OLD type could not hold lands fine now
+    spark.sql("INSERT INTO gse5.ns.t VALUES (3000000000, 3.5)") // v5
+    val got = spark.sql("SELECT id, ratio FROM gse5.ns.t ORDER BY id")
+    assert(got.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.schema("ratio").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(got.as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (2L, 2.5), (3000000000L, 3.5)))
+    // old snapshot keeps the narrow types
+    val old = spark.sql("SELECT * FROM gse5.ns.t VERSION AS OF 2")
+    assert(old.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(old.schema("ratio").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    // manifest-stats file skipping stays sound across the widen: the
+    // pre-widen file's bounds still admit/prune correctly for the
+    // widened column, and the pruned read returns exact rows
+    assert(spark.sql("SELECT id FROM gse5.ns.t WHERE id > 2000000000")
+      .as[Long].collect().toSeq == Seq(3000000000L))
+    assert(spark.sql("SELECT id FROM gse5.ns.t WHERE id <= 2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+  }
+
+  test("widen guards: narrowing, long->double, strings, and partition " +
+      "columns refuse; decimal widens precision at the same scale only") {
+    val wh = catalog("gse6")
+    spark.sql("CREATE TABLE gse6.ns.t (id BIGINT, s STRING, " +
+      "amt DECIMAL(5,2), day INT) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO gse6.ns.t VALUES " +
+      "(1, 'x', CAST(12.34 AS DECIMAL(5,2)), 7)")
+    def refuses(stmt: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(stmt))
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains(frag)),
+        s"expected '$frag' in ${chain(e)}")
+    }
+    // Spark's own analyzer pre-rejects non-upcasts (narrowing, string
+    // retypes) before the catalog ever sees them
+    refuses("ALTER TABLE gse6.ns.t ALTER COLUMN id TYPE INT",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    refuses("ALTER TABLE gse6.ns.t ALTER COLUMN s TYPE BIGINT",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    // …but long -> double IS a Spark upcast (lossy above 2^53) — the
+    // connector's value-preserving guard is the one that refuses it
+    refuses("ALTER TABLE gse6.ns.t ALTER COLUMN id TYPE DOUBLE",
+      "cannot widen")
+    refuses("ALTER TABLE gse6.ns.t ALTER COLUMN amt TYPE DECIMAL(10,4)",
+      "cannot widen")
+    // an in-matrix widen of a PARTITION column refuses at the connector
+    refuses("ALTER TABLE gse6.ns.t ALTER COLUMN day TYPE BIGINT",
+      "cannot widen partition column")
+    // the in-matrix decimal widen commits and reads back exact
+    spark.sql("ALTER TABLE gse6.ns.t ALTER COLUMN amt TYPE DECIMAL(20,2)")
+    val got = spark.sql("SELECT amt FROM gse6.ns.t").collect()
+      .map(_.getDecimal(0).toPlainString)
+    assert(got.toSeq == Seq("12.34"), s"got ${got.toSeq}")
+  }
+
+  test("widening composes with MOR deletes and pending renames: a " +
+      "pre-widen equality delete still masks; prior-name files promote") {
+    import spark.implicits._
+    val wh = catalog("gse7")
+    val dir = s"$wh/ns/t"
+    Versioned.append(Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "s"), dir)
+    // equality delete keyed on the NARROW int column, then widen it
+    Versioned.deleteByKeyMor(Seq(2).toDF("k"), dir, "k")
+    spark.sql("ALTER TABLE gse7.ns.t ALTER COLUMN k TYPE BIGINT")
+    val got = spark.sql("SELECT k, s FROM gse7.ns.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "x"), (3L, "z")),
+      s"pre-widen delete mask broke: $got")
+    // rename AFTER the widen: files from the OLD name epoch (physical
+    // column k at int32) promote through the coalescing read too — the
+    // prior-name request carries the widened type
+    spark.sql("ALTER TABLE gse7.ns.t RENAME COLUMN k TO key")
+    spark.sql("INSERT INTO gse7.ns.t VALUES (4000000000, 'w')")
+    val got2 = spark.sql("SELECT key, s FROM gse7.ns.t ORDER BY key")
+      .as[(Long, String)].collect().toSeq
+    assert(got2 == Seq((1L, "x"), (3L, "z"), (4000000000L, "w")),
+      s"got $got2")
+  }
 }

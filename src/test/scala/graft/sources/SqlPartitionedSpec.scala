@@ -161,6 +161,37 @@ class SqlPartitionedSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 30)
   }
 
+  test("the partitions metadata table summarizes per-partition " +
+      "files/bytes/rows from the manifest alone") {
+    val wh = catalog("gpp7")
+    spark.sql("CREATE TABLE gpp7.ns.t (id BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO gpp7.ns.t VALUES " +
+      "(1,'d1'),(2,'d1'),(3,'d2')")
+    spark.sql("INSERT INTO gpp7.ns.t VALUES (4,'d1')")
+    val got = spark.sql(
+      "SELECT partition, n_files, rows FROM gpp7.ns.t.partitions " +
+        "ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // row counts are exact; file counts depend on task layout — d1 has
+    // at least two (the two commits each wrote it), d2 exactly one
+    assert(got.map(g => (g._1, g._3)).toSeq ==
+      Seq(("day=d1", 3L), ("day=d2", 1L)), s"got ${got.toSeq}")
+    assert(got(0)._2 >= 2 && got(1)._2 >= 1)
+    // file counts reconcile with the files metadata table exactly
+    val nFiles = spark.sql("SELECT SUM(n_files) FROM gpp7.ns.t.partitions")
+      .collect().head.getLong(0)
+    assert(nFiles == spark.sql("SELECT COUNT(*) FROM gpp7.ns.t.files")
+      .collect().head.getLong(0))
+    val bytes = spark.sql("SELECT SUM(bytes) FROM gpp7.ns.t.partitions")
+      .collect().head.getLong(0)
+    assert(bytes > 0)
+    // an unpartitioned table reports an EMPTY partitions table
+    spark.sql("CREATE TABLE gpp7.ns.flat (id BIGINT)")
+    spark.sql("INSERT INTO gpp7.ns.flat VALUES (1)")
+    assert(spark.sql("SELECT * FROM gpp7.ns.flat.partitions").count() == 0)
+  }
+
   test("MOR deletes sequence correctly against partition-laid files " +
       "(seqOf walks past partition dirs)") {
     import spark.implicits._

@@ -111,4 +111,61 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(chain(err).exists(_.contains("available: compact")),
       s"expected the available list in the cause chain: ${chain(err)}")
   }
+
+  test("CALL compact_where rewrites only the files the predicate " +
+      "provably covers: one partition packs, the rest carry by identity") {
+    import spark.implicits._
+    val wh = catalog("gpr5")
+    val dir = s"$wh/ns/t"
+    spark.sql("CREATE TABLE gpr5.ns.t (id BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    // three commits into d1 (several small files), one into d2
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO gpr5.ns.t VALUES ($i, 'd1')"))
+    spark.sql("INSERT INTO gpr5.ns.t VALUES (100, 'd2')")
+    val before = Versioned.listDataFiles(spark, dir)
+    val d1Before = before.filter(_.contains("__p_day=d1"))
+    val d2Before = before.filterNot(_.contains("__p_day=d1")).toSet
+    assert(d1Before.size >= 3)
+    val v = spark.sql("CALL gpr5.system.compact_where(" +
+      "table => 'ns.t', where => \"day = 'd1'\", target_files => 1)")
+      .collect().head.getInt(0)
+    assert(v == Versioned.currentVersion(dir))
+    val after = Versioned.listDataFiles(spark, dir)
+    val d1After = after.filter(_.contains("__p_day=d1"))
+    assert(d1After.size == 1, s"d1 should pack to 1 file: $d1After")
+    // out-of-scope files carry BY IDENTITY (byte-untouched)
+    assert(after.filterNot(_.contains("__p_day=d1")).toSet == d2Before)
+    // content is invisible to the compaction
+    assert(spark.sql("SELECT id FROM gpr5.ns.t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 100L))
+    // time travel still reads the pre-compact snapshot
+    assert(spark.sql(s"SELECT COUNT(*) FROM gpr5.ns.t VERSION AS OF ${v - 1}")
+      .collect().head.getLong(0) == 4)
+  }
+
+  test("compact_where leaves straddling files alone and applies pending " +
+      "MOR masks to the rows it rewrites") {
+    import spark.implicits._
+    val wh = catalog("gpr6")
+    val dir = s"$wh/ns/t"
+    // one flat file holds BOTH days -> must-match cannot prove it; two
+    // more files are pure d1
+    Versioned.append(Seq((1L, "d1"), (100L, "d2")).toDF("id", "day")
+      .coalesce(1), dir)
+    Versioned.append(Seq((2L, "d1")).toDF("id", "day"), dir)
+    Versioned.append(Seq((3L, "d1")).toDF("id", "day"), dir)
+    Versioned.deleteByKeyMor(Seq(2L).toDF("id"), dir, "id")
+    val straddler = Versioned.listDataFiles(spark, dir).toSet
+    Versioned.compactWhere(spark, dir,
+      col("day") === "d1", targetFiles = 1)
+    val after = Versioned.listDataFiles(spark, dir).toSet
+    // exactly the two provable d1 files rewrote; the straddler carried
+    assert(after.intersect(straddler).size == 1,
+      s"expected only the straddling file to carry: " +
+        s"kept ${after.intersect(straddler)}")
+    // the pending delete applied to the rewrite and did not resurrect
+    assert(spark.sql("SELECT id FROM gpr6.ns.t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L, 100L))
+  }
 }

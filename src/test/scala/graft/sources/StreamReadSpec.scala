@@ -112,6 +112,71 @@ class StreamReadSpec extends AnyFunSuite {
     } finally skip.stop()
   }
 
+  test("admission control: maxVersionsPerTrigger / maxFilesPerTrigger " +
+      "rate-limit the catch-up into multiple batches with progress") {
+    val wh = catalog("gsr6")
+    spark.sql("CREATE TABLE gsr6.ns.t (id BIGINT)")
+    (1 to 6).foreach(i => spark.sql(s"INSERT INTO gsr6.ns.t VALUES ($i)"))
+    // 6 append commits; one version per trigger -> 6 non-empty batches
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .table("gsr6.ns.t")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("gsr6ck").toString)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => {
+        val n = df.count()
+        if (n > 0) batches.synchronized { batches += n }
+        ()
+      })
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.size == 6 && batches.forall(_ == 1L),
+      s"expected 6 one-row batches, got $batches")
+
+    // maxFilesPerTrigger (through Spark's ReadMaxFiles): 6 single-file
+    // commits at 2 files per trigger -> 3 batches of 2 rows
+    val batches2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "2")
+      .table("gsr6.ns.t")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("gsr6ck2").toString)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => {
+        val n = df.count()
+        if (n > 0) batches2.synchronized { batches2 += n }
+        ()
+      })
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches2.size == 3 && batches2.forall(_ == 2L),
+      s"expected 3 two-row batches, got $batches2")
+  }
+
+  test("Trigger.AvailableNow drains the pinned backlog rate-limited and " +
+      "stops") {
+    val wh = catalog("gsr7")
+    spark.sql("CREATE TABLE gsr7.ns.t (id BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO gsr7.ns.t VALUES ($i)"))
+    val q = spark.readStream
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .table("gsr7.ns.t")
+      .writeStream.format("memory").queryName("gsr7_sink")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("gsr7ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow run must terminate")
+    val got = spark.sql("SELECT id FROM gsr7_sink ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == (1L to 4L), s"got ${got.toSeq}")
+  }
+
   test("writeStream.toTable chains into readStream.table — the full " +
       "in-catalog pipeline") {
     import spark.implicits._
