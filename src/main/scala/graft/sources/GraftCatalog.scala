@@ -721,7 +721,9 @@ private[sources] final class VersionedSparkTable(table: String,
         // OverwritePartitionsDynamic has no V1 fallback: a true V2
         // batch write (executor task files + one adopting commit)
         require(!readOnly, s"cannot write to time-travel read $ident")
-        new Write {
+        new Write with PartitionClusteredWrite {
+          override def clusteringCols: Seq[String] =
+            Versioned.partitionColumns(spark, table)
           override def description(): String =
             s"graft-dynamic-overwrite $ident"
           override def toBatch: org.apache.spark.sql.connector.write
@@ -730,7 +732,9 @@ private[sources] final class VersionedSparkTable(table: String,
               pinned.getOrElse(Versioned.currentVersion(table)),
               info.schema())
         }
-      } else new V1Write {
+      } else new V1Write with PartitionClusteredWrite {
+        override def clusteringCols: Seq[String] =
+          Versioned.partitionColumns(spark, table)
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ov: Boolean): Unit = {
@@ -799,6 +803,46 @@ private[sources] final class VersionedSparkTable(table: String,
   }
 }
 
+/** PARTITION-CLUSTERED write distribution (Spark's own
+  * `RequiresDistributionAndOrdering` seam — the Iceberg write-
+  * distribution-mode=hash shape): a write into an identity-partitioned
+  * table asks the engine to CLUSTER incoming rows by the partition
+  * columns first, so one commit lands ~one file per partition instead
+  * of one file per partition PER TASK — without this, a 200-task
+  * insert into a 365-day table mints up to 73k files per commit, the
+  * small-file death spiral at 100 TB. NON-STRICT on purpose: Spark
+  * plans it as a RebalancePartitions node, which AQE both COALESCES
+  * (small partitions merge) and SPLITS (one hot day fans back out to
+  * many tasks) — a strict clustered distribution would serialize a
+  * skewed partition through one task. Unpartitioned tables report
+  * unspecified — their plans are untouched.
+  *
+  * Honored by Spark for the TRUE V2 writes (dynamic partition
+  * overwrite, the streaming sink). The V1 batch exec
+  * (`AppendDataExecV1`) re-plans the ANALYZED query and so drops the
+  * injected rebalance — those paths are backstopped by the same
+  * clustering applied engine-side in [[Versioned]]'s staged write
+  * (writeData's REBALANCE hint, `spark.graft.write.distribution`).
+  */
+private[sources] trait PartitionClusteredWrite
+    extends org.apache.spark.sql.connector.write
+      .RequiresDistributionAndOrdering {
+  def clusteringCols: Seq[String]
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    if (clusteringCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(clusteringCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+}
+
 /** One staged CTAS/RTAS target ([[GraftCatalog.stageCreate]] family):
   * the AS-SELECT write replaces/creates the table content in ONE
   * manifest commit at the end of the job (true atomicity — the staged
@@ -837,7 +881,8 @@ private[sources] final class StagedVersionedTable(table: String,
       // CTAS/RTAS both arrive as the staged table's one write; the
       // replace-vs-append distinction is table existence, not the mode
       override def truncate(): WriteBuilder = this
-      override def build(): Write = new V1Write {
+      override def build(): Write = new V1Write with PartitionClusteredWrite {
+        override def clusteringCols: Seq[String] = pcols
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ov: Boolean): Unit = {

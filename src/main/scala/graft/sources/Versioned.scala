@@ -1065,7 +1065,23 @@ object Versioned {
     if (partitionCols.isEmpty)
       df.write.mode("errorifexists").parquet(dataDir)
     else {
-      val dup = partitionCols.foldLeft(df)((d, c) =>
+      // cluster rows by partition value before the layout write
+      // (Iceberg's write.distribution-mode=hash, done engine-side
+      // because Spark's V1 write exec re-plans the ANALYZED query and
+      // so ignores a RequiresDistributionAndOrdering rebalance): without
+      // this, every task writes a file into every partition it happens
+      // to hold — a 200-task insert into a 365-day table mints up to
+      // 73k files per commit. The REBALANCE hint (not repartition) lets
+      // AQE both coalesce small partitions and SPLIT a skewed hot one
+      // instead of serializing it through a single task. Opt out with
+      // spark.graft.write.distribution=none (e.g. to preserve a
+      // hand-clustered within-partition order).
+      val mode = df.sparkSession.conf
+        .getOption("spark.graft.write.distribution").getOrElse("hash")
+      val clustered =
+        if (mode == "none") df
+        else df.hint("rebalance", partitionCols.map(c => col(s"`$c`")): _*)
+      val dup = partitionCols.foldLeft(clustered)((d, c) =>
         d.withColumn(s"$PartDirPrefix$c", col(s"`$c`")))
       dup.write.mode("errorifexists")
         .partitionBy(partitionCols.map(PartDirPrefix + _): _*)

@@ -52,10 +52,31 @@ class VersionedCdfProvider extends StreamSourceProvider
 
   override def shortName(): String = "versioned-cdf"
 
+  /** Table reference: a raw directory (`path`) or a CATALOG-relative
+    * name (`table`, `cat.ns….t`) resolved against the same
+    * `spark.sql.catalog.<cat>.warehouse` root [[graft.sources
+    * .GraftCatalog]] lays tables under — the row-level CDF stream of a
+    * SQL-managed table then needs no path plumbing:
+    * `readStream.format("versioned-cdf").option("table", "lake.ns.t")`.
+    */
   private def pathOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "versioned-cdf needs .option(\"path\", <table>)"))
+    parameters.get("path")
+      .orElse(parameters.get("table").map { ref =>
+        val parts = ref.split('.')
+        require(parts.length >= 3,
+          s"versioned-cdf table reference must be " +
+            s"<catalog>.<namespace…>.<name>, got '$ref'")
+        val cat = parts.head
+        val wh = org.apache.spark.sql.SparkSession.active.conf
+          .getOption(s"spark.sql.catalog.$cat.warehouse")
+          .getOrElse(throw new IllegalArgumentException(
+            s"versioned-cdf: catalog '$cat' has no " +
+              s"spark.sql.catalog.$cat.warehouse configured"))
+        (wh +: parts.tail.toSeq).mkString("/")
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        "versioned-cdf needs .option(\"path\", <dir>) or " +
+          ".option(\"table\", <catalog table>)"))
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,

@@ -192,6 +192,35 @@ class SqlPartitionedSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gpp7.ns.flat.partitions").count() == 0)
   }
 
+  test("writes cluster by partition columns (RequiresDistributionAnd" +
+      "Ordering): a many-task INSERT lands one file per partition") {
+    import spark.implicits._
+    val wh = catalog("gpp8")
+    spark.sql("CREATE TABLE gpp8.ns.t (id BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    // a source spread over 8 tasks holding only 2 distinct days: without
+    // the required distribution this commit mints up to 16 files
+    spark.range(0, 100).select(col("id"),
+        concat(lit("d"), (col("id") % 2).cast("string")).as("day"))
+      .repartition(8)
+      .createOrReplaceTempView("gpp8_src")
+    spark.sql("INSERT INTO gpp8.ns.t SELECT * FROM gpp8_src")
+    val files = spark.sql("SELECT path FROM gpp8.ns.t.files")
+      .collect().map(_.getString(0))
+    assert(files.length == 2,
+      s"expected one file per partition, got ${files.length}: " +
+        files.mkString(", "))
+    assert(spark.sql("SELECT COUNT(DISTINCT day) FROM gpp8.ns.t")
+      .collect().head.getLong(0) == 2)
+    assert(spark.sql("SELECT COUNT(*) FROM gpp8.ns.t")
+      .collect().head.getLong(0) == 100)
+    // CTAS takes the same clustered write path
+    spark.sql("CREATE TABLE gpp8.ns.t2 PARTITIONED BY (day) AS " +
+      "SELECT * FROM gpp8_src")
+    assert(spark.sql("SELECT COUNT(*) FROM gpp8.ns.t2.files")
+      .collect().head.getLong(0) == 2)
+  }
+
   test("MOR deletes sequence correctly against partition-laid files " +
       "(seqOf walks past partition dirs)") {
     import spark.implicits._

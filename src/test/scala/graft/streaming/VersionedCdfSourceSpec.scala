@@ -175,4 +175,36 @@ class VersionedCdfSourceSpec extends AnyFunSuite {
     val want = Versioned.read(spark, src)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("option(\"table\", cat.ns.t) resolves a CATALOG table through its " +
+      "warehouse conf — CDF streaming of SQL-managed tables, no paths") {
+    val wh = java.nio.file.Files.createTempDirectory("cdfcat").toString
+    spark.conf.set("spark.sql.catalog.gcdf",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcdf.ns")
+    spark.sql("CREATE TABLE gcdf.ns.t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gcdf.ns.t VALUES (1, 'x'), (2, 'y')")
+    val name = "cdfcat_" + java.util.UUID.randomUUID.toString.take(8)
+    val q = spark.readStream.format("versioned-cdf")
+      .option("table", "gcdf.ns.t").option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      spark.sql("DELETE FROM gcdf.ns.t WHERE id = 1") // a change commit
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq((1L, "delete"), (1L, "insert"),
+      (2L, "insert")), s"got ${got.toSeq}")
+    // a bad reference names the problem
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("versioned-cdf")
+        .option("table", "nocat.ns.t").load()
+    }
+    assert(e.getMessage.contains("no spark.sql.catalog.nocat.warehouse"))
+  }
 }
