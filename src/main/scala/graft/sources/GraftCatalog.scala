@@ -740,8 +740,10 @@ private[sources] final class VersionedSparkTable(table: String,
             override def insert(data: DataFrame, ov: Boolean): Unit = {
               require(!readOnly,
                 s"cannot write to time-travel read $ident")
-              if (dynamic) Versioned.replacePartitions(data, table)
-              else overwriteBy match {
+              // dynamic never reaches here: build() returned the V2
+              // batch write above (OverwritePartitionsDynamic has no
+              // V1 fallback)
+              overwriteBy match {
                 case Some(pred) =>
                   Versioned.replaceWhere(data, table, pred)
                 case None =>

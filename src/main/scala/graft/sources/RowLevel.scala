@@ -430,7 +430,8 @@ private[sources] final class MaskingReaderFactory(
           val tuple = new Array[Any](ords.length)
           while (i < ords.length && !nullKey) {
             if (r.isNullAt(ords(i))) nullKey = true
-            else tuple(i) = r.get(ords(i), types(ords(i)))
+            else tuple(i) = Versioned.maskKeyComponent(
+              r.get(ords(i), types(ords(i))))
             i += 1
           }
           !nullKey && keys.contains(tuple.toSeq)

@@ -379,6 +379,19 @@ object Versioned {
     def eqKeyCols: Seq[String] = eq.flatMap(_.keyCols).distinct
   }
 
+  /** Mask key components compare inside `Set[Seq[Any]]`, where numeric
+    * boxes get Scala's cooperative equality/hashing (an Integer key
+    * matches a post-widen Long row value) — but `Array[Byte]` compares
+    * by REFERENCE, so a BINARY-keyed equality delete would silently
+    * never match. Normalize byte arrays to a value-equal wrapper on
+    * BOTH sides (collection here, row probe in MaskingReaderFactory).
+    */
+  private[sources] def maskKeyComponent(v: Any): Any = v match {
+    case b: Array[Byte] =>
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case x => x
+  }
+
   /** Collect snapshot `v`'s pending delete masks to the driver for
     * in-scan application — None when the total mask size exceeds
     * [[maxBroadcastKeys]] (callers then degrade: plain reads fall back
@@ -410,7 +423,8 @@ object Versioned {
           .map(f => CatalystTypeConverters.createToCatalystConverter(
             f.dataType))
         val keys = df.collect().map(r =>
-          (0 until conv.length).map(i => conv(i)(r.get(i))): Seq[Any])
+          (0 until conv.length)
+            .map(i => maskKeyComponent(conv(i)(r.get(i)))): Seq[Any])
           .toSet
         eq += EqMask(s, df.schema.fieldNames.toSeq, keys)
       }
@@ -478,15 +492,19 @@ object Versioned {
       .select(pcols.map(c => col(s"`$c`")): _*).distinct().cache()
     try {
       val nKeys = keys.count()
-      val touched = touchedBy(spark, basis, keys, nKeys, pcols)
+      // null-safe throughout: the NULL partition replaces like any other
+      val touched = touchedBy(spark, table, basis, keys, nKeys, pcols,
+        nullSafe = true)
       val touchedPaths = basis.files.filter(f => touched(dataSuffix(f)))
+      val keyed = keys.toDF(pcols.map(c => s"__k_$c"): _*)
       val w: StagedLike =
         if (touchedPaths.isEmpty) adopted
         else new StagedPair(adopted,
           new Staged(table, "u",
             readWithDeletes(spark, touchedPaths, basis.deletes,
               basis.schema, basis.columnMap)
-              .join(maybeBroadcast(keys, nKeys), pcols, "left_anti"),
+              .join(maybeBroadcast(keyed, nKeys),
+                keyJoinCond(pcols, nullSafe = true), "left_anti"),
             partitionCols = basis.partitionCols))
       cowCommit(spark, table, Some(w), basis, touched,
         mergeSchemas(basis.schema, writeSchema),
@@ -1276,7 +1294,15 @@ object Versioned {
     * single-column form.
     */
   def upsertKeys(updates: DataFrame, table: String,
-      keyCols: Seq[String]): Int = {
+      keyCols: Seq[String]): Int =
+    upsertKeysImpl(updates, table, keyCols, nullSafeKeys = false)
+
+  /** [[upsertKeys]] body with the key-equality mode explicit: plain SQL
+    * equality for user upserts (NULL keys identify no row), null-safe
+    * for [[replacePartitions]] (a NULL partition tuple IS a partition).
+    */
+  private def upsertKeysImpl(updates: DataFrame, table: String,
+      keyCols: Seq[String], nullSafeKeys: Boolean): Int = {
     import org.apache.spark.sql.functions._
     val spark = updates.sparkSession
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
@@ -1290,17 +1316,20 @@ object Versioned {
     val keys = updates.select(keyCols.map(col): _*).distinct().cache()
     val nKeys = keys.count()
     try {
-      val touched = touchedBy(spark, basis, keys, nKeys, keyCols)
+      val touched = touchedBy(spark, table, basis, keys, nKeys, keyCols,
+        nullSafe = nullSafeKeys)
       val touchedPaths = basis.files.filter(f => touched(dataSuffix(f)))
       // rewritten files jump PAST every pending delete's sequence, so the
       // deletes must be applied to the rows being rewritten (masked rows
       // must not resurrect); untouched files keep their old sequence and
       // stay masked by the carried delete entries
+      val keyed = keys.toDF(keyCols.map(c => s"__k_$c"): _*)
       val survivors =
         if (touchedPaths.isEmpty) updates
         else readWithDeletes(spark, touchedPaths, basis.deletes,
             basis.schema, basis.columnMap)
-          .join(maybeBroadcast(keys, nKeys), keyCols, "left_anti")
+          .join(maybeBroadcast(keyed, nKeys),
+            keyJoinCond(keyCols, nullSafeKeys), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       val w = new Staged(table, "u", survivors,
         partitionCols = basis.partitionCols)
@@ -1309,22 +1338,88 @@ object Versioned {
     } finally keys.unpersist()
   }
 
+  /** Join condition of a key-tuple probe against a `__k_`-renamed key
+    * frame: plain SQL equality for upsert/merge keys (a NULL key
+    * component identifies no row), NULL-SAFE `<=>` for PARTITION tuples
+    * (dynamic overwrite must replace the null partition too — Hive/
+    * Delta/Iceberg's `__HIVE_DEFAULT_PARTITION__` semantics; plain
+    * equality would silently leave the old null-partition rows AND land
+    * the new ones as duplicates).
+    */
+  private def keyJoinCond(keyCols: Seq[String],
+      nullSafe: Boolean): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    keyCols.map { c =>
+      if (nullSafe) col(s"`$c`") <=> col(s"`__k_$c`")
+      else col(s"`$c`") === col(s"`__k_$c`")
+    }.reduce(_ && _)
+  }
+
+  /** MANIFEST-STATS pre-prune for the copy-on-write touch probe: when
+    * the key batch is driver-collectable, only files whose stats MAY
+    * hold at least one key tuple get row-probed (an OR-of-conjunctions
+    * admission over [[ManifestFileIndex]] — for an identity-partitioned
+    * layout the lo==hi stats admit exactly the touched partitions, so a
+    * one-partition dynamic overwrite of a 100 TB table row-probes one
+    * partition, never the table). Conservative everywhere: oversized
+    * key batches, stat-less manifests, pending rename mappings (stats
+    * are keyed by PHYSICAL names), and untranslatable components all
+    * degrade to probing every file.
+    */
+  /** Key batches above this build no admission predicate (the
+    * OR-of-conjunctions tree would dwarf the row probe it saves);
+    * upsert/CDC batches and dynamic-overwrite partition sets are
+    * normally far under.
+    */
+  private val StatsProbeMaxKeys = 4096L
+
+  private def statsProbeCandidates(spark: SparkSession, table: String,
+      basis: Snapshot, keys: DataFrame, nKeys: Long,
+      keyCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    if (basis.statsRaw.isEmpty || basis.columnMap.nonEmpty ||
+        nKeys <= 0 || nKeys > StatsProbeMaxKeys) return basis.files
+    val schema = keys.schema
+    val rows = keys.collect()
+    if (rows.isEmpty) return Nil
+    val attrs = keyCols.map(c =>
+      AttributeReference(c, schema(c).dataType, nullable = true)())
+    val disj = rows.map { r =>
+      keyCols.zip(attrs).map { case (c, a) =>
+        val v = r.getAs[Any](schema.fieldIndex(c))
+        if (v == null) IsNull(a): Expression
+        else EqualTo(a, Literal.create(v, schema(c).dataType)): Expression
+      }.reduce[Expression](And(_, _))
+    }.reduce[Expression](Or(_, _))
+    val idx = new ManifestFileIndex(spark, table, basis.files,
+      basis.statsRaw.map(decodeStat), decodeSizes(basis.sizesRaw))
+    val ok = idx.listFiles(Nil, Seq(disj)).flatMap(_.files)
+      .map(st => dataSuffix(st.getPath.toString)).toSet
+    basis.files.filter(f => ok(dataSuffix(f)))
+  }
+
   /** Data files of `basis` holding at least one key tuple from `keys` —
-    * the copy-on-write touch probe shared by [[upsertKeys]] and
-    * [[merge]]. The probe compares input_file_name() spellings against
+    * the copy-on-write touch probe shared by [[upsertKeys]], [[merge]],
+    * and the dynamic-overwrite commits. Stats-pruned first
+    * ([[statsProbeCandidates]]), then ONE row probe over the admitted
+    * files. The probe compares input_file_name() spellings against
     * manifest paths — normalize BOTH to the /data/ suffix (see
     * [[dataSuffix]]; a raw-string compare silently misses on URI
     * scheme/authority drift and carries stale rows forward).
     */
-  private def touchedBy(spark: SparkSession, basis: Snapshot,
-      keys: DataFrame, nKeys: Long, keyCols: Seq[String]): Set[String] = {
+  private def touchedBy(spark: SparkSession, table: String,
+      basis: Snapshot, keys: DataFrame, nKeys: Long,
+      keyCols: Seq[String], nullSafe: Boolean = false): Set[String] = {
     import org.apache.spark.sql.functions._
+    val candidates =
+      statsProbeCandidates(spark, table, basis, keys, nKeys, keyCols)
+    if (candidates.isEmpty) return Set.empty
     // renamed key columns resolve through the name-epoch coalesce
     // (physicalScan + per-column coalesce) so files from before the
     // rename still probe under the logical name; input_file_name() is
     // referenced at the scan, before the projection
     val raw = physicalScan(spark, basis.schema, basis.columnMap,
-      basis.files).withColumn("__f", input_file_name())
+      candidates).withColumn("__f", input_file_name())
     val probe = basis.schema match {
       case Some(sch) if basis.columnMap.nonEmpty =>
         logicalProject(raw, org.apache.spark.sql.types.StructType(
@@ -1334,9 +1429,11 @@ object Versioned {
           basis.columnMap)
       case _ => raw
     }
+    val keyed = keys.select(keyCols.map(col): _*)
+      .toDF(keyCols.map(c => s"__k_$c"): _*)
     probe
       .select(keyCols.map(col) :+ col("__f"): _*)
-      .join(maybeBroadcast(keys, nKeys), keyCols)
+      .join(maybeBroadcast(keyed, nKeys), keyJoinCond(keyCols, nullSafe))
       .select(col("__f")).distinct()
       .collect().map(r => dataSuffix(r.getString(0))).toSet
   }
@@ -1422,7 +1519,7 @@ object Versioned {
         s"merge source has multiple rows for key ${dup.head.toSeq.init}")
       val nKeys = src.count()
       val keys = src.select(keyCols.map(col): _*)
-      val touched = touchedBy(spark, basis, keys, nKeys, keyCols)
+      val touched = touchedBy(spark, table, basis, keys, nKeys, keyCols)
       if (touched.isEmpty) {
         // nothing matched: the merge degenerates to an insert-only
         // append (or a true no-op — mint NO empty version either way)
@@ -1680,6 +1777,47 @@ object Versioned {
     m.statsRaw.map(decodeStat).groupBy(s => dataSuffix(s.f))
       .map { case (f, ss) => f -> ss.map(s => s.c -> s).toMap }
 
+  /** The ANALYZED catalyst condition of `pred` against `schema`: the
+    * stats-proof and admission machinery need CATALYST comparisons with
+    * implicit casts explicit (a raw Column in Spark 4 carries only an
+    * UnresolvedFunction node tree); a zero-row local frame makes the
+    * analysis driver-only. Shared by [[delete]]/[[replaceWhere]]/
+    * [[compactWhere]] so a proof fix can never miss a sibling.
+    */
+  private def predExprOf(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      pred: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(false))
+
+  /** Files among `scanFiles` holding at least one row matching `pred` —
+    * the row-level touch probe shared by [[delete]] and
+    * [[replaceWhere]] (rename-mapped columns coalesce over their name
+    * epochs; `input_file_name` is referenced at the raw scan, before
+    * the logical projection). Returns [[dataSuffix]]-normalized paths.
+    */
+  private def filesMatching(spark: SparkSession, m: Snapshot,
+      schema: org.apache.spark.sql.types.StructType,
+      pred: org.apache.spark.sql.Column,
+      scanFiles: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.functions._
+    if (scanFiles.isEmpty) return Set.empty
+    logicalProject(
+        physicalScan(spark, m.schema, m.columnMap, scanFiles)
+          .withColumn("__f", input_file_name()),
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("__f",
+            org.apache.spark.sql.types.StringType)), m.columnMap)
+      .filter(pred)
+      .select(col("__f")).distinct()
+      .collect().map(r => dataSuffix(r.getString(0))).toSet
+  }
+
   /** Copy-on-write DELETE: drop rows matching `pred`. Three cost tiers,
     * best first: (1) files whose manifest stats PROVE every row matches
     * drop as pure metadata — never read, never rewritten (the
@@ -1697,32 +1835,13 @@ object Versioned {
     require(cur > 0, s"no snapshot to delete from at $table")
     val m = manifestAll(spark, table, cur)
     val byFile = statsByFile(m)
-    // resolve the predicate against the table schema so the proof sees
-    // CATALYST comparisons with implicit casts explicit (a raw Column in
-    // Spark 4 carries only an UnresolvedFunction node tree); a
-    // zero-row local frame makes the analysis driver-only
     val schema = schemaOfSnapshot(spark, m, s"at $table")
-    val predExpr = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .filter(pred).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition
-      }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(false))
+    val predExpr = predExprOf(spark, schema, pred)
     val dropped = m.files.filter(f =>
       byFile.get(dataSuffix(f)).exists(mustMatchAll(_, predExpr)))
       .map(p => dataSuffix(p)).toSet
     val scanFiles = m.files.filterNot(f => dropped(dataSuffix(f)))
-    val rewriteTouched =
-      if (scanFiles.isEmpty) Set.empty[String] // pred covers every file
-      else logicalProject(
-          physicalScan(spark, m.schema, m.columnMap, scanFiles)
-            .withColumn("__f", input_file_name()),
-          org.apache.spark.sql.types.StructType(schema.fields :+
-            org.apache.spark.sql.types.StructField("__f",
-              org.apache.spark.sql.types.StringType)), m.columnMap)
-        .filter(pred)
-        .select(col("__f")).distinct()
-        .collect().map(r => dataSuffix(r.getString(0))).toSet
+    val rewriteTouched = filesMatching(spark, m, schema, pred, scanFiles)
     if (rewriteTouched.isEmpty && dropped.isEmpty) return cur
     if (rewriteTouched.isEmpty)
       // pure metadata delete: covered files drop, nothing reads/rewrites
@@ -1770,27 +1889,12 @@ object Versioned {
       s"replaceWhere at $table: rows violate the overwrite predicate")
     val byFile = statsByFile(m)
     val schema = schemaOfSnapshot(spark, m, s"at $table")
-    val predExpr = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .filter(pred).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition
-      }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(false))
+    val predExpr = predExprOf(spark, schema, pred)
     val dropped = m.files.filter(f =>
       byFile.get(dataSuffix(f)).exists(mustMatchAll(_, predExpr)))
       .map(dataSuffix).toSet
     val scanFiles = m.files.filterNot(f => dropped(dataSuffix(f)))
-    val rewriteTouched =
-      if (scanFiles.isEmpty) Set.empty[String]
-      else logicalProject(
-          physicalScan(spark, m.schema, m.columnMap, scanFiles)
-            .withColumn("__f", input_file_name()),
-          org.apache.spark.sql.types.StructType(schema.fields :+
-            org.apache.spark.sql.types.StructField("__f",
-              org.apache.spark.sql.types.StringType)), m.columnMap)
-        .filter(pred)
-        .select(col("__f")).distinct()
-        .collect().map(r => dataSuffix(r.getString(0))).toSet
+    val rewriteTouched = filesMatching(spark, m, schema, pred, scanFiles)
     val touchedPaths = m.files.filter(f => rewriteTouched(dataSuffix(f)))
     // survivors of partially-matching files (pred complement, NULL keeps)
     // union the NEW rows — one staged write, one atomic commit
@@ -1818,7 +1922,9 @@ object Versioned {
     val pcols = partitionColumns(df.sparkSession, table)
     require(pcols.nonEmpty,
       s"replacePartitions needs a partitioned table at $table")
-    upsertKeys(df, table, pcols)
+    // null-safe: the NULL partition is a partition — dynamic overwrite
+    // replaces it like any other (__HIVE_DEFAULT_PARTITION__ semantics)
+    upsertKeysImpl(df, table, pcols, nullSafeKeys = true)
   }
 
   /** Merge-on-READ equality delete (Iceberg's equality-delete files —
@@ -2283,12 +2389,7 @@ object Versioned {
     val m = manifestAll(spark, table, cur)
     val byFile = statsByFile(m)
     val schema = schemaOfSnapshot(spark, m, s"at $table")
-    val predExpr = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .filter(pred).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition
-      }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(false))
+    val predExpr = predExprOf(spark, schema, pred)
     val sizeOf = decodeSizes(m.sizesRaw)
       .map { case (p, l) => dataSuffix(p) -> l }
     val scoped = m.files.filter(f =>
@@ -2733,6 +2834,20 @@ object Versioned {
       val dup = cols.map(_.name).filter(n => prevLower(n.toLowerCase))
       require(dup.isEmpty,
         s"column(s) already exist: ${dup.mkString(", ")}")
+      // files carried BY REFERENCE can physically store a column no
+      // live SCHEMA names anymore (drop + expire erases the schema
+      // evidence but never the bytes) — the per-file stats rows are a
+      // physical-column record, so refuse re-adding any name they
+      // still carry. Stats cover numeric/string columns; stat-less
+      // types rely on the schema checks above.
+      val physical = m.statsRaw.map(decodeStat).map(_.c.toLowerCase).toSet
+      val carried = cols.map(_.name).filter(n => physical(n.toLowerCase))
+      require(carried.isEmpty,
+        s"cannot re-add column name(s): ${carried.mkString(", ")} — " +
+          "live data files still physically carry values under that " +
+          "name (reads are name-based; old values would resurface " +
+          "instead of null-filling). Use a fresh name, or compact/" +
+          "replace the table so no live file carries it")
       val merged = org.apache.spark.sql.types.StructType(
         prev.fields ++ cols.map(_.copy(nullable = true)))
       Some(Content(m.files, m.txns, m.deletes, Some(merged),
@@ -2760,6 +2875,25 @@ object Versioned {
       val pcolHit = names.filter(m.partitionCols.contains)
       require(pcolHit.isEmpty,
         s"cannot drop partition column(s): ${pcolHit.mkString(", ")}")
+      // a PENDING equality-delete file keying on the column would make
+      // every head read unapplicable (the anti-join/mask needs the
+      // column) — and compact itself reads through the mask, so the
+      // damage would be unrecoverable short of rollback. Refuse while
+      // any pending mask references a dropped name (delete files spell
+      // PHYSICAL names — remap through the rename history first).
+      if (m.deletes.nonEmpty) {
+        val rev = reverseMap(m.columnMap)
+        val delKeyCols = m.deletes
+          .map(p => spark.read.parquet(p).schema)
+          .filterNot(isPosDelete)
+          .flatMap(_.fieldNames.map(n => rev.getOrElse(n, n))).toSet
+        val keyed = names.filter(delKeyCols.contains)
+        require(keyed.isEmpty,
+          s"cannot drop column(s) ${keyed.mkString(", ")}: pending " +
+            "merge-on-read delete files key on them (the mask would " +
+            "become unapplicable). Run compact to materialize the " +
+            "deletes first")
+      }
       val kept = prev.fields.filterNot(f => names.contains(f.name))
       require(kept.nonEmpty, "cannot drop every column")
       Some(Content(m.files, m.txns, m.deletes,
@@ -2806,6 +2940,17 @@ object Versioned {
         s"column '$to' already exists")
       require(!m.partitionCols.contains(from),
         s"cannot rename partition column '$from' (it names the layout)")
+      // same carried-files hazard as addColumns: a live file physically
+      // storing `to` (from a dropped/renamed epoch whose snapshots were
+      // expired) would collide with the name-epoch coalesce — the stats
+      // rows are the physical record the schema history can no longer
+      // provide
+      require(!m.statsRaw.map(decodeStat)
+          .exists(s => s.c.equalsIgnoreCase(to) &&
+            !prev.fieldNames.exists(_.equalsIgnoreCase(s.c))),
+        s"cannot rename to '$to': a live data file still physically " +
+          "carries a column by that name — compact/replace the table " +
+          "first, or pick a fresh name")
       val renamed = org.apache.spark.sql.types.StructType(
         prev.fields.map(f => if (f.name == from) f.copy(name = to) else f))
       val priors = from +: m.columnMap.getOrElse(from, Nil)
@@ -2941,7 +3086,23 @@ object Versioned {
     */
   private[sources] def streamSnapshot(spark: SparkSession, table: String,
       v: Int): (Set[String], Set[String], Map[String, Long]) = {
-    val m = manifestAll(spark, table, v)
+    // historical replay (startingVersion) and checkpoint restarts can
+    // reference versions retention has EXPIRED — name the condition and
+    // the live range instead of surfacing a raw manifest path error
+    // from deep inside batch planning
+    val m =
+      try manifestAll(spark, table, v)
+      catch { case _: java.io.FileNotFoundException =>
+        val live = listVersions(table,
+          spark.sparkContext.hadoopConfiguration)
+        throw new IllegalStateException(
+          s"streaming read of $table needs version $v, which has been " +
+            "expired by retention (live versions: " +
+            (if (live.isEmpty) "none"
+             else s"${live.min}..${live.max}") + "). Start the stream " +
+            "with startingVersion inside the live range, or use a " +
+            "fresh checkpoint to begin from the current head")
+      }
     (m.files.toSet, m.deletes.toSet, decodeSizes(m.sizesRaw))
   }
 

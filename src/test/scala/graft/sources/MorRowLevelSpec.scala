@@ -142,4 +142,26 @@ class MorRowLevelSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(got == Seq(1L, 3L, 5L, 7L), s"got $got") // 9 masked, evens gone
   }
+
+  test("BINARY-keyed equality deletes mask on the in-scan path (byte " +
+      "arrays compare by value, not reference)") {
+    import spark.implicits._
+    val wh = catalog("gmr6")
+    val dir = s"$wh/ns/t"
+    Versioned.append(Seq(
+      (Array[Byte](1, 2, 3), "a"),
+      (Array[Byte](4, 5), "b"),
+      (Array[Byte](9), "c")).toDF("k", "s").coalesce(1), dir)
+    Versioned.deleteByKeyMor(
+      Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("k"), dir, "k")
+    // the plain catalog SELECT takes the V2 in-scan mask path (pending
+    // delete, under cap, no rename mapping)
+    val got = spark.sql("SELECT s FROM gmr6.ns.t ORDER BY s")
+      .as[String].collect().toSeq
+    assert(got == Seq("b", "c"), s"binary mask did not apply: $got")
+    // and agrees with the V1 anti-join bridge read
+    val v1 = Versioned.read(spark, dir).select("s")
+      .as[String].collect().toSeq.sorted
+    assert(v1 == Seq("b", "c"), s"V1 bridge disagrees: $v1")
+  }
 }

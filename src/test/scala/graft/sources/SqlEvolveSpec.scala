@@ -228,4 +228,55 @@ class SqlEvolveSpec extends AnyFunSuite {
     assert(got2 == Seq((1L, "x"), (3L, "z"), (4000000000L, "w")),
       s"got $got2")
   }
+
+  test("DROP COLUMN refuses while a pending MOR delete keys on it " +
+      "(the mask would become unapplicable); compact unlocks") {
+    import spark.implicits._
+    val wh = catalog("gse8")
+    val dir = s"$wh/ns/t"
+    Versioned.append(Seq((1L, "x", 1.0), (2L, "y", 2.0))
+      .toDF("k", "s", "v"), dir)
+    Versioned.deleteByKeyMor(Seq(1L).toDF("k"), dir, "k")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gse8.ns.t DROP COLUMN k")
+    }
+    assert(e.getMessage.contains("pending merge-on-read delete"),
+      s"got ${e.getMessage}")
+    // an un-keyed column still drops fine under the pending mask
+    spark.sql("ALTER TABLE gse8.ns.t DROP COLUMN v")
+    assert(spark.sql("SELECT * FROM gse8.ns.t").columns.toSeq ==
+      Seq("k", "s"))
+    // compact materializes the mask; the drop then commits
+    Versioned.compact(spark, dir, 1)
+    spark.sql("ALTER TABLE gse8.ns.t DROP COLUMN k")
+    assert(spark.sql("SELECT * FROM gse8.ns.t").collect()
+      .map(_.getString(0)).toSeq == Seq("y"))
+  }
+
+  test("recycled names refuse even after EXPIRE erases the schema " +
+      "history — live files' stats are the physical-column record") {
+    import spark.implicits._
+    val wh = catalog("gse9")
+    val dir = s"$wh/ns/t"
+    Versioned.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), dir) // v1
+    spark.sql("ALTER TABLE gse9.ns.t DROP COLUMN x")                  // v2
+    // expire every snapshot whose SCHEMA named x — the files carrying
+    // x's bytes are still referenced by the head
+    Versioned.expire(spark, dir, keepLast = 1)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gse9.ns.t ADD COLUMNS (x DOUBLE)")
+    }
+    assert(e.getMessage.contains("physically carry"), s"got ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gse9.ns.t RENAME COLUMN k TO x")
+    }
+    assert(e2.getMessage.contains("physically carr"), s"got ${e2.getMessage}")
+    // compact rewrites the files without x; both DDLs then commit and
+    // the re-added column null-fills instead of resurfacing 10.0/20.0
+    Versioned.compact(spark, dir, 1)
+    spark.sql("ALTER TABLE gse9.ns.t ADD COLUMNS (x DOUBLE)")
+    val got = spark.sql("SELECT k, x FROM gse9.ns.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(got.toSeq == Seq((1L, true), (2L, true)), s"got ${got.toSeq}")
+  }
 }

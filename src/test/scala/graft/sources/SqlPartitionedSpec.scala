@@ -221,6 +221,35 @@ class SqlPartitionedSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 2)
   }
 
+  test("dynamic overwrite replaces the NULL partition like any other " +
+      "(null-safe partition tuples — __HIVE_DEFAULT_PARTITION__)") {
+    import spark.implicits._
+    val wh = catalog("gpp9")
+    spark.sql("CREATE TABLE gpp9.ns.t (id BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO gpp9.ns.t VALUES " +
+      "(1, 'd1'), (2, NULL), (3, NULL)")
+    // dynamic overwrite carrying ONLY null-partition rows must replace
+    // the old null partition — not duplicate alongside it
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE TABLE gpp9.ns.t VALUES (9, NULL)")
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.partitionOverwriteMode")
+    }
+    val got = spark.sql(
+      "SELECT id, day FROM gpp9.ns.t ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "NULL" else r.getString(1)))
+    assert(got.toSeq == Seq((1L, "d1"), (9L, "NULL")),
+      s"null partition not replaced: ${got.toSeq}")
+  }
+
   test("MOR deletes sequence correctly against partition-laid files " +
       "(seqOf walks past partition dirs)") {
     import spark.implicits._

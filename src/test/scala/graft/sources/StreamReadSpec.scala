@@ -177,6 +177,30 @@ class StreamReadSpec extends AnyFunSuite {
     assert(got.toSeq == (1L to 4L), s"got ${got.toSeq}")
   }
 
+  test("replay of an EXPIRED version refuses with the live range, not " +
+      "a raw manifest path error") {
+    val wh = catalog("gsr8")
+    spark.sql("CREATE TABLE gsr8.ns.t (id BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO gsr8.ns.t VALUES ($i)"))
+    // CREATE minted v1, the inserts v2..v5; keep the last two
+    Versioned.expire(spark, s"$wh/ns/t", keepLast = 2) // live: v4..v5
+    val q = spark.readStream
+      .option("startingVersion", "1").table("gsr8.ns.t")
+      .writeStream.format("memory").queryName("gsr8_sink")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("gsr8ck").toString)
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("expired by retention") &&
+      m.contains("live versions: 4..5")), s"got ${chain(e)}")
+  }
+
   test("writeStream.toTable chains into readStream.table — the full " +
       "in-catalog pipeline") {
     import spark.implicits._

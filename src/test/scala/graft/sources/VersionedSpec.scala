@@ -1344,4 +1344,33 @@ class VersionedSpec extends AnyFunSuite {
     // downstream column references keep resolving
     assert(empty.filter(col("event_id") > 0).count() == 0)
   }
+
+  test("upsert touch probe is stats-pruned and exact: disjoint key " +
+      "batches touch no file, ranged batches touch only may-match files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vups").toString + "/t"
+    // two well-separated files: ids 0-9 and 1000-1009
+    Versioned.append((0L to 9L).map(i => (i, "lo")).toDF("id", "s")
+      .coalesce(1), dir)
+    Versioned.append((1000L to 1009L).map(i => (i, "hi")).toDF("id", "s")
+      .coalesce(1), dir)
+    val before = Versioned.listDataFiles(spark, dir).toSet
+    // keys entirely OUTSIDE both ranges: nothing touched, pure append —
+    // the stats prune decides this with ZERO data I/O
+    Versioned.upsert(Seq((5000L, "new")).toDF("id", "s"), dir, "id")
+    val after1 = Versioned.listDataFiles(spark, dir).toSet
+    assert(before.subsetOf(after1),
+      "disjoint upsert must carry every file by identity")
+    // keys inside ONE file's range: only that file rewrites
+    Versioned.upsert(Seq((3L, "patched")).toDF("id", "s"), dir, "id")
+    val after2 = Versioned.listDataFiles(spark, dir).toSet
+    val carried = after1.intersect(after2)
+    assert(after1.size - carried.size == 1,
+      s"exactly the lo file should rewrite: carried ${carried.size} " +
+        s"of ${after1.size}")
+    val got = Versioned.read(spark, dir).select("id", "s")
+      .as[(Long, String)].collect().toMap
+    assert(got(3L) == "patched" && got(1000L) == "hi" &&
+      got(5000L) == "new" && got.size == 21)
+  }
 }
