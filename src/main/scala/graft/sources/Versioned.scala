@@ -103,18 +103,20 @@ object Versioned {
     */
   private def tryCommit(spark: SparkSession, table: String, v: Int,
       c: Content): Boolean = {
-    import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = s"${manifestRoot(table)}/_tmp_v${v}_${newUid()}"
-    (c.files.map(("f", _)) ++ c.txns.map(t => ("t", t.toString)) ++
+    // driver-side manifest write (same parquet layout the old
+    // `toDF.coalesce(1).write.parquet` produced): a manifest is a few KB
+    // of metadata — a distributed write job per COMMIT ATTEMPT was pure
+    // scheduling overhead on every commit-bearing operation
+    ManifestIO.write(conf, s"$tmp/part-00000.parquet",
+      c.files.map(("f", _)) ++ c.txns.map(t => ("t", t.toString)) ++
       c.deletes.map(("d", _)) ++ c.schema.map(s => ("s", s.json)).toSeq ++
       c.stats.map(("fs", _)) ++ c.sizes.map(("fl", _)) ++
       (if (c.partitionCols.isEmpty) Nil
        else Seq(("p", c.partitionCols.map(enc).mkString(",")))) ++
       c.columnMap.toSeq.sortBy(_._1).map { case (l, ps) =>
         ("cm", (enc(l) +: ps.map(enc)).mkString("|")) })
-      .toDF("kind", "value")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new Path(table).toUri, conf)
     val ok =
@@ -278,24 +280,28 @@ object Versioned {
     def at(v: Int): (Seq[String], Seq[String], Seq[String]) = {
       if (!loaded) {
         val dataDir = s"$table/data/$curName"
-        // CANONICALIZE the adopted file list through the same reader
-        // spelling Staged's writeData records (inputFiles: qualified
-        // URIs): executor-interpolated raw paths would make the
-        // manifest's 'f' rows disagree with the 'fs' stats rows (keyed
-        // by input_file_name()), leaving every adopted file stats-dead
-        // to raw-equality consumers (ManifestFileIndex admission,
-        // AggPushdown, snapshotStats). Callers prune task-attempt
-        // debris BEFORE adoption, so the listing is the committed set.
-        files = spark.read.parquet(dataDir).inputFiles.toSeq.sorted
+        // CANONICALIZE the adopted file list through ONE FileSystem
+        // listing (qualified URIs — the same spelling Staged's writeData
+        // records): executor-interpolated raw paths would make the
+        // manifest's 'f' rows disagree with the 'fs' stats rows, leaving
+        // every adopted file stats-dead to raw-equality consumers
+        // (ManifestFileIndex admission, AggPushdown, snapshotStats).
+        // Callers prune task-attempt debris BEFORE adoption, so the
+        // listing is the committed set.
+        val statuses = fsFor(dataDir,
+          spark.sparkContext.hadoopConfiguration)
+          .listStatus(new Path(dataDir))
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        files = statuses.map(_.getPath.toUri.toString).toSeq.sorted
         require(files.size == committed.size,
           s"adopted dir $dataDir holds ${files.size} files, " +
             s"commit messages name ${committed.size} — debris pruning " +
             "must run before adoption")
         stats = statsFor(spark, files)
-        val byName = fsFor(dataDir,
-          spark.sparkContext.hadoopConfiguration)
-          .listStatus(new Path(dataDir))
-          .filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
+        val byName = statuses.map(s => s.getPath.getName -> s.getLen).toMap
         sizes = files.flatMap(f => byName.get(new Path(f).getName)
           .map(len => s"${enc(f)}|$len"))
         loaded = true
@@ -656,6 +662,37 @@ object Versioned {
     * 16 chars, Iceberg-style.
     */
   private def statsFor(spark: SparkSession,
+      files: Seq[String]): Seq[String] =
+    // footer fast path (guide §1.2 / Iceberg's design): the freshly
+    // written files' parquet footers already carry exact per-column
+    // min/max/nullCount — aggregating them on the driver replaces a full
+    // second Spark pass over the just-written data. Provably-exact only:
+    // ManifestIO returns None on any type/NaN/truncation doubt and the
+    // aggregation job keeps the old behavior (FooterStatsSpec pins
+    // equality of the two paths' encoded rows).
+    statsForFooter(spark, files).getOrElse(statsForJob(spark, files))
+
+  /** Footer-derived stat rows, or None when not provably exact. */
+  private[sources] def statsForFooter(spark: SparkSession,
+      files: Seq[String]): Option[Seq[String]] = {
+    if (files.isEmpty) return Some(Seq.empty)
+    ManifestIO.footerStats(
+        spark.sparkContext.hadoopConfiguration, files).map { perFile =>
+      perFile.flatMap { fs =>
+        fs.cols.map { c =>
+          encodeStat(fs.file, c.name, c.lo, c.hi,
+            c.slo.flatMap(truncStr(_, isUpper = false)),
+            c.shi.flatMap(truncStr(_, isUpper = true)),
+            Some(c.nulls), Some(fs.rows))
+        }
+      }
+    }
+  }
+
+  /** The aggregation-job stat rows (the pre-footer implementation and
+    * the fallback whenever footer stats are not provably exact).
+    */
+  private[sources] def statsForJob(spark: SparkSession,
       files: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.types.{NumericType, StringType}
     if (files.isEmpty) return Seq.empty
@@ -732,15 +769,16 @@ object Versioned {
 
   private def manifestAll(spark: SparkSession, table: String,
       v: Int): Snapshot = {
-    import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val mtime = fsFor(table, conf)
       .getFileStatus(new Path(manifestDir(table, v))).getModificationTime
     val key = (table, v)
     val hit = manifestCache.get(key)
     if (hit != null && hit._1 == mtime) return hit._2
-    val rows = spark.read.parquet(manifestDir(table, v))
-      .as[(String, String)].collect()
+    // driver-side read (ManifestIO handles both this code's manifest
+    // parts and legacy Spark-written ones): a cache-miss used to pay a
+    // full `spark.read.parquet(...).collect` job for a few KB of metadata
+    val rows = ManifestIO.read(conf, manifestDir(table, v))
     val snap = Snapshot(
       rows.collect { case ("f", f) => f }.toSeq.sorted,
       rows.collect { case ("t", t) => t.toLong }.toSeq.sorted,
@@ -881,21 +919,28 @@ object Versioned {
       manifestAll(spark, table, cur).deletes).values.sum
   }
 
-  /** Per-file row counts of `files` in ONE Spark job (zero-column
-    * projection grouped by the scan's own file name), keyed by the
-    * [[dataSuffix]]-normalized path — input_file_name() spellings can
-    * differ from manifest spellings. Zero-row files are absent (look up
-    * with getOrElse 0). Tolerates heterogeneous schemas across the files
-    * (only input_file_name is projected).
+  /** Per-file row counts of `files`, keyed by the [[dataSuffix]]-
+    * normalized path. Read DRIVER-SIDE from the parquet footers (a row
+    * count is footer metadata — the old one-job zero-column scan paid a
+    * full job launch per readWithDeletes call just to size the delete
+    * mask); an unreadable footer falls back to the job path. Zero-row
+    * files are absent (look up with getOrElse 0). Tolerates heterogeneous
+    * schemas across the files (only counts are read).
     */
   private def countRowsByFile(spark: SparkSession,
       files: Seq[String]): Map[String, Long] = {
     import org.apache.spark.sql.functions._
-    if (files.isEmpty) Map.empty
-    else spark.read.parquet(files: _*)
-      .select(input_file_name().as("__f"))
-      .groupBy(col("__f")).count().collect()
-      .map(r => dataSuffix(r.getString(0)) -> r.getLong(1)).toMap
+    if (files.isEmpty) return Map.empty
+    ManifestIO.rowCounts(
+        spark.sparkContext.hadoopConfiguration, files) match {
+      case Some(counts) =>
+        counts.collect { case (f, n) if n > 0 => dataSuffix(f) -> n }.toMap
+      case None =>
+        spark.read.parquet(files: _*)
+          .select(input_file_name().as("__f"))
+          .groupBy(col("__f")).count().collect()
+          .map(r => dataSuffix(r.getString(0)) -> r.getLong(1)).toMap
+    }
   }
 
   /** Column names of a POSITION-delete file (Iceberg's positional
@@ -988,13 +1033,15 @@ object Versioned {
     if (dataFiles.isEmpty) return spark.emptyDataFrame
     if (delFiles.isEmpty) return reader(dataFiles)
     val rev = reverseMap(colMap)
-    val metas = delFiles.map(p => (seqOf(p), spark.read.parquet(p).schema, p))
+    // shape-sniff each delete file from its FOOTER (field names decide
+    // pos-vs-eq and the anti-join key list) — a DataFrameReader schema
+    // resolution per delete file per read was driver overhead
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metas = delFiles.map(p =>
+      (seqOf(p), ManifestIO.fieldNames(hconf, p), p))
     // per-delete-file row counts feed the broadcast guard: a batch-sized
     // mask broadcasts, an accumulated-past-threshold mask shuffle-joins
-    // instead of OOMing. ONE job over every delete file (zero-column
-    // projection + group by file), not one count() job per file — a
-    // 50-batch un-compacted delete chain would otherwise pay 50
-    // sequential job launches on every read
+    // instead of OOMing. Driver-side footer counts — zero jobs.
     val delRows: Map[String, Long] = countRowsByFile(spark, delFiles)
     // equality-delete files group by their full KEY COLUMN LIST (one
     // column is the common case; composite keys — the (user_id, region)
@@ -1004,10 +1051,10 @@ object Versioned {
     // logical read spells the new one — anti-joining on the raw name
     // would silently resurrect the masked rows
     val eqMeta = metas.collect {
-      case (s, sch, p) if !isPosDelete(sch) =>
-        (s, sch.fieldNames.toSeq.map(n => rev.getOrElse(n, n)), p)
+      case (s, names, p) if names != PosCols =>
+        (s, names.map(n => rev.getOrElse(n, n)), p)
     }
-    val posMeta = metas.collect { case (s, sch, p) if isPosDelete(sch) => (s, p) }
+    val posMeta = metas.collect { case (s, names, p) if names == PosCols => (s, p) }
     // each delete file's scan recurs once per APPLICABLE seq group; both
     // counts are bounded by commits-since-compaction (the keep-chains-
     // short contract), and the files are key batches, not data
@@ -1106,18 +1153,23 @@ object Versioned {
         .parquet(dataDir)
     }
     // a ZERO-PARTITION frame (an AQE-emptied survivor rewrite — every
-    // row of the touched files lost) writes only _SUCCESS; reading that
-    // back would throw UNABLE_TO_INFER_SCHEMA, so detect the no-file
-    // case from the listing and stage nothing (the commit then drops
-    // the touched files with no replacement — the metadata-drop shape)
+    // row of the touched files lost) writes only _SUCCESS, and the commit
+    // then drops the touched files with no replacement (the metadata-drop
+    // shape). The staged file set comes from this ONE recursive listing,
+    // spelled via toUri — the `file:///...` qualified-URI form
+    // `inputFiles`/`input_file_name()` use (Path.toString collapses the
+    // empty authority to `file:/...`, which would strand the stats rows);
+    // re-opening the directory as a DataFrame just to list it paid a
+    // schema-inference footer read per commit.
     val it = fs.listFiles(p, true)
-    var hasData = false
-    while (!hasData && it.hasNext) {
-      val n = it.next().getPath.getName
-      hasData = !n.startsWith("_") && !n.startsWith(".")
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith("."))
+        out += st.getPath.toUri.toString
     }
-    if (!hasData) Seq.empty
-    else df.sparkSession.read.parquet(dataDir).inputFiles.toSeq
+    out.result().sorted
   }
 
   /** Declared partition columns of `table` (identity transforms recorded
@@ -1384,13 +1436,31 @@ object Versioned {
     if (rows.isEmpty) return Nil
     val attrs = keyCols.map(c =>
       AttributeReference(c, schema(c).dataType, nullable = true)())
-    val disj = rows.map { r =>
-      keyCols.zip(attrs).map { case (c, a) =>
-        val v = r.getAs[Any](schema.fieldIndex(c))
-        if (v == null) IsNull(a): Expression
-        else EqualTo(a, Literal.create(v, schema(c).dataType)): Expression
-      }.reduce[Expression](And(_, _))
-    }.reduce[Expression](Or(_, _))
+    // BALANCED combine, never a left fold: a key batch near the 4096 cap
+    // builds an Or tree that deep, and every recursive consumer of the
+    // expression (admitted, catalyst transforms) then overflows the
+    // stack. Balanced pairing keeps depth at log2(n) ~ 12.
+    def balanced(es: Seq[Expression],
+        mk: (Expression, Expression) => Expression): Expression =
+      if (es.size == 1) es.head
+      else balanced(es.grouped(2).map {
+        case Seq(a, b) => mk(a, b)
+        case Seq(a) => a
+      }.toSeq, mk)
+    val disj =
+      if (keyCols.size == 1 && rows.forall(!_.isNullAt(0))) {
+        // single non-null key column: one In probe — admitted() runs it
+        // as a single batched bloom/stats pass instead of n point probes
+        val dt = schema(keyCols.head).dataType
+        In(attrs.head, rows.map(r =>
+          Literal.create(r.getAs[Any](0), dt)).toIndexedSeq)
+      } else balanced(rows.toIndexedSeq.map { r =>
+        keyCols.zip(attrs).map { case (c, a) =>
+          val v = r.getAs[Any](schema.fieldIndex(c))
+          if (v == null) IsNull(a): Expression
+          else EqualTo(a, Literal.create(v, schema(c).dataType)): Expression
+        }.reduce[Expression](And(_, _))
+      }, Or(_, _))
     val idx = new ManifestFileIndex(spark, table, basis.files,
       basis.statsRaw.map(decodeStat), decodeSizes(basis.sizesRaw))
     val ok = idx.listFiles(Nil, Seq(disj)).flatMap(_.files)
@@ -2884,9 +2954,10 @@ object Versioned {
       if (m.deletes.nonEmpty) {
         val rev = reverseMap(m.columnMap)
         val delKeyCols = m.deletes
-          .map(p => spark.read.parquet(p).schema)
-          .filterNot(isPosDelete)
-          .flatMap(_.fieldNames.map(n => rev.getOrElse(n, n))).toSet
+          .map(p => ManifestIO.fieldNames(
+            spark.sparkContext.hadoopConfiguration, p))
+          .filterNot(_ == PosCols)
+          .flatMap(_.map(n => rev.getOrElse(n, n))).toSet
         val keyed = names.filter(delKeyCols.contains)
         require(keyed.isEmpty,
           s"cannot drop column(s) ${keyed.mkString(", ")}: pending " +
