@@ -17,6 +17,15 @@ object Bench {
       // stage from scratch — the min-across-passes then never sees a
       // compile-free run
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // AQE partition-coalescing FLOOR (default 1m): columnar-compressed
+      // shuffle bytes underestimate CPU-bound row work by orders of
+      // magnitude here (a 1.2 MB hamming-verify stage is ~1M candidate
+      // pairs), and the byte floor serialized such stages onto one core.
+      // 64k keeps them wide; at scale stage bytes dwarf either floor, so
+      // the setting is inert there (measured: mm_phash_pairs 3.6->2.0 s,
+      // dedup_ngram_jaccard 4.2->2.5 s, graph_bfs 9.7->5.1 s).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader spin-up shouldn't be

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive scan widening (optimization guide §2: derive
+  * partitioning from the input, never a constant tuned for one scale).
+  *
+  * CPU-heavy per-row operators (shingle explosion, hash embedding,
+  * per-vector quantization, perceptual hashing) inherit the SCAN's
+  * partitioning for their map-side work. A production corpus arrives as
+  * thousands of splits, so that work is already wide; a small corpus in
+  * one parquet file (one row group — the local/test shape) arrives as ONE
+  * partition and serializes the whole map side on a single core while the
+  * rest of the machine idles. [[widen]] round-robins such an input up to
+  * the session's parallelism — and is a provable NO-OP (no added
+  * exchange) whenever the input is already at least that wide, so at
+  * scale it never inserts a shuffle.
+  */
+object Par {
+  def widen(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    // getNumPartitions plans the frame but launches no job
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
+}

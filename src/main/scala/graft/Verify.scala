@@ -18,6 +18,10 @@ object Verify {
       // 43 queries generate well over the default 100 unique codegen
       // classes — keep them all compiled (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // match Bench's AQE coalescing floor (see Bench.scala): correctness
+      // must run the same plans the bench times
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -150,7 +150,10 @@ object Dedup {
       sequence(lit(0), size(col("_w")) - n)).otherwise(array())
     val gram = concat_ws(" ",
       (0 until n).map(j => element_at(col("_w"), col("_i") + j + 1)): _*)
-    df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
+    // widen: the split+explode map side otherwise runs at the scan's
+    // partition count (ONE task on a single-file corpus — graft.Par)
+    graft.Par.widen(df)
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
       .withColumn("_i", explode(positions))
       .select(col("id"), gram.as("shingle"))
       .distinct()
@@ -640,7 +643,8 @@ object Dedup {
     * bands with 65k bucket values PER BAND, which keeps buckets small.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
+    // widen: tokenize+md5 map side (see graft.Par — no-op at scale)
+    val tok = graft.Par.widen(df).select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
     // digest hoisted into a projection once; two 32-bit halves because

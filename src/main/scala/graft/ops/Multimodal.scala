@@ -380,7 +380,9 @@ object Multimodal {
     */
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(
+    // widen: the per-row decode/resize/hash consumers of this table are
+    // CPU-bound map work (graft.Par — no-op at scale)
+    graft.Par.widen(documents).select(
       col("doc_id").as("id"),
       lit("image/raw").as("kind"),
       encode(col("text"), "UTF-8").as("content"),

@@ -318,7 +318,11 @@ object Similarity {
       .select(col("label").cast("int").as("label"),
         col("ve.embedding").as("centroid"))
       .localCheckpoint()
-    val c = corpus.select(col("vec_id"), col("embedding"),
+    // widen: each Lloyd assignment pass computes corpus x k cosine
+    // distances BEFORE its first exchange — at the scan's partition
+    // count that map side is one task on a single-file corpus
+    // (graft.Par — no-op at scale)
+    val c = graft.Par.widen(corpus).select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("vn"))
     lloyd(c, cents, iters).select(col("vec_id"), col("label"))
   }
@@ -715,7 +719,9 @@ object Similarity {
         - lit(2.0) * dot(col("sv"), c.getField("centroid"))
         + dot(c.getField("centroid"), c.getField("centroid"))).as("dist"),
         c.getField("label").as("label"))))
-    corpus
+    // widen: the subvector explode + per-centroid argmin is CPU-bound map
+    // work at the scan's partition count (graft.Par — no-op at scale)
+    graft.Par.widen(corpus)
       .select(col("vec_id"), posexplode(
         array((0 until nSub).map(s =>
           slice(col("embedding"), s * d + 1, d)): _*)).as(Seq("sub", "sv")))
@@ -738,7 +744,9 @@ object Similarity {
       dim: Int, nSub: Int, k: Int, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+    // widen: the ADC lookup scan is per-(vector x query) map work at the
+    // stored codes' partition count (graft.Par — no-op at scale)
+    graft.Par.widen(codes).select(col("vec_id").as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(adcTables(queries, codebooks, dim, nSub, k)))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", adcScore(k, nSub))

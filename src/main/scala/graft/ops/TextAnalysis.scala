@@ -797,7 +797,10 @@ object TextAnalysis {
     val bigrams = zip_with(
       slice(col("a"), lit(1), nbi), slice(col("a"), lit(2), nbi),
       (l, r) => concat_ws(" ", l, r))
-    df.select(col(idCol).as("_id"), isTarget.as("is_t"), arr.as("a"))
+    // widen: the unigram+bigram explode map side (graft.Par — no-op at
+    // scale); this frame is evaluated twice (counts, then weights join)
+    graft.Par.widen(df)
+      .select(col(idCol).as("_id"), isTarget.as("is_t"), arr.as("a"))
       .select(col("_id"), col("is_t"),
         explode(concat(col("a"), bigrams)).as("f"))
       .select(col("_id"), col("is_t"), hashBucket(col("f"), nBuckets).as("b"))

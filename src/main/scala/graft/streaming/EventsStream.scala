@@ -445,7 +445,13 @@ object EventsStream {
       .select(col("user_id"), col("h"), col("m.ts").as("ts"),
         col("m.event_id").as("event_id"), col("m.v").as("v"), col("d"))
       .localCheckpoint()
-    merged.write.mode("overwrite")
+    // cluster by partition value before the layout write (the
+    // Versioned.writeData discipline, guide §6): without it every
+    // post-shuffle partition writes a file into every date it holds —
+    // the maintained table then accumulates small files batch over
+    // batch, and each later trigger (and the final read) pays the
+    // listing + per-file open
+    merged.hint("rebalance", col("d")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("d")
       .parquet(tablePath)
