@@ -64,6 +64,15 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** documents/embeddings load WIDENED ([[Par.widen]] — no-op at real
+    * split counts): nearly every consumer runs CPU-bound per-row work
+    * (tokenize/explode, hash features, vector math) straight off the
+    * scan, and the single-file test corpus would otherwise serialize all
+    * of it on one core. events/lineitem load raw: their consumers are
+    * shuffle-bound aggregations, not scan-side CPU.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    Par.widen(t(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    Par.widen(t(s, d, "embeddings"))
 }

@@ -85,11 +85,19 @@ object Curate {
     */
   private def cascade(df: DataFrame, idCol: String, textCol: String,
       cfg: Config): (DataFrame, DataFrame, DataFrame) = {
-    // 1. quality gate
-    val q = TextAnalysis.qualityFeatures(df, idCol, textCol)
-      .filter(qualityPred(cfg))
-      .select(col(idCol))
-    val qualityDocs = df.join(q, Seq(idCol), "left_semi")
+    // 1. quality gate, INLINE: the gate only reads n_tokens and
+    // stopword_ratio, both pure per-row expressions over the text —
+    // filtering the corpus directly replaces the old features-then-
+    // left-semi-join shape (one exchange + a second corpus scan per
+    // cascade, guide §2.4) with a scan-speed predicate. Expressions are
+    // shared with qualityFeatures (TextAnalysis.wsToks/stopHitsOf), so
+    // the kept row set is identical by construction. widen: the gate +
+    // md5 dedup map side otherwise runs at the scan's partition count.
+    val toks = TextAnalysis.wsToks(col(textCol))
+    val qualityDocs = graft.Par.widen(df).filter(
+      size(toks) >= cfg.minTokens &&
+        (TextAnalysis.stopHitsOf(toks).cast("double") / size(toks))
+          >= cfg.minStopwordRatio)
 
     // 2. exact dedup: keep the smallest id per identical text
     val keepers = qualityDocs

@@ -109,11 +109,27 @@ object TextAnalysis {
   /** Quality features + a composite score in [0,1]:
     * length, token stats, stopword ratio, uppercase/punct ratios.
     */
+  /** Whitespace token array + stopword-hit count of one text column —
+    * the quality gate's two load-bearing expressions, shared by
+    * [[qualityFeatures]] and the inline gate predicate
+    * ([[graft.ops.Curate]]) so the two can never drift. ONE filter pass
+    * with a set-membership test: the per-stopword filters are mutually
+    * exclusive (a token lowers to at most one of them), so the sum of
+    * their counts equals the single membership count — same value, 1
+    * array traversal instead of |stopwords|.
+    */
+  private[ops] def wsToks(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = split(t, "\\s+")
+  private[ops] def stopHitsOf(toks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    size(filter(toks, x => lower(x).isInCollection(stop)))
+  }
+
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = split(t, "\\s+")
-    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
-    val stopHits = stop.map(m => size(filter(toks, x => lower(x) === m))).reduce(_ + _)
+    val toks = wsToks(t)
+    val stopHits = stopHitsOf(toks)
     df.select(
       col(idCol),
       length(t).as("n_chars"),
