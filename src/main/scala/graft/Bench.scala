@@ -136,14 +136,23 @@ object Bench {
     val budget = 1100 // chars for the queries map; leaves ample tail room
     val slowEntries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
+    var cutoff = 1.0 // smallest time that made the compact map
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
       val e = "\"" + k + "\":" + fmt2(v)
       if (v >= 1.0 && used + e.length + 1 <= budget) {
         slowEntries += e; used += e.length + 1
+        cutoff = v
       }
     }
+    // n_benched/cutoff_sec: the compact map holds only the slowest
+    // entries under the budget, so a query that IMPROVES past the cutoff
+    // vanishes from this line — which reads as "dropped" to anything
+    // diffing the map round-over-round (12 false drops in round 17).
+    // These two fields make absence distinguishable from removal: the
+    // full per-query detail (all n_benched entries) is in bench_out.json.
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_benched":${
+        results.size},"cutoff_sec":${fmt2(cutoff)},"queries":${
         slowEntries.mkString("{", ",", "}")
       },"sf":"$sfDir","load_start":${fmt2(loadStart)},"load_end":${
         fmt2(loadAvg)},"load":$fmtLoads,"detail":"bench_out.json"}"""

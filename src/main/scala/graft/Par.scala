@@ -22,4 +22,28 @@ object Par {
     // getNumPartitions plans the frame but launches no job
     if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
   }
+
+  /** Run INDEPENDENT Spark actions concurrently from the driver (guide
+    * §2.6: actions are only sequential because driver code calls them
+    * sequentially — overlapping lets the next job's tasks back-fill
+    * executors freed by the current job's tail). For the multi-output
+    * commit paths here (history + watermark tables, data + sidecar) the
+    * writes touch DISJOINT directories, so overlap changes no on-disk
+    * state transition order a reader can observe within one output. The
+    * first failure propagates; all tasks are joined before return.
+    */
+  def jobs(tasks: (() => Unit)*): Unit = {
+    if (tasks.sizeIs <= 1) { tasks.foreach(_.apply()); return }
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = tasks.map { t =>
+      val th = new Thread(() =>
+        try t() catch { case e: Throwable => err.compareAndSet(null, e) })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    val e = err.get()
+    if (e != null) throw e
+  }
 }

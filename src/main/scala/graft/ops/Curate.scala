@@ -91,7 +91,10 @@ object Curate {
     // left-semi-join shape (one exchange + a second corpus scan per
     // cascade, guide §2.4) with a scan-speed predicate. Expressions are
     // shared with qualityFeatures (TextAnalysis.wsToks/stopHitsOf), so
-    // the kept row set is identical by construction. widen: the gate +
+    // the kept row set is identical by construction PROVIDED idCol is
+    // unique (the corpus contract — doc_id is a key): with duplicate ids
+    // the old join kept every row sharing a passing id, the inline gate
+    // keeps only rows that pass themselves. widen: the gate +
     // md5 dedup map side otherwise runs at the scan's partition count.
     val toks = TextAnalysis.wsToks(col(textCol))
     val qualityDocs = graft.Par.widen(df).filter(

@@ -83,7 +83,12 @@ object Scd2 {
     val mtime = fs.getFileStatus(metaFsPath).getModificationTime
     bucketCache.compute(meta, { (_, cached) =>
       if (cached != null && cached._1 == mtime) cached
-      else (mtime, spark.read.parquet(meta).head().getAs[Int]("n_buckets"))
+      // driver-side read: the pin is one int — a Spark job per cache
+      // miss was pure scheduling overhead (ManifestIO discipline)
+      else (mtime, graft.sources.ManifestIO.readIntMeta(
+        spark.sparkContext.hadoopConfiguration, meta, "n_buckets")
+        .getOrElse(throw new IllegalStateException(
+          s"scd2 meta at $meta is unreadable or empty")))
     })._2
   }
 
@@ -231,15 +236,19 @@ object Scd2 {
         lit("insert").as("change_type"), col("state"),
         col("valid_from"), col("valid_to")), dir)
     }
-    writeBucketed(hist
-      .withColumn("ubucket", bucketOf(col("user_id"), nBuckets)),
-      s"$path/history")
-    writeBucketed(events.groupBy(col("user_id"))
-      .agg(max(struct(col("ts"), col("event_id"))).as("_w"))
-      .select(col("user_id"), col("_w.ts").as("last_ts"),
-        col("_w.event_id").as("last_eid"),
-        bucketOf(col("user_id"), nBuckets).as("ubucket")),
-      s"$path/last")
+    // history and watermark land in DISJOINT directories from disjoint
+    // compute — overlap the two write jobs (guide §2.6) instead of
+    // serializing them on the driver
+    graft.Par.jobs(
+      () => writeBucketed(hist
+        .withColumn("ubucket", bucketOf(col("user_id"), nBuckets)),
+        s"$path/history"),
+      () => writeBucketed(events.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"))).as("_w"))
+        .select(col("user_id"), col("_w.ts").as("last_ts"),
+          col("_w.event_id").as("last_eid"),
+          bucketOf(col("user_id"), nBuckets).as("ubucket")),
+        s"$path/last"))
     // the meta pin lands LAST, itself rename-swapped: a crash anywhere
     // above leaves the OLD pin with either the old layout (clean) or the
     // new one — and a stale pin fails the next merge's require loudly
@@ -247,15 +256,23 @@ object Scd2 {
     // the pin FIRST, so a crash left a new pin describing an old layout).
     // The residual window is the gap between the history/last renames and
     // this one — single-writer contract, documented.
-    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
     val meta = s"${path.stripSuffix("/")}/scd2_meta"
     val metaFsPath = new org.apache.hadoop.fs.Path(meta)
-    val fs = metaFsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaDf = Seq(nBuckets).toDF("n_buckets").coalesce(1)
-    if (!fs.exists(metaFsPath)) metaDf.write.parquet(meta)
+    val fs = metaFsPath.getFileSystem(conf)
+    // one int, one row: written driver-side (ManifestIO discipline — a
+    // Spark job here was pure scheduling overhead), same rename-swap
+    def writeMeta(dir: String): Unit = {
+      val d = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(d)) fs.delete(d, true)
+      fs.mkdirs(d)
+      graft.sources.ManifestIO.writeIntMeta(conf,
+        s"$dir/part-00000-meta.parquet", "n_buckets", nBuckets)
+    }
+    if (!fs.exists(metaFsPath)) writeMeta(meta)
     else {
       val tmp = s"${meta}__rebuild_tmp"
-      metaDf.write.mode("overwrite").parquet(tmp)
+      writeMeta(tmp)
       graft.ops.Maintenance.swapParquetDir(spark, meta, tmp)
     }
     // a re-init may change the layout: the JVM pin must follow it
@@ -420,7 +437,7 @@ object Scd2 {
     // seed base (or of a brand-new user) is an insert; the seed-version
     // row is a close iff the fold capped its interval; a re-emitted
     // still-current seed row is no change at all
-    changesTo.foreach { dir =>
+    def writeOutbox(): Unit = changesTo.foreach { dir =>
       val delta = folded
         .join(broadcast(cur.select(col("user_id"),
           col("version").as("_bv"))), Seq("user_id"), "left")
@@ -470,19 +487,30 @@ object Scd2 {
     // snapshot-before-write: both outputs read the directories they are
     // about to overwrite. Bucket-routed first (the writeBucketed rule):
     // each touched partition directory lands as one file per merge.
-    val mergedOut = merged
-      .withColumn("ubucket", bucketOf(col("user_id"), stored))
-      .repartition(col("ubucket"))
-      .localCheckpoint()
-    val lastOut = lastMerged
-      .withColumn("ubucket", bucketOf(col("user_id"), stored))
-      .repartition(col("ubucket"))
-      .localCheckpoint()
-    mergedOut.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ubucket").parquet(s"$path/history")
-    lastOut.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ubucket").parquet(s"$path/last")
+    // The outbox write and the two snapshot checkpoints are mutually
+    // independent (reads of history/last + the fold; the feed directory
+    // is disjoint), as are the two final overwrites — each pair overlaps
+    // (guide §2.6) instead of running serially on the driver; the
+    // changes-before-history-overwrite crash ordering is preserved
+    // because all phase-1 work completes before any table write starts.
+    var mergedOut: DataFrame = null
+    var lastOut: DataFrame = null
+    graft.Par.jobs(
+      () => writeOutbox(),
+      () => mergedOut = merged
+        .withColumn("ubucket", bucketOf(col("user_id"), stored))
+        .repartition(col("ubucket"))
+        .localCheckpoint(),
+      () => lastOut = lastMerged
+        .withColumn("ubucket", bucketOf(col("user_id"), stored))
+        .repartition(col("ubucket"))
+        .localCheckpoint())
+    graft.Par.jobs(
+      () => mergedOut.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ubucket").parquet(s"$path/history"),
+      () => lastOut.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ubucket").parquet(s"$path/last"))
   }
 }

@@ -136,21 +136,27 @@ object BloomIndex {
       require(kc == keyCol,
         s"bloom index at $tablePath is keyed on '$kc', append got '$keyCol'")
     }
-    val sc = spark.read.parquet(sidecarPath(tablePath))
-    val geo = sc.select(col("m_bits"), col("k_hashes"), col("n_files")).head()
-    val (mBits, k) = (geo.getInt(0), geo.getInt(1))
+    // geometry rides as constant columns of every sidecar row — ONE
+    // driver-side record read replaces the old head() Spark jobs
+    val conf = spark.sparkContext.hadoopConfiguration
+    val g = ManifestIO.readFirstRecord(conf, sidecarPath(tablePath))
+      .getOrElse(throw new IllegalStateException(
+        s"bloom sidecar at ${sidecarPath(tablePath)} is empty"))
+    val (mBits, k) = (g.getInteger("m_bits", 0), g.getInteger("k_hashes", 0))
+    val nf = g.getInteger("n_files", 0)
     // the domain is pinned by the sidecar (legacy sidecars predate
     // key_kind: they were all long-domain); an append in another domain
     // would fork the hash generation — the keyCol require above already
     // rejects a different column, and same column ⇒ same domain
     val kind =
-      if (sc.columns.contains("key_kind"))
-        sc.select(col("key_kind")).head().getString(0)
+      if (g.getType.containsField("key_kind") &&
+          g.getFieldRepetitionCount("key_kind") > 0)
+        g.getString("key_kind", 0)
       else "long"
-    val before = spark.read.parquet(tablePath).inputFiles.toSet
+    val before = ZoneMap.listDataFiles(spark, tablePath).toSet
     df.repartition(nFiles, col(keyCol))
       .write.mode("append").parquet(tablePath)
-    val newFiles = spark.read.parquet(tablePath).inputFiles.toSet -- before
+    val newFiles = ZoneMap.listDataFiles(spark, tablePath).toSet -- before
     if (newFiles.isEmpty) return // empty batch: nothing to index, no-op
     spark.read.parquet(newFiles.toSeq: _*)
       .select(col(keyCol).cast(kind).as("k"), input_file_name().as("f"))
@@ -159,7 +165,7 @@ object BloomIndex {
       .agg(bit_or(col("c.m")).as("bits"))
       .withColumn("m_bits", lit(mBits))
       .withColumn("k_hashes", lit(k))
-      .withColumn("n_files", lit(geo.getInt(2)))
+      .withColumn("n_files", lit(nf))
       .withColumn("key_col", lit(keyCol))
       .withColumn("key_kind", lit(kind))
       .write.mode("append").parquet(sidecarPath(tablePath))
@@ -179,21 +185,16 @@ object BloomIndex {
     */
   private[sources] def plannedKeyMeta(spark: SparkSession,
       tablePath: String): Option[(String, String)] = {
-    val p = new org.apache.hadoop.fs.Path(sidecarPath(tablePath))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val sc = spark.read.parquet(sidecarPath(tablePath))
-      if (!sc.columns.contains("key_col")) None
-      else {
-        val kind =
-          if (sc.columns.contains("key_kind"))
-            sc.select(col("key_kind")).take(1).headOption
-              .flatMap(r => Option(r.getString(0))).getOrElse("long")
-          else "long"
-        sc.select(col("key_col")).take(1).headOption
-          .flatMap(r => Option(r.getString(0))).map(kc => (kc, kind))
-      }
+    // key metadata rides as constant columns — one driver-side record
+    // read replaces the old spark.read + take(1) jobs per planner open
+    ManifestIO.readFirstRecord(spark.sparkContext.hadoopConfiguration,
+        sidecarPath(tablePath)).flatMap { g =>
+      val t = g.getType
+      def str(n: String): Option[String] =
+        if (t.containsField(n) && g.getFieldRepetitionCount(n) > 0)
+          Some(g.getString(n, 0))
+        else None
+      str("key_col").map(kc => (kc, str("key_kind").getOrElse("long")))
     }
   }
 
@@ -223,26 +224,37 @@ object BloomIndex {
     */
   private def candidateFilesOf(spark: SparkSession, tablePath: String,
       probeKeys: DataFrame): Seq[String] = {
-    import spark.implicits._
+    // geometry from ONE driver-side record read (constant columns); the
+    // membership probe itself stays a DISTRIBUTED job — at 100 TB the
+    // sidecar is files × words rows, a table, and only matched/covered
+    // FILE NAMES (bounded by the file count) reach the driver, in one
+    // collect instead of the old two
+    val g = ManifestIO.readFirstRecord(spark.sparkContext.hadoopConfiguration,
+      sidecarPath(tablePath)).getOrElse(throw new IllegalStateException(
+      s"bloom sidecar at ${sidecarPath(tablePath)} is empty"))
+    val (mBits, k) = (g.getInteger("m_bits", 0), g.getInteger("k_hashes", 0))
     val sidecar = spark.read.parquet(sidecarPath(tablePath))
-    val geo = sidecar.select(col("m_bits"), col("k_hashes")).head()
-    val (mBits, k) = (geo.getInt(0), geo.getInt(1))
     val probe = probeKeys
       .select(col("k"), explode(contribs(mBits, k)).as("c"))
       .groupBy(col("k"), col("c.w").as("w"))
       .agg(bit_or(col("c.m")).as("pm"))
     val need = probe.groupBy(col("k")).agg(count(lit(1)).as("need"))
-    val matched = probe
+    val matchedF = probe
       .join(sidecar, Seq("w"))
       .filter((col("bits").bitwiseAND(col("pm"))) === col("pm"))
       .groupBy(col("k"), col("f")).agg(count(lit(1)).as("hit"))
       .join(need, Seq("k"))
       .filter(col("hit") === col("need"))
       .select(col("f")).distinct()
-      .as[String].collect().toSeq
-    val covered = sidecar.select(col("f")).distinct().as[String].collect().toSet
-    val uncovered = spark.read.parquet(tablePath).inputFiles
-      .filterNot(covered).toSeq
+      .withColumn("_hit", lit(true))
+    val perFile = sidecar.select(col("f")).distinct()
+      .join(matchedF, Seq("f"), "left")
+      .select(col("f"), coalesce(col("_hit"), lit(false)).as("_hit"))
+      .collect()
+    val matched = perFile.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
+    val covered = perFile.map(_.getString(0)).toSet
+    val uncovered = ZoneMap.listDataFiles(spark, tablePath)
+      .filterNot(covered)
     (matched ++ uncovered).distinct.sorted
   }
 

@@ -41,7 +41,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   *    stats cannot be PROVEN equivalent returns None and the caller falls
   *    back to the old Spark-job path.
   */
-private[sources] object ManifestIO {
+private[graft] object ManifestIO {
 
   private val ManifestSchema: MessageType = MessageTypeParser.parseMessageType(
     """message spark_schema {
@@ -208,6 +208,155 @@ private[sources] object ManifestIO {
     else None
   }
 
+  // ---- ZoneMap sidecar I/O (same driver-side discipline) --------------
+
+  /** The [[ZoneMap]] sidecar's physical schema, matching what Spark's
+    * writer produced for the old `coalesce(1).write.parquet` path — both
+    * reader directions stay byte-compatible.
+    */
+  private val SidecarSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message spark_schema {
+      |  optional binary f (UTF8);
+      |  optional binary c (UTF8);
+      |  optional int32 ci;
+      |  optional double lo;
+      |  optional double hi;
+      |  optional binary slo (UTF8);
+      |  optional binary shi (UTF8);
+      |  optional int64 nulls;
+      |  optional int64 rows;
+      |}""".stripMargin)
+
+  /** One (file, column) sidecar row — the on-disk zone-map record. */
+  final case class SidecarRow(f: String, c: String, ci: Int,
+      lo: Option[Double], hi: Option[Double],
+      slo: Option[String], shi: Option[String],
+      nulls: Option[Long], rows: Option[Long])
+
+  /** Write `rows` as ONE sidecar parquet part file (driver-side, no
+    * Spark job). The caller owns staging/rename.
+    */
+  def writeSidecar(conf: Configuration, file: String,
+      rows: Seq[SidecarRow]): Unit = {
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(file), conf))
+      .withConf(conf)
+      .withType(SidecarSchema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { r =>
+      val g = new SimpleGroup(SidecarSchema)
+      g.append("f", r.f)
+      g.append("c", r.c)
+      g.append("ci", r.ci)
+      r.lo.foreach(v => g.append("lo", v))
+      r.hi.foreach(v => g.append("hi", v))
+      r.slo.foreach(v => g.append("slo", v))
+      r.shi.foreach(v => g.append("shi", v))
+      r.nulls.foreach(v => g.append("nulls", v))
+      r.rows.foreach(v => g.append("rows", v))
+      w.write(g)
+    } finally w.close()
+  }
+
+  /** Read every data file of sidecar directory `dir` (driver-side, no
+    * Spark job). Reads both [[writeSidecar]]'s files and legacy
+    * Spark-written parts; sidecars predating the nulls/rows columns read
+    * with those fields absent (None — which never prunes).
+    */
+  def readSidecar(conf: Configuration, dir: String): Seq[SidecarRow] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val parts = fs.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.getName)
+    val out = Seq.newBuilder[SidecarRow]
+    parts.foreach { st =>
+      val r = ParquetReader
+        .builder(new GroupReadSupport(), st.getPath)
+        .withConf(conf)
+        .build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val t = g.getType
+          def has(n: String) =
+            t.containsField(n) && g.getFieldRepetitionCount(n) > 0
+          def str(n: String) = if (has(n)) Some(g.getString(n, 0)) else None
+          def dbl(n: String) = if (has(n)) Some(g.getDouble(n, 0)) else None
+          def lng(n: String) = if (has(n)) Some(g.getLong(n, 0)) else None
+          out += SidecarRow(str("f").orNull, str("c").orNull,
+            if (has("ci")) g.getInteger("ci", 0) else 0,
+            dbl("lo"), dbl("hi"), str("slo"), str("shi"),
+            lng("nulls"), lng("rows"))
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    out.result()
+  }
+
+  /** Write a one-row, one-int-column meta parquet (driver-side, no
+    * Spark job) — the shape of pinned-layout metadata like Scd2's
+    * `scd2_meta`. Byte-compatible with the old
+    * `Seq(v).toDF(name).coalesce(1).write.parquet` output.
+    */
+  def writeIntMeta(conf: Configuration, file: String, name: String,
+      value: Int): Unit = {
+    val schema = MessageTypeParser.parseMessageType(
+      s"message spark_schema { optional int32 $name; }")
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(file), conf))
+      .withConf(conf)
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new SimpleGroup(schema)
+      g.append(name, value)
+      w.write(g)
+    } finally w.close()
+  }
+
+  /** Read the single int of a [[writeIntMeta]]-shaped meta directory
+    * (driver-side; also reads the legacy Spark-written form). None when
+    * the directory is missing/empty or the field is absent.
+    */
+  def readIntMeta(conf: Configuration, dir: String,
+      name: String): Option[Int] =
+    readFirstRecord(conf, dir).flatMap { g =>
+      if (g.getType.containsField(name) &&
+          g.getFieldRepetitionCount(name) > 0)
+        Some(g.getInteger(name, 0))
+      else None
+    }
+
+  /** First record of the first non-hidden part file under parquet
+    * directory `dir` (driver-side, no Spark job) — for sidecar-wide
+    * CONSTANT columns (bloom geometry, key metadata). None for a
+    * missing or empty directory.
+    */
+  def readFirstRecord(conf: Configuration, dir: String)
+      : Option[org.apache.parquet.example.data.Group] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val parts = fs.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.getName)
+    parts.foreach { st =>
+      val r = ParquetReader
+        .builder(new GroupReadSupport(), st.getPath)
+        .withConf(conf)
+        .build()
+      val g = try r.read() finally r.close()
+      if (g != null) return Some(g)
+    }
+    None
+  }
+
   /** Per-file parquet row counts, driver-side from the footers (row
     * counts are footer metadata — always exact). None if any footer is
     * unreadable.
@@ -239,74 +388,107 @@ private[sources] object ManifestIO {
     a.asInstanceOf[Statistics[Integer]]
       .mergeStatistics(b.asInstanceOf[Statistics[Integer]])
 
+  /** One file's footer stats: Some(None) for a zero-row file (the job
+    * path emits no row for it), Some(Some(fs)) for proven-exact stats,
+    * None when anything cannot be proven (the whole batch then falls
+    * back to the aggregation job).
+    */
+  private def oneFileStats(conf: Configuration,
+      f: String): Option[Option[FileStats]] = {
+    try {
+      val in = HadoopInputFile.fromPath(new Path(f), conf)
+      val reader = ParquetFileReader.open(in)
+      val footer = try reader.getFooter finally reader.close()
+      val schema = footer.getFileMetaData.getSchema
+      val kinds = schema.getFields.asScala.toSeq
+        .map(t => t.getName -> classify(t))
+      if (kinds.exists(_._2 == KUnknown)) return None
+      val statCols = kinds.collect { case (n, k) if k != KSkip => n }
+      // one parquet-native Statistics per column, merged across row
+      // groups with parquet's own comparator (unsigned-lexicographic
+      // for UTF8 — the same total order Spark's min/max use)
+      val merged =
+        scala.collection.mutable.LinkedHashMap[String, Statistics[_]]()
+      var rows = 0L
+      footer.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.foreach { cc =>
+          val path = cc.getPath.toArray
+          if (path.length == 1 && statCols.contains(path(0))) {
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+            // non-null values present but no min/max recorded: the
+            // writer dropped the stats (e.g. >4 KB values) — unprovable
+            if (!st.hasNonNullValue && st.getNumNulls < cc.getValueCount)
+              return None
+            merged.get(path(0)) match {
+              case Some(m) => mergeStats(m, st)
+              case None => merged(path(0)) = st.copy()
+            }
+          }
+        }
+      }
+      if (rows == 0) return Some(None)
+      val cols = statCols.map { c =>
+        val st = merged.getOrElse(c, return None)
+        if (!st.isNumNullsSet) return None
+        val field = schema.getType(Seq(c): _*).asPrimitiveType()
+        val isStr = kinds.find(_._1 == c).get._2 == KStr
+        if (!st.hasNonNullValue)
+          ColStat(c, None, None, None, None, st.getNumNulls)
+        else if (isStr) {
+          (utf8(st.getMinBytes), utf8(st.getMaxBytes)) match {
+            case (Some(lo), Some(hi)) =>
+              ColStat(c, None, None, Some(lo), Some(hi), st.getNumNulls)
+            case _ => return None
+          }
+        } else numBounds(st, field) match {
+          case Some((lo, hi)) =>
+            ColStat(c, Some(lo), Some(hi), None, None, st.getNumNulls)
+          case None => return None
+        }
+      }
+      Some(Some(FileStats(f, rows, cols)))
+    } catch {
+      case _: Exception => None // unreadable footer etc. — job path decides
+    }
+  }
+
   /** Exact per-file stats from the parquet footers of `files`, or None
     * when ANY file/column cannot be proven exact (the caller then runs
     * the aggregation-job path). Zero-row files yield no entry, matching
     * the job path (its groupBy emits no row for a file with no rows).
+    * Footer opens run on a small driver pool (Iceberg's worker-pool
+    * manifest discipline): the aggregation job this path replaces was
+    * cluster-parallel, and a serial loop over a hundred-file commit
+    * would hand back most of the win.
     */
   def footerStats(conf: Configuration,
       files: Seq[String]): Option[Seq[FileStats]] = {
-    try {
-      val out = Seq.newBuilder[FileStats]
-      files.foreach { f =>
-        val in = HadoopInputFile.fromPath(new Path(f), conf)
-        val reader = ParquetFileReader.open(in)
-        val footer = try reader.getFooter finally reader.close()
-        val schema = footer.getFileMetaData.getSchema
-        val kinds = schema.getFields.asScala.toSeq
-          .map(t => t.getName -> classify(t))
-        if (kinds.exists(_._2 == KUnknown)) return None
-        val statCols = kinds.collect { case (n, k) if k != KSkip => n }
-        // one parquet-native Statistics per column, merged across row
-        // groups with parquet's own comparator (unsigned-lexicographic
-        // for UTF8 — the same total order Spark's min/max use)
-        val merged =
-          scala.collection.mutable.LinkedHashMap[String, Statistics[_]]()
-        var rows = 0L
-        footer.getBlocks.asScala.foreach { b =>
-          rows += b.getRowCount
-          b.getColumns.asScala.foreach { cc =>
-            val path = cc.getPath.toArray
-            if (path.length == 1 && statCols.contains(path(0))) {
-              val st = cc.getStatistics
-              if (st == null || st.isEmpty || !st.isNumNullsSet) return None
-              // non-null values present but no min/max recorded: the
-              // writer dropped the stats (e.g. >4 KB values) — unprovable
-              if (!st.hasNonNullValue && st.getNumNulls < cc.getValueCount)
-                return None
-              merged.get(path(0)) match {
-                case Some(m) => mergeStats(m, st)
-                case None => merged(path(0)) = st.copy()
-              }
-            }
+    // exactness precondition: parquet-mr writers TRUNCATE binary footer
+    // min/max when parquet.statistics.truncate.length is set below its
+    // MAX_VALUE default, with no exactness flag surfaced through the
+    // Statistics API read here — a deployment setting it would make the
+    // fast path commit too-tight string bounds that mis-skip files.
+    // Fall back to the aggregation-job path in that configuration.
+    if (conf.getInt("parquet.statistics.truncate.length",
+          Integer.MAX_VALUE) < Integer.MAX_VALUE) return None
+    val perFile: Seq[Option[Option[FileStats]]] =
+      if (files.sizeIs <= 2) files.map(oneFileStats(conf, _))
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(16, files.size))
+        try {
+          val futs = files.map { f =>
+            pool.submit(new java.util.concurrent.Callable[
+              Option[Option[FileStats]]] {
+              def call(): Option[Option[FileStats]] = oneFileStats(conf, f)
+            })
           }
-        }
-        if (rows > 0) {
-          val cols = statCols.map { c =>
-            val st = merged.getOrElse(c, return None)
-            if (!st.isNumNullsSet) return None
-            val field = schema.getType(Seq(c): _*).asPrimitiveType()
-            val isStr = kinds.find(_._1 == c).get._2 == KStr
-            if (!st.hasNonNullValue)
-              ColStat(c, None, None, None, None, st.getNumNulls)
-            else if (isStr) {
-              (utf8(st.getMinBytes), utf8(st.getMaxBytes)) match {
-                case (Some(lo), Some(hi)) =>
-                  ColStat(c, None, None, Some(lo), Some(hi), st.getNumNulls)
-                case _ => return None
-              }
-            } else numBounds(st, field) match {
-              case Some((lo, hi)) =>
-                ColStat(c, Some(lo), Some(hi), None, None, st.getNumNulls)
-              case None => return None
-            }
-          }
-          out += FileStats(f, rows, cols)
-        }
+          futs.map(_.get())
+        } finally pool.shutdown()
       }
-      Some(out.result())
-    } catch {
-      case _: Exception => None // unreadable footer etc. — job path decides
-    }
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatMap(_.get))
   }
 }

@@ -1161,12 +1161,29 @@ object Versioned {
     // empty authority to `file:/...`, which would strand the stats rows);
     // re-opening the directory as a DataFrame just to list it paid a
     // schema-inference footer read per commit.
+    // hidden-path rule on EVERY segment under dataDir, not just the file
+    // basename (Spark's InMemoryFileIndex convention): a leftover
+    // _temporary/ or .spark-staging-*/ subtree from a dead task attempt
+    // must not be adopted into the manifest as committed data. Partition
+    // directories are exempt via the '=' carve-out (they are spelled
+    // `_p_<col>=<value>` — PartDirPrefix starts with '_').
+    def hidden(name: String): Boolean =
+      name.startsWith(".") || (name.startsWith("_") && !name.contains("="))
+    def underHiddenDir(f: org.apache.hadoop.fs.Path): Boolean = {
+      var d = f.getParent
+      while (d != null && d.toUri.getPath != p.toUri.getPath) {
+        if (hidden(d.getName)) return true
+        d = d.getParent
+      }
+      false
+    }
     val it = fs.listFiles(p, true)
     val out = Seq.newBuilder[String]
     while (it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith("."))
+      if (!n.startsWith("_") && !n.startsWith(".") &&
+          !underHiddenDir(st.getPath))
         out += st.getPath.toUri.toString
     }
     out.result().sorted
@@ -1447,13 +1464,17 @@ object Versioned {
         case Seq(a, b) => mk(a, b)
         case Seq(a) => a
       }.toSeq, mk)
+    // resolve the key ordinal through the schema, never literal 0: every
+    // current caller passes select(keyCols...), but a wider keys frame
+    // would silently build the In list from the wrong column and mis-prune
+    val ki = schema.fieldIndex(keyCols.head)
     val disj =
-      if (keyCols.size == 1 && rows.forall(!_.isNullAt(0))) {
+      if (keyCols.size == 1 && rows.forall(!_.isNullAt(ki))) {
         // single non-null key column: one In probe — admitted() runs it
         // as a single batched bloom/stats pass instead of n point probes
         val dt = schema(keyCols.head).dataType
         In(attrs.head, rows.map(r =>
-          Literal.create(r.getAs[Any](0), dt)).toIndexedSeq)
+          Literal.create(r.getAs[Any](ki), dt)).toIndexedSeq)
       } else balanced(rows.toIndexedSeq.map { r =>
         keyCols.zip(attrs).map { case (c, a) =>
           val v = r.getAs[Any](schema.fieldIndex(c))

@@ -52,6 +52,39 @@ object ZoneMap {
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Recursive data-file listing under `table`, hidden paths skipped at
+    * EVERY segment (Spark's InMemoryFileIndex rule — `=`-bearing
+    * partition directories exempt), spelled via `Path.toUri` — the
+    * `file:///…` form `input_file_name()`/`inputFiles` use (the
+    * [[Versioned]] stagedFiles convention), so sidecar keys and live
+    * sets always agree. Replaces the old
+    * `spark.read.parquet(table).inputFiles`, which paid a
+    * schema-inference footer read (and partition discovery) per probe.
+    */
+  private[sources] def listDataFiles(spark: SparkSession,
+      table: String): Seq[String] = {
+    val p = new Path(table)
+    val fs = fsOf(spark, table)
+    if (!fs.exists(p)) return Seq.empty
+    def hidden(n: String): Boolean =
+      n.startsWith(".") || (n.startsWith("_") && !n.contains("="))
+    val rootPath = fs.makeQualified(p).toUri.getPath
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val f = st.getPath
+      var hid = hidden(f.getName)
+      var d = f.getParent
+      while (!hid && d != null && d.toUri.getPath != rootPath) {
+        if (hidden(d.getName)) hid = true
+        d = d.getParent
+      }
+      if (!hid) out += f.toUri.toString
+    }
+    out.result().sorted
+  }
+
   /** Per-(file, column) min/max/nullCount rows for `files` over
     * `statCols` — ONE scan: a single groupBy(f) carrying the algebraic
     * partials (2 bounds + a null count per column, plus one row count),
@@ -94,28 +127,96 @@ object ZoneMap {
         col("s.nulls").as("nulls"), col("rows"))
   }
 
-  /** Land a freshly computed sidecar frame atomically: write aside, then
-    * rename into place (or rename-swap when replacing) — the one commit
-    * idiom every sidecar write shares.
+  /** Per-(file, column) stat rows for `files` over `statCols` — the
+    * sidecar's content, computed from the parquet FOOTERS on the driver
+    * when provably exact (the [[ManifestIO.footerStats]] contract —
+    * Iceberg's commit-time design; guide §1.2: the old path launched a
+    * full aggregation JOB over freshly written kilobyte files), falling
+    * back to the one-scan [[statsOf]] aggregation job otherwise. A stat
+    * column the footer pass cannot cover at the job path's kind (e.g. a
+    * timestamp, which the job casts to double) forces the fallback, so
+    * the two paths always agree on content.
+    */
+  private def statRows(spark: SparkSession, files: Seq[String],
+      statCols: Seq[String]): Seq[ManifestIO.SidecarRow] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fast: Option[Seq[ManifestIO.SidecarRow]] =
+      ManifestIO.footerStats(conf, files).flatMap { perFile =>
+        val rows = Seq.newBuilder[ManifestIO.SidecarRow]
+        val ok = perFile.forall { fstat =>
+          statCols.zipWithIndex.forall { case (c, i) =>
+            fstat.cols.find(_.name == c) match {
+              case Some(cs) =>
+                rows += ManifestIO.SidecarRow(fstat.file, c, i,
+                  cs.lo, cs.hi, cs.slo, cs.shi,
+                  Some(cs.nulls), Some(fstat.rows))
+                true
+              case None => false // footer-skipped column: job path decides
+            }
+          }
+        }
+        if (ok) Some(rows.result()) else None
+      }
+    fast.getOrElse {
+      statsOf(spark, files, statCols).collect().toSeq.map { r =>
+        ManifestIO.SidecarRow(r.getString(0), r.getString(1), r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getString(5)),
+          if (r.isNullAt(6)) None else Some(r.getString(6)),
+          if (r.isNullAt(7)) None else Some(r.getLong(7)),
+          if (r.isNullAt(8)) None else Some(r.getLong(8)))
+      }
+    }
+  }
+
+  /** Land freshly computed sidecar rows atomically: one driver-written
+    * part file staged aside, then rename into place (or rename-swap when
+    * replacing) — the one commit idiom every sidecar write shares. No
+    * Spark job: the sidecar is O(files × stat cols) of metadata.
     */
   private def commitSidecar(spark: SparkSession, tablePath: String,
-      stats: DataFrame): Unit = {
-    val tmp = sidecarPath(tablePath) + "__new"
-    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+      rows: Seq[ManifestIO.SidecarRow]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val fs = fsOf(spark, tablePath)
     val target = new Path(sidecarPath(tablePath))
+    val tmp = new Path(sidecarPath(tablePath) + "__new")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    ManifestIO.writeSidecar(conf,
+      new Path(tmp, "part-00000-zm.parquet").toString, rows)
     if (fs.exists(target))
-      graft.ops.Maintenance.swapParquetDir(spark, sidecarPath(tablePath), tmp)
+      graft.ops.Maintenance.swapParquetDir(spark, sidecarPath(tablePath),
+        tmp.toString)
     else
-      require(fs.rename(new Path(tmp), target),
+      require(fs.rename(tmp, target),
         s"sidecar commit failed at $target")
+  }
+
+  /** Append sidecar rows as one new part file: staged under a hidden
+    * name inside the sidecar directory, then renamed visible — readers
+    * (Spark and [[ManifestIO.readSidecar]] alike) skip dot-files, so a
+    * torn write is never read as data.
+    */
+  private def appendSidecar(spark: SparkSession, tablePath: String,
+      rows: Seq[ManifestIO.SidecarRow]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, tablePath)
+    val side = new Path(sidecarPath(tablePath))
+    fs.mkdirs(side)
+    val name = s"part-${java.util.UUID.randomUUID}-zm.parquet"
+    val tmp = new Path(side, s".$name.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    ManifestIO.writeSidecar(conf, tmp.toString, rows)
+    require(fs.rename(tmp, new Path(side, name)),
+      s"sidecar append failed at $side")
   }
 
   /** The pinned stat columns in their ORIGINAL (clustering) order. */
   private def pinnedCols(spark: SparkSession, tablePath: String): Seq[String] =
-    spark.read.parquet(sidecarPath(tablePath))
-      .select(col("c"), col("ci")).distinct().orderBy(col("ci"))
-      .collect().map(_.getString(0)).toSeq
+    ManifestIO.readSidecar(spark.sparkContext.hadoopConfiguration,
+        sidecarPath(tablePath))
+      .map(r => (r.ci, r.c)).distinct.sortBy(_._1).map(_._2)
 
   /** Rewrite `df` range-clustered on `statCols.head` into `nFiles` files
     * at `tablePath` and build the per-file min/max sidecar over all
@@ -140,8 +241,8 @@ object ZoneMap {
   def buildStatsOnly(spark: SparkSession, tablePath: String,
       statCols: Seq[String]): Unit = {
     require(statCols.nonEmpty, "need at least one stat column")
-    val files = spark.read.parquet(tablePath).inputFiles.toSeq
-    commitSidecar(spark, tablePath, statsOf(spark, files, statCols))
+    val files = listDataFiles(spark, tablePath)
+    commitSidecar(spark, tablePath, statRows(spark, files, statCols))
   }
 
   /** Recompute the sidecar over the table's LIVE files at the PINNED
@@ -163,13 +264,13 @@ object ZoneMap {
   def append(df: DataFrame, tablePath: String, nFiles: Int = 4): Unit = {
     val spark = df.sparkSession
     val statCols = pinnedCols(spark, tablePath)
-    val before = spark.read.parquet(tablePath).inputFiles.toSet
+    val before = listDataFiles(spark, tablePath).toSet
     df.repartitionByRange(nFiles, col(statCols.head))
       .write.mode("append").parquet(tablePath)
-    val newFiles = spark.read.parquet(tablePath).inputFiles.toSet -- before
+    val newFiles = listDataFiles(spark, tablePath).toSet -- before
     if (newFiles.isEmpty) return // empty batch: nothing to index, no-op
-    statsOf(spark, newFiles.toSeq, statCols)
-      .write.mode("append").parquet(sidecarPath(tablePath))
+    appendSidecar(spark, tablePath,
+      statRows(spark, newFiles.toSeq, statCols))
   }
 
   /** Micro-batch append into DETERMINISTIC `b<id>_`-prefixed part files —
@@ -205,10 +306,9 @@ object ZoneMap {
       else { fs.mkdirs(root); Set.empty[String] }
     if (existing.nonEmpty && sideExists) {
       // fully-committed fast path: every prefixed file covered by stats
-      import spark.implicits._
-      val coveredNames = spark.read.parquet(sidecarPath(tablePath))
-        .select(col("f")).distinct().as[String].collect()
-        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      val coveredNames = ManifestIO.readSidecar(
+          spark.sparkContext.hadoopConfiguration, sidecarPath(tablePath))
+        .map(r => r.f.substring(r.f.lastIndexOf('/') + 1)).toSet
       if (existing.subsetOf(coveredNames)) return
     }
     // torn attempt (or first delivery): clear this batch's remnants and
@@ -223,15 +323,15 @@ object ZoneMap {
       .map { s =>
         val dst = new Path(root, prefix + s.getPath.getName)
         require(fs.rename(s.getPath, dst), s"could not move ${s.getPath}")
-        dst.toString
+        // qualified + toUri: the `file:///…` spelling input_file_name()
+        // uses (replaces the old read-back of the moved files, which paid
+        // a schema-inference open just to canonicalize paths)
+        fs.makeQualified(dst).toUri.toString
       }.toSeq
     fs.delete(stage, true)
     if (moved.isEmpty) return
-    // read the moved files back so sidecar `f` values match
-    // input_file_name()'s URI form exactly
-    val finalFiles = spark.read.parquet(moved: _*).inputFiles.toSeq
-    val stats = statsOf(spark, finalFiles, pinned)
-    if (fs.exists(side)) stats.write.mode("append").parquet(sidecarPath(tablePath))
+    val stats = statRows(spark, moved, pinned)
+    if (fs.exists(side)) appendSidecar(spark, tablePath, stats)
     else commitSidecar(spark, tablePath, stats)
   }
 
@@ -249,29 +349,18 @@ object ZoneMap {
 
   private[sources] def loadIndex(spark: SparkSession, tablePath: String)
       : (Set[String], Seq[Stat]) = {
-    val live = spark.read.parquet(tablePath).inputFiles.toSet
+    val live = listDataFiles(spark, tablePath).toSet
     val stats =
       if (!fsOf(spark, tablePath).exists(new Path(sidecarPath(tablePath))))
         Seq.empty
-      else {
-        val sc = spark.read.parquet(sidecarPath(tablePath))
-        // null-count columns arrived after the first sidecar generation;
-        // a legacy sidecar reads with unknown counts (which never prune)
-        val hasNulls = sc.columns.contains("nulls")
-        val projected =
-          if (hasNulls) sc.select(col("f"), col("c"), col("lo"), col("hi"),
-            col("slo"), col("shi"), col("nulls"), col("rows"))
-          else sc.select(col("f"), col("c"), col("lo"), col("hi"),
-            col("slo"), col("shi"), lit(null).cast("long").as("nulls"),
-            lit(null).cast("long").as("rows"))
-        projected.collect().toSeq.map(r => Stat(r.getString(0), r.getString(1),
-          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
-          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
-          if (r.isNullAt(4)) None else Some(r.getString(4)),
-          if (r.isNullAt(5)) None else Some(r.getString(5)),
-          if (r.isNullAt(6)) None else Some(r.getLong(6)),
-          if (r.isNullAt(7)) None else Some(r.getLong(7))))
-      }
+      else
+        // driver-side read (no Spark job for O(files × cols) metadata);
+        // sidecars predating the nulls/rows columns read as None — which
+        // never prunes
+        ManifestIO.readSidecar(spark.sparkContext.hadoopConfiguration,
+            sidecarPath(tablePath))
+          .map(r => Stat(r.f, r.c, r.lo, r.hi, r.slo, r.shi,
+            r.nulls, r.rows))
     (live, stats)
   }
 
