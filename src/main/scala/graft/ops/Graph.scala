@@ -48,15 +48,18 @@ object Graph {
       .distinct()
       .localCheckpoint()
     p.unpersist()
+    // checkpointed ONCE: the scalar count and the rank seed share the
+    // materialized aggregation instead of each recomputing it
     val deg = edges.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     // N is one bounded scalar read (house convention: scalar aggregates
     // may surface to the driver; row data never does)
     val n = deg.count()
     if (n == 0) return edges.select(col("a").as("node"),
       lit(0.0).as("rank")).limit(0)
     var ranks = deg.select(col("node"), col("deg"),
-      lit(1.0 / n).as("rank")).localCheckpoint()
+      lit(1.0 / n).as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = edges
         .join(ranks.select(col("node").as("a"),
@@ -99,13 +102,15 @@ object Graph {
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
       .localCheckpoint()
     p.unpersist()
+    // checkpointed ONCE: count + rank seed share one materialization
     val wsum = edges.groupBy(col("a").as("node"))
       .agg(sum(col("w")).as("ws"))
+      .localCheckpoint()
     val n = wsum.count()
     if (n == 0) return edges.select(col("a").as("node"),
       lit(0.0).as("rank")).limit(0)
     var ranks = wsum.select(col("node"), col("ws"),
-      lit(1.0 / n).as("rank")).localCheckpoint()
+      lit(1.0 / n).as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = edges
         .join(ranks.select(col("node").as("a"),
@@ -147,8 +152,11 @@ object Graph {
       .distinct()
       .localCheckpoint()
     p.unpersist()
+    // checkpointed ONCE: the source intersection count and the teleport
+    // seed share one materialized aggregation
     val deg = edges.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val src = sources.select(col("node")).distinct()
       .join(deg.select(col("node")), Seq("node"), "left_semi")
     val nS = src.count()

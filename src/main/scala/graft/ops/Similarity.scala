@@ -321,9 +321,12 @@ object Similarity {
     // widen: each Lloyd assignment pass computes corpus x k cosine
     // distances BEFORE its first exchange — at the scan's partition
     // count that map side is one task on a single-file corpus
-    // (graft.Par — no-op at scale)
+    // (graft.Par — no-op at scale). localCheckpoint: every iteration
+    // re-reads this frame; materialized ONCE, the per-iteration scan +
+    // widen exchange disappear (rebalanceAnnIndex already does this).
     val c = graft.Par.widen(corpus).select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("vn"))
+      .localCheckpoint()
     lloyd(c, cents, iters).select(col("vec_id"), col("label"))
   }
 
@@ -340,15 +343,24 @@ object Similarity {
     var i = 0
     var assigned: DataFrame = null
     while (i < iters) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("label"))
+      // cosine argmax as ONE map-side-combining aggregation (guide
+      // §2.3): the old per-iteration row_number window shuffled the full
+      // corpus × k candidate rows and sorted them per vec_id; max_by
+      // collapses the k candidates per vector INSIDE each map partition
+      // (the broadcast cross join never re-partitions c), so the
+      // exchange carries corpus rows, not corpus × k. Identical winner:
+      // the ordering key (ccos, -label) is unique per vec_id (labels are
+      // distinct), and both forms rank NaN as largest with the same
+      // smallest-label tie-break on all-NaN rows.
       assigned = c.crossJoin(broadcast(cents))
         .withColumn("ccos",
           dot(col("embedding"), col("centroid")) /
             (col("vn") * norm(col("centroid"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("label"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("embedding"), col("label")),
+          struct(col("ccos"), (-col("label")).as("nl"))).as("_best"))
+        .select(col("vec_id"), col("_best.embedding").as("embedding"),
+          col("_best.label").as("label"))
       cents = assigned
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
