@@ -145,17 +145,22 @@ object Dedup {
     * first (cheap int array), grams assemble after — no per-row array of
     * gram strings materialized before the generator.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      hash64: Boolean = false): DataFrame = {
     val positions = when(size(col("_w")) >= n,
       sequence(lit(0), size(col("_w")) - n)).otherwise(array())
     val gram = concat_ws(" ",
       (0 until n).map(j => element_at(col("_w"), col("_i") + j + 1)): _*)
+    // hash64: callers that never surface the gram text (count-only
+    // pipelines) shingle as 64-bit hashes — applied BEFORE the distinct,
+    // so its exchange already carries longs instead of n-gram strings
+    val shingle = if (hash64) xxhash64(gram) else gram
     // widen: the split+explode map side otherwise runs at the scan's
     // partition count (ONE task on a single-file corpus — graft.Par)
     graft.Par.widen(df)
       .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
       .withColumn("_i", explode(positions))
-      .select(col("id"), gram.as("shingle"))
+      .select(col("id"), shingle.as("shingle"))
       .distinct()
   }
 
@@ -606,8 +611,16 @@ object Dedup {
       maxDocFreq: Int, maxDocFreqFrac: Option[Double]): DataFrame = {
     // cache(): shingle rows feed the doc-frequency gate, the common-gram
     // join (both sides), and the set sizes. CALLER-OWNED lifetime — see
-    // nearDuplicates.
-    val sh = shingles(df, idCol, textCol, shingleSize).cache()
+    // nearDuplicates. The gram STRINGS never surface in the output (only
+    // counts and ids do), so they collapse to 64-bit hashes BEFORE the
+    // distinct (guide §2.3 — narrower types through every exchange): the
+    // dedup, the frequency gate, and the two inverted-index joins all
+    // shuffle and compare longs instead of word n-grams. Distinctness is
+    // preserved up to xxhash64 collisions (~n²/2⁶⁵ — vanishing at any
+    // corpus size where the exact-count contract itself is meaningful,
+    // and the oracle gate pins the results).
+    val sh = shingles(df, idCol, textCol, shingleSize, hash64 = true)
+      .cache()
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val rare = maxDocFreqFrac match {
       case Some(f) =>
