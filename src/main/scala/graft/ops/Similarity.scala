@@ -380,16 +380,23 @@ object Similarity {
     */
   def buildAnnIndex(corpus: DataFrame, dbPath: String, nClusters: Int,
       iters: Int = 5): Unit = {
-    val labels = kmeans(corpus, nClusters, iters)
-    val labeled = corpus.join(labels, Seq("vec_id"))
-    labeled.write.mode("overwrite").partitionBy("label")
-      .parquet(s"$dbPath/vectors")
-    val spark = corpus.sparkSession
-    centroids(spark.read.parquet(s"$dbPath/vectors"), "label")
-      .write.mode("overwrite").parquet(s"$dbPath/centroids")
-    // rebuild invalidates any streaming replay marker (see the scaladoc
-    // on StreamCommitMarker — stale markers silently drop fresh batches)
-    StreamCommitMarker.clear(spark, dbPath)
+    val labels = kmeans(corpus, nClusters, iters).cache()
+    try {
+      labels.count()
+      val labeled = corpus.join(labels, Seq("vec_id"))
+      // both artifacts derive from the materialized assignment and land
+      // in disjoint directories — overlap the writes (guide §2.6); the
+      // old path serialized them behind a read-back of the vectors table
+      // it had just written
+      graft.Par.jobs(
+        () => labeled.write.mode("overwrite").partitionBy("label")
+          .parquet(s"$dbPath/vectors"),
+        () => centroids(labeled, "label")
+          .write.mode("overwrite").parquet(s"$dbPath/centroids"))
+      // rebuild invalidates any streaming replay marker (see the scaladoc
+      // on StreamCommitMarker — stale markers silently drop fresh batches)
+      StreamCommitMarker.clear(corpus.sparkSession, dbPath)
+    } finally labels.unpersist()
   }
 
   /** Re-cluster a persisted IVF index IN PLACE, warm-starting Lloyd from
@@ -519,17 +526,25 @@ object Similarity {
     // assignment pass over the corpus. (vec_id, label) rows are ~16 bytes.
     val labels = kmeans(corpus, nClusters, iters).cache()
     try {
-      val labeled = corpus.join(labels, Seq("vec_id"))
-      val books = pqTrain(corpus, dim, nSub, pqK, iters)
-      books.write.mode("overwrite").parquet(s"$dbPath/codebooks")
       val spark = corpus.sparkSession
-      pqEncode(corpus, spark.read.parquet(s"$dbPath/codebooks"), dim, nSub)
-        .join(labels, Seq("vec_id"))
-        .write.mode("overwrite").partitionBy("label")
-        .parquet(s"$dbPath/codes")
-      // coarse centroids from the raw vectors (codes can't reconstruct them)
-      centroids(labeled, "label")
-        .write.mode("overwrite").parquet(s"$dbPath/centroids")
+      // the coarse k-means and the PQ codebook training are independent
+      // passes over the same corpus — overlap them (guide §2.6), then
+      // overlap the two independent artifact writes that consume them
+      graft.Par.jobs(
+        () => labels.count(), // materialize the cached coarse assignment
+        () => pqTrain(corpus, dim, nSub, pqK, iters)
+          .write.mode("overwrite").parquet(s"$dbPath/codebooks"))
+      val labeled = corpus.join(labels, Seq("vec_id"))
+      graft.Par.jobs(
+        () => pqEncode(corpus, spark.read.parquet(s"$dbPath/codebooks"),
+          dim, nSub)
+          .join(labels, Seq("vec_id"))
+          .write.mode("overwrite").partitionBy("label")
+          .parquet(s"$dbPath/codes"),
+        // coarse centroids from the raw vectors (codes can't reconstruct
+        // them)
+        () => centroids(labeled, "label")
+          .write.mode("overwrite").parquet(s"$dbPath/centroids"))
       StreamCommitMarker.clear(spark, dbPath)
     } finally labels.unpersist()
   }

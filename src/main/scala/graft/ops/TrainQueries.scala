@@ -374,14 +374,22 @@ object TrainQueries {
           "text", cfg)
           .select(col("doc_id"),
             size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      // the two release cascades are independent corpus slices: compute
+      // them CONCURRENTLY (guide §2.6) into materialized frames, then
+      // commit in order — the versioned txn chain still sequences v1/v2,
+      // but the expensive curation no longer serializes behind it
+      val rel = new Array[org.apache.spark.sql.DataFrame](2)
+      graft.Par.jobs(
+        () => rel(0) = release(0).localCheckpoint(),
+        () => rel(1) = release(1).localCheckpoint())
       require(graft.sources.Versioned
-        .appendBatch(release(0), dir, batchId = 0L).contains(1))
+        .appendBatch(rel(0), dir, batchId = 0L).contains(1))
       require(graft.sources.Versioned
-        .appendBatch(release(1), dir, batchId = 1L).contains(2))
+        .appendBatch(rel(1), dir, batchId = 1L).contains(2))
       // redelivery of release 0: exactly-once MUST make this a no-op —
       // a broken txn chain fails the require, not just the hash
       require(graft.sources.Versioned
-        .appendBatch(release(0), dir, batchId = 0L).isEmpty)
+        .appendBatch(rel(0), dir, batchId = 0L).isEmpty)
       def snap(v: Int) = graft.sources.Versioned.read(s, dir, Some(v))
         .agg(lit(v).as("version"), count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"))
