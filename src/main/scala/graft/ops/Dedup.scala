@@ -353,9 +353,9 @@ object Dedup {
     minhashSignatures(shingles(df, idCol, textCol, shingleSize), numHashes)
       .write.mode("overwrite").parquet(s"$path/signatures")
     val spark = df.sparkSession
-    import spark.implicits._
-    Seq((shingleSize, numHashes)).toDF("shingle_size", "num_hashes")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sources.ManifestIO.writeMetaDir(
+      spark.sparkContext.hadoopConfiguration, s"$path/meta",
+      Seq("shingle_size" -> shingleSize, "num_hashes" -> numHashes))
     // a rebuild may change the pinned params — drop the cached copy, and
     // drop any streaming replay high-watermark left by a previous stream
     // (a fresh query restarts batchIds at 0; a stale marker would make
@@ -472,8 +472,11 @@ object Dedup {
   private def sigsForIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String): (DataFrame, Int) = {
     val (shingleSize, numHashes) = metaCache.computeIfAbsent(path, { p =>
-      val meta = docs.sparkSession.read.parquet(s"$p/meta").head()
-      (meta.getAs[Int]("shingle_size"), meta.getAs[Int]("num_hashes"))
+      val meta = graft.sources.ManifestIO.readFirstRecord(
+        docs.sparkSession.sparkContext.hadoopConfiguration, s"$p/meta")
+        .getOrElse(throw new IllegalStateException(
+          s"dedup index meta at $p/meta is unreadable or empty"))
+      (meta.getInteger("shingle_size", 0), meta.getInteger("num_hashes", 0))
     })
     (minhashSignatures(
       shingles(docs, idCol, textCol, shingleSize), numHashes), numHashes)

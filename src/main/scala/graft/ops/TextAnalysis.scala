@@ -867,9 +867,9 @@ object TextAnalysis {
     val spark = df.sparkSession
     dsirCounts(dsirFeatures(df, idCol, textCol, isTarget, nBuckets))
       .write.mode("overwrite").parquet(s"$path/buckets")
-    import spark.implicits._
-    Seq((nBuckets, alpha)).toDF("n_buckets", "alpha")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sources.ManifestIO.writeMetaDir(
+      spark.sparkContext.hadoopConfiguration, s"$path/meta",
+      Seq("n_buckets" -> nBuckets, "alpha" -> alpha))
     StreamCommitMarker.clear(spark, path)
   }
 
@@ -879,8 +879,11 @@ object TextAnalysis {
   def appendToDsirIndex(batch: DataFrame, idCol: String, textCol: String,
       isTarget: Column, path: String): Unit = {
     val spark = batch.sparkSession
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val nBuckets = meta.getAs[Int]("n_buckets")
+    val meta = graft.sources.ManifestIO.readFirstRecord(
+      spark.sparkContext.hadoopConfiguration, s"$path/meta")
+      .getOrElse(throw new IllegalStateException(
+        s"dsir index meta at $path/meta is unreadable or empty"))
+    val nBuckets = meta.getInteger("n_buckets", 0)
     dsirCounts(dsirFeatures(batch, idCol, textCol, isTarget, nBuckets))
       .write.mode("append").parquet(s"$path/buckets")
   }
@@ -893,9 +896,12 @@ object TextAnalysis {
     */
   def scoreDsirIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val nBuckets = meta.getAs[Int]("n_buckets")
-    val alpha = meta.getAs[Double]("alpha")
+    val meta = graft.sources.ManifestIO.readFirstRecord(
+      spark.sparkContext.hadoopConfiguration, s"$path/meta")
+      .getOrElse(throw new IllegalStateException(
+        s"dsir index meta at $path/meta is unreadable or empty"))
+    val nBuckets = meta.getInteger("n_buckets", 0)
+    val alpha = meta.getDouble("alpha", 0)
     val ab = alpha * nBuckets
     val stored = spark.read.parquet(s"$path/buckets")
       .groupBy(col("b"))
@@ -1015,17 +1021,24 @@ object TextAnalysis {
       path: String, nBuckets: Int = 256): Unit = {
     val base = path.stripSuffix("/")
     val (postings, doclens, stats) = bm25Delta(df, idCol, textCol, nBuckets)
-    // route rows to their bucket BEFORE the partitioned write: without
+    val spark = df.sparkSession
+    // postings vs doclens+stats land in disjoint directories from
+    // independent compute — overlap the writes (guide §2.6); route
+    // posting rows to their bucket BEFORE the partitioned write: without
     // this every task writes a file into every bucket directory it
     // touches (tasks x buckets small files); with it, one file per bucket
-    postings.repartition(col("tb")).write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$base/postings")
-    doclens.write.mode("overwrite").parquet(s"$base/doclens")
-    stats.write.mode("overwrite").parquet(s"$base/stats")
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets").coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/meta")
+    graft.Par.jobs(
+      () => postings.repartition(col("tb")).write.mode("overwrite")
+        .partitionBy("tb").parquet(s"$base/postings"),
+      () => {
+        doclens.write.mode("overwrite").parquet(s"$base/doclens")
+        stats.write.mode("overwrite").parquet(s"$base/stats")
+      })
+    // one int, one row: driver-side parquet (a Spark job here was pure
+    // scheduling overhead — the ManifestIO discipline)
+    graft.sources.ManifestIO.writeMetaDir(
+      spark.sparkContext.hadoopConfiguration, s"$base/meta",
+      Seq("n_buckets" -> nBuckets))
     StreamCommitMarker.clear(spark, base)
   }
 
@@ -1038,13 +1051,18 @@ object TextAnalysis {
   def appendToBm25Index(df: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val base = path.stripSuffix("/")
-    val nBuckets = df.sparkSession.read.parquet(s"$base/meta")
-      .head().getAs[Int]("n_buckets")
+    val nBuckets = graft.sources.ManifestIO.readIntMeta(
+      df.sparkSession.sparkContext.hadoopConfiguration, s"$base/meta",
+      "n_buckets").getOrElse(throw new IllegalStateException(
+      s"bm25 index meta at $base/meta is unreadable or empty"))
     val (postings, doclens, stats) = bm25Delta(df, idCol, textCol, nBuckets)
-    postings.repartition(col("tb")).write.mode("append").partitionBy("tb")
-      .parquet(s"$base/postings")
-    doclens.write.mode("append").parquet(s"$base/doclens")
-    stats.write.mode("append").parquet(s"$base/stats")
+    graft.Par.jobs(
+      () => postings.repartition(col("tb")).write.mode("append")
+        .partitionBy("tb").parquet(s"$base/postings"),
+      () => {
+        doclens.write.mode("append").parquet(s"$base/doclens")
+        stats.write.mode("append").parquet(s"$base/stats")
+      })
   }
 
   private def bm25Delta(df: DataFrame, idCol: String, textCol: String,
@@ -1055,7 +1073,11 @@ object TextAnalysis {
     val postings = tok.groupBy(col("id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", hashBucket(col("tok"), nBuckets).cast("int"))
+    // doclens materialized once: it feeds its own write AND the stats
+    // delta — uncheckpointed, the tokenize explode behind it would run
+    // once per consumer (3 passes per build/append instead of 2)
     val doclens = tok.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
     val stats = doclens.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     (postings, doclens, stats)
@@ -1073,8 +1095,10 @@ object TextAnalysis {
       b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val base = path.stripSuffix("/")
-    val nBuckets = spark.read.parquet(s"$base/meta")
-      .head().getAs[Int]("n_buckets")
+    val nBuckets = graft.sources.ManifestIO.readIntMeta(
+      spark.sparkContext.hadoopConfiguration, s"$base/meta", "n_buckets")
+      .getOrElse(throw new IllegalStateException(
+        s"bm25 index meta at $base/meta is unreadable or empty"))
     val termsL = queryTerms.map(_.toLowerCase)
     val tbs = termsL.map(hashBucketOf(_, nBuckets)).distinct
     val tf = spark.read.parquet(s"$base/postings")
@@ -1427,10 +1451,9 @@ object TextAnalysis {
       .withColumn("tb", hashBucket(col("tok"), nBuckets).cast("int"))
     postings.repartition(col("tb")).write.mode("overwrite").partitionBy("tb")
       .parquet(s"$base/postings")
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets").coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/meta")
+    graft.sources.ManifestIO.writeMetaDir(
+      df.sparkSession.sparkContext.hadoopConfiguration, s"$base/meta",
+      Seq("n_buckets" -> nBuckets))
   }
 
   /** Fold a new document batch into a [[buildPositionalIndex]] index:
@@ -1442,8 +1465,10 @@ object TextAnalysis {
       path: String): Unit = {
     val base = path.stripSuffix("/")
     val spark = df.sparkSession
-    val nBuckets = spark.read.parquet(s"$base/meta")
-      .head().getAs[Int]("n_buckets")
+    val nBuckets = graft.sources.ManifestIO.readIntMeta(
+      spark.sparkContext.hadoopConfiguration, s"$base/meta", "n_buckets")
+      .getOrElse(throw new IllegalStateException(
+        s"positional index meta at $base/meta is unreadable or empty"))
     val postings = df.select(col(idCol).as("id"),
         posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
@@ -1462,8 +1487,10 @@ object TextAnalysis {
       path: String, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "searchPhraseIndexed needs a non-empty phrase")
     val base = path.stripSuffix("/")
-    val nBuckets = spark.read.parquet(s"$base/meta")
-      .head().getAs[Int]("n_buckets")
+    val nBuckets = graft.sources.ManifestIO.readIntMeta(
+      spark.sparkContext.hadoopConfiguration, s"$base/meta", "n_buckets")
+      .getOrElse(throw new IllegalStateException(
+        s"positional index meta at $base/meta is unreadable or empty"))
     val terms = phrase.map(_.toLowerCase)
     val tbs = terms.map(hashBucketOf(_, nBuckets)).distinct
     val tok = spark.read.parquet(s"$base/postings")

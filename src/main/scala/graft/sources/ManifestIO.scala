@@ -332,6 +332,48 @@ private[graft] object ManifestIO {
       else None
     }
 
+  /** Replace meta directory `dir` with ONE driver-written parquet file
+    * holding a single row of named scalar fields (Int/Long/Double/
+    * String) — the generic form of [[writeIntMeta]] for the one-row
+    * pinned-parameter metas every persisted index keeps. Readers (Spark
+    * and [[readFirstRecord]] alike) see the same physical schema the old
+    * `Seq(...).toDF(...).coalesce(1).write.parquet` produced.
+    */
+  def writeMetaDir(conf: Configuration, dir: String,
+      fields: Seq[(String, Any)]): Unit = {
+    val schema = MessageTypeParser.parseMessageType(
+      fields.map {
+        case (n, _: Int) => s"optional int32 $n;"
+        case (n, _: Long) => s"optional int64 $n;"
+        case (n, _: Double) => s"optional double $n;"
+        case (n, _: String) => s"optional binary $n (UTF8);"
+        case (n, v) => throw new IllegalArgumentException(
+          s"unsupported meta field $n: ${v.getClass}")
+      }.mkString("message spark_schema { ", " ", " }"))
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d)) fs.delete(d, true)
+    fs.mkdirs(d)
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(
+        new Path(d, "part-00000-meta.parquet"), conf))
+      .withConf(conf)
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new SimpleGroup(schema)
+      fields.foreach {
+        case (n, v: Int) => g.append(n, v)
+        case (n, v: Long) => g.append(n, v)
+        case (n, v: Double) => g.append(n, v)
+        case (n, v: String) => g.append(n, v)
+        case _ => ()
+      }
+      w.write(g)
+    } finally w.close()
+  }
+
   /** First record of the first non-hidden part file under parquet
     * directory `dir` (driver-side, no Spark job) — for sidecar-wide
     * CONSTANT columns (bloom geometry, key metadata). None for a

@@ -166,13 +166,13 @@ object DedupStream {
       metaFsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!metaFs.exists(metaFsPath)) labelsBucketCache.remove(cacheKey)
     labelsBucketCache.computeIfAbsent(cacheKey, { _ =>
-      try spark.read.parquet(metaPath).head().getAs[Int]("n_buckets")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          Seq(nBuckets).toDF("n_buckets").coalesce(1)
-            .write.mode("overwrite").parquet(metaPath)
+      val conf = spark.sparkContext.hadoopConfiguration
+      graft.sources.ManifestIO.readIntMeta(conf, metaPath, "n_buckets")
+        .getOrElse {
+          graft.sources.ManifestIO.writeMetaDir(conf, metaPath,
+            Seq("n_buckets" -> nBuckets))
           nBuckets
-      }
+        }
     })
   }
 

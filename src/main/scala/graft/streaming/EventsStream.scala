@@ -476,9 +476,9 @@ object EventsStream {
       s"drift baseline: $valueCol is constant ($mn) — equi-width bins " +
         "are undefined; PSI over a constant needs no histogram")
     val spark = df.sparkSession
-    import spark.implicits._
-    Seq((mn, mx)).toDF("mn", "mx").coalesce(1)
-      .write.mode("overwrite").parquet(s"$p/meta")
+    graft.sources.ManifestIO.writeMetaDir(
+      spark.sparkContext.hadoopConfiguration, s"$p/meta",
+      Seq("mn" -> mn, "mx" -> mx))
     histogram(df, valueCol, mn, mx).coalesce(1)
       .write.mode("overwrite").parquet(s"$p/hist")
   }
@@ -499,8 +499,11 @@ object EventsStream {
       baselinePath: String): Double = {
     val p = baselinePath.stripSuffix("/")
     val spark = df.sparkSession
-    val meta = spark.read.parquet(s"$p/meta").head()
-    val (mn, mx) = (meta.getAs[Double]("mn"), meta.getAs[Double]("mx"))
+    val meta = graft.sources.ManifestIO.readFirstRecord(
+      spark.sparkContext.hadoopConfiguration, s"$p/meta")
+      .getOrElse(throw new IllegalStateException(
+        s"drift baseline meta at $p/meta is unreadable or empty"))
+    val (mn, mx) = (meta.getDouble("mn", 0), meta.getDouble("mx", 0))
     psiFromHist(spark, histogram(df, valueCol, mn, mx), p)._1
   }
 
@@ -547,8 +550,11 @@ object EventsStream {
         val spark = batch.sparkSession
         import spark.implicits._
         val p = baselinePath.stripSuffix("/")
-        val meta = spark.read.parquet(s"$p/meta").head()
-        val (mn, mx) = (meta.getAs[Double]("mn"), meta.getAs[Double]("mx"))
+        val meta = graft.sources.ManifestIO.readFirstRecord(
+          spark.sparkContext.hadoopConfiguration, s"$p/meta")
+          .getOrElse(throw new IllegalStateException(
+            s"drift baseline meta at $p/meta is unreadable or empty"))
+        val (mn, mx) = (meta.getDouble("mn", 0), meta.getDouble("mx", 0))
         // ONE scan of the micro-batch: the 10-bin histogram feeds both
         // the n_rows gauge and the PSI (review: count()+psi was 2 scans)
         val (psi, n) = psiFromHist(spark,
